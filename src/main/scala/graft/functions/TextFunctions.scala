@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus processing, expressed
+  * with built-in (codegen'd) Spark SQL functions only — no UDFs — so they
+  * run inside WholeStageCodegen in the scan stage at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty array for empty/blank input. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish sub-word token count: words + punctuation runs + digit runs
+    * each count as a token (crude proxy for LLM tokenizers, deterministic).
+    */
+  def bpeishTokenCount(text: Column): Column = {
+    val pieces = split(trim(text), "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)|\\s+")
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(filter(pieces, p => length(trim(p)) > 0)))
+  }
+
+  /** Word n-gram strings (n consecutive tokens joined by a space). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Character n-gram (shingle) strings over the raw text. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Heuristic quality score in [0,1]: combines length band, alpha ratio,
+    * mean word length band, and punctuation density. Deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val nTok = tokenCount(text).cast("double")
+    val meanWordLen = when(nTok > 0, len / nTok).otherwise(lit(0.0))
+    val lenScore = when(len >= 200 && len <= 20000, lit(1.0))
+      .when(len >= 50, lit(0.5)).otherwise(lit(0.0))
+    val wordScore = when(meanWordLen >= 3 && meanWordLen <= 12, lit(1.0)).otherwise(lit(0.3))
+    round((lenScore * 0.4 + alphaRatio * 0.4 + wordScore * 0.2), 4)
+  }
+
+  /** Tiny n-gram/stopword language-ID heuristic over {en,de,fr,es,zh}.
+    * Scores = count of language-marker tokens; argmax with 'en' fallback.
+    * Deterministic; meant as the shape of a real fastText-style classifier
+    * (per-row scan-stage scoring, no shuffle).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map(m => size(split(t, s"\\Q $m \\E")) - 1)
+        .reduce(_ + _)
+    val en = score(Seq("the", "and", "of", "to", "is"))
+    val de = score(Seq("der", "die", "und", "ist", "das"))
+    val fr = score(Seq("le", "la", "et", "est", "les"))
+    val es = score(Seq("el", "la", "y", "es", "los"))
+    val zh = size(split(text, "[\\u4e00-\\u9fff]")) - 1
+    // argmax with deterministic tie-break order en>de>fr>es>zh
+    val pairs = Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es, "zh" -> zh)
+    val best = greatest(pairs.map(_._2): _*)
+    pairs.foldRight(lit("en")) { case ((l, s), acc) => when(s === best && best > 0, lit(l)).otherwise(acc) }
+  }
+
+  /** 64-bit rolling document fingerprint over tokens: left-fold
+    * fp = xxhash64(fp, token_i) — order-sensitive, overflow-free.
+    * Fingerprint equality ⇒ identical token sequence (w.h.p.).
+    */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+}

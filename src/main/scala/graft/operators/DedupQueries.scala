@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` — exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard. Designed so the expensive pairwise work only ever
+  * happens inside small hash buckets:
+  *
+  *   per-row signatures (scan stage, codegen, no shuffle)
+  *     → explode band keys (bands× row multiplier, narrow)
+  *     → shuffle on (band, bandhash)   ← the ONLY data-sized shuffle
+  *     → pairwise verify within buckets (bucket sizes are ~Poisson, tiny)
+  *
+  * At 100 TB the band shuffle carries (doc_id, 8-byte key) pairs — a few
+  * hundred GB — not document text; text re-joins only for the candidate
+  * pairs (a broadcast-sized set unless the corpus is mostly duplicates).
+  */
+object DedupQueries {
+
+  /** Exact dedup by content hash: every doc annotated with its group's
+    * keeper (min doc_id with identical md5(text)) — with DuckDB oracle. */
+  val q50 = QueryDef.oracle("q50_dedup_exact",
+    """SELECT d.doc_id, g.keeper_id, g.n_copies,
+      |       CASE WHEN d.doc_id = g.keeper_id THEN 'keep' ELSE 'drop' END AS action
+      |FROM documents d JOIN (
+      |  SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |  FROM documents GROUP BY md5(text)) g
+      |ON md5(d.text) = g.h""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("h", md5(col("text")))
+      val groups = docs.groupBy("h")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      docs.join(groups, "h")
+        .select(col("doc_id"), col("keeper_id"), col("n_copies"),
+          when(col("doc_id") === col("keeper_id"), "keep").otherwise("drop").as("action"))
+    })
+
+  val MinhashK = 64
+  val MinhashBands = 16
+
+  /** Per-doc MinHash signature + banded bucket keys (the signature pass
+    * of MinHash-LSH). Rows-only: hash family is engine-internal. */
+  val q51 = QueryDef.rowsOnly("q51_minhash_signatures")(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+      .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"),
+        lshBands(col("sig"), MinhashK, MinhashBands).as("bands")))
+
+  /** Candidate pairs from LSH banding, verified with signature-estimated
+    * Jaccard. Output: per-doc near-dup summary (always n_docs rows, so the
+    * rows-only gate is meaningful even on a dup-free corpus). */
+  val q52 = QueryDef.rowsOnly("q52_minhash_lsh_dedup")(
+    (s, d) => minhashNearDups(s, d, threshold = 0.5))
+
+  def minhashNearDups(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+    // explode band keys; shuffle carries (band key, doc_id, sig)
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+    // per-doc summary: keeps output non-empty on dup-free corpora
+    val perDoc = cand.select(col("id_a").as("doc_id"), col("est_jaccard"))
+      .unionByName(cand.select(col("id_b").as("doc_id"), col("est_jaccard")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_dups"), max("est_jaccard").as("best_jaccard"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("best_jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signature; block on the 4 x 16-bit chunks
+    * (any pair within Hamming distance 3 shares at least one chunk by
+    * pigeonhole over 4 chunks). Rows-only. */
+  val q53 = QueryDef.rowsOnly("q53_simhash_dedup")(
+    (s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
+      val chunks = sigs.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+        .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      val l = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val cand = l.join(r, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+      val perDoc = cand.select(col("id_a").as("doc_id"), col("hamming"))
+        .unionByName(cand.select(col("id_b").as("doc_id"), col("hamming")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_near_dups"), min("hamming").as("best_hamming"))
+      sigs.select(col("doc_id"), col("sh").as("simhash"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"), col("best_hamming"))
+    })
+
+  /** Exact n-gram Jaccard within LSH-candidate pairs only (never all
+    * pairs): MinHash banding proposes, exact 3-gram Jaccard disposes. */
+  val q54 = QueryDef.rowsOnly("q54_ngram_jaccard_verify")(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"),
+          minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+      val banded = docs
+        .select(col("doc_id"), col("grams"),
+          explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
+        .select(col("doc_id"), col("grams"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+      val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+      val pairs = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
+        .distinct()
+      val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best_jaccard"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("best_jaccard"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
+}

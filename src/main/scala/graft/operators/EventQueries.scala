@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics on the `events` table — the batch-equivalent
+  * forms of the Structured Streaming pipeline in graft.streaming (same
+  * logical results; streaming variant adds watermark + incremental state).
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour windowed aggregate — the batch twin of
+    * readStream.withWatermark.groupBy(window(...)). Sum in exact cents.
+    */
+  val q30 = QueryDef.oracle("q30_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+      |       count(*) AS n,
+      |       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents")))
+
+  /** Sessionization: 30-min inactivity gap per user, assigned with a
+    * lag + cumulative-sum window (single shuffle on user_id). This is the
+    * batch twin of session_window / flatMapGroupsWithState.
+    */
+  val q31 = QueryDef.oracle("q31_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |         SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY user_id, session_id""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new", when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+          max("ts").as("session_end"))
+    })
+
+  /** JSON scalar extraction from the props payload column (SURVEY.md
+    * §2.9 JSON functions — beyond-reference). */
+  val q32 = QueryDef.oracle("q32_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k")))
+
+  /** Event funnel: per user, first ts of each step type, then a CASE on
+    * how deep the funnel got (view → click → purchase). */
+  val q33 = QueryDef.oracle("q33_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, first_view, first_click, first_purchase,
+      |       CASE WHEN first_purchase IS NOT NULL THEN 3
+      |            WHEN first_click IS NOT NULL THEN 2
+      |            WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |FROM f""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1)
+          .otherwise(0).as("depth")))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (array<float> column).
+  *
+  * Two paths:
+  *  - brute-force: query set (small, broadcast) x full table, top-k via
+  *    window. Exact; cost O(|Q| * N) dot products — the baseline.
+  *  - LSH-bucketed: sign-random-projection bucket on both sides; join on
+  *    bucket (+ its 1-bit neighbors for recall), top-k within. At 100 TB
+  *    the bucket join shuffles each row once on a small int key instead
+  *    of replicating the corpus |Q| times.
+  */
+object SimilarityQueries {
+
+  /** Deterministic small query set: every 50th vector. */
+  private def querySet(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  /** Embedding plumbing sanity with DuckDB oracle: dims + per-label count. */
+  val q60 = QueryDef.oracle("q60_embedding_profile",
+    """SELECT label, count(*) AS n_vecs, min(len(embedding)) AS min_dims,
+      |       max(len(embedding)) AS max_dims
+      |FROM embeddings GROUP BY label""".stripMargin)(
+    (s, d) => Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min(size(col("embedding"))).as("min_dims"),
+        max(size(col("embedding"))).as("max_dims")))
+
+  /** Brute-force cosine top-10 per query vector. */
+  val q61 = QueryDef.rowsOnly("q61_ann_bruteforce")(
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = querySet(s, d)
+      val scored = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          cosine(col("q_vec"), col("embedding")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos"))
+    })
+
+  /** LSH-bucketed ANN: 8-bit sign bucket; probe the exact bucket plus all
+    * 1-bit-flip neighbor buckets (multi-probe → recall without widening
+    * the shuffle). Top-10 within probed buckets. */
+  val q62 = QueryDef.rowsOnly("q62_ann_lsh_bucketed")(
+    (s, d) => {
+      val bits = 8
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          signBucket(col("embedding"), bits).as("bucket"))
+      val q = querySet(s, d)
+        .withColumn("bucket0", signBucket(col("q_vec"), bits))
+      // multi-probe: bucket0 and its `bits` single-bit flips
+      val probes = q.select(col("q_id"), col("q_vec"),
+        explode(array(
+          (col("bucket0") +: (0 until bits).map(i =>
+            col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+      val scored = base.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          cosine(col("q_vec"), col("embedding")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.dropDuplicates("q_id", "vec_id")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos"))
+    })
+
+  /** Embedding-cosine near-duplicate detection: pairs within the same
+    * sign bucket with cosine >= 0.95 (blocked pairwise, not all-pairs). */
+  val q63 = QueryDef.rowsOnly("q63_embedding_near_dup")(
+    (s, d) => {
+      val bits = 8
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding"), bits).as("bucket"))
+      val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+        .filter(col("cos") >= 0.95)
+      val perVec = pairs.select(col("id_a").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_near_dups"), max("cos").as("best_cos"))
+      e.select(col("vec_id"))
+        .join(perVec, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          round(col("best_cos"), 6).as("best_cos"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over the `documents` table — the per-document
+  * scoring pass of a training-data pipeline. Everything is scan-stage
+  * scalar work (no shuffle), so it scales linearly with input bytes.
+  */
+object TextQueries {
+
+  /** Token/char statistics with a DuckDB oracle (regex token split is
+    * identical in both engines). */
+  val q40 = QueryDef.oracle("q40_token_stats",
+    """SELECT doc_id, n_chars, length(text) AS text_len,
+      |       CASE WHEN length(trim(text)) = 0 THEN 0
+      |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |FROM documents""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), length(col("text")).as("text_len"),
+        tokenCount(col("text")).as("n_tokens")))
+
+  /** Quality scoring (length band + alpha ratio + word-length band) —
+    * rows-only: the scoring formula is engine-internal. */
+  val q41 = QueryDef.rowsOnly("q41_quality_score")(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"),
+        bpeishTokenCount(col("text")).as("n_bpeish_tokens")))
+
+  /** Heuristic language ID vs the labeled lang column — rows-only. */
+  val q42 = QueryDef.rowsOnly("q42_lang_id")(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        langIdHeuristic(col("text")).as("detected_lang")))
+
+  /** 64-bit rolling-hash document fingerprint — rows-only (hash family is
+    * engine-internal). Fingerprint equality ⇒ token-sequence equality. */
+  val q43 = QueryDef.rowsOnly("q43_fingerprint")(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), docFingerprint(col("text")).as("fingerprint")))
+
+  /** Word 3-gram inventory size per doc, with oracle: count of distinct
+    * 3-grams — DuckDB computes via its own list ops. */
+  val q44 = QueryDef.oracle("q44_ngram_profile",
+    """SELECT doc_id,
+      |       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN 0
+      |            ELSE len(list_distinct([list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                   FOR i IN range(1, len(l) - 1)])) END AS n_distinct_3grams
+      |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS l
+      |      FROM documents)""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(wordNgrams(col("text"), 3))).as("n_distinct_3grams")))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+}
