@@ -9,18 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty array for empty/blank input. */
+  /** Whitespace tokens; empty array for empty/blank input. Built as
+    * split-then-drop-empties because `trim` only strips spaces (a
+    * tab-only string would otherwise yield [\"\",\"\"]).
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(text, "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish sub-word token count: words + punctuation runs + digit runs
-    * each count as a token (crude proxy for LLM tokenizers, deterministic).
+  /** A BPE-ish sub-word token count: words, punctuation runs, and digit
+    * runs each count as a token (crude proxy for LLM tokenizers,
+    * deterministic).
     */
   def bpeishTokenCount(text: Column): Column = {
-    val pieces = split(trim(text), "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)|\\s+")
+    val pieces = split(trim(text),
+      "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)|(?<=\\d)(?=[A-Za-z])|(?<=[A-Za-z])(?=\\d)|\\s+")
     when(length(trim(text)) === 0, lit(0)).otherwise(size(filter(pieces, p => length(trim(p)) > 0)))
   }
 

@@ -14,8 +14,7 @@ object TextQueries {
     * identical in both engines). */
   val q40 = QueryDef.oracle("q40_token_stats",
     """SELECT doc_id, n_chars, length(text) AS text_len,
-      |       CASE WHEN length(trim(text)) = 0 THEN 0
-      |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
       |FROM documents""".stripMargin)(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("text_len"),
@@ -45,10 +44,11 @@ object TextQueries {
     * 3-grams — DuckDB computes via its own list ops. */
   val q44 = QueryDef.oracle("q44_ngram_profile",
     """SELECT doc_id,
-      |       CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN 0
+      |       CASE WHEN len(l) < 3 THEN 0
       |            ELSE len(list_distinct([list_aggregate(l[i:i+2], 'string_agg', ' ')
       |                   FOR i IN range(1, len(l) - 1)])) END AS n_distinct_3grams
-      |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS l
+      |FROM (SELECT doc_id, text,
+      |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |      FROM documents)""".stripMargin)(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),

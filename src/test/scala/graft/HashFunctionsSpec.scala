@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class HashFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 16
+  private def sig(text: String): List[Long] =
+    Seq(text).toDF("text")
+      .select(minhashSignature(wordNgrams(col("text"), 2), k).as("v"))
+      .collect().head.getSeq[Long](0).toList
+
+  test("minhash: identical docs get identical signatures of length k") {
+    val a = sig("to be or not to be that is the question")
+    val b = sig("to be or not to be that is the question")
+    assert(a == b && a.length == k)
+  }
+
+  test("minhash: empty doc gets the all-sentinel signature") {
+    assert(sig("") == List.fill(k)(Long.MaxValue))
+  }
+
+  test("minhash: permuting shingle order does not change the signature (set semantics)") {
+    // same 2-gram multiset reversed at line level -> same mins per seed
+    val a = sig("a b c d")
+    val grams = Seq(Seq("a b", "b c", "c d").reverse).toDF("g")
+      .select(minhashSignature(col("g"), k).as("v")).collect().head.getSeq[Long](0).toList
+    assert(a == grams)
+  }
+
+  test("minhashJaccard: 1 for identical, 0 for disjoint, bounded between") {
+    val df = Seq(("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")).toDF("t1", "t2", "t3")
+    val row = df.select(
+      minhashJaccard(minhashSignature(wordNgrams(col("t1"), 2), k),
+        minhashSignature(wordNgrams(col("t2"), 2), k)).as("same"),
+      minhashJaccard(minhashSignature(wordNgrams(col("t1"), 2), k),
+        minhashSignature(wordNgrams(col("t3"), 2), k)).as("disj")).collect().head
+    assert(row.getAs[Double]("same") == 1.0)
+    assert(row.getAs[Double]("disj") == 0.0)
+  }
+
+  test("exact jaccard: set semantics with empty-union guard") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"), Seq.empty[String])).toDF("a", "b", "e")
+    val row = df.select(
+      jaccard(col("a"), col("b")).as("ab"),
+      jaccard(col("e"), col("e")).as("ee")).collect().head
+    assert(math.abs(row.getAs[Double]("ab") - 1.0 / 3) < 1e-9)
+    assert(row.getAs[Double]("ee") == 0.0)
+  }
+
+  test("lshBands: bands partition the signature; equal sigs share all band keys") {
+    val df = Seq("x y z w v u t s").toDF("text")
+      .select(minhashSignature(wordNgrams(col("text"), 2), k).as("sig"))
+      .select(lshBands(col("sig"), k, 4).as("b"))
+    val bands = df.collect().head.getSeq[org.apache.spark.sql.Row](0).toList
+    assert(bands.length == 4)
+    assert(bands.map(_.getAs[Int]("band")) == List(0, 1, 2, 3))
+  }
+
+  test("simhash: identical token sets agree; hamming is 0 there and small for near-dups") {
+    val df = Seq(("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "completely different words entirely unrelated content here now")).toDF("a", "b", "c")
+    val row = df.select(
+      hamming64(simhash64(tokens(col("a"))), simhash64(tokens(col("b")))).as("same"),
+      hamming64(simhash64(tokens(col("a"))), simhash64(tokens(col("c")))).as("diff"))
+      .collect().head
+    assert(row.getAs[Number]("same").longValue == 0L)
+    assert(row.getAs[Number]("diff").longValue > 3L)
+  }
+}

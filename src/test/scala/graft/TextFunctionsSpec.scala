@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getSeq[String](0).toList
+
+  test("tokens splits on any whitespace run") {
+    assert(oneSeq(tokens(col("text")), "a  b\tc\nd") == List("a", "b", "c", "d"))
+  }
+
+  test("tokens of empty and blank input is empty array, not [\"\"]") {
+    assert(oneSeq(tokens(col("text")), "") == List())
+    assert(oneSeq(tokens(col("text")), "   \t ") == List())
+  }
+
+  test("tokenCount matches token array size") {
+    assert(one[Int](tokenCount(col("text")), "the quick brown fox") == 4)
+    assert(one[Int](tokenCount(col("text")), "") == 0)
+  }
+
+  test("bpeish token count splits word/punct/digit boundaries") {
+    // "don't stop: 42km" -> don | ' | t | stop | : | 42 | km
+    assert(one[Int](bpeishTokenCount(col("text")), "don't stop: 42km") == 7)
+    assert(one[Int](bpeishTokenCount(col("text")), "") == 0)
+  }
+
+  test("wordNgrams produces n-1 fewer grams than tokens; short input empty") {
+    assert(oneSeq(wordNgrams(col("text"), 3), "a b c d") == List("a b c", "b c d"))
+    assert(oneSeq(wordNgrams(col("text"), 3), "a b") == List())
+  }
+
+  test("charShingles covers the string; short input empty") {
+    assert(oneSeq(charShingles(col("text"), 3), "abcd") == List("abc", "bcd"))
+    assert(oneSeq(charShingles(col("text"), 5), "abcd") == List())
+  }
+
+  test("qualityScore in [0,1] and favors normal prose over junk") {
+    val prose = "The quick brown fox jumps over the lazy dog. " * 10
+    val junk = "@@@@ #### $$$$ %%%%"
+    val pq = one[Double](qualityScore(col("text")), prose)
+    val jq = one[Double](qualityScore(col("text")), junk)
+    assert(pq >= 0 && pq <= 1 && jq >= 0 && jq <= 1 && pq > jq)
+  }
+
+  test("langIdHeuristic picks marker language, falls back to en") {
+    assert(one[String](langIdHeuristic(col("text")), "the cat and the dog is here") == "en")
+    assert(one[String](langIdHeuristic(col("text")), "der Hund und die Katze ist da") == "de")
+    assert(one[String](langIdHeuristic(col("text")), "xyzzy plugh") == "en")
+  }
+
+  test("docFingerprint is order-sensitive and whitespace-insensitive") {
+    val fp1 = one[Long](docFingerprint(col("text")), "a b c")
+    val fp2 = one[Long](docFingerprint(col("text")), "a  b\tc")
+    val fp3 = one[Long](docFingerprint(col("text")), "c b a")
+    assert(fp1 == fp2)
+    assert(fp1 != fp3)
+  }
+}
