@@ -90,5 +90,26 @@ object EventQueries {
           .when(col("first_view").isNotNull, 1)
           .otherwise(0).as("depth")))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33)
+  /** Gap-based sessions via the built-in session_window (the streaming
+    * package's batch-equivalent path; graft.streaming.EventStreams).
+    * Same oracle formulation as q31 minus the session ordinal. */
+  val q34 = QueryDef.oracle("q34_session_window",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |         SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin)(
+    (s, d) => graft.streaming.EventStreams.sessionWindows(
+      Tables.events(s, d), "30 minutes"))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the events feed (SURVEY.md §2.9: streaming
+  * is the engine's extension surface — the reference's closest analog is
+  * its batch watermark file).
+  *
+  * Every transform below takes a DataFrame that may be batch OR
+  * streaming: the logical plan is identical, only the sink differs. The
+  * batch twins in [[graft.operators.EventQueries]] are the oracle: a
+  * streaming run over the same rows must converge to the batch answer.
+  *
+  * Scale notes: watermarks bound state (late rows beyond the horizon are
+  * dropped, state for closed windows is evicted); the groupBy shuffles
+  * on (window, key) exactly like the batch agg; `session_window` merges
+  * per-key sorted runs, state sized by open sessions, not history.
+  */
+object EventStreams {
+
+  /** Tumbling fixed windows with an event-time watermark — the streaming
+    * form of q30 (1-hour buckets, exact-cents sums).
+    */
+  def tumbling(events: DataFrame, size: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Sliding windows (each event lands in size/slide windows). */
+  def sliding(events: DataFrame, size: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"))
+
+  /** Gap-based sessions via the built-in session_window — the streaming
+    * form of q31's lag+cumsum sessionization. Emits one row per closed
+    * session; `session_end` is the last event ts (window.end minus the
+    * gap), matching the batch twin's max(ts).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Custom stateful sessionization with flatMapGroupsWithState — the
+    * state-API escape hatch for session semantics session_window can't
+    * express (kept here with identical gap semantics as the reference
+    * implementation of the pattern). Emits a session only when a newer
+    * event closes it; the open session rides in `GroupState` across
+    * triggers. State per key is one open session — O(active users), not
+    * O(history).
+    */
+  def sessionizeStateful(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val (closed, open) = sorted.foldLeft(
+            (List.empty[SessionState], state.getOption)) {
+            case ((done, None), e) =>
+              (done, Some(SessionState(e.ts, e.ts, 1)))
+            case ((done, Some(s)), e) =>
+              if (e.ts.getTime - s.last.getTime > gapSeconds * 1000)
+                (s :: done, Some(SessionState(e.ts, e.ts, 1)))
+              else (done, Some(s.copy(last = e.ts, n = s.n + 1)))
+          }
+          open.foreach(state.update)
+          closed.reverseIterator.map(s => Session(user, s.start, s.last, s.n))
+      }
+  }
+
+  /** Batch-mode stateful sessionization: folds each user's full history
+    * and emits every session (open one included) — must agree with q31.
+    */
+  def sessionizeBatch(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, rows: Iterator[Ev]) =>
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val (closed, open) = sorted.foldLeft(
+          (List.empty[SessionState], Option.empty[SessionState])) {
+          case ((done, None), e) => (done, Some(SessionState(e.ts, e.ts, 1)))
+          case ((done, Some(s)), e) =>
+            if (e.ts.getTime - s.last.getTime > gapSeconds * 1000)
+              (s :: done, Some(SessionState(e.ts, e.ts, 1)))
+            else (done, Some(s.copy(last = e.ts, n = s.n + 1)))
+        }
+        (open.toList ::: closed).reverseIterator
+          .map(s => Session(user, s.start, s.last, s.n))
+      }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class StreamEvent(ts: Timestamp, event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg converges to the batch answer (complete mode)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val rows = Seq(
+      StreamEvent(t("2024-01-01 10:05:00"), "view", 1.5),
+      StreamEvent(t("2024-01-01 10:55:00"), "view", 2.5),
+      StreamEvent(t("2024-01-01 11:05:00"), "click", 4.0),
+      StreamEvent(t("2024-01-01 11:06:00"), "view", 0.5))
+    val q = EventStreams.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try {
+      ms.addData(rows.take(2))
+      ms.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStreams.tumbling(rows.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (t("2024-01-01 10:00:00"), "view", 2L, 400L),
+        (t("2024-01-01 11:00:00"), "click", 1L, 400L),
+        (t("2024-01-01 11:00:00"), "view", 1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("append mode finalizes windows at the watermark and drops too-late rows") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val q = EventStreams.tumbling(ms.toDF(), size = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), "view", 1.0),
+        StreamEvent(t("2024-01-01 10:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late").count() == 0) // watermark 09:30 — window still open
+      ms.addData(StreamEvent(t("2024-01-01 12:30:00"), "click", 1.0))
+      q.processAllAvailable() // watermark 11:30 — the 10:00 window closes
+      ms.addData(StreamEvent(t("2024-01-01 10:45:00"), "view", 9.0)) // behind watermark
+      q.processAllAvailable()
+      val out = spark.table("late")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set((t("2024-01-01 10:00:00"), "view", 2L))) // late row dropped
+    } finally q.stop()
+  }
+
+  test("session_window agg matches the stateful fold and the lag+cumsum formulation on real data") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))
+
+    val viaSessionWindow = EventStreams.sessionWindows(events, "30 minutes")
+      .collect().map(key).toSet
+    val viaStateful = EventStreams.sessionizeBatch(
+      events.select(col("user_id"), col("event_id"), col("ts")).as[EventStreams.Ev], 1800)
+      .toDF().collect().map(key).toSet
+    val viaWindowFuncs = graft.operators.EventQueries.q31
+      .fn(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(key).toSet
+    assert(viaSessionWindow.nonEmpty)
+    assert(viaSessionWindow == viaStateful)
+    assert(viaSessionWindow == viaWindowFuncs)
+  }
+
+  test("flatMapGroupsWithState emits a session only when a newer event closes it") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeStateful(ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      ms.addData(EventStreams.Ev(1, 1, t("2024-01-01 10:00:00")),
+        EventStreams.Ev(1, 2, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open in state
+      ms.addData(EventStreams.Ev(1, 3, t("2024-01-01 11:00:00"))) // > 30 min gap
+      q.processAllAvailable()
+      val out = spark.table("sess").as[EventStreams.Session].collect().toSet
+      assert(out == Set(EventStreams.Session(1, t("2024-01-01 10:00:00"),
+        t("2024-01-01 10:10:00"), 2)))
+      // state survived across triggers: closing the second session works too
+      ms.addData(EventStreams.Ev(1, 4, t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 2)
+    } finally q.stop()
+  }
+}
