@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` content plus
+  * typed metadata, processed with batch-shaped per-partition operators.
+  *
+  * The Spark-side plumbing — schema, typed Datasets, partition-batched
+  * mapPartitions, explode for frame sampling — is real and tested; the
+  * codec itself is a clearly-marked deterministic stub
+  * ([[StubMediaCodec]]) because no image/audio libraries exist in this
+  * environment. Swapping in a real codec is a one-class change.
+  *
+  * Scale notes: content bytes never shuffle in these operators — decode/
+  * feature-extraction is scan-stage mapPartitions, so cost is linear in
+  * input bytes and parallelism is the file-split count. Frame sampling
+  * multiplies rows (explode) BEFORE any shuffle, so downstream aggs see
+  * (media_id, frame) keys; at 100 TB the media table would be bucketed
+  * by media_id so frame-level joins stay co-located.
+  */
+final case class MediaMeta(
+    format: String, width: Int, height: Int,
+    sampleRate: Int, durationMs: Long, nFrames: Int)
+
+final case class MediaRow(
+    media_id: Long, modality: String, content: Array[Byte], meta: MediaMeta)
+
+final case class MediaFeature(
+    media_id: Long, modality: String, n_bytes: Int, feature: Array[Float])
+
+final case class FrameRow(
+    media_id: Long, frame_index: Int, frame: Array[Byte])
+
+/** Codec boundary: decode + featurize one batch of media rows. Batch
+  * granularity is the contract — real codecs amortize model/context
+  * setup across a batch, exactly like a vectorized UDF.
+  */
+trait MediaCodec extends Serializable {
+  def featurize(batch: Seq[MediaRow], dim: Int): Seq[MediaFeature]
+  def decodeFrames(row: MediaRow, everyN: Int): Seq[FrameRow]
+}
+
+/** STUB — deterministic fake standing in for a real image/audio/video
+  * codec (none installed here). Features are a seeded PRNG over the
+  * content hash; frames are byte-range slices. Deterministic in content,
+  * so tests and the rows-only driver gate are stable.
+  */
+object StubMediaCodec extends MediaCodec {
+  override def featurize(batch: Seq[MediaRow], dim: Int): Seq[MediaFeature] =
+    batch.map { r =>
+      val seed = scala.util.hashing.MurmurHash3.bytesHash(r.content, 42).toLong
+      val rnd = new java.util.Random(seed)
+      MediaFeature(r.media_id, r.modality, r.content.length,
+        Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+
+  override def decodeFrames(row: MediaRow, everyN: Int): Seq[FrameRow] = {
+    val n = math.max(row.meta.nFrames, 1)
+    val span = math.max(row.content.length / n, 1)
+    (0 until n by everyN).map { i =>
+      val from = math.min(i * span, row.content.length)
+      val until = math.min(from + span, row.content.length)
+      FrameRow(row.media_id, i, row.content.slice(from, until))
+    }
+  }
+}
+
+object Media {
+
+  /** Deterministic media table derived from `documents` (no binary
+    * fixtures ship with the testdata): content = utf8 bytes of text,
+    * modality cycles by id, meta synthesized from length. This is the
+    * demo source; a real deployment reads parquet with an actual binary
+    * column — same schema, same operators.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("stub").as("format"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (col("n_chars") * 10).cast("long").as("durationMs"),
+        (col("n_chars") % 16 + 1).cast("int").as("nFrames")).as("meta"))
+
+  /** Feature extraction: batch-shaped mapPartitions through the codec.
+    * Batches of `batchSize` amortize codec setup (the vectorized-UDF
+    * shape); partition boundaries are preserved — no shuffle.
+    */
+  def extractFeatures(media: Dataset[MediaRow], codec: MediaCodec,
+      dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => codec.featurize(batch, dim))
+    }
+  }
+
+  /** Frame sampling: one row per kept frame (video only; other
+    * modalities pass through as frame 0).
+    */
+  def sampleFrames(media: Dataset[MediaRow], codec: MediaCodec,
+      everyN: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap {
+      case r if r.modality == "video" => codec.decodeFrames(r, everyN)
+      case r => Seq(FrameRow(r.media_id, 0, r.content))
+    }
+  }
+}
