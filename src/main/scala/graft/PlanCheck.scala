@@ -1,0 +1,45 @@
+package graft
+/** Dev tool: assert the physical-plan properties the 100-TB design
+  * depends on — pushdown, pruning, broadcast joins, map-side partial
+  * aggregation, top-k without global sort, shuffle-free scan-stage text
+  * ops. Prints OK/MISS per property; run after plan-affecting changes.
+  * (Codegen spans aren't asserted: under AQE the pre-execution plan
+  * string doesn't carry WholeStageCodegen annotations.)
+  */
+object PlanCheck {
+  def main(a: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val d = "/root/testdata/sf0.01"
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    var misses = 0
+    def check(name: String, what: String, pred: String => Boolean): Unit = {
+      val ok = pred(plan(name))
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} $name%-28s $what")
+    }
+
+    check("q02_filter_pushdown", "filter pushed to parquet scan",
+      p => p.contains("PushedFilters") && p.contains("GreaterThan(l_shipdate"))
+    check("q01_scan_project", "column-pruned ReadSchema (3 of 16 cols)",
+      p => p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+    check("q12_join_left_broadcast", "BroadcastHashJoin, no fact shuffle",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q24_star_join", "all dims broadcast (no SortMergeJoin)",
+      p => !p.contains("SortMergeJoin"))
+    check("q10_group_agg", "map-side partial agg before the exchange",
+      p => p.contains("partial_sum") && p.contains("hashpartitioning"))
+    check("q16_topk", "top-k via TakeOrderedAndProject (no global sort)",
+      p => p.contains("TakeOrderedAndProject"))
+    check("q17_poc_analysis", "both joins broadcast",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q40_token_stats", "text scoring stays in scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
+    check("q51_minhash_signatures", "signature pass has no shuffle",
+      p => !p.contains("Exchange"))
+    println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
+    spark.stop()
+  }
+}

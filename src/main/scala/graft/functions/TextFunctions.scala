@@ -16,17 +16,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the token array — one regex scan
+    * (matters on long documents: counting is the common case, the array
+    * is only needed for n-grams).
+    */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** A BPE-ish sub-word token count: words, punctuation runs, and digit
     * runs each count as a token (crude proxy for LLM tokenizers,
     * deterministic).
     */
-  def bpeishTokenCount(text: Column): Column = {
-    val pieces = split(trim(text),
-      "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)|(?<=\\d)(?=[A-Za-z])|(?<=[A-Za-z])(?=\\d)|\\s+")
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(filter(pieces, p => length(trim(p)) > 0)))
-  }
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
 
   /** Word n-gram strings (n consecutive tokens joined by a space). */
   def wordNgrams(text: Column, n: Int): Column = {

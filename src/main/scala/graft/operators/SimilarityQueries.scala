@@ -65,12 +65,15 @@ object SimilarityQueries {
         explode(array(
           (col("bucket0") +: (0 until bits).map(i =>
             col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+      // dedup multi-probe hits BEFORE the cosine — a vector pair found
+      // via several probed buckets costs one dot product, not nine
       val scored = base.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
         .select(col("q_id"), col("vec_id"), col("label"),
           cosine(col("q_vec"), col("embedding")).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.dropDuplicates("q_id", "vec_id")
+      scored
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
           round(col("cos"), 6).as("cos"))
