@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math with real codegen.
+  *
+  * The higher-order-function formulations in [[VectorFunctions]] are
+  * correct but allocate a lambda frame per element and walk the array
+  * once per aggregate (cosine = 3 passes). These expressions emit one
+  * fused Java loop inside whole-stage codegen — the preference-order
+  * step (b) of SURVEY.md §2.9: a custom Expression before any UDF.
+  *
+  * Elements may be float or double arrays; math is double throughout.
+  */
+abstract class VecBinaryExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def getter(e: Expression): String =
+    if (elemIsFloat(e)) "getFloat" else "getDouble"
+  protected def elemAt(e: Expression, a: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** dot(a, b): fused multiply-add loop. Null only for null inputs. */
+case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += elemAt(left, x, i) * elemAt(right, y, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) in ONE pass (dot + both norms fused); null when either
+  * norm is zero — same semantics as [[VectorFunctions.cosine]].
+  */
+case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = elemAt(left, x, i); val yi = elemAt(right, y, i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.${getter(left)}($i);
+         |  double $yi = (double) $b.${getter(right)}($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Registration + Column-API access. Queries call [[registerOnce]] at
+  * build time so the expressions resolve in whatever session the driver
+  * hands us; registration is idempotent.
+  */
+object VecExpressions {
+  def registerOnce(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      exprs => VecCosine(exprs.head, exprs(1)), "built-in")
+  }
+
+  def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
+    registerOnce(spark); call_function("vec_dot", a, b)
+  }
+
+  def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
+    registerOnce(spark); call_function("vec_cosine", a, b)
+  }
+}

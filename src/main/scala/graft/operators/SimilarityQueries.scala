@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VecExpressions
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,7 +34,9 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_vecs"), min(size(col("embedding"))).as("min_dims"),
         max(size(col("embedding"))).as("max_dims")))
 
-  /** Brute-force cosine top-10 per query vector. */
+  /** Brute-force cosine top-10 per query vector. Cosine is the fused
+    * single-pass codegen expression (VecCosine) — the hot inner loop of
+    * the O(|Q| * N) scan. */
   val q61 = QueryDef.rowsOnly("q61_ann_bruteforce")(
     (s, d) => {
       val base = Tables.embeddings(s, d)
@@ -42,7 +45,7 @@ object SimilarityQueries {
       val scored = base.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), col("label"),
-          cosine(col("q_vec"), col("embedding")).as("cos"))
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
@@ -71,7 +74,7 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("q_id"))
         .dropDuplicates("q_id", "vec_id")
         .select(col("q_id"), col("vec_id"), col("label"),
-          cosine(col("q_vec"), col("embedding")).as("cos"))
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
@@ -90,7 +93,8 @@ object SimilarityQueries {
       val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
       val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
       val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+        .select(col("id_a"), col("id_b"),
+          VecExpressions.cosineFast(s, col("v_a"), col("v_b")).as("cos"))
         .filter(col("cos") >= 0.95)
       val perVec = pairs.select(col("id_a").as("vec_id"), col("cos"))
         .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{VecExpressions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class VecExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (Seq(0.5f, -0.5f, 2.5f), Seq(-1.0f, 3.5f, 0.25f)),
+    (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))
+  ).toDF("a", "b")
+
+  test("VecDot matches the higher-order-function dot") {
+    val rows = df.select(
+      VecExpressions.dotFast(spark, col("a"), col("b")).as("fast"),
+      VectorFunctions.dot(col("a"), col("b")).as("slow")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("VecCosine matches the HOF cosine, including null on zero norm") {
+    val rows = df.select(
+      VecExpressions.cosineFast(spark, col("a"), col("b")).as("fast"),
+      VectorFunctions.cosine(col("a"), col("b")).as("slow")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+    assert(rows(2).isNullAt(0)) // zero-norm row
+  }
+
+  test("interpreted eval agrees with codegen result") {
+    import graft.functions.VecCosine
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val lit = (xs: Seq[Float]) =>
+      Literal(ArrayData.toArrayData(xs.toArray), ArrayType(FloatType))
+    val interp = VecCosine(lit(Seq(1f, 2f, 3f)), lit(Seq(4f, 5f, 6f))).eval(null)
+      .asInstanceOf[Double]
+    val codegen = df.limit(1).select(
+      VecExpressions.cosineFast(spark, col("a"), col("b"))).collect().head.getDouble(0)
+    assert(math.abs(interp - codegen) < 1e-12)
+  }
+
+  test("double arrays are accepted too") {
+    val d = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val v = d.select(VecExpressions.dotFast(spark, col("a"), col("b"))).collect().head.getDouble(0)
+    assert(v == 11.0)
+  }
+}
