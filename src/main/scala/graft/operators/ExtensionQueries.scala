@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.pipeline.SqlScripts
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference extension operators (SURVEY.md §2.9): sketch
+  * aggregates, as-of join, SQL-script execution.
+  */
+object ExtensionQueries {
+
+  /** Approximate/sketch aggregates — HLL++ distinct counts and t-digest
+    * style quantiles. One map-side-combinable pass; sketch state (not
+    * rows) crosses the exchange, which is the whole point at 100 TB.
+    * Rows-only: approximation internals differ across engines.
+    */
+  val q25 = QueryDef.rowsOnly("q25_sketch_aggs")(
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll_custs"),
+        count(lit(1)).as("n")))
+
+  /** As-of join (clicks to latest prior view per user) with DuckDB's
+    * native ASOF JOIN as the oracle. Right side pre-deduped to one row
+    * per (user, ts) so both engines are deterministic on ties.
+    */
+  val q26 = QueryDef.oracle("q26_asof_join",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_ts
+      |FROM clicks c ASOF LEFT JOIN views v
+      |ON c.user_id = v.user_id AND v.view_ts <= c.ts""".stripMargin)(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_event_id"))
+        .select("user_id", "view_ts", "view_event_id")
+      AsOfJoin.backward(clicks, views, key = "user_id",
+        leftTs = "ts", rightTs = "view_ts",
+        payloadCols = Seq("view_event_id", "view_ts"))
+    })
+
+  /** Multi-statement SQL-script execution (the reference's executescript
+    * path, K1/S7): temp-view DDL + a derived CTAS-style view + final
+    * select, all through spark.sql.
+    */
+  val q27 = QueryDef.oracle("q27_sql_script",
+    """SELECT o_orderstatus, count(*) AS n,
+      |       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      |FROM orders GROUP BY o_orderstatus""".stripMargin)(
+    (s, d) => {
+      val script =
+        s"""-- engine DDL: register the source (data_tables.sql analog)
+           |CREATE OR REPLACE TEMPORARY VIEW graft_orders AS
+           |  SELECT * FROM parquet.`$d/orders.parquet`;
+           |/* derived table (poc_tables.sql CTAS analog; the ';' in this
+           |   comment and the one in the literal below must not split) */
+           |CREATE OR REPLACE TEMPORARY VIEW graft_orders_agg AS
+           |  SELECT o_orderstatus, count(*) AS n,
+           |         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents,
+           |         ';' AS semi
+           |  FROM graft_orders GROUP BY o_orderstatus;
+           |SELECT o_orderstatus, n, cents FROM graft_orders_agg""".stripMargin
+      SqlScripts.execute(s, script).get
+    })
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27)
+}
