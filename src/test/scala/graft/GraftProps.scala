@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{TextFunctions, VecExpressions, VectorFunctions}
+import graft.pipeline.Clean
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants (SURVEY.md §5.4). Each property drives
+  * real Spark jobs on generated rows, so case counts are kept small.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.listOf(Gen.oneOf(word, Gen.const(" "), Gen.const("\t"),
+    Gen.const("…"), Gen.const("42"))).map(_.mkString(" "))
+
+  property("tokenCount(regexp_count) == size(tokens) for arbitrary text") =
+    forAll(Gen.listOfN(5, text)) { texts =>
+      val df = texts.toDF("text")
+      df.select(TextFunctions.tokenCount(col("text")).as("fast"),
+          size(TextFunctions.tokens(col("text"))).as("slow"))
+        .collect().forall(r => r.getInt(0) == r.getInt(1))
+    }
+
+  property("qualityScore stays in [0,1]") =
+    forAll(Gen.listOfN(5, text)) { texts =>
+      texts.toDF("text")
+        .select(TextFunctions.qualityScore(col("text")).as("q"))
+        .collect().forall { r => val q = r.getDouble(0); q >= 0.0 && q <= 1.0 }
+    }
+
+  property("lowercase normalization is idempotent") =
+    forAll(Gen.listOfN(5, text)) { texts =>
+      val df = texts.toDF("text")
+      val once = Clean.lowercaseStrings(df)
+      Clean.lowercaseStrings(once).collect().toSeq == once.collect().toSeq
+    }
+
+  property("keepNewest output has unique keys and is a subset of input") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 5L), word))) { rows =>
+      val df = rows.map { case (k, ts, v) => (k, new java.sql.Timestamp(ts), v) }
+        .toDF("key", "ts", "v")
+      val out = Clean.keepNewest(df, Seq("key"), "ts", "v").collect()
+      val input = df.collect().map(_.toSeq).toSet
+      out.map(_.getAs[Int]("key")).distinct.length == out.length &&
+        out.forall(r => input.contains(r.toSeq)) &&
+        out.length == rows.map(_._1).distinct.length
+    }
+
+  property("unionByName count is the sum of parts") =
+    forAll(Gen.listOf(Gen.choose(0, 9)), Gen.listOf(Gen.choose(0, 9))) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        a.toDF("v").unionByName(b.toDF("v")).count() == a.length + b.length
+      }
+    }
+
+  property("minhash jaccard estimate is 1 on identical docs, in [0,1] always") =
+    forAll(Gen.listOfN(2, Gen.listOfN(8, word).map(_.mkString(" ")))) { docs =>
+      import graft.functions.HashFunctions._
+      import graft.functions.TextFunctions._
+      val df = Seq((docs.head, docs.head, docs(1))).toDF("a", "same", "b")
+      def sig(c: String) = minhashSignature(wordNgrams(col(c), 2), 16)
+      val r = df.select(
+        minhashJaccard(sig("a"), sig("same")).as("id"),
+        minhashJaccard(sig("a"), sig("b")).as("ab")).collect().head
+      r.getDouble(0) == 1.0 && r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0
+    }
+
+  property("VecCosine is symmetric, within [-1,1], and 1 on self") =
+    forAll(Gen.listOfN(6, Gen.choose(-100, 100).map(_.toFloat))) { xs =>
+      xs.exists(_ != 0f) ==> {
+        val ys = xs.map(v => v * 0.5f - 1f)
+        val df = Seq((xs, ys)).toDF("a", "b")
+        val r = df.select(
+          VecExpressions.cosineFast(spark, col("a"), col("b")).as("ab"),
+          VecExpressions.cosineFast(spark, col("b"), col("a")).as("ba"),
+          VecExpressions.cosineFast(spark, col("a"), col("a")).as("aa")).collect().head
+        val symmetric = r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+        val bounded = r.isNullAt(0) || math.abs(r.getDouble(0)) <= 1.0 + 1e-9
+        symmetric && bounded && math.abs(r.getDouble(2) - 1.0) < 1e-9
+      }
+    }
+
+  property("as-of join preserves the left row count (left-join semantics)") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000L))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000L)))) { (ls, rs) =>
+      (ls.nonEmpty && rs.nonEmpty) ==> {
+        val left = ls.map { case (k, ts) => (k, new java.sql.Timestamp(ts)) }.toDF("k", "ts")
+        val right = rs.distinct.map { case (k, ts) => (k, new java.sql.Timestamp(ts), k * 10) }
+          .toDF("k", "rts", "payload")
+        operators.AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+          .count() == ls.length
+      }
+    }
+}
