@@ -73,5 +73,28 @@ object ExtensionQueries {
       SqlScripts.execute(s, script).get
     })
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27)
+  /** Extended window-function coverage: dense_rank, ntile, first_value,
+    * lead — one shuffle on the partition key, rank family computed in a
+    * single Window operator.
+    */
+  val q28 = QueryDef.oracle("q28_window_extended",
+    """SELECT o_custkey, o_orderkey,
+      |       DENSE_RANK() OVER w AS drnk,
+      |       NTILE(4) OVER w AS quartile,
+      |       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+      |       LEAD(o_orderkey) OVER w AS next_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28)
 }
