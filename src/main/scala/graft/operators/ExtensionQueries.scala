@@ -96,5 +96,40 @@ object ExtensionQueries {
         lead(col("o_orderkey"), 1).over(w).as("next_ok"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28)
+  /** Partition-pruned layout round-trip: write lineitem partitioned by
+    * ship day, read back with a partition filter, aggregate. The oracle
+    * runs the same filter on the raw table — layout must not change
+    * results, only the bytes read (PartitionFilters in the plan).
+    */
+  val q29 = QueryDef.oracle("q29_partitioned_scan",
+    """SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS n,
+      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-11-01'
+      |GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q29").toString + "/li"
+      graft.sources.Layout.writePartitioned(
+        Tables.lineitem(s, d).withColumn("ship_day", to_date(col("l_shipdate"))),
+        out, Seq("ship_day"))
+      s.read.parquet(out)
+        .filter(col("ship_day") >= lit("1998-11-01").cast("date"))
+        .groupBy("ship_day")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    })
+
+  /** Salted two-phase aggregation over a skewed key — oracle is the
+    * plain GROUP BY: salting must be invisible in the result.
+    */
+  val q75 = QueryDef.oracle("q75_salted_agg",
+    """SELECT l_returnflag, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_value,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
+    (s, d) => graft.sources.Layout.saltedSumCount(
+        Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_quantity")).cast("long"), salts = 16)
+      .select(col("l_returnflag"), col("sum_value"), col("n")))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q75)
 }

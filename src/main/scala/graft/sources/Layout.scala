@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools: partition pruning and skew salting — with
+  * [[Bucketing]], the three levers that keep plans healthy at 100 TB.
+  */
+object Layout {
+
+  /** Hive-style partitioned write (e.g. by day / tenant): queries that
+    * filter on the partition column read only matching directories —
+    * the scan's PartitionFilters, the difference between reading one
+    * partition and the whole table (SURVEY.md §4: the watermark filter
+    * pushed into a partition-pruned layout).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Two-phase salted aggregation for skew-heavy keys: phase 1 groups on
+    * (key, salt) spreading one hot key over `salts` reducers; phase 2
+    * merges the partials per key. Correct for algebraic aggregates
+    * (sum/count/min/max — anything with a merge). AQE's skew handling
+    * only splits JOIN partitions; a skewed groupBy still funnels one key
+    * to one task without this.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum("__psum").as("sum_value"), sum("__pcnt").as("n"))
+
+  /** Salted broadcast-side replication for a skewed join: explode the
+    * small side `salts` times with a salt column, salt the big side the
+    * same way, join on (key, salt). Spreads one hot key's rows over
+    * `salts` tasks while every row still joins exactly once.
+    */
+  def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String, salts: Int)
+      : (DataFrame, DataFrame, Column) = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val smallSalted = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    (bigSalted, smallSalted,
+      bigSalted(key) === smallSalted(key) && bigSalted("__salt") === smallSalted("__salt"))
+  }
+}
