@@ -1,0 +1,23 @@
+package graft
+
+import graft.functions.{VecCosine, VecDot}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension installing the engine's native expressions into the
+  * function registry at session build time, so pure-SQL users can call
+  * them: set `spark.sql.extensions=graft.GraftExtensions` (GraftSession
+  * does). Column-API callers go through VecExpressions.cosineFast, which
+  * self-registers and works in any session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      exprs => VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      exprs => VecCosine(exprs.head, exprs(1))))
+  }
+}
