@@ -13,7 +13,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
-      MultimodalQueries.defs ++ ExtensionQueries.defs
+      MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the poc_analysis-shaped pipeline (scan → broadcast join → agg →

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic analytic query shapes (TPC-H Q3/Q18-style, plus a from_json
+  * struct parse) — deeper multi-join + having + top-k coverage than the
+  * single-operator inventory. All money math in exact integer cents.
+  */
+object TpchQueries {
+
+  /** Q3 shape: shipping-priority — segment filter on the customer dim,
+    * two joins, date-window filters on both fact tables, grouped revenue,
+    * top-10. Customer/orders broadcast candidates; lineitem never
+    * shuffles except for the final grouped agg.
+    */
+  val q80 = QueryDef.oracle("q80_shipping_priority",
+    """SELECT l_orderkey, o_orderdate,
+      |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY rev_cents DESC, l_orderkey LIMIT 10""".stripMargin)(
+    (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("date")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-06-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("l_orderkey")).limit(10))
+
+  /** Q18 shape: large-quantity orders — a HAVING subquery (grouped fact
+    * filtered on its aggregate) joined back to orders + customer. The
+    * having-dim is small post-filter, so it broadcasts into the re-join.
+    */
+  val q81 = QueryDef.oracle("q81_large_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 210)
+      |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM big JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey""".stripMargin)(
+    (s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 210)
+      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    })
+
+  /** Top-N per group (most valuable order per customer segment-month) —
+    * the rank-filter pattern over a composite partition.
+    */
+  val q82 = QueryDef.oracle("q82_topn_per_group",
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month,
+      |         o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY c_mktsegment, date_trunc('month', o_orderdate)
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3""".stripMargin)(
+    (s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("order_month",
+          date_trunc("month", col("o_orderdate")).cast("date"))
+      val w = Window.partitionBy("c_mktsegment", "order_month")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.select(col("c_mktsegment"), col("order_month"),
+          col("o_orderkey"), col("o_totalprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    })
+
+  /** from_json struct parsing of the events props payload (§2.9 JSON
+    * functions — q32 covers the scalar path, this the struct path).
+    */
+  val q35 = QueryDef.oracle("q35_from_json_struct",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       count(*) AS n, min(event_id) AS min_event
+      |FROM events GROUP BY 1""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .groupBy((col("p.k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_event")))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q35)
+}
