@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       exprs => VecCosine(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_lsh_buckets"),
+      new ExpressionInfo(classOf[graft.functions.VecLshBuckets].getName, "vec_lsh_buckets"),
+      exprs => graft.functions.VecLshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
   }
 }

@@ -122,6 +122,10 @@ object VecExpressions {
       exprs => VecDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => VecCosine(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_lsh_buckets",
+      exprs => VecLshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
@@ -130,5 +134,14 @@ object VecExpressions {
 
   def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
     registerOnce(spark); call_function("vec_cosine", a, b)
+  }
+
+  /** Multi-table LSH bucket array (see [[VecLshBuckets]]); explode and
+    * equi-join on the value to probe all tables.
+    */
+  def lshBuckets(spark: SparkSession, v: Column, tables: Int, bits: Int): Column = {
+    registerOnce(spark)
+    call_function("vec_lsh_buckets", v,
+      org.apache.spark.sql.functions.lit(tables), org.apache.spark.sql.functions.lit(bits))
   }
 }

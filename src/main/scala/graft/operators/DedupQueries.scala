@@ -139,5 +139,24 @@ object DedupQueries {
           col("best_jaccard"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54)
+  /** Group-level set similarity: one MinHash signature per language over
+    * the union of its documents' 3-gram sets, via the custom typed
+    * Aggregator (map-side combinable — signatures, not shingles, cross
+    * the exchange). Pairwise estimated Jaccard between languages.
+    */
+  val q55 = QueryDef.rowsOnly("q55_group_minhash")(
+    (s, d) => {
+      val agg = graft.functions.MinHashAgg.column(MinhashK)
+      val sigs = Tables.documents(s, d)
+        .select(col("lang"), wordNgrams(col("text"), 3).as("grams"))
+        .groupBy("lang")
+        .agg(agg(col("grams")).as("sig"), count(lit(1)).as("n_docs"))
+      val l = sigs.select(col("lang").as("lang_a"), col("sig").as("sig_a"), col("n_docs").as("docs_a"))
+      val r = sigs.select(col("lang").as("lang_b"), col("sig").as("sig_b"))
+      l.join(r, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("docs_a"),
+          minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
 }

@@ -97,24 +97,28 @@ object ExtensionQueries {
     })
 
   /** Partition-pruned layout round-trip: write lineitem partitioned by
-    * ship day, read back with a partition filter, aggregate. The oracle
+    * ship month (a bounded directory count — day-level would mean
+    * thousands of dirs for this date range; granularity is a layout
+    * decision), read back with a partition filter, aggregate. The oracle
     * runs the same filter on the raw table — layout must not change
     * results, only the bytes read (PartitionFilters in the plan).
     */
   val q29 = QueryDef.oracle("q29_partitioned_scan",
-    """SELECT CAST(l_shipdate AS DATE) AS ship_day, count(*) AS n,
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |       count(*) AS n,
       |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
       |FROM lineitem
-      |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-11-01'
+      |WHERE CAST(date_trunc('month', l_shipdate) AS DATE) >= DATE '1998-01-01'
       |GROUP BY 1""".stripMargin)(
     (s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft-q29").toString + "/li"
       graft.sources.Layout.writePartitioned(
-        Tables.lineitem(s, d).withColumn("ship_day", to_date(col("l_shipdate"))),
-        out, Seq("ship_day"))
+        Tables.lineitem(s, d)
+          .withColumn("ship_month", trunc(col("l_shipdate"), "month")),
+        out, Seq("ship_month"))
       s.read.parquet(out)
-        .filter(col("ship_day") >= lit("1998-11-01").cast("date"))
-        .groupBy("ship_day")
+        .filter(col("ship_month") >= lit("1998-01-01").cast("date"))
+        .groupBy("ship_month")
         .agg(count(lit(1)).as("n"),
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
     })

@@ -52,24 +52,24 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
     })
 
-  /** LSH-bucketed ANN: 8-bit sign bucket; probe the exact bucket plus all
-    * 1-bit-flip neighbor buckets (multi-probe → recall without widening
-    * the shuffle). Top-10 within probed buckets. */
+  /** LSH-bucketed ANN: multi-table sign-random-projection
+    * (VecLshBuckets, 12 tables x 5 bits). The OR across tables is what
+    * recalls weak neighbors (this corpus' true top-10 sit at cosine
+    * 0.26-0.45, where any single table's bucket agreement is ~p^bits);
+    * per-pair cost stays one dot product via pre-cosine dedup, and the
+    * shuffle carries only (id, 8-byte bucket) pairs.
+    */
   val q62 = QueryDef.rowsOnly("q62_ann_lsh_bucketed")(
     (s, d) => {
-      val bits = 8
+      val (tables, bits) = (12, 5)
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"),
-          signBucket(col("embedding"), bits).as("bucket"))
-      val q = querySet(s, d)
-        .withColumn("bucket0", signBucket(col("q_vec"), bits))
-      // multi-probe: bucket0 and its `bits` single-bit flips
-      val probes = q.select(col("q_id"), col("q_vec"),
-        explode(array(
-          (col("bucket0") +: (0 until bits).map(i =>
-            col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
-      // dedup multi-probe hits BEFORE the cosine — a vector pair found
-      // via several probed buckets costs one dot product, not nine
+          explode(VecExpressions.lshBuckets(s, col("embedding"), tables, bits)).as("bucket"))
+      val probes = querySet(s, d)
+        .select(col("q_id"), col("q_vec"),
+          explode(VecExpressions.lshBuckets(s, col("q_vec"), tables, bits)).as("bucket"))
+      // dedup multi-table hits BEFORE the cosine — a pair found in
+      // several tables costs one dot product, not twelve
       val scored = base.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .dropDuplicates("q_id", "vec_id")
@@ -82,17 +82,20 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
     })
 
-  /** Embedding-cosine near-duplicate detection: pairs within the same
-    * sign bucket with cosine >= 0.95 (blocked pairwise, not all-pairs). */
+  /** Embedding-cosine near-duplicate detection: pairs sharing any LSH
+    * bucket with cosine >= 0.95 (blocked pairwise, not all-pairs). At
+    * this threshold sign agreement is ~0.9/bit, so 6 tables x 12 bits
+    * gives ~0.86 pair recall with a ~0.15% random-candidate rate.
+    */
   val q63 = QueryDef.rowsOnly("q63_embedding_near_dup")(
     (s, d) => {
-      val bits = 8
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          signBucket(col("embedding"), bits).as("bucket"))
+          explode(VecExpressions.lshBuckets(s, col("embedding"), 6, 12)).as("bucket"))
       val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
       val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
       val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b") // multi-table hits: 1 dot product per pair
         .select(col("id_a"), col("id_b"),
           VecExpressions.cosineFast(s, col("v_a"), col("v_b")).as("cos"))
         .filter(col("cos") >= 0.95)
@@ -100,7 +103,7 @@ object SimilarityQueries {
         .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
         .groupBy("vec_id")
         .agg(count(lit(1)).as("n_near_dups"), max("cos").as("best_cos"))
-      e.select(col("vec_id"))
+      e.select(col("vec_id")).distinct()
         .join(perVec, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
           round(col("best_cos"), 6).as("best_cos"))

@@ -13,9 +13,15 @@ object Layout {
     * the scan's PartitionFilters, the difference between reading one
     * partition and the whole table (SURVEY.md §4: the watermark filter
     * pushed into a partition-pruned layout).
+    *
+    * Rows are shuffled onto the partition key first: without it every
+    * task opens a writer per partition value it sees (tasks x values
+    * small files — the classic write blowup); with it, file count =
+    * partition-value count.
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   /** Two-phase salted aggregation for skew-heavy keys: phase 1 groups on
     * (key, salt) spreading one hot key over `salts` reducers; phase 2
