@@ -123,6 +123,51 @@ object ExtensionQueries {
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
     })
 
+  /** GROUPING SETS (§2.9 — rollup q19 / cube q20 cover the fixed
+    * lattices; this is the explicit-set form): three chosen sets in one
+    * pass. Spark expands sets and aggregates once — one Expand + one
+    * exchange, not three scans.
+    */
+  val q36 = QueryDef.oracle("q36_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("n")))
+
+  /** Range (band) join: every lineitem row lands in the [lo, hi) quantity
+    * band of a tiny bands table. A non-equi join is a nested-loop in any
+    * engine; with the band side broadcast it's a broadcast-NLJ costing
+    * |bands| comparisons per row and no shuffle at all — the agg exchange
+    * carries only |bands| partial rows.
+    */
+  val q37 = QueryDef.oracle("q37_range_join",
+    """SELECT band, count(*) AS n,
+      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |FROM lineitem
+      |JOIN (VALUES (0.0, 15.0, 'low'), (15.0, 35.0, 'mid'), (35.0, 51.0, 'high'))
+      |  AS b(lo, hi, band)
+      |ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band""".stripMargin)(
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+          (0.0, 15.0, "low"), (15.0, 35.0, "mid"), (35.0, 51.0, "high")))
+        .toDF("lo", "hi", "band")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    })
+
   /** Salted two-phase aggregation over a skewed key — oracle is the
     * plain GROUP BY: salting must be invisible in the result.
     */
@@ -135,5 +180,5 @@ object ExtensionQueries {
         floor(col("l_quantity")).cast("long"), salts = 16)
       .select(col("l_returnflag"), col("sum_value"), col("n")))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q75)
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q75)
 }

@@ -109,5 +109,49 @@ object SimilarityQueries {
           round(col("best_cos"), 6).as("best_cos"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63)
+  /** IVF-style ANN: a fixed coarse-quantizer codebook (the 64 lowest
+    * vec_ids — a deterministic stand-in for trained k-means centroids),
+    * every corpus vector assigned to its nearest centroid, and each query
+    * probing the nprobe=8 nearest inverted lists. Scale shape: the
+    * codebook broadcasts; assignment is a map-side max_by over the
+    * crossed (id, centroid) scores — partials collapse to one row per
+    * vector before any exchange, so the assign map shuffles N skinny
+    * rows, never N×K; candidate generation is an equi-join on c_id
+    * touching only probed lists (~nprobe/K of the corpus) instead of the
+    * |Q|×N cross of q61.
+    */
+  val q64 = QueryDef.rowsOnly("q64_ann_ivf")(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val centroids = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      // coarse quantization: best (cos, c_id) per vector, embedding NOT
+      // carried through the agg — only (vec_id, c_id) crosses the wire
+      val assignMap = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),
+          struct(VecExpressions.cosineFast(s, col("embedding"), col("c_vec"))
+            .as("c_cos"), col("c_id")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("best"))
+        .select(col("vec_id"), col("best.c_id").as("c_id"))
+      val assigned = emb.join(assignMap, Seq("vec_id"))
+      // each query probes its nprobe nearest inverted lists
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val probes = querySet(s, d).crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_vec"), col("c_id"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
+        .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= 8)
+        .select("q_id", "q_vec", "c_id")
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
 }

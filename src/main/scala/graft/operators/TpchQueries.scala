@@ -80,6 +80,72 @@ object TpchQueries {
         .filter(col("rn") <= 3)
     })
 
+  /** Q5 shape: local-supplier volume — six-table join (region → nation →
+    * supplier/customer → orders → lineitem) with the customer-nation =
+    * supplier-nation co-location predicate. All dims broadcast; the only
+    * shuffles are customer⋈orders (both large at scale) and the final
+    * grouped agg, whose exchange carries 25 nation rows of partials.
+    */
+  val q83 = QueryDef.oracle("q83_local_supplier_volume",
+    """SELECT n_name,
+      |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin)(
+    (s, d) => {
+      val euroNations = broadcast(
+        Tables.nation(s, d).join(
+          broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey")))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(euroNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("rev_cents"))
+    })
+
+  /** Q17 shape: small-quantity-order revenue — per-group average joined
+    * back against the detail rows (the decorrelated scalar-subquery
+    * pattern). The avg side is |partkey|-sized — NOT broadcastable at
+    * 100 TB — so this stays a shuffle join on l_partkey; the groupBy
+    * already partitioned the avg side by that key, so its exchange is
+    * reused and only the detail side shuffles.
+    */
+  val q84 = QueryDef.oracle("q84_avg_qty_backjoin",
+    """WITH avgq AS (
+      |  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, count(*) AS n_small,
+      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |FROM lineitem JOIN avgq ON l_partkey = ap_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY l_partkey""".stripMargin)(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgq, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_small"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    })
+
   /** from_json struct parsing of the events props payload (§2.9 JSON
     * functions — q32 covers the scalar path, this the struct path).
     */
@@ -93,5 +159,5 @@ object TpchQueries {
       .groupBy((col("p.k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), min("event_id").as("min_event")))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q35)
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q35)
 }

@@ -55,6 +55,36 @@ object EventStreams {
         max("ts").as("session_end"))
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
+  /** Stream-stream inner join: each click matched to same-user views in
+    * the preceding `horizon`. Both sides carry watermarks and the join
+    * has a time-range predicate, so state is bounded: a buffered view is
+    * evicted once the click-side watermark passes view_ts + horizon —
+    * without BOTH the watermark and the range bound, state grows forever.
+    * Shuffles both streams once, on user_id.
+    */
+  def clickToRecentViews(clicks: DataFrame, views: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(v, col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /** Streaming exact dedup on a key. dropDuplicatesWithinWatermark keeps
+    * per-key state only until the watermark passes the first-seen event
+    * time — bounded state, versus plain dropDuplicates whose streaming
+    * state never ages out. The batch twin is q50's groupBy-first dedup.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -81,6 +81,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(viaSessionWindow == viaWindowFuncs)
   }
 
+  test("stream-stream join matches clicks to same-user views within the horizon") {
+    implicit val sq = spark.sqlContext
+    final case class UEv(event_id: Long, user_id: Long, ts: Timestamp)
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    def df(ms: MemoryStream[(Long, Long, Timestamp)]) =
+      ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.clickToRecentViews(df(clicks), df(views))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      views.addData((100L, 1L, t("2024-01-01 10:00:00")), // in horizon
+        (101L, 1L, t("2024-01-01 08:00:00")),             // too old
+        (102L, 2L, t("2024-01-01 10:20:00")))             // other user
+      clicks.addData((200L, 1L, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(out == Set((200L, 100L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replays inside the state horizon") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.dedupWithinWatermark(
+        ms.toDF().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      ms.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      ms.addData((1L, t("2024-01-01 10:05:00"))) // replay of event 1 — dropped
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+      assert(spark.table("dd").select("event_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a session only when a newer event closes it") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Ev]
