@@ -158,5 +158,35 @@ object DedupQueries {
           minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
+  /** Near-dup CLUSTERS: LSH candidate pairs (est Jaccard ≥ 0.5) are edges;
+    * connected components gives the transitive closure (a~b, b~c ⇒ one
+    * cluster), min doc_id per cluster is the keeper. Always n_docs rows —
+    * singletons are their own cluster. Rows-only (hash family internal). */
+  val q56 = QueryDef.rowsOnly("q56_dedup_clusters")(
+    (s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+      val banded = sigs
+        .select(col("doc_id"), col("sig"),
+          explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("src"), col("sig").as("sig_a"))
+      val r = banded.select(col("band"), col("bh"), col("doc_id").as("dst"), col("sig").as("sig_b"))
+      val edges = l.join(r, Seq("band", "bh")).filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"),
+          minhashJaccard(col("sig_a"), col("sig_b")).as("j"))
+        .distinct()
+        .filter(col("j") >= 0.5)
+        .select(col("src"), col("dst"))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val comp = Components.connectedComponents(vertices, edges)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }

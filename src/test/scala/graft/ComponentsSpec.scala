@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, pair, and isolated vertex resolve to min-id components") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // 1-2-3 is a chain (transitive closure must merge all three), 4-5 a
+    // pair, 6 isolated.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("long path converges within diameter rounds") {
+    val n = 12
+    val vertices = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(vertices, edges)
+      .agg(countDistinct("component"), min("component"))
+      .as[(Long, Long)].first()
+    assert(got == ((1L, 1L)))
+  }
+
+  test("q56 dedup clusters covers every doc and keepers are cluster minima") {
+    val df = SparkEntry.queries("q56_dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val nDocs = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(df.count() == nDocs)
+    // exactly one keeper per cluster, and it is the min doc_id
+    val bad = df.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"),
+        sum(when(col("action") === "keep", 1).otherwise(0)).as("keepers"))
+      .filter(col("keepers") =!= 1 || col("mn") =!= col("cluster_id"))
+      .count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+}
