@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.VecLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
+      exprs => graft.functions.MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      exprs => graft.functions.SimHash64(exprs.head)))
   }
 }

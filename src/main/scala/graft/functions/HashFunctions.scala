@@ -1,29 +1,50 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MinHash / SimHash building blocks over token or shingle arrays.
   *
-  * All of it is built from Spark higher-order functions + `xxhash64`
-  * (codegen'd), so signatures are computed per-row in the scan stage with
-  * zero shuffles; the only shuffle in an LSH dedup is the band-bucket join.
+  * Signatures run as native Catalyst expressions ([[MinHashSig]],
+  * [[SimHash64]]) — tight JIT'd loops in the scan stage, zero shuffles;
+  * the only shuffle in an LSH dedup is the band-bucket join. The pairwise
+  * helpers (jaccard estimates, banding) stay as higher-order functions:
+  * they run on candidate pairs / k-length signatures, not the corpus.
   */
 object HashFunctions {
 
-  /** k-permutation MinHash signature (array<long>, length k) in ONE pass
-    * over the shingle array: fold with a k-wide accumulator, updating all
-    * k mins per element via zip_with against per-permutation seeds. The
-    * "permutations" are k independent seeded xxhash64 functions — no
-    * modular arithmetic, so no ANSI overflow and full codegen.
-    * Empty input → signature of all Long.MaxValue (sentinel).
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val seeds = array((0 until k).map(i => lit(i.toLong * 0x9E37 + 17)): _*)
-    val init = array_repeat(lit(Long.MaxValue), k)
-    aggregate(shingles, init, (acc, s) =>
-      zip_with(acc, seeds, (m, seed) => least(m, xxhash64(seed, s))))
+  private def registerOnce(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_text",
+      exprs => MinHashText(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
   }
+
+  private def native(name: String, cols: Column*): Column = {
+    registerOnce(SparkSession.active)
+    call_function(name, cols: _*)
+  }
+
+  /** k-permutation MinHash signature (array<long>, length k): native
+    * kernel, two XXH64 passes per shingle + k derived minima
+    * (Kirsch–Mitzenmacher). Empty input → all-Long.MaxValue sentinel.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    native("minhash_sig", shingles, lit(k))
+
+  /** Fused tokenize + word-n-gram + MinHash straight off the text column —
+    * one byte-level pass, no token/shingle materialization. The fast path
+    * for whole-corpus signature scans; semantics match
+    * `minhashSignature(wordNgrams(text, n), k)` up to hash family.
+    */
+  def minhashTextSignature(text: Column, n: Int, k: Int): Column =
+    native("minhash_text", text, lit(n), lit(k))
 
   /** Band keys for LSH: split the k-signature into `bands` bands of
     * k/bands rows each; key = (band index, xxhash64 of the band slice).
@@ -53,19 +74,9 @@ object HashFunctions {
   }
 
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 votes from each
-    * token's xxhash64; bit set iff vote > 0. One pass, 64-wide accumulator.
+    * token's xxhash64 (seed 42); bit set iff vote > 0. Native kernel.
     */
-  def simhash64(toks: Column): Column = {
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val votes = aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    // set bit i iff vote i > 0; OR-fold the per-bit masks (no overflow)
-    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, m) => acc.bitwiseOR(m))
-  }
+  def simhash64(toks: Column): Column = native("simhash64", toks)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

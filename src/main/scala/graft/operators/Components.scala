@@ -23,27 +23,39 @@ object Components {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
+    // Symmetrized edges + a self-loop per vertex, persisted ONCE and
+    // pre-partitioned on the probe key: the big (|E|-sized) side never
+    // re-shuffles — each round only the small (id, label) table moves.
+    // Self-loops make every vertex its own neighbor, so one join+groupBy
+    // computes the next labeling outright (no left-join-back per round).
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(vertices.select(col("id").as("src"), col("id").as("dst")))
       .distinct()
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    var changed = 1L
+    // Labels only ever DECREASE (min is monotone), so the label sum is a
+    // strictly decreasing potential function: fixpoint ⇔ sum unchanged.
+    // One agg per round replaces a join + count. decimal(38,0) so huge
+    // id spaces can't overflow-collide.
+    def potential(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
+    var cur = potential(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src").as("id")).agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min("component").as("component"))
         .localCheckpoint()
-      changed = next.join(
-          labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev")).count()
+      val nextPot = potential(next)
+      converged = nextPot.compareTo(cur) == 0
+      cur = nextPot
       labels = next
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 }

@@ -47,7 +47,7 @@ object DedupQueries {
   val q51 = QueryDef.rowsOnly("q51_minhash_signatures")(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
-        minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+        minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
       .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"),
         lshBands(col("sig"), MinhashK, MinhashBands).as("bands")))
 
@@ -60,7 +60,7 @@ object DedupQueries {
   def minhashNearDups(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
-        minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+        minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
     // explode band keys; shuffle carries (band key, doc_id, sig)
     val banded = sigs
       .select(col("doc_id"), col("sig"),
@@ -119,7 +119,7 @@ object DedupQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"),
-          minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+          minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
       val banded = docs
         .select(col("doc_id"), col("grams"),
           explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
@@ -166,7 +166,7 @@ object DedupQueries {
     (s, d) => {
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"),
-          minhashSignature(wordNgrams(col("text"), 3), MinhashK).as("sig"))
+          minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
       val banded = sigs
         .select(col("doc_id"), col("sig"),
           explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))

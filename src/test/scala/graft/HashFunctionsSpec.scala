@@ -60,6 +60,33 @@ class HashFunctionsSpec extends SparkSpec {
     assert(bands.map(_.getAs[Int]("band")) == List(0, 1, 2, 3))
   }
 
+  test("minhashText: fused path is whitespace-normalizing, deterministic, sentinel under n tokens") {
+    def tsig(t: String): List[Long] =
+      Seq(t).toDF("text").select(minhashTextSignature(col("text"), 3, k).as("v"))
+        .collect().head.getSeq[Long](0).toList
+    val a = tsig("to be or not to be")
+    assert(a == tsig("to be or not to be") && a.length == k)
+    // runs of spaces/tabs/newlines produce the same token stream
+    assert(a == tsig("to\tbe  or\nnot to   be"))
+    assert(a != tsig("to be or not to him"))
+    // fewer than n tokens -> sentinel
+    assert(tsig("only two") == List.fill(k)(Long.MaxValue))
+    assert(tsig("") == List.fill(k)(Long.MaxValue))
+  }
+
+  test("minhashText: estimated jaccard tracks overlap direction") {
+    val df = Seq(("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz",
+      "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")).toDF("t1", "t2", "t3")
+    val row = df.select(
+      minhashJaccard(minhashTextSignature(col("t1"), 3, 64),
+        minhashTextSignature(col("t2"), 3, 64)).as("near"),
+      minhashJaccard(minhashTextSignature(col("t1"), 3, 64),
+        minhashTextSignature(col("t3"), 3, 64)).as("far")).collect().head
+    assert(row.getAs[Double]("near") > 0.5)
+    assert(row.getAs[Double]("far") == 0.0)
+  }
+
   test("simhash: identical token sets agree; hamming is 0 there and small for near-dups") {
     val df = Seq(("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog",
