@@ -24,5 +24,20 @@ object PipelineQueries {
         .orderBy("bar", "dayOfSale", "drink", "price")
     })
 
-  val defs: Seq[QueryDef] = Seq(q70)
+  /** The DSv2 catalog source end-to-end: pushed name-search filter (the
+    * API-parameter analog), column pruning, 2-way partition split, then
+    * the 7-column dimension projection of build_database.py:187-197.
+    * Rows-only: the fixture catalog is engine-internal. */
+  val q76 = QueryDef.rowsOnly("q76_dsv2_catalog_source")(
+    (s, _) => {
+      val dir = Files.createTempDirectory("graft-q76")
+      val catalog = Fixtures.writeAll(dir)("catalog")
+      val raw = s.read.format("graft.sources.CocktailCatalogV2")
+        .option("path", catalog).option("partitions", "2").load()
+        .filter(col("strDrink").contains("o")) // pushed to the scan
+      graft.pipeline.CocktailSource.project(raw)
+        .orderBy("idDrink", "dateModified")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q70, q76)
 }
