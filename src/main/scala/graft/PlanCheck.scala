@@ -39,6 +39,14 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q51_minhash_signatures", "signature pass has no shuffle",
       p => !p.contains("Exchange"))
+    // pivot compiles to agg -> exchange -> pivot-agg -> exchange; the 2nd
+    // exchange carries |groups| x |pivot values| rows (nothing at scale),
+    // and the 1st is preceded by a map-side partial agg — that partial is
+    // what we assert.
+    check("q38_pivot", "pivot: map-side partial agg before the data-sized exchange",
+      p => p.contains("partial_sum"))
+    check("q76_dsv2_catalog_source", "DSv2 scan absorbed the name-search filter",
+      p => p.contains("StringContains(strDrink"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
   }

@@ -180,5 +180,37 @@ object ExtensionQueries {
         floor(col("l_quantity")).cast("long"), salts = 16)
       .select(col("l_returnflag"), col("sum_value"), col("n")))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q75)
+  /** PIVOT: long→wide reshape with explicit pivot values (explicit so the
+    * plan is a single pass — Spark otherwise runs a distinct() job first
+    * to discover them, an extra scan that matters at 100 TB).
+    */
+  val q38 = QueryDef.oracle("q38_pivot",
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS qty_f,
+      |  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(floor(col("l_quantity")).cast("long")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o"))
+
+  /** UNPIVOT (melt): wide→long, two measures to (metric, val) pairs.
+    * Exact-cents longs so the oracle hash is float-free.
+    */
+  val q39 = QueryDef.oracle("q39_unpivot",
+    """SELECT o_orderkey, 'price_cents' AS metric,
+      |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS val
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'cust', o_custkey FROM orders""".stripMargin)(
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_custkey").as("cust"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("price_cents"), col("cust")), "metric", "val"))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75)
 }
