@@ -159,5 +159,62 @@ object TpchQueries {
       .groupBy((col("p.k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), min("event_id").as("min_event")))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q35)
+  /** Q4 shape: EXISTS correlated subquery. Catalyst decorrelates to a
+    * left-semi hash join on l_orderkey — no per-row subquery execution,
+    * one shuffle each side (or broadcast if the filtered fact is small).
+    * Goes through spark.sql on purpose: the full parse → analyze →
+    * decorrelate lifecycle is the operator under test.
+    */
+  val q85 = QueryDef.oracle("q85_exists_subquery",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority""".stripMargin)(
+    (s, d) => s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n
+         |FROM parquet.`$d/orders.parquet`
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet`
+         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         |GROUP BY o_orderpriority""".stripMargin))
+
+  /** Correlated scalar subquery (Q17's shape in subquery syntax):
+    * decorrelates to an aggregate + join. Exact-cents integer comparison
+    * so the oracle can't diverge on float summation order.
+    */
+  val q86 = QueryDef.oracle("q86_correlated_scalar",
+    """SELECT o_orderkey, o_orderpriority
+      |FROM orders
+      |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >
+      |  3 * (SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 0)
+      |       FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin)(
+    (s, d) => s.sql(
+      s"""SELECT o_orderkey, o_orderpriority
+         |FROM parquet.`$d/orders.parquet`
+         |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >
+         |  3 * (SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)), 0)
+         |       FROM parquet.`$d/lineitem.parquet` WHERE l_orderkey = o_orderkey)""".stripMargin))
+
+  /** NOT IN subquery — the null-aware anti-join path (distinct from q21's
+    * left_anti: NOT IN must return nothing if the subquery ever yields
+    * NULL, so Catalyst plans a null-aware variant).
+    */
+  val q87 = QueryDef.oracle("q87_not_in_subquery",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin)(
+    (s, d) => s.sql(
+      s"""SELECT c_custkey, c_name
+         |FROM parquet.`$d/customer.parquet`
+         |WHERE c_custkey NOT IN (
+         |  SELECT o_custkey FROM parquet.`$d/orders.parquet`
+         |  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q35)
 }
