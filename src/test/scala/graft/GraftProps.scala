@@ -73,6 +73,32 @@ object GraftProps extends Properties("graft") {
       r.getDouble(0) == 1.0 && r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0
     }
 
+  property("minhashText: whitespace-run invariant and agrees with itself across row shapes") =
+    forAll(Gen.listOfN(6, word)) { words =>
+      import graft.functions.HashFunctions._
+      val t = words.mkString(" ")
+      val messy = words.mkString("\t") + " "
+      val df = Seq((t, messy)).toDF("a", "b")
+      val r = df.select(
+        minhashTextSignature(col("a"), 2, 16).as("sa"),
+        minhashTextSignature(col("b"), 2, 16).as("sb")).collect().head
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    }
+
+  property("connected components: labels are a fixpoint and respect every edge") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L)))) { es =>
+      val vs = (1L to 10L).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val comp = operators.Components.connectedComponents(vs, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every vertex labeled, every edge's endpoints share a component,
+      // and each component is named after its smallest member
+      comp.size == 10 &&
+        es.forall { case (a, b) => comp(a) == comp(b) } &&
+        comp.groupBy(_._2).forall { case (label, members) =>
+          members.keys.min == label }
+    }
+
   property("VecCosine is symmetric, within [-1,1], and 1 on self") =
     forAll(Gen.listOfN(6, Gen.choose(-100, 100).map(_.toFloat))) { xs =>
       xs.exists(_ != 0f) ==> {
