@@ -173,6 +173,29 @@ object CoreQueries {
         .select(o("o_orderkey"), o("o_custkey"), o("o_orderstatus"), dim("status_orders"))
     })
 
+  /** FULL OUTER join of two date-grained aggregates — dates present on
+    * only one side survive with NULLs on the other. Both inputs are
+    * pre-aggregated to |dates| rows before the join, so the outer join
+    * itself is tiny regardless of fact size; each agg combines map-side.
+    */
+  val q47 = QueryDef.oracle("q47_full_outer_join",
+    """SELECT COALESCE(o.d, l.d) AS day, o.n_orders, l.n_ship
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) o
+      |FULL OUTER JOIN
+      |     (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ship
+      |      FROM lineitem GROUP BY 1) l
+      |ON o.d = l.d""".stripMargin)(
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("od")).agg(count(lit(1)).as("n_orders"))
+      val l = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("ld")).agg(count(lit(1)).as("n_ship"))
+      o.join(l, col("od") === col("ld"), "full_outer")
+        .select(coalesce(col("od"), col("ld")).as("day"),
+          col("n_orders"), col("n_ship"))
+    })
+
   /** U1 n-way UNION ALL (schema-aligned by name) + P6 source tag.
     * Ref: §2.5 U1 (build_database.py:162). */
   val q14 = QueryDef.oracle("q14_union_all",
@@ -323,5 +346,5 @@ object CoreQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q47)
 }

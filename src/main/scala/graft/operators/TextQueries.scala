@@ -54,5 +54,41 @@ object TextQueries {
       .select(col("doc_id"),
         size(array_distinct(wordNgrams(col("text"), 3))).as("n_distinct_3grams")))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+  /** Deterministic hash sampling — the scale-correct way to take a
+    * reproducible corpus sample: membership is a pure function of content
+    * key (last md5 nibble), so the sample is stable across engines, runs,
+    * partitionings, and cluster sizes — none of which is true of
+    * `TABLESAMPLE`/`df.sample`'s RNG. Scan-local: no shuffle, the
+    * predicate rides the parquet scan. 2/16 ≈ 12.5% expected rate.
+    */
+  val q45 = QueryDef.oracle("q45_hash_sample",
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE substr(md5(text), 32, 1) IN ('0', '7')""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .filter(substring(md5(col("text")), 32, 1).isin("0", "7"))
+      .select("doc_id", "lang", "n_chars"))
+
+  /** Per-class cap (class balancing): at most N docs per language, chosen
+    * by deterministic md5 order (not arrival order — rerun-stable and
+    * skew-immune: one window shuffle on lang, no global sort).
+    */
+  val q46 = QueryDef.oracle("q46_class_balance",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |                            ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 50""".stripMargin)(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+        .filter(col("rn") <= 50)
+        .select("doc_id", "lang")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }
