@@ -31,5 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       exprs => graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[graft.functions.MinHashText].getName, "minhash_text"),
+      exprs => graft.functions.MinHashText(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.WordNgrams].getName, "word_ngrams"),
+      exprs => graft.functions.WordNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
+    // sig(ngram()) -> fused single-pass kernel; see FuseMinHashRule
+    ext.injectOptimizerRule(_ => graft.plans.FuseMinHashRule)
   }
 }

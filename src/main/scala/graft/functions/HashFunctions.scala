@@ -24,6 +24,9 @@ object HashFunctions {
       exprs => MinHashText(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
   }
 
   private def native(name: String, cols: Column*): Column = {
@@ -45,6 +48,10 @@ object HashFunctions {
     */
   def minhashTextSignature(text: Column, n: Int, k: Int): Column =
     native("minhash_text", text, lit(n), lit(k))
+
+  /** Native word-n-gram expression (Column form of [[WordNgrams]]). */
+  def wordNgramsNative(text: Column, n: Int): Column =
+    native("word_ngrams", text, lit(n))
 
   /** Band keys for LSH: split the k-signature into `bands` bands of
     * k/bands rows each; key = (band index, xxhash64 of the band slice).

@@ -29,8 +29,16 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
 
-  /** Word n-gram strings (n consecutive tokens joined by a space). */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-gram strings (n consecutive tokens joined by a space) —
+    * native kernel ([[WordNgrams]]); byte-identical to [[wordNgramsHof]],
+    * one exact-size copy per gram instead of per-element lambda frames.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    HashFunctions.wordNgramsNative(text, n)
+
+  /** Higher-order-function formulation — kept as the differential
+    * reference the native kernel is tested against. */
+  def wordNgramsHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(

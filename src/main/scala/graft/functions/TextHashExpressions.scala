@@ -83,56 +83,125 @@ object TextHashKernels {
     out
   }
 
-  /** Fused tokenize + word-n-gram + MinHash over raw text: ONE pass over
-    * the UTF-8 bytes. Tokens are maximal non-whitespace byte runs hashed
-    * in place (no token strings, no n-gram strings, no arrays); an n-slot
-    * ring of token hashes yields each window's chained hash, which feeds
-    * the same KM+mix64 slot update as [[minhashSig]]. Documents with
-    * fewer than n tokens get the sentinel signature — same contract as
-    * minhash_sig(word_ngrams(text, n), k).
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || (b >= 0x09 && b <= 0x0D)
+
+  /** Token byte-ranges (start, endExclusive) of maximal non-whitespace
+    * runs. ASCII whitespace only (regex \s); UTF-8 continuation bytes are
+    * >= 0x80 so multi-byte characters can never be mistaken for it.
+    */
+  private def tokenSpans(base: AnyRef, off: Long, len: Int): (Array[Int], Int) = {
+    var spans = new Array[Int](32)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+        if (nTok * 2 + 2 > spans.length) spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+        spans(nTok * 2) = start
+        spans(nTok * 2 + 1) = i
+        nTok += 1
+      }
+    }
+    (spans, nTok)
+  }
+
+  /** Copy the space-joined n-gram window [t, t+n) into `scratch` (grown as
+    * needed); returns (buffer, byteLength). Identical bytes to
+    * concat_ws(" ", tokens) — the canonical gram encoding both the string
+    * and hashed paths share.
+    */
+  private def gramBytes(base: AnyRef, off: Long, spans: Array[Int], t: Int, n: Int,
+      scratch: Array[Byte]): (Array[Byte], Int) = {
+    var need = n - 1
+    var j = t
+    while (j < t + n) { need += spans(j * 2 + 1) - spans(j * 2); j += 1 }
+    val buf = if (scratch.length >= need) scratch
+      else new Array[Byte](math.max(need, scratch.length * 2))
+    var pos = 0
+    j = t
+    while (j < t + n) {
+      if (j > t) { buf(pos) = ' '; pos += 1 }
+      val s = spans(j * 2); val e = spans(j * 2 + 1)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + s, buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, e - s)
+      pos += e - s
+      j += 1
+    }
+    (buf, pos)
+  }
+
+  /** Fused tokenize + word-n-gram + MinHash over raw text: one pass to
+    * find token spans, then per window the space-joined gram bytes are
+    * assembled in a REUSED scratch buffer, hashed (two XXH64 passes), and
+    * folded into the k slots via KM+mix64. Hashes exactly the bytes
+    * `wordNgrams` would materialize, so
+    * minhash_text(t, n, k) ≡ minhash_sig(word_ngrams(t, n), k)
+    * — the equivalence the [[graft.FuseMinHashRule]] fusion rule relies
+    * on (and a differential test asserts). Documents with fewer than n
+    * tokens get the all-Long.MaxValue sentinel.
     */
   def minhashText(s: org.apache.spark.unsafe.types.UTF8String, n: Int, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val base = s.getBaseObject
     val off = s.getBaseOffset
-    val len = s.numBytes
-    val ring = new Array[Long](n)
-    var tokCount = 0
-    var i = 0
-    while (i < len) {
-      var b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
-      // ASCII whitespace (regex \s); UTF-8 continuation bytes are >= 0x80
-      // so multi-byte characters can never be mistaken for it
-      while (i < len && (b == ' ' || (b >= 0x09 && b <= 0x0D))) {
-        i += 1
-        if (i < len) b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+    val (spans, nTok) = tokenSpans(base, off, s.numBytes)
+    var scratch = new Array[Byte](256)
+    var t = 0
+    while (t + n <= nTok) {
+      val (buf, blen) = gramBytes(base, off, spans, t, n, scratch)
+      scratch = buf
+      val h1 = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, 42L)
+      val h2 = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, blen, h1)
+      var h = h1
+      var q = 0
+      while (q < k) {
+        val v = mix64(h)
+        if (v < sig(q)) sig(q) = v
+        h += h2
+        q += 1
       }
-      if (i < len) {
-        val start = i
-        while (i < len && !(b == ' ' || (b >= 0x09 && b <= 0x0D))) {
-          i += 1
-          if (i < len) b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
-        }
-        ring(tokCount % n) = XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
-        tokCount += 1
-        if (tokCount >= n) {
-          var c = 42L
-          var j = tokCount - n
-          while (j < tokCount) { c = XXH64.hashLong(ring(j % n), c); j += 1 }
-          val h2 = XXH64.hashLong(c, 0x9E3779B97F4A7C15L)
-          var h = c
-          var q = 0
-          while (q < k) {
-            val v = mix64(h)
-            if (v < sig(q)) sig(q) = v
-            h += h2
-            q += 1
-          }
-        }
-      }
+      t += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Word n-gram strings (space-joined), native: one span scan + one
+    * exact-size copy per gram — no per-element lambda frames, no slice
+    * arrays, no concat_ws trees. Byte-identical output to the HOF
+    * formulation (differential-tested).
+    */
+  def wordNgrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, nTok) = tokenSpans(base, off, s.numBytes)
+    if (nTok < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nTok - n + 1)
+    var t = 0
+    while (t + n <= nTok) {
+      var need = n - 1
+      var j = t
+      while (j < t + n) { need += spans(j * 2 + 1) - spans(j * 2); j += 1 }
+      val buf = new Array[Byte](need)
+      var pos = 0
+      j = t
+      while (j < t + n) {
+        if (j > t) { buf(pos) = ' '; pos += 1 }
+        val st = spans(j * 2); val e = spans(j * 2 + 1)
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + st, buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, e - st)
+        pos += e - st
+        j += 1
+      }
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -184,6 +253,30 @@ case class MinHashText(child: Expression, n: Int, k: Int) extends UnaryExpressio
       s"${ev.value} = graft.functions.TextHashKernels.minhashText($v, $n, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+}
+
+/** Native word-n-gram expression (see [[TextHashKernels.wordNgrams]]). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 64)
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextHashKernels.wordNgrams($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 

@@ -33,6 +33,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT minhash_sig(array('a','b'), 4) AS sig, simhash64(array('a','b')) AS sh")
       .collect().head
     assert(mh.getSeq[Long](0).length == 4)
+    // FuseMinHashRule: composed sig(ngrams()) is rewritten to the fused
+    // kernel, and the fused result is identical. Non-foldable input so
+    // ConstantFolding can't collapse the plan before we inspect it.
+    val fuse = s.range(5)
+      .selectExpr("concat('to be or not to be ', id) AS t")
+      .selectExpr("minhash_sig(word_ngrams(t, 3), 8) AS composed",
+        "minhash_text(t, 3, 8) AS direct")
+    val opt = fuse.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("minhash_sig") && opt.contains("minhash_text"),
+      s"fusion rule did not fire:\n$opt")
+    fuse.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -74,6 +74,27 @@ class HashFunctionsSpec extends SparkSpec {
     assert(tsig("") == List.fill(k)(Long.MaxValue))
   }
 
+  test("native wordNgrams is byte-identical to the HOF formulation") {
+    val messy = Seq("a b c d", "  leading and\ttabs\nnewlines  ", "", "one",
+      "exactly three toks", "unicode héllo wörld …emoji 🙂 end", "a  double  spaces  here")
+    val df = messy.toDF("text")
+    val rows = df.select(
+      wordNgrams(col("text"), 3).as("native"),
+      graft.functions.TextFunctions.wordNgramsHof(col("text"), 3).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("minhash_text equals minhash_sig(word_ngrams) — the fusion-rule precondition") {
+    val texts = Seq("to be or not to be that is the question",
+      "a  b\tc   d e", "", "x y", "single")
+    val rows = texts.toDF("text").select(
+      minhashTextSignature(col("text"), 3, k).as("fused"),
+      minhashSignature(wordNgrams(col("text"), 3), k).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("minhashText: estimated jaccard tracks overlap direction") {
     val df = Seq(("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
       "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz",
