@@ -47,6 +47,8 @@ object PlanCheck {
       p => p.contains("partial_sum"))
     check("q76_dsv2_catalog_source", "DSv2 scan absorbed the name-search filter",
       p => p.contains("StringContains(strDrink"))
+    check("q88_topk_per_key_agg", "bounded top-k combines map-side (partial before exchange)",
+      p => p.contains("partial_topkagg"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
   }

@@ -212,5 +212,31 @@ object ExtensionQueries {
       .unpivot(Array(col("o_orderkey")),
         Array(col("price_cents"), col("cust")), "metric", "val"))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75)
+  /** Top-3 lineitems per part via the bounded-heap TopKAgg — map-side
+    * combinable, so the exchange carries O(parts × k) buffer rows instead
+    * of every lineitem (contrast q82's window form, which must shuffle
+    * all rows). Oracle: the equivalent row_number window query.
+    */
+  val q88 = QueryDef.oracle("q88_topk_per_key_agg",
+    """SELECT l_partkey, price_cents, tiebreak_id FROM (
+      |  SELECT l_partkey,
+      |         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |         l_orderkey * 100 + l_linenumber AS tiebreak_id,
+      |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |           ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT) DESC,
+      |                    l_orderkey * 100 + l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3""".stripMargin)(
+    (s, d) => {
+      val topk = graft.functions.TopKAgg.column(3)
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(topk(floor(col("l_extendedprice") * 100).cast("long"),
+          col("l_orderkey") * 100 + col("l_linenumber")).as("tk"))
+        .select(col("l_partkey"), explode(col("tk")).as("t"))
+        .select(col("l_partkey"), col("t._1").as("price_cents"),
+          col("t._2").as("tiebreak_id"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75, q88)
 }
