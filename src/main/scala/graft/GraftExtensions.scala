@@ -24,22 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.VecLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval().asInstanceOf[Number].intValue)))
-    ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig"),
-      exprs => graft.functions.MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      exprs => graft.functions.SimHash64(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("minhash_text"),
-      new ExpressionInfo(classOf[graft.functions.MinHashText].getName, "minhash_text"),
-      exprs => graft.functions.MinHashText(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
-    ext.injectFunction((FunctionIdentifier("word_ngrams"),
-      new ExpressionInfo(classOf[graft.functions.WordNgrams].getName, "word_ngrams"),
-      exprs => graft.functions.WordNgrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+    // text-hash functions share one builder table with the Column-API
+    // registration path (HashFunctions.sqlBuilders) so they can't drift
+    graft.functions.HashFunctions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextHashExpressions", name), builder))
+    }
     // sig(ngram()) -> fused single-pass kernel; see FuseMinHashRule
     ext.injectOptimizerRule(_ => graft.plans.FuseMinHashRule)
   }

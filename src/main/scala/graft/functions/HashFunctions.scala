@@ -13,20 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Extract an integer literal argument with a usable error instead of a
+    * raw ClassCastException / IndexOutOfBounds from inside the builder. */
+  private def intArg(name: String, exprs: Seq[Expression], i: Int): Int = {
+    require(exprs.length > i,
+      s"$name: expected ${i + 1}+ arguments, got ${exprs.length}")
+    val e = exprs(i)
+    require(e.foldable, s"$name: argument ${i + 1} must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be an integer, got $other")
+    }
+  }
+
+  /** The single source of truth for the text-hash SQL functions — consumed
+    * by both the temp-registry path below and the session-extensions path
+    * in [[graft.GraftExtensions]], so the two can't drift.
+    */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg("minhash_sig", exprs, 1))),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_text" -> (exprs => MinHashText(exprs.head,
+      intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
+    "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))))
+
   private def registerOnce(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_text",
-      exprs => MinHashText(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams",
-      exprs => WordNgrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   private def native(name: String, cols: Column*): Column = {
@@ -43,8 +61,11 @@ object HashFunctions {
 
   /** Fused tokenize + word-n-gram + MinHash straight off the text column —
     * one byte-level pass, no token/shingle materialization. The fast path
-    * for whole-corpus signature scans; semantics match
-    * `minhashSignature(wordNgrams(text, n), k)` up to hash family.
+    * for whole-corpus signature scans. EXACTLY equal to
+    * `minhashSignature(wordNgrams(text, n), k)` — both hash identical
+    * space-joined gram bytes; [[graft.plans.FuseMinHashRule]] relies on
+    * that equality and a differential test asserts it. Do not change one
+    * kernel's byte encoding without the other.
     */
   def minhashTextSignature(text: Column, n: Int, k: Int): Column =
     native("minhash_text", text, lit(n), lit(k))

@@ -184,21 +184,11 @@ object TextHashKernels {
     val out = new Array[Any](nTok - n + 1)
     var t = 0
     while (t + n <= nTok) {
-      var need = n - 1
-      var j = t
-      while (j < t + n) { need += spans(j * 2 + 1) - spans(j * 2); j += 1 }
-      val buf = new Array[Byte](need)
-      var pos = 0
-      j = t
-      while (j < t + n) {
-        if (j > t) { buf(pos) = ' '; pos += 1 }
-        val st = spans(j * 2); val e = spans(j * 2 + 1)
-        org.apache.spark.unsafe.Platform.copyMemory(base, off + st, buf,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, e - st)
-        pos += e - st
-        j += 1
-      }
-      out(t) = org.apache.spark.unsafe.types.UTF8String.fromBytes(buf)
+      // empty scratch -> gramBytes allocates exactly the gram's size, so
+      // the buffer can be handed to UTF8String without copying; sharing
+      // gramBytes keeps the gram encoding identical to the hashed path
+      val (buf, blen) = gramBytes(base, off, spans, t, n, Array.emptyByteArray)
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromBytes(buf, 0, blen)
       t += 1
     }
     new GenericArrayData(out)

@@ -21,10 +21,16 @@ import org.apache.spark.sql.functions.udaf
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-  require(k > 0)
+  require(k > 0 && k <= (1 << 20), s"unreasonable k=$k")
+
+  // explicit composite Ordering — sortBy(-ord) would overflow on
+  // ord = Long.MinValue and rank the smallest value first
+  private val byOrdDescIdAsc: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), Long](_._1).reverse
+      .orElse(Ordering.by[(Long, Long), Long](_._2))
 
   private def ordered(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    s.sortBy(t => (-t._1, t._2))
+    s.sorted(byOrdDescIdAsc)
 
   private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
     if (s.length > 4 * k) ordered(s).take(k) else s
