@@ -153,5 +153,37 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
+  /** Exact-ANN rank oracle: top-5 cosine neighbors for 20 query vectors,
+    * HASH-MATCHED against DuckDB's list_cosine_similarity — the output is
+    * (query, neighbor, rank) only. Ranks are float-robust: both engines
+    * compute cosine in double and the last-ULP summation differences
+    * can't reorder neighbors whose similarity gaps are ~1e-4; exact ties
+    * (duplicate vectors) break deterministically on vec_id.
+    */
+  val q65 = QueryDef.oracle("q65_ann_rank_oracle",
+    """SELECT q_id, n_id, rnk FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(n.embedding AS DOUBLE[])) DESC,
+      |                    n.vec_id) AS rnk
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20)
+      |WHERE rnk <= 5""".stripMargin)(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          VecExpressions.cosineFast(s, col("q_emb"), col("n_emb")).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("rnk"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
 }
