@@ -38,14 +38,21 @@ object HashFunctions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "minhash_text" -> (exprs => MinHashText(exprs.head,
       intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
-    "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))))
+    "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
+    "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))))
 
-  private def registerOnce(spark: SparkSession): Unit = {
+  /** Register every text-hash function in the session's temp registry —
+    * for sessions not built with `spark.sql.extensions=graft.GraftExtensions`
+    * that still want the SQL names (e.g. LATERAL VIEW ngram_explode).
+    * Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     sqlBuilders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+
+  private def registerOnce(spark: SparkSession): Unit = registerAll(spark)
 
   private def native(name: String, cols: Column*): Column = {
     registerOnce(SparkSession.active)

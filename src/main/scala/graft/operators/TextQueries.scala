@@ -90,5 +90,28 @@ object TextQueries {
         .select("doc_id", "lang")
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** Corpus gram-frequency table via the custom Generator
+    * (`LATERAL VIEW ngram_explode`): top-20 word 3-grams with
+    * deterministic (count desc, gram) tiebreak. Oracle: DuckDB list
+    * comprehension + unnest.
+    */
+  val q48 = QueryDef.oracle("q48_ngram_freq",
+    """SELECT gram, count(*) AS n FROM (
+      |  SELECT unnest([list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                 FOR i IN range(1, len(l) - 1)]) AS gram
+      |  FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |               x -> x <> '') AS l FROM documents)
+      |  WHERE len(l) >= 3)
+      |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)(
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_q48")
+      graft.functions.HashFunctions.registerAll(s)
+      s.sql(
+        """SELECT gram, count(*) AS n
+          |FROM graft_docs_q48
+          |LATERAL VIEW ngram_explode(text, 3) g AS pos, gram
+          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
+    })
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48)
 }

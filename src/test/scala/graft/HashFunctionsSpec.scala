@@ -95,6 +95,21 @@ class HashFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("ngram_explode generator matches posexplode(word_ngrams)") {
+    graft.functions.HashFunctions.registerAll(spark)
+    Seq("a b c d e", "", "x y", "one two three four")
+      .toDF("text").createOrReplaceTempView("ngx_t")
+    val viaGen = spark.sql(
+      "SELECT pos, gram FROM ngx_t LATERAL VIEW ngram_explode(text, 3) g AS pos, gram")
+      .collect().map(_.toSeq).toSeq
+    val viaExplode = spark.sql(
+      "SELECT posexplode(word_ngrams(text, 3)) AS (pos, gram) FROM ngx_t")
+      .collect().map(_.toSeq).toSeq
+    assert(viaGen.sorted(Ordering.by((s: Seq[Any]) => s.mkString("|"))) ==
+      viaExplode.sorted(Ordering.by((s: Seq[Any]) => s.mkString("|"))))
+    assert(viaGen.nonEmpty)
+  }
+
   test("minhashText: estimated jaccard tracks overlap direction") {
     val df = Seq(("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
       "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz",
