@@ -177,7 +177,8 @@ object ExtensionQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
     (s, d) => graft.sources.Layout.saltedSumCount(
         Tables.lineitem(s, d), "l_returnflag",
-        floor(col("l_quantity")).cast("long"), salts = 16)
+        floor(col("l_quantity")).cast("long"), salts = 16,
+        saltCols = Seq(col("l_orderkey"), col("l_linenumber")))
       .select(col("l_returnflag"), col("sum_value"), col("n")))
 
   /** PIVOT: long→wide reshape with explicit pivot values (explicit so the

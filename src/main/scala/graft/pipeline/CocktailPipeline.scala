@@ -51,10 +51,18 @@ final class CocktailPipeline(
     val filtered = feeds.map { case (key, df) =>
       key -> Watermarks.filterNewerThan(df, wm.get(key))
     }
-    val newWm = filtered.foldLeft(wm) { case (acc, (key, df)) =>
-      Watermarks.batchMax(df).map(v => acc.updated(key, v)).getOrElse(acc)
-    }
     val unioned = filtered.map(_._2).reduce(_ unionByName _)
+    // all three per-city maxima in ONE job over the union (not one
+    // scan per gzip feed — they're non-splittable, so each extra job
+    // is a full single-task decompress)
+    val barToKey = Map("budapest" -> "BUDA_date_max",
+      "london" -> "LON_date_max", "new york" -> "NYC_date_max")
+    val maxima = unioned.groupBy(lower(col("bar")).as("b"))
+      .agg(max("dateOfSale").as("m")).collect()
+      .flatMap(r => Option(r.getTimestamp(1)).flatMap(ts =>
+        barToKey.get(r.getString(0)).map(_ -> ts.toString.stripSuffix(".0"))))
+      .toMap
+    val newWm = wm ++ maxima
     val keyed = Clean.orderedId(
       Clean.lowercaseStrings(unioned),
       "saleID", Seq(col("bar"), col("dateOfSale"), col("idx")))
@@ -119,8 +127,13 @@ final class CocktailPipeline(
       spark.read.parquet(s"$warehouseDir/$name").count()
     }
     val salesPath = s"$warehouseDir/global_sales"
+    // existence via the Hadoop FS API, not java.nio — the warehouse may
+    // be hdfs:///s3a://, where a local-path check would silently say "no"
+    // and restart saleIDs at 0 (the §8.5 PK violation this offset fixes)
+    val hPath = new org.apache.hadoop.fs.Path(salesPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keyOffset =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(salesPath)))
+      if (fs.exists(hPath))
         spark.read.parquet(salesPath).agg(max("saleID")).first().getAs[Any](0) match {
           case null => 0L
           case m: Long => m + 1
@@ -128,6 +141,11 @@ final class CocktailPipeline(
       else 0L
     val salesCount = save("global_sales",
       salesDf.withColumn("saleID", col("saleID") + keyOffset), "append")
+    // advance watermarks IMMEDIATELY after the sales append commits: a
+    // crash in the dimension/poc writes below must not leave old
+    // watermarks pointing at already-appended rows (next run would
+    // re-append them as undetectable duplicates under fresh saleIDs)
+    Watermarks.write(watermarkPath, newWm)
     // dim terms come from ALL stored sales, not just this batch — an
     // empty incremental batch must not shrink the cocktails snapshot
     val allSales = spark.read.parquet(salesPath)
@@ -141,7 +159,6 @@ final class CocktailPipeline(
       spark.read.parquet(s"$warehouseDir/cocktails"),
       spark.read.parquet(s"$warehouseDir/bar_stock"))
     val pocCount = save("poc_analysis", poc)
-    Watermarks.write(watermarkPath, newWm)
     counts + ("poc_analysis" -> pocCount)
   }
 }

@@ -30,14 +30,26 @@ object Watermarks {
   val Epoch = "1900-01-01 00:00:00"
   val Keys: Seq[String] = Seq("BUDA_date_max", "LON_date_max", "NYC_date_max")
 
+  private val TsPattern = """\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?""".r
+
+  /** Tolerant read: lines without a value and values that aren't
+    * timestamps (the reference's own empty-batch bug writes the literal
+    * "NaT" — SURVEY.md §8.6) are DROPPED, which falls back to the epoch
+    * floor, i.e. a full reload — safe-by-default. A malformed state file
+    * must never poison the incremental filter (under ANSI mode a bad
+    * value would otherwise crash the cast; with ANSI off it would
+    * silently filter out the whole feed forever).
+    */
   def read(path: String): Map[String, String] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) Map.empty
     else Files.readAllLines(p).asScala
       .map(_.trim).filter(_.nonEmpty)
-      .map { line =>
-        val Array(k, v) = line.split(" ", 2)
-        k -> v
+      .flatMap { line =>
+        line.split(" ", 2) match {
+          case Array(k, v) if TsPattern.matches(v.trim) => Some(k -> v.trim)
+          case _ => None
+        }
       }.toMap
   }
 

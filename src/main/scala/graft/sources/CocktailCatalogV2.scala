@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -44,9 +44,14 @@ class CocktailCatalogV2 extends TableProvider {
     CocktailCatalogV2.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new CocktailCatalogTable(properties.get("path"),
-      Option(properties.get("partitions")).map(_.toInt).getOrElse(1))
+      properties: util.Map[String, String]): Table = {
+    // properties arrive case-SENSITIVE here; re-wrap to honor the DSv2
+    // case-insensitive option contract (.option("Path", ...) must work)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val partitions = Option(opts.get("partitions")).map(_.toInt).getOrElse(1)
+    require(partitions >= 1, s"option 'partitions' must be >= 1, got $partitions")
+    new CocktailCatalogTable(opts.get("path"), partitions)
+  }
 }
 
 object CocktailCatalogV2 {
@@ -128,35 +133,32 @@ class CocktailReaderFactory(required: StructType, pushed: Array[Filter])
   }
 }
 
-/** Executor-side reader: parses its slice of the catalog (hash-of-id mod
-  * partition count), applies the absorbed name-search filters, projects
-  * to the pruned schema. For the live source this is where the HTTP GETs
-  * would happen, one connection per partition.
+/** Executor-side reader: streams its slice of the catalog (element index
+  * mod partition count), applies the absorbed name-search filters,
+  * projects to the pruned schema. Rows are produced LAZILY — nothing is
+  * buffered; the per-reader cost is one parse of the catalog (acceptable
+  * for a fixture; the live HTTP source this models would fetch only its
+  * slice's terms, one connection per partition).
   */
 class CocktailPartitionReader(part: CocktailInputPartition,
     required: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
+  private val fields = required.fields.map(_.name)
+
   private val rows: Iterator[InternalRow] = {
     val root = new ObjectMapper().readTree(new java.io.File(part.path))
-    val fields = required.fields.map(_.name)
-    val buf = new ArrayBuffer[InternalRow]()
-    val it = root.elements()
-    var idx = 0
-    while (it.hasNext) {
-      val node = it.next()
-      if (idx % part.of == part.slice && matches(node)) {
+    root.elements().asScala.zipWithIndex
+      .collect { case (node, idx)
+          if idx % part.of == part.slice && matches(node) =>
         val vals = new Array[Any](fields.length)
         var i = 0
         while (i < fields.length) {
           vals(i) = str(node, fields(i)).map(UTF8String.fromString).orNull
           i += 1
         }
-        buf += new GenericInternalRow(vals)
+        new GenericInternalRow(vals): InternalRow
       }
-      idx += 1
-    }
-    buf.iterator
   }
 
   private def str(node: JsonNode, field: String): Option[String] = {

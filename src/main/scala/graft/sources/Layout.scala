@@ -29,23 +29,40 @@ object Layout {
     * (sum/count/min/max — anything with a merge). AQE's skew handling
     * only splits JOIN partitions; a skewed groupBy still funnels one key
     * to one task without this.
+    *
+    * The salt MUST be a pure function of row content, never of
+    * spark_partition_id/monotonically_increasing_id: on a fetch-failure
+    * retry the stage recomputes rows in a different order, and an
+    * order-dependent salt would route the recomputed copies to different
+    * (key, salt) groups than the copies already consumed downstream —
+    * rows double-counted or lost (the SPARK-23207 class of bug), exactly
+    * in the retry-prone regime this helper exists for. Hashing the
+    * spread columns is deterministic under recomputation; `saltCols`
+    * should be columns that vary within the hot key (e.g. the value
+    * column) so the hot key actually spreads.
     */
-  def saltedSumCount(df: DataFrame, key: String, valueCol: Column, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column, salts: Int,
+      saltCols: Seq[Column] = Seq.empty): DataFrame = {
+    val spread = if (saltCols.nonEmpty) saltCols else Seq(valueCol)
+    df.withColumn("__salt", pmod(xxhash64(spread: _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
       .agg(sum("__psum").as("sum_value"), sum("__pcnt").as("n"))
+  }
 
   /** Salted broadcast-side replication for a skewed join: explode the
     * small side `salts` times with a salt column, salt the big side the
     * same way, join on (key, salt). Spreads one hot key's rows over
     * `salts` tasks while every row still joins exactly once.
+    * Deterministic for the same retry-safety reason as [[saltedSumCount]]:
+    * the big side's salt hashes caller-chosen content columns.
     */
-  def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String, salts: Int)
-      : (DataFrame, DataFrame, Column) = {
+  def saltedJoinKeys(big: DataFrame, small: DataFrame, key: String, salts: Int,
+      bigSaltCols: Seq[Column]): (DataFrame, DataFrame, Column) = {
+    require(bigSaltCols.nonEmpty, "need content columns to derive a deterministic salt")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(bigSaltCols: _*), lit(salts)).cast("int"))
     val smallSalted = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallSalted,

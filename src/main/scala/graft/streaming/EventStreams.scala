@@ -92,30 +92,58 @@ object EventStreams {
 
   /** Custom stateful sessionization with flatMapGroupsWithState — the
     * state-API escape hatch for session semantics session_window can't
-    * express (kept here with identical gap semantics as the reference
-    * implementation of the pattern). Emits a session only when a newer
-    * event closes it; the open session rides in `GroupState` across
-    * triggers. State per key is one open session — O(active users), not
-    * O(history).
+    * express. Emits a session when a newer event closes it, or when the
+    * event-time timeout fires (watermark passed last + gap) — so idle
+    * users' final sessions ARE emitted and their state is evicted,
+    * keeping the store O(users active within the watermark horizon),
+    * not O(all users ever seen).
+    *
+    * Out-of-order robustness: events WITHIN a trigger are sorted, and an
+    * event older than the open session's `last` (late arrival across
+    * triggers, inside the watermark) extends the span via min/max
+    * instead of rewinding `last` — a rewind would spuriously split the
+    * session on the next event and diverge from the batch twin.
+    *
+    * The input must carry a watermark on `ts` (caller applies
+    * `withWatermark` before groupByKey) for the timeout to fire in
+    * streaming; in batch execution timeouts are ignored and only
+    * close-by-newer-event applies (q31-parity tested).
     */
   def sessionizeStateful(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val (closed, open) = sorted.foldLeft(
-            (List.empty[SessionState], state.getOption)) {
-            case ((done, None), e) =>
-              (done, Some(SessionState(e.ts, e.ts, 1)))
-            case ((done, Some(s)), e) =>
-              if (e.ts.getTime - s.last.getTime > gapSeconds * 1000)
-                (s :: done, Some(SessionState(e.ts, e.ts, 1)))
-              else (done, Some(s.copy(last = e.ts, n = s.n + 1)))
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val (closed, open) = sorted.foldLeft(
+              (List.empty[SessionState], state.getOption)) {
+              case ((done, None), e) =>
+                (done, Some(SessionState(e.ts, e.ts, 1)))
+              case ((done, Some(s)), e) =>
+                if (e.ts.getTime - s.last.getTime > gapSeconds * 1000)
+                  (s :: done, Some(SessionState(e.ts, e.ts, 1)))
+                else (done, Some(SessionState(
+                  start = if (e.ts.before(s.start)) e.ts else s.start,
+                  last = if (e.ts.after(s.last)) e.ts else s.last,
+                  n = s.n + 1)))
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the event-time watermark passes the gap horizon;
+              // in batch execution there is no watermark and Spark rejects
+              // the call — timeouts can't occur there anyway, so skip it
+              try state.setTimeoutTimestamp(s.last.getTime + gapSeconds * 1000)
+              catch { case _: UnsupportedOperationException => () }
+            }
+            closed.reverseIterator.map(s => Session(user, s.start, s.last, s.n))
           }
-          open.foreach(state.update)
-          closed.reverseIterator.map(s => Session(user, s.start, s.last, s.n))
       }
   }
 

@@ -43,7 +43,7 @@ class LayoutSpec extends SparkSpec {
   test("salted join matches the plain join exactly") {
     val big = (1 to 1000).map(i => (if (i % 5 == 0) i % 3 else 0, i)).toDF("k", "v")
     val small = Seq((0, "hot"), (1, "a"), (2, "b")).toDF("k", "name")
-    val (bs, ss, cond) = Layout.saltedJoinKeys(big, small, "k", salts = 8)
+    val (bs, ss, cond) = Layout.saltedJoinKeys(big, small, "k", salts = 8, bigSaltCols = Seq(col("v")))
     val salted = bs.join(ss, cond).select(bs("k"), col("v"), col("name"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sorted.toSeq
     val plain = big.join(small, "k").select(col("k"), col("v"), col("name"))

@@ -101,6 +101,19 @@ class CocktailPipelineSpec extends SparkSpec {
       .startsWith("2020-12-26 13:05"))
   }
 
+  test("malformed watermark file (the reference's NaT bug, truncated lines) falls back to full load") {
+    val f = Files.createTempFile("graft-wm", ".txt")
+    Files.writeString(f,
+      """BUDA_date_max NaT
+        |LON_date_max
+        |NYC_date_max 2020-12-28 09:30:00
+        |""".stripMargin)
+    val wm = Watermarks.read(f.toString)
+    // NaT and the valueless line are dropped (epoch fallback = reload);
+    // the valid timestamp survives
+    assert(wm == Map("NYC_date_max" -> "2020-12-28 09:30:00"))
+  }
+
   test("saleIDs stay unique across appended incremental batches") {
     val (dir, paths, pipe) = freshRun()
     pipe.run(spark, s"$dir/warehouse")

@@ -122,7 +122,8 @@ class EventStreamsSpec extends SparkSpec {
   test("flatMapGroupsWithState emits a session only when a newer event closes it") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Ev]
-    val q = EventStreams.sessionizeStateful(ms.toDS(), gapSeconds = 1800)
+    val q = EventStreams.sessionizeStateful(
+        ms.toDS().withWatermark("ts", "2 hours"), gapSeconds = 1800)
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
       ms.addData(EventStreams.Ev(1, 1, t("2024-01-01 10:00:00")),
@@ -138,6 +139,55 @@ class EventStreamsSpec extends SparkSpec {
       ms.addData(EventStreams.Ev(1, 4, t("2024-01-01 13:00:00")))
       q.processAllAvailable()
       assert(spark.table("sess").count() == 2)
+    } finally q.stop()
+  }
+
+  test("event-time timeout flushes an idle user's final session and evicts state") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeStateful(
+        ms.toDS().withWatermark("ts", "10 minutes"), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    try {
+      ms.addData(EventStreams.Ev(1, 1, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // another user's much-later event advances the watermark past
+      // user 1's last + gap (10:30); the timeout fires on a later batch
+      ms.addData(EventStreams.Ev(2, 2, t("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      ms.addData(EventStreams.Ev(2, 3, t("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_to").as[EventStreams.Session].collect().toSet
+      assert(out.contains(EventStreams.Session(1, t("2024-01-01 10:00:00"),
+        t("2024-01-01 10:00:00"), 1)), s"timed-out session not flushed: $out")
+    } finally q.stop()
+  }
+
+  test("late event inside the watermark extends the open session instead of rewinding it") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeStateful(
+        ms.toDS().withWatermark("ts", "6 hours"), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      ms.addData(EventStreams.Ev(1, 1, t("2024-01-01 10:00:00")),
+        EventStreams.Ev(1, 2, t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // late arrival (10:05 < state.last 10:10) must not rewind `last`:
+      // the 10:36 event is 26 min after 10:10 — same session if last
+      // stayed 10:10, a spurious split if it was rewound to 10:05
+      ms.addData(EventStreams.Ev(1, 3, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      ms.addData(EventStreams.Ev(1, 4, t("2024-01-01 10:36:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_late").count() == 0,
+        "open session was spuriously split by a late arrival")
+      // a real gap closes one 4-event session spanning 10:00-10:36
+      ms.addData(EventStreams.Ev(1, 5, t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_late").as[EventStreams.Session].collect().toSet
+      assert(out == Set(EventStreams.Session(1, t("2024-01-01 10:00:00"),
+        t("2024-01-01 10:36:00"), 4)))
     } finally q.stop()
   }
 }
