@@ -20,16 +20,54 @@ object TextQueries {
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("text_len"),
         tokenCount(col("text")).as("n_tokens")))
 
-  /** Quality scoring (length band + alpha ratio + word-length band) —
-    * rows-only: the scoring formula is engine-internal. */
-  val q41 = QueryDef.rowsOnly("q41_quality_score")(
+  /** Quality scoring (length band + alpha ratio + word-length band),
+    * HASH-MATCHED: the formula is plain double arithmetic over integer
+    * counts with identical operation order in both engines, so the
+    * rounded score is bit-reproducible.
+    */
+  val q41 = QueryDef.oracle("q41_quality_score",
+    """SELECT doc_id, lang,
+      |  round((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+      |              WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.4
+      |      + (CASE WHEN length(text) > 0
+      |              THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+      |                   / length(text)
+      |              ELSE 0.0 END) * 0.4
+      |      + (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+      |               AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
+      |                   BETWEEN 3 AND 12
+      |              THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS quality,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpeish_tokens
+      |FROM documents""".stripMargin)(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         qualityScore(col("text")).as("quality"),
         bpeishTokenCount(col("text")).as("n_bpeish_tokens")))
 
-  /** Heuristic language ID vs the labeled lang column — rows-only. */
-  val q42 = QueryDef.rowsOnly("q42_lang_id")(
+  /** Heuristic language ID vs the labeled lang column, HASH-MATCHED:
+    * marker counts are literal-split counts (identical in both engines),
+    * argmax tie-break order en>de>fr>es>zh reproduced as a CASE chain.
+    */
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"))
+
+  val q42 = QueryDef.oracle("q42_lang_id", {
+    def score(markers: Seq[String]): String =
+      markers.map(m => s"(len(string_split(t, ' $m ')) - 1)").mkString(" + ")
+    val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
+    val zh = "(len(regexp_split_to_array(text, '[\\x{4e00}-\\x{9fff}]')) - 1)"
+    val all = scores :+ ("zh" -> zh)
+    val best = s"greatest(${all.map(_._2).mkString(", ")})"
+    val caseChain = all.map { case (l, e) =>
+      s"WHEN $best > 0 AND $e = $best THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE $caseChain ELSE 'en' END AS detected_lang
+       |FROM (SELECT doc_id, lang, text,
+       |        ' ' || lower(text) || ' ' AS t FROM documents)""".stripMargin
+  })(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langIdHeuristic(col("text")).as("detected_lang")))
