@@ -151,5 +151,30 @@ object TextQueries {
           |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48)
+  /** Array higher-order functions as a declared query surface
+    * (transform / filter / aggregate / array_distinct / array_max over
+    * the token array) — integer-only outputs so the oracle hash-matches.
+    */
+  val q49 = QueryDef.oracle("q49_array_ops",
+    """SELECT doc_id, len(l) AS n_tokens,
+      |       COALESCE(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS total_tok_len,
+      |       list_aggregate(list_transform(l, x -> length(x)), 'max') AS max_tok_len,
+      |       len(list_distinct(l)) AS n_distinct,
+      |       len(list_filter(l, x -> length(x) > 5)) AS n_long
+      |FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |      FROM documents)""".stripMargin)(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val lens = transform(toks, t => length(t))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(lens, lit(0), (acc, x) => acc + x).as("total_tok_len"),
+        array_max(lens).as("max_tok_len"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => length(t) > 5)).as("n_long"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49)
 }
