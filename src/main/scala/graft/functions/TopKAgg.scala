@@ -23,11 +23,15 @@ class TopKAgg(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   require(k > 0 && k <= (1 << 20), s"unreasonable k=$k")
 
-  // explicit composite Ordering — sortBy(-ord) would overflow on
-  // ord = Long.MinValue and rank the smallest value first
-  private val byOrdDescIdAsc: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), Long](_._1).reverse
-      .orElse(Ordering.by[(Long, Long), Long](_._2))
+  // explicit composite comparator — sortBy(-ord) would overflow on
+  // ord = Long.MinValue and rank the smallest value first; a manual
+  // compare avoids per-comparison key allocation in the sort hot path
+  private val byOrdDescIdAsc: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   private def ordered(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
     s.sorted(byOrdDescIdAsc)
