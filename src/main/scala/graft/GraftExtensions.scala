@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.{VecCosine, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,22 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      exprs => VecDot(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      exprs => VecCosine(exprs.head, exprs(1))))
-    ext.injectFunction((FunctionIdentifier("vec_lsh_buckets"),
-      new ExpressionInfo(classOf[graft.functions.VecLshBuckets].getName, "vec_lsh_buckets"),
-      exprs => graft.functions.VecLshBuckets(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
-    // text-hash functions share one builder table with the Column-API
-    // registration path (HashFunctions.sqlBuilders) so they can't drift
-    graft.functions.HashFunctions.sqlBuilders.foreach { case (name, builder) =>
+    // all engine functions come from the same builder tables the
+    // Column-API registration paths use, so the two can't drift
+    val all = graft.functions.VecExpressions.sqlBuilders ++
+      graft.functions.HashFunctions.sqlBuilders
+    all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.TextHashExpressions", name), builder))
+        new ExpressionInfo("graft.functions", name), builder))
     }
     // sig(ngram()) -> fused single-pass kernel; see FuseMinHashRule
     ext.injectOptimizerRule(_ => graft.plans.FuseMinHashRule)

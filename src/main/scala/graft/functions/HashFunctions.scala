@@ -17,7 +17,7 @@ object HashFunctions {
 
   /** Extract an integer literal argument with a usable error instead of a
     * raw ClassCastException / IndexOutOfBounds from inside the builder. */
-  private def intArg(name: String, exprs: Seq[Expression], i: Int): Int = {
+  private[functions] def intArg(name: String, exprs: Seq[Expression], i: Int): Int = {
     require(exprs.length > i,
       s"$name: expected ${i + 1}+ arguments, got ${exprs.length}")
     val e = exprs(i)
@@ -41,14 +41,22 @@ object HashFunctions {
     "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
     "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))))
 
+  // sessions already registered — weak keys so dropped sessions don't leak
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Register every text-hash function in the session's temp registry —
     * for sessions not built with `spark.sql.extensions=graft.GraftExtensions`
     * that still want the SQL names (e.g. LATERAL VIEW ngram_explode).
-    * Idempotent. */
+    * Idempotent, and guarded so per-Column-construction calls don't
+    * hammer the registry. */
   def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    sqlBuilders.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    if (registered.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      sqlBuilders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 

@@ -29,6 +29,7 @@ class MinHashAgg(k: Int) extends Aggregator[Seq[String], Array[Long], Seq[Long]]
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingles: Seq[String]): Array[Long] = {
+    if (shingles == null) return buf // null array row (e.g. null text) adds nothing
     var i = 0
     while (i < k) {
       var m = buf(i)

@@ -69,15 +69,17 @@ object TextFunctions {
   }
 
   /** Tiny n-gram/stopword language-ID heuristic over {en,de,fr,es,zh}.
-    * Scores = count of language-marker tokens; argmax with 'en' fallback.
-    * Deterministic; meant as the shape of a real fastText-style classifier
-    * (per-row scan-stage scoring, no shuffle).
+    * Scores = count of language-marker TOKENS (token equality, so
+    * consecutive markers like "la la" each count — a literal-split count
+    * would consume the shared delimiter and systematically undercount);
+    * argmax with 'en' fallback. Deterministic; meant as the shape of a
+    * real fastText-style classifier (per-row scan-stage scoring, no
+    * shuffle).
     */
   def langIdHeuristic(text: Column): Column = {
-    val t = concat(lit(" "), lower(text), lit(" "))
+    val toks = tokens(lower(text))
     def score(markers: Seq[String]): Column =
-      markers.map(m => size(split(t, s"\\Q $m \\E")) - 1)
-        .reduce(_ + _)
+      size(filter(toks, t => t.isin(markers: _*)))
     val en = score(Seq("the", "and", "of", "to", "is"))
     val de = score(Seq("der", "die", "und", "ist", "das"))
     val fr = score(Seq("le", "la", "et", "est", "les"))

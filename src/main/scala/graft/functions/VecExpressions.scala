@@ -39,28 +39,39 @@ abstract class VecBinaryExpression extends BinaryExpression {
     if (elemIsFloat(e)) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-/** dot(a, b): fused multiply-add loop. Null only for null inputs. */
+/** dot(a, b): fused multiply-add loop. Null for null inputs AND for
+  * length-mismatched vectors — same as the HOF formulation (zip_with
+  * pads with null, which propagates), so swapping forms can't silently
+  * change results on a mixed-dimension corpus. */
 case class VecDot(left: Expression, right: Expression) extends VecBinaryExpression {
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var i = 0
-    while (i < n) { dot += elemAt(left, x, i) * elemAt(right, y, i); i += 1 }
-    dot
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += elemAt(left, x, i) * elemAt(right, y, i); i += 1 }
+      dot
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.${getter(left)}($i)) * ((double) $b.${getter(right)}($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -77,13 +88,16 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    while (i < n) {
-      val xi = elemAt(left, x, i); val yi = elemAt(right, y, i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = elemAt(left, x, i); val yi = elemAt(right, y, i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
     }
-    if (nx == 0.0 || ny == 0.0) null else dot / math.sqrt(nx * ny)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -92,17 +106,21 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.${getter(left)}($i);
-         |  double $yi = (double) $b.${getter(right)}($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |}
-         |if ($nx == 0.0 || $ny == 0.0) {
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.${getter(left)}($i);
+         |    double $yi = (double) $b.${getter(right)}($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |  }
          |}
        """.stripMargin
     })
@@ -116,16 +134,30 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
   * hands us; registration is idempotent.
   */
 object VecExpressions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Single source of truth for the vector SQL functions — consumed here
+    * and by [[graft.GraftExtensions]] (same pattern as
+    * [[HashFunctions.sqlBuilders]]); int args validated via intArg so a
+    * wrong arity / non-literal arg gives a usable error. */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => {
+      require(exprs.length == 2, s"vec_dot: expected 2 arguments, got ${exprs.length}")
+      VecDot(exprs.head, exprs(1))
+    }),
+    "vec_cosine" -> (exprs => {
+      require(exprs.length == 2, s"vec_cosine: expected 2 arguments, got ${exprs.length}")
+      VecCosine(exprs.head, exprs(1))
+    }),
+    "vec_lsh_buckets" -> (exprs => VecLshBuckets(exprs.head,
+      HashFunctions.intArg("vec_lsh_buckets", exprs, 1),
+      HashFunctions.intArg("vec_lsh_buckets", exprs, 2))))
+
   def registerOnce(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => VecDot(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine",
-      exprs => VecCosine(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_lsh_buckets",
-      exprs => VecLshBuckets(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   def dotFast(spark: SparkSession, a: Column, b: Column): Column = {

@@ -23,27 +23,35 @@ import org.apache.spark.sql.functions._
   * classic 100-TB trap. Right side sorts before left on ts ties (side
   * tag 0 < 1), so an exactly-equal timestamp matches, like DuckDB's
   * ASOF JOIN >= semantics.
+  *
+  * The payload rides as ONE struct (null on left-side filler rows) and
+  * `last(ignoreNulls)` skips only those fillers — a genuinely-NULL field
+  * inside the newest right row is preserved, and all fields always come
+  * from the SAME right row. Per-column last(ignoreNulls) would instead
+  * skip genuine NULLs (returning a stale older value) and could tear
+  * fields from different right rows.
   */
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, key: String, leftTs: String,
       rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c).copy())))
     val lTagged = left.select(
       col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        (left.columns.map(c => col(c)) ++
-          payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        (left.columns.map(c => col(c)) :+ nullPayload.as("__p")): _*)
     val rTagged = right.select(
       col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        (left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payloadCols.map(col)): _*)
+        (left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          payloadStruct.as("__p")): _*)
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
-      .select(col("*") +: payloadCols.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        payloadCols.map(c => col(s"__asof_$c").as(c)): _*)
+        payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
   /** Convenience for Column-expression key joins is intentionally absent:

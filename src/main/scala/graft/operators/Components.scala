@@ -56,6 +56,13 @@ object Components {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    if (!converged)
+      // truncated labels would silently split one true cluster into
+      // several "keepers" — surface it loudly instead
+      System.err.println(s"[graft] connectedComponents did NOT converge in " +
+        s"$maxIters iterations — labels are an upper bound on the true " +
+        s"components (clusters deeper than $maxIters hops are split); " +
+        s"re-run with a larger maxIters")
     labels
   }
 }

@@ -114,21 +114,31 @@ object DedupQueries {
     })
 
   /** Exact n-gram Jaccard within LSH-candidate pairs only (never all
-    * pairs): MinHash banding proposes, exact 3-gram Jaccard disposes. */
+    * pairs): MinHash banding proposes, exact 3-gram Jaccard disposes.
+    * The band shuffle carries ONLY (band key, doc_id) — document-sized
+    * gram arrays never ride the 16x explode; they re-join just for the
+    * candidate pairs, which broadcast (they're rare unless the corpus is
+    * mostly duplicates — and then dedup is the cheapest thing you run).
+    */
   val q54 = QueryDef.rowsOnly("q54_ngram_jaccard_verify")(
     (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"),
-          minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
-      val banded = docs
-        .select(col("doc_id"), col("grams"),
-          explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
-        .select(col("doc_id"), col("grams"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("grams").as("g_a"))
-      val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("grams").as("g_b"))
-      val pairs = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("g_b")).as("jaccard"))
-        .distinct()
+      val banded = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(lshBands(minhashTextSignature(col("text"), 3, MinhashK),
+            MinhashK, MinhashBands)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+      val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"))
+      // both joins probe the gram SCAN with a broadcast build side — the
+      // full gram table never shuffles
+      val withA = grams.join(broadcast(cand), col("doc_id") === col("id_a"))
+        .select(col("id_a"), col("id_b"), col("grams").as("g_a"))
+      val pairs = grams.join(broadcast(withA), col("doc_id") === col("id_b"))
+        .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("grams")).as("jaccard"))
       val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
         .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
         .groupBy("doc_id")

@@ -56,7 +56,7 @@ object TextQueries {
 
   val q42 = QueryDef.oracle("q42_lang_id", {
     def score(markers: Seq[String]): String =
-      markers.map(m => s"(len(string_split(t, ' $m ')) - 1)").mkString(" + ")
+      s"len(list_filter(l, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
     val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
     val zh = "(len(regexp_split_to_array(text, '[\\x{4e00}-\\x{9fff}]')) - 1)"
     val all = scores :+ ("zh" -> zh)
@@ -66,7 +66,9 @@ object TextQueries {
     s"""SELECT doc_id, lang AS labeled_lang,
        |  CASE $caseChain ELSE 'en' END AS detected_lang
        |FROM (SELECT doc_id, lang, text,
-       |        ' ' || lower(text) || ' ' AS t FROM documents)""".stripMargin
+       |        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                    x -> x <> '') AS l
+       |      FROM documents)""".stripMargin
   })(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
