@@ -43,6 +43,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("newest right row wins even when its payload field is NULL (no stale substitution, no tearing)") {
+    val l = Seq((1L, t("2024-01-01 00:00:03"))).toDF("k", "ts")
+    // newest matching right row has v=NULL, w=20; the older row has v=5, w=10.
+    // Correct as-of: (NULL, 20) from the SAME newest row — not v=5 rescued
+    // from the older row (stale) and never (5, 20) (torn across rows).
+    val r = Seq(
+      (1L, t("2024-01-01 00:00:01"), Option(5.0), Option(10.0)),
+      (1L, t("2024-01-01 00:00:02"), Option.empty[Double], Option(20.0)))
+      .toDF("k", "rts", "v", "w")
+    val out = AsOfJoin.backward(l, r, "k", "ts", "rts", Seq("v", "w")).collect().head
+    assert(out.isNullAt(out.fieldIndex("v")), s"stale non-null payload substituted: $out")
+    assert(out.getAs[Double]("w") == 20.0)
+  }
+
   test("SqlScripts.split respects literals and comments") {
     val script =
       """SELECT 'a;b' AS x; -- trailing; comment

@@ -30,6 +30,14 @@ class VecExpressionsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0)) // zero-norm row
   }
 
+  test("length-mismatched vectors yield NULL, not a truncated dot/cosine") {
+    val mm = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val r = mm.select(
+      VecExpressions.dotFast(spark, col("a"), col("b")).as("d"),
+      VecExpressions.cosineFast(spark, col("a"), col("b")).as("c")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("interpreted eval agrees with codegen result") {
     import graft.functions.VecCosine
     import org.apache.spark.sql.catalyst.expressions.Literal
