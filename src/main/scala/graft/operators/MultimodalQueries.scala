@@ -34,8 +34,27 @@ object MultimodalQueries {
         size(col("feature")).as("feature_dim"),
         round(graft.functions.VectorFunctions.l2Norm(col("feature")), 4).as("feature_norm")))
 
-  /** Frame sampling: explode video rows into frames, profile per media. */
-  val q73 = QueryDef.rowsOnly("q73_frame_sample")(
+  /** Frame sampling: explode video rows into frames, profile per media.
+    * HASH-MATCHED: the stub codec's byte-slice math (nFrames from
+    * n_chars, span = bytes/nFrames, every 4th frame) is reproduced in
+    * SQL, so the oracle numerically validates the Dataset flatMap +
+    * explode plumbing, not just row counts. Non-video modalities pass
+    * through as one frame of the full content.
+    */
+  val q73 = QueryDef.oracle("q73_frame_sample",
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+      |            THEN CAST((n + 3) // 4 AS BIGINT) ELSE 1 END AS n_frames_kept,
+      |       CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2
+      |            THEN CAST(list_aggregate(
+      |                   [least(least(i * span, len) + span, len) - least(i * span, len)
+      |                    FOR i IN range(0, n, 4)], 'sum') AS BIGINT)
+      |            ELSE CAST(len AS BIGINT) END AS frame_bytes
+      |FROM (SELECT doc_id,
+      |        CAST(n_chars % 16 + 1 AS INTEGER) AS n,
+      |        CAST(strlen(text) AS INTEGER) AS len,
+      |        greatest(CAST(strlen(text) AS INTEGER) // CAST(n_chars % 16 + 1 AS INTEGER), 1) AS span
+      |      FROM documents)""".stripMargin)(
     (s, d) => Media.sampleFrames(mediaDs(s, d), StubMediaCodec, everyN = 4)
       .toDF()
       .groupBy("media_id")
