@@ -3,29 +3,43 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    // one untimed warm-up execution per query (codegen compilation,
-    // parquet footers, JIT), then the timed steady-state run
     // optional comma-separated name filter for timing single queries while
     // iterating; the driver never sets it, so default behavior is unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] unknown names in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(",")}")
+    }
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
+
+    // Materialize through the PHYSICAL plan (toRdd), not count(): count()
+    // lets Catalyst prune every projected column, so a projection-only
+    // query (or the whole MinHash kernel of q51) would be "benchmarked"
+    // without ever executing its work.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+      catch { case _: Throwable => false }
+
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      run(fn) // warm-up (codegen compilation, parquet footers, JIT)
       // min of two timed runs: GC/JIT noise only ever ADDS time, so the
       // minimum is the better steady-state estimate
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = run(fn)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!ok) System.err.println(s"[bench] $name FAILED")
+        if (ok) dt else -1.0 // a failure must not masquerade as a fast success
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.q(sfDir)}}""")
     spark.stop()
   }
 }

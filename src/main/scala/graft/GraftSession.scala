@@ -14,17 +14,22 @@ import org.apache.spark.sql.SparkSession
   *     this would be ~2-3x total executor cores (AQE coalesces down).
   */
 object GraftSession {
-  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    // cores doubles as the shuffle-partition count, which must be numeric
+    // — "*" (all cores) is a valid master spec but not a partition count
+    val partitions = cores.toIntOption.getOrElse(
+      Runtime.getRuntime.availableProcessors).toString
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -16,7 +16,10 @@ object PlanCheck {
     }
     var misses = 0
     def check(name: String, what: String, pred: String => Boolean): Unit = {
-      val ok = pred(plan(name))
+      // a renamed/missing query is a MISS, not a crash of the whole tool
+      val ok = try pred(plan(name)) catch {
+        case e: Throwable => System.err.println(s"[plancheck] $name: $e"); false
+      }
       if (!ok) misses += 1
       println(f"${if (ok) "OK  " else "MISS"} $name%-28s $what")
     }
@@ -51,5 +54,6 @@ object PlanCheck {
       p => p.contains("partial_topkagg"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
+    if (misses > 0) sys.exit(1) // let CI/scripts gate on the result
   }
 }

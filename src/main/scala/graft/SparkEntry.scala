@@ -10,10 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  val allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
-      MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs
+  val allDefs: Seq[QueryDef] = {
+    val defs =
+      CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
+        DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
+        MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs
+    // a duplicate name would silently drop a query from the driver
+    // contract via toMap's last-wins
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the poc_analysis-shaped pipeline (scan → broadcast join → agg →
@@ -22,11 +29,11 @@ object SparkEntry {
     CoreQueries.q17.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  val oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.sql.map(q.name -> _)).toMap
 }

@@ -32,8 +32,11 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division, not DIV (truncation): a pre-epoch nanos value must
+    // round toward -inf to match how DuckDB reads the same TIMESTAMP_NS
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(
+        expr("(ts - ((ts % 1000 + 1000) % 1000)) DIV 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
