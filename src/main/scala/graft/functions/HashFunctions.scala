@@ -116,6 +116,17 @@ object HashFunctions {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Exact Jaccard for arrays ALREADY distinct (e.g. array_distinct'd
+    * shingle sets): |a ∪ b| = |a| + |b| − |a ∩ b|, so only the
+    * intersection is materialized — half the set work of [[jaccard]] on
+    * the hot pairwise-verify path.
+    */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 votes from each
     * token's xxhash64 (seed 42); bit set iff vote > 0. Native kernel.
     */

@@ -129,16 +129,23 @@ object DedupQueries {
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+      // materialized once (it's tiny): three consumers below — without
+      // this the whole minhash+banding pipeline re-executes per consumer
       val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint()
+      // compute grams ONLY for docs that appear in a candidate pair: the
+      // broadcast semi-join restricts the scan BEFORE the (expensive)
+      // gram projection, so gram cost is O(candidates), not O(corpus)
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
       val grams = Tables.documents(s, d)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"))
-      // both joins probe the gram SCAN with a broadcast build side — the
-      // full gram table never shuffles
       val withA = grams.join(broadcast(cand), col("doc_id") === col("id_a"))
         .select(col("id_a"), col("id_b"), col("grams").as("g_a"))
       val pairs = grams.join(broadcast(withA), col("doc_id") === col("id_b"))
-        .select(col("id_a"), col("id_b"), jaccard(col("g_a"), col("grams")).as("jaccard"))
+        .select(col("id_a"), col("id_b"), jaccardDistinct(col("g_a"), col("grams")).as("jaccard"))
       val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
         .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
         .groupBy("doc_id")
