@@ -39,7 +39,9 @@ object HashFunctions {
     "minhash_text" -> (exprs => MinHashText(exprs.head,
       intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
     "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
-    "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))))
+    "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
+    "topk_agg" -> (exprs => TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
+      .toAggregateExpression()))
 
   // sessions already registered — weak keys so dropped sessions don't leak
   private val registered = java.util.Collections.synchronizedSet(

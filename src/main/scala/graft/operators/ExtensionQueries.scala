@@ -239,5 +239,33 @@ object ExtensionQueries {
           col("t._2").as("tiebreak_id"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75, q88)
+  /** Same top-3-per-part workload through the raw-Catalyst
+    * TypedImperativeAggregate (`topk_agg`): the buffer mutates in place
+    * and serializes only at the exchange — no per-row encoder
+    * round-trips. Same window-form oracle as q88; the two implementations
+    * must agree exactly.
+    */
+  val q89 = QueryDef.oracle("q89_topk_native_agg",
+    """SELECT l_partkey, price_cents, tiebreak_id FROM (
+      |  SELECT l_partkey,
+      |         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |         l_orderkey * 100 + l_linenumber AS tiebreak_id,
+      |         ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |           ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT) DESC,
+      |                    l_orderkey * 100 + l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3""".stripMargin)(
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_q89")
+      graft.functions.HashFunctions.registerAll(s)
+      s.sql(
+        """SELECT l_partkey, t.ord AS price_cents, t.id AS tiebreak_id
+          |FROM (SELECT l_partkey,
+          |        topk_agg(CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+          |                 l_orderkey * 100 + l_linenumber, 3) AS tk
+          |      FROM graft_li_q89 GROUP BY l_partkey)
+          |LATERAL VIEW explode(tk) AS t""".stripMargin)
+    })
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75, q88, q89)
 }
