@@ -196,6 +196,48 @@ object CoreQueries {
           col("n_orders"), col("n_ship"))
     })
 
+  /** Explicit CROSS JOIN (cartesian) of two tiny dims — completes the
+    * join-type matrix. Only ever sane when at least one side is bounded;
+    * both sides here are broadcast-sized by construction.
+    */
+  val q90 = QueryDef.oracle("q90_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin)(
+    (s, d) => Tables.region(s, d).select("r_name")
+      .crossJoin(Tables.nation(s, d).select("n_name")))
+
+  /** EXCEPT ALL — bag semantics (each row's multiplicity subtracts),
+    * unlike q23's set-based EXCEPT. Catalyst rewrites it as a counted
+    * aggregate + generate, no sort.
+    */
+  val q91 = QueryDef.oracle("q91_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)(
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") =!= "F").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+    })
+
+  /** RANGE-frame window: per customer, order count within the preceding
+    * 30 days of each order — value-based frames (q18/q28 cover row-based
+    * ones). The frame is over the orderBy VALUE, so ties share a frame.
+    */
+  val q92 = QueryDef.oracle("q92_range_frame_window",
+    """SELECT o_custkey, o_orderkey,
+      |       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+      |                            AND CURRENT ROW) AS n_last_30d
+      |FROM orders""".stripMargin)(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_last_30d"))
+    })
+
   /** U1 n-way UNION ALL (schema-aligned by name) + P6 source tag.
     * Ref: §2.5 U1 (build_database.py:162). */
   val q14 = QueryDef.oracle("q14_union_all",
@@ -346,5 +388,5 @@ object CoreQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q47)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q47, q90, q91, q92)
 }
