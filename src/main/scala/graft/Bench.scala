@@ -21,7 +21,7 @@ object Bench {
     // without ever executing its work.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-      catch { case _: Throwable => false }
+      catch { case e: Throwable => System.err.println(s"[bench] error: $e"); false }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) // warm-up (codegen compilation, parquet footers, JIT)

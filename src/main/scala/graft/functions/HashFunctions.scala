@@ -40,8 +40,11 @@ object HashFunctions {
       intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
     "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
     "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
-    "topk_agg" -> (exprs => TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
-      .toAggregateExpression()))
+    "topk_agg" -> (exprs => {
+      require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
+      TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
+        .toAggregateExpression()
+    }))
 
   // sessions already registered — weak keys so dropped sessions don't leak
   private val registered = java.util.Collections.synchronizedSet(

@@ -61,7 +61,9 @@ object TopKBuffer {
   * plain JVM object mutated in place, serialized ONLY at the partial/
   * final exchange boundary (16 bytes per kept row), with none of the
   * per-row encoder round-trips a `udaf()` Aggregator pays. Same
-  * exchange-volume bound: O(groups × 4k) rows cross the wire.
+  * exchange-volume bound: serialize() trims first, so O(groups × k) rows
+  * cross the wire. NULL ord/id rows are skipped — standard SQL aggregate
+  * semantics (like sum/max), NOT the window-form NULLS LAST ranking.
   */
 case class TopKNative(ordExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -133,7 +133,7 @@ object DedupQueries {
       // this the whole minhash+banding pipeline re-executes per consumer
       val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: construction stays side-effect-free
       // compute grams ONLY for docs that appear in a candidate pair: the
       // broadcast semi-join restricts the scan BEFORE the (expensive)
       // gram projection, so gram cost is O(candidates), not O(corpus)

@@ -242,8 +242,10 @@ object ExtensionQueries {
   /** Same top-3-per-part workload through the raw-Catalyst
     * TypedImperativeAggregate (`topk_agg`): the buffer mutates in place
     * and serializes only at the exchange — no per-row encoder
-    * round-trips. Same window-form oracle as q88; the two implementations
-    * must agree exactly.
+    * round-trips. Same window-form oracle as q88; the implementations
+    * agree exactly on non-null inputs (these columns are non-null —
+    * topk_agg itself skips NULLs like any SQL aggregate, whereas the
+    * window form would rank them NULLS LAST).
     */
   val q89 = QueryDef.oracle("q89_topk_native_agg",
     """SELECT l_partkey, price_cents, tiebreak_id FROM (
