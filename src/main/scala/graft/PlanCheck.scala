@@ -52,6 +52,13 @@ object PlanCheck {
       p => p.contains("StringContains(strDrink"))
     check("q88_topk_per_key_agg", "bounded top-k combines map-side (partial before exchange)",
       p => p.contains("partial_topkagg"))
+    check("q89_topk_native_agg", "native top-k also combines map-side",
+      p => p.contains("partial_topk_agg") || p.contains("partial_topkagg") ||
+        p.contains("partial_topknative"))
+    check("q45_hash_sample", "hash-sample predicate stays scan-local (no Exchange)",
+      p => !p.contains("Exchange"))
+    check("q47_full_outer_join", "both sides pre-aggregate before the outer join",
+      p => p.contains("partial_count"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result
