@@ -39,7 +39,15 @@ object Bench {
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.q(sfDir)}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.q(sfDir)}}"""
+    // File output is the machine contract (stdout interleaves with sbt/log4j
+    // noise and the driver failed to parse it in r1); stdout stays as a
+    // human convenience. Path: $SPARK_GRAFT_BENCH_OUT, else ./bench.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] wrote $outPath")
+    println(json)
     spark.stop()
   }
 }

@@ -16,9 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Column-API registration paths use, so the two can't drift
     val all = graft.functions.VecExpressions.sqlBuilders ++
       graft.functions.HashFunctions.sqlBuilders
-    all.foreach { case (name, builder) =>
+    all.foreach { case (name, className, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
+        new ExpressionInfo(className, name), builder))
     }
     // sig(ngram()) -> fused single-pass kernel; see FuseMinHashRule
     ext.injectOptimizerRule(_ => graft.plans.FuseMinHashRule)

@@ -59,6 +59,8 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q47_full_outer_join", "both sides pre-aggregate before the outer join",
       p => p.contains("partial_count"))
+    check("q81_large_orders", "HAVING dim broadcasts into both re-joins (no SortMergeJoin)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -31,20 +31,28 @@ object HashFunctions {
 
   /** The single source of truth for the text-hash SQL functions — consumed
     * by both the temp-registry path below and the session-extensions path
-    * in [[graft.GraftExtensions]], so the two can't drift.
+    * in [[graft.GraftExtensions]], so the two can't drift. The middle
+    * element is the implementing class name: ExpressionInfo's first arg
+    * is a class, not a package — DESCRIBE FUNCTION shows it.
     */
-  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg("minhash_sig", exprs, 1))),
-    "simhash64" -> (exprs => SimHash64(exprs.head)),
-    "minhash_text" -> (exprs => MinHashText(exprs.head,
-      intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
-    "word_ngrams" -> (exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
-    "ngram_explode" -> (exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
-    "topk_agg" -> (exprs => {
-      require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
-      TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
-        .toAggregateExpression()
-    }))
+  val sqlBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", classOf[MinHashSig].getName,
+      exprs => MinHashSig(exprs.head, intArg("minhash_sig", exprs, 1))),
+    ("simhash64", classOf[SimHash64].getName,
+      exprs => SimHash64(exprs.head)),
+    ("minhash_text", classOf[MinHashText].getName,
+      exprs => MinHashText(exprs.head,
+        intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
+    ("word_ngrams", classOf[WordNgrams].getName,
+      exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
+    ("ngram_explode", classOf[NgramExplode].getName,
+      exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
+    ("topk_agg", classOf[TopKNative].getName,
+      exprs => {
+        require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
+        TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
+          .toAggregateExpression()
+      }))
 
   // sessions already registered — weak keys so dropped sessions don't leak
   private val registered = java.util.Collections.synchronizedSet(
@@ -59,7 +67,7 @@ object HashFunctions {
   def registerAll(spark: SparkSession): Unit = {
     if (registered.add(spark)) {
       val reg = spark.sessionState.functionRegistry
-      sqlBuilders.foreach { case (name, builder) =>
+      sqlBuilders.foreach { case (name, _, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }

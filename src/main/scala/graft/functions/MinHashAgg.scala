@@ -13,28 +13,41 @@ import org.apache.spark.sql.functions.udaf
   *
   * The buffer is the k-vector of running minima — commutative and
   * associative under element-wise min, so partial aggregation map-side
-  * and arbitrary merge order all give the same result (tested). The hash
-  * family is seeded MurmurHash3 (NOT the same family as the per-row
+  * and arbitrary merge order all give the same result (tested).
+  *
+  * Hashing uses the same Kirsch–Mitzenmacher two-hash + splitmix64
+  * scheme as [[TextHashKernels.minhashSig]]: per shingle, two 64-bit
+  * base hashes (built from chained MurmurHash3 passes), then the i-th
+  * "permutation" is mix64(h1 + i*h2) — O(1) string hashes + k integer
+  * mixes per shingle instead of the previous O(k) string hashes. The
+  * finalizer keeps the slots pseudo-independent (without it the slope
+  * i*h2 dominates and slots correlate; see TextHashKernels doc). The
+  * family is still Murmur-based, NOT byte-identical to the per-row
   * [[HashFunctions.minhashSignature]] — group signatures are only
-  * comparable to group signatures).
+  * comparable to group signatures.
   */
 class MinHashAgg(k: Int) extends Aggregator[Seq[String], Array[Long], Seq[Long]] {
-
-  private def hash(seed: Int, s: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, seed)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, h1)
-    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
-  }
+  import MinHashAgg.mix64
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingles: Seq[String]): Array[Long] = {
     if (shingles == null) return buf // null array row (e.g. null text) adds nothing
-    var i = 0
-    while (i < k) {
-      var m = buf(i)
-      shingles.foreach { s => val h = hash(i, s); if (h < m) m = h }
-      buf(i) = m; i += 1
+    shingles.foreach { s =>
+      val a = scala.util.hashing.MurmurHash3.stringHash(s, 42)
+      val b = scala.util.hashing.MurmurHash3.stringHash(s, a)
+      val c = scala.util.hashing.MurmurHash3.stringHash(s, b)
+      val e = scala.util.hashing.MurmurHash3.stringHash(s, c)
+      val h1 = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
+      val h2 = (c.toLong << 32) | (e.toLong & 0xFFFFFFFFL)
+      var h = h1
+      var j = 0
+      while (j < k) {
+        val v = mix64(h)
+        if (v < buf(j)) buf(j) = v
+        h += h2
+        j += 1
+      }
     }
     buf
   }
@@ -52,6 +65,14 @@ class MinHashAgg(k: Int) extends Aggregator[Seq[String], Array[Long], Seq[Long]]
 }
 
 object MinHashAgg {
+  /** splitmix64 finalizer (same constants as TextHashKernels.mix64). */
+  @inline private[functions] def mix64(v: Long): Long = {
+    var z = v
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Column form: minhash_set_agg(shingleArrayCol). */
   def column(k: Int): Column => Column = {
     val f = udaf(new MinHashAgg(k), ExpressionEncoder[Seq[String]]())

@@ -140,22 +140,25 @@ object VecExpressions {
     * and by [[graft.GraftExtensions]] (same pattern as
     * [[HashFunctions.sqlBuilders]]); int args validated via intArg so a
     * wrong arity / non-literal arg gives a usable error. */
-  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (exprs => {
-      require(exprs.length == 2, s"vec_dot: expected 2 arguments, got ${exprs.length}")
-      VecDot(exprs.head, exprs(1))
-    }),
-    "vec_cosine" -> (exprs => {
-      require(exprs.length == 2, s"vec_cosine: expected 2 arguments, got ${exprs.length}")
-      VecCosine(exprs.head, exprs(1))
-    }),
-    "vec_lsh_buckets" -> (exprs => VecLshBuckets(exprs.head,
-      HashFunctions.intArg("vec_lsh_buckets", exprs, 1),
-      HashFunctions.intArg("vec_lsh_buckets", exprs, 2))))
+  val sqlBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot].getName,
+      exprs => {
+        require(exprs.length == 2, s"vec_dot: expected 2 arguments, got ${exprs.length}")
+        VecDot(exprs.head, exprs(1))
+      }),
+    ("vec_cosine", classOf[VecCosine].getName,
+      exprs => {
+        require(exprs.length == 2, s"vec_cosine: expected 2 arguments, got ${exprs.length}")
+        VecCosine(exprs.head, exprs(1))
+      }),
+    ("vec_lsh_buckets", classOf[VecLshBuckets].getName,
+      exprs => VecLshBuckets(exprs.head,
+        HashFunctions.intArg("vec_lsh_buckets", exprs, 1),
+        HashFunctions.intArg("vec_lsh_buckets", exprs, 2))))
 
   def registerOnce(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    sqlBuilders.foreach { case (name, builder) =>
+    sqlBuilders.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }

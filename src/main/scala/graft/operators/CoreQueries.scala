@@ -110,9 +110,9 @@ object CoreQueries {
     * Ref: §2.3 A3 (poc_tables.sql:8-19). */
   val q10 = QueryDef.oracle("q10_group_agg",
     """SELECT l_returnflag, l_linestatus,
-      |       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-      |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+      |       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
       |       count(*) AS n_rows
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin)(
@@ -307,9 +307,9 @@ object CoreQueries {
     """SELECT o_custkey, o_orderkey,
       |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
       |       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
-      |       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
       |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
       |FROM orders""".stripMargin)(
     (s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -325,7 +325,7 @@ object CoreQueries {
   /** ROLLUP hierarchy totals — beyond-reference (SURVEY.md §2.9). */
   val q19 = QueryDef.oracle("q19_rollup",
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+      |       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)(
     (s, d) => Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
@@ -372,7 +372,7 @@ object CoreQueries {
     * broadcast dims, grouped revenue in exact cents (TPC-H Q5 shape). */
   val q24 = QueryDef.oracle("q24_star_join",
     """SELECT r_name, n_name, count(*) AS n_orders,
-      |       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

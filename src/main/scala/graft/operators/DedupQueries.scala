@@ -43,13 +43,21 @@ object DedupQueries {
   val MinhashBands = 16
 
   /** Per-doc MinHash signature + banded bucket keys (the signature pass
-    * of MinHash-LSH). Rows-only: hash family is engine-internal. */
+    * of MinHash-LSH). Rows-only: hash family is engine-internal.
+    * Scalars only in the output — the driver's rows-only comparator sorts
+    * the frame and crashes on array/struct cells, so the signature and
+    * band arrays are reduced to xxhash64 digests + counts. */
   val q51 = QueryDef.rowsOnly("q51_minhash_signatures")(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
-      .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"),
-        lshBands(col("sig"), MinhashK, MinhashBands).as("bands")))
+      .select(col("doc_id"), col("sig"),
+        lshBands(col("sig"), MinhashK, MinhashBands).as("bands"))
+      .select(col("doc_id"),
+        xxhash64(col("sig")).as("sig_hash"),
+        size(col("sig")).as("sig_len"),
+        size(col("bands")).as("n_bands"),
+        xxhash64(col("bands")).as("bands_hash")))
 
   /** Candidate pairs from LSH banding, verified with signature-estimated
     * Jaccard. Output: per-doc near-dup summary (always n_docs rows, so the

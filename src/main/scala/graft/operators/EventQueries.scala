@@ -16,7 +16,7 @@ object EventQueries {
   val q30 = QueryDef.oracle("q30_tumbling_window",
     """SELECT date_trunc('hour', ts) AS win_start, event_type,
       |       count(*) AS n,
-      |       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+      |       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin)(
     (s, d) => Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
@@ -34,10 +34,10 @@ object EventQueries {
       |  FROM events),
       |s AS (
       |  SELECT user_id, event_id, ts,
-      |         SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |         CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
       |                  THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts) AS session_start, max(ts) AS session_end

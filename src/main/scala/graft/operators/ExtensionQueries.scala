@@ -55,7 +55,7 @@ object ExtensionQueries {
     */
   val q27 = QueryDef.oracle("q27_sql_script",
     """SELECT o_orderstatus, count(*) AS n,
-      |       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY o_orderstatus""".stripMargin)(
     (s, d) => {
       val script =
@@ -106,7 +106,7 @@ object ExtensionQueries {
   val q29 = QueryDef.oracle("q29_partitioned_scan",
     """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
       |       count(*) AS n,
-      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM lineitem
       |WHERE CAST(date_trunc('month', l_shipdate) AS DATE) >= DATE '1998-01-01'
       |GROUP BY 1""".stripMargin)(
@@ -130,7 +130,7 @@ object ExtensionQueries {
     */
   val q36 = QueryDef.oracle("q36_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
-      |       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+      |       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin)(
@@ -150,7 +150,7 @@ object ExtensionQueries {
     */
   val q37 = QueryDef.oracle("q37_range_join",
     """SELECT band, count(*) AS n,
-      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM lineitem
       |JOIN (VALUES (0.0, 15.0, 'low'), (15.0, 35.0, 'mid'), (35.0, 51.0, 'high'))
       |  AS b(lo, hi, band)
@@ -172,7 +172,7 @@ object ExtensionQueries {
     * plain GROUP BY: salting must be invisible in the result.
     */
   val q75 = QueryDef.oracle("q75_salted_agg",
-    """SELECT l_returnflag, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_value,
+    """SELECT l_returnflag, CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_value,
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
     (s, d) => graft.sources.Layout.saltedSumCount(
@@ -187,8 +187,8 @@ object ExtensionQueries {
     */
   val q38 = QueryDef.oracle("q38_pivot",
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS qty_f,
-      |  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS qty_o
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT) AS qty_o
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)(
     (s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")

@@ -20,7 +20,7 @@ object MultimodalQueries {
   val q71 = QueryDef.oracle("q71_media_profile",
     """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
       |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-      |       count(*) AS n, SUM(CAST(strlen(text) AS BIGINT)) AS total_bytes
+      |       count(*) AS n, CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1""".stripMargin)(
     (s, d) => Media.fromDocuments(Tables.documents(s, d))
       .groupBy("modality")

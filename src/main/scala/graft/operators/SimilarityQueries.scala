@@ -36,8 +36,20 @@ object SimilarityQueries {
 
   /** Brute-force cosine top-10 per query vector. Cosine is the fused
     * single-pass codegen expression (VecCosine) — the hot inner loop of
-    * the O(|Q| * N) scan. */
-  val q61 = QueryDef.rowsOnly("q61_ann_bruteforce")(
+    * the O(|Q| * N) scan. HASH-MATCHED: exact search, so the (query,
+    * rank, neighbor) triples are oracle-able against DuckDB's
+    * list_cosine_similarity (rank-only output, same float-robustness
+    * argument as q65). */
+  val q61 = QueryDef.oracle("q61_ann_bruteforce",
+    """SELECT q_id, rk, vec_id, label FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS vec_id, n.label AS label,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                           CAST(n.embedding AS DOUBLE[])) DESC,
+      |                    n.vec_id) AS rk
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0)
+      |WHERE rk <= 10""".stripMargin)(
     (s, d) => {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -48,8 +60,7 @@ object SimilarityQueries {
           VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
-          round(col("cos"), 6).as("cos"))
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
   /** LSH-bucketed ANN: multi-table sign-random-projection
@@ -118,9 +129,44 @@ object SimilarityQueries {
     * vector before any exchange, so the assign map shuffles N skinny
     * rows, never N×K; candidate generation is an equi-join on c_id
     * touching only probed lists (~nprobe/K of the corpus) instead of the
-    * |Q|×N cross of q61.
+    * |Q|×N cross of q61. HASH-MATCHED: the codebook is deterministic
+    * (vec_id < 64), so assignment, probing, and the final ranks are all
+    * expressible in DuckDB SQL — rank-only output. Oracle tie-breaks
+    * mirror the Spark plan exactly: assignment uses max(struct(cos,c_id))
+    * → ties pick the LARGEST c_id (c_id DESC); probe ranking uses
+    * orderBy(cos desc, c_id) → c_id ASC.
     */
-  val q64 = QueryDef.rowsOnly("q64_ann_ivf")(
+  val q64 = QueryDef.oracle("q64_ann_ivf",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |             FROM embeddings),
+      |cent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < 64),
+      |assign AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT v.vec_id, c.c_id,
+      |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_cosine_similarity(v.e, c.c_vec) DESC,
+      |                      c.c_id DESC) AS rn
+      |    FROM emb v CROSS JOIN cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q.vec_id AS q_id, c.c_id,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |             ORDER BY list_cosine_similarity(q.e, c.c_vec) DESC,
+      |                      c.c_id) AS pr
+      |    FROM emb q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) WHERE pr <= 8),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id, n.label,
+      |         list_cosine_similarity(qe.e, n.e) AS cos
+      |  FROM probes p
+      |  JOIN assign a ON a.c_id = p.c_id
+      |  JOIN emb n ON n.vec_id = a.vec_id
+      |  JOIN emb qe ON qe.vec_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, rk, vec_id, label FROM (
+      |  SELECT q_id, vec_id, label,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id
+      |           ORDER BY cos DESC, vec_id) AS rk
+      |  FROM cand) WHERE rk <= 10""".stripMargin)(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -149,8 +195,7 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), col("label"),
           VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
-          round(col("cos"), 6).as("cos"))
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
   /** Exact-ANN rank oracle: top-5 cosine neighbors for 20 query vectors,

@@ -159,7 +159,7 @@ object TextQueries {
     */
   val q49 = QueryDef.oracle("q49_array_ops",
     """SELECT doc_id, len(l) AS n_tokens,
-      |       COALESCE(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS total_tok_len,
+      |       CAST(COALESCE(list_aggregate(list_transform(l, x -> length(x)), 'sum'), 0) AS BIGINT) AS total_tok_len,
       |       list_aggregate(list_transform(l, x -> length(x)), 'max') AS max_tok_len,
       |       len(list_distinct(l)) AS n_distinct,
       |       len(list_filter(l, x -> length(x) > 5)) AS n_long

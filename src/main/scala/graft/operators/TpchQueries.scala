@@ -17,7 +17,7 @@ object TpchQueries {
     */
   val q80 = QueryDef.oracle("q80_shipping_priority",
     """SELECT l_orderkey, o_orderdate,
-      |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -41,7 +41,7 @@ object TpchQueries {
     */
   val q81 = QueryDef.oracle("q81_large_orders",
     """WITH big AS (
-      |  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS total_qty
+      |  SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       |  FROM lineitem GROUP BY l_orderkey
       |  HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 210)
       |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
@@ -51,7 +51,13 @@ object TpchQueries {
       val big = Tables.lineitem(s, d).groupBy("l_orderkey")
         .agg(sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
         .filter(col("total_qty") > 210)
-      big.join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      // the HAVING dim is tiny post-filter (~1e-3 of orders) — broadcast
+      // it into the orders join, and the (equally small) joined result
+      // into the customer join, so neither fact table ever shuffles.
+      // Without the hints a stale-stats planner picks SMJ on full orders.
+      val bigOrders = broadcast(big)
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      broadcast(bigOrders)
         .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     })
@@ -88,7 +94,7 @@ object TpchQueries {
     */
   val q83 = QueryDef.oracle("q83_local_supplier_volume",
     """SELECT n_name,
-      |       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS rev_cents
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -131,7 +137,7 @@ object TpchQueries {
       |  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
       |  FROM lineitem GROUP BY l_partkey)
       |SELECT l_partkey, count(*) AS n_small,
-      |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM lineitem JOIN avgq ON l_partkey = ap_partkey
       |WHERE l_quantity < 0.5 * avg_qty
       |GROUP BY l_partkey""".stripMargin)(

@@ -1,17 +1,23 @@
 #!/usr/bin/env python3
 """Dev-only replica of the driver's correctness gate (NOT library code).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 
 Reads each <name>.parquet the Verify main dumped, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same source tables,
-and compares row sets (columns sorted by name, rows sorted, values
-stringified). Prints one line per query.
+and compares the two PANDAS frames the way the driver does: columns
+sorted by name, rows sorted via sort_values (which crashes on
+array/struct cells — replicated here on purpose), per-column DTYPES
+compared (DuckDB HUGEINT -> float64 vs Spark int64 is a dtype fail
+even when values agree), then stringified values. Prints one line per
+query.
 """
-import json, sys, math
+import json, sys
 import duckdb
+import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -19,59 +25,72 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    df = df[sorted(df.columns)]
+    # driver-style row sort: raises TypeError on unhashable (ndarray) cells
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def cells(df):
     out = []
-    for r in rows:
+    for _, r in df.iterrows():
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 v = f"{v:.9g}"
             vals.append(str(v))
         out.append("\x01".join(vals))
-    out.sort()
     return out
 
 fails = 0
 for name in sorted(oracle):
+    if only and name not in only: continue
     try:
-        got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
-        exp = con.execute(oracle[name])
-        exp_cols = [d[0] for d in exp.description]
-        exp_rows = exp.fetchall()
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        exp = con.execute(oracle[name]).df()
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
             fails += 1
             continue
-        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
-        if g == e:
-            print(f"PASS {name} ({len(g)} rows)")
+        g, e = canon(got), canon(exp)
+        # kind, not exact width: int32 vs int64 stringifies identically in
+        # the driver's hasher (r1 evidence: q65/q82 hash-passed with Spark
+        # int32 ranks vs DuckDB BIGINT); float-vs-int (DuckDB HUGEINT ->
+        # float64) is the artifact that breaks it ("5.0" vs "5").
+        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype))
+                  for c in g.columns if g[c].dtype.kind != e[c].dtype.kind]
+        if dt_bad:
+            fails += 1
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            continue
+        gv, ev = cells(g), cells(e)
+        if gv == ev:
+            print(f"PASS {name} ({len(gv)} rows)")
         else:
             fails += 1
-            print(f"FAIL {name}: {len(g)} vs {len(e)} rows")
-            only_g = [x for x in g if x not in set(e)][:3]
-            only_e = [x for x in e if x not in set(g)][:3]
-            for x in only_g: print(f"   spark-only: {x[:200]}")
-            for x in only_e: print(f"   oracle-only: {x[:200]}")
+            print(f"FAIL {name}: {len(gv)} vs {len(ev)} rows")
+            eset, gset = set(ev), set(gv)
+            for x in [x for x in gv if x not in eset][:3]: print(f"   spark-only: {x[:200]}")
+            for x in [x for x in ev if x not in gset][:3]: print(f"   oracle-only: {x[:200]}")
     except Exception as ex:
         fails += 1
-        print(f"ERROR {name}: {ex}")
+        print(f"ERROR {name}: {type(ex).__name__}: {ex}")
 
-# rows-only queries: check parquet exists and has rows
+# rows-only queries: driver sorts these frames too — array/struct columns crash it
 import glob, os
 for d in sorted(glob.glob(f"{out_dir}/q*")):
     name = os.path.basename(d)
     if name in oracle: continue
+    if only and name not in only: continue
     try:
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+        df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        canon(df)  # replicate driver sort — raises on unhashable cells
+        n = len(df)
         print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only, {n} rows)")
         if n == 0: fails += 1
     except Exception as ex:
         fails += 1
-        print(f"ERROR {name}: {ex}")
+        print(f"ERROR {name}: {type(ex).__name__}: {ex}")
 
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
