@@ -38,12 +38,61 @@ final class FixtureCocktailSource(fixturePath: String) extends CocktailSource {
   }
 }
 
-/** Live-HTTP source sketch: per-partition connection reuse via
-  * mapPartitions over the terms, each partition issuing its own GETs and
-  * parsing with from_json — the distributed form of the reference's
-  * sequential driver loop. Not constructible here (zero-egress env);
-  * fixture impl is the tested path.
+/** Live-HTTP implementation of the reference's per-term GET loop (ref:
+  * build_database.py:28-46) in distributed form: terms stay a DataFrame;
+  * each partition opens ONE `java.net.http.HttpClient` (connection
+  * reuse) and issues its GETs sequentially, so total API concurrency is
+  * bounded by `fetchPartitions` — a 1000-executor cluster must not turn
+  * a courtesy API into a load test. Response bodies are parsed in Spark
+  * (from_json + explode), never collected to the driver.
+  *
+  * Error path parity: a non-200 status, network error, or no-match
+  * `{"drinks": null}` response contributes no rows for that term — the
+  * reference's empty-frame-and-continue semantics
+  * (build_database.py:34-44). Tested against a loopback fixture HTTP
+  * server (HttpCocktailSourceSpec) because this environment is
+  * zero-egress; point `baseUrl` at the real API elsewhere.
   */
+final class HttpCocktailSource(
+    baseUrl: String,
+    fetchPartitions: Int = 4,
+    timeoutSeconds: Long = 10) extends CocktailSource {
+
+  override def search(spark: SparkSession, terms: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (base, tmo) = (baseUrl, timeoutSeconds) // serialize values, not `this`
+    val bodies = terms.select(col("term").cast("string")).na.drop().as[String]
+      .repartition(fetchPartitions)
+      .mapPartitions { it =>
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(tmo)).build()
+        it.map { term =>
+          val uri = java.net.URI.create(base + "/search.php?s=" +
+            java.net.URLEncoder.encode(term, java.nio.charset.StandardCharsets.UTF_8))
+          val body =
+            try {
+              val resp = client.send(
+                java.net.http.HttpRequest.newBuilder(uri)
+                  .timeout(java.time.Duration.ofSeconds(tmo)).GET().build(),
+                java.net.http.HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() == 200) resp.body() else null
+            } catch { case scala.util.control.NonFatal(_) => null }
+          (term, body)
+        }
+      }.toDF("term", "body")
+
+    val respSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "drinks ARRAY<STRUCT<idDrink: STRING, strDrink: STRING, " +
+        "strCategory: STRING, strIBA: STRING, strAlcoholic: STRING, " +
+        "strGlass: STRING, dateModified: STRING>>")
+    // explode (not _outer): null body / null drinks array -> zero rows
+    bodies
+      .select(col("term"),
+        explode(from_json(col("body"), respSchema).getField("drinks")).as("d"))
+      .select(col("term"), col("d.*"))
+  }
+}
+
 object CocktailSource {
   /** Project API-shaped rows down to the 7-column cocktails dimension
     * (ref: build_database.py:187-197), with the reference's casts
