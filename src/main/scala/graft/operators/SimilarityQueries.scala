@@ -230,5 +230,67 @@ object SimilarityQueries {
         .select(col("q_id"), col("n_id"), col("rnk"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
+  /** Int8 scalar-quantized ANN — the storage/bandwidth scale path: each
+    * vector is quantized to int8 with a per-vector scale
+    * (round(x / (max|x| / 127))), and cosine is computed ENTIRELY in the
+    * quantized domain — the per-vector scales cancel in the cosine
+    * ratio, so the score is exact integer dot products + one double
+    * division. At 100 TB this is 4× less vector I/O and int arithmetic
+    * in the hot loop; the quantized columns are what a production index
+    * would persist. HASH-MATCHED: the math is deterministic integer ops,
+    * reproduced in DuckDB (rank-only output, vec_id tiebreak).
+    * All in codegen'd higher-order functions (transform / zip_with /
+    * aggregate) — no UDFs.
+    */
+  val q66 = QueryDef.oracle("q66_ann_quantized",
+    """WITH quant AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(round(
+      |           CAST(x AS DOUBLE) /
+      |           greatest(CAST(list_max(list_transform(embedding, y -> abs(y)))
+      |                    AS DOUBLE) / 127.0, 1e-30)) AS INTEGER)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, qv,
+      |         sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) AS qnorm
+      |  FROM quant)
+      |SELECT q_id, rk, vec_id, label FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label AS label,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |           CASE WHEN q.qnorm = 0 OR c.qnorm = 0 THEN 0.0
+      |                ELSE list_dot_product(CAST(q.qv AS DOUBLE[]),
+      |                                      CAST(c.qv AS DOUBLE[]))
+      |                     / (q.qnorm * c.qnorm) END DESC,
+      |           c.vec_id) AS rk
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0)
+      |WHERE rk <= 10""".stripMargin)(
+    (s, d) => {
+      val scale = greatest(
+        array_max(transform(col("embedding"), x => abs(x))).cast("double") / 127.0,
+        lit(1e-30))
+      val quant = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), scale.as("scale"), col("embedding"))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("scale")).cast("int")).as("qv"))
+      val n = quant.select(col("vec_id"), col("label"), col("qv"),
+        sqrt(aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v).cast("double"))
+          .as("qnorm"))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qnorm").as("q_norm"))
+      val dot = aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          when(col("q_norm") === 0 || col("qnorm") === 0, lit(0.0))
+            .otherwise(dot.cast("double") / (col("q_norm") * col("qnorm")))
+            .as("qcos"))
+      val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }
