@@ -147,9 +147,13 @@ object DedupQueries {
       // gram projection, so gram cost is O(candidates), not O(corpus)
       val candIds = cand.select(col("id_a").as("doc_id"))
         .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+      // also materialized once: consumed by BOTH sides of the pair join
+      // below — without this the doc scan + (expensive) gram projection
+      // runs twice per execution
       val grams = Tables.documents(s, d)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"))
+        .localCheckpoint(false)
       val withA = grams.join(broadcast(cand), col("doc_id") === col("id_a"))
         .select(col("id_a"), col("id_b"), col("grams").as("g_a"))
       val pairs = grams.join(broadcast(withA), col("doc_id") === col("id_b"))

@@ -2,40 +2,43 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Approximation-quality gate for the LSH-bucketed ANN path: recall@10
-  * against the brute-force ground truth must stay useful. This pins the
-  * trade the scale path makes, so a refactor that silently destroys
-  * recall fails the build rather than the user.
+/** Approximation-quality gates for the ANN paths: recall@10 against the
+  * brute-force ground truth must stay useful. This pins the trade each
+  * scale path makes, so a refactor that silently destroys recall fails
+  * the build rather than the user.
   */
 class AnnRecallSpec extends SparkSpec {
 
-  test("LSH multi-probe ANN achieves >= 0.5 recall@10 vs brute force at sf0.001") {
-    val d = "/root/testdata/sf0.001"
-    def topk(name: String): Map[(Long, Long), Int] =
-      SparkEntry.queries(name)(spark, d)
-        .select(col("q_id"), col("vec_id"), col("rk"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+  private val d = "/root/testdata/sf0.001"
 
+  private def topk(name: String): Map[(Long, Long), Int] =
+    SparkEntry.queries(name)(spark, d)
+      .select(col("q_id"), col("vec_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+  private def recallVsExact(name: String): Double = {
     val exact = topk("q61_ann_bruteforce")
-    val approx = topk("q62_ann_lsh_bucketed")
-    val hit = exact.keySet.count(approx.contains)
-    val recall = hit.toDouble / exact.size
+    val approx = topk(name)
+    val recall = exact.keySet.count(approx.contains).toDouble / exact.size
     info(f"recall@10 = $recall%.3f (${exact.size} ground-truth pairs)")
-    assert(recall >= 0.5, f"LSH ANN recall degraded: $recall%.3f")
+    recall
+  }
+
+  test("LSH multi-probe ANN achieves >= 0.5 recall@10 vs brute force at sf0.001") {
+    val r = recallVsExact("q62_ann_lsh_bucketed")
+    assert(r >= 0.5, f"LSH ANN recall degraded: $r%.3f")
   }
 
   test("IVF nprobe=8/64 ANN achieves >= 0.4 recall@10 vs brute force at sf0.001") {
-    val d = "/root/testdata/sf0.001"
-    def topk(name: String): Map[(Long, Long), Int] =
-      SparkEntry.queries(name)(spark, d)
-        .select(col("q_id"), col("vec_id"), col("rk"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val r = recallVsExact("q64_ann_ivf")
+    assert(r >= 0.4, f"IVF ANN recall degraded: $r%.3f")
+  }
 
-    val exact = topk("q61_ann_bruteforce")
-    val approx = topk("q64_ann_ivf")
-    val hit = exact.keySet.count(approx.contains)
-    val recall = hit.toDouble / exact.size
-    info(f"recall@10 = $recall%.3f (${exact.size} ground-truth pairs)")
-    assert(recall >= 0.4, f"IVF ANN recall degraded: $recall%.3f")
+  test("int8 scalar quantization achieves >= 0.9 recall@10 vs float brute force") {
+    // quantization perturbs each coordinate by <= scale/2 (~0.4% of the
+    // max magnitude), so top-10 membership should be nearly unchanged —
+    // this is the "4x less I/O costs almost no quality" claim, pinned
+    val r = recallVsExact("q66_ann_quantized")
+    assert(r >= 0.9, f"quantized ANN recall degraded: $r%.3f")
   }
 }
