@@ -61,6 +61,12 @@ object PlanCheck {
       p => p.contains("partial_count"))
     check("q81_large_orders", "HAVING dim broadcasts into both re-joins (no SortMergeJoin)",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q61_ann_bruteforce", "query set broadcasts; corpus never shuffles for the scoring",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
+    check("q66_ann_quantized", "quantized scoring also broadcast-driven, no sort-merge",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
+    check("q64_ann_ivf", "IVF probes equi-join broadcast on c_id (no SortMergeJoin)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result
