@@ -61,7 +61,10 @@ final class HttpCocktailSource(
   override def search(spark: SparkSession, terms: DataFrame): DataFrame = {
     import spark.implicits._
     val (base, tmo) = (baseUrl, timeoutSeconds) // serialize values, not `this`
-    val bodies = terms.select(col("term").cast("string")).na.drop().as[String]
+    // lowercased like FixtureCocktailSource's output: the two trait impls
+    // must agree on the term column for mixed-case input (the API's own
+    // search is case-insensitive, so results are unaffected)
+    val bodies = terms.select(lower(col("term")).cast("string")).na.drop().as[String]
       .repartition(fetchPartitions)
       .mapPartitions { it =>
         val client = java.net.http.HttpClient.newBuilder()

@@ -35,17 +35,16 @@ object JdbcSink {
     write(df, url, table, driver, "append", maxConnections)
 
   private def write(df: DataFrame, url: String, table: String, driver: String,
-      mode: String, maxConnections: Int): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
-    bounded.write.mode(mode)
+      mode: String, maxConnections: Int): Unit =
+    df.write.mode(mode)
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("driver", driver)
+      // the JDBC writer's own cap: coalesces (narrow) to at most this
+      // many partitions before writing — one connection per partition
+      .option("numPartitions", maxConnections.toString)
       .save()
-  }
 
   def read(spark: SparkSession, url: String, table: String, driver: String): DataFrame =
     spark.read.format("jdbc")

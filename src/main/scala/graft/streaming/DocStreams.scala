@@ -89,10 +89,22 @@ object DocStreams {
             state.remove()
             Iterator.empty
           } else {
+            // batch execution has no watermark (getCurrentWatermarkMs and
+            // setTimeoutTimestamp both reject) — Long.MinValue disables
+            // the expiry paths there; admit-first over full history applies
+            val wm = try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            // data is processed BEFORE timeouts fire within a trigger, so
+            // a claim can arrive while an already-expired owner is still
+            // in state; honoring it would flag against a forgotten doc,
+            // and re-registering its timeout (<= watermark) would throw
+            // and kill the query. Expire it here instead.
+            var owner = state.getOption.filter(o =>
+              wm == Long.MinValue || o.ts.getTime + horizonSeconds * 1000 > wm)
+            if (owner.isEmpty && state.exists) state.remove()
             // deterministic within a trigger: earliest (ts, doc_id) first
             val sorted = rows.toSeq.sortBy(c => (c.ts.getTime, c.doc_id))
             val out = Seq.newBuilder[NearDup]
-            var owner = state.getOption
             sorted.foreach { c =>
               owner match {
                 case None =>
@@ -104,9 +116,12 @@ object DocStreams {
             }
             owner.foreach { o =>
               state.update(o)
-              // batch execution has no watermark and rejects the call;
-              // timeouts can't fire there anyway
-              try state.setTimeoutTimestamp(o.ts.getTime + horizonSeconds * 1000)
+              // clamp above the watermark: a surviving owner's nominal
+              // deadline can still be <= wm only in edge interleavings,
+              // and setTimeoutTimestamp rejects timestamps <= watermark
+              val deadline = o.ts.getTime + horizonSeconds * 1000
+              try state.setTimeoutTimestamp(
+                if (wm == Long.MinValue) deadline else math.max(deadline, wm + 1))
               catch { case _: UnsupportedOperationException => () }
             }
             out.result().iterator

@@ -16,8 +16,11 @@ class AnnRecallSpec extends SparkSpec {
       .select(col("q_id"), col("vec_id"), col("rk"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
 
+  // ground truth computed once — the exact O(|Q|*N) scan is the same for
+  // all three recall gates
+  private lazy val exact: Map[(Long, Long), Int] = topk("q61_ann_bruteforce")
+
   private def recallVsExact(name: String): Double = {
-    val exact = topk("q61_ann_bruteforce")
     val approx = topk(name)
     val recall = exact.keySet.count(approx.contains).toDouble / exact.size
     info(f"recall@10 = $recall%.3f (${exact.size} ground-truth pairs)")

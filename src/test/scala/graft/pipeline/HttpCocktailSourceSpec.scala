@@ -77,8 +77,10 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("per-term GET returns one row per (term, matched drink) with the API fields") {
+    // mixed case on purpose: the output term must be lowercased, matching
+    // FixtureCocktailSource (the trait contract for downstream joins)
     val out = new HttpCocktailSource(baseUrl, fetchPartitions = 2)
-      .search(spark, terms("mojito", "margarita"))
+      .search(spark, terms("Mojito", "MARGARITA"))
     val rows = out.select("term", "idDrink", "strDrink", "dateModified")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSet
@@ -99,7 +101,7 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
   test("projected output is row-identical to the FixtureCocktailSource on the same catalog") {
     val dir = Files.createTempDirectory("graft-http-src")
     val catalogPath = Fixtures.writeAll(dir)("catalog")
-    val t = terms("mojito", "margarita", "sweet sangria", "mystery drink")
+    val t = terms("Mojito", "margarita", "Sweet Sangria", "mystery drink")
     val viaHttp = CocktailSource.project(
       new HttpCocktailSource(baseUrl).search(spark, t))
     val viaFixture = CocktailSource.project(

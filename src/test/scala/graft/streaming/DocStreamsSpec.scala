@@ -76,6 +76,38 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a claim hitting an expired-but-unevicted owner re-claims instead of crashing the query") {
+    // data is processed before timeouts fire within a trigger, so this
+    // claim arrives while the aged-out owner is still in state; the
+    // operator must expire it in the data path — re-registering the
+    // owner's past-watermark deadline would throw IllegalArgumentException
+    // and kill the whole streaming query
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = DocStreams.nearDupCandidates(ms.toDF(),
+        watermark = "1 minute", horizonSeconds = 60L)
+      .writeStream.format("memory").queryName("nd4").outputMode("append").start()
+    try {
+      ms.addData(Doc(1, t("2024-01-01 10:00:00"), base))
+      q.processAllAvailable()
+      // this trigger advances the end-of-trigger watermark to 11:59, far
+      // past the owner's 10:01 deadline — but its timeout check ran with
+      // the PREVIOUS watermark (09:59), so the owner is NOT evicted yet
+      ms.addData(Doc(100, t("2024-01-01 12:00:00"), unrelated))
+      q.processAllAvailable()
+      // the claim lands on the expired-but-present owner (wm now 11:59)
+      ms.addData(Doc(2, t("2024-01-01 12:30:00"), base))
+      q.processAllAvailable()
+      ms.addData(Doc(3, t("2024-01-01 12:31:00"), base))
+      q.processAllAvailable() // doc 3 vs doc 2's fresh claim — must not touch doc 1
+      val out = spark.table("nd4").as[NearDup].collect()
+      assert(out.filter(_.dup_of == 1).isEmpty,
+        s"flagged against an expired owner: ${out.mkString(", ")}")
+      assert(out.exists(c => c.doc_id == 3 && c.dup_of == 2),
+        s"fresh re-claim by doc 2 not honored: ${out.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("batch execution applies the same admit-first rule (no watermark, no timeouts)") {
     val docs = Seq(
       Doc(1, t("2024-01-01 10:00:00"), base),

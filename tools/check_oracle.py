@@ -92,5 +92,13 @@ for d in sorted(glob.glob(f"{out_dir}/q*")):
         fails += 1
         print(f"ERROR {name}: {type(ex).__name__}: {ex}")
 
+# a typo'd name filter must not read as a pass
+if only:
+    known = set(oracle) | {os.path.basename(d) for d in glob.glob(f"{out_dir}/q*")}
+    unknown = only - known
+    if unknown:
+        fails += 1
+        print(f"ERROR unknown query names: {sorted(unknown)}")
+
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
