@@ -44,6 +44,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!opt.contains("minhash_sig") && opt.contains("minhash_text"),
       s"fusion rule did not fire:\n$opt")
     fuse.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // ExpressionInfo carries the implementing CLASS (not a package):
+    // DESCRIBE FUNCTION must point users at real code
+    val desc = s.sql("DESCRIBE FUNCTION vec_cosine")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft.functions.VecCosine"), s"bad ExpressionInfo:\n$desc")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
