@@ -39,6 +39,9 @@ final case class FrameRow(
 trait MediaCodec extends Serializable {
   def featurize(batch: Seq[MediaRow], dim: Int): Seq[MediaFeature]
   def decodeFrames(row: MediaRow, everyN: Int): Seq[FrameRow]
+  /** Resize visual media to (w, h); non-visual modalities pass through
+    * unchanged. Batch granularity like [[featurize]]. */
+  def resizeBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow]
 }
 
 /** STUB — deterministic fake standing in for a real image/audio/video
@@ -64,6 +67,24 @@ object StubMediaCodec extends MediaCodec {
       FrameRow(row.media_id, i, row.content.slice(from, until))
     }
   }
+
+  /** Stub resize: byte count scales with the pixel-area ratio
+    * (min(len, max(1, floor(len * tw*th / (w*h)))) — truncation stands in
+    * for re-encoding), meta gets the target dims. Audio passes through.
+    * The byte math is reproduced in q74's SQL oracle, like q73's frames.
+    */
+  override def resizeBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] =
+    batch.map { r =>
+      if (r.modality == "audio") r
+      else {
+        val area = r.meta.width.toLong * r.meta.height
+        val newLen = math.min(r.content.length.toLong,
+          math.max(1L, math.floor(
+            r.content.length.toDouble * (w.toLong * h) / area).toLong)).toInt
+        r.copy(content = r.content.take(newLen),
+          meta = r.meta.copy(width = w, height = h))
+      }
+    }
 }
 
 object Media {
@@ -109,6 +130,17 @@ object Media {
     media.flatMap {
       case r if r.modality == "video" => codec.decodeFrames(r, everyN)
       case r => Seq(FrameRow(r.media_id, 0, r.content))
+    }
+  }
+
+  /** Resize: batch-shaped mapPartitions through the codec, same contract
+    * as [[extractFeatures]] — content bytes stay in the scan stage.
+    */
+  def resize(media: Dataset[MediaRow], codec: MediaCodec,
+      w: Int, h: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => codec.resizeBatch(batch, w, h))
     }
   }
 }

@@ -61,5 +61,33 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_frames_kept"),
         sum(length(col("frame"))).as("frame_bytes")))
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73)
+  /** Resize to 32x24 through the (stub) codec. HASH-MATCHED like q73:
+    * the stub's byte-area math (min(len, max(1, floor(len * 768 / area)))
+    * for visual modalities, passthrough for audio) is reproduced in SQL,
+    * so the oracle numerically validates the batched mapPartitions
+    * resize plumbing — meta rewrite included — not just row counts.
+    */
+  val q74 = QueryDef.oracle("q74_media_resize",
+    """SELECT doc_id AS media_id,
+      |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1
+      |            THEN CAST(n_chars % 64 + 1 AS INTEGER) ELSE 32 END AS width,
+      |       CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1
+      |            THEN CAST(n_chars % 48 + 1 AS INTEGER) ELSE 24 END AS height,
+      |       CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1
+      |            THEN CAST(strlen(text) AS BIGINT)
+      |            ELSE least(CAST(strlen(text) AS BIGINT),
+      |                   greatest(1, CAST(floor(strlen(text) * (32.0 * 24.0)
+      |                     / ((n_chars % 64 + 1) * (n_chars % 48 + 1)))
+      |                     AS BIGINT)))
+      |       END AS resized_bytes
+      |FROM documents""".stripMargin)(
+    (s, d) => Media.resize(mediaDs(s, d), StubMediaCodec, w = 32, h = 24)
+      .toDF()
+      .select(col("media_id"), col("modality"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("content")).cast("long").as("resized_bytes")))
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74)
 }

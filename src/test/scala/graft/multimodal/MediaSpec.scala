@@ -49,6 +49,8 @@ class MediaSpec extends SparkSpec {
       }
       override def decodeFrames(row: MediaRow, everyN: Int): Seq[FrameRow] =
         StubMediaCodec.decodeFrames(row, everyN)
+      override def resizeBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] =
+        StubMediaCodec.resizeBatch(batch, w, h)
     }
     // exercise the batching contract directly (executor-side state isn't
     // visible from the driver, so test the iterator shape locally)
@@ -77,5 +79,24 @@ class MediaSpec extends SparkSpec {
       .select(col("meta.nFrames"), length(col("content"))).collect().head
     assert(row.getInt(0) == 12)
     assert(row.getInt(1) == 43)
+  }
+
+  test("resize scales visual content by pixel-area ratio and passes audio through") {
+    val out = Media.resize(mediaDs, StubMediaCodec, w = 32, h = 24)
+      .collect().map(r => r.media_id -> r).toMap
+    val orig = mediaDs.collect().map(r => r.media_id -> r).toMap
+    // audio: untouched, meta included
+    assert(out(1L).content.sameElements(orig(1L).content))
+    assert(out(1L).meta == orig(1L).meta)
+    // visual: meta rewritten to target dims, bytes = min(len, max(1, floor(len*768/area)))
+    Seq(0L, 2L, 5L).foreach { id =>
+      val o = orig(id); val r = out(id)
+      assert(r.meta.width == 32 && r.meta.height == 24)
+      val area = o.meta.width.toLong * o.meta.height
+      val want = math.min(o.content.length.toLong,
+        math.max(1L, math.floor(o.content.length.toDouble * 768 / area).toLong)).toInt
+      assert(r.content.length == want, s"media $id: ${r.content.length} != $want")
+      assert(o.content.take(want).sameElements(r.content))
+    }
   }
 }
