@@ -217,5 +217,49 @@ object DedupQueries {
           when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  /** Per-source corpus profile over the `source` dimension — the intake
+    * report a multi-source training-data pipeline starts from. One keyed
+    * shuffle; the distinct-counts expand map-side. */
+  val q57 = QueryDef.oracle("q57_source_profile",
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT lang) AS n_langs,
+      |       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+      |       count(DISTINCT md5(text)) AS n_distinct_texts
+      |FROM documents GROUP BY source""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts")))
+
+  /** Exact cross-source contamination (benchmark/test-set leakage): per
+    * source, how many of its documents' texts also appear verbatim in a
+    * DIFFERENT source. Joins on the 16-byte md5, never text — one keyed
+    * shuffle sized by |corpus| hashes. Always |sources| rows, zeros on a
+    * leak-free corpus (exact semantics, fully oracle-checked); the
+    * near-dup form of the same question is q52's candidate pairs
+    * filtered to cross-source. */
+  val q58 = QueryDef.oracle("q58_cross_source_contamination",
+    """WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+      |leaked AS (
+      |  SELECT DISTINCT a.doc_id FROM h a
+      |  JOIN h b ON a.hh = b.hh AND a.source <> b.source)
+      |SELECT h.source, count(*) AS n_docs,
+      |       count(leaked.doc_id) AS n_contaminated
+      |FROM h LEFT JOIN leaked ON h.doc_id = leaked.doc_id
+      |GROUP BY h.source""".stripMargin)(
+    (s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
+      val leaked = h.select(col("doc_id").as("leak_id"), col("hh"), col("source").as("src_a"))
+        .join(h.select(col("hh"), col("source").as("src_b")), Seq("hh"))
+        .filter(col("src_a") =!= col("src_b"))
+        .select("leak_id").distinct()
+      h.join(leaked, col("doc_id") === col("leak_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("leak_id")).as("n_contaminated"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
