@@ -269,5 +269,64 @@ object ExtensionQueries {
           |LATERAL VIEW explode(tk) AS t""".stripMargin)
     })
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39, q75, q88, q89)
+  /** Fuzzy string matching (edit distance ≤ 1 over the distinct brand
+    * domain) — the scalable fuzzy-join shape: distinct() the join DOMAIN
+    * first (25 values, broadcast), pay the O(|domain|²) edit distances
+    * there, never per fact row. The same pattern fixes the reference's
+    * `coper mug` typo class at catalog size, not corpus size.
+    */
+  val q59 = QueryDef.oracle("q59_fuzzy_brand_pairs",
+    """WITH t AS (SELECT DISTINCT p_brand FROM part)
+      |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |       CAST(levenshtein(a.p_brand, b.p_brand) AS INTEGER) AS dist
+      |FROM t a JOIN t b ON a.p_brand < b.p_brand
+      |WHERE levenshtein(a.p_brand, b.p_brand) <= 1""".stripMargin)(
+    (s, d) => {
+      val t = Tables.part(s, d).select("p_brand").distinct()
+      val a = t.select(col("p_brand").as("brand_a"))
+      val b = t.select(col("p_brand").as("brand_b"))
+      a.join(broadcast(b), col("brand_a") < col("brand_b"))
+        .withColumn("dist", levenshtein(col("brand_a"), col("brand_b")))
+        .filter(col("dist") <= 1)
+        .select("brand_a", "brand_b", "dist")
+    })
+
+  /** Fixed-width histogram via the built-in width_bucket — one scan, one
+    * |buckets|-row exchange of partials; the oracle reproduces the bucket
+    * function arithmetically (floor(v/width)+1), pinning boundary
+    * semantics.
+    */
+  val q93 = QueryDef.oracle("q93_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       min(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS lo_cents,
+      |       max(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS hi_cents
+      |FROM orders GROUP BY 1""".stripMargin)(
+    (s, d) => Tables.orders(s, d)
+      .groupBy(expr("width_bucket(o_totalprice, 0D, 500000D, 10)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(floor(col("o_totalprice") * 100).cast("long")).as("lo_cents"),
+        max(floor(col("o_totalprice") * 100).cast("long")).as("hi_cents")))
+
+  /** EXACT percentiles (not the t-digest approximation of q25): Spark's
+    * `percentile` aggregate vs DuckDB's quantile_cont — both linear
+    * interpolation over the sorted group. Integer-cents input keeps the
+    * interpolated doubles exactly representable (quarters of integers),
+    * so the hash comparison is float-safe.
+    */
+  val q94 = QueryDef.oracle("q94_exact_percentiles",
+    """SELECT o_orderpriority,
+      |       quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.25) AS p25,
+      |       quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
+      |       quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0.75) AS p75
+      |FROM orders GROUP BY o_orderpriority""".stripMargin)(
+    (s, d) => Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(cents, 0.25D)").as("p25"),
+        expr("percentile(cents, 0.5D)").as("p50"),
+        expr("percentile(cents, 0.75D)").as("p75")))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
+    q59, q75, q88, q89, q93, q94)
 }
