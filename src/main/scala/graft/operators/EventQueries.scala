@@ -111,5 +111,30 @@ object EventQueries {
     (s, d) => graft.streaming.EventStreams.sessionWindows(
       Tables.events(s, d), "30 minutes"))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
+  /** Map functions (§2.9 math/array/map row): per-user event-type map
+    * built with map_from_entries over grouped counts, probed with
+    * element_at/size. The map stays internal; outputs are scalars (the
+    * driver's comparator chokes on complex cells), and the oracle is the
+    * equivalent conditional-count formulation — proving the map path
+    * computes the same answer as the relational one.
+    */
+  val q95 = QueryDef.oracle("q95_map_funcs",
+    """SELECT user_id,
+      |       count(DISTINCT event_type) AS n_types,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+      |FROM events GROUP BY user_id""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases")))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95)
 }
