@@ -313,6 +313,11 @@ object ExtensionQueries {
     * interpolation over the sorted group. Integer-cents input keeps the
     * interpolated doubles exactly representable (quarters of integers),
     * so the hash comparison is float-safe.
+    *
+    * Scale note: exact percentile buffers each group's values — right
+    * only when per-group cardinality is bounded (here: 5 priority
+    * groups). For data-sized groups at 100 TB the scale path is q25's
+    * percentile_approx (constant-size t-digest state).
     */
   val q94 = QueryDef.oracle("q94_exact_percentiles",
     """SELECT o_orderpriority,
