@@ -75,7 +75,9 @@ object StubMediaCodec extends MediaCodec {
     */
   override def resizeBatch(batch: Seq[MediaRow], w: Int, h: Int): Seq[MediaRow] =
     batch.map { r =>
-      if (r.modality == "audio") r
+      // only VISUAL media resize; audio — and any future non-visual
+      // modality — passes through untouched, per the trait contract
+      if (r.modality != "image" && r.modality != "video") r
       else {
         val area = r.meta.width.toLong * r.meta.height
         val newLen = math.min(r.content.length.toLong,

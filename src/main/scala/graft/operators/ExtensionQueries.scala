@@ -293,11 +293,13 @@ object ExtensionQueries {
 
   /** Fixed-width histogram via the built-in width_bucket — one scan, one
     * |buckets|-row exchange of partials; the oracle reproduces the bucket
-    * function arithmetically (floor(v/width)+1), pinning boundary
-    * semantics.
+    * function arithmetically — floor(v/width)+1 CLAMPED to [0, n+1],
+    * width_bucket's out-of-range semantics (v < lo → 0, v >= hi → n+1) —
+    * so boundary behavior stays pinned even if the data's price range
+    * grows past the [0, 500000) histogram domain.
     */
   val q93 = QueryDef.oracle("q93_histogram",
-    """SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+    """SELECT least(greatest(CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT), 0), 11) AS bucket,
       |       count(*) AS n,
       |       min(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS lo_cents,
       |       max(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS hi_cents

@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object SalesSources {
 
+  /** The SINGLE encoding of per-city CSV quirks, consumed by both the
+    * batch readers below and the streaming readers
+    * ([[graft.streaming.SalesStream.feed]]) — a fix to one feed's
+    * separator/header/timestamp format reaches both paths, which is what
+    * keeps the streamed poc_analysis parseably identical to batch.
+    *
+    *  - budapest: comma CSV whose Hungarian header (",TS,ital,költség")
+    *    is discarded — header=true with a declared schema skips the line
+    *    and uses our names (ref: build_database.py:105-112); ISO seconds.
+    *  - london: headerless, tab-separated (ref: build_database.py:120-127).
+    *  - new york: headered comma CSV, US date order at minute precision
+    *    (ref: build_database.py:135-142).
+    */
+  val cityOptions: Map[String, Map[String, String]] = Map(
+    "budapest" -> Map(
+      "header" -> "true", "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"),
+    "london" -> Map(
+      "header" -> "false", "sep" -> "\t",
+      "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"),
+    "new york" -> Map(
+      "header" -> "true", "timestampFormat" -> "MM-dd-yyyy HH:mm"))
+
   /** Glass inventory (ref: build_database.py:78 reading data/bar_data.csv,
     * headered comma CSV).
     */
@@ -22,36 +44,18 @@ object SalesSources {
       .option("header", "true")
       .csv(path)
 
-  /** Budapest feed: comma CSV whose Hungarian header (",TS,ital,költség")
-    * is discarded — header=true with a declared schema skips the line and
-    * uses our names (ref: build_database.py:105-112, `header=0, names=`).
-    * Timestamps are second-precision ISO.
-    */
+  private def feed(spark: SparkSession, path: String, city: String): DataFrame =
+    spark.read.schema(Schemas.salesRaw)
+      .options(cityOptions(city))
+      .csv(path)
+      .withColumn("bar", lit(city))
+
   def budapest(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Schemas.salesRaw)
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(path)
-      .withColumn("bar", lit("budapest"))
+    feed(spark, path, "budapest")
 
-  /** London feed: headerless, tab-separated (ref:
-    * build_database.py:120-127, `header=None, sep="\t"`).
-    */
   def london(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Schemas.salesRaw)
-      .option("header", "false")
-      .option("sep", "\t")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(path)
-      .withColumn("bar", lit("london"))
+    feed(spark, path, "london")
 
-  /** New York feed: headered comma CSV with US date order at minute
-    * precision — "MM-dd-yyyy HH:mm" (ref: build_database.py:135-142).
-    */
   def newYork(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Schemas.salesRaw)
-      .option("header", "true")
-      .option("timestampFormat", "MM-dd-yyyy HH:mm")
-      .csv(path)
-      .withColumn("bar", lit("new york"))
+    feed(spark, path, "new york")
 }

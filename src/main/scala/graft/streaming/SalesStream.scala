@@ -29,24 +29,28 @@ import org.apache.spark.sql.functions._
   * Surrogate keys (`saleID`) are deliberately absent: they would demand
   * a global order over an unbounded stream; `poc_analysis` never reads
   * them (the batch path keeps them for the relational catalog).
+  *
+  * Timezone contract: `window(ts, "1 day")` aligns to UTC-epoch days
+  * while the batch path's `to_date` uses the session timezone — the
+  * proven row-equality therefore requires
+  * `spark.sql.session.timeZone=UTC`, which GraftSession (and the test
+  * session) pin. A non-UTC deployment must pass the zone's offset as
+  * the window's startTime to keep the two paths' day boundaries equal.
   */
 object SalesStream {
 
-  /** One city feed as a file stream — schema and quirks identical to the
-    * batch reader; `city` fixes the bar column like SalesSources does.
+  /** One city feed as a file stream — schema and quirks come from the
+    * SAME [[graft.pipeline.SalesSources.cityOptions]] table the batch
+    * readers use, so the two paths cannot drift; `city` fixes the bar
+    * column like SalesSources does.
     */
   def feed(spark: SparkSession, dir: String, city: String): DataFrame = {
-    val base = spark.readStream.schema(Schemas.salesRaw)
-    val reader = city match {
-      case "budapest" => base.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      case "london" => base.option("header", "false").option("sep", "\t")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      case "new york" => base.option("header", "true")
-        .option("timestampFormat", "MM-dd-yyyy HH:mm")
-      case other => throw new IllegalArgumentException(s"unknown city: $other")
-    }
-    reader.csv(dir).withColumn("bar", lit(city))
+    val opts = graft.pipeline.SalesSources.cityOptions.getOrElse(city,
+      throw new IllegalArgumentException(s"unknown city: $city"))
+    spark.readStream.schema(Schemas.salesRaw)
+      .options(opts)
+      .csv(dir)
+      .withColumn("bar", lit(city))
   }
 
   /** The incremental poc_analysis: same projection, grouping, and CASE
