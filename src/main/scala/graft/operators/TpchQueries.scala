@@ -222,5 +222,51 @@ object TpchQueries {
          |  SELECT o_custkey FROM parquet.`$d/orders.parquet`
          |  WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q35)
+  /** Correlated LATERAL join (top-2 customers per nation): the SQL-level
+    * form of top-k-per-group — Catalyst decorrelates the LATERAL
+    * subquery into a ranked join, no per-row subquery execution. Ordering
+    * is comparison-only (no float arithmetic), tie-broken on c_custkey,
+    * so the oracle (same query verbatim in DuckDB) is hash-stable;
+    * output money in exact cents.
+    */
+  val q96 = QueryDef.oracle("q96_lateral_join",
+    """SELECT n_name, t.c_name,
+      |       CAST(FLOOR(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)(
+    (s, d) => s.sql(
+      s"""SELECT n_name, t.c_name,
+         |       CAST(FLOOR(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+         |FROM parquet.`$d/nation.parquet` n,
+         |LATERAL (SELECT c_name, c_acctbal FROM parquet.`$d/customer.parquet`
+         |         WHERE c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin))
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): calendar gap-fill — a
+    * generated date spine left-joined to daily order counts, so quiet
+    * days surface as zeros instead of vanishing. Scale note: recursion
+    * executes iteratively on the driver side of the plan; for a
+    * data-sized spine the built-in `sequence()` + explode is the
+    * distributed form — this query is the SQL-completeness surface for
+    * migrating WITH RECURSIVE workloads.
+    */
+  val q97 = QueryDef.oracle("q97_recursive_cte",
+    """WITH RECURSIVE cal(d) AS (
+      |  SELECT DATE '1998-01-01'
+      |  UNION ALL SELECT d + 1 FROM cal WHERE d < DATE '1998-02-28')
+      |SELECT cal.d AS day, count(o_orderkey) AS n_orders
+      |FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+      |GROUP BY cal.d""".stripMargin)(
+    (s, d) => s.sql(
+      s"""WITH RECURSIVE cal(d) AS (
+         |  SELECT DATE '1998-01-01'
+         |  UNION ALL SELECT d + 1 FROM cal WHERE d < DATE '1998-02-28')
+         |SELECT cal.d AS day, count(o_orderkey) AS n_orders
+         |FROM cal LEFT JOIN parquet.`$d/orders.parquet`
+         |  ON CAST(o_orderdate AS DATE) = cal.d
+         |GROUP BY cal.d""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q35, q96, q97)
 }
