@@ -97,4 +97,20 @@ object TextFunctions {
     */
   def docFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, tok) => xxhash64(acc, tok))
+
+  /** ENGINE-PORTABLE rolling fingerprint: nested polynomial hash in
+    * exact modular arithmetic — per token fold (a*131 + codepoint) mod
+    * 1e9+7 over its characters, then fold (fp*1000003 + tokenHash) mod
+    * 1e9+7 over the token sequence. Every step stays far below 2^63, so
+    * any engine with 64-bit integers reproduces it bit-exactly (DuckDB
+    * oracle does, q98) — which is the point: a fingerprint that survives
+    * engine migration, unlike [[docFingerprint]]'s xxhash64 family.
+    * Same whitespace-insensitive, order-sensitive contract.
+    */
+  def portableFingerprint(text: Column): Column = {
+    val P = 1000000007L
+    val tokHash = (t: Column) =>
+      aggregate(split(t, ""), lit(0L), (a, c) => (a * 131L + ascii(c)) % P)
+    aggregate(tokens(text), lit(0L), (acc, t) => (acc * 1000003L + tokHash(t)) % P)
+  }
 }

@@ -80,6 +80,26 @@ object TextQueries {
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), docFingerprint(col("text")).as("fingerprint")))
 
+  /** Engine-portable rolling fingerprint (exact modular arithmetic) —
+    * HASH-MATCHED: DuckDB reproduces every fold step bit-exactly, so
+    * the fingerprint survives engine migration (the property q43's
+    * xxhash family can't give). See TextFunctions.portableFingerprint.
+    */
+  val q98 = QueryDef.oracle("q98_portable_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(l, t ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(t, ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 131 + b) % 1000000007))),
+      |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
+      |FROM (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |      FROM documents)""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), portableFingerprint(col("text")).as("fingerprint")))
+
   /** Word 3-gram inventory size per doc, with oracle: count of distinct
     * 3-grams — DuckDB computes via its own list ops. */
   val q44 = QueryDef.oracle("q44_ngram_profile",
@@ -178,5 +198,5 @@ object TextQueries {
         size(filter(toks, t => length(t) > 5)).as("n_long"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49)
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q98)
 }

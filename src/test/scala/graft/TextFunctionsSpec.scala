@@ -63,4 +63,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp1 == fp2)
     assert(fp1 != fp3)
   }
+
+  test("portableFingerprint: same contract, exact modular value any engine can reproduce") {
+    val fp1 = one[Long](portableFingerprint(col("text")), "a b c")
+    val fp2 = one[Long](portableFingerprint(col("text")), "a  b\tc")
+    val fp3 = one[Long](portableFingerprint(col("text")), "c b a")
+    assert(fp1 == fp2)
+    assert(fp1 != fp3)
+    // the spec'd fold, computed independently: per token (a*131+cp)%P,
+    // across tokens (fp*1000003+tokHash)%P
+    val P = 1000000007L
+    def tok(t: String) = t.foldLeft(0L)((a, c) => (a * 131L + c.toLong) % P)
+    val want = Seq("a", "b", "c").foldLeft(0L)((a, t) => (a * 1000003L + tok(t)) % P)
+    assert(fp1 == want)
+  }
 }
