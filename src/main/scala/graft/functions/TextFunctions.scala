@@ -106,6 +106,16 @@ object TextFunctions {
     * oracle does, q98) — which is the point: a fingerprint that survives
     * engine migration, unlike [[docFingerprint]]'s xxhash64 family.
     * Same whitespace-insensitive, order-sensitive contract.
+    *
+    * Unicode contract: the fold is over CODEPOINTS, non-ASCII included.
+    * On Spark 4.x `ascii()` returns the full codepoint of the first
+    * character (astral plane too — ascii('𝄞')=119070, verified) and
+    * `split(t, "")` yields whole characters (a surrogate pair stays one
+    * element), which matches DuckDB's `unicode(c)` over per-character
+    * `string_split` exactly — locked by the non-ASCII case in
+    * TextFunctionsSpec against a cross-engine-computed constant. On
+    * engines where ascii() is first-UTF-8-byte (e.g. Spark 3.x) this
+    * fold is NOT portable; reimplement the codepoint fold before use.
     */
   def portableFingerprint(text: Column): Column = {
     val P = 1000000007L

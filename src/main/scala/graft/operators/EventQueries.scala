@@ -118,6 +118,29 @@ object EventQueries {
     * equivalent conditional-count formulation — proving the map path
     * computes the same answer as the relational one.
     */
+  /** q95's body on an arbitrary events frame — exposed so the spec can
+    * feed rows with NULL event_type (the fixtures are null-free, so only
+    * a unit test exercises that path).
+    */
+  private[graft] def typedCountsViaMap(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      // A null event_type would be a null MAP KEY, which Spark rejects at
+      // runtime while the oracle's count(CASE ...) just ignores it. Wrap
+      // the entry in when(): collect_list drops nulls, so null-typed rows
+      // contribute no entry but the user still gets a row (empty map,
+      // n_types=0) — exactly the oracle's semantics for all-null users.
+      .agg(map_from_entries(collect_list(
+        when(col("event_type").isNotNull, struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"))
+
   val q95 = QueryDef.oracle("q95_map_funcs",
     """SELECT user_id,
       |       count(DISTINCT event_type) AS n_types,
@@ -125,16 +148,7 @@ object EventQueries {
       |       count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
       |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
       |FROM events GROUP BY user_id""".stripMargin)(
-    (s, d) => Tables.events(s, d)
-      .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n"))
-      .groupBy("user_id")
-      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
-      .select(col("user_id"),
-        size(col("m")).as("n_types"),
-        coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
-        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
-        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases")))
+    (s, d) => typedCountsViaMap(Tables.events(s, d)))
 
   val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95)
 }

@@ -49,22 +49,39 @@ final class FixtureCocktailSource(fixturePath: String) extends CocktailSource {
   * Error path parity: a non-200 status, network error, or no-match
   * `{"drinks": null}` response contributes no rows for that term — the
   * reference's empty-frame-and-continue semantics
-  * (build_database.py:34-44). Tested against a loopback fixture HTTP
-  * server (HttpCocktailSourceSpec) because this environment is
-  * zero-egress; point `baseUrl` at the real API elsewhere.
+  * (build_database.py:34-44) — but transient failures (network, 5xx,
+  * 429) first get a bounded linear-backoff retry, and [[fetchReport]]
+  * exposes per-term status so callers can distinguish no-match from
+  * fetch-failed and re-drive the failures. Tested against a loopback
+  * fixture HTTP server (HttpCocktailSourceSpec) because this
+  * environment is zero-egress; point `baseUrl` at the real API
+  * elsewhere.
   */
 final class HttpCocktailSource(
     baseUrl: String,
     fetchPartitions: Int = 4,
-    timeoutSeconds: Long = 10) extends CocktailSource {
+    timeoutSeconds: Long = 10,
+    maxRetries: Int = 2,
+    retryBackoffMs: Long = 200) extends CocktailSource {
 
-  override def search(spark: SparkSession, terms: DataFrame): DataFrame = {
+  /** One row per term: (term, body, http_status, attempts). Transient
+    * failures — network errors (http_status = -1), 5xx, and 429 — are
+    * retried up to `maxRetries` times with linear backoff; other non-200
+    * statuses are permanent and returned as-is. body is null unless the
+    * final status is 200, so a flaky run no longer silently collapses
+    * into "no match": [[fetchReport]] exposes the distinction and failed
+    * terms can be re-driven.
+    */
+  private[pipeline] def fetchBodies(spark: SparkSession, terms: DataFrame)
+      : DataFrame = {
     import spark.implicits._
-    val (base, tmo) = (baseUrl, timeoutSeconds) // serialize values, not `this`
+    // serialize values, not `this`
+    val (base, tmo, retries, backoff) =
+      (baseUrl, timeoutSeconds, maxRetries, retryBackoffMs)
     // lowercased like FixtureCocktailSource's output: the two trait impls
     // must agree on the term column for mixed-case input (the API's own
     // search is case-insensitive, so results are unaffected)
-    val bodies = terms.select(lower(col("term")).cast("string")).na.drop().as[String]
+    terms.select(lower(col("term")).cast("string")).na.drop().as[String]
       .repartition(fetchPartitions)
       .mapPartitions { it =>
         val client = java.net.http.HttpClient.newBuilder()
@@ -72,17 +89,41 @@ final class HttpCocktailSource(
         it.map { term =>
           val uri = java.net.URI.create(base + "/search.php?s=" +
             java.net.URLEncoder.encode(term, java.nio.charset.StandardCharsets.UTF_8))
-          val body =
+          var attempts = 0
+          var status = -1
+          var body: String = null
+          var terminal = false
+          while (!terminal && attempts <= retries) {
+            if (attempts > 0) Thread.sleep(backoff * attempts)
+            attempts += 1
             try {
               val resp = client.send(
                 java.net.http.HttpRequest.newBuilder(uri)
                   .timeout(java.time.Duration.ofSeconds(tmo)).GET().build(),
                 java.net.http.HttpResponse.BodyHandlers.ofString())
-              if (resp.statusCode() == 200) resp.body() else null
-            } catch { case scala.util.control.NonFatal(_) => null }
-          (term, body)
+              status = resp.statusCode()
+              if (status == 200) { body = resp.body(); terminal = true }
+              else if (status < 500 && status != 429) terminal = true // permanent 4xx
+            } catch { case scala.util.control.NonFatal(_) => status = -1 }
+          }
+          (term, body, status, attempts)
         }
-      }.toDF("term", "body")
+      }.toDF("term", "body", "http_status", "attempts")
+  }
+
+  /** Per-term fetch outcome — (term, fetch_ok, http_status, attempts).
+    * The reference logs per-term status (build_database.py:34-44); this
+    * surfaces it relationally so callers can tell "no match" (fetch_ok
+    * with an empty drinks array) from "fetch failed" and re-drive only
+    * the failed terms.
+    */
+  def fetchReport(spark: SparkSession, terms: DataFrame): DataFrame =
+    fetchBodies(spark, terms).select(col("term"),
+      (col("http_status") === 200).as("fetch_ok"),
+      col("http_status"), col("attempts"))
+
+  override def search(spark: SparkSession, terms: DataFrame): DataFrame = {
+    val bodies = fetchBodies(spark, terms).select("term", "body")
 
     val respSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "drinks ARRAY<STRUCT<idDrink: STRING, strDrink: STRING, " +

@@ -124,4 +124,18 @@ class OperatorInvariantsSpec extends SparkSpec {
       .as[(Int, String)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((0, "a"), (1, "b"), (2, "c")))
   }
+
+  test("q95 map aggregation tolerates NULL event_type (no null map key crash)") {
+    // u1 mixes typed and null events; u2 has ONLY null events and must
+    // still appear with an empty map (n_types=0), matching the oracle's
+    // count(CASE ...) semantics — map_from_entries on a null key would
+    // throw at runtime without the when() guard.
+    val df = Seq(
+      (1L, Some("view")), (1L, Some("view")), (1L, None), (1L, Some("click")),
+      (2L, None), (2L, None)
+    ).toDF("user_id", "event_type")
+    val out = graft.operators.EventQueries.typedCountsViaMap(df)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2, 2L, 1L, 0L), (2L, 0, 0L, 0L, 0L)))
+  }
 }

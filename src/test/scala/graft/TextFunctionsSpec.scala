@@ -77,4 +77,24 @@ class TextFunctionsSpec extends SparkSpec {
     val want = Seq("a", "b", "c").foldLeft(0L)((a, t) => (a * 1000003L + tok(t)) % P)
     assert(fp1 == want)
   }
+
+  test("portableFingerprint is codepoint-true on non-ASCII (incl. astral plane)") {
+    // "héllo wörld 𝄞clef — naïve café €42" via unicode escapes so the test
+    // is immune to source-file locale; 𝄞 (U+1D11E) is a surrogate pair in
+    // UTF-16, the case where a code-unit fold would diverge from DuckDB.
+    val text = "h\u00E9llo w\u00F6rld \uD834\uDD1Eclef \u2014 na\u00EFve caf\u00E9 \u20AC42"
+    // 905374792 was computed by BOTH the q98 DuckDB oracle expression and an
+    // independent python fold over ord(char) — cross-engine ground truth.
+    // It only matches if Spark's ascii() yields full codepoints (astral
+    // included) and split(t,"") yields whole characters, which holds on
+    // Spark 4.x; a UTF-16-code-unit or first-UTF-8-byte fold gives a
+    // different value and must fail here.
+    assert(one[Long](portableFingerprint(col("text")), text) == 905374792L)
+    // per-codepoint reference fold in-JVM (codePoints, not chars)
+    val P = 1000000007L
+    def tok(t: String) = t.codePoints.toArray.foldLeft(0L)((a, c) => (a * 131L + c) % P)
+    val want = text.split("\\s+").filter(_.nonEmpty)
+      .foldLeft(0L)((a, t) => (a * 1000003L + tok(t)) % P)
+    assert(want == 905374792L)
+  }
 }

@@ -45,6 +45,7 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var baseUrl: String = _
+  private val flakyHits = new java.util.concurrent.ConcurrentHashMap[String, Integer]
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -57,6 +58,13 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
       val (code, body) = term match {
         case "boom" => (500, "internal error")
         case "garbage" => (200, "this is not json {")
+        case t if t.startsWith("flaky") =>
+          // 500 on the first hit for this term, then behave normally —
+          // exercises the bounded-retry path
+          if (flakyHits.merge(t, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b)) == 1)
+            (500, "transient")
+          else (200, drinksJson(drinks.filter(
+            _("strDrink").toLowerCase.contains("mojito"))))
         case t =>
           (200, drinksJson(drinks.filter(
             _("strDrink").toLowerCase.contains(t.toLowerCase))))
@@ -96,6 +104,24 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
       .search(spark, terms("mystery drink", "boom", "garbage", "mojito extra"))
     assert(out.filter(col("term") =!= "mojito extra").count() === 0)
     assert(out.filter(col("term") === "mojito extra").count() === 1)
+  }
+
+  test("a transient 500 is retried with backoff and the term still yields rows") {
+    val out = new HttpCocktailSource(baseUrl, maxRetries = 2, retryBackoffMs = 10)
+      .search(spark, terms("flaky-retry"))
+    // first hit 500s, the retry succeeds with the three mojito rows
+    assert(out.count() === 3)
+  }
+
+  test("fetchReport distinguishes no-match from fetch-failed and counts attempts") {
+    val rep = new HttpCocktailSource(baseUrl, maxRetries = 1, retryBackoffMs = 10)
+      .fetchReport(spark, terms("mystery drink", "boom"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3)))).toMap
+    // no-match is a SUCCESSFUL fetch (the API answers {"drinks":null})
+    assert(rep("mystery drink") === ((true, 200, 1)))
+    // a persistent 500 exhausts maxRetries+1 attempts and reports failure
+    assert(rep("boom") === ((false, 500, 2)))
   }
 
   test("projected output is row-identical to the FixtureCocktailSource on the same catalog") {
