@@ -14,7 +14,8 @@ object SparkEntry {
     val defs =
       CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
         DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
-        MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs
+        MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs ++
+        TpchFullQueries.defs
     // a duplicate name would silently drop a query from the driver
     // contract via toMap's last-wins
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
