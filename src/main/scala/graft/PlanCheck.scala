@@ -67,6 +67,19 @@ object PlanCheck {
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
     check("q64_ann_ivf", "IVF probes equi-join broadcast on c_id (no SortMergeJoin)",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q101_pricing_summary", "wide agg: filter pushed, partials before the one exchange",
+      p => p.contains("LessThanOrEqual(l_shipdate") && p.contains("partial_sum"))
+    check("q102_revenue_forecast", "all three scalar-agg predicates reach the scan",
+      p => p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("GreaterThanOrEqual(l_discount") && p.contains("LessThan(l_quantity"))
+    check("q103_volume_shipping", "both nation roles broadcast",
+      p => p.contains("BroadcastHashJoin"))
+    check("q106_returned_items", "top-20 via TakeOrderedAndProject (no global sort)",
+      p => p.contains("TakeOrderedAndProject"))
+    check("q108_customer_distribution", "both aggregation levels combine map-side",
+      p => p.contains("partial_count"))
+    check("q114_waiting_orders", "exists/not-exists decorrelate to joins (no cartesian)",
+      p => !p.contains("CartesianProduct") && p.contains("TakeOrderedAndProject"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result
