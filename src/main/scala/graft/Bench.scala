@@ -56,19 +56,28 @@ object Bench {
     // slowest-descending (the timings that matter for the 2x gate) — cut off
     // so the whole line stays comfortably inside the tail window.
     val lineBudget = 1500
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would print "0,959"
+    // under e.g. de_DE and break the machine-parsed JSON line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val flagship = "q17_poc_analysis"
     val ordered =
       results.toSeq.filter(_._1 == flagship) ++
         results.toSeq.filterNot(_._1 == flagship).sortBy(-_._2)
     val head = new StringBuilder(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries_all":${results.size},"full":${Json.q(outPath)},"sf":${Json.q(sfDir)},"queries":{""")
+    // Stop at the FIRST entry that doesn't fit so the emitted map is a true
+    // prefix of the slowest-first ordering (never silently skip a slow query
+    // while including faster ones), and record how many were dropped.
     var first = true
+    var dropped = 0
+    var full = false
     ordered.foreach { case (k, v) =>
       val entry = (if (first) "" else ",") + Json.q(k) + ":" + fmt(v)
-      if (head.length + entry.length + 2 <= lineBudget) { head.append(entry); first = false }
+      if (full || head.length + entry.length + 32 > lineBudget) { full = true; dropped += 1 }
+      else { head.append(entry); first = false }
     }
-    head.append("}}")
+    head.append("},\"dropped\":" + dropped + "}")
     println(head.toString)
     spark.stop()
   }

@@ -72,8 +72,8 @@ object PlanCheck {
     check("q102_revenue_forecast", "all three scalar-agg predicates reach the scan",
       p => p.contains("GreaterThanOrEqual(l_shipdate") &&
         p.contains("GreaterThanOrEqual(l_discount") && p.contains("LessThan(l_quantity"))
-    check("q103_volume_shipping", "both nation roles broadcast",
-      p => p.contains("BroadcastHashJoin"))
+    check("q103_volume_shipping", "both nation roles broadcast (2+ BHJ, no SMJ)",
+      p => "BroadcastHashJoin".r.findAllMatchIn(p).size >= 2 && !p.contains("SortMergeJoin"))
     check("q106_returned_items", "top-20 via TakeOrderedAndProject (no global sort)",
       p => p.contains("TakeOrderedAndProject"))
     check("q108_customer_distribution", "both aggregation levels combine map-side",

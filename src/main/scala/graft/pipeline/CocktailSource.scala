@@ -85,6 +85,10 @@ final class HttpCocktailSource(
       .repartition(fetchPartitions)
       .mapPartitions { it =>
         val client = java.net.http.HttpClient.newBuilder()
+          // follow 3xx (the API sits behind http->https redirects in the
+          // wild); without this a redirect would read as a permanent 4xx-style
+          // failure with a null body
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
           .connectTimeout(java.time.Duration.ofSeconds(tmo)).build()
         it.map { term =>
           val uri = java.net.URI.create(base + "/search.php?s=" +
@@ -111,30 +115,52 @@ final class HttpCocktailSource(
       }.toDF("term", "body", "http_status", "attempts")
   }
 
+  /** One HTTP pass over the terms — (term, body, http_status, attempts).
+    * A caller that wants BOTH search rows and a fetch report must call
+    * this once (ideally `.persist()` it), then derive each view with
+    * [[HttpCocktailSource.searchFrom]] / [[HttpCocktailSource.reportFrom]]
+    * — calling `search` and `fetchReport` separately issues every GET
+    * (and its retries) twice against a rate-limited API.
+    */
+  def fetch(spark: SparkSession, terms: DataFrame): DataFrame =
+    fetchBodies(spark, terms)
+
   /** Per-term fetch outcome — (term, fetch_ok, http_status, attempts).
     * The reference logs per-term status (build_database.py:34-44); this
     * surfaces it relationally so callers can tell "no match" (fetch_ok
     * with an empty drinks array) from "fetch failed" and re-drive only
-    * the failed terms.
+    * the failed terms. Issues its own HTTP pass — to combine with
+    * `search` without re-fetching, go through [[fetch]] +
+    * [[HttpCocktailSource.reportFrom]].
     */
   def fetchReport(spark: SparkSession, terms: DataFrame): DataFrame =
-    fetchBodies(spark, terms).select(col("term"),
-      (col("http_status") === 200).as("fetch_ok"),
-      col("http_status"), col("attempts"))
+    HttpCocktailSource.reportFrom(fetchBodies(spark, terms))
 
-  override def search(spark: SparkSession, terms: DataFrame): DataFrame = {
-    val bodies = fetchBodies(spark, terms).select("term", "body")
+  override def search(spark: SparkSession, terms: DataFrame): DataFrame =
+    HttpCocktailSource.searchFrom(fetchBodies(spark, terms))
+}
 
+object HttpCocktailSource {
+  /** API-shaped search rows from an already-[[HttpCocktailSource.fetch]]ed
+    * frame — pure transformation, no HTTP.
+    */
+  def searchFrom(fetched: DataFrame): DataFrame = {
     val respSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "drinks ARRAY<STRUCT<idDrink: STRING, strDrink: STRING, " +
         "strCategory: STRING, strIBA: STRING, strAlcoholic: STRING, " +
         "strGlass: STRING, dateModified: STRING>>")
     // explode (not _outer): null body / null drinks array -> zero rows
-    bodies
+    fetched.select("term", "body")
       .select(col("term"),
         explode(from_json(col("body"), respSchema).getField("drinks")).as("d"))
       .select(col("term"), col("d.*"))
   }
+
+  /** Fetch report from an already-fetched frame — pure transformation. */
+  def reportFrom(fetched: DataFrame): DataFrame =
+    fetched.select(col("term"),
+      (col("http_status") === 200).as("fetch_ok"),
+      col("http_status"), col("attempts"))
 }
 
 object CocktailSource {

@@ -46,10 +46,20 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var baseUrl: String = _
   private val flakyHits = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private val searchHits = new java.util.concurrent.atomic.AtomicInteger
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // 302 front door: redirects to /search.php with the same query, so the
+    // client's followRedirects(NORMAL) path is exercised end-to-end
+    server.createContext("/redirect/search.php", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      ex.getResponseHeaders.add("Location", s"$baseUrl/search.php?$q")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
     server.createContext("/search.php", (ex: HttpExchange) => {
+      searchHits.incrementAndGet()
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val term = q.split("&").collectFirst {
         case kv if kv.startsWith("s=") =>
@@ -122,6 +132,26 @@ class HttpCocktailSourceSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rep("mystery drink") === ((true, 200, 1)))
     // a persistent 500 exhausts maxRetries+1 attempts and reports failure
     assert(rep("boom") === ((false, 500, 2)))
+  }
+
+  test("3xx redirects are followed (redirecting front door yields the same rows)") {
+    val out = new HttpCocktailSource(s"$baseUrl/redirect").search(spark, terms("margarita"))
+    assert(out.count() === 1)
+  }
+
+  test("fetch() + searchFrom/reportFrom share ONE HTTP pass per term") {
+    val src = new HttpCocktailSource(baseUrl)
+    val fetched = src.fetch(spark, terms("mojito", "margarita")).persist()
+    try {
+      fetched.count() // materialize: all GETs happen here, exactly once
+      val before = searchHits.get()
+      val rows = HttpCocktailSource.searchFrom(fetched).count()
+      val rep = HttpCocktailSource.reportFrom(fetched)
+        .filter(col("fetch_ok")).count()
+      assert(rows === 4 && rep === 2)
+      // deriving both views re-issued zero requests
+      assert(searchHits.get() === before)
+    } finally fetched.unpersist()
   }
 
   test("projected output is row-identical to the FixtureCocktailSource on the same catalog") {
