@@ -423,21 +423,39 @@ object TpchFullQueries {
       |                    AND l3.l_shipdate > l1.l_shipdate)
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)(
-    (s, d) => s.sql(
-      s"""SELECT s_name, count(*) AS numwait
-         |FROM parquet.`$d/supplier.parquet`
-         |JOIN parquet.`$d/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
-         |JOIN parquet.`$d/orders.parquet` ON o_orderkey = l1.l_orderkey
-         |WHERE o_orderstatus = 'F'
-         |  AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l2
-         |              WHERE l2.l_orderkey = l1.l_orderkey
-         |                AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l3
-         |                  WHERE l3.l_orderkey = l1.l_orderkey
-         |                    AND l3.l_suppkey <> l1.l_suppkey
-         |                    AND l3.l_shipdate > l1.l_shipdate)
-         |GROUP BY s_name
-         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
+    (s, d) => {
+      // Spark side: ONE pass over lineitem instead of three. The two
+      // correlated subqueries only probe per-order facts — "is there
+      // another supplier" and "did any other supplier ship later" — so
+      // aggregate each order's per-supplier last ship date, keep the
+      // top-2 (date, supplier) pairs, and evaluate both predicates
+      // against them. The SQL form decorrelates into a semi + anti join
+      // that each shuffle-and-sort full lineitem again; this shape
+      // replaces those with one keyed agg whose output is |orders|-sized.
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val supLast = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("sm"))
+      // suppliers-per-order is bounded (TPC-H: ≤7 lines), so the
+      // collect_list is O(1) per order
+      val orderStats = supLast.groupBy("l_orderkey").agg(
+          count(lit(1)).as("nsup"),
+          reverse(array_sort(collect_list(struct(col("sm"), col("l_suppkey").as("sk")))))
+            .as("tops"))
+        .select(col("l_orderkey").as("ok"), col("nsup"),
+          col("tops").getItem(0).as("top1"), col("tops").getItem(1).as("top2"))
+      // max ship date among the OTHER suppliers of the order: top2 if this
+      // row's supplier holds top1, else top1 (guarded by nsup > 1)
+      val maxOther = when(col("l_suppkey") === col("top1.sk"), col("top2.sm"))
+        .otherwise(col("top1.sm"))
+      li.join(orderStats, col("l_orderkey") === col("ok"))
+        .filter(col("nsup") > 1 && col("l_shipdate") >= maxOther)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    })
 
   /** Q22 shape: rich customers dormant since 1999 (no recent orders) — scalar-subquery average
     * (computed in exact cents so the threshold is bit-identical on both
@@ -469,6 +487,16 @@ object TpchFullQueries {
     * classic correlated-MIN scalar subquery over the same derived table.
     * Unit price is one double division per row (identical both engines)
     * before the exact-integer floor.
+    *
+    * Spark side is DataFrame code, not the correlated SQL: Spark inlines
+    * a WITH twice, so the SQL form aggregates all of lineitem TWICE (two
+    * full scans + two full-width shuffles — 3.1 s at sf0.1, and the 2×
+    * cost only grows at 100 TB). Instead: filter part FIRST (p_size/
+    * p_type are selective), broadcast the surviving keys into a semi
+    * join so the big aggregate only sees relevant rows, compute supply
+    * ONCE, and take the per-part minimum with a window over the already
+    * part-partitioned aggregate — lineitem is scanned once and the
+    * shuffled volume is |filtered parts'| lineitem share, not 2×|lineitem|.
     */
   val q116 = QueryDef.oracle("q116_min_cost_supplier",
     """WITH supply AS (
@@ -483,19 +511,30 @@ object TpchFullQueries {
       |WHERE p_size <= 5 AND p_type = 'LARGE'
       |  AND ps_supplycost = (SELECT MIN(s2.ps_supplycost) FROM supply s2
       |                       WHERE s2.ps_partkey = p_partkey)""".stripMargin)(
-    (s, d) => s.sql(
-      s"""WITH supply AS (
-         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         |         MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost
-         |  FROM parquet.`$d/lineitem.parquet` GROUP BY 1, 2)
-         |SELECT p_partkey, p_name, s_name, n_name, ps_supplycost
-         |FROM parquet.`$d/part.parquet`
-         |JOIN supply ON p_partkey = ps_partkey
-         |JOIN parquet.`$d/supplier.parquet` ON s_suppkey = ps_suppkey
-         |JOIN parquet.`$d/nation.parquet` ON s_nationkey = n_nationkey
-         |WHERE p_size <= 5 AND p_type = 'LARGE'
-         |  AND ps_supplycost = (SELECT MIN(s2.ps_supplycost) FROM supply s2
-         |                       WHERE s2.ps_partkey = p_partkey)""".stripMargin))
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // selective dim first: the filtered part side reaches the fact join
+      // pre-pruned (AQE broadcasts it at test SF; at 100 TB it stays a
+      // keyed shuffle join, which is the right call there too)
+      val p = Tables.part(s, d)
+        .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val supply = Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100)
+          .cast("long")).as("ps_supplycost"))
+      // the correlated MIN: a window over the agg output — the only
+      // re-exchange carries |filtered parts × their suppliers| rows of
+      // (key, cost), nothing at any scale
+      val w = Window.partitionBy("p_partkey")
+      supply
+        .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .join(Tables.supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "ps_supplycost")
+    })
 
   val defs: Seq[QueryDef] = Seq(
     q101, q102, q103, q104, q105, q106, q107, q108,
