@@ -117,10 +117,18 @@ object TextFunctions {
     * engines where ascii() is first-UTF-8-byte (e.g. Spark 3.x) this
     * fold is NOT portable; reimplement the codepoint fold before use.
     */
-  def portableFingerprint(text: Column): Column = {
-    val P = 1000000007L
-    val tokHash = (t: Column) =>
-      aggregate(split(t, ""), lit(0L), (a, c) => (a * 131L + ascii(c)) % P)
-    aggregate(tokens(text), lit(0L), (acc, t) => (acc * 1000003L + tokHash(t)) % P)
-  }
+  def portableFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 1000003L + portableStringHash(t)) % 1000000007L)
+
+  /** ENGINE-PORTABLE polynomial string hash: fold (a*131 + codepoint)
+    * mod 1e9+7 over the string's characters — the per-token kernel of
+    * [[portableFingerprint]] (same Unicode contract: Spark `ascii()` ≡
+    * DuckDB `unicode()` per character, astral plane included). Exposed
+    * on its own so other portable constructions (MinHash, SimHash) can
+    * share the exact gram-hash a migrating engine can reproduce in SQL.
+    * Result is in [0, 1e9+7): ~30 bits of hash, exact in any int64.
+    */
+  def portableStringHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (a, c) => (a * 131L + ascii(c)) % 1000000007L)
 }

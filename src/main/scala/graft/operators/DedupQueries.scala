@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions._
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` — exact, MinHash+LSH, SimHash,
@@ -261,5 +261,109 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), count(col("leak_id")).as("n_contaminated"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
+  // --- Engine-portable MinHash-LSH (q99) -------------------------------
+  // The q51/q52 family uses xxhash64 — fast, but engine-internal, so those
+  // queries can only be rows-only checked. This variant builds the WHOLE
+  // MinHash-LSH pipeline from exact modular arithmetic every engine
+  // reproduces bit-identically (same contract as q98's portable
+  // fingerprint): gram hash = polynomial codepoint fold mod 1e9+7, k
+  // universal hashes (a_i*h + b_i) mod p, bands folded to one digest.
+  // The DuckDB oracle recomputes signatures, banding, the band self-join,
+  // and the per-doc partner summary — the first dedup query where the
+  // driver hash-checks the END-TO-END near-dup result, not just row
+  // counts. Same scale shape as q52: the only data-sized shuffle carries
+  // (band, digest, doc_id).
+  private val PortP = 1000000007L
+  private val PortMul = 1000003L
+  private val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
+  private val PortBands = 4
+  private def portA(i: Int): Long = {
+    val v = (2654435761L * (i + 1)) % PortP // Knuth multiplier, i-th stream
+    if (v == 0L) 1L else v
+  }
+  private def portB(i: Int): Long = (40503L * (2L * i + 1)) % PortP
+
+  private def portableMinhashOracleSql: String = {
+    val mhs = (0 until PortK).map(i =>
+      s"CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(list_transform(hs, " +
+        s"h -> (h * ${portA(i)} + ${portB(i)}) % $PortP)) END AS mh$i").mkString(",\n        ")
+    val bandSelects = (0 until PortBands).map { j =>
+      val (m0, m1, m2) = (s"mh${3 * j}", s"mh${3 * j + 1}", s"mh${3 * j + 2}")
+      s"SELECT doc_id, $j AS band, ((($m0 * $PortMul + $m1) % $PortP) * $PortMul + $m2) % $PortP AS digest FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_distinct([list_aggregate(l[i:i+2], 'string_agg', ' ')
+       |                             FOR i IN range(1, len(l) - 1)]) END AS gs
+       |  FROM toks),
+       |gh AS (
+       |  SELECT doc_id, list_transform(gs, g ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % $PortP)) AS hs
+       |  FROM grams),
+       |sig AS (SELECT doc_id,
+       |        $mhs
+       |        FROM gh),
+       |bandrows AS (
+       |        $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+       |partners AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners, min(p) AS min_partner
+       |  FROM (SELECT ia AS doc_id, ib AS p FROM pairs
+       |        UNION ALL SELECT ib AS doc_id, ia AS p FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_partners, CAST(0 AS BIGINT)) AS n_partners, min_partner
+       |FROM documents d LEFT JOIN partners USING (doc_id)""".stripMargin
+  }
+
+  /** The k portable minhash columns for a text column (mh0..mh{k-1});
+    * empty gram set → NULL (array_min of empty), matching the oracle's
+    * CASE. Exposed for the invariants spec.
+    */
+  def portableMinhashCols(text: Column): Seq[Column] = {
+    // distinct gram hashes per doc — scan-local, codegen'd builtins only
+    val hs = transform(array_distinct(wordNgrams(text, 3)), g => portableStringHash(g))
+    (0 until PortK).map { i =>
+      array_min(transform(hs, h => (h * portA(i) + portB(i)) % PortP)).as(s"mh$i")
+    }
+  }
+
+  /** Band digests from the mh columns: PortBands values, each folding its
+    * r consecutive minhashes with the q98 fingerprint constants. */
+  def portableBandDigests(sigRow: Int => Column): Seq[Column] =
+    (0 until PortBands).map { j =>
+      val (m0, m1, m2) = (sigRow(3 * j), sigRow(3 * j + 1), sigRow(3 * j + 2))
+      (((m0 * PortMul + m1) % PortP) * PortMul + m2) % PortP
+    }
+
+  val q99 = QueryDef.oracle("q99_portable_minhash_pairs", portableMinhashOracleSql)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(col("doc_id") +: portableMinhashCols(col("text")): _*)
+      val digests = portableBandDigests(i => col(s"mh$i"))
+      val bandrows = sig
+        .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
+        .filter(col("digest").isNotNull)
+      val l = bandrows.select(col("band"), col("digest"), col("doc_id").as("ia"))
+      val r = bandrows.select(col("band"), col("digest"), col("doc_id").as("ib"))
+      val pairs = l.join(r, Seq("band", "digest")).filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val partners = pairs.select(col("ia").as("doc_id"), col("ib").as("p"))
+        .unionByName(pairs.select(col("ib").as("doc_id"), col("ia").as("p")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_partners"), min(col("p")).as("min_partner"))
+      docs.select("doc_id").join(partners, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          col("min_partner"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99)
 }

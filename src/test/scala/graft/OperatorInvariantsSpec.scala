@@ -138,4 +138,30 @@ class OperatorInvariantsSpec extends SparkSpec {
       .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 2, 2L, 1L, 0L), (2L, 0, 0L, 0L, 0L)))
   }
+
+  test("portable MinHash-LSH: dup/near-dup/disjoint/short-doc band behavior") {
+    import graft.operators.DedupQueries
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word30", "changed") // 3 of 58 grams differ
+    val docs = Seq(
+      (1L, base), (2L, base),       // identical
+      (3L, nearDup),                // near-dup of 1/2
+      (4L, (1 to 60).map(i => s"other$i").mkString(" ")), // disjoint
+      (5L, "too short")             // < 3 tokens: no grams
+    ).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id") +: DedupQueries.portableMinhashCols(col("text")): _*)
+    val dg = sig.select(col("doc_id"),
+      array(DedupQueries.portableBandDigests(i => col(s"mh$i")): _*).as("digests"))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    // identical texts -> identical digests in every band
+    assert(dg(1L) == dg(2L))
+    // a 1-word edit in 60 leaves >=1 of 4 band digests intact (this exact
+    // input is deterministic; j≈0.95 makes band survival overwhelming and
+    // the constants are fixed, so this can't flake)
+    assert(dg(1L).zip(dg(3L)).exists { case (a, b) => a == b })
+    // disjoint vocab -> no shared band digest
+    assert(!dg(1L).zip(dg(4L)).exists { case (a, b) => a == b })
+    // sub-gram-length doc -> all-NULL digests (excluded from banding)
+    assert(dg(5L).forall(_.isEmpty))
+  }
 }
