@@ -365,5 +365,95 @@ object DedupQueries {
           col("min_partner"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99)
+  // --- Engine-portable SimHash (q100) ----------------------------------
+  // q53's SimHash uses xxhash64 (rows-only); this variant derives a
+  // 24-bit SimHash from the SAME portable gram hashes as q99 — bit t of
+  // the fingerprint is the majority vote of bit t across the doc's gram
+  // hashes — then runs the classic pigeonhole: hamming ≤ 3 over 3 byte
+  // blocks means ≥1 block matches exactly, so candidates come from a
+  // keyed equi-join on (block, value) and only candidates pay the
+  // bit_count(xor) verify. Fully hash-matched in DuckDB, end to end.
+  private val SimBits = 24 // < 30 bits of the mod-1e9+7 gram hash: unbiased-ish
+  private val SimBlocks = 3 // 8-bit blocks; hamming ≤ SimBlocks qualifies a pair
+  private def portableSimhashOracleSql: String = {
+    val fpSum = (0 until SimBits).map(t =>
+      s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $t) & 1) = 1)) > len(hs) " +
+        s"THEN CAST(${1L << t} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    val blockSelects = (0 until SimBlocks).map(b =>
+      s"SELECT doc_id, fp, $b AS blk, (fp >> ${8 * b}) & 255 AS val FROM sig WHERE n > 0")
+      .mkString("\n        UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_distinct([list_aggregate(l[i:i+2], 'string_agg', ' ')
+       |                             FOR i IN range(1, len(l) - 1)]) END AS gs
+       |  FROM toks),
+       |gh AS (
+       |  SELECT doc_id, list_transform(gs, g ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 131 + b) % $PortP)) AS hs
+       |  FROM grams),
+       |sig AS (SELECT doc_id, len(hs) AS n, $fpSum AS fp FROM gh),
+       |blocks AS (
+       |        $blockSelects),
+       |pairs AS (
+       |  SELECT ia, ib FROM (
+       |    SELECT DISTINCT a.doc_id AS ia, a.fp AS fa, b.doc_id AS ib, b.fp AS fb
+       |    FROM blocks a JOIN blocks b
+       |      ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+       |  WHERE bit_count(xor(fa, fb)) <= $SimBlocks),
+       |partners AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners, min(p) AS min_partner
+       |  FROM (SELECT ia AS doc_id, ib AS p FROM pairs
+       |        UNION ALL SELECT ib AS doc_id, ia AS p FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, s.fp AS simhash24,
+       |       COALESCE(n_partners, CAST(0 AS BIGINT)) AS n_partners, min_partner
+       |FROM documents d
+       |LEFT JOIN sig s USING (doc_id)
+       |LEFT JOIN partners USING (doc_id)""".stripMargin
+  }
+
+  /** Portable 24-bit SimHash column from a gram-hash array column.
+    * Exposed for the invariants spec. */
+  def portableSimhash(hs: Column): Column =
+    (0 until SimBits).map { t =>
+      when(lit(2) * size(filter(hs, h => shiftright(h, t).bitwiseAND(lit(1L)) === 1))
+        > size(hs), lit(1L << t)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  val q100 = QueryDef.oracle("q100_portable_simhash", portableSimhashOracleSql)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hs = transform(array_distinct(wordNgrams(col("text"), 3)),
+        g => portableStringHash(g))
+      val sigDf = docs
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("n"), portableSimhash(col("hs")).as("fp"))
+      val blocks = sigDf.filter(col("n") > 0)
+        .select(col("doc_id"), col("fp"),
+          posexplode(array((0 until SimBlocks).map(b =>
+            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "val")))
+      val a = blocks.select(col("blk"), col("val"), col("doc_id").as("ia"), col("fp").as("fa"))
+      val b = blocks.select(col("blk"), col("val"), col("doc_id").as("ib"), col("fp").as("fb"))
+      val pairs = a.join(b, Seq("blk", "val")).filter(col("ia") < col("ib"))
+        .select("ia", "fa", "ib", "fb").distinct()
+        .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= SimBlocks)
+        .select("ia", "ib")
+      val partners = pairs.select(col("ia").as("doc_id"), col("ib").as("p"))
+        .unionByName(pairs.select(col("ib").as("doc_id"), col("ia").as("p")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_partners"), min(col("p")).as("min_partner"))
+      docs.select("doc_id")
+        .join(sigDf.select(col("doc_id"), col("fp").as("simhash24")), Seq("doc_id"), "left")
+        .join(partners, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash24"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          col("min_partner"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100)
 }
