@@ -78,8 +78,19 @@ object PlanCheck {
       p => p.contains("TakeOrderedAndProject"))
     check("q108_customer_distribution", "both aggregation levels combine map-side",
       p => p.contains("partial_count"))
-    check("q114_waiting_orders", "exists/not-exists decorrelate to joins (no cartesian)",
-      p => !p.contains("CartesianProduct") && p.contains("TakeOrderedAndProject"))
+    // scan-count assertions: these two were rewritten from their SQL forms
+    // (which scanned lineitem 3x / 2x) to single-pass shapes — pin that
+    def scans(p: String, table: String): Int =
+      s"$table\\.parquet".r.findAllMatchIn(p).size
+    check("q114_waiting_orders", "two lineitem scans (agg + probe), not the SQL form's three",
+      p => scans(p, "lineitem") <= 2 && !p.contains("CartesianProduct") &&
+        p.contains("TakeOrderedAndProject"))
+    check("q116_min_cost_supplier", "single lineitem scan (supply computed once, window min)",
+      p => scans(p, "lineitem") == 1 && p.contains("Window"))
+    check("q99_portable_minhash_pairs", "portable LSH: no cartesian, equi-join on (band,digest)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q100_portable_simhash", "portable simhash: no cartesian, equi-join on (blk,val)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -47,6 +47,12 @@ object HashFunctions {
       exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
     ("ngram_explode", classOf[NgramExplode].getName,
       exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
+    ("portable_minhash_sig", classOf[PortableMinHashSig].getName,
+      exprs => PortableMinHashSig(exprs.head,
+        intArg("portable_minhash_sig", exprs, 1), intArg("portable_minhash_sig", exprs, 2))),
+    ("portable_simhash", classOf[PortableSimHash].getName,
+      exprs => PortableSimHash(exprs.head,
+        intArg("portable_simhash", exprs, 1), intArg("portable_simhash", exprs, 2))),
     ("topk_agg", classOf[TopKNative].getName,
       exprs => {
         require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
@@ -101,6 +107,17 @@ object HashFunctions {
   /** Native word-n-gram expression (Column form of [[WordNgrams]]). */
   def wordNgramsNative(text: Column, n: Int): Column =
     native("word_ngrams", text, lit(n))
+
+  /** Fused engine-portable MinHash signature (Column form of
+    * [[PortableMinHashSig]]); slots are the sentinel P for gram-less
+    * docs — map to NULL before banding. */
+  def portableMinhashSigNative(text: Column, n: Int, k: Int): Column =
+    native("portable_minhash_sig", text, lit(n), lit(k))
+
+  /** Fused engine-portable SimHash (Column form of [[PortableSimHash]]):
+    * struct<n_grams:int, fp:bigint>. */
+  def portableSimhashNative(text: Column, n: Int, bits: Int): Column =
+    native("portable_simhash", text, lit(n), lit(bits))
 
   /** Band keys for LSH: split the k-signature into `bands` bands of
     * k/bands rows each; key = (band index, xxhash64 of the band slice).

@@ -273,15 +273,14 @@ object DedupQueries {
   // driver hash-checks the END-TO-END near-dup result, not just row
   // counts. Same scale shape as q52: the only data-sized shuffle carries
   // (band, digest, doc_id).
-  private val PortP = 1000000007L
+  private val PortP = graft.functions.PortableHashKernels.P
   private val PortMul = 1000003L
   private val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
   private val PortBands = 4
-  private def portA(i: Int): Long = {
-    val v = (2654435761L * (i + 1)) % PortP // Knuth multiplier, i-th stream
-    if (v == 0L) 1L else v
-  }
-  private def portB(i: Int): Long = (40503L * (2L * i + 1)) % PortP
+  // constants live in the kernel — the SQL generator below and the native
+  // expression must never disagree
+  private def portA(i: Int): Long = graft.functions.PortableHashKernels.a(i)
+  private def portB(i: Int): Long = graft.functions.PortableHashKernels.b(i)
 
   private def portableMinhashOracleSql: String = {
     val mhs = (0 until PortK).map(i =>
@@ -324,11 +323,24 @@ object DedupQueries {
   }
 
   /** The k portable minhash columns for a text column (mh0..mh{k-1});
-    * empty gram set → NULL (array_min of empty), matching the oracle's
-    * CASE. Exposed for the invariants spec.
+    * empty gram set → NULL, matching the oracle's CASE. Native fused
+    * kernel: one codegen'd pass per doc (the sig expression is CSE'd
+    * across the k element_at's); the HOF twin below is the differential
+    * spec. Exposed for the invariants spec.
     */
   def portableMinhashCols(text: Column): Seq[Column] = {
-    // distinct gram hashes per doc — scan-local, codegen'd builtins only
+    val sig = portableMinhashSigNative(text, 3, PortK)
+    (0 until PortK).map { i =>
+      val v = element_at(sig, i + 1)
+      when(v === PortP, lit(null).cast("long")).otherwise(v).as(s"mh$i")
+    }
+  }
+
+  /** Interpreted higher-order-function formulation of the same math —
+    * the executable spec [[portableMinhashCols]]'s kernel is
+    * differential-tested against. Too slow for the corpus path (the k
+    * streams each re-evaluate the gram-hash chain). */
+  def portableMinhashColsHof(text: Column): Seq[Column] = {
     val hs = transform(array_distinct(wordNgrams(text, 3)), g => portableStringHash(g))
     (0 until PortK).map { i =>
       array_min(transform(hs, h => (h * portA(i) + portB(i)) % PortP)).as(s"mh$i")
@@ -417,9 +429,9 @@ object DedupQueries {
        |LEFT JOIN partners USING (doc_id)""".stripMargin
   }
 
-  /** Portable 24-bit SimHash column from a gram-hash array column.
-    * Exposed for the invariants spec. */
-  def portableSimhash(hs: Column): Column =
+  /** Portable 24-bit SimHash from a gram-hash array column — the HOF
+    * differential reference for the native kernel. */
+  def portableSimhashHof(hs: Column): Column =
     (0 until SimBits).map { t =>
       when(lit(2) * size(filter(hs, h => shiftright(h, t).bitwiseAND(lit(1L)) === 1))
         > size(hs), lit(1L << t)).otherwise(lit(0L))
@@ -428,11 +440,10 @@ object DedupQueries {
   val q100 = QueryDef.oracle("q100_portable_simhash", portableSimhashOracleSql)(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val hs = transform(array_distinct(wordNgrams(col("text"), 3)),
-        g => portableStringHash(g))
+      val sh = portableSimhashNative(col("text"), 3, SimBits)
       val sigDf = docs
-        .select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"), size(col("hs")).as("n"), portableSimhash(col("hs")).as("fp"))
+        .select(col("doc_id"), sh.as("sh"))
+        .select(col("doc_id"), col("sh.n_grams").as("n"), col("sh.fp").as("fp"))
       val blocks = sigDf.filter(col("n") > 0)
         .select(col("doc_id"), col("fp"),
           posexplode(array((0 until SimBlocks).map(b =>

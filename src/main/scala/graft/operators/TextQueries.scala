@@ -198,5 +198,47 @@ object TextQueries {
         size(filter(toks, t => length(t) > 5)).as("n_long"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q98)
+  /** GPT-style sequence packing (concat-and-chunk): documents are laid
+    * end-to-end in deterministic (source, doc_id) order and cut into
+    * fixed 512-token training chunks; each doc learns its start/end
+    * chunk and how many chunks it spans. This is the shard-assignment
+    * step of a training-data pipeline — the cumulative sum is windowed
+    * PER SOURCE (real pipelines pack within shards), so the window is
+    * keyed, never single-partition, and the exchange carries one long
+    * per row. All integer math → DuckDB reproduces it exactly.
+    */
+  val q77 = QueryDef.oracle("q77_token_packing",
+    """SELECT doc_id, source, n_tokens, cum_before,
+      |       cum_before // 512 AS start_chunk,
+      |       CASE WHEN n_tokens = 0 THEN NULL
+      |            ELSE (cum_before + n_tokens - 1) // 512 END AS end_chunk,
+      |       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      |            ELSE (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
+      |       END AS n_chunks
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |         COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |           CAST(0 AS BIGINT)) AS cum_before
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |        FROM documents))""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+          expr("cum_before div 512").as("start_chunk"),
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr("(cum_before + n_tokens - 1) div 512")).as("end_chunk"),
+          when(col("n_tokens") === 0, lit(0L))
+            .otherwise(expr("(cum_before + n_tokens - 1) div 512 - cum_before div 512 + 1"))
+            .as("n_chunks"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98)
 }

@@ -134,4 +134,47 @@ class HashFunctionsSpec extends SparkSpec {
     assert(row.getAs[Number]("same").longValue == 0L)
     assert(row.getAs[Number]("diff").longValue > 3L)
   }
+
+  // texts chosen to hit every kernel edge: multi-whitespace runs, tabs,
+  // repeated grams (distinctness), non-ASCII + astral plane (codepoint
+  // fold), < n tokens (sentinel/empty), trailing whitespace, empty string
+  private val portableEdgeTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a  b\tc   d \n e",
+    "x y z x y z x y z", // repeated grams collapse via distinct
+    "héllo wörld 𝄞clef naïve café €42 tokens here",
+    "two tokens",
+    "one",
+    "",
+    "   \t  ",
+    "trailing space run   ")
+
+  test("portable minhash: native fused kernel == HOF formulation on edge-case texts") {
+    import graft.operators.DedupQueries
+    val df = portableEdgeTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val nat = df.select(col("id") +: DedupQueries.portableMinhashCols(col("text")): _*)
+      .collect().map(r => r.getInt(0) -> r.toSeq.tail).toMap
+    val hof = df.select(col("id") +: DedupQueries.portableMinhashColsHof(col("text")): _*)
+      .collect().map(r => r.getInt(0) -> r.toSeq.tail).toMap
+    assert(nat == hof)
+    // short docs are all-NULL, real docs are fully defined
+    assert(nat(5).forall(_ == null) && nat(6).forall(_ == null))
+    assert(nat(0).forall(_ != null))
+  }
+
+  test("portable simhash: native fused kernel == HOF formulation on edge-case texts") {
+    import graft.operators.DedupQueries
+    val df = portableEdgeTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val hs = transform(array_distinct(wordNgrams(col("text"), 3)),
+      g => graft.functions.TextFunctions.portableStringHash(g))
+    val nat = df.select(col("id"),
+      portableSimhashNative(col("text"), 3, 24).as("sh"))
+      .select(col("id"), col("sh.n_grams"), col("sh.fp"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val hof = df.select(col("id"), size(hs).as("n"),
+      DedupQueries.portableSimhashHof(hs).as("fp"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(nat == hof)
+    assert(nat(6) == ((0, 0L))) // empty text: no grams, fp 0
+  }
 }
