@@ -292,5 +292,140 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  // --- Product quantization (q67) --------------------------------------
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (64-dim embeddings)
+  private val PqK = 16 // centroids per subspace codebook
+  private val PqShortlist = 50 // ADC-pruned candidates per query, exact-reranked
+
+  private def pqOracleSql: String = {
+    def lo(j: Int) = j * PqSub + 1
+    def hi(j: Int) = (j + 1) * PqSub
+    def subCos(l: String, r: String, j: Int) =
+      s"list_cosine_similarity($l[${lo(j)}:${hi(j)}], $r[${lo(j)}:${hi(j)}])"
+    val encCtes = (0 until PqM).map { j =>
+      s"""enc$j AS (
+         |  SELECT vec_id, c_id AS code$j FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${subCos("v.e", "c.c", j)} DESC, c.c_id DESC) AS rn
+         |    FROM emb v CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qtabCols = (0 until PqM).map(j => s"${subCos("q.e", "c.c", j)} AS s$j").mkString(",\n         ")
+    val qarrCols = (0 until PqM).map(j => s"list(s$j ORDER BY c_id) AS a$j").mkString(", ")
+    val encJoin = (1 until PqM).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
+    val approx = (0 until PqM).map(j => s"qa.a$j[en.code$j + 1]").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |             FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, e AS c FROM emb WHERE vec_id < $PqK),
+       |$encCtes,
+       |enc AS (SELECT * FROM enc0 $encJoin),
+       |qtab AS (
+       |  SELECT q.vec_id AS q_id, c.c_id,
+       |         $qtabCols
+       |  FROM emb q CROSS JOIN cent c WHERE q.vec_id % 50 = 0),
+       |qarr AS (SELECT q_id, $qarrCols FROM qtab GROUP BY q_id),
+       |scored AS (
+       |  SELECT qa.q_id, en.vec_id,
+       |         $approx AS approx
+       |  FROM qarr qa CROSS JOIN enc en
+       |  WHERE en.vec_id <> qa.q_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY approx DESC, vec_id) AS rs
+       |    FROM scored) WHERE rs <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id, e2.label,
+       |         list_cosine_similarity(qe.e, e2.e) AS cos
+       |  FROM short s
+       |  JOIN emb e2 ON e2.vec_id = s.vec_id
+       |  JOIN emb qe ON qe.vec_id = s.q_id)
+       |SELECT q_id, rk, vec_id, label FROM (
+       |  SELECT q_id, vec_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rer) WHERE rk <= 10""".stripMargin
+  }
+
+  /** Product-quantization ANN with exact re-ranking (the 100-TB
+    * embedding-compression scale path): each 64-float vector is encoded
+    * as 8 sub-space codes — 8 bytes instead of 256, 32× compression — by
+    * assigning each 8-dim slice to its nearest codebook centroid
+    * (deterministic codebook: vec_id < 16, the q64 stand-in for trained
+    * k-means). Scoring is asymmetric (ADC): the query stays
+    * full-precision; per query a 16-entry lookup table of sub-space
+    * cosines is built per subspace, and a candidate's approximate score
+    * is the fixed-order sum of its codes' table entries — per-candidate
+    * cost is m array lookups, no vector math. The ADC scan only PRUNES
+    * (top-50 shortlist); true cosine re-ranks the shortlist — the
+    * standard two-stage shape, so only |Q|×50 full vectors are ever
+    * fetched. Scale shape: the codebook broadcasts everywhere; encode is
+    * a map-side argmax (the corpus never shuffles its vectors); the scan
+    * scores CODES with full vectors left in storage (in production you'd
+    * IVF-route first — q64 — and PQ-score inside probed lists: IVFPQ).
+    * HASH-MATCHED: codebook, encoding (tie-break c_id DESC =
+    * max(struct)), lookup tables, the fixed left-to-right 8-term sum,
+    * the shortlist cut, and the exact re-rank are all reproduced in
+    * DuckDB; cosines use the bitwise-proven VecCosine ≡
+    * list_cosine_similarity pairing, so ranks agree exactly (rank-only
+    * output, ties → vec_id). Recall@10 gated in AnnRecallSpec.
+    */
+  val q67 = QueryDef.oracle("q67_ann_pq", pqOracleSql)(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val centroids = emb.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      def subCos(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column, j: Int) =
+        VecExpressions.cosineFast(s,
+          slice(l, j * PqSub + 1, PqSub), slice(r, j * PqSub + 1, PqSub))
+      // encode: one cross with the broadcast codebook, all m argmaxes in
+      // one map-side-combinable agg (max(struct(cos, c_id)) ≡ the
+      // oracle's DESC,c_id DESC window)
+      val enc = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id") +:
+          (0 until PqM).map(j =>
+            struct(subCos(col("embedding"), col("c_vec"), j).as("s"),
+              col("c_id")).as(s"sc$j")): _*)
+        .groupBy("vec_id")
+        .agg(max(s"sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
+        .select(col("vec_id") +:
+          (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
+      // per-query ADC lookup tables: m arrays of K sub-space cosines,
+      // positioned by c_id (sort_array on struct(c_id, s) = list ORDER BY)
+      val qarr = querySet(s, d).crossJoin(broadcast(centroids))
+        .select(col("q_id") +: col("c_id") +:
+          (0 until PqM).map(j => subCos(col("q_vec"), col("c_vec"), j).as(s"s$j")): _*)
+        .groupBy("q_id")
+        .agg(sort_array(collect_list(struct(col("c_id"), col("s0")))).as("l0"),
+          (1 until PqM).map(j =>
+            sort_array(collect_list(struct(col("c_id"), col(s"s$j")))).as(s"l$j")): _*)
+        .select(col("q_id") +:
+          (0 until PqM).map(j =>
+            transform(col(s"l$j"), x => x.getField(s"s$j")).as(s"a$j")): _*)
+      val approx = (0 until PqM)
+        .map(j => element_at(col(s"a$j"), (col(s"code$j") + 1).cast("int")))
+        .reduceLeft(_ + _)
+      // ADC prune: codes x broadcast lookup tables, no vector math
+      val wShort = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
+      val short = enc
+        .crossJoin(broadcast(qarr))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("approx", approx)
+        .withColumn("rs", row_number().over(wShort)).filter(col("rs") <= PqShortlist)
+        .select("q_id", "vec_id")
+      // exact re-rank: fetch full vectors for the |Q| x shortlist set only
+      val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      short
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(querySet(s, d)), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
 }

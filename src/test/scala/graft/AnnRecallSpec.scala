@@ -37,6 +37,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.4, f"IVF ANN recall degraded: $r%.3f")
   }
 
+  test("PQ (8x16 codebook, 32x compression) + exact rerank achieves >= 0.5 recall@10") {
+    // 8-byte codes against 256-byte vectors; the ADC scan only prunes to
+    // a 50-candidate shortlist and true cosine re-ranks, so recall@10 is
+    // really P(true top-10 ⊆ ADC top-50) — 0.60 with an UNTRAINED
+    // (vec_id<16) codebook (trained k-means would do far better). The
+    // gate pins the floor so an encoding/scoring regression can't hide.
+    val r = recallVsExact("q67_ann_pq")
+    assert(r >= 0.5, f"PQ ANN recall degraded: $r%.3f")
+  }
+
   test("int8 scalar quantization achieves >= 0.9 recall@10 vs float brute force") {
     // quantization perturbs each coordinate by <= scale/2 (~0.4% of the
     // max magnitude), so top-10 membership should be nearly unchanged —
