@@ -427,5 +427,82 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
+  // --- Portable vector LSH (q68) ---------------------------------------
+  private val VlTables = 4 // LSH tables
+  private val VlBits = 6 // sign bits per table
+  private val VlThreshold = 0.4 // exact-cosine accept (no >=0.95 dups in testdata)
+
+  /** Sign-projection vector LSH with DETERMINISTIC hyperplanes — the
+    * oracle-able twin of q62/q63's random-hyperplane buckets (same role
+    * q99/q100 play for the text family). Hyperplanes are the first
+    * tables×bits corpus vectors (vec_id < 24, the q64/q67 stand-in for
+    * sampled/learned planes); bit b of table t is sign(cos(v, plane)) —
+    * the bitwise-proven VecCosine ≡ list_cosine_similarity pairing, so
+    * both engines derive IDENTICAL buckets, candidates, and accepted
+    * pairs. Same scale shape as q63: the only data-sized shuffle carries
+    * (table, bucket, vec_id); exact cosines are paid only on bucket
+    * collisions; per-vec near-dup summary output. HASH-MATCHED
+    * end-to-end, exact-double best_cos included (no rounding needed —
+    * both engines produce the same bits).
+    */
+  val q68 = QueryDef.oracle("q68_portable_vec_lsh",
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |planes AS (SELECT vec_id AS p_id, e AS p FROM emb WHERE vec_id < ${VlTables * VlBits}),
+       |bits AS (
+       |  SELECT v.vec_id, CAST(p.p_id // $VlBits AS INTEGER) AS tbl,
+       |         CASE WHEN list_cosine_similarity(v.e, p.p) > 0
+       |              THEN 1 << CAST(p.p_id % $VlBits AS INTEGER) ELSE 0 END AS bit
+       |  FROM emb v CROSS JOIN planes p),
+       |buckets AS (SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+       |            FROM bits GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT ia, ib, cos FROM (
+       |    SELECT c.ia, c.ib, list_cosine_similarity(ea.e, eb.e) AS cos
+       |    FROM cand c
+       |    JOIN emb ea ON ea.vec_id = c.ia
+       |    JOIN emb eb ON eb.vec_id = c.ib)
+       |  WHERE cos >= $VlThreshold),
+       |pervec AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near_dups, max(cos) AS best_cos
+       |  FROM (SELECT ia AS vec_id, cos FROM pairs
+       |        UNION ALL SELECT ib AS vec_id, cos FROM pairs)
+       |  GROUP BY vec_id)
+       |SELECT e.vec_id, COALESCE(n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups, best_cos
+       |FROM emb e LEFT JOIN pervec USING (vec_id)""".stripMargin)(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planes = emb.filter(col("vec_id") < VlTables * VlBits)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p"))
+      val buckets = emb.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          expr(s"CAST(p_id div $VlBits AS INT)").as("tbl"),
+          when(VecExpressions.cosineFast(s, col("embedding"), col("p")) > 0,
+            expr(s"shiftleft(1, CAST(p_id % $VlBits AS INT))").cast("long"))
+            .otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id", "tbl").agg(sum("bit").as("bucket"))
+      val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("ia"))
+      val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("ib"))
+      val cand = a.join(b, Seq("tbl", "bucket")).filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val pairs = cand
+        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("va")), Seq("ia"))
+        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          VecExpressions.cosineFast(s, col("va"), col("vb")).as("cos"))
+        .filter(col("cos") >= VlThreshold)
+      val perVec = pairs.select(col("ia").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("ib").as("vec_id"), col("cos")))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_near_dups"), max("cos").as("best_cos"))
+      emb.select("vec_id").join(perVec, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_cos"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }
