@@ -504,5 +504,155 @@ object SimilarityQueries {
           col("best_cos"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
+  // --- IVFPQ (q69) ------------------------------------------------------
+  private def ivfpqOracleSql: String = {
+    def lo(j: Int) = j * PqSub + 1
+    def hi(j: Int) = (j + 1) * PqSub
+    def subCos(l: String, r: String, j: Int) =
+      s"list_cosine_similarity($l[${lo(j)}:${hi(j)}], $r[${lo(j)}:${hi(j)}])"
+    val encCtes = (0 until PqM).map { j =>
+      s"""enc$j AS (
+         |  SELECT vec_id, c_id AS code$j FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${subCos("v.e", "c.c", j)} DESC, c.c_id DESC) AS rn
+         |    FROM emb v CROSS JOIN pqcent c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qtabCols = (0 until PqM).map(j => s"${subCos("q.e", "c.c", j)} AS s$j").mkString(",\n         ")
+    val qarrCols = (0 until PqM).map(j => s"list(s$j ORDER BY c_id) AS a$j").mkString(", ")
+    val encJoin = (1 until PqM).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
+    val approx = (0 until PqM).map(j => s"qa.a$j[en.code$j + 1]").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |             FROM embeddings),
+       |ivfcent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < 64),
+       |pqcent AS (SELECT vec_id AS c_id, e AS c FROM emb WHERE vec_id < $PqK),
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(v.e, c.c_vec) DESC,
+       |                      c.c_id DESC) AS rn
+       |    FROM emb v CROSS JOIN ivfcent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(q.e, c.c_vec) DESC,
+       |                      c.c_id) AS pr
+       |    FROM emb q CROSS JOIN ivfcent c WHERE q.vec_id % 50 = 0) WHERE pr <= 8),
+       |$encCtes,
+       |enc AS (SELECT * FROM enc0 $encJoin),
+       |qtab AS (
+       |  SELECT q.vec_id AS q_id, c.c_id,
+       |         $qtabCols
+       |  FROM emb q CROSS JOIN pqcent c WHERE q.vec_id % 50 = 0),
+       |qarr AS (SELECT q_id, $qarrCols FROM qtab GROUP BY q_id),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |         $approx AS approx
+       |  FROM probes p
+       |  JOIN assign a ON a.c_id = p.c_id
+       |  JOIN enc en ON en.vec_id = a.vec_id
+       |  JOIN qarr qa ON qa.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q_id
+       |             ORDER BY approx DESC, vec_id) AS rs
+       |    FROM scored) WHERE rs <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.q_id, s.vec_id, e2.label,
+       |         list_cosine_similarity(qe.e, e2.e) AS cos
+       |  FROM short s
+       |  JOIN emb e2 ON e2.vec_id = s.vec_id
+       |  JOIN emb qe ON qe.vec_id = s.q_id)
+       |SELECT q_id, rk, vec_id, label FROM (
+       |  SELECT q_id, vec_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rer) WHERE rk <= 10""".stripMargin
+  }
+
+  /** IVFPQ — the composed production ANN: IVF coarse routing (q64's
+    * 64-centroid quantizer, nprobe=8) narrows candidates to the probed
+    * inverted lists (~1/8 of the corpus), PQ-ADC (q67's 8-byte codes +
+    * per-query lookup tables) scores those candidates without touching
+    * vectors, and true cosine re-ranks the 50-candidate shortlist. At
+    * 100 TB this is THE shape: routing bounds the scan, codes bound the
+    * I/O (32×), rerank bounds the quality loss — and every stage's
+    * shuffle carries ids + codes, never vectors (full vectors re-join
+    * only for |Q|×50 rows). HASH-MATCHED end-to-end: both quantizers are
+    * deterministic, all cosines are the bitwise-proven pairing, sums are
+    * fixed-order — DuckDB reproduces routing, encoding, ADC, shortlist,
+    * and rerank exactly (rank-only output, ties → vec_id).
+    */
+  val q69 = QueryDef.oracle("q69_ann_ivfpq", ivfpqOracleSql)(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val ivfCent = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val pqCent = emb.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      def subCos(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column, j: Int) =
+        VecExpressions.cosineFast(s,
+          slice(l, j * PqSub + 1, PqSub), slice(r, j * PqSub + 1, PqSub))
+      // IVF routing: map-side argmax against the broadcast coarse codebook
+      val assign = emb.crossJoin(broadcast(ivfCent))
+        .select(col("vec_id"),
+          struct(VecExpressions.cosineFast(s, col("embedding"), col("c_vec")).as("s"),
+            col("c_id")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("best"))
+        .select(col("vec_id"), col("best.c_id").as("c_id"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+      val probes = querySet(s, d).crossJoin(broadcast(ivfCent))
+        .select(col("q_id"), col("c_id"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
+        .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 8)
+        .select("q_id", "c_id")
+      // PQ encode (same construction as q67, against the PQ codebook)
+      val enc = emb.crossJoin(broadcast(pqCent))
+        .select(col("vec_id") +:
+          (0 until PqM).map(j =>
+            struct(subCos(col("embedding"), col("c_vec"), j).as("s"),
+              col("c_id")).as(s"sc$j")): _*)
+        .groupBy("vec_id")
+        .agg(max(s"sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
+        .select(col("vec_id") +:
+          (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
+      val qarr = querySet(s, d).crossJoin(broadcast(pqCent))
+        .select(col("q_id") +: col("c_id") +:
+          (0 until PqM).map(j => subCos(col("q_vec"), col("c_vec"), j).as(s"s$j")): _*)
+        .groupBy("q_id")
+        .agg(sort_array(collect_list(struct(col("c_id"), col("s0")))).as("l0"),
+          (1 until PqM).map(j =>
+            sort_array(collect_list(struct(col("c_id"), col(s"s$j")))).as(s"l$j")): _*)
+        .select(col("q_id") +:
+          (0 until PqM).map(j =>
+            transform(col(s"l$j"), x => x.getField(s"s$j")).as(s"a$j")): _*)
+      val approx = (0 until PqM)
+        .map(j => element_at(col(s"a$j"), (col(s"code$j") + 1).cast("int")))
+        .reduceLeft(_ + _)
+      // routed candidates only: probes ⋈ assign on the coarse cell, then
+      // ADC-score codes against the broadcast lookup tables
+      val wShort = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
+      val short = broadcast(probes).join(assign, Seq("c_id"))
+        .join(enc, Seq("vec_id"))
+        .join(broadcast(qarr), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("approx", approx)
+        .withColumn("rs", row_number().over(wShort)).filter(col("rs") <= PqShortlist)
+        .select("q_id", "vec_id")
+      val wRank = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      short
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(querySet(s, d)), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

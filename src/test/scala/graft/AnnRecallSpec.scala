@@ -47,6 +47,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, f"PQ ANN recall degraded: $r%.3f")
   }
 
+  test("IVFPQ (routing x codes x rerank) achieves >= 0.4 recall@10 vs brute force") {
+    // recall compounds: IVF routing misses (nprobe 8/64 alone: 0.48) x PQ
+    // shortlist misses (alone: 0.60); empirically routing binds (0.48, equal
+    // to IVF alone — the PQ prune + rerank lose nothing extra). Pins that the
+    // production shape still returns useful neighbors after BOTH
+    // approximations, with exact rerank cleaning up inside the shortlist
+    val r = recallVsExact("q69_ann_ivfpq")
+    assert(r >= 0.4, f"IVFPQ recall degraded: $r%.3f")
+  }
+
   test("int8 scalar quantization achieves >= 0.9 recall@10 vs float brute force") {
     // quantization perturbs each coordinate by <= scale/2 (~0.4% of the
     // max magnitude), so top-10 membership should be nearly unchanged —
