@@ -334,6 +334,88 @@ object ExtensionQueries {
         expr("percentile(cents, 0.5D)").as("p50"),
         expr("percentile(cents, 0.75D)").as("p75")))
 
+  /** SCD2 dimension history via gaps-and-islands: consecutive same-status
+    * orders per customer collapse into one validity interval (the classic
+    * rn − rn_per_status island key), each versioned in effective-date
+    * order — how a warehouse reconstructs slowly-changing-dimension
+    * history from an event log. Two keyed windows + one keyed agg, all
+    * partitioned by o_custkey: three exchanges on the same key (AQE
+    * reuses the partitioning), never a global sort. Deterministic: the
+    * (o_orderdate, o_orderkey) tiebreak is unique.
+    */
+  val q78 = QueryDef.oracle("q78_scd2_islands",
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS rn,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+      |           ORDER BY o_orderdate, o_orderkey) AS rs
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |         min(o_orderdate) AS eff_from, max(o_orderdate) AS last_seen,
+      |         count(*) AS n_orders
+      |  FROM seq GROUP BY o_custkey, o_orderstatus, rn - rs)
+      |SELECT o_custkey, o_orderstatus, eff_from, last_seen, n_orders,
+      |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |         ORDER BY eff_from, o_orderstatus) AS version
+      |FROM isl""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byCustStatus = Window.partitionBy("o_custkey", "o_orderstatus")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val isl = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+          (row_number().over(byCust) - row_number().over(byCustStatus)).as("grp"))
+        .groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(min("o_orderdate").as("eff_from"), max("o_orderdate").as("last_seen"),
+          count(lit(1)).as("n_orders"))
+      val byEff = Window.partitionBy("o_custkey")
+        .orderBy(col("eff_from"), col("o_orderstatus"))
+      isl.select(col("o_custkey"), col("o_orderstatus"), col("eff_from"),
+        col("last_seen"), col("n_orders"),
+        row_number().over(byEff).as("version"))
+    })
+
+  /** Data-quality profile — the ANALYZE-shape intake check a training
+    * pipeline runs before accepting a drop: per-column null counts,
+    * exact distinct cardinalities, and numeric ranges, in ONE aggregate
+    * pass (Spark plans the multi-distinct via Expand — still a single
+    * scan + one exchange of constant-size state; the q25 sketches are
+    * the approximate path when exact distincts stop fitting).
+    */
+  val q79 = QueryDef.oracle("q79_data_quality",
+    """SELECT count(*) AS n_rows,
+      |       count(doc_id) AS doc_id_nonnull,
+      |       count(DISTINCT doc_id) AS doc_id_distinct,
+      |       count(text) AS text_nonnull,
+      |       count(DISTINCT text) AS text_distinct,
+      |       count(lang) AS lang_nonnull,
+      |       count(DISTINCT lang) AS lang_distinct,
+      |       count(source) AS source_nonnull,
+      |       count(DISTINCT source) AS source_distinct,
+      |       count(n_chars) AS n_chars_nonnull,
+      |       min(n_chars) AS n_chars_min,
+      |       max(n_chars) AS n_chars_max,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+      |FROM documents""".stripMargin)(
+    (s, d) => Tables.documents(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("doc_id")).as("doc_id_nonnull"),
+      countDistinct(col("doc_id")).as("doc_id_distinct"),
+      count(col("text")).as("text_nonnull"),
+      countDistinct(col("text")).as("text_distinct"),
+      count(col("lang")).as("lang_nonnull"),
+      countDistinct(col("lang")).as("lang_distinct"),
+      count(col("source")).as("source_nonnull"),
+      countDistinct(col("source")).as("source_distinct"),
+      count(col("n_chars")).as("n_chars_nonnull"),
+      min(col("n_chars")).as("n_chars_min"),
+      max(col("n_chars")).as("n_chars_max"),
+      sum(col("n_chars")).as("n_chars_sum")))
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q88, q89, q93, q94)
+    q59, q75, q78, q79, q88, q89, q93, q94)
 }
