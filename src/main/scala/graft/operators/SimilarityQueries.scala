@@ -372,42 +372,59 @@ object SimilarityQueries {
     * list_cosine_similarity pairing, so ranks agree exactly (rank-only
     * output, ties → vec_id). Recall@10 gated in AnnRecallSpec.
     */
+  /** Per-subspace cosine between two vector columns' j-th slices. */
+  private def pqSubCos(s: org.apache.spark.sql.SparkSession,
+      l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column, j: Int) =
+    VecExpressions.cosineFast(s,
+      slice(l, j * PqSub + 1, PqSub), slice(r, j * PqSub + 1, PqSub))
+
+  /** PQ codebook: the deterministic stand-in for trained k-means. */
+  private def pqCodebook(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+  /** PQ encode: one cross with the broadcast codebook, all m argmaxes in
+    * one map-side-combinable agg (max(struct(cos, c_id)) ≡ the oracle's
+    * DESC,c_id DESC window) → (vec_id, code0..code{m-1}). */
+  private def pqEncode(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("vec_id") +:
+        (0 until PqM).map(j =>
+          struct(pqSubCos(s, col("embedding"), col("c_vec"), j).as("s"),
+            col("c_id")).as(s"sc$j")): _*)
+      .groupBy("vec_id")
+      .agg(max(s"sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
+      .select(col("vec_id") +:
+        (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
+
+  /** Per-query ADC lookup tables: m arrays of K sub-space cosines,
+    * positioned by c_id (sort_array on struct(c_id, s) = list ORDER BY). */
+  private def pqLookup(s: org.apache.spark.sql.SparkSession, d: String,
+      emb: org.apache.spark.sql.DataFrame) =
+    querySet(s, d).crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("q_id") +: col("c_id") +:
+        (0 until PqM).map(j => pqSubCos(s, col("q_vec"), col("c_vec"), j).as(s"s$j")): _*)
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("c_id"), col("s0")))).as("l0"),
+        (1 until PqM).map(j =>
+          sort_array(collect_list(struct(col("c_id"), col(s"s$j")))).as(s"l$j")): _*)
+      .select(col("q_id") +:
+        (0 until PqM).map(j =>
+          transform(col(s"l$j"), x => x.getField(s"s$j")).as(s"a$j")): _*)
+
+  /** Fixed left-to-right m-term ADC sum (matches the oracle's + chain). */
+  private def pqApprox = (0 until PqM)
+    .map(j => element_at(col(s"a$j"), (col(s"code$j") + 1).cast("int")))
+    .reduceLeft(_ + _)
+
   val q67 = QueryDef.oracle("q67_ann_pq", pqOracleSql)(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
-      val centroids = emb.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      def subCos(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column, j: Int) =
-        VecExpressions.cosineFast(s,
-          slice(l, j * PqSub + 1, PqSub), slice(r, j * PqSub + 1, PqSub))
-      // encode: one cross with the broadcast codebook, all m argmaxes in
-      // one map-side-combinable agg (max(struct(cos, c_id)) ≡ the
-      // oracle's DESC,c_id DESC window)
-      val enc = emb.crossJoin(broadcast(centroids))
-        .select(col("vec_id") +:
-          (0 until PqM).map(j =>
-            struct(subCos(col("embedding"), col("c_vec"), j).as("s"),
-              col("c_id")).as(s"sc$j")): _*)
-        .groupBy("vec_id")
-        .agg(max(s"sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
-        .select(col("vec_id") +:
-          (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
-      // per-query ADC lookup tables: m arrays of K sub-space cosines,
-      // positioned by c_id (sort_array on struct(c_id, s) = list ORDER BY)
-      val qarr = querySet(s, d).crossJoin(broadcast(centroids))
-        .select(col("q_id") +: col("c_id") +:
-          (0 until PqM).map(j => subCos(col("q_vec"), col("c_vec"), j).as(s"s$j")): _*)
-        .groupBy("q_id")
-        .agg(sort_array(collect_list(struct(col("c_id"), col("s0")))).as("l0"),
-          (1 until PqM).map(j =>
-            sort_array(collect_list(struct(col("c_id"), col(s"s$j")))).as(s"l$j")): _*)
-        .select(col("q_id") +:
-          (0 until PqM).map(j =>
-            transform(col(s"l$j"), x => x.getField(s"s$j")).as(s"a$j")): _*)
-      val approx = (0 until PqM)
-        .map(j => element_at(col(s"a$j"), (col(s"code$j") + 1).cast("int")))
-        .reduceLeft(_ + _)
+      val enc = pqEncode(s, emb)
+      val qarr = pqLookup(s, d, emb)
+      val approx = pqApprox
       // ADC prune: codes x broadcast lookup tables, no vector math
       val wShort = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
       val short = enc
@@ -593,11 +610,6 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val ivfCent = emb.filter(col("vec_id") < 64)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      val pqCent = emb.filter(col("vec_id") < PqK)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      def subCos(l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column, j: Int) =
-        VecExpressions.cosineFast(s,
-          slice(l, j * PqSub + 1, PqSub), slice(r, j * PqSub + 1, PqSub))
       // IVF routing: map-side argmax against the broadcast coarse codebook
       val assign = emb.crossJoin(broadcast(ivfCent))
         .select(col("vec_id"),
@@ -611,29 +623,10 @@ object SimilarityQueries {
           VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
         .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 8)
         .select("q_id", "c_id")
-      // PQ encode (same construction as q67, against the PQ codebook)
-      val enc = emb.crossJoin(broadcast(pqCent))
-        .select(col("vec_id") +:
-          (0 until PqM).map(j =>
-            struct(subCos(col("embedding"), col("c_vec"), j).as("s"),
-              col("c_id")).as(s"sc$j")): _*)
-        .groupBy("vec_id")
-        .agg(max(s"sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
-        .select(col("vec_id") +:
-          (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
-      val qarr = querySet(s, d).crossJoin(broadcast(pqCent))
-        .select(col("q_id") +: col("c_id") +:
-          (0 until PqM).map(j => subCos(col("q_vec"), col("c_vec"), j).as(s"s$j")): _*)
-        .groupBy("q_id")
-        .agg(sort_array(collect_list(struct(col("c_id"), col("s0")))).as("l0"),
-          (1 until PqM).map(j =>
-            sort_array(collect_list(struct(col("c_id"), col(s"s$j")))).as(s"l$j")): _*)
-        .select(col("q_id") +:
-          (0 until PqM).map(j =>
-            transform(col(s"l$j"), x => x.getField(s"s$j")).as(s"a$j")): _*)
-      val approx = (0 until PqM)
-        .map(j => element_at(col(s"a$j"), (col(s"code$j") + 1).cast("int")))
-        .reduceLeft(_ + _)
+      // PQ encode + per-query lookup tables: shared q67 construction
+      val enc = pqEncode(s, emb)
+      val qarr = pqLookup(s, d, emb)
+      val approx = pqApprox
       // routed candidates only: probes ⋈ assign on the coarse cell, then
       // ADC-score codes against the broadcast lookup tables
       val wShort = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id"))
