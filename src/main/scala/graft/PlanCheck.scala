@@ -91,6 +91,13 @@ object PlanCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q100_portable_simhash", "portable simhash: no cartesian, equi-join on (blk,val)",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q77_token_packing", "packing cumsum is a KEYED window (never SinglePartition)",
+      p => p.contains("Window") && !p.contains("SinglePartition"))
+    check("q78_scd2_islands", "islands: keyed windows only, no cartesian",
+      p => p.contains("Window") && !p.contains("SinglePartition") &&
+        !p.contains("CartesianProduct"))
+    check("q79_data_quality", "multi-distinct profile: one scan through Expand",
+      p => p.contains("Expand") && scans(p, "documents") == 1)
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result
