@@ -98,6 +98,22 @@ object PlanCheck {
         !p.contains("CartesianProduct"))
     check("q79_data_quality", "multi-distinct profile: one scan through Expand",
       p => p.contains("Expand") && scans(p, "documents") == 1)
+    check("q117_repetition_filter", "repetition stats stay in the scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
+    check("q118_ngram_decontam", "eval grams broadcast; corpus grams never shuffle",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    // the sketch pass sits behind a lazy localCheckpoint boundary, so its
+    // partial-agg is asserted in MisraGriesAggSpec; here we pin pass 2:
+    // candidates broadcast into a semi-join, never sort-merge
+    check("q119_heavy_hitters", "exact pass: candidates broadcast semi-join (no SMJ)",
+      p => p.contains("LeftSemi") && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"))
+    check("q120_mixture_sample", "derived rates broadcast back (no fact-side sort-merge)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q121_dpp_join", "runtime month set prunes fact partitions (DPP subquery)",
+      p => p.toLowerCase.contains("dynamicpruning"))
+    check("q122_tfidf_top_terms", "df frame broadcasts back into tf (no SortMergeJoin)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

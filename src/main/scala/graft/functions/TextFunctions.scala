@@ -131,4 +131,26 @@ object TextFunctions {
     */
   def portableStringHash(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (a, c) => (a * 131L + ascii(c)) % 1000000007L)
+
+  /** Gopher-style repetition stats (Rae et al. 2021 §A1.1), scan-local
+    * and engine-portable (plain integer ratios, rounded to 6 places).
+    * maxUnigramFrac: share of the token stream taken by the single most
+    * frequent token (O(n·distinct) per row — bounded by doc length).
+    */
+  def maxUnigramFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val maxCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    round(when(size(toks) === 0, lit(0.0))
+      .otherwise(maxCnt.cast("double") / size(toks)), 6)
+  }
+
+  /** Fraction of word-3-gram positions that repeat an earlier 3-gram of
+    * the same document (1 − distinct/total) — the duplicate-phrase
+    * signal of the Gopher repetition filters. */
+  def dupTrigramFrac(text: Column): Column = {
+    val tris = wordNgrams(text, 3)
+    round(when(size(tris) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(tris)).cast("double") / size(tris)), 6)
+  }
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.MisraGriesAgg
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation suite over the `documents` table — the operators a
+  * training-data pipeline runs between raw intake and tokenization:
+  * repetition-based quality filtering, eval-set decontamination, exact
+  * heavy-hitter vocabulary stats, and mixture-weighted deterministic
+  * sampling. Everything here is engine-portable arithmetic (no internal
+  * hash functions), so every query carries a full DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    * of the token stream taken by the single most frequent token, and
+    * fraction of duplicate word-3-grams. Docs dominated by one token or
+    * by repeated phrases are boilerplate/spam, not prose. Scan-local
+    * per-row work (no shuffle); both fractions are exact integer ratios
+    * rounded identically in both engines, and the keep decision compares
+    * the ROUNDED values so the cut is reproducible bit-for-bit.
+    */
+  val q117 = QueryDef.oracle("q117_repetition_filter",
+    """SELECT doc_id, n_toks, max_unigram_frac, dup_trigram_frac,
+      |       (max_unigram_frac <= 0.15 AND dup_trigram_frac <= 0.01) AS kept
+      |FROM (
+      |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+      |    round(CASE WHEN len(l) = 0 THEN 0.0
+      |               ELSE list_max([len(list_filter(l, x -> x = t))
+      |                              FOR t IN list_distinct(l)])
+      |                    / CAST(len(l) AS DOUBLE) END, 6) AS max_unigram_frac,
+      |    round(CASE WHEN len(l) < 3 THEN 0.0
+      |               ELSE 1.0 - len(list_distinct(
+      |                      [list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                       FOR i IN range(1, len(l) - 1)]))
+      |                    / CAST(len(l) - 2 AS DOUBLE) END, 6) AS dup_trigram_frac
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |        FROM documents))""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
+        maxUnigramFrac(col("text")).as("max_unigram_frac"),
+        dupTrigramFrac(col("text")).as("dup_trigram_frac"))
+      .withColumn("kept",
+        col("max_unigram_frac") <= 0.15 && col("dup_trigram_frac") <= 0.01))
+
+  /** Eval-set n-gram decontamination (GPT-3 App. C / PaLM-style): flag
+    * every corpus document sharing a word-4-gram with the held-out eval
+    * source (`src0`). The eval gram set is SMALL by construction — that
+    * is the real-world shape (eval benchmarks are KBs, the corpus is
+    * TBs) — so it broadcasts, the corpus side stays scan-local through
+    * the semi-join, and the only exchange is the per-doc hit count
+    * (doc_id + partial count, map-side combined). No gram ever crosses
+    * the wire.
+    */
+  val q118 = QueryDef.oracle("q118_ngram_decontam",
+    """WITH g AS (
+      |  SELECT doc_id, source, unnest(
+      |           CASE WHEN len(l) < 4 THEN []
+      |                ELSE list_distinct([list_aggregate(l[i:i+3], 'string_agg', ' ')
+      |                                    FOR i IN range(1, len(l) - 2)]) END) AS gram
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      |hits AS (SELECT g.doc_id, count(*) AS n_hits
+      |         FROM g JOIN ev USING (gram) WHERE g.source <> 'src0'
+      |         GROUP BY g.doc_id)
+      |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') c
+      |LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin)(
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(wordNgrams(col("text"), 4))).as("gram"))
+      val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
+      val hits = grams.filter(col("source") =!= "src0")
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      Tables.documents(s, d).filter(col("source") =!= "src0").select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    })
+
+  /** Exact φ-heavy-hitters (φ = 1/29) by the canonical two-pass sketch:
+    * pass 1 runs the mergeable Misra–Gries sketch (k = 28 counters) and
+    * the stream length in ONE aggregation — partials are k-bounded, so
+    * the exchange is O(partitions × k) regardless of vocabulary size;
+    * pass 2 exact-counts ONLY the broadcast candidates (the MG bound
+    * guarantees every token with freq > N/29 is a candidate) and keeps
+    * those whose EXACT count clears the threshold. The result is exact —
+    * the oracle is the plain GROUP BY ... HAVING the sketch path must
+    * reproduce — but unlike the plain GROUP BY, pass-1 state never
+    * scales with vocabulary. The threshold compare is integer-exact
+    * (freq * 29 > N), no floating point anywhere.
+    */
+  val q119 = QueryDef.oracle("q119_heavy_hitters",
+    """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                        x -> x <> '')) AS tok
+      |              FROM documents),
+      |n AS (SELECT count(*) AS n_total FROM toks)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |FROM toks, n
+      |GROUP BY tok, n_total
+      |HAVING count(*) * 29 > n_total""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(explode(tokens(col("text"))).as("tok"))
+      // one pass: sketch + stream length; tiny (1 row), reused twice below
+      val sketch = toks
+        .agg(MisraGriesAgg.column(28)(col("tok")).as("cands"), count(lit(1)).as("n_total"))
+        .localCheckpoint(false)
+      val cand = sketch.select(explode(col("cands")).as("tok"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(sketch.select("n_total")))
+        .filter(col("freq") * 29 > col("n_total"))
+        .select("tok", "freq")
+    })
+
+  /** Mixture-weighted deterministic sampling: hit a target language
+    * mixture (en .30 / de .20 / fr .20 / es .15 / zh .15) over a token
+    * budget of 40% of the corpus, the way pretraining mixtures are
+    * actually drawn. Per-language keep-rates are DERIVED FROM THE DATA
+    * (rate = weight × budget / language-tokens, capped at 1) in a 5-row
+    * aggregate that broadcasts back — no driver round-trip — and
+    * membership is a pure function of content (md5-prefix uniform in
+    * [0,1), exact: the divisor is a power of two), so the sample is
+    * stable across engines, reruns, and partitionings. Scan-local apart
+    * from the 5-row rate aggregate.
+    */
+  val q120 = QueryDef.oracle("q120_mixture_sample",
+    """WITH t AS (SELECT doc_id, lang,
+      |             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks,
+      |             CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT)
+      |               / 16777216.0 AS u
+      |           FROM documents),
+      |la AS (SELECT lang, SUM(n_toks) AS lang_toks FROM t GROUP BY lang),
+      |tot AS (SELECT SUM(n_toks) AS total_toks FROM t),
+      |r AS (SELECT lang,
+      |        least(1.0, (CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20
+      |                              WHEN 'fr' THEN 0.20 WHEN 'es' THEN 0.15
+      |                              ELSE 0.15 END)
+      |                   * 0.4 * total_toks / lang_toks) AS rate
+      |      FROM la, tot)
+      |SELECT t.doc_id, t.lang, t.n_toks, t.u < r.rate AS kept
+      |FROM t JOIN r USING (lang)""".stripMargin)(
+    (s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_toks"),
+        (conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long")
+          / lit(16777216.0)).as("u"))
+      val la = t.groupBy("lang").agg(sum("n_toks").as("lang_toks"))
+      val tot = t.agg(sum("n_toks").as("total_toks"))
+      val weight = when(col("lang") === "en", 0.30).when(col("lang") === "de", 0.20)
+        .when(col("lang") === "fr", 0.20).when(col("lang") === "es", 0.15)
+        .otherwise(0.15)
+      val rates = la.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(1.0), weight * lit(0.4) * col("total_toks") / col("lang_toks"))
+            .as("rate"))
+      t.join(broadcast(rates), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          (col("u") < col("rate")).as("kept"))
+    })
+
+  /** Dynamic partition pruning: the fact side is a Hive-partitioned
+    * lineitem layout (partitioned by ship month); the dimension is a
+    * runtime-derived month set (months with 2001 urgent orders) that no
+    * static rewrite can see. Catalyst inserts a DPP subquery into the
+    * fact scan's PartitionFilters, so at 100 TB the scan opens only the
+    * joined months' directories instead of all of them — asserted in
+    * PlanCheck. The layout is written once per JVM (the write itself is
+    * q29's benchmark, not this one's).
+    */
+  val q121 = QueryDef.oracle("q121_dpp_join",
+    """SELECT ship_month, count(*) AS n,
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |             l_extendedprice
+      |      FROM lineitem) l
+      |JOIN (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS ship_month
+      |      FROM orders
+      |      WHERE o_orderpriority = '1-URGENT'
+      |        AND o_orderdate >= DATE '2001-01-01') d USING (ship_month)
+      |GROUP BY ship_month""".stripMargin)(
+    (s, d) => {
+      val fact = graft.sources.Layout.partitionedLineitem(s, d)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("2001-01-01").cast("date"))
+        .select(trunc(col("o_orderdate"), "month").as("ship_month")).distinct()
+      fact.join(dim, Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    })
+
+  /** TF-IDF top terms per document — the classic keyword-extraction
+    * shape. Document frequencies aggregate to a vocabulary-sized frame
+    * that BROADCASTS back into the per-doc term counts; ranking happens
+    * on the ROUNDED score (then term as tiebreak) so the top-3 cut is
+    * deterministic across engines. Shuffles: one keyed on (doc, term)
+    * for tf, one keyed on doc for the window — both carry counts, never
+    * text bodies.
+    */
+  val q122 = QueryDef.oracle("q122_tfidf_top_terms",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.tok,
+      |             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+      |             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+      |           FROM tf JOIN df USING (tok), n)
+      |SELECT doc_id, tok, tf, df, score, rnk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, tok) AS BIGINT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("tok")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Semantics of the repetition-filter primitives on crafted inputs (the
+  * DuckDB oracle checks them on real testdata; this pins the math on
+  * documents whose right answer is known by hand).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(texts: String*): Seq[(Double, Double)] =
+    texts.toDF("text")
+      .select(maxUnigramFrac(col("text")), dupTrigramFrac(col("text")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+
+  test("max unigram fraction: hand-computed cases") {
+    val Seq(a, b, c, d) = stats(
+      "a b c d",        // all unique -> 1/4
+      "a a a b",        // 3/4
+      "spam spam spam", // 1.0
+      "")               // empty -> 0
+      .map(_._1)
+    assert(a == 0.25 && b == 0.75 && c == 1.0 && d == 0.0)
+  }
+
+  test("duplicate trigram fraction: hand-computed cases") {
+    val Seq(a, b, c) = stats(
+      "a b c d e",         // 3 trigrams, all distinct -> 0
+      "a b a b a b a b",   // 6 trigrams, 2 distinct -> 1 - 2/6
+      "x y")               // too short -> 0
+      .map(_._2)
+    assert(a == 0.0 && c == 0.0)
+    // the stat is rounded to 6 places by contract
+    assert(b == 0.666667)
+  }
+
+  test("repetition stats are whitespace-robust (tabs, runs of spaces)") {
+    val Seq((muf, dtf)) = stats("a\t\ta  a   b")
+    assert(muf == 0.75 && dtf == 0.0)
+  }
+}
