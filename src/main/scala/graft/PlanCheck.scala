@@ -82,8 +82,8 @@ object PlanCheck {
     // (which scanned lineitem 3x / 2x) to single-pass shapes — pin that
     def scans(p: String, table: String): Int =
       s"$table\\.parquet".r.findAllMatchIn(p).size
-    check("q114_waiting_orders", "two lineitem scans (agg + probe), not the SQL form's three",
-      p => scans(p, "lineitem") <= 2 && !p.contains("CartesianProduct") &&
+    check("q114_waiting_orders", "ONE lineitem scan (per-order array eval), no cartesian",
+      p => scans(p, "lineitem") == 1 && !p.contains("CartesianProduct") &&
         p.contains("TakeOrderedAndProject"))
     check("q116_min_cost_supplier", "single lineitem scan (supply computed once, window min)",
       p => scans(p, "lineitem") == 1 && p.contains("Window"))

@@ -135,6 +135,9 @@ object DedupQueries {
           explode(lshBands(minhashTextSignature(col("text"), 3, MinhashK),
             MinhashK, MinhashBands)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+        // materialized once (lazily): BOTH sides of the self-join below
+        // consume it — without this the 64-hash MinHash kernel runs twice
+        .localCheckpoint(false)
       val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
       // materialized once (it's tiny): three consumers below — without

@@ -433,25 +433,29 @@ object TpchFullQueries {
       // that each shuffle-and-sort full lineitem again; this shape
       // replaces those with one keyed agg whose output is |orders|-sized.
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
-      val supLast = li.groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate")).as("sm"))
-      // suppliers-per-order is bounded (TPC-H: ≤7 lines), so the
-      // collect_list is O(1) per order
-      val orderStats = supLast.groupBy("l_orderkey").agg(
-          count(lit(1)).as("nsup"),
-          reverse(array_sort(collect_list(struct(col("sm"), col("l_suppkey").as("sk")))))
-            .as("tops"))
-        .select(col("l_orderkey").as("ok"), col("nsup"),
-          col("tops").getItem(0).as("top1"), col("tops").getItem(1).as("top2"))
-      // max ship date among the OTHER suppliers of the order: top2 if this
-      // row's supplier holds top1, else top1 (guarded by nsup > 1)
-      val maxOther = when(col("l_suppkey") === col("top1.sk"), col("top2.sm"))
-        .otherwise(col("top1.sm"))
-      li.join(orderStats, col("l_orderkey") === col("ok"))
-        .filter(col("nsup") > 1 && col("l_shipdate") >= maxOther)
+      // Filter to F-orders FIRST (the selective side), then ONE keyed
+      // aggregation collects each order's lines — bounded: TPC-H orders
+      // have ≤7 lines, so the array is O(1) — and both correlated
+      // predicates ("another supplier exists" / "no other supplier
+      // shipped later") evaluate as array HOFs inside that row. The
+      // order-key join leaves the data hash-partitioned on l_orderkey,
+      // so the groupBy right after it reuses the partitioning: ONE
+      // lineitem-sized shuffle total (the earlier form paid three —
+      // per-supplier agg, per-order agg, and the join back).
+      val perOrder = li
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        .groupBy("l_orderkey")
+        .agg(collect_list(struct(col("l_shipdate"), col("l_suppkey"))).as("lines"))
+      val waiting = perOrder.select(explode(filter(col("lines"), l =>
+          exists(col("lines"), x =>
+            x("l_suppkey") =!= l("l_suppkey")) &&
+          !exists(col("lines"), x =>
+            x("l_suppkey") =!= l("l_suppkey") && x("l_shipdate") > l("l_shipdate"))))
+          .as("w"))
+        .select(col("w.l_suppkey").as("l_suppkey"))
+      waiting
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
