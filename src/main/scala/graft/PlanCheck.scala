@@ -114,6 +114,23 @@ object PlanCheck {
       p => p.toLowerCase.contains("dynamicpruning"))
     check("q122_tfidf_top_terms", "df frame broadcasts back into tf (no SortMergeJoin)",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q123_unigram_lm_score", "LM build/score: every agg combines map-side",
+      p => p.contains("partial_count") || p.contains("partial_sum"))
+    check("q124_bm25_retrieval", "top-20 via TakeOrderedAndProject; stats broadcast",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("SortMergeJoin"))
+    check("q125_bloom_prefilter_join", "bloom tests run in the fact scan stage " +
+      "(one-row broadcast; 2 orders scans — count + ONE candidate pass)",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+        scans(p, "orders") == 2)
+    check("q126_gapfill_forward", "gap-fill windows are keyed (never SinglePartition)",
+      p => p.contains("Window") && !p.contains("SinglePartition"))
+    check("q127_markov_transitions", "successor window keyed on user_id; agg partials",
+      p => p.contains("Window") && !p.contains("SinglePartition") &&
+        p.contains("partial_count"))
+    check("q128_doc_chunks", "chunk explode stays in the scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
+    check("q130_lexical_diversity", "diversity HOFs stay in the scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

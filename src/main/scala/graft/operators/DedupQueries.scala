@@ -285,7 +285,10 @@ object DedupQueries {
   private def portA(i: Int): Long = graft.functions.PortableHashKernels.a(i)
   private def portB(i: Int): Long = graft.functions.PortableHashKernels.b(i)
 
-  private def portableMinhashOracleSql: String = {
+  /** The `WITH ... pairs` CTE chain of the portable MinHash-LSH oracle —
+    * shared by q99 and the cluster-canonicalization oracle (q129), which
+    * must agree on the candidate-pair set by construction. */
+  private[graft] def portablePairsCtes: String = {
     val mhs = (0 until PortK).map(i =>
       s"CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(list_transform(hs, " +
         s"h -> (h * ${portA(i)} + ${portB(i)}) % $PortP)) END AS mh$i").mkString(",\n        ")
@@ -315,7 +318,11 @@ object DedupQueries {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
        |  FROM bandrows a JOIN bandrows b
-       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def portableMinhashOracleSql: String = {
+    s"""$portablePairsCtes,
        |partners AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners, min(p) AS min_partner
        |  FROM (SELECT ia AS doc_id, ib AS p FROM pairs
@@ -358,18 +365,25 @@ object DedupQueries {
       (((m0 * PortMul + m1) % PortP) * PortMul + m2) % PortP
     }
 
+  /** Candidate near-dup pairs (ia < ib) from the portable MinHash-LSH —
+    * the Spark twin of [[portablePairsCtes]]; shared by q99 and q129. */
+  private[graft] def portablePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id") +: portableMinhashCols(col("text")): _*)
+    val digests = portableBandDigests(i => col(s"mh$i"))
+    val bandrows = sig
+      .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
+      .filter(col("digest").isNotNull)
+    val l = bandrows.select(col("band"), col("digest"), col("doc_id").as("ia"))
+    val r = bandrows.select(col("band"), col("digest"), col("doc_id").as("ib"))
+    l.join(r, Seq("band", "digest")).filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+  }
+
   val q99 = QueryDef.oracle("q99_portable_minhash_pairs", portableMinhashOracleSql)(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sig = docs.select(col("doc_id") +: portableMinhashCols(col("text")): _*)
-      val digests = portableBandDigests(i => col(s"mh$i"))
-      val bandrows = sig
-        .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
-        .filter(col("digest").isNotNull)
-      val l = bandrows.select(col("band"), col("digest"), col("doc_id").as("ia"))
-      val r = bandrows.select(col("band"), col("digest"), col("doc_id").as("ib"))
-      val pairs = l.join(r, Seq("band", "digest")).filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
+      val pairs = portablePairs(s, d)
       val partners = pairs.select(col("ia").as("doc_id"), col("ib").as("p"))
         .unionByName(pairs.select(col("ib").as("doc_id"), col("ia").as("p")))
         .groupBy("doc_id")

@@ -1,0 +1,425 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-prep suite: the operators that sit between a curated corpus and
+  * a training/serving system — statistical quality scoring (unigram LM,
+  * lexical diversity), retrieval (BM25), join prefiltering (portable
+  * Bloom filter — hand-rolled runtime filtering), sequence modeling
+  * (Markov transitions), RAG chunking, near-dup cluster canonicalization,
+  * and time-series gap-fill.
+  *
+  * Floating-point policy: wherever a result SUMS doubles across rows
+  * (LM log-probs, BM25 term scores, entropy terms), the per-item double
+  * is rounded to integer MICRO-units first and the sum runs on exact
+  * BIGINTs — so the result is independent of partitioning / addition
+  * order and bit-identical across engines. Single divisions/logs are
+  * computed with identical association in both engines and rounded.
+  */
+object ModelPrepQueries {
+
+  // --- q123: corpus unigram-LM scoring (CCNet-style quality filter) ----
+  // Two-pass: global token counts build the LM (add-1 smoothing over the
+  // observed vocabulary), then each document is scored by its average
+  // negative log2-likelihood (bits/token). High-perplexity docs are cut.
+  // Scale shape: the (doc,tok) and (tok) aggregations combine map-side;
+  // the LM join is keyed on token (vocabulary-sized right side — AQE
+  // broadcasts it when small, shuffles when it is not; never the corpus
+  // text). Per-token micro-bits are exact ints, so doc sums are exact.
+  val q123 = QueryDef.oracle("q123_unigram_lm_score",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |g AS (SELECT tok, count(*) AS cg FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_total,
+      |              CAST(count(*) AS BIGINT) AS vocab FROM g),
+      |bits AS (SELECT tok, CAST(round(log2(
+      |           CAST(n_total + vocab AS DOUBLE) / (cg + 1)) * 1000000) AS BIGINT)
+      |           AS micro_bits
+      |         FROM g, st),
+      |doc AS (SELECT tf.doc_id, CAST(SUM(tf.c * b.micro_bits) AS BIGINT) AS micro_sum,
+      |               CAST(SUM(tf.c) AS BIGINT) AS n_toks
+      |        FROM tf JOIN bits b USING (tok) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(doc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
+      |       round(doc.micro_sum / 1000000.0 / doc.n_toks, 4) AS bits_per_tok,
+      |       round(doc.micro_sum / 1000000.0 / doc.n_toks, 4) <= 4.91 AS kept
+      |FROM documents d LEFT JOIN doc USING (doc_id)""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val g = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+      val st = g.agg(sum("cg").as("n_total"), count(lit(1)).as("vocab"))
+      val bits = g.crossJoin(broadcast(st)).select(col("tok"),
+        round(log2((col("n_total") + col("vocab")).cast("double") / (col("cg") + lit(1)))
+          * lit(1000000)).cast("long").as("micro_bits"))
+      val doc = tf.join(bits, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("micro_bits")).as("micro_sum"), sum("c").as("n_toks"))
+      val bpt = round(col("micro_sum") / lit(1000000.0) / col("n_toks"), 4)
+      Tables.documents(s, d).select("doc_id").join(doc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          bpt.as("bits_per_tok"), (bpt <= 4.91).as("kept"))
+    })
+
+  // --- q124: BM25 retrieval (k1=1.2, b=0.75) ---------------------------
+  // Classic sparse retrieval over the corpus for a fixed query term set.
+  // df and the corpus stats are tiny (|terms| and 1 row) and broadcast;
+  // per-(doc,term) scores integerize before the per-doc sum, and the
+  // global top-20 is taken with an integer ORDER BY (score_micro DESC,
+  // doc_id) — orderBy+limit compiles to TakeOrderedAndProject, so no
+  // global sort materializes at scale; the rank window runs on 20 rows.
+  val q124 = QueryDef.oracle("q124_bm25_retrieval",
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      |qt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |       WHERE tok IN ('vector', 'stream', 'window') GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+      |sc AS (SELECT qt.doc_id,
+      |         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      |           * (tf * 2.2)
+      |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs / CAST(sum_dl AS DOUBLE)))
+      |           * 1000000) AS BIGINT) AS micro
+      |       FROM qt JOIN df USING (tok) JOIN dl USING (doc_id), st),
+      |agg AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+      |        FROM sc GROUP BY 1)
+      |SELECT doc_id, score_micro, round(score_micro / 1000000.0, 4) AS score, rnk
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+      |                     AS BIGINT) AS rnk FROM agg)
+      |WHERE rnk <= 20""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val qt = toks.filter(col("tok").isin("vector", "stream", "window"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = qt.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sc = qt.join(broadcast(df), Seq("tok")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl").cast("double")))
+            * lit(1000000)).cast("long").as("micro"))
+      val agg = sc.groupBy("doc_id").agg(sum("micro").as("score_micro"))
+      val top = agg.orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+      val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("score_micro"),
+          round(col("score_micro") / lit(1000000.0), 4).as("score"), col("rnk"))
+    })
+
+  // --- q125: portable Bloom-filter join prefilter ----------------------
+  // Runtime filtering by hand: the selective dimension (BUILDING-segment
+  // customers) folds into a 16384-bit Bloom filter (261 longs at 63 bits
+  // each — bit 63 stays clear so the shift never overflows DuckDB's
+  // checked BIGINT shift, k=3
+  // universal hashes) via bit_or aggregation; the dense word array
+  // broadcasts as ONE row and every fact row tests its 3 bits IN THE SCAN
+  // STAGE — no explode, no shuffle of the fact table. Only Bloom
+  // survivors (true matches + false positives) reach the exact semi-join.
+  // The oracle recomputes the same bits, so the false-positive count
+  // itself is verified, not just the exact result. At 100 TB this is
+  // what Spark's InjectRuntimeFilter does for you when stats allow —
+  // built here explicitly so the plan does not depend on stats.
+  // m is pinned SMALL deliberately so the false-positive path is real and
+  // verified (28 FPs at sf0.01) rather than vacuously zero; production
+  // sizing is m ≈ 1.44·k·|keys| / ln2 bits, chosen from the dim count at
+  // build time (the bit tests are m-independent code).
+  private val BloomM = 4096L
+  private val BloomHashes: Seq[(Long, Long)] =
+    Seq((998244353L, 12345L), (805306457L, 67890L), (469762049L, 13579L))
+  private val BloomP = 1000000007L
+
+  private def bloomPosSql(key: String): Seq[String] =
+    BloomHashes.map { case (a, b) => s"(($a * $key + $b) % $BloomP) % $BloomM" }
+  private def bloomPos(key: Column): Seq[Column] =
+    BloomHashes.map { case (a, b) => ((lit(a) * key + lit(b)) % lit(BloomP)) % lit(BloomM) }
+
+  val q125 = QueryDef.oracle("q125_bloom_prefilter_join", {
+    val kp = bloomPosSql("c_custkey").mkString(",\n          ")
+    val op = bloomPosSql("o_custkey").mkString(",\n          ")
+    s"""WITH keys AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |kpos AS (SELECT c_custkey, unnest([
+       |          $kp]) AS pos FROM keys),
+       |bloom AS (SELECT pos // 63 AS word_idx,
+       |                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS w
+       |          FROM kpos GROUP BY 1),
+       |opos AS (SELECT o_orderkey, o_custkey, unnest([
+       |          $op]) AS pos FROM orders),
+       |probe AS (SELECT o.o_orderkey, o.o_custkey,
+       |            CASE WHEN ((b.w >> CAST(o.pos % 63 AS INTEGER)) & 1) = 1
+       |                 THEN 1 ELSE 0 END AS hit
+       |          FROM opos o JOIN bloom b ON b.word_idx = o.pos // 63),
+       |cand AS (SELECT o_orderkey, o_custkey FROM probe
+       |         GROUP BY 1, 2 HAVING SUM(hit) = 3),
+       |mtch AS (SELECT cand.o_orderkey FROM cand
+       |         JOIN keys ON cand.o_custkey = keys.c_custkey)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM mtch) AS n_matches,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cand)
+       |         - (SELECT CAST(count(*) AS BIGINT) FROM mtch) AS n_false_pos""".stripMargin
+  })(
+    (s, d) => {
+      val keys = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      // dimension side: 3 positions per key, bit_or into 256 words, then a
+      // dense 256-long array in ONE row (missing words -> 0)
+      val kpos = keys.select(explode(array(bloomPos(col("c_custkey")): _*)).as("pos"))
+      val words = kpos
+        .select(expr("pos DIV 63").as("word_idx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bits"))
+        .groupBy("word_idx").agg(expr("bit_or(bits)").as("w"))
+      val bloomRow = words
+        .agg(map_from_entries(collect_list(struct(col("word_idx"), col("w")))).as("m"))
+        .select(transform(sequence(lit(0L), lit((BloomM + 62) / 63 - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("warr"))
+      // fact side: the 3 bit tests run scan-local against the broadcast row
+      val ps = bloomPos(col("o_custkey"))
+      val withP = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .crossJoin(broadcast(bloomRow))
+        .withColumn("p0", ps(0)).withColumn("p1", ps(1)).withColumn("p2", ps(2))
+      val hit = (p: String) =>
+        expr(s"(shiftright(element_at(warr, CAST($p DIV 63 AS INT) + 1), CAST($p % 63 AS INT)) & 1) = 1")
+      val cand = withP.filter(hit("p0") && hit("p1") && hit("p2"))
+        .select("o_orderkey", "o_custkey")
+      // ONE pass over the candidates: the exact check is a broadcast left
+      // join + flag, so candidates/matches/false-positives all come from
+      // a single evaluation of the bloom pipeline (orders scans: 2 total)
+      val counted = cand
+        .join(broadcast(keys.withColumn("k_hit", lit(1))),
+          cand("o_custkey") === keys("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_candidates"), count(col("k_hit")).as("n_matches"))
+      Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(counted)
+        .withColumn("n_false_pos", col("n_candidates") - col("n_matches"))
+    })
+
+  // --- q126: calendar gap-fill + forward-fill --------------------------
+  // Daily revenue per order priority with missing days materialized from
+  // a generated calendar and carried forward via the gaps-and-islands
+  // carry trick (count-non-null running window defines the carry group,
+  // max within group fills) — portable to engines without IGNORE NULLS.
+  // Output is calendar-bounded, not data-bounded: at 100 TB the daily
+  // aggregate is the only data-sized shuffle; the calendar explode and
+  // both windows run on |priorities| × |days| rows.
+  val q126 = QueryDef.oracle("q126_gapfill_forward",
+    """WITH daily AS (SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM orders GROUP BY 1, 2),
+      |span AS (SELECT prio, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+      |cal AS (SELECT prio, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      |        FROM span),
+      |j AS (SELECT cal.prio, cal.d, daily.n, daily.cents
+      |      FROM cal LEFT JOIN daily USING (prio, d)),
+      |g AS (SELECT prio, d, n, cents,
+      |        count(cents) OVER (PARTITION BY prio ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM j)
+      |SELECT prio, d, coalesce(n, CAST(0 AS BIGINT)) AS n,
+      |       max(cents) OVER (PARTITION BY prio, grp) AS cents_filled,
+      |       (cents IS NULL) AS is_gap
+      |FROM g""".stripMargin)(
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("d"),
+          col("o_totalprice"))
+        .groupBy("prio", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val span = daily.groupBy("prio").agg(min("d").as("d0"), max("d").as("d1"))
+      val cal = span.select(col("prio"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      val j = cal.join(daily, Seq("prio", "d"), "left")
+      val wRun = Window.partitionBy("prio").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withG = j.withColumn("grp", count(col("cents")).over(wRun))
+      val wGrp = Window.partitionBy("prio", "grp")
+      withG.select(col("prio"), col("d"), coalesce(col("n"), lit(0L)).as("n"),
+        max(col("cents")).over(wGrp).as("cents_filled"),
+        col("cents").isNull.as("is_gap"))
+    })
+
+  // --- q127: Markov transition estimation over event streams -----------
+  // First-order transition matrix of the per-user event-type sequence —
+  // the estimation step of a sequence model. One keyed window shuffle on
+  // user_id builds successor pairs; the (src,dst) aggregate is
+  // state-space-sized. prob is one exact-integer division, rounded.
+  val q127 = QueryDef.oracle("q127_markov_transitions",
+    """WITH seqd AS (SELECT user_id, event_type AS src,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |      FROM events),
+      |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |      FROM seqd WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |       round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+      |FROM c""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seqd = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+      val c = seqd.filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val wSrc = Window.partitionBy("src")
+      c.select(col("src"), col("dst"), col("n"),
+        round(col("n") / sum("n").over(wSrc).cast("double"), 6).as("prob"))
+    })
+
+  // --- q128: RAG-style overlapping chunking ----------------------------
+  // Fixed-size token chunks (32 tokens, stride 24) with deterministic
+  // ids and offsets — context-window packing for retrieval indexing.
+  // Pure scan-stage row expansion (sequence + posexplode): no shuffle at
+  // any scale; chunk text is rebuilt from the SAME token array both
+  // engines split identically.
+  val q128 = QueryDef.oracle("q128_doc_chunks",
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |              FROM documents)
+      |SELECT doc_id, CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_idx,
+      |       CAST(start_tok AS BIGINT) AS start_tok,
+      |       CAST(len(l[start_tok:start_tok + 31]) AS BIGINT) AS n_chunk_toks,
+      |       list_aggregate(l[start_tok:start_tok + 31], 'string_agg', ' ') AS chunk_text
+      |FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1, 24)) AS start_tok
+      |      FROM toks WHERE len(l) > 0)""".stripMargin)(
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .filter(size(col("l")) > 0)
+        .select(col("doc_id"), col("l"),
+          posexplode(sequence(lit(1), size(col("l")), lit(24)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          size(slice(col("l"), col("start_tok"), lit(32))).cast("long").as("n_chunk_toks"),
+          concat_ws(" ", slice(col("l"), col("start_tok"), lit(32))).as("chunk_text"))
+    })
+
+  // --- q129: near-dup cluster canonicalization -------------------------
+  // Completes the dedup story: portable MinHash-LSH candidate pairs
+  // (exactly q99's — shared code on both sides) become clusters via SIX
+  // synchronous rounds of min-label propagation, then every document maps
+  // to its cluster's canonical (minimum) doc_id. Fixed rounds keep the
+  // oracle expressible (six unrolled self-joins in SQL) and the result
+  // partition-independent; the spec asserts a 7th round is a fixpoint at
+  // test scale, and q56 is the convergence-checked production loop for
+  // adversarial diameters. Edges are skinny (id,id) rows; each round is
+  // one keyed join + agg, lineage cut per round.
+  private val CanonRounds = 6
+  private def canonOracleSql: String = {
+    val rounds = (1 to CanonRounds).map { t =>
+      val p = s"l${t - 1}"
+      s"""l$t AS (SELECT $p.v, least($p.lbl, coalesce(min(n.lbl), $p.lbl)) AS lbl
+         |  FROM $p LEFT JOIN edges e ON e.v = $p.v LEFT JOIN $p n ON n.v = e.u
+         |  GROUP BY $p.v, $p.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""${DedupQueries.portablePairsCtes},
+       |edges AS (SELECT ia AS v, ib AS u FROM pairs
+       |          UNION ALL SELECT ib AS v, ia AS u FROM pairs),
+       |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+       |$rounds,
+       |cs AS (SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM l$CanonRounds GROUP BY 1)
+       |SELECT v AS doc_id, lbl AS cluster_id, (v = lbl) AS is_canonical, cluster_size
+       |FROM l$CanonRounds JOIN cs ON l$CanonRounds.lbl = cs.cluster_id""".stripMargin
+  }
+
+  /** One synchronous min-label round: every node takes the min of its own
+    * and its neighbors' previous-round labels. Public for the fixpoint
+    * spec. */
+  def canonRound(edges: DataFrame, prev: DataFrame): DataFrame = {
+    val nb = edges.join(prev.select(col("v").as("u"), col("lbl").as("nlbl")), Seq("u"))
+      .groupBy("v").agg(min("nlbl").as("mn"))
+    prev.join(nb, Seq("v"), "left")
+      .select(col("v"), least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+  }
+
+  /** Labels after `rounds` synchronous rounds over the portable-LSH pair
+    * graph. */
+  def canonLabels(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val pairs = DedupQueries.portablePairs(s, d)
+    val edges = pairs.select(col("ia").as("v"), col("ib").as("u"))
+      .unionByName(pairs.select(col("ib").as("v"), col("ia").as("u")))
+      .localCheckpoint(false) // reused every round; cut the LSH lineage once
+    var lab = Tables.documents(s, d)
+      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds)
+      lab = canonRound(edges, lab).localCheckpoint(false)
+    lab
+  }
+
+  val q129 = QueryDef.oracle("q129_cluster_canonical", canonOracleSql)(
+    (s, d) => {
+      val lab = canonLabels(s, d, CanonRounds)
+      val cs = lab.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      lab.join(cs, lab("lbl") === cs("cluster_id"))
+        .select(col("v").as("doc_id"), col("cluster_id"),
+          (col("v") === col("lbl")).as("is_canonical"), col("cluster_size"))
+    })
+
+  // --- q130: lexical diversity (type-token ratio + token entropy) ------
+  // Per-document Shannon entropy of the token distribution and TTR — the
+  // other half of the Gopher-style quality gate (q117 catches repetition;
+  // this catches low-diversity templating). Entirely scan-local HOF
+  // arithmetic over the per-row token array: zero shuffles at any scale.
+  // Entropy terms integerize (micro-bits) before the per-row sum.
+  val q130 = QueryDef.oracle("q130_lexical_diversity",
+    """WITH t AS (SELECT doc_id, list_filter(
+      |             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_toks,
+      |        CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+      |        CASE WHEN len(l) = 0 THEN NULL
+      |             ELSE CAST(list_aggregate(list_transform(
+      |                    [len(list_filter(l, x -> x = t)) FOR t IN list_distinct(l)],
+      |                    k -> CAST(round(k * log2(k) * 1000000) AS BIGINT)),
+      |                  'sum') AS BIGINT) END AS micro
+      |      FROM t)
+      |SELECT doc_id, n_toks, n_types,
+      |       CASE WHEN n_toks = 0 THEN NULL
+      |            ELSE round(n_types / CAST(n_toks AS DOUBLE), 6) END AS ttr,
+      |       CASE WHEN n_toks = 0 THEN NULL
+      |            ELSE round(log2(CAST(n_toks AS DOUBLE)) - micro / 1000000.0 / n_toks, 4)
+      |       END AS entropy_bits,
+      |       CASE WHEN n_toks = 0 THEN NULL
+      |            ELSE round(log2(CAST(n_toks AS DOUBLE)) - micro / 1000000.0 / n_toks, 4)
+      |                 >= 4.0 END AS kept
+      |FROM c""".stripMargin)(
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"), size(col("l")).cast("long").as("n_toks"),
+          size(array_distinct(col("l"))).cast("long").as("n_types"),
+          when(size(col("l")) === 0, lit(null).cast("long")).otherwise(
+            aggregate(
+              transform(array_distinct(col("l")),
+                t => size(filter(col("l"), x => x === t)).cast("long")),
+              lit(0L),
+              (acc, k) => acc + round(k * log2(k) * lit(1000000)).cast("long")))
+            .as("micro"))
+      val ent = round(log2(col("n_toks").cast("double"))
+        - col("micro") / lit(1000000.0) / col("n_toks"), 4)
+      base.select(col("doc_id"), col("n_toks"), col("n_types"),
+        when(col("n_toks") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_types") / col("n_toks").cast("double"), 6)).as("ttr"),
+        when(col("n_toks") === 0, lit(null).cast("double")).otherwise(ent).as("entropy_bits"),
+        when(col("n_toks") === 0, lit(null).cast("boolean")).otherwise(ent >= 4.0).as("kept"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130)
+}
