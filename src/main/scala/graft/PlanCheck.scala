@@ -131,6 +131,8 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q130_lexical_diversity", "diversity HOFs stay in the scan stage (no Exchange)",
       p => !p.contains("Exchange"))
+    check("q131_pipeline_poc", "end-to-end poc: both dimension joins broadcast",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -77,6 +77,29 @@ object Fixtures {
       "ny" -> ny, "catalog" -> catalog, "watermarks" -> watermarks)
   }
 
+  /** Fixtures at a STABLE absolute path (create-once, then read-only) —
+    * q131's DuckDB oracle reads the same raw files the Spark pipeline
+    * reads, so the path must be known when the oracle SQL is generated.
+    * The watermark file here is never advanced (q131 composes the
+    * pipeline stages lazily without running the sinks), so the stable dir
+    * stays bit-identical across runs; q70 keeps its fresh temp dir
+    * because `run` mutates watermark state by contract.
+    */
+  lazy val stable: Map[String, String] = synchronized {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-fixtures-v1")
+    if (!Files.exists(dir.resolve("_READY"))) {
+      Files.createDirectories(dir)
+      val paths = writeAll(dir)
+      Files.writeString(dir.resolve("_READY"), "ok")
+      paths
+    } else
+      Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
+        "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",
+        "catalog" -> "cocktails_api.json", "watermarks" -> "last_update.txt")
+        .map { case (k, f) => k -> dir.resolve(f).toAbsolutePath.toString }
+  }
+
   def pipeline(dir: Path, paths: Map[String, String]): CocktailPipeline =
     new CocktailPipeline(
       barStockPath = paths("barStock"),
