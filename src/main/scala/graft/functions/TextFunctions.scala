@@ -137,12 +137,20 @@ object TextFunctions {
     * maxUnigramFrac: share of the token stream taken by the single most
     * frequent token (O(n·distinct) per row — bounded by doc length).
     */
-  def maxUnigramFrac(text: Column): Column = {
-    val toks = tokens(text)
-    val maxCnt = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
-    round(when(size(toks) === 0, lit(0.0))
-      .otherwise(maxCnt.cast("double") / size(toks)), 6)
+  def maxUnigramFrac(text: Column): Column = maxUnigramFracArr(tokens(text))
+
+  /** Array-input form. Callers that already materialized the token array
+    * as a column attribute MUST use this one: passing `tokens(text)` by
+    * expression re-runs the regex split inside the lambda — once per
+    * DISTINCT TOKEN per row (lambda bodies get no subexpression
+    * elimination) — where an attribute is a plain array read. ~2× on the
+    * q117 scan at sf0.1.
+    */
+  def maxUnigramFracArr(l: Column): Column = {
+    val maxCnt = array_max(transform(array_distinct(l),
+      t => size(filter(l, x => x === t))))
+    round(when(size(l) === 0, lit(0.0))
+      .otherwise(maxCnt.cast("double") / size(l)), 6)
   }
 
   /** Fraction of word-3-gram positions that repeat an earlier 3-gram of

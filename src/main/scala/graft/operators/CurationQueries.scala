@@ -40,9 +40,14 @@ object CurationQueries {
       |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |        FROM documents))""".stripMargin)(
     (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
-        maxUnigramFrac(col("text")).as("max_unigram_frac"),
+      // bind the token array to an attribute FIRST: the unigram lambda
+      // then scans a materialized array instead of re-splitting the text
+      // per distinct token (see maxUnigramFracArr)
+      .select(col("doc_id"), tokens(col("text")).as("l"),
         dupTrigramFrac(col("text")).as("dup_trigram_frac"))
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_toks"),
+        maxUnigramFracArr(col("l")).as("max_unigram_frac"),
+        col("dup_trigram_frac"))
       .withColumn("kept",
         col("max_unigram_frac") <= 0.15 && col("dup_trigram_frac") <= 0.01))
 
