@@ -133,6 +133,11 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q131_pipeline_poc", "end-to-end poc: both dimension joins broadcast",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q132_rate_anomaly", "trailing stats window keyed on event_type; partials",
+      p => p.contains("Window") && !p.contains("SinglePartition") &&
+        p.contains("partial_count"))
+    check("q133_cohort_retention", "cohort-size frame broadcasts back (no SortMergeJoin)",
+      p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

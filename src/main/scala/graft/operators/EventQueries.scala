@@ -150,5 +150,90 @@ object EventQueries {
       |FROM events GROUP BY user_id""".stripMargin)(
     (s, d) => typedCountsViaMap(Tables.events(s, d)))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95)
+  /** Daily-rate anomaly detection: each (event_type, day) count scored
+    * against its OWN trailing 7-day window via a z-score. Mean and
+    * variance are derived from exact integer window sums (Σn, Σn², k) —
+    * not stddev_samp, whose Welford accumulation order differs across
+    * engines — so the double arithmetic is a fixed formula over exact
+    * ints and both engines agree bit-for-bit after rounding. One keyed
+    * window shuffle on event_type; output is |types|×|days|.
+    */
+  val q132 = QueryDef.oracle("q132_rate_anomaly",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, d, n,
+      |        CAST(SUM(n) OVER trail AS BIGINT) AS s,
+      |        CAST(SUM(n * n) OVER trail AS BIGINT) AS ss,
+      |        CAST(COUNT(n) OVER trail AS BIGINT) AS k
+      |      FROM daily
+      |      WINDOW trail AS (PARTITION BY event_type ORDER BY d
+      |                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, d, n, k AS k_prior,
+      |       CASE WHEN k >= 2 AND ss - s * s / CAST(k AS DOUBLE) > 0
+      |            THEN round((n - s / CAST(k AS DOUBLE))
+      |                   / sqrt((ss - s * s / CAST(k AS DOUBLE)) / (k - 1)), 4)
+      |       END AS z,
+      |       CASE WHEN k >= 2 AND ss - s * s / CAST(k AS DOUBLE) > 0
+      |            THEN abs(round((n - s / CAST(k AS DOUBLE))
+      |                   / sqrt((ss - s * s / CAST(k AS DOUBLE)) / (k - 1)), 4)) >= 3.0
+      |       END AS is_anomaly
+      |FROM w""".stripMargin)(
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val trail = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+      val w = daily
+        .withColumn("s", sum("n").over(trail))
+        .withColumn("ss", sum(col("n") * col("n")).over(trail))
+        .withColumn("k", count("n").over(trail))
+      val variance = col("ss") - col("s") * col("s") / col("k").cast("double")
+      val z = round((col("n") - col("s") / col("k").cast("double"))
+        / sqrt(variance / (col("k") - 1)), 4)
+      val ok = col("k") >= 2 && variance > 0
+      w.select(col("event_type"), col("d"), col("n"), col("k").as("k_prior"),
+        when(ok, z).as("z"),
+        when(ok, abs(z) >= 3.0).as("is_anomaly"))
+    })
+
+  /** Weekly cohort retention: users grouped by first-seen ISO week, each
+    * cohort's share of users still active N weeks later. Exact integer
+    * counts; the only double is the final ratio. Two keyed aggregations
+    * (per-user min, per-(cohort,offset) distinct) — both combine
+    * map-side; the cohort-size join is |cohorts|-sized and broadcasts.
+    */
+  val q133 = QueryDef.oracle("q133_cohort_retention",
+    """WITH f AS (SELECT user_id,
+      |             CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort_week
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id,
+      |             CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS week
+      |      FROM events e),
+      |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |       FROM f GROUP BY 1),
+      |act AS (SELECT f.cohort_week,
+      |               CAST((a.week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+      |               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active
+      |        FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT act.cohort_week, act.week_offset, act.active, sz.cohort_size,
+      |       round(act.active / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+      |FROM act JOIN sz USING (cohort_week)""".stripMargin)(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(to_date(col("ts"))))).as("cohort_week"))
+      val a = ev.select(col("user_id"),
+        to_date(date_trunc("week", to_date(col("ts")))).as("week")).distinct()
+      val sz = f.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      val act = a.join(f, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct("user_id").as("active"))
+      act.join(broadcast(sz), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("active"), col("cohort_size"),
+          round(col("active") / col("cohort_size").cast("double"), 6).as("retention"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95, q132, q133)
 }
