@@ -138,6 +138,10 @@ object PlanCheck {
         p.contains("partial_count"))
     check("q133_cohort_retention", "cohort-size frame broadcasts back (no SortMergeJoin)",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q134_corpus_manifest", "manifest agg combines map-side (xor/min/max partials)",
+      p => p.contains("partial_count"))
+    check("q135_referential_integrity", "integrity checks are anti-joins, never cartesian",
+      p => p.contains("LeftAnti") && !p.contains("CartesianProduct"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

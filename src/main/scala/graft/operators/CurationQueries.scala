@@ -244,5 +244,33 @@ object CurationQueries {
         .select("doc_id", "tok", "tf", "df", "score", "rnk")
     })
 
-  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122)
+  /** Per-source corpus manifest — the integrity record a data-governance
+    * layer keeps per ingest: counts, token volume, id range, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of a 48-bit md5 prefix
+    * per doc — xor is commutative/associative and cannot overflow, so it
+    * is exact at any scale and any partitioning, where a SUM of hashes
+    * would overflow int64 on Spark but silently widen to int128 on
+    * DuckDB). One map-side-combined aggregation; re-running after any
+    * mutation detects changed/added/removed content (xor's pair-cancel
+    * blindness is the documented trade vs a true Merkle digest).
+    */
+  val q134 = QueryDef.oracle("q134_corpus_manifest",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+      |       bit_xor(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)) AS checksum
+      |FROM documents GROUP BY source""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT))")
+          .as("checksum")))
+
+  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122, q134)
 }

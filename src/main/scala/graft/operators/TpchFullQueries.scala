@@ -540,7 +540,59 @@ object TpchFullQueries {
         .select("p_partkey", "p_name", "s_name", "n_name", "ps_supplycost")
     })
 
+  /** Referential-integrity audit across the star schema — the
+    * constraint checks a lakehouse runs because parquet enforces none:
+    * orphaned children (FK → missing parent) via anti joins and
+    * childless parents via anti join the other way. Each check is one
+    * keyed anti-join whose exchange carries only the key column; the
+    * four one-row summaries union. 257 childless orders exist in the
+    * synthetic data, so the violation path is exercised, not vacuous.
+    */
+  val q135 = QueryDef.oracle("q135_referential_integrity",
+    """SELECT * FROM (
+      |  SELECT 'lineitem_orphan_order' AS chk,
+      |         CAST((SELECT count(*) FROM lineitem l
+      |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |           AS n_violations,
+      |         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_total
+      |  UNION ALL
+      |  SELECT 'order_orphan_customer',
+      |         CAST((SELECT count(*) FROM orders o
+      |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+      |         CAST((SELECT count(*) FROM orders) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'customer_orphan_nation',
+      |         CAST((SELECT count(*) FROM customer c
+      |               WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+      |         CAST((SELECT count(*) FROM customer) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'order_childless',
+      |         CAST((SELECT count(*) FROM orders o
+      |               WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                                 WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT),
+      |         CAST((SELECT count(*) FROM orders) AS BIGINT))""".stripMargin)(
+    (s, d) => {
+      def audit(name: String, child: org.apache.spark.sql.DataFrame, childKey: String,
+                parent: org.apache.spark.sql.DataFrame, parentKey: String) = {
+        val viol = child.select(childKey)
+          .join(parent.select(parentKey), col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        child.agg(count(lit(1)).as("n_total"))
+          .crossJoin(viol)
+          .select(lit(name).as("chk"), col("n_violations"), col("n_total"))
+      }
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      audit("lineitem_orphan_order", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("order_orphan_customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(audit("customer_orphan_nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionByName(audit("order_childless", o, "o_orderkey", li, "l_orderkey"))
+    })
+
   val defs: Seq[QueryDef] = Seq(
     q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116)
+    q109, q110, q111, q112, q113, q114, q115, q116, q135)
 }
