@@ -647,5 +647,39 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+  /** kNN label propagation (weak supervision): each query vector takes
+    * the majority label of its exact top-10 cosine neighbors (ties →
+    * smaller label), compared against its own label. Composes on q61's
+    * hash-matched top-10 — the oracle literally nests q61's SQL — so the
+    * whole classify step inherits the exact-search guarantee; the extra
+    * work over q61 is one |Q|×10-row aggregation and a broadcast truth
+    * join. The scale path swaps the brute-force neighbor stage for
+    * q62/q64/q69 unchanged.
+    */
+  val q136 = QueryDef.oracle("q136_knn_label_propagation",
+    s"""WITH knn AS (${q61.sql.get}),
+       |v AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+       |      FROM knn GROUP BY 1, 2),
+       |p AS (SELECT q_id, label AS pred_label, votes FROM (
+       |        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |                    ORDER BY votes DESC, label) AS rn FROM v)
+       |      WHERE rn = 1)
+       |SELECT p.q_id, p.pred_label, p.votes, e.label AS true_label,
+       |       p.pred_label = e.label AS agree
+       |FROM p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin)(
+    (s, d) => {
+      val top = q61.fn(s, d) // (q_id, rk, vec_id, label) — exact top-10
+      val votes = top.groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      val truth = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").as("true_label"))
+      pred.join(broadcast(truth), pred("q_id") === truth("vec_id"))
+        .select(col("q_id"), col("pred_label"), col("votes"), col("true_label"),
+          (col("pred_label") === col("true_label")).as("agree"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136)
 }
