@@ -144,6 +144,8 @@ object PlanCheck {
       p => p.contains("LeftAnti") && !p.contains("CartesianProduct"))
     check("q136_knn_label_propagation", "classify rides q61's broadcast scan; truth broadcast",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
+    check("q137_rolling_active_users", "day list broadcasts into the range join (no SMJ)",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -235,5 +235,36 @@ object EventQueries {
           round(col("active") / col("cohort_size").cast("double"), 6).as("retention"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95, q132, q133)
+  /** Rolling engagement: per day, DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio. The (user, day) distinct is the one
+    * data-sized shuffle; the trailing window is a range join against the
+    * BROADCAST day list (calendar-bounded), so the 7× row expansion
+    * carries only (day, user_id) pairs. Exact integer counts; the ratio
+    * is one rounded division.
+    */
+  val q137 = QueryDef.oracle("q137_rolling_active_users",
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |roll AS (SELECT days.d AS d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+      |         FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |         GROUP BY days.d),
+      |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1)
+      |SELECT dau.d, dau.dau, roll.wau,
+      |       round(dau.dau / CAST(roll.wau AS DOUBLE), 6) AS stickiness
+      |FROM dau JOIN roll USING (d)""".stripMargin)(
+    (s, d) => {
+      val du = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val days = du.select(col("d").as("wd")).distinct()
+      val roll = du.join(broadcast(days),
+          col("d") >= date_sub(col("wd"), 6) && col("d") <= col("wd"))
+        .groupBy(col("wd").as("d"))
+        .agg(countDistinct("user_id").as("wau"))
+      val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+      dau.join(roll, Seq("d"))
+        .select(col("d"), col("dau"), col("wau"),
+          round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137)
 }
