@@ -146,6 +146,9 @@ object PlanCheck {
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
     check("q137_rolling_active_users", "day list broadcasts into the range join (no SMJ)",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
+    check("q138_scd2_pit_join", "PIT lookup is union+window, never a range join",
+      p => p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -416,6 +416,50 @@ object ExtensionQueries {
       max(col("n_chars")).as("n_chars_max"),
       sum(col("n_chars")).as("n_chars_sum")))
 
+  /** Point-in-time SCD2 lookup — the warehouse join q78's history
+    * exists for: each order resolves the status era in effect at its
+    * own date (latest version with eff_from <= o_orderdate). Versions
+    * sharing a (custkey, eff_from) start day dedupe to the max version
+    * first, so the as-of key is unique and both engines are
+    * deterministic. The Spark side is [[AsOfJoin.backward]] — ONE
+    * keyed shuffle + sort of |probe|+|history|, not a range join — with
+    * DuckDB's native ASOF JOIN as the oracle; history is derived FROM
+    * orders, so orders whose same-day twin took the era slot surface as
+    * status_matches = false (the non-vacuous check).
+    */
+  val q138 = QueryDef.oracle("q138_scd2_pit_join",
+    s"""WITH hist AS (${q78.sql.get}),
+       |vers AS (SELECT o_custkey, eff_from, CAST(version AS BIGINT) AS version,
+       |                o_orderstatus AS era_status
+       |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, eff_from
+       |                           ORDER BY version DESC) AS vrn FROM hist)
+       |         WHERE vrn = 1),
+       |probe AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus FROM orders)
+       |SELECT p.o_orderkey, p.o_custkey, CAST(p.o_orderdate AS DATE) AS order_date,
+       |       v.version, v.era_status,
+       |       p.o_orderstatus = v.era_status AS status_matches
+       |FROM probe p ASOF LEFT JOIN vers v
+       |ON p.o_custkey = v.o_custkey AND v.eff_from <= p.o_orderdate""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = q78.fn(s, d)
+      val byStart = Window.partitionBy("o_custkey", "eff_from")
+        .orderBy(col("version").desc)
+      val vers = hist.withColumn("vrn", row_number().over(byStart))
+        .filter(col("vrn") === 1)
+        .select(col("o_custkey"), col("eff_from"),
+          col("version").cast("long").as("version"),
+          col("o_orderstatus").as("era_status"))
+      val probe = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+      AsOfJoin.backward(probe, vers, "o_custkey", "o_orderdate", "eff_from",
+          Seq("version", "era_status"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          col("version"), col("era_status"),
+          (col("o_orderstatus") === col("era_status")).as("status_matches"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q78, q79, q88, q89, q93, q94)
+    q59, q75, q78, q79, q88, q89, q93, q94, q138)
 }
