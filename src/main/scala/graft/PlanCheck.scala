@@ -149,6 +149,8 @@ object PlanCheck {
     check("q138_scd2_pit_join", "PIT lookup is union+window, never a range join",
       p => p.contains("Window") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q139_contrastive_triples", "negative mining scan-local; pairs equi-join only",
+      p => !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -420,6 +420,51 @@ object ModelPrepQueries {
         when(col("n_toks") === 0, lit(null).cast("boolean")).otherwise(ent >= 4.0).as("kept"))
     })
 
+  // --- q139: contrastive training triples ------------------------------
+  // (anchor, positive, negative) mining for embedding/contrastive
+  // training: positives are the portable-LSH near-dup partners (q99's
+  // pair set, shared code on both sides — one positive per anchor, the
+  // smallest partner id, so output is deterministic and 1:1); negatives
+  // are hash-mined — a uniform deterministic probe h(anchor) into the
+  // contiguous doc_id space, stepping past collisions with the anchor or
+  // its positive (first of h, h+1, h+2 mod n not in {a, p} — 3 probes
+  // always suffice for distinct a, p). Everything is exact arithmetic,
+  // so the oracle replays the whole mining run bit-for-bit. Scale: rides
+  // q99's band shuffle; the negative probe is scan-local against a
+  // broadcast 1-row count.
+  val q139 = QueryDef.oracle("q139_contrastive_triples", {
+    val h = s"(2654435761 * anchor_id + 40503) % 1000000007"
+    s"""${DedupQueries.portablePairsCtes},
+       |apos AS (SELECT ia AS anchor_id, CAST(min(ib) AS BIGINT) AS positive_id
+       |         FROM pairs GROUP BY ia),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |probe AS (SELECT anchor_id, positive_id,
+       |            ($h) % n_docs AS c0,
+       |            (($h) + 1) % n_docs AS c1,
+       |            (($h) + 2) % n_docs AS c2
+       |          FROM apos, n)
+       |SELECT anchor_id, positive_id,
+       |       CASE WHEN c0 <> anchor_id AND c0 <> positive_id THEN c0
+       |            WHEN c1 <> anchor_id AND c1 <> positive_id THEN c1
+       |            ELSE c2 END AS negative_id
+       |FROM probe""".stripMargin
+  })(
+    (s, d) => {
+      val pairs = DedupQueries.portablePairs(s, d)
+      val apos = pairs.groupBy(col("ia").as("anchor_id"))
+        .agg(min("ib").as("positive_id"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val h = (lit(2654435761L) * col("anchor_id") + lit(40503L)) % lit(1000000007L)
+      val probe = apos.crossJoin(broadcast(n))
+        .withColumn("c0", h % col("n_docs"))
+        .withColumn("c1", (h + 1) % col("n_docs"))
+        .withColumn("c2", (h + 2) % col("n_docs"))
+      probe.select(col("anchor_id"), col("positive_id"),
+        when(col("c0") =!= col("anchor_id") && col("c0") =!= col("positive_id"), col("c0"))
+          .when(col("c1") =!= col("anchor_id") && col("c1") =!= col("positive_id"), col("c1"))
+          .otherwise(col("c2")).as("negative_id"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139)
 }

@@ -123,6 +123,20 @@ class ModelPrepSpec extends SparkSpec {
     assert(lab.filter(col("lbl") > col("v")).count() == 0)
   }
 
+  test("q139: triples are distinct; every positive is a real LSH partner") {
+    val t = q("q139_contrastive_triples").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.nonEmpty)
+    t.foreach { case (a, p, n) =>
+      assert(a != p && a != n && p != n, s"degenerate triple ($a,$p,$n)")
+    }
+    val pairSet = DedupQueries.portablePairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    t.foreach { case (a, p, _) =>
+      assert(pairSet.contains((a, p)), s"positive $p is not an LSH partner of $a")
+    }
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>
