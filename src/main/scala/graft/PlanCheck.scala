@@ -151,6 +151,12 @@ object PlanCheck {
         !p.contains("BroadcastNestedLoopJoin"))
     check("q139_contrastive_triples", "negative mining scan-local; pairs equi-join only",
       p => !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the only SinglePartition window allowed is the ≤10001-row bucket
+    // table; the doc-side cumsum must be keyed on bucket and the offsets
+    // must come back via broadcast
+    check("q140_budget_selection", "two-level prefix sum: doc window keyed, offsets broadcast",
+      p => p.contains("Window") && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -465,6 +465,65 @@ object ModelPrepQueries {
           .otherwise(col("c2")).as("negative_id"))
     })
 
+  // --- q140: token-budget data selection (greedy by quality) -----------
+  // DataComp-style selection: rank the corpus by quality (desc, doc_id
+  // tiebreak), keep the prefix whose cumulative token count fits a
+  // budget of 30% of total corpus tokens. The global cumulative sum —
+  // normally a single-partition window, the classic 100-TB trap — runs
+  // as a TWO-LEVEL distributed prefix sum: quality is rounded to 4
+  // decimals, so bucket = quality·10⁴ is EXACT and the global order
+  // (quality desc, doc_id) is (bucket desc, doc_id); per-bucket token
+  // totals (≤10⁴+1 rows) take a tiny windowed prefix, broadcast back as
+  // offsets, and each doc adds its bucket-local cumsum (window KEYED on
+  // bucket) to its bucket's offset. No data-sized single-partition
+  // anything. The oracle is the plain global-window formulation — same
+  // answer, shape-free.
+  val q140 = QueryDef.oracle("q140_budget_selection",
+    """WITH q AS (SELECT doc_id,
+      |             round(CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 1.0
+      |                        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END * 0.4
+      |               + CASE WHEN length(text) > 0
+      |                      THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+      |                           / CAST(length(text) AS DOUBLE) ELSE 0.0 END * 0.4
+      |               + CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+      |                       AND length(text) / CAST(len(regexp_extract_all(text, '\S+'))
+      |                           AS DOUBLE) BETWEEN 3 AND 12
+      |                      THEN 1.0 ELSE 0.3 END * 0.2, 4) AS quality,
+      |             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks
+      |           FROM documents),
+      |tot AS (SELECT CAST(FLOOR(0.3 * SUM(n_toks)) AS BIGINT) AS budget FROM q),
+      |c AS (SELECT doc_id, quality, n_toks,
+      |        CAST(SUM(n_toks) OVER (ORDER BY quality DESC, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+      |      FROM q)
+      |SELECT doc_id, quality, n_toks, cum_toks, cum_toks <= budget AS kept
+      |FROM c, tot""".stripMargin)(
+    (s, d) => {
+      val q = Tables.documents(s, d).select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast("long").as("n_toks"))
+        // bucket is EXACT: quality is rounded to 4 decimals by contract
+        .withColumn("bucket", round(col("quality") * 10000).cast("long"))
+      val budget = q.agg(floor(lit(0.3) * sum("n_toks")).cast("long").as("budget"))
+      // level 1: per-bucket totals, prefix over the ≤10001-row bucket
+      // table (bounded side data — its single-partition window is fine)
+      val wBuckets = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = q.groupBy("bucket").agg(sum("n_toks").as("bucket_toks"))
+        .withColumn("offset", sum("bucket_toks").over(wBuckets) - col("bucket_toks"))
+        .select("bucket", "offset")
+      // level 2: bucket-local cumsum, KEYED window — the data-sized side
+      // never sees a single partition
+      val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.withColumn("local_cum", sum("n_toks").over(wLocal))
+        .join(broadcast(offsets), Seq("bucket"))
+        .crossJoin(broadcast(budget))
+        .select(col("doc_id"), col("quality"), col("n_toks"),
+          (col("offset") + col("local_cum")).as("cum_toks"),
+          (col("offset") + col("local_cum") <= col("budget")).as("kept"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140)
 }

@@ -137,6 +137,27 @@ class ModelPrepSpec extends SparkSpec {
     }
   }
 
+  test("q140: kept set is a quality prefix that exactly fits the budget") {
+    val rows = q("q140_budget_selection").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val totalToks = rows.map(_._3).sum
+    val budget = (0.3 * totalToks).toLong
+    val kept = rows.filter(_._5)
+    assert(kept.nonEmpty && kept.length < rows.length)
+    // greedy optimality of the prefix: fits the budget, and the next doc
+    // in (quality desc, doc_id) order would overflow it
+    assert(kept.map(_._3).sum <= budget)
+    val ordered = rows.sortBy(r => (-r._2, r._1))
+    val firstDropped = ordered.find(!_._5).get
+    assert(kept.map(_._3).sum + firstDropped._3 > budget)
+    // prefix property: nothing kept after the first drop
+    assert(!ordered.dropWhile(_._5).exists(_._5))
+    // cum_toks really is the running sum in the global order
+    assert(ordered.scanLeft(0L)(_ + _._3).tail.zip(ordered).forall {
+      case (cum, r) => cum == r._4
+    })
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>
