@@ -157,6 +157,12 @@ object PlanCheck {
     check("q140_budget_selection", "two-level prefix sum: doc window keyed, offsets broadcast",
       p => p.contains("Window") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin"))
+    check("q141_window_suite", "all ten window funcs share ONE keyed sort (single Window op)",
+      p => p.contains("Window") && !p.contains("SinglePartition"))
+    check("q142_string_suite", "string toolbox stays in the scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
+    check("q143_datetime_suite", "datetime toolbox stays in the scan stage (no Exchange)",
+      p => !p.contains("Exchange"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

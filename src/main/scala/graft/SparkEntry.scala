@@ -15,7 +15,8 @@ object SparkEntry {
       CoreQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
         DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
         MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs ++
-        TpchFullQueries.defs ++ CurationQueries.defs ++ ModelPrepQueries.defs
+        TpchFullQueries.defs ++ CurationQueries.defs ++ ModelPrepQueries.defs ++
+        SqlSurfaceQueries.defs
     // a duplicate name would silently drop a query from the driver
     // contract via toMap's last-wins
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Function-surface coverage: the ranking/navigation window family, the
+  * string toolbox, and the datetime toolbox, each exercised in one query
+  * and hash-checked against DuckDB's implementations of the same
+  * functions. These pin cross-engine semantics (ntile distribution,
+  * percent_rank/cume_dist rationals, add_months end-of-month clamping,
+  * ISO week numbering, dayofweek origin) that differ silently between
+  * engines when assumed.
+  */
+object SqlSurfaceQueries {
+
+  /** Every ranking/navigation window function over one deterministic
+    * (unique-key) ordering. percent_rank/cume_dist are exact rationals
+    * rounded identically; nth_value/lead defaults pin the running-frame
+    * and default-value semantics.
+    */
+  val q141 = QueryDef.oracle("q141_window_suite",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+      |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+      |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |       round(CUME_DIST() OVER w, 6) AS cume,
+      |       LAG(o_orderkey, 1) OVER w AS prev_key,
+      |       LEAD(o_orderkey, 2, -1) OVER w AS next2_key,
+      |       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+      |       NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 2, -1).over(w).as("next2_key"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+    })
+
+  /** The string toolbox over part names — pad/reverse/split/translate/
+    * repeat/position/case functions, engine-parity pinned per function.
+    * Scan-stage only. */
+  val q142 = QueryDef.oracle("q142_string_suite",
+    """SELECT p_partkey,
+      |       lpad(p_name, 30, '.') AS padded_l,
+      |       rpad(p_name, 30, '.') AS padded_r,
+      |       reverse(p_name) AS rev,
+      |       split_part(p_name, ' ', 2) AS second_word,
+      |       translate(p_name, 'aeiou', '01234') AS translated,
+      |       repeat(left(p_name, 3), 2) AS rep,
+      |       strpos(p_name, 'al') AS pos_al,
+      |       upper(right(p_name, 4)) AS tail_upper,
+      |       substring(p_name, 3, 8) AS mid,
+      |       concat_ws('|', p_type, p_brand) AS type_brand,
+      |       CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part""".stripMargin)(
+    (s, d) => Tables.part(s, d).select(col("p_partkey"),
+      lpad(col("p_name"), 30, ".").as("padded_l"),
+      rpad(col("p_name"), 30, ".").as("padded_r"),
+      reverse(col("p_name")).as("rev"),
+      split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+      translate(col("p_name"), "aeiou", "01234").as("translated"),
+      repeat(expr("left(p_name, 3)"), 2).as("rep"),
+      instr(col("p_name"), "al").as("pos_al"),
+      upper(expr("right(p_name, 4)")).as("tail_upper"),
+      substring(col("p_name"), 3, 8).as("mid"),
+      concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+      length(col("p_name")).cast("long").as("name_len")))
+
+  /** The datetime toolbox over order dates — extraction fields, ISO week
+    * numbering, end-of-month clamping (add_months), day arithmetic.
+    * dayofweek origins differ (Spark 1=Sunday, DuckDB 0=Sunday) — the
+    * oracle normalizes, pinning the mapping explicitly. */
+  val q143 = QueryDef.oracle("q143_datetime_suite",
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |       CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+      |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+      |       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+      |       last_day(o_orderdate) AS month_end,
+      |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |       CAST(CAST(o_orderdate AS DATE) - DATE '2000-01-01' AS BIGINT) AS days_since_y2k
+      |FROM orders""".stripMargin)(
+    (s, d) => {
+      val dt = to_date(col("o_orderdate"))
+      Tables.orders(s, d).select(col("o_orderkey"), dt.as("d"),
+        year(dt).as("y"), quarter(dt).as("q"), month(dt).as("m"),
+        dayofmonth(dt).as("dom"), dayofyear(dt).as("doy"),
+        dayofweek(dt).as("dow_sun1"), weekofyear(dt).as("iso_week"),
+        last_day(dt).as("month_end"),
+        date_add(dt, 30).as("plus30"),
+        add_months(dt, 3).as("plus3m"),
+        datediff(dt, lit("2000-01-01").cast("date")).cast("long").as("days_since_y2k"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q141, q142, q143)
+}
