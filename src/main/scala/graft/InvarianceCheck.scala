@@ -1,0 +1,45 @@
+package graft
+
+/** Dev tool: prove the ENTIRE query surface is partition-invariant — the
+  * property all the determinism engineering (micro-integer sums, content-
+  * hash sampling, fixed-round propagation, unique-key orderings) exists
+  * to deliver. Runs every registered query twice, under deliberately
+  * mismatched core/shuffle-partition counts (5 vs 13 — coprime, neither a
+  * divisor of data sizes), canonicalizes each result (row strings,
+  * sorted), and compares digests. A query whose answer depends on
+  * partitioning — the classic 100-TB repro killer — fails here at
+  * sf0.001. Run after adding any query that sums floats, samples, ranks,
+  * or iterates.
+  */
+object InvarianceCheck {
+  def main(a: Array[String]): Unit = {
+    val d = a.headOption.getOrElse("/root/testdata/sf0.001")
+    def pass(cores: String): Map[String, String] = {
+      val spark = GraftSession.builder(cores).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val h = try {
+          val rows = fn(spark, d).collect().map(_.toString).sorted
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(rows.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        } catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
+        name -> h
+      }.toMap
+      spark.stop()
+      out
+    }
+    val a5 = pass("5")
+    val b13 = pass("13")
+    var bad = 0
+    a5.keys.toSeq.sorted.foreach { k =>
+      if (a5(k) != b13(k) || a5(k).startsWith("ERR")) {
+        bad += 1
+        println(s"DIFF $k ${a5(k)} vs ${b13(k)}")
+      }
+    }
+    println(if (bad == 0) s"ALL ${a5.size} QUERIES PARTITION-INVARIANT (5 vs 13 cores)"
+    else s"$bad PARTITION-DEPENDENT QUERIES")
+    if (bad > 0) sys.exit(1)
+  }
+}
