@@ -163,6 +163,8 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q143_datetime_suite", "datetime toolbox stays in the scan stage (no Exchange)",
       p => !p.contains("Exchange"))
+    check("q144_conditional_agg", "conditional aggs combine map-side in one pass",
+      p => p.contains("partial_count") && scans(p, "orders") == 1)
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

@@ -108,5 +108,31 @@ object SqlSurfaceQueries {
         datediff(dt, lit("2000-01-01").cast("date")).cast("long").as("days_since_y2k"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q141, q142, q143)
+  /** Conditional aggregation: count_if / bool_or / bool_and / FILTERed
+    * sums and the null-respecting count family, per order priority —
+    * one pass, map-side combined. Spark's count_if/bool_* map to
+    * DuckDB's FILTER clause and bool aggregates; the cents
+    * integerization keeps the filtered sum exact.
+    */
+  val q144 = QueryDef.oracle("q144_conditional_agg",
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+      |       bool_or(o_orderstatus = 'F') AS any_f,
+      |       bool_and(o_totalprice > 0) AS all_positive,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+      |            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS open_cents,
+      |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority""".stripMargin)(
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        sum(when(col("o_orderstatus") === "O",
+          floor(col("o_totalprice") * 100).cast("long"))).as("open_cents"),
+        countDistinct("o_orderstatus").as("n_statuses")))
+
+  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144)
 }
