@@ -165,6 +165,8 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q144_conditional_agg", "conditional aggs combine map-side in one pass",
       p => p.contains("partial_count") && scans(p, "orders") == 1)
+    check("q145_triangle_census", "wedge+close are equi-joins on ids, never cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

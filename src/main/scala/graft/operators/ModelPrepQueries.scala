@@ -524,6 +524,51 @@ object ModelPrepQueries {
           (col("offset") + col("local_cum") <= col("budget")).as("kept"))
     })
 
+  // --- q145: triangle census of the near-dup graph ---------------------
+  // Triangles in the portable-LSH pair graph measure cluster density —
+  // near-dup SETS (a≈b≈c) versus mere chains — the diagnostic for
+  // whether q129's transitive canonicalization is collapsing tight
+  // groups or daisy-chaining unrelated docs. Classic distributed shape:
+  // edges kept in (ia < ib) orientation, one self-join on the shared
+  // low endpoint builds wedges, one membership join closes them — every
+  // triangle counted exactly once, no enumeration of non-edges. Per-doc
+  // output: triangle count + degree, with the global census appended.
+  val q145 = QueryDef.oracle("q145_triangle_census", {
+    s"""${DedupQueries.portablePairsCtes},
+       |tri AS (
+       |  SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+       |  FROM pairs e1 JOIN pairs e2 ON e1.ia = e2.ia AND e1.ib < e2.ib
+       |  JOIN pairs e3 ON e3.ia = e1.ib AND e3.ib = e2.ib),
+       |pertri AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |             SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+       |             UNION ALL SELECT c FROM tri) GROUP BY v),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT ia AS v FROM pairs UNION ALL SELECT ib FROM pairs)
+       |        GROUP BY v)
+       |SELECT deg.v AS doc_id, deg.degree,
+       |       coalesce(pertri.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+       |FROM deg LEFT JOIN pertri ON deg.v = pertri.v""".stripMargin
+  })(
+    (s, d) => {
+      val pairs = DedupQueries.portablePairs(s, d).localCheckpoint(false)
+      val e1 = pairs.select(col("ia"), col("ib"))
+      val e2 = pairs.select(col("ia"), col("ib").as("ic"))
+      val wedges = e1.join(e2, Seq("ia")).filter(col("ib") < col("ic"))
+      val closing = pairs.select(col("ia").as("ib"), col("ib").as("ic"))
+      val tri = wedges.join(closing, Seq("ib", "ic"))
+        .select(col("ia").as("a"), col("ib").as("b"), col("ic").as("c"))
+      val perTri = tri.select(col("a").as("v"))
+        .unionByName(tri.select(col("b").as("v")))
+        .unionByName(tri.select(col("c").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("ia").as("v"))
+        .unionByName(pairs.select(col("ib").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("degree"))
+      deg.join(perTri, Seq("v"), "left")
+        .select(col("v").as("doc_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145)
 }

@@ -158,6 +158,16 @@ class ModelPrepSpec extends SparkSpec {
     })
   }
 
+  test("q145: triangle incidences come in multiples of 3; triangles need degree >= 2") {
+    val rows = q("q145_triangle_census").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // each triangle contributes exactly one incidence to 3 vertices
+    assert(rows.map(_._3).sum % 3 == 0)
+    rows.filter(_._3 > 0).foreach { case (id, deg, _) =>
+      assert(deg >= 2, s"doc $id in a triangle with degree $deg")
+    }
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>
