@@ -25,9 +25,11 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) // warm-up (codegen compilation, parquet footers, JIT)
-      // min of two timed runs: GC/JIT noise only ever ADDS time, so the
-      // minimum is the better steady-state estimate
-      val times = (1 to 2).map { _ =>
+      // min of three timed runs: GC/JIT/system noise only ever ADDS
+      // time, so the minimum is the better steady-state estimate — three
+      // because a single host-level stall has been observed outlasting a
+      // warm-up + two runs
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = run(fn)
         val dt = (System.nanoTime() - t0) / 1e9
