@@ -167,6 +167,8 @@ object PlanCheck {
       p => p.contains("partial_count") && scans(p, "orders") == 1)
     check("q145_triangle_census", "wedge+close are equi-joins on ids, never cartesian",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q146_join_skew_profile", "profile: partial agg + bounded top-k, stats broadcast",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

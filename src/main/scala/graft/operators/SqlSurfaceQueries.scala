@@ -134,5 +134,37 @@ object SqlSurfaceQueries {
           floor(col("o_totalprice") * 100).cast("long"))).as("open_cents"),
         countDistinct("o_orderstatus").as("n_statuses")))
 
-  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144)
+  /** Join-key skew profiler — the diagnostic run BEFORE picking a join
+    * strategy: per-key frequency stats of the fact side's join column
+    * (lineitem.l_suppkey), the skew ratio (hottest key vs mean), and the
+    * top-5 hottest keys. This is what decides between a plain shuffle
+    * join, AQE skew splitting, and q75's salting. One map-side-combined
+    * aggregation; the stats reduce to one row + a bounded top-k.
+    */
+  val q146 = QueryDef.oracle("q146_join_skew_profile",
+    """WITH f AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+      |           FROM lineitem GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |              CAST(max(n) AS BIGINT) AS max_n,
+      |              CAST(SUM(n) AS BIGINT) AS total
+      |       FROM f)
+      |SELECT f.l_suppkey, f.n,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY f.n DESC, f.l_suppkey) AS BIGINT) AS hot_rank,
+      |       round(f.n * st.n_keys / CAST(st.total AS DOUBLE), 4) AS skew_ratio,
+      |       st.n_keys, st.total
+      |FROM f, st
+      |QUALIFY hot_rank <= 5""".stripMargin)(
+    (s, d) => {
+      val f = Tables.lineitem(s, d).groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      val st = f.agg(count(lit(1)).as("n_keys"), max("n").as("max_n"), sum("n").as("total"))
+      val top = f.orderBy(col("n").desc, col("l_suppkey")).limit(5)
+      val w = Window.orderBy(col("n").desc, col("l_suppkey"))
+      top.withColumn("hot_rank", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(st))
+        .select(col("l_suppkey"), col("n"), col("hot_rank"),
+          round(col("n") * col("n_keys") / col("total").cast("double"), 4).as("skew_ratio"),
+          col("n_keys"), col("total"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144, q146)
 }
