@@ -15,6 +15,27 @@ object PlanCheck {
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     }
     var misses = 0
+    // tree-level predicate: FormattedMode text can't distinguish a
+    // data-sized global window from the tiny key-table prefix window the
+    // two-level numbering pattern legitimately uses (both print
+    // "SinglePartition"), so this walks the physical plan instead
+    def checkTree(name: String, what: String,
+        pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Unit = {
+      val ok = try pred(SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan) catch {
+        case e: Throwable => System.err.println(s"[plancheck] $name: $e"); false
+      }
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} $name%-28s $what")
+    }
+    // every zero-key Window must sit above an Aggregate (i.e. over a
+    // cardinality-REDUCED key table, never over fact-sized input)
+    def noGlobalFactWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }
+        .forall(_.child.exists {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _ => false
+        })
     def check(name: String, what: String, pred: String => Boolean): Unit = {
       // a renamed/missing query is a MISS, not a crash of the whole tool
       val ok = try pred(plan(name)) catch {
@@ -133,6 +154,11 @@ object PlanCheck {
       p => !p.contains("Exchange"))
     check("q131_pipeline_poc", "end-to-end poc: both dimension joins broadcast",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    checkTree("q131_pipeline_poc", "no data-sized global window anywhere " +
+      "(every 0-key Window sits above an Aggregate — fact-side saleIDs are keyed)",
+      noGlobalFactWindow)
+    checkTree("q140_budget_selection", "two-level prefix sum: 0-key windows only above aggregates",
+      noGlobalFactWindow)
     check("q132_rate_anomaly", "trailing stats window keyed on event_type; partials",
       p => p.contains("Window") && !p.contains("SinglePartition") &&
         p.contains("partial_count"))

@@ -122,9 +122,9 @@ object ModelPrepQueries {
 
   // --- q125: portable Bloom-filter join prefilter ----------------------
   // Runtime filtering by hand: the selective dimension (BUILDING-segment
-  // customers) folds into a 16384-bit Bloom filter (261 longs at 63 bits
-  // each — bit 63 stays clear so the shift never overflows DuckDB's
-  // checked BIGINT shift, k=3
+  // customers) folds into a BloomM-bit Bloom filter (4096 bits = 66 longs
+  // at 63 bits each — bit 63 stays clear so the shift never overflows
+  // DuckDB's checked BIGINT shift, k=3
   // universal hashes) via bit_or aggregation; the dense word array
   // broadcasts as ONE row and every fact row tests its 3 bits IN THE SCAN
   // STAGE — no explode, no shuffle of the fact table. Only Bloom
@@ -175,7 +175,8 @@ object ModelPrepQueries {
     (s, d) => {
       val keys = Tables.customer(s, d)
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      // dimension side: 3 positions per key, bit_or into 256 words, then a
+      // dimension side: 3 positions per key, bit_or into the 66-word
+      // array, then a
       // dense 256-long array in ONE row (missing words -> 0)
       val kpos = keys.select(explode(array(bloomPos(col("c_custkey")): _*)).as("pos"))
       val words = kpos

@@ -33,26 +33,67 @@ object Clean {
     * build_database.py:82-85,165-166; SURVEY.md §2.2 P4).
     *
     * Scale note: row_number over an empty partitionBy is a single-task
-    * window — fine for dimensions, wrong for a 100-TB fact. For facts use
-    * [[contiguousId]], which numbers within partitions and offsets by
-    * per-partition counts (one tiny count job, no global sort).
+    * window — acceptable ONLY for bounded dimensions. Facts use
+    * [[keyedOrderedId]] (same deterministic ordered semantics, keyed
+    * windows only) or [[contiguousId]] (order-free, cheapest).
     */
   def orderedId(df: DataFrame, name: String, sortCols: Seq[Column]): DataFrame =
     df.withColumn(name, row_number().over(Window.orderBy(sortCols: _*)).cast("long") - 1)
 
-  /** Contiguous unique 0-based ids without a global sort: zipWithIndex on
-    * the underlying RDD (per-partition counts + offsets under the hood).
-    * Ids depend on partitioning, so they are unique+contiguous but not
-    * tied to a column order — the documented relaxation for fact-scale
-    * keys (SURVEY.md §7 risk register).
+  /** Deterministic 0-based surrogate keys in `(partCols, orderCols)`
+    * lexicographic order WITHOUT a data-sized single-partition window —
+    * the fact-scale form of [[orderedId]]. Two-level distributed prefix
+    * sum: row_number within a window KEYED on `partCols`, per-key counts
+    * prefix-summed on the tiny key table (bounded side data — its
+    * single-partition window sits above the aggregate, never the fact),
+    * offsets broadcast back. Produces ids identical to
+    * `orderedId(df, name, partCols ++ orderCols)` whenever `partCols` is
+    * a sort-prefix of the intended total order (e.g. `to_date(ts)` under
+    * a `ts` order) — the caller's contract. Null keys join null-safely
+    * and sort first, matching Spark's asc_nulls_first window default.
+    */
+  def keyedOrderedId(df: DataFrame, name: String,
+      partCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    val pk = partCols.indices.map(i => s"__pk$i")
+    val withPk = pk.zip(partCols).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val wLocal = Window.partitionBy(pk.map(col): _*).orderBy(orderCols: _*)
+    val keyed = withPk.withColumn("__local", row_number().over(wLocal).cast("long"))
+    val wKeys = Window.orderBy(pk.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ok = partCols.indices.map(i => s"__ok$i")
+    val offsets = pk.zip(ok).foldLeft(
+        withPk.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__cnt"))
+          .withColumn("__off", sum("__cnt").over(wKeys) - col("__cnt"))
+      ) { case (d, (p, o)) => d.withColumnRenamed(p, o) }
+      .select(ok.map(col) :+ col("__off"): _*)
+    val cond = pk.zip(ok).map { case (p, o) => keyed(p) <=> offsets(o) }.reduce(_ && _)
+    keyed.join(broadcast(offsets), cond)
+      .withColumn(name, col("__off") + col("__local") - 1)
+      .drop(pk ++ ok ++ Seq("__local", "__off"): _*)
+  }
+
+  /** Contiguous unique 0-based ids without a global sort, staying in the
+    * DataFrame layer (Tungsten/codegen end to end — no RDD round-trip):
+    * `monotonically_increasing_id` is `(partitionId << 33) + consecutive
+    * row index`, so masking the low 33 bits yields the per-partition
+    * index; per-partition counts prefix-sum into offsets (tiny table,
+    * one row per partition) and broadcast back. Ids depend on
+    * partitioning, so they are unique+contiguous but not tied to a
+    * column order — the documented relaxation for fact-scale keys
+    * (SURVEY.md §7 risk register).
     */
   def contiguousId(df: DataFrame, name: String): DataFrame = {
-    val spark = df.sparkSession
-    val withId = df.rdd.zipWithIndex.map { case (row, id) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ id)
-    }
-    spark.createDataFrame(withId,
-      df.schema.add(name, org.apache.spark.sql.types.LongType, nullable = false))
+    val withMid = df
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__local", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val wKeys = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withMid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum("__cnt").over(wKeys) - col("__cnt"))
+      .select(col("__pid").as("__opid"), col("__off"))
+    withMid.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(name, col("__off") + col("__local"))
+      .drop("__pid", "__opid", "__local", "__off")
   }
 
   /** Keep-newest-per-key dedup — deterministic window formulation of the

@@ -86,18 +86,30 @@ object Fixtures {
     * because `run` mutates watermark state by contract.
     */
   lazy val stable: Map[String, String] = synchronized {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-fixtures-v1")
-    if (!Files.exists(dir.resolve("_READY"))) {
-      Files.createDirectories(dir)
-      val paths = writeAll(dir)
-      Files.writeString(dir.resolve("_READY"), "ok")
-      paths
-    } else
-      Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
-        "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",
-        "catalog" -> "cocktails_api.json", "watermarks" -> "last_update.txt")
-        .map { case (k, f) => k -> dir.resolve(f).toAbsolutePath.toString }
+    // Concurrent-JVM safe: build in a private temp dir, then one atomic
+    // rename publishes it — a reader can never observe torn files, and
+    // losing the rename race to another JVM is harmless (theirs is
+    // bit-identical). NOTE: any fixture-CONTENT change must bump the
+    // version suffix below; readers key only on the directory name, so a
+    // stale same-named dir would otherwise be silently reused by BOTH
+    // sides of the q131 differential check.
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = base.resolve("graft-fixtures-v1")
+    if (!Files.exists(dir)) {
+      val build = Files.createTempDirectory(base, "graft-fixtures-build")
+      writeAll(build)
+      try Files.move(build, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if Files.exists(dir) =>
+          // another JVM published first; discard our copy
+          Files.walk(build).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
+      "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",
+      "catalog" -> "cocktails_api.json", "watermarks" -> "last_update.txt")
+      .map { case (k, f) => k -> dir.resolve(f).toAbsolutePath.toString }
   }
 
   def pipeline(dir: Path, paths: Map[String, String]): CocktailPipeline =
