@@ -42,6 +42,21 @@ object DedupQueries {
   val MinhashK = 64
   val MinhashBands = 16
 
+  // Portable-hash family constants — declared BEFORE the query vals that
+  // bake them into oracle SQL strings at object-init time (a later-val
+  // reference would silently read 0 during initialization).
+  private val PortP = graft.functions.PortableHashKernels.P
+  private val PortMul = 1000003L
+  private val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
+  private val PortBands = 4
+  private val PortMatchMin = PortK / 2 // est-Jaccard ≥ 0.5 ⇔ ≥ half the minhashes agree
+  private val SimBits = 24 // < 30 bits of the mod-1e9+7 gram hash: unbiased-ish
+  private val SimBlocks = 3 // 8-bit blocks; hamming ≤ SimBlocks qualifies a pair
+  // constants live in the kernel — the SQL generator below and the native
+  // expression must never disagree
+  private def portA(i: Int): Long = graft.functions.PortableHashKernels.a(i)
+  private def portB(i: Int): Long = graft.functions.PortableHashKernels.b(i)
+
   /** Per-doc MinHash signature + banded bucket keys (the signature pass
     * of MinHash-LSH). Rows-only: hash family is engine-internal.
     * Scalars only in the output — the driver's rows-only comparator sorts
@@ -60,96 +75,122 @@ object DedupQueries {
         xxhash64(col("bands")).as("bands_hash")))
 
   /** Candidate pairs from LSH banding, verified with signature-estimated
-    * Jaccard. Output: per-doc near-dup summary (always n_docs rows, so the
-    * rows-only gate is meaningful even on a dup-free corpus). */
-  val q52 = QueryDef.rowsOnly("q52_minhash_lsh_dedup")(
-    (s, d) => minhashNearDups(s, d, threshold = 0.5))
-
-  def minhashNearDups(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
-    // explode band keys; shuffle carries (band key, doc_id, sig)
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= threshold)
-    // per-doc summary: keeps output non-empty on dup-free corpora
-    val perDoc = cand.select(col("id_a").as("doc_id"), col("est_jaccard"))
-      .unionByName(cand.select(col("id_b").as("doc_id"), col("est_jaccard")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_near_dups"), max("est_jaccard").as("best_jaccard"))
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-        col("best_jaccard"))
-  }
-
-  /** SimHash near-dup: 64-bit signature; block on the 4 x 16-bit chunks
-    * (any pair within Hamming distance 3 shares at least one chunk by
-    * pigeonhole over 4 chunks). Rows-only. */
-  val q53 = QueryDef.rowsOnly("q53_simhash_dedup")(
+    * Jaccard, per-doc near-dup summary (always n_docs rows, so the gate
+    * is meaningful even on a dup-free corpus). HASH-MATCHED: built on the
+    * portable MinHash kernels (q99's family), so the DuckDB oracle
+    * replays signatures → bands → pairs → estimated Jaccard → summary
+    * end to end. Scale shape: the band shuffle carries (band, digest,
+    * doc_id) only; signatures are recomputed just for the (rare)
+    * candidate docs — the q54 trade, candidates restrict the scan BEFORE
+    * the kernel.
+    */
+  val q52 = QueryDef.oracle("q52_minhash_lsh_dedup", {
+    s"""$portableScoredCtes,
+       |kept AS (SELECT ia, ib, n_match FROM scored WHERE n_match >= $PortMatchMin),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups, max(n_match) AS best_match
+       |  FROM (SELECT ia AS doc_id, n_match FROM kept
+       |        UNION ALL SELECT ib AS doc_id, n_match FROM kept)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups,
+       |       best_match / $PortK.0 AS best_jaccard
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin})(
     (s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sh"))
-      val chunks = sigs.select(col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("chunk"),
-            shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
-        .select(col("doc_id"), col("sh"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      val l = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val r = chunks.select(col("chunk"), col("ck"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val cand = l.join(r, Seq("chunk", "ck")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-      val perDoc = cand.select(col("id_a").as("doc_id"), col("hamming"))
-        .unionByName(cand.select(col("id_b").as("doc_id"), col("hamming")))
+      val scored = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+      val perDoc = scored.select(col("ia").as("doc_id"), col("n_match"))
+        .unionByName(scored.select(col("ib").as("doc_id"), col("n_match")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_near_dups"), max("n_match").as("best_match"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          (col("best_match") / lit(PortK.toDouble)).as("best_jaccard"))
+    })
+
+  /** SimHash near-dup summary: signature; block split (any pair within
+    * Hamming distance SimBlocks shares at least one block by pigeonhole);
+    * candidates from the (block, value) equi-join; only candidates pay
+    * the bit_count verify. HASH-MATCHED: built on the portable 24-bit
+    * SimHash (q100's kernel — q100 reports partner IDENTITY, this query
+    * the near-dup DISTANCES), so the DuckDB oracle replays fingerprints,
+    * pigeonhole blocking, and hamming end to end. */
+  val q53 = QueryDef.oracle("q53_simhash_dedup", {
+    s"""$portableSimhashCtes,
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups, min(hamming) AS best_hamming
+       |  FROM (SELECT ia AS doc_id, hamming FROM pairs
+       |        UNION ALL SELECT ib AS doc_id, hamming FROM pairs)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, s.fp AS simhash24,
+       |       COALESCE(n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups, best_hamming
+       |FROM documents d
+       |LEFT JOIN sig s USING (doc_id)
+       |LEFT JOIN perdoc USING (doc_id)""".stripMargin})(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigDf = docs
+        .select(col("doc_id"), portableSimhashNative(col("text"), 3, SimBits).as("sh"))
+        .select(col("doc_id"), col("sh.n_grams").as("n"), col("sh.fp").as("fp"))
+      val blocks = sigDf.filter(col("n") > 0)
+        .select(col("doc_id"), col("fp"),
+          posexplode(array((0 until SimBlocks).map(b =>
+            shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("blk", "val")))
+      val a = blocks.select(col("blk"), col("val"), col("doc_id").as("ia"), col("fp").as("fa"))
+      val b = blocks.select(col("blk"), col("val"), col("doc_id").as("ib"), col("fp").as("fb"))
+      val pairs = a.join(b, Seq("blk", "val")).filter(col("ia") < col("ib"))
+        .select("ia", "fa", "ib", "fb").distinct()
+        .select(col("ia"), col("ib"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= SimBlocks)
+      val perDoc = pairs.select(col("ia").as("doc_id"), col("hamming"))
+        .unionByName(pairs.select(col("ib").as("doc_id"), col("hamming")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_near_dups"), min("hamming").as("best_hamming"))
-      sigs.select(col("doc_id"), col("sh").as("simhash"))
+      docs.select("doc_id")
+        .join(sigDf.select(col("doc_id"), col("fp").as("simhash24")), Seq("doc_id"), "left")
         .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"), col("best_hamming"))
+        .select(col("doc_id"), col("simhash24"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_hamming"))
     })
 
   /** Exact n-gram Jaccard within LSH-candidate pairs only (never all
     * pairs): MinHash banding proposes, exact 3-gram Jaccard disposes.
-    * The band shuffle carries ONLY (band key, doc_id) — document-sized
-    * gram arrays never ride the 16x explode; they re-join just for the
+    * The band shuffle carries ONLY (band, digest, doc_id) — document-
+    * sized gram arrays never ride the explode; they re-join just for the
     * candidate pairs, which broadcast (they're rare unless the corpus is
     * mostly duplicates — and then dedup is the cheapest thing you run).
-    */
-  val q54 = QueryDef.rowsOnly("q54_ngram_jaccard_verify")(
+    * HASH-MATCHED: candidates come from the portable MinHash bands
+    * (q99's pair set, by construction) and the exact Jaccard arithmetic
+    * is engine-portable, so the oracle replays propose AND dispose. */
+  val q54 = QueryDef.oracle("q54_ngram_jaccard_verify", {
+    s"""$portablePairsCtes,
+       |jac AS (
+       |  SELECT p.ia, p.ib,
+       |         len(list_intersect(ga.gs, gb.gs)) /
+       |           CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |           AS jaccard
+       |  FROM pairs p JOIN grams ga ON ga.doc_id = p.ia
+       |               JOIN grams gb ON gb.doc_id = p.ib),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates, max(jaccard) AS best_jaccard
+       |  FROM (SELECT ia AS doc_id, jaccard FROM jac
+       |        UNION ALL SELECT ib AS doc_id, jaccard FROM jac)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates, best_jaccard
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)""".stripMargin})(
     (s, d) => {
-      val banded = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(lshBands(minhashTextSignature(col("text"), 3, MinhashK),
-            MinhashK, MinhashBands)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-        // materialized once (lazily): BOTH sides of the self-join below
-        // consume it — without this the 64-hash MinHash kernel runs twice
-        .localCheckpoint(false)
-      val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-      val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
       // materialized once (it's tiny): three consumers below — without
       // this the whole minhash+banding pipeline re-executes per consumer
-      val cand = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val cand = portablePairs(s, d)
         .localCheckpoint(false) // lazy: construction stays side-effect-free
       // compute grams ONLY for docs that appear in a candidate pair: the
       // broadcast semi-join restricts the scan BEFORE the (expensive)
       // gram projection, so gram cost is O(candidates), not O(corpus)
-      val candIds = cand.select(col("id_a").as("doc_id"))
-        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+      val candIds = cand.select(col("ia").as("doc_id"))
+        .unionByName(cand.select(col("ib").as("doc_id"))).distinct()
       // also materialized once: consumed by BOTH sides of the pair join
       // below — without this the doc scan + (expensive) gram projection
       // runs twice per execution
@@ -157,12 +198,12 @@ object DedupQueries {
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("grams"))
         .localCheckpoint(false)
-      val withA = grams.join(broadcast(cand), col("doc_id") === col("id_a"))
-        .select(col("id_a"), col("id_b"), col("grams").as("g_a"))
-      val pairs = grams.join(broadcast(withA), col("doc_id") === col("id_b"))
-        .select(col("id_a"), col("id_b"), jaccardDistinct(col("g_a"), col("grams")).as("jaccard"))
-      val perDoc = pairs.select(col("id_a").as("doc_id"), col("jaccard"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"), col("jaccard")))
+      val withA = grams.join(broadcast(cand), col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("grams").as("g_a"))
+      val pairs = grams.join(broadcast(withA), col("doc_id") === col("ib"))
+        .select(col("ia"), col("ib"), jaccardDistinct(col("g_a"), col("grams")).as("jaccard"))
+      val perDoc = pairs.select(col("ia").as("doc_id"), col("jaccard"))
+        .unionByName(pairs.select(col("ib").as("doc_id"), col("jaccard")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_candidates"), max("jaccard").as("best_jaccard"))
       Tables.documents(s, d).select(col("doc_id"))
@@ -193,24 +234,36 @@ object DedupQueries {
   /** Near-dup CLUSTERS: LSH candidate pairs (est Jaccard ≥ 0.5) are edges;
     * connected components gives the transitive closure (a~b, b~c ⇒ one
     * cluster), min doc_id per cluster is the keeper. Always n_docs rows —
-    * singletons are their own cluster. Rows-only (hash family internal). */
-  val q56 = QueryDef.rowsOnly("q56_dedup_clusters")(
+    * singletons are their own cluster. HASH-MATCHED: edges are the
+    * portable scored pairs (q52's kept set, by construction) and the
+    * oracle computes the same min-reachable-id labeling with a recursive
+    * transitive-closure CTE, so the convergence-checked distributed loop
+    * ([[Components.connectedComponents]]) is verified against an
+    * independent fixpoint formulation — not just row counts. */
+  val q56 = QueryDef.oracle("q56_dedup_clusters", {
+    val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |undir AS (SELECT ia AS a, ib AS b FROM kept UNION SELECT ib, ia FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN min(r.b) IS NULL THEN d.doc_id
+       |              ELSE LEAST(d.doc_id, min(r.b)) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |       CASE WHEN c.doc_id = c.cluster_id THEN 'keep' ELSE 'drop' END AS action
+       |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin})(
     (s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          minhashTextSignature(col("text"), 3, MinhashK).as("sig"))
-      val banded = sigs
-        .select(col("doc_id"), col("sig"),
-          explode(lshBands(col("sig"), MinhashK, MinhashBands)).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val l = banded.select(col("band"), col("bh"), col("doc_id").as("src"), col("sig").as("sig_a"))
-      val r = banded.select(col("band"), col("bh"), col("doc_id").as("dst"), col("sig").as("sig_b"))
-      val edges = l.join(r, Seq("band", "bh")).filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"),
-          minhashJaccard(col("sig_a"), col("sig_b")).as("j"))
-        .distinct()
-        .filter(col("j") >= 0.5)
-        .select(col("src"), col("dst"))
+      val edges = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
       val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
       val comp = Components.connectedComponents(vertices, edges)
       val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -276,15 +329,6 @@ object DedupQueries {
   // driver hash-checks the END-TO-END near-dup result, not just row
   // counts. Same scale shape as q52: the only data-sized shuffle carries
   // (band, digest, doc_id).
-  private val PortP = graft.functions.PortableHashKernels.P
-  private val PortMul = 1000003L
-  private val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
-  private val PortBands = 4
-  // constants live in the kernel — the SQL generator below and the native
-  // expression must never disagree
-  private def portA(i: Int): Long = graft.functions.PortableHashKernels.a(i)
-  private def portB(i: Int): Long = graft.functions.PortableHashKernels.b(i)
-
   /** The `WITH ... pairs` CTE chain of the portable MinHash-LSH oracle —
     * shared by q99 and the cluster-canonicalization oracle (q129), which
     * must agree on the candidate-pair set by construction. */
@@ -380,6 +424,43 @@ object DedupQueries {
       .select("ia", "ib").distinct()
   }
 
+  /** portablePairsCtes + scored(ia, ib, n_match): the agreeing-minhash
+    * count per candidate pair — shared by q52 (threshold summary) and
+    * q56 (cluster edges), which must agree on the edge set. */
+  private[graft] def portableScoredCtes: String = {
+    val matchSum = (0 until PortK).map(i =>
+      s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$portablePairsCtes,
+       |scored AS (
+       |  SELECT p.ia, p.ib, CAST($matchSum AS BIGINT) AS n_match
+       |  FROM pairs p JOIN sig sa ON sa.doc_id = p.ia
+       |               JOIN sig sb ON sb.doc_id = p.ib)""".stripMargin
+  }
+
+  /** Spark twin of [[portableScoredCtes]]: candidate pairs with their
+    * agreeing-minhash count. Signatures are recomputed ONLY for docs in a
+    * candidate pair (broadcast semi-join BEFORE the kernel — the q54
+    * trade: gram/signature cost is O(candidates), not O(corpus), and the
+    * band shuffle still carries just (band, digest, doc_id)). */
+  private[graft] def portableScoredPairs(s: SparkSession, d: String): DataFrame = {
+    // materialized once (lazily): candIds + both sides of the sig join
+    val pairs = portablePairs(s, d).localCheckpoint(false)
+    val candIds = pairs.select(col("ia").as("doc_id"))
+      .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
+    // raw native sigs (sentinel P for gram-less docs — candidates always
+    // have grams, so the sentinel never reaches the comparison)
+    val sigs = Tables.documents(s, d)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), portableMinhashSigNative(col("text"), 3, PortK).as("mh"))
+      .localCheckpoint(false)
+    val withA = sigs.join(broadcast(pairs), col("doc_id") === col("ia"))
+      .select(col("ia"), col("ib"), col("mh").as("mh_a"))
+    sigs.join(broadcast(withA), col("doc_id") === col("ib"))
+      .select(col("ia"), col("ib"),
+        aggregate(zip_with(col("mh_a"), col("mh"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("n_match"))
+  }
+
   val q99 = QueryDef.oracle("q99_portable_minhash_pairs", portableMinhashOracleSql)(
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -402,9 +483,11 @@ object DedupQueries {
   // blocks means ≥1 block matches exactly, so candidates come from a
   // keyed equi-join on (block, value) and only candidates pay the
   // bit_count(xor) verify. Fully hash-matched in DuckDB, end to end.
-  private val SimBits = 24 // < 30 bits of the mod-1e9+7 gram hash: unbiased-ish
-  private val SimBlocks = 3 // 8-bit blocks; hamming ≤ SimBlocks qualifies a pair
-  private def portableSimhashOracleSql: String = {
+  /** Shared CTE chain of the portable SimHash family — sig(doc_id, n, fp)
+    * and pairs(ia, ib, hamming ≤ SimBlocks). Consumed by q53 (near-dup
+    * summary with hamming distances) and q100 (partner identity), which
+    * therefore agree on the pair set by construction. */
+  private def portableSimhashCtes: String = {
     val fpSum = (0 until SimBits).map(t =>
       s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $t) & 1) = 1)) > len(hs) " +
         s"THEN CAST(${1L << t} AS BIGINT) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
@@ -429,11 +512,15 @@ object DedupQueries {
        |blocks AS (
        |        $blockSelects),
        |pairs AS (
-       |  SELECT ia, ib FROM (
+       |  SELECT ia, ib, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM (
        |    SELECT DISTINCT a.doc_id AS ia, a.fp AS fa, b.doc_id AS ib, b.fp AS fb
        |    FROM blocks a JOIN blocks b
        |      ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
-       |  WHERE bit_count(xor(fa, fb)) <= $SimBlocks),
+       |  WHERE bit_count(xor(fa, fb)) <= $SimBlocks)""".stripMargin
+  }
+
+  private def portableSimhashOracleSql: String = {
+    s"""$portableSimhashCtes,
        |partners AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners, min(p) AS min_partner
        |  FROM (SELECT ia AS doc_id, ib AS p FROM pairs

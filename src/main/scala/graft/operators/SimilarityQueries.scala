@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.VecExpressions
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,61 +64,149 @@ object SimilarityQueries {
         .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
     })
 
-  /** LSH-bucketed ANN: multi-table sign-random-projection
-    * (VecLshBuckets, 12 tables x 5 bits). The OR across tables is what
-    * recalls weak neighbors (this corpus' true top-10 sit at cosine
-    * 0.26-0.45, where any single table's bucket agreement is ~p^bits);
-    * per-pair cost stays one dot product via pre-cosine dedup, and the
-    * shuffle carries only (id, 8-byte bucket) pairs.
-    */
-  val q62 = QueryDef.rowsOnly("q62_ann_lsh_bucketed")(
+  // q62 parameters: 12 tables × 5 bits. The OR across tables is what
+  // recalls weak neighbors (this corpus' true top-10 sit at cosine
+  // 0.26-0.45, where any single table's bucket agreement is ~p^bits).
+  private val AnnTables = 12
+  private val AnnBits = 5
+
+  /** (tbl, bucket) sign-projection buckets from DETERMINISTIC hyperplanes
+    * (the first tables×bits corpus vectors — the same stand-in-for-
+    * trained-planes convention as q64/q67/q68's codebooks): bit b of
+    * table t is sign(cos(v, plane_{t·bits+b})). Shared by q62 and q63. */
+  private def signBuckets(s: SparkSession, emb: DataFrame,
+      tables: Int, bits: Int): DataFrame = {
+    val planes = emb.filter(col("vec_id") < tables * bits)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p"))
+    emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("label"),
+        expr(s"CAST(p_id div $bits AS INT)").as("tbl"),
+        when(VecExpressions.cosineFast(s, col("embedding"), col("p")) > 0,
+          expr(s"shiftleft(1, CAST(p_id % $bits AS INT))").cast("long"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id", "label", "tbl").agg(sum("bit").as("bucket"))
+  }
+
+  /** The same bucket CTEs in DuckDB — parameterized twin of
+    * [[signBuckets]], shared by the q62/q63 oracles. Yields
+    * emb(vec_id, e, label) and buckets(vec_id, label, tbl, bucket). */
+  private def signBucketsCtes(tables: Int, bits: Int): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+       |             FROM embeddings),
+       |planes AS (SELECT vec_id AS p_id, e AS p FROM emb WHERE vec_id < ${tables * bits}),
+       |bits AS (
+       |  SELECT v.vec_id, v.label, CAST(p.p_id // $bits AS INTEGER) AS tbl,
+       |         CASE WHEN list_cosine_similarity(v.e, p.p) > 0
+       |              THEN 1 << CAST(p.p_id % $bits AS INTEGER) ELSE 0 END AS bit
+       |  FROM emb v CROSS JOIN planes p),
+       |buckets AS (SELECT vec_id, label, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+       |            FROM bits GROUP BY vec_id, label, tbl)""".stripMargin
+
+  /** LSH-bucketed ANN: multi-table sign projection; candidates are
+    * bucket collisions with the probe set, each paying ONE exact cosine
+    * (multi-table hits dedup'd pre-cosine); top-10 per query. The
+    * shuffle carries only (id, table, 8-byte bucket). HASH-MATCHED: the
+    * hyperplanes are deterministic (see [[signBuckets]]) and VecCosine is
+    * bitwise-equal to DuckDB's list_cosine_similarity, so buckets,
+    * candidates, ranks, and the exact-double cosines all replay. */
+  val q62 = QueryDef.oracle("q62_ann_lsh_bucketed",
+    s"""${signBucketsCtes(AnnTables, AnnBits)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS vec_id, n.label AS label
+       |  FROM buckets q JOIN buckets n
+       |    ON q.tbl = n.tbl AND q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, c.label,
+       |         list_cosine_similarity(eq.e, en.e) AS cos
+       |  FROM cand c
+       |  JOIN emb eq ON eq.vec_id = c.q_id
+       |  JOIN emb en ON en.vec_id = c.vec_id)
+       |SELECT q_id, rk, vec_id, label, cos FROM (
+       |  SELECT q_id, vec_id, label, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY cos DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 10""".stripMargin)(
     (s, d) => {
-      val (tables, bits) = (12, 5)
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"),
-          explode(VecExpressions.lshBuckets(s, col("embedding"), tables, bits)).as("bucket"))
-      val probes = querySet(s, d)
-        .select(col("q_id"), col("q_vec"),
-          explode(VecExpressions.lshBuckets(s, col("q_vec"), tables, bits)).as("bucket"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val buckets = signBuckets(s, emb, AnnTables, AnnBits)
+      val probes = buckets.filter(col("vec_id") % 50 === 0)
+        .select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
       // dedup multi-table hits BEFORE the cosine — a pair found in
       // several tables costs one dot product, not twelve
-      val scored = base.join(broadcast(probes), Seq("bucket"))
+      val cand = buckets.join(broadcast(probes), Seq("tbl", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .dropDuplicates("q_id", "vec_id")
+        .select("q_id", "vec_id", "label").distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), Seq("q_id"))
+        .join(emb.select(col("vec_id"), col("embedding").as("n_vec")), Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col("label"),
-          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+          VecExpressions.cosineFast(s, col("q_vec"), col("n_vec")).as("cos"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
-          round(col("cos"), 6).as("cos"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cos"))
     })
 
+  // q63 parameters: 6 tables × 12 bits, accept at cosine ≥ 0.95. At that
+  // threshold sign agreement is ~0.9/bit, so the OR across 6 tables gives
+  // ~0.86 pair recall with a tiny random-candidate rate.
+  private val NdTables = 6
+  private val NdBits = 12
+  private val NdThreshold = 0.95
+
   /** Embedding-cosine near-duplicate detection: pairs sharing any LSH
-    * bucket with cosine >= 0.95 (blocked pairwise, not all-pairs). At
-    * this threshold sign agreement is ~0.9/bit, so 6 tables x 12 bits
-    * gives ~0.86 pair recall with a ~0.15% random-candidate rate.
-    */
-  val q63 = QueryDef.rowsOnly("q63_embedding_near_dup")(
+    * bucket (blocked pairwise, not all-pairs) verified at cosine ≥ 0.95.
+    * HASH-MATCHED on deterministic hyperplanes ([[signBuckets]]). The
+    * output exposes n_candidates alongside the accepted near-dups, so the
+    * oracle verifies the BLOCKING structure even on this corpus, whose
+    * true near-dup count at 0.95 is zero (q68 is the same machinery at
+    * an accept threshold this corpus does populate). */
+  val q63 = QueryDef.oracle("q63_embedding_near_dup",
+    s"""${signBucketsCtes(NdTables, NdBits)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT ia, ib, list_cosine_similarity(ea.e, eb.e) AS cos
+       |  FROM cand c
+       |  JOIN emb ea ON ea.vec_id = c.ia
+       |  JOIN emb eb ON eb.vec_id = c.ib),
+       |pervec AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |         CAST(count(*) FILTER (WHERE cos >= $NdThreshold) AS BIGINT) AS n_near_dups,
+       |         max(CASE WHEN cos >= $NdThreshold THEN cos END) AS best_cos
+       |  FROM (SELECT ia AS vec_id, cos FROM pairs
+       |        UNION ALL SELECT ib AS vec_id, cos FROM pairs)
+       |  GROUP BY vec_id)
+       |SELECT e.vec_id, COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       |       COALESCE(n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups, best_cos
+       |FROM emb e LEFT JOIN pervec USING (vec_id)""".stripMargin)(
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          explode(VecExpressions.lshBuckets(s, col("embedding"), 6, 12)).as("bucket"))
-      val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
-      val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b") // multi-table hits: 1 dot product per pair
-        .select(col("id_a"), col("id_b"),
-          VecExpressions.cosineFast(s, col("v_a"), col("v_b")).as("cos"))
-        .filter(col("cos") >= 0.95)
-      val perVec = pairs.select(col("id_a").as("vec_id"), col("cos"))
-        .unionByName(pairs.select(col("id_b").as("vec_id"), col("cos")))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val buckets = signBuckets(s, emb, NdTables, NdBits)
+      val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("ia"))
+      val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("ib"))
+      // dedup multi-table hits BEFORE the cosine: 1 dot product per pair
+      val cand = a.join(b, Seq("tbl", "bucket")).filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val pairs = cand
+        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("va")), Seq("ia"))
+        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          VecExpressions.cosineFast(s, col("va"), col("vb")).as("cos"))
+      val perVec = pairs.select(col("ia").as("vec_id"), col("cos"))
+        .unionByName(pairs.select(col("ib").as("vec_id"), col("cos")))
         .groupBy("vec_id")
-        .agg(count(lit(1)).as("n_near_dups"), max("cos").as("best_cos"))
-      e.select(col("vec_id")).distinct()
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("cos") >= NdThreshold, 1)).as("n_near_dups"),
+          max(when(col("cos") >= NdThreshold, col("cos"))).as("best_cos"))
+      emb.select("vec_id")
         .join(perVec, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-          round(col("best_cos"), 6).as("best_cos"))
+        .select(col("vec_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_cos"))
     })
 
   /** IVF-style ANN: a fixed coarse-quantizer codebook (the 64 lowest

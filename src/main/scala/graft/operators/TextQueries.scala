@@ -74,11 +74,41 @@ object TextQueries {
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langIdHeuristic(col("text")).as("detected_lang")))
 
-  /** 64-bit rolling-hash document fingerprint — rows-only (hash family is
-    * engine-internal). Fingerprint equality ⇒ token-sequence equality. */
-  val q43 = QueryDef.rowsOnly("q43_fingerprint")(
-    (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), docFingerprint(col("text")).as("fingerprint")))
+  /** Document fingerprint DEDUP: rolling-hash fingerprint equality ⇒
+    * token-sequence equality (whitespace-insensitive exact dedup — the
+    * md5 family q50 is byte-exact; this catches reformatted copies).
+    * HASH-MATCHED: the fingerprint is the engine-portable modular fold
+    * (q98's arithmetic — q98 reports the VALUES, this query the
+    * sequence-identity GROUPS), so DuckDB replays fold → group → keeper
+    * end to end. One keyed shuffle on the 8-byte fingerprint. */
+  val q43 = QueryDef.oracle("q43_fingerprint",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(l, t ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(t, ''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |          (a, b) -> (a * 131 + b) % 1000000007))),
+      |      (a, b) -> (a * 1000003 + b) % 1000000007) AS fingerprint
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |        FROM documents)),
+      |g AS (SELECT fingerprint, min(doc_id) AS keeper_id,
+      |             CAST(count(*) AS BIGINT) AS n_same_sequence
+      |      FROM fp GROUP BY fingerprint)
+      |SELECT fp.doc_id, fp.fingerprint, g.keeper_id, g.n_same_sequence,
+      |       CASE WHEN fp.doc_id = g.keeper_id THEN 'keep' ELSE 'drop' END AS action
+      |FROM fp JOIN g USING (fingerprint)""".stripMargin)(
+    (s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), portableFingerprint(col("text")).as("fingerprint"))
+      val g = fp.groupBy("fingerprint")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_same_sequence"))
+      fp.join(g, "fingerprint")
+        .select(col("doc_id"), col("fingerprint"), col("keeper_id"), col("n_same_sequence"),
+          when(col("doc_id") === col("keeper_id"), "keep").otherwise("drop").as("action"))
+    })
 
   /** Engine-portable rolling fingerprint (exact modular arithmetic) —
     * HASH-MATCHED: DuckDB reproduces every fold step bit-exactly, so
