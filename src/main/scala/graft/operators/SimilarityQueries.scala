@@ -70,6 +70,15 @@ object SimilarityQueries {
   private val AnnTables = 12
   private val AnnBits = 5
 
+  // IVF parameters (q64, q69): K centroids, nprobe probed lists per
+  // query. With the deterministic UNTRAINED codebook (vec_id < K),
+  // routing is the recall-binding approximation — nprobe/K is the
+  // fraction of the corpus each query touches, and the recall gate in
+  // AnnRecallSpec pins what that fraction buys (declared before the
+  // query vals that bake them into oracle SQL — init order).
+  private val IvfK = 64
+  private val IvfNprobe = 32
+
   /** (tbl, bucket) sign-projection buckets from DETERMINISTIC hyperplanes
     * (the first tables×bits corpus vectors — the same stand-in-for-
     * trained-planes convention as q64/q67/q68's codebooks): bit b of
@@ -212,7 +221,7 @@ object SimilarityQueries {
   /** IVF-style ANN: a fixed coarse-quantizer codebook (the 64 lowest
     * vec_ids — a deterministic stand-in for trained k-means centroids),
     * every corpus vector assigned to its nearest centroid, and each query
-    * probing the nprobe=8 nearest inverted lists. Scale shape: the
+    * probing its IvfNprobe nearest inverted lists. Scale shape: the
     * codebook broadcasts; assignment is a map-side max_by over the
     * crossed (id, centroid) scores — partials collapse to one row per
     * vector before any exchange, so the assign map shuffles N skinny
@@ -226,9 +235,9 @@ object SimilarityQueries {
     * orderBy(cos desc, c_id) → c_id ASC.
     */
   val q64 = QueryDef.oracle("q64_ann_ivf",
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
       |             FROM embeddings),
-      |cent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < 64),
+      |cent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < $IvfK),
       |assign AS (
       |  SELECT vec_id, c_id FROM (
       |    SELECT v.vec_id, c.c_id,
@@ -242,7 +251,7 @@ object SimilarityQueries {
       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
       |             ORDER BY list_cosine_similarity(q.e, c.c_vec) DESC,
       |                      c.c_id) AS pr
-      |    FROM emb q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) WHERE pr <= 8),
+      |    FROM emb q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) WHERE pr <= $IvfNprobe),
       |cand AS (
       |  SELECT p.q_id, a.vec_id, n.label,
       |         list_cosine_similarity(qe.e, n.e) AS cos
@@ -259,7 +268,7 @@ object SimilarityQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
-      val centroids = emb.filter(col("vec_id") < 64)
+      val centroids = emb.filter(col("vec_id") < IvfK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       // coarse quantization: best (cos, c_id) per vector, embedding NOT
       // carried through the agg — only (vec_id, c_id) crosses the wire
@@ -276,7 +285,7 @@ object SimilarityQueries {
       val probes = querySet(s, d).crossJoin(broadcast(centroids))
         .select(col("q_id"), col("q_vec"), col("c_id"),
           VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
-        .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= 8)
+        .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= IvfNprobe)
         .select("q_id", "q_vec", "c_id")
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       assigned.join(broadcast(probes), Seq("c_id"))
@@ -385,7 +394,7 @@ object SimilarityQueries {
   private val PqM = 8 // subspaces
   private val PqSub = 8 // dims per subspace (64-dim embeddings)
   private val PqK = 16 // centroids per subspace codebook
-  private val PqShortlist = 50 // ADC-pruned candidates per query, exact-reranked
+  private val PqShortlist = 128 // ADC-pruned candidates per query, exact-reranked
 
   private def pqOracleSql: String = {
     def lo(j: Int) = j * PqSub + 1
@@ -448,7 +457,7 @@ object SimilarityQueries {
     * cosines is built per subspace, and a candidate's approximate score
     * is the fixed-order sum of its codes' table entries — per-candidate
     * cost is m array lookups, no vector math. The ADC scan only PRUNES
-    * (top-50 shortlist); true cosine re-ranks the shortlist — the
+    * (top-PqShortlist shortlist); true cosine re-ranks the shortlist — the
     * standard two-stage shape, so only |Q|×50 full vectors are ever
     * fetched. Scale shape: the codebook broadcasts everywhere; encode is
     * a map-side argmax (the corpus never shuffles its vectors); the scan
@@ -630,7 +639,7 @@ object SimilarityQueries {
     val approx = (0 until PqM).map(j => s"qa.a$j[en.code$j + 1]").mkString(" + ")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
        |             FROM embeddings),
-       |ivfcent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < 64),
+       |ivfcent AS (SELECT vec_id AS c_id, e AS c_vec FROM emb WHERE vec_id < $IvfK),
        |pqcent AS (SELECT vec_id AS c_id, e AS c FROM emb WHERE vec_id < $PqK),
        |assign AS (
        |  SELECT vec_id, c_id FROM (
@@ -645,7 +654,7 @@ object SimilarityQueries {
        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |             ORDER BY list_cosine_similarity(q.e, c.c_vec) DESC,
        |                      c.c_id) AS pr
-       |    FROM emb q CROSS JOIN ivfcent c WHERE q.vec_id % 50 = 0) WHERE pr <= 8),
+       |    FROM emb q CROSS JOIN ivfcent c WHERE q.vec_id % 50 = 0) WHERE pr <= $IvfNprobe),
        |$encCtes,
        |enc AS (SELECT * FROM enc0 $encJoin),
        |qtab AS (
@@ -681,10 +690,10 @@ object SimilarityQueries {
   }
 
   /** IVFPQ — the composed production ANN: IVF coarse routing (q64's
-    * 64-centroid quantizer, nprobe=8) narrows candidates to the probed
+    * 64-centroid quantizer, nprobe=IvfNprobe) narrows candidates to the probed
     * inverted lists (~1/8 of the corpus), PQ-ADC (q67's 8-byte codes +
     * per-query lookup tables) scores those candidates without touching
-    * vectors, and true cosine re-ranks the 50-candidate shortlist. At
+    * vectors, and true cosine re-ranks the PqShortlist-candidate shortlist. At
     * 100 TB this is THE shape: routing bounds the scan, codes bound the
     * I/O (32×), rerank bounds the quality loss — and every stage's
     * shuffle carries ids + codes, never vectors (full vectors re-join
@@ -697,7 +706,7 @@ object SimilarityQueries {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
-      val ivfCent = emb.filter(col("vec_id") < 64)
+      val ivfCent = emb.filter(col("vec_id") < IvfK)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       // IVF routing: map-side argmax against the broadcast coarse codebook
       val assign = emb.crossJoin(broadcast(ivfCent))
@@ -710,7 +719,7 @@ object SimilarityQueries {
       val probes = querySet(s, d).crossJoin(broadcast(ivfCent))
         .select(col("q_id"), col("c_id"),
           VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
-        .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= 8)
+        .withColumn("pr", row_number().over(wProbe)).filter(col("pr") <= IvfNprobe)
         .select("q_id", "c_id")
       // PQ encode + per-query lookup tables: shared q67 construction
       val enc = pqEncode(s, emb)

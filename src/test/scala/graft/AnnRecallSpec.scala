@@ -32,29 +32,33 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, f"LSH ANN recall degraded: $r%.3f")
   }
 
-  test("IVF nprobe=8/64 ANN achieves >= 0.4 recall@10 vs brute force at sf0.001") {
+  test("IVF nprobe=32/64 ANN achieves >= 0.7 recall@10 vs brute force at sf0.001") {
+    // the UNTRAINED codebook (vec_id < 64) routes weakly — these true
+    // top-10 are weak neighbors (cos 0.26-0.45), so probing must go wide
+    // (32/64 lists) for 0.79 recall; trained k-means centroids reach the
+    // same recall at far smaller nprobe. The gate pins the floor.
     val r = recallVsExact("q64_ann_ivf")
-    assert(r >= 0.4, f"IVF ANN recall degraded: $r%.3f")
+    assert(r >= 0.7, f"IVF ANN recall degraded: $r%.3f")
   }
 
-  test("PQ (8x16 codebook, 32x compression) + exact rerank achieves >= 0.5 recall@10") {
+  test("PQ (8x16 codebook, 32x compression) + exact rerank achieves >= 0.7 recall@10") {
     // 8-byte codes against 256-byte vectors; the ADC scan only prunes to
-    // a 50-candidate shortlist and true cosine re-ranks, so recall@10 is
-    // really P(true top-10 ⊆ ADC top-50) — 0.60 with an UNTRAINED
+    // a 128-candidate shortlist and true cosine re-ranks, so recall@10 is
+    // really P(true top-10 ⊆ ADC top-128) — 0.79 with an UNTRAINED
     // (vec_id<16) codebook (trained k-means would do far better). The
     // gate pins the floor so an encoding/scoring regression can't hide.
     val r = recallVsExact("q67_ann_pq")
-    assert(r >= 0.5, f"PQ ANN recall degraded: $r%.3f")
+    assert(r >= 0.7, f"PQ ANN recall degraded: $r%.3f")
   }
 
-  test("IVFPQ (routing x codes x rerank) achieves >= 0.4 recall@10 vs brute force") {
-    // recall compounds: IVF routing misses (nprobe 8/64 alone: 0.48) x PQ
-    // shortlist misses (alone: 0.60); empirically routing binds (0.48, equal
-    // to IVF alone — the PQ prune + rerank lose nothing extra). Pins that the
+  test("IVFPQ (routing x codes x rerank) achieves >= 0.7 recall@10 vs brute force") {
+    // recall compounds: IVF routing misses (nprobe 32/64 alone: 0.79) x
+    // PQ shortlist misses (alone: 0.79); empirically 0.75 — the two
+    // approximations overlap rather than multiply. Pins that the
     // production shape still returns useful neighbors after BOTH
     // approximations, with exact rerank cleaning up inside the shortlist
     val r = recallVsExact("q69_ann_ivfpq")
-    assert(r >= 0.4, f"IVFPQ recall degraded: $r%.3f")
+    assert(r >= 0.7, f"IVFPQ recall degraded: $r%.3f")
   }
 
   test("int8 scalar quantization achieves >= 0.9 recall@10 vs float brute force") {
