@@ -117,5 +117,58 @@ object PipelineQueries {
       p.pocAnalysis(salesDf, ck, stockDf)
     })
 
-  val defs: Seq[QueryDef] = Seq(q70, q76, q131)
+  /** The STREAMING poc, driver-checked: the same raw fixture feeds
+    * consumed as arriving-file streams (`streaming/SalesStream` — the
+    * identical per-city schema/options as the batch readers), watermarked
+    * 1-day tumbling aggregation, stream-static broadcast dimension joins,
+    * run to completion in-process. Append mode only emits a day once the
+    * watermark closes it, and a watermark computed at the end of one
+    * micro-batch finalizes windows in the NEXT — so two late sentinel
+    * files are dropped into a COPY of the feed dir (never the shared
+    * stable dir) to flush every real day, then filtered back out. The
+    * emitted rows are hash-matched against the SAME DuckDB oracle as
+    * q131: streaming ≡ batch is a driver-checked fact, not just
+    * `SalesStreamSpec`'s assertion. State at scale: one row per open
+    * (day, group), evicted at the watermark — see SalesStream's scaladoc.
+    */
+  val q147 = QueryDef.oracle("q147_streaming_poc", pocOracleSql)(
+    (s, _) => {
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val stable = Fixtures.stable
+      val p = Fixtures.pipeline(
+        JPaths.get(stable("barStock")).getParent, stable)
+      val stockDf = p.barStock(s)
+      val (salesDf, _) = p.sales(s)
+      val ck = p.cocktails(s, salesDf)
+      val dir = JFiles.createTempDirectory("graft-q147")
+      def stage(feed: String, name: String) = {
+        val sd = JFiles.createDirectory(dir.resolve(s"stream-$feed"))
+        JFiles.copy(JPaths.get(stable(feed)), sd.resolve(name))
+        sd
+      }
+      val buda = stage("budapest", "budapest.csv.gz")
+      val lon = stage("london", "london.csv.gz")
+      val ny = stage("ny", "ny.csv.gz")
+      val stream = graft.streaming.SalesStream.feed(s, buda.toString, "budapest")
+        .unionByName(graft.streaming.SalesStream.feed(s, lon.toString, "london"))
+        .unionByName(graft.streaming.SalesStream.feed(s, ny.toString, "new york"))
+      // unique sink name: bench/invariance runs invoke this repeatedly
+      val table = "poc_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.SalesStream
+        .incrementalPoc(stream, ck, stockDf, watermark = "1 day")
+        .writeStream.format("memory").queryName(table).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        def sentinel(name: String, ts: String): Unit = {
+          JFiles.write(buda.resolve(name),
+            s",TS,ital,k\n0,$ts,zzz-sentinel,1.0\n".getBytes("UTF-8"))
+          q.processAllAvailable()
+        }
+        sentinel("late1.csv", "2021-06-01 00:00:00")
+        sentinel("late2.csv", "2021-09-01 00:00:00")
+      } finally q.stop()
+      s.table(table).filter(col("drink") =!= "zzz-sentinel")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q70, q76, q131, q147)
 }
