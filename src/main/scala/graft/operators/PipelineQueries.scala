@@ -154,19 +154,30 @@ object PipelineQueries {
         .unionByName(graft.streaming.SalesStream.feed(s, ny.toString, "new york"))
       // unique sink name: bench/invariance runs invoke this repeatedly
       val table = "poc_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.SalesStream
-        .incrementalPoc(stream, ck, stockDf, watermark = "1 day")
-        .writeStream.format("memory").queryName(table).outputMode("append").start()
+      // the windowed agg allocates one state-store partition per shuffle
+      // partition PER micro-batch — 32 of them for a handful of open days
+      // is pure checkpoint overhead, so the stream itself runs at 4
+      // (restored after; state count is a per-query constant fixed at
+      // first start, which is also why this can't be a global default)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        q.processAllAvailable()
-        def sentinel(name: String, ts: String): Unit = {
-          JFiles.write(buda.resolve(name),
-            s",TS,ital,k\n0,$ts,zzz-sentinel,1.0\n".getBytes("UTF-8"))
+        val q = graft.streaming.SalesStream
+          .incrementalPoc(stream, ck, stockDf, watermark = "1 day")
+          .writeStream.format("memory").queryName(table).outputMode("append").start()
+        try {
           q.processAllAvailable()
-        }
-        sentinel("late1.csv", "2021-06-01 00:00:00")
-        sentinel("late2.csv", "2021-09-01 00:00:00")
-      } finally q.stop()
+          def sentinel(name: String, ts: String): Unit = {
+            JFiles.write(buda.resolve(name),
+              s",TS,ital,k\n0,$ts,zzz-sentinel,1.0\n".getBytes("UTF-8"))
+            q.processAllAvailable()
+          }
+          sentinel("late1.csv", "2021-06-01 00:00:00")
+          sentinel("late2.csv", "2021-09-01 00:00:00")
+        } finally q.stop()
+        // conf stays lowered until the stream STOPS: start() is async, so
+        // restoring earlier could race the first micro-batch's planning
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(table).filter(col("drink") =!= "zzz-sentinel")
     })
 

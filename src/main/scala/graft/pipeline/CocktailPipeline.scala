@@ -53,12 +53,17 @@ final class CocktailPipeline(
       key -> Watermarks.filterNewerThan(df, wm.get(key))
     }
     val unioned = filtered.map(_._2).reduce(_ unionByName _)
-    // all three per-city maxima in ONE job over the union (not one
-    // scan per gzip feed — they're non-splittable, so each extra job
-    // is a full single-task decompress)
+    // the cleaned batch is consumed THREE times (watermark maxima, the
+    // per-key offset counts, the keyed numbering itself) and the gzip
+    // feeds are non-splittable — a lazy localCheckpoint parses them ONCE
+    // (the maxima job below materializes it) instead of one full
+    // single-task decompress per consumer. The incremental batch is
+    // day-sized by contract, so the materialization is bounded.
+    val cleaned = Clean.lowercaseStrings(unioned).localCheckpoint(false)
+    // all three per-city maxima in ONE job over the union
     val barToKey = Map("budapest" -> "BUDA_date_max",
       "london" -> "LON_date_max", "new york" -> "NYC_date_max")
-    val maxima = unioned.groupBy(lower(col("bar")).as("b"))
+    val maxima = cleaned.groupBy(col("bar").as("b"))
       .agg(max("dateOfSale").as("m")).collect()
       .flatMap(r => Option(r.getTimestamp(1)).flatMap(ts =>
         barToKey.get(r.getString(0)).map(_ -> ts.toString.stripSuffix(".0"))))
@@ -70,7 +75,7 @@ final class CocktailPipeline(
     // so the ids are bit-identical to the global-window form while the
     // fact-side window stays keyed (the 100-TB shape; VERDICT r4 #1)
     val keyed = Clean.keyedOrderedId(
-      Clean.lowercaseStrings(unioned),
+      cleaned,
       "saleID",
       Seq(col("bar"), to_date(col("dateOfSale"))),
       Seq(col("dateOfSale"), col("idx")))
