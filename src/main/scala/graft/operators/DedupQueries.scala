@@ -329,10 +329,10 @@ object DedupQueries {
   // driver hash-checks the END-TO-END near-dup result, not just row
   // counts. Same scale shape as q52: the only data-sized shuffle carries
   // (band, digest, doc_id).
-  /** The `WITH ... pairs` CTE chain of the portable MinHash-LSH oracle —
-    * shared by q99 and the cluster-canonicalization oracle (q129), which
-    * must agree on the candidate-pair set by construction. */
-  private[graft] def portablePairsCtes: String = {
+  /** The CTE chain up to `bandrows` (tokens → grams → gram hashes →
+    * signature → band digests) — the shared prefix of every portable
+    * MinHash oracle. */
+  private def portableBandrowsCtes: String = {
     val mhs = (0 until PortK).map(i =>
       s"CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(list_transform(hs, " +
         s"h -> (h * ${portA(i)} + ${portB(i)}) % $PortP)) END AS mh$i").mkString(",\n        ")
@@ -358,12 +358,23 @@ object DedupQueries {
        |        $mhs
        |        FROM gh),
        |bandrows AS (
-       |        $bandSelects),
+       |        $bandSelects)""".stripMargin
+  }
+
+  /** SQL for the agreeing-minhash count between two sig-table aliases. */
+  private def matchSumSql(a: String, b: String): String =
+    (0 until PortK).map(i =>
+      s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** The `WITH ... pairs` CTE chain of the portable MinHash-LSH oracle —
+    * shared by q99 and the cluster-canonicalization oracle (q129), which
+    * must agree on the candidate-pair set by construction. */
+  private[graft] def portablePairsCtes: String =
+    s"""$portableBandrowsCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
        |  FROM bandrows a JOIN bandrows b
        |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private def portableMinhashOracleSql: String = {
     s"""$portablePairsCtes,
@@ -427,15 +438,12 @@ object DedupQueries {
   /** portablePairsCtes + scored(ia, ib, n_match): the agreeing-minhash
     * count per candidate pair — shared by q52 (threshold summary) and
     * q56 (cluster edges), which must agree on the edge set. */
-  private[graft] def portableScoredCtes: String = {
-    val matchSum = (0 until PortK).map(i =>
-      s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+  private[graft] def portableScoredCtes: String =
     s"""$portablePairsCtes,
        |scored AS (
-       |  SELECT p.ia, p.ib, CAST($matchSum AS BIGINT) AS n_match
+       |  SELECT p.ia, p.ib, CAST(${matchSumSql("sa", "sb")} AS BIGINT) AS n_match
        |  FROM pairs p JOIN sig sa ON sa.doc_id = p.ia
        |               JOIN sig sb ON sb.doc_id = p.ib)""".stripMargin
-  }
 
   /** Spark twin of [[portableScoredCtes]]: candidate pairs with their
     * agreeing-minhash count. Signatures are recomputed ONLY for docs in a
@@ -456,10 +464,86 @@ object DedupQueries {
     val withA = sigs.join(broadcast(pairs), col("doc_id") === col("ia"))
       .select(col("ia"), col("ib"), col("mh").as("mh_a"))
     sigs.join(broadcast(withA), col("doc_id") === col("ib"))
-      .select(col("ia"), col("ib"),
-        aggregate(zip_with(col("mh_a"), col("mh"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("long").as("n_match"))
+      .select(col("ia"), col("ib"), nMatch(col("mh_a"), col("mh")).as("n_match"))
   }
+
+  /** Agreeing-minhash count between two signature arrays — the Column
+    * twin of [[matchSumSql]]. */
+  private def nMatch(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("long")
+
+  /** Incremental (cross-corpus) near-dup admission — THE dedup shape a
+    * growing 100-TB corpus actually runs day to day: a NEW batch (every
+    * 5th doc_id here — the deterministic stand-in for today's crawl) is
+    * checked against the EXISTING index (the rest), never against
+    * itself. Asymmetric banding join: at scale the index's (band,
+    * digest, id) table is precomputed once and stored bucketed on
+    * (band, digest), so each increment pays signatures + shuffle for the
+    * BATCH only — the index never re-hashes, never re-shuffles, and
+    * batch×batch / index×index pairs are never generated. Verification
+    * recomputes signatures just for candidate docs (q54's trade). Output
+    * is the admission decision per new doc; HASH-MATCHED end to end.
+    */
+  val q148 = QueryDef.oracle("q148_incremental_dedup", {
+    s"""$portableBandrowsCtes,
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS idx_id
+       |  FROM bandrows b JOIN bandrows a
+       |    ON b.band = a.band AND b.digest = a.digest
+       |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0),
+       |scored AS (
+       |  SELECT c.new_id, c.idx_id, CAST(${matchSumSql("sa", "sb")} AS BIGINT) AS n_match
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.new_id
+       |              JOIN sig sb ON sb.doc_id = c.idx_id),
+       |kept AS (SELECT * FROM scored WHERE n_match >= $PortMatchMin),
+       |per AS (
+       |  SELECT new_id, CAST(count(*) AS BIGINT) AS n_index_partners,
+       |         min(idx_id) AS best_index_partner, max(n_match) AS best_match
+       |  FROM kept GROUP BY new_id)
+       |SELECT d.doc_id, COALESCE(n_index_partners, CAST(0 AS BIGINT)) AS n_index_partners,
+       |       best_index_partner, best_match / $PortK.0 AS best_jaccard,
+       |       best_match IS NULL AS admitted
+       |FROM documents d LEFT JOIN per ON per.new_id = d.doc_id
+       |WHERE d.doc_id % 5 = 0""".stripMargin})(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(col("doc_id") +: portableMinhashCols(col("text")): _*)
+      val digests = portableBandDigests(i => col(s"mh$i"))
+      val bandrows = sig
+        .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
+        .filter(col("digest").isNotNull)
+      val isNew = col("doc_id") % 5 === 0
+      // at scale: `idx` is the stored band table (bucketed on band,digest)
+      val idx = bandrows.filter(!isNew)
+        .select(col("band"), col("digest"), col("doc_id").as("idx_id"))
+      val batch = bandrows.filter(isNew)
+        .select(col("band"), col("digest"), col("doc_id").as("new_id"))
+      val cand = batch.join(idx, Seq("band", "digest"))
+        .select("new_id", "idx_id").distinct()
+        .localCheckpoint(false) // consumed by candIds + both sig joins
+      val candIds = cand.select(col("new_id").as("doc_id"))
+        .unionByName(cand.select(col("idx_id").as("doc_id"))).distinct()
+      val sigs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), portableMinhashSigNative(col("text"), 3, PortK).as("mh"))
+        .localCheckpoint(false)
+      val withNew = sigs.join(broadcast(cand), col("doc_id") === col("new_id"))
+        .select(col("new_id"), col("idx_id"), col("mh").as("mh_new"))
+      val kept = sigs.join(broadcast(withNew), col("doc_id") === col("idx_id"))
+        .select(col("new_id"), col("idx_id"), nMatch(col("mh_new"), col("mh")).as("n_match"))
+        .filter(col("n_match") >= PortMatchMin)
+      val per = kept.groupBy("new_id")
+        .agg(count(lit(1)).as("n_index_partners"),
+          min("idx_id").as("best_index_partner"),
+          max("n_match").as("best_match"))
+      docs.filter(isNew).select(col("doc_id"))
+        .join(per, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_index_partners"), lit(0L)).as("n_index_partners"),
+          col("best_index_partner"),
+          (col("best_match") / lit(PortK.toDouble)).as("best_jaccard"),
+          col("best_match").isNull.as("admitted"))
+    })
 
   val q99 = QueryDef.oracle("q99_portable_minhash_pairs", portableMinhashOracleSql)(
     (s, d) => {
@@ -570,5 +654,5 @@ object DedupQueries {
           col("min_partner"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100)
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148)
 }
