@@ -779,5 +779,58 @@ object SimilarityQueries {
           (col("pred_label") === col("true_label")).as("agree"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136)
+  /** Embedding-space outlier detection (curation by embedding): each
+    * vector's squared L2 distance to its LABEL CENTROID, ranked within
+    * the label; the top 5% are flagged — the mislabeled/garbage-content
+    * screen a training-data pipeline runs on pooled embeddings. Exact
+    * arithmetic throughout, so it's HASH-MATCHED: coordinates quantize
+    * to 1e-4 integer units, and the distance is computed count²-scaled —
+    * d2 = Σ_dims (cnt·q_i − Σq_i)² — entirely in BIGINTs (no float
+    * centroid ever materializes; scaling by cnt² is monotone within a
+    * label, so ranks are unchanged). Scale shape: posexplode is a
+    * dims× SKINNY expansion collapsed by a map-side-combined (label,
+    * dim) aggregate; the |labels|×dims stats table broadcasts back;
+    * the per-vector re-sum and the rank window are keyed. */
+  val q149 = QueryDef.oracle("q149_embedding_outliers",
+    """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |qd AS (
+      |  SELECT vec_id, label,
+      |         UNNEST([{'dim': i, 'qv': CAST(round(e[i] * 10000) AS BIGINT)}
+      |                 FOR i IN range(1, len(e) + 1)], recursive := true)
+      |  FROM emb),
+      |stats AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s,
+      |                 CAST(count(*) AS BIGINT) AS cnt
+      |          FROM qd GROUP BY label, dim),
+      |d2 AS (SELECT vec_id, q.label,
+      |              CAST(SUM((st.cnt * q.qv - st.s) * (st.cnt * q.qv - st.s)) AS BIGINT) AS d2
+      |       FROM qd q JOIN stats st ON st.label = q.label AND st.dim = q.dim
+      |       GROUP BY vec_id, q.label),
+      |ranked AS (SELECT vec_id, label, d2,
+      |                  ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk,
+      |                  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
+      |           FROM d2)
+      |SELECT vec_id, label, d2, rnk,
+      |       rnk <= CAST(ceil(0.05 * n) AS BIGINT) AS is_outlier
+      |FROM ranked""".stripMargin)(
+    (s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+          round(col("v").cast("double") * 10000).cast("long").as("qv"))
+      val stats = dims.groupBy("label", "dim")
+        .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
+      val term = col("cnt") * col("qv") - col("s")
+      val d2 = dims.join(broadcast(stats), Seq("label", "dim"))
+        .select(col("vec_id"), col("label"), (term * term).as("t"))
+        .groupBy("vec_id", "label").agg(sum("t").as("d2"))
+      val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
+      val wN = Window.partitionBy("label")
+      d2.withColumn("rnk", row_number().over(wRnk).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .select(col("vec_id"), col("label"), col("d2"), col("rnk"),
+          (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149)
 }
