@@ -319,8 +319,13 @@ object ModelPrepQueries {
   // test scale, and q56 is the convergence-checked production loop for
   // adversarial diameters. Edges are skinny (id,id) rows; each round is
   // one keyed join + agg, lineage cut per round.
-  private val CanonRounds = 6
-  private def canonOracleSql: String = {
+  private[graft] val CanonRounds = 6
+
+  /** The CTE chain ending in `l{CanonRounds}(v, lbl)` — the unrolled
+    * synchronous min-label rounds over the portable pair graph. Shared by
+    * q129 (cluster output) and q150 (leakage-safe split), which must
+    * agree on the clustering by construction. */
+  private[graft] def canonLabelCtes: String = {
     val rounds = (1 to CanonRounds).map { t =>
       val p = s"l${t - 1}"
       s"""l$t AS (SELECT $p.v, least($p.lbl, coalesce(min(n.lbl), $p.lbl)) AS lbl
@@ -331,12 +336,15 @@ object ModelPrepQueries {
        |edges AS (SELECT ia AS v, ib AS u FROM pairs
        |          UNION ALL SELECT ib AS v, ia AS u FROM pairs),
        |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def canonOracleSql: String =
+    s"""$canonLabelCtes,
        |cs AS (SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        |       FROM l$CanonRounds GROUP BY 1)
        |SELECT v AS doc_id, lbl AS cluster_id, (v = lbl) AS is_canonical, cluster_size
        |FROM l$CanonRounds JOIN cs ON l$CanonRounds.lbl = cs.cluster_id""".stripMargin
-  }
 
   /** One synchronous min-label round: every node takes the min of its own
     * and its neighbors' previous-round labels. Public for the fixpoint
@@ -370,6 +378,46 @@ object ModelPrepQueries {
       lab.join(cs, lab("lbl") === cs("cluster_id"))
         .select(col("v").as("doc_id"), col("cluster_id"),
           (col("v") === col("lbl")).as("is_canonical"), col("cluster_size"))
+    })
+
+  // --- q150: leakage-safe train/val/test split --------------------------
+  // Split assignment that can never leak near-duplicates across the
+  // train/test boundary: the split is a pure function of the document's
+  // near-dup CLUSTER id (q129's canonical labels — shared code and CTEs
+  // on both sides), not of the document itself, so every member of a
+  // cluster lands in the same split by construction. The md5-nibble
+  // bucketing is the q45 convention (engine-portable, partition- and
+  // run-stable): nibble 'e' → val, 'f' → test, else train (14/1/1).
+  // `naive_split` is what per-document hashing WOULD have assigned;
+  // `rescued = split <> naive_split` marks exactly the docs a naive
+  // splitter would have let straddle a cluster boundary — the leak count
+  // is an output, not a hope. Scale: one broadcast-ish join of the
+  // (id, label) table against the corpus; the split math is scan-stage.
+  val q150 = QueryDef.oracle("q150_leakage_safe_split", {
+    def splitCase(nib: String): String =
+      s"CASE WHEN $nib = 'e' THEN 'val' WHEN $nib = 'f' THEN 'test' ELSE 'train' END"
+    s"""$canonLabelCtes,
+       |sp AS (
+       |  SELECT d.doc_id, l.lbl AS cluster_id,
+       |         substr(md5(CAST(l.lbl AS VARCHAR)), 32, 1) AS ch,
+       |         substr(md5(d.text), 32, 1) AS cn
+       |  FROM documents d JOIN l$CanonRounds l ON l.v = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       ${splitCase("ch")} AS split,
+       |       ${splitCase("cn")} AS naive_split,
+       |       ${splitCase("ch")} <> ${splitCase("cn")} AS rescued
+       |FROM sp""".stripMargin})(
+    (s, d) => {
+      def splitOf(nib: Column): Column =
+        when(nib === "e", "val").when(nib === "f", "test").otherwise("train")
+      val lab = canonLabels(s, d, CanonRounds)
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("hdoc"))
+        .join(lab, col("doc_id") === col("v"))
+        .select(col("doc_id"), col("lbl").as("cluster_id"),
+          splitOf(substring(md5(col("lbl").cast("string")), 32, 1)).as("split"),
+          splitOf(substring(col("hdoc"), 32, 1)).as("naive_split"))
+        .withColumn("rescued", col("split") =!= col("naive_split"))
     })
 
   // --- q130: lexical diversity (type-token ratio + token entropy) ------
@@ -571,5 +619,5 @@ object ModelPrepQueries {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145, q150)
 }

@@ -168,6 +168,22 @@ class ModelPrepSpec extends SparkSpec {
     }
   }
 
+  test("q150: no near-dup cluster ever straddles a split; rescued ⇔ naive disagrees") {
+    import org.apache.spark.sql.functions._
+    val df = q("q150_leakage_safe_split").cache()
+    // the leakage-safety invariant itself: one split per cluster
+    val straddling = df.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // every split value is one of the three buckets
+    assert(df.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // rescued is exactly the disagreement flag
+    assert(df.filter(col("rescued") =!= (col("split") =!= col("naive_split"))).count() == 0)
+    df.unpersist()
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>
