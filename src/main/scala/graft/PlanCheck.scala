@@ -195,6 +195,13 @@ object PlanCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q146_join_skew_profile", "profile: partial agg + bounded top-k, stats broadcast",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    check("q148_incremental_dedup", "batch→index banding is an equi-join, never cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q149_embedding_outliers", "dims expansion combines map-side; stats broadcast back",
+      p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"))
+    checkTree("q151_vocab_coverage", "vocab rank/cumsum windows sit above the token aggregate",
+      noGlobalFactWindow)
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

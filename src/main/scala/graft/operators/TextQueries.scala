@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis suite over the `documents` table — the per-document
   * scoring pass of a training-data pipeline. Everything is scan-stage
@@ -129,6 +130,45 @@ object TextQueries {
       |      FROM documents)""".stripMargin)(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), portableFingerprint(col("text")).as("fingerprint")))
+
+  /** Tokenizer-prep vocabulary build: global token frequencies, ranked,
+    * with the coverage cutoff — `in_vocab` marks the smallest
+    * frequency-ordered prefix covering ≥ 97.5% of all token occurrences
+    * (the classic vocab-size selection before training a tokenizer).
+    * Exact integers end to end: the threshold compare is
+    * `(cum − freq)·40 < total·39`, never a float share — HASH-MATCHED.
+    * Scale shape: one map-side-combined token aggregate (vocab-sized,
+    * sublinear in corpus); the rank/cumsum windows are global but run
+    * ABOVE that aggregate — bounded side data, the exact case the
+    * PlanCheck zero-key-window rule permits. */
+  val q151 = QueryDef.oracle("q151_vocab_coverage",
+    """WITH toks AS (SELECT unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+      |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+      |c AS (SELECT tok, freq,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk,
+      |        CAST(SUM(freq) OVER (ORDER BY freq DESC, tok
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+      |      FROM f)
+      |SELECT tok, freq, rnk, cum_freq,
+      |       (cum_freq - freq) * 40 < total * 39 AS in_vocab
+      |FROM c, t""".stripMargin)(
+    (s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = freq.agg(sum("freq").as("total"))
+      val order = Window.orderBy(col("freq").desc, col("tok"))
+      val wCum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      freq
+        .withColumn("rnk", row_number().over(order).cast("long"))
+        .withColumn("cum_freq", sum("freq").over(wCum))
+        .crossJoin(broadcast(total))
+        .select(col("tok"), col("freq"), col("rnk"), col("cum_freq"),
+          ((col("cum_freq") - col("freq")) * 40 < col("total") * 39).as("in_vocab"))
+    })
 
   /** Word 3-gram inventory size per doc, with oracle: count of distinct
     * 3-grams — DuckDB computes via its own list ops. */
@@ -270,5 +310,5 @@ object TextQueries {
             .as("n_chunks"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98)
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151)
 }
