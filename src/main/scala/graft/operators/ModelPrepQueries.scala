@@ -177,7 +177,7 @@ object ModelPrepQueries {
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       // dimension side: 3 positions per key, bit_or into the 66-word
       // array, then a
-      // dense 256-long array in ONE row (missing words -> 0)
+      // dense 66-long array in ONE row (missing words -> 0)
       val kpos = keys.select(explode(array(bloomPos(col("c_custkey")): _*)).as("pos"))
       val words = kpos
         .select(expr("pos DIV 63").as("word_idx"),
