@@ -149,6 +149,12 @@ object PipelineQueries {
       val buda = stage("budapest", "budapest.csv.gz")
       val lon = stage("london", "london.csv.gz")
       val ny = stage("ny", "ny.csv.gz")
+      // first late sentinel is PRE-staged: the initial micro-batch then
+      // already advances the watermark past every real day, and a single
+      // follow-up sentinel batch flushes them — one fewer streaming
+      // round-trip than writing both sentinels after the fact
+      JFiles.write(buda.resolve("late1.csv"),
+        ",TS,ital,k\n0,2021-06-01 00:00:00,zzz-sentinel,1.0\n".getBytes("UTF-8"))
       val stream = graft.streaming.SalesStream.feed(s, buda.toString, "budapest")
         .unionByName(graft.streaming.SalesStream.feed(s, lon.toString, "london"))
         .unionByName(graft.streaming.SalesStream.feed(s, ny.toString, "new york"))
@@ -167,13 +173,12 @@ object PipelineQueries {
           .writeStream.format("memory").queryName(table).outputMode("append").start()
         try {
           q.processAllAvailable()
-          def sentinel(name: String, ts: String): Unit = {
-            JFiles.write(buda.resolve(name),
-              s",TS,ital,k\n0,$ts,zzz-sentinel,1.0\n".getBytes("UTF-8"))
-            q.processAllAvailable()
-          }
-          sentinel("late1.csv", "2021-06-01 00:00:00")
-          sentinel("late2.csv", "2021-09-01 00:00:00")
+          // second sentinel arrives as its own batch: the watermark the
+          // first batch computed (past all real days) finalizes every
+          // real window while this batch runs
+          JFiles.write(buda.resolve("late2.csv"),
+            ",TS,ital,k\n0,2021-09-01 00:00:00,zzz-sentinel,1.0\n".getBytes("UTF-8"))
+          q.processAllAvailable()
         } finally q.stop()
         // conf stays lowered until the stream STOPS: start() is async, so
         // restoring earlier could race the first micro-batch's planning
