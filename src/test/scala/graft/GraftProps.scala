@@ -115,6 +115,28 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("keyedOrderedId == orderedId whenever partCols prefix the sort (nulls, ties, dups)") =
+    forAll(Gen.listOfN(10, Gen.zip(
+      Gen.option(Gen.choose(0, 2)), Gen.option(Gen.choose(0L, 3L)), Gen.choose(0L, 9L)))) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("k", "d", "idx").repartition(3)
+        val global = Clean.orderedId(df, "id", Seq(col("k"), col("d"), col("idx")))
+          .collect().map(_.toSeq).toSet
+        val keyed = Clean.keyedOrderedId(df, "id", Seq(col("k")), Seq(col("d"), col("idx")))
+          .collect().map(_.toSeq).toSet
+        keyed == global
+      }
+    }
+
+  property("contiguousId: dense 0-based unique ids at any partitioning") =
+    forAll(Gen.listOfN(9, Gen.choose(0, 99)), Gen.choose(1, 5)) { (xs, parts) =>
+      xs.nonEmpty ==> {
+        val ids = Clean.contiguousId(xs.toDF("v").repartition(parts), "id")
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        ids == (0L until xs.length.toLong)
+      }
+    }
+
   property("as-of join preserves the left row count (left-join semantics)") =
     forAll(
       Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000L))),
