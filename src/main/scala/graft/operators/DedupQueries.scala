@@ -654,5 +654,51 @@ object DedupQueries {
           col("min_partner"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148)
+  /** Per-source dedup-rate intake report — the first dashboard a
+    * multi-source corpus owner reads: per source, how many documents are
+    * byte-exact redundant copies (md5 group non-keepers, q50's
+    * semantics) and how many have at least one near-dup partner
+    * anywhere in the corpus (q99's portable pair set — shared code and
+    * CTEs, so this report and the dedup queries cannot disagree).
+    * Rates are a single division of exact counts, rounded — HASH-
+    * MATCHED. Scale: two keyed shuffles (md5 groups, source rollup);
+    * the partnered-id set is candidate-sized and broadcasts. */
+  val q152 = QueryDef.oracle("q152_source_dedup_report", {
+    s"""$portablePairsCtes,
+       |partnered AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT ia AS doc_id FROM pairs UNION ALL SELECT ib AS doc_id FROM pairs)),
+       |h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+       |g AS (SELECT hh, min(doc_id) AS keeper FROM h GROUP BY hh),
+       |per AS (SELECT h.source,
+       |          CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(count(*) FILTER (WHERE h.doc_id <> g.keeper) AS BIGINT) AS n_exact_drops,
+       |          CAST(count(p.doc_id) AS BIGINT) AS n_near_dup_docs
+       |        FROM h JOIN g USING (hh)
+       |        LEFT JOIN partnered p ON p.doc_id = h.doc_id
+       |        GROUP BY h.source)
+       |SELECT source, n_docs, n_exact_drops, n_near_dup_docs,
+       |       round(n_exact_drops / CAST(n_docs AS DOUBLE), 4) AS exact_drop_rate,
+       |       round(n_near_dup_docs / CAST(n_docs AS DOUBLE), 4) AS near_dup_rate
+       |FROM per""".stripMargin})(
+    (s, d) => {
+      val pairs = portablePairs(s, d)
+      val partnered = pairs.select(col("ia").as("doc_id"))
+        .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
+        .withColumn("p", lit(1))
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
+      val g = h.groupBy("hh").agg(min("doc_id").as("keeper"))
+      val per = h.join(g, "hh")
+        .join(broadcast(partnered), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") =!= col("keeper"), 1)).as("n_exact_drops"),
+          count(col("p")).as("n_near_dup_docs"))
+      per.select(col("source"), col("n_docs"), col("n_exact_drops"), col("n_near_dup_docs"),
+        round(col("n_exact_drops") / col("n_docs").cast("double"), 4).as("exact_drop_rate"),
+        round(col("n_near_dup_docs") / col("n_docs").cast("double"), 4).as("near_dup_rate"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152)
 }
