@@ -52,6 +52,7 @@ object DedupQueries {
   private val PortMatchMin = PortK / 2 // est-Jaccard ≥ 0.5 ⇔ ≥ half the minhashes agree
   private val SimBits = 24 // < 30 bits of the mod-1e9+7 gram hash: unbiased-ish
   private val SimBlocks = 3 // 8-bit blocks; hamming ≤ SimBlocks qualifies a pair
+  private val EditCap = 2000 // chars of each side the q153 edit-distance DP sees
   // constants live in the kernel — the SQL generator below and the native
   // expression must never disagree
   private def portA(i: Int): Long = graft.functions.PortableHashKernels.a(i)
@@ -699,6 +700,65 @@ object DedupQueries {
         round(col("n_near_dup_docs") / col("n_docs").cast("double"), 4).as("near_dup_rate"))
     })
 
+  /** Character-level verification of the near-dup candidates — the third
+    * leg of the verify toolbox (q52 estimates set overlap from
+    * signatures, q54 computes exact token-set Jaccard, this computes the
+    * exact EDIT distance): per candidate pair, levenshtein over the raw
+    * texts plus the length-normalized similarity — the measure that
+    * separates "same text, light edits" from "same vocabulary, different
+    * composition", which token sets cannot. Two cost bounds make it an
+    * AUDIT, the shape this runs in production: (a) a deterministic
+    * hash-SAMPLE of the candidate pairs (md5 nibble of "ia:ib", the q45
+    * convention — 4/16 = 25%, reproducible across engines, runs, and
+    * partitionings; the DP bill is bounded by the sample, not the dup
+    * rate), and (b) the DP sees only the first EditCap chars of each
+    * side (O(cap²) per pair instead of O(20K²) on the longest docs).
+    * Texts join only for the sampled pairs; nothing but (band, digest,
+    * id) ever crosses the band shuffle. Levenshtein parity with DuckDB
+    * is already pinned by q59; the normalization is one division of
+    * exact ints — HASH-MATCHED. */
+  val q153 = QueryDef.oracle("q153_near_dup_edit_verify", {
+    s"""$portablePairsCtes,
+       |sampled AS (
+       |  SELECT ia, ib FROM pairs
+       |  WHERE substr(md5(CAST(ia AS VARCHAR) || ':' || CAST(ib AS VARCHAR)), 32, 1)
+       |          IN ('0', '1', '2', '3')),
+       |tx AS (SELECT doc_id, substr(text, 1, $EditCap) AS t,
+       |              CAST(least(length(text), $EditCap) AS BIGINT) AS n FROM documents),
+       |ed AS (SELECT p.ia, p.ib,
+       |         CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       |         a.n AS len_a, b.n AS len_b
+       |       FROM sampled p JOIN tx a ON a.doc_id = p.ia
+       |                      JOIN tx b ON b.doc_id = p.ib)
+       |SELECT ia, ib, edit_dist, len_a, len_b,
+       |       round(1.0 - edit_dist / CAST(greatest(len_a, len_b) AS DOUBLE), 6)
+       |         AS edit_similarity
+       |FROM ed""".stripMargin})(
+    (s, d) => {
+      // same candidate-restriction shape as q54: pairs are materialized
+      // once, texts fetched only for docs in a SAMPLED pair
+      val pairs = portablePairs(s, d)
+        .filter(substring(md5(concat(col("ia").cast("string"), lit(":"),
+          col("ib").cast("string"))), 32, 1).isin("0", "1", "2", "3"))
+        .localCheckpoint(false)
+      val candIds = pairs.select(col("ia").as("doc_id"))
+        .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
+      val tx = Tables.documents(s, d)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), substring(col("text"), 1, EditCap).as("t"),
+          least(length(col("text")), lit(EditCap)).cast("long").as("n"))
+        .localCheckpoint(false)
+      val withA = tx.join(broadcast(pairs), col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("t").as("ta"), col("n").as("len_a"))
+      tx.join(broadcast(withA), col("doc_id") === col("ib"))
+        .select(col("ia"), col("ib"),
+          levenshtein(col("ta"), col("t")).cast("long").as("edit_dist"),
+          col("len_a"), col("n").as("len_b"))
+        .withColumn("edit_similarity",
+          round(lit(1.0) - col("edit_dist")
+            / greatest(col("len_a"), col("len_b")).cast("double"), 6))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152, q153)
 }
