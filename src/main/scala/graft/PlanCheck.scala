@@ -197,6 +197,39 @@ object PlanCheck {
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     check("q148_incremental_dedup", "batch→index banding is an equi-join, never cartesian",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the stored-index claim, mechanical: the banding join's index side
+    // is a bucketed scan of the persisted (band, digest, idx_id) table —
+    // pre-partitioned on the join keys, so NO Exchange below the join on
+    // that side (the batch side shuffles into the bucket layout). The
+    // join is audited on its own DataFrame: q148 localCheckpoints the
+    // candidate set, which hides the join behind an RDDScan in the
+    // final plan.
+    locally {
+      val what = "index side of the banding join is the stored bucketed scan (no Exchange)"
+      val ok = try {
+        val p = graft.operators.DedupQueries.q148BandingJoin(spark, d)
+          .queryExecution.sparkPlan
+        p.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }.exists { j =>
+          Seq(j.left, j.right).exists { side =>
+            side.collectFirst {
+              case sc: org.apache.spark.sql.execution.FileSourceScanExec
+                  if sc.relation.bucketSpec.isDefined => sc
+            }.isDefined &&
+            side.collect {
+              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+            }.isEmpty
+          }
+        }
+      } catch {
+        case e: Throwable => System.err.println(s"[plancheck] q148 banding: $e"); false
+      }
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} ${"q148_incremental_dedup"}%-28s $what")
+    }
+    check("q153_near_dup_edit_verify", "second text fetch is a keyed shuffle join — text prefixes never ride a broadcast",
+      p => p.contains("ShuffledHashJoin"))
     check("q149_embedding_outliers", "dims expansion combines map-side; stats broadcast back",
       p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin"))

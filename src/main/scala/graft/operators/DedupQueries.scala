@@ -333,7 +333,7 @@ object DedupQueries {
   /** The CTE chain up to `bandrows` (tokens → grams → gram hashes →
     * signature → band digests) — the shared prefix of every portable
     * MinHash oracle. */
-  private def portableBandrowsCtes: String = {
+  private[graft] def portableBandrowsCtes: String = {
     val mhs = (0 until PortK).map(i =>
       s"CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(list_transform(hs, " +
         s"h -> (h * ${portA(i)} + ${portB(i)}) % $PortP)) END AS mh$i").mkString(",\n        ")
@@ -363,7 +363,7 @@ object DedupQueries {
   }
 
   /** SQL for the agreeing-minhash count between two sig-table aliases. */
-  private def matchSumSql(a: String, b: String): String =
+  private[graft] def matchSumSql(a: String, b: String): String =
     (0 until PortK).map(i =>
       s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
 
@@ -474,17 +474,82 @@ object DedupQueries {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("long")
 
+  /** Bucket count for the stored band index — a layout constant: at
+    * 100 TB pick ~(index band-table size / target partition size) and
+    * keep it a multiple across tables that join on the same keys. */
+  private val BandIndexBuckets = 8
+
+  /** The persisted index side of q148: (band, digest, idx_id) for every
+    * non-batch doc, written ONCE per (JVM, sf-dir) bucketed+sorted on
+    * (band, digest) via [[graft.sources.Bucketing]], then read back from
+    * the catalog on every run. Repartitioning on the bucket keys before
+    * the write yields one file per bucket, so the read-back scan is
+    * pre-sorted as well as pre-partitioned — the banding join needs
+    * neither an Exchange nor (single-file buckets) a Sort on this side.
+    * The table content is a pure function of the sf-dir (the same
+    * expressions as the previous inline form), so q148's result is
+    * bit-identical to recomputing and the DuckDB oracle is unchanged.
+    * Files live under the system tmpdir and are removed at JVM exit
+    * (the in-memory catalog entry dies with the JVM anyway). */
+  private def storedBandIndex(s: SparkSession, d: String): DataFrame = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val table = s"graft_band_index_$tag"
+    if (!s.catalog.tableExists(table)) {
+      val sig = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id") +: portableMinhashCols(col("text")): _*)
+      val digests = portableBandDigests(i => col(s"mh$i"))
+      val idx = sig
+        .select(col("doc_id").as("idx_id"),
+          posexplode(array(digests: _*)).as(Seq("band", "digest")))
+        .filter(col("digest").isNotNull)
+        .select(col("band"), col("digest"), col("idx_id"))
+        .repartition(BandIndexBuckets, col("band"), col("digest"))
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-band-index")
+      graft.pipeline.Fixtures.deleteOnExit(wh.resolve(table))
+      graft.sources.Bucketing.writeBucketed(idx, table,
+        Seq("band", "digest"), BandIndexBuckets, wh.toString)
+    }
+    s.table(table)
+  }
+
+  /** The banding join of q148 (batch bands → stored index), exposed
+    * separately because q148 localCheckpoints its result — the final
+    * plan shows only an RDDScan where the join ran, so PlanCheck
+    * audits THIS DataFrame for the exchange-free bucketed index side.
+    * Batch bands are computed from the NEW docs only: the increment
+    * never scans the index corpus's text. */
+  private[graft] def q148BandingJoin(s: SparkSession, d: String): DataFrame = {
+    val idx = storedBandIndex(s, d)
+    val sigB = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id") +: portableMinhashCols(col("text")): _*)
+    val digests = portableBandDigests(i => col(s"mh$i"))
+    val batch = sigB
+      .select(col("doc_id").as("new_id"),
+        posexplode(array(digests: _*)).as(Seq("band", "digest")))
+      .filter(col("digest").isNotNull)
+      .select(col("band"), col("digest"), col("new_id"))
+    batch.join(idx.hint("merge"), Seq("band", "digest"))
+      .select("new_id", "idx_id").distinct()
+  }
+
   /** Incremental (cross-corpus) near-dup admission — THE dedup shape a
     * growing 100-TB corpus actually runs day to day: a NEW batch (every
     * 5th doc_id here — the deterministic stand-in for today's crawl) is
     * checked against the EXISTING index (the rest), never against
-    * itself. Asymmetric banding join: at scale the index's (band,
-    * digest, id) table is precomputed once and stored bucketed on
-    * (band, digest), so each increment pays signatures + shuffle for the
-    * BATCH only — the index never re-hashes, never re-shuffles, and
-    * batch×batch / index×index pairs are never generated. Verification
-    * recomputes signatures just for candidate docs (q54's trade). Output
-    * is the admission decision per new doc; HASH-MATCHED end to end.
+    * itself. Asymmetric banding join, with the stored-index claim
+    * MECHANICAL (not a comment): the index's (band, digest, idx_id)
+    * table is built ONCE per (JVM, sf-dir) by [[storedBandIndex]] and
+    * persisted bucketed+sorted on (band, digest) — every q148 run reads
+    * it back, so the banding join's index side is a bucketed scan with
+    * NO Exchange (PlanCheck tree-asserts this; the merge hint pins the
+    * zip-into-buckets shape AQE would otherwise demote at toy sizes).
+    * Each increment pays signatures + shuffle for the BATCH only — the
+    * index never re-hashes, never re-shuffles, and batch×batch /
+    * index×index pairs are never generated. Verification recomputes
+    * signatures just for candidate docs (q54's trade). Output is the
+    * admission decision per new doc; HASH-MATCHED end to end.
     */
   val q148 = QueryDef.oracle("q148_incremental_dedup", {
     s"""$portableBandrowsCtes,
@@ -509,19 +574,8 @@ object DedupQueries {
        |WHERE d.doc_id % 5 = 0""".stripMargin})(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sig = docs.select(col("doc_id") +: portableMinhashCols(col("text")): _*)
-      val digests = portableBandDigests(i => col(s"mh$i"))
-      val bandrows = sig
-        .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
-        .filter(col("digest").isNotNull)
       val isNew = col("doc_id") % 5 === 0
-      // at scale: `idx` is the stored band table (bucketed on band,digest)
-      val idx = bandrows.filter(!isNew)
-        .select(col("band"), col("digest"), col("doc_id").as("idx_id"))
-      val batch = bandrows.filter(isNew)
-        .select(col("band"), col("digest"), col("doc_id").as("new_id"))
-      val cand = batch.join(idx, Seq("band", "digest"))
-        .select("new_id", "idx_id").distinct()
+      val cand = q148BandingJoin(s, d)
         .localCheckpoint(false) // consumed by candIds + both sig joins
       val candIds = cand.select(col("new_id").as("doc_id"))
         .unionByName(cand.select(col("idx_id").as("doc_id"))).distinct()
@@ -713,8 +767,9 @@ object DedupQueries {
     * partitionings; the DP bill is bounded by the sample, not the dup
     * rate), and (b) the DP sees only the first EditCap chars of each
     * side (O(cap²) per pair instead of O(20K²) on the longest docs).
-    * Texts join only for the sampled pairs; nothing but (band, digest,
-    * id) ever crosses the band shuffle. Levenshtein parity with DuckDB
+    * Texts join only for the sampled pairs — via KEYED joins, never a
+    * text-carrying broadcast — and nothing but (band, digest, id) ever
+    * crosses the band shuffle. Levenshtein parity with DuckDB
     * is already pinned by q59; the normalization is one division of
     * exact ints — HASH-MATCHED. */
   val q153 = QueryDef.oracle("q153_near_dup_edit_verify", {
@@ -750,7 +805,12 @@ object DedupQueries {
         .localCheckpoint(false)
       val withA = tx.join(broadcast(pairs), col("doc_id") === col("ia"))
         .select(col("ia"), col("ib"), col("t").as("ta"), col("n").as("len_a"))
-      tx.join(broadcast(withA), col("doc_id") === col("ib"))
+      // the second text fetch is a plain keyed shuffle join: `withA`
+      // carries text prefixes, and on a duplicate-heavy corpus the
+      // sampled-pair set is data-sized — a text-carrying broadcast
+      // would hit the broadcast ceiling exactly when the audit matters
+      // most. Only the id-only `pairs` ever rides a broadcast.
+      tx.join(withA.hint("shuffle_hash"), col("doc_id") === col("ib"))
         .select(col("ia"), col("ib"),
           levenshtein(col("ta"), col("t")).cast("long").as("edit_dist"),
           col("len_a"), col("n").as("len_b"))

@@ -10,18 +10,25 @@ import org.apache.spark.sql.functions._
   * (gzip CSV with discarded Hungarian header, headerless TSV, US-date
   * CSV, dirty stock CSV, watermark state file), cleaning P1-P8,
   * watermark-incremental union, fixture-backed enrichment with
-  * keep-newest dedup, and the §2.8 poc_analysis query. Rows-only: inputs
-  * are the engine's deterministic offline fixtures, not the sf tables.
+  * keep-newest dedup, and the §2.8 poc_analysis query.
   */
 object PipelineQueries {
 
-  val q70 = QueryDef.rowsOnly("q70_cocktails_pipeline")(
+  /** The sink-exercising pipeline run: fresh fixture dir, full `run`
+    * (parquet tables + watermark write-back + saleID offset contract),
+    * then the poc_analysis PARQUET READ-BACK as the result. The
+    * read-back of a single from-scratch run is deterministic and equals
+    * q131's lazily-composed answer, so it shares q131's DuckDB oracle —
+    * the sink path is hash-matched, not just row-counted. The temp dir
+    * is removed at JVM exit (the returned DataFrame reads the parquet
+    * lazily, so it cannot be removed inside the query fn). */
+  val q70 = QueryDef.oracle("q70_cocktails_pipeline", pocOracleSql)(
     (s, _) => {
       val dir = Files.createTempDirectory("graft-q70")
+      Fixtures.deleteOnExit(dir)
       val paths = Fixtures.writeAll(dir)
       Fixtures.pipeline(dir, paths).run(s, s"$dir/warehouse")
       s.read.parquet(s"$dir/warehouse/poc_analysis")
-        .orderBy("bar", "dayOfSale", "drink", "price")
     })
 
   /** The DSv2 catalog source end-to-end: pushed name-search filter (the
@@ -183,6 +190,11 @@ object PipelineQueries {
         // conf stays lowered until the stream STOPS: start() is async, so
         // restoring earlier could race the first micro-batch's planning
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the memory-sink table, not the staged files, holds the result —
+      // the per-invocation feed copies can go now (bench sweeps would
+      // otherwise accumulate them in the system tmpdir)
+      JFiles.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => JFiles.deleteIfExists(p))
       s.table(table).filter(col("drink") =!= "zzz-sentinel")
     })
 

@@ -790,7 +790,18 @@ object SimilarityQueries {
     * label, so ranks are unchanged). Scale shape: posexplode is a
     * dims× SKINNY expansion collapsed by a map-side-combined (label,
     * dim) aggregate; the |labels|×dims stats table broadcasts back;
-    * the per-vector re-sum and the rank window are keyed. */
+    * the per-vector re-sum and the rank window are keyed.
+    *
+    * OVERFLOW BOUND (the price of the cnt² scaling): each squared term
+    * is ≤ (2·cnt·Q)² with Q = max|qv|, so the d2 sum stays inside int64
+    * only while dims·(2·cnt·Q)² < 2⁶³ — i.e. cnt < √(2⁶³/dims)/(2·Q),
+    * ≈ 19k members per label at dims=64, Q≈1e4 (unit-norm coords at
+    * 1e-4 quantization). Beyond that Spark (non-ANSI) wraps silently
+    * while DuckDB raises — the exactness claim breaks. At production
+    * label cardinalities, compute the squared term in DECIMAL(38,0)
+    * (term² ≤ 2⁸² ≈ 5e24 even at cnt=1e8 — 38 digits hold it with 13
+    * to spare) or switch to two-pass mean-subtracted arithmetic; do
+    * NOT reuse this int64 pattern unexamined. */
   val q149 = QueryDef.oracle("q149_embedding_outliers",
     """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |qd AS (

@@ -51,9 +51,19 @@ object Clean {
     * a sort-prefix of the intended total order (e.g. `to_date(ts)` under
     * a `ts` order) — the caller's contract. Null keys join null-safely
     * and sort first, matching Spark's asc_nulls_first window default.
+    *
+    * Ties caveat: if `(partCols ++ orderCols)` does NOT totally order
+    * the rows up to full-row duplicates, each side's row_number breaks
+    * ties in arbitrary partition-dependent order, so only the MULTISET
+    * of ids — not the row↔id binding — is guaranteed identical to
+    * [[orderedId]]'s. Callers needing the binding must pass a
+    * tie-free order (current call sites include the per-feed `idx`).
+    * Empty `partCols` delegates to [[orderedId]] (the keyed form's
+    * offset join has no key columns to equate in that case).
     */
   def keyedOrderedId(df: DataFrame, name: String,
       partCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    if (partCols.isEmpty) return orderedId(df, name, orderCols)
     val pk = partCols.indices.map(i => s"__pk$i")
     val withPk = pk.zip(partCols).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val wLocal = Window.partitionBy(pk.map(col): _*).orderBy(orderCols: _*)

@@ -97,20 +97,36 @@ object Fixtures {
     val dir = base.resolve("graft-fixtures-v1")
     if (!Files.exists(dir)) {
       val build = Files.createTempDirectory(base, "graft-fixtures-build")
-      writeAll(build)
-      try Files.move(build, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException if Files.exists(dir) =>
-          // another JVM published first; discard our copy
+      try {
+        writeAll(build)
+        try Files.move(build, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException if Files.exists(dir) =>
+            () // another JVM published first; ours is deleted below
+        }
+      } finally
+        // whenever the move did NOT succeed (lost race, write failure),
+        // the private build dir still exists — remove it so crashed or
+        // racing runs don't accumulate fixture copies in tmpdir
+        if (Files.exists(build))
           Files.walk(build).sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
-      }
     }
     Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
       "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",
       "catalog" -> "cocktails_api.json", "watermarks" -> "last_update.txt")
       .map { case (k, f) => k -> dir.resolve(f).toAbsolutePath.toString }
   }
+
+  /** Best-effort recursive delete of `dir` at JVM exit — for query temp
+    * dirs whose results are still read LAZILY after the query fn returns
+    * (e.g. q70's poc_analysis parquet), which rules out eager deletion
+    * inside the fn. Bounded: one hook per pipeline invocation. */
+  def deleteOnExit(dir: Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }))
 
   def pipeline(dir: Path, paths: Map[String, String]): CocktailPipeline =
     new CocktailPipeline(

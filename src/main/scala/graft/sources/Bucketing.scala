@@ -17,10 +17,18 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int, warehouseDir: String): Unit =
+    writeBucketed(df, table, Seq(key), numBuckets, warehouseDir)
+
+  /** Composite-key form — bucketed AND sorted by `keys` so a join on
+    * exactly `keys` reads the table with no Exchange (and, when each
+    * bucket is a single file — repartition on the keys before calling —
+    * no Sort either). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int, warehouseDir: String): Unit =
     df.write.mode("overwrite")
       .format("parquet")
-      .bucketBy(numBuckets, key)
-      .sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", s"$warehouseDir/$table")
       .saveAsTable(table)
 

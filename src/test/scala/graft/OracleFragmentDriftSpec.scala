@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Drift guard for the SHARED oracle-SQL fragments (VERDICT r5 #7).
+  *
+  * The portable MinHash machinery — `portableBandrowsCtes` (tokens →
+  * grams → gram hashes → signature → band digests) and `matchSumSql`
+  * (the agreeing-minhash count) — is consumed by string interpolation
+  * from many query oracles. Those queries MUST agree on the candidate
+  * machinery by construction: a future edit that forks one consumer's
+  * copy (pasting a tweaked chain instead of interpolating the shared
+  * def) would silently decouple, say, q56's cluster edges from q99's
+  * pair set. This spec pins, at the string level:
+  *
+  *  1. which declared queries embed the band/pair machinery (an explicit
+  *     name set — a new consumer must be added here consciously), and
+  *  2. that every one of them contains the canonical fragment VERBATIM —
+  *     so the fragments cannot fork without this spec going red.
+  */
+class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
+
+  private val sqlByName: Map[String, String] =
+    SparkEntry.allDefs.flatMap(q => q.sql.map(q.name -> _)).toMap
+
+  describe("shared portable-MinHash oracle fragments") {
+
+    it("the bandrows chain appears only via the one canonical fragment, in the pinned consumer set") {
+      val frag = DedupQueries.portableBandrowsCtes
+      val consumers = sqlByName.filter(_._2.contains("bandrows AS"))
+      consumers.keySet shouldBe Set(
+        "q52_minhash_lsh_dedup", "q54_ngram_jaccard_verify",
+        "q56_dedup_clusters", "q99_portable_minhash_pairs",
+        "q129_cluster_canonical", "q139_contrastive_triples",
+        "q145_triangle_census", "q148_incremental_dedup",
+        "q150_leakage_safe_split", "q152_source_dedup_report",
+        "q153_near_dup_edit_verify")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
+          // q56's transitive-closure oracle rewrites the leading WITH to
+          // WITH RECURSIVE — same chain, one sanctioned prefix variant
+          val recursive = frag.replaceFirst("^WITH ", "WITH RECURSIVE ")
+          (sql.contains(frag) || sql.contains(recursive)) shouldBe true
+        }
+      }
+    }
+
+    it("every pair-generating consumer embeds the canonical pairs CTE verbatim") {
+      val pairsFrag = DedupQueries.portablePairsCtes
+      // the pairs CTE body minus its bandrows prefix — the part that
+      // defines WHICH pairs are candidates
+      val pairsOnly = pairsFrag.stripPrefix(DedupQueries.portableBandrowsCtes)
+      val consumers = sqlByName.filter(_._2.contains("AND a.digest = b.digest AND a.doc_id < b.doc_id"))
+      consumers.keySet shouldBe Set(
+        "q52_minhash_lsh_dedup", "q54_ngram_jaccard_verify",
+        "q56_dedup_clusters", "q99_portable_minhash_pairs",
+        "q129_cluster_canonical", "q139_contrastive_triples",
+        "q145_triangle_census", "q150_leakage_safe_split",
+        "q152_source_dedup_report", "q153_near_dup_edit_verify")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the candidate-pair definition: ") {
+          sql.contains(pairsOnly) shouldBe true
+        }
+      }
+    }
+
+    it("every scored consumer embeds the canonical agreeing-minhash sum verbatim") {
+      val sum = DedupQueries.matchSumSql("sa", "sb")
+      val consumers = sqlByName.filter(_._2.contains("sa.mh0"))
+      consumers.keySet shouldBe Set(
+        "q52_minhash_lsh_dedup", "q56_dedup_clusters",
+        "q148_incremental_dedup")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the match-sum definition: ") {
+          sql.contains(sum) shouldBe true
+        }
+      }
+    }
+  }
+}
