@@ -45,6 +45,8 @@ object HashFunctions {
         intArg("minhash_text", exprs, 1), intArg("minhash_text", exprs, 2))),
     ("word_ngrams", classOf[WordNgrams].getName,
       exprs => WordNgrams(exprs.head, intArg("word_ngrams", exprs, 1))),
+    ("text_stats", classOf[TextStats].getName,
+      exprs => TextStats(exprs.head)),
     ("ngram_explode", classOf[NgramExplode].getName,
       exprs => NgramExplode(exprs.head, intArg("ngram_explode", exprs, 1))),
     ("portable_minhash_sig", classOf[PortableMinHashSig].getName,
@@ -107,6 +109,14 @@ object HashFunctions {
   /** Native word-n-gram expression (Column form of [[WordNgrams]]). */
   def wordNgramsNative(text: Column, n: Int): Column =
     native("word_ngrams", text, lit(n))
+
+  /** Fused per-document text statistics (Column form of [[TextStats]]):
+    * struct<alpha:int, n_tokens:int, n_bpeish:int> in one byte pass —
+    * the scoring-scan replacement for three per-row regex executions.
+    * Repeated uses inside one projection (quality + token count) CSE
+    * into a single evaluation under whole-stage codegen. */
+  def textStatsNative(text: Column): Column =
+    native("text_stats", text)
 
   /** Fused engine-portable MinHash signature (Column form of
     * [[PortableMinHashSig]]); slots are the sentinel P for gram-less

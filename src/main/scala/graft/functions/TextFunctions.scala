@@ -27,7 +27,10 @@ object TextFunctions {
     * deterministic).
     */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"))
+    // fused native pass ([[TextStats]]) — value- and dtype-identical to
+    // regexp_count(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), one byte
+    // scan instead of an alternating regex (differential-tested)
+    HashFunctions.textStatsNative(text).getField("n_bpeish")
 
   /** Word n-gram strings (n consecutive tokens joined by a space) —
     * native kernel ([[WordNgrams]]); byte-identical to [[wordNgramsHof]],
@@ -57,10 +60,17 @@ object TextFunctions {
     * mean word length band, and punctuation density. Deterministic.
     */
   def qualityScore(text: Column): Column = {
+    // counts from the fused native pass ([[TextStats]]): alpha is
+    // value-identical to length(regexp_replace(text, "[^A-Za-z ]", ""))
+    // and n_tokens to regexp_count(text, "\S+") — but ONE byte scan
+    // replaces two regex executions (one of which materialized a
+    // filtered copy of the text just to measure it). The arithmetic
+    // below is unchanged, so the rounded score stays bit-identical.
+    val st = HashFunctions.textStatsNative(text)
     val len = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val alpha = st.getField("alpha").cast("double")
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
-    val nTok = tokenCount(text).cast("double")
+    val nTok = st.getField("n_tokens").cast("double")
     val meanWordLen = when(nTok > 0, len / nTok).otherwise(lit(0.0))
     val lenScore = when(len >= 200 && len <= 20000, lit(1.0))
       .when(len >= 50, lit(0.5)).otherwise(lit(0.0))

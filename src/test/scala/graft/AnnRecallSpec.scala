@@ -32,33 +32,44 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, f"LSH ANN recall degraded: $r%.3f")
   }
 
-  test("IVF nprobe=32/64 ANN achieves >= 0.7 recall@10 vs brute force at sf0.001") {
-    // the UNTRAINED codebook (vec_id < 64) routes weakly — these true
-    // top-10 are weak neighbors (cos 0.26-0.45), so probing must go wide
-    // (32/64 lists) for 0.79 recall; trained k-means centroids reach the
-    // same recall at far smaller nprobe. The gate pins the floor.
+  test("trained IVF achieves >= 0.8 recall@10 at nprobe=24 (was 0.79 at 32 untrained)") {
+    // the trained spherical-k-means codebook routes better than the old
+    // untrained (vec_id < 64) one on every budget: 0.83 at nprobe=24 and
+    // 0.91 at 32, vs 0.79 at 32 untrained. These true top-10 are weak
+    // neighbors (cos 0.26-0.45) on a near-isotropic corpus, so recall is
+    // budget-bound — training moves the whole frontier, it cannot make
+    // 12.5% of the corpus contain 80% of arbitrary weak neighbors. The
+    // gate pins recall AND the smaller budget together: raising nprobe
+    // back to pass would trip the companion budget assert below.
     val r = recallVsExact("q64_ann_ivf")
-    assert(r >= 0.7, f"IVF ANN recall degraded: $r%.3f")
+    assert(r >= 0.8, f"IVF ANN recall degraded: $r%.3f")
   }
 
-  test("PQ (8x16 codebook, 32x compression) + exact rerank achieves >= 0.7 recall@10") {
+  test("the IVF probe budget stayed cut after training (nprobe <= 24)") {
+    assert(graft.operators.SimilarityQueries.IvfNprobe <= 24,
+      "trained centroids must hold the recall gate at the REDUCED budget — " +
+        "do not widen nprobe to paper over a routing regression")
+  }
+
+  test("trained PQ (8x16 codebook, 32x compression) + exact rerank achieves >= 0.8 recall@10") {
     // 8-byte codes against 256-byte vectors; the ADC scan only prunes to
     // a 128-candidate shortlist and true cosine re-ranks, so recall@10 is
-    // really P(true top-10 ⊆ ADC top-128) — 0.79 with an UNTRAINED
-    // (vec_id<16) codebook (trained k-means would do far better). The
-    // gate pins the floor so an encoding/scoring regression can't hide.
+    // really P(true top-10 ⊆ ADC top-128) — 0.85 with the TRAINED
+    // per-subspace codebooks (0.79 untrained). The gate pins the floor
+    // so an encoding/scoring/training regression can't hide.
     val r = recallVsExact("q67_ann_pq")
-    assert(r >= 0.7, f"PQ ANN recall degraded: $r%.3f")
+    assert(r >= 0.8, f"PQ ANN recall degraded: $r%.3f")
   }
 
-  test("IVFPQ (routing x codes x rerank) achieves >= 0.7 recall@10 vs brute force") {
-    // recall compounds: IVF routing misses (nprobe 32/64 alone: 0.79) x
-    // PQ shortlist misses (alone: 0.79); empirically 0.75 — the two
-    // approximations overlap rather than multiply. Pins that the
-    // production shape still returns useful neighbors after BOTH
-    // approximations, with exact rerank cleaning up inside the shortlist
+  test("IVFPQ (routing x codes x rerank) achieves >= 0.8 recall@10 vs brute force") {
+    // recall compounds: trained IVF routing misses (nprobe=24 alone:
+    // 0.83) x trained PQ shortlist misses (alone: 0.85); empirically
+    // 0.82 — the two approximations overlap rather than multiply. Pins
+    // that the production shape still returns useful neighbors after
+    // BOTH approximations at the REDUCED probe budget, with exact
+    // rerank cleaning up inside the shortlist.
     val r = recallVsExact("q69_ann_ivfpq")
-    assert(r >= 0.7, f"IVFPQ recall degraded: $r%.3f")
+    assert(r >= 0.8, f"IVFPQ recall degraded: $r%.3f")
   }
 
   test("int8 scalar quantization achieves >= 0.9 recall@10 vs float brute force") {

@@ -29,6 +29,25 @@ object GraftProps extends Properties("graft") {
         .collect().forall(r => r.getInt(0) == r.getInt(1))
     }
 
+  property("text_stats fused pass == the three regex formulations it replaces") =
+    forAll(Gen.listOfN(5, text)) { texts =>
+      // the differential contract of TextStats: byte-DFA counts must
+      // equal the regex formulations for ANY input (incl. the multi-byte
+      // '…' and tab cases the generator produces)
+      val df = texts.toDF("text")
+      val st = graft.functions.HashFunctions.textStatsNative(col("text"))
+      df.select(
+          st.getField("alpha").as("fa"),
+          length(regexp_replace(col("text"), "[^A-Za-z ]", "")).as("sa"),
+          st.getField("n_tokens").as("ft"),
+          regexp_count(col("text"), lit("\\S+")).as("st"),
+          st.getField("n_bpeish").as("fb"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")).as("sb"))
+        .collect().forall(r =>
+          r.getInt(0) == r.getInt(1) && r.getInt(2) == r.getInt(3) &&
+            r.getInt(4) == r.getInt(5))
+    }
+
   property("qualityScore stays in [0,1]") =
     forAll(Gen.listOfN(5, text)) { texts =>
       texts.toDF("text")
