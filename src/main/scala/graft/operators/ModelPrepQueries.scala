@@ -618,6 +618,52 @@ object ModelPrepQueries {
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     })
 
+  /** Dedup-aware sampling weights — the mixture step that stops a
+    * training run from oversampling boilerplate: every near-dup CLUSTER
+    * (q129's canonical labels, shared code and CTEs so sampling and
+    * dedup cannot disagree) contributes ~ONE expected document.
+    * Per doc: its cluster, the cluster size, `weight` = 1/size (the
+    * loss/mixture weight — one exact division rounded, q152's
+    * convention), and a deterministic KEEP decision: u16 = the first 4
+    * md5 nibbles of the doc_id string as an integer in [0, 65536), kept
+    * iff u16 · size < 65536 — i.e. P(keep) = 1/size, singletons always
+    * kept, all in EXACT integer compares (no float RNG, no engine
+    * drift; rerun- and partition-stable, the q45 convention at 16-bit
+    * resolution). `E[Σ kept per cluster] = 1` by construction.
+    * Scale: rides q129's rounds + one keyed join of the (id, label)
+    * table; the weight/keep math is scan-stage. HASH-MATCHED.
+    */
+  val q155 = QueryDef.oracle("q155_dedup_sampling_weights", {
+    // 4-nibble hex → integer, portably: strpos into the nibble alphabet
+    // (DuckDB has no conv(); the value equals Spark's conv(h,16,10))
+    def nib(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val u16 = s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+    s"""$canonLabelCtes,
+       |cs AS (SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM l$CanonRounds GROUP BY 1),
+       |sp AS (
+       |  SELECT l.v AS doc_id, l.lbl AS cluster_id, cs.cluster_size,
+       |         md5(CAST(l.v AS VARCHAR)) AS h
+       |  FROM l$CanonRounds l JOIN cs ON cs.cluster_id = l.lbl)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |       round(1.0 / cluster_size, 6) AS weight,
+       |       $u16 AS u16,
+       |       $u16 * cluster_size < 65536 AS kept
+       |FROM sp""".stripMargin})(
+    (s, d) => {
+      val lab = canonLabels(s, d, CanonRounds)
+      val cs = lab.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val u16 = conv(substring(md5(col("v").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      lab.join(broadcast(cs), lab("lbl") === cs("cluster_id"))
+        .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+          u16.as("u16"))
+        .withColumn("kept", col("u16") * col("cluster_size") < 65536)
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145, q150)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145, q150, q155)
 }

@@ -1017,5 +1017,63 @@ object SimilarityQueries {
           (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149)
+  /** Retrieval-quality metrics (the eval harness of an embedding-search
+    * pipeline): per query, standard IR metrics of its exact top-10 under
+    * label relevance (a hit = neighbor shares the query's label — the
+    * stand-in for a judged relevance set). ALL-INTEGER metric math so
+    * the whole report is hash-exact across engines, no float summation
+    * anywhere:
+    *
+    *  - n_relevant_at_10 — precision@10 numerator;
+    *  - first_rel_rank   — rank of the first hit (NULL if none);
+    *  - mrr_x2520        — reciprocal rank scaled by 2520 = lcm(1..10),
+    *                       so 2520/rank is EXACT integer division for
+    *                       every possible rank (the portable way to ship
+    *                       MRR without engine-float drift);
+    *  - rank_weighted_hits — Σ (11 − rank) over hits: the log-free
+    *                       DCG-shaped discount (integer weights 10..1).
+    *
+    * Composes on q61's hash-matched exact ranks (the oracle nests q61's
+    * SQL, q136's convention), so the metric layer inherits the search
+    * guarantee; swap in q62/q64/q69 unchanged to score an ANN backend
+    * instead. Scale: one |Q|×10-row aggregation + a broadcast truth
+    * join — the metrics cost nothing beyond the search being evaluated.
+    */
+  val q154 = QueryDef.oracle("q154_retrieval_metrics",
+    s"""WITH knn AS (${q61.sql.get}),
+       |hits AS (
+       |  SELECT k.q_id, eq.label,
+       |         CAST(count(CASE WHEN k.label = eq.label THEN 1 END) AS BIGINT)
+       |           AS n_relevant_at_10,
+       |         CAST(min(CASE WHEN k.label = eq.label THEN k.rk END) AS BIGINT)
+       |           AS first_rel_rank,
+       |         CAST(COALESCE(SUM(CASE WHEN k.label = eq.label
+       |                                THEN 11 - k.rk ELSE 0 END), 0) AS BIGINT)
+       |           AS rank_weighted_hits
+       |  FROM knn k JOIN embeddings eq ON eq.vec_id = k.q_id
+       |  GROUP BY k.q_id, eq.label)
+       |SELECT q_id, label, n_relevant_at_10, first_rel_rank,
+       |       CAST(COALESCE(2520 // first_rel_rank, 0) AS BIGINT) AS mrr_x2520,
+       |       rank_weighted_hits
+       |FROM hits""".stripMargin)(
+    (s, d) => {
+      val top = q61.fn(s, d) // (q_id, rk, vec_id, label) — exact top-10
+      val truth = Tables.embeddings(s, d)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val isHit = col("label") === col("q_label")
+      top.join(broadcast(truth), Seq("q_id"))
+        .groupBy(col("q_id"), col("q_label").as("label"))
+        .agg(count(when(isHit, 1)).as("n_relevant_at_10"),
+          min(when(isHit, col("rk"))).cast("long").as("first_rel_rank"),
+          coalesce(sum(when(isHit, lit(11) - col("rk")).otherwise(0)), lit(0))
+            .cast("long").as("rank_weighted_hits"))
+        .select(col("q_id"), col("label"), col("n_relevant_at_10"),
+          col("first_rel_rank"),
+          coalesce(expr("2520 div first_rel_rank"), lit(0L)).cast("long")
+            .as("mrr_x2520"),
+          col("rank_weighted_hits"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154)
 }

@@ -36,7 +36,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q129_cluster_canonical", "q139_contrastive_triples",
         "q145_triangle_census", "q148_incremental_dedup",
         "q150_leakage_safe_split", "q152_source_dedup_report",
-        "q153_near_dup_edit_verify")
+        "q153_near_dup_edit_verify", "q155_dedup_sampling_weights")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -58,7 +58,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q56_dedup_clusters", "q99_portable_minhash_pairs",
         "q129_cluster_canonical", "q139_contrastive_triples",
         "q145_triangle_census", "q150_leakage_safe_split",
-        "q152_source_dedup_report", "q153_near_dup_edit_verify")
+        "q152_source_dedup_report", "q153_near_dup_edit_verify",
+        "q155_dedup_sampling_weights")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
