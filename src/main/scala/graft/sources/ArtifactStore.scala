@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once-per-(JVM, corpus) derived tables — the "computed at
+  * ingest, read back by every query" contract that q148's stored band
+  * index introduced, named: signatures, band tables, codebooks are pure
+  * functions of the corpus, so production materializes them ONCE and
+  * every consumer reads the artifact. Re-deriving them per query is a
+  * cost neither production nor the bench should pay.
+  *
+  * Artifacts are registered in the session catalog (keyed by a hash of
+  * the corpus path, so different sf-dirs can't collide) and written
+  * under the system tmpdir; both die with the JVM — the in-memory
+  * catalog cannot outlive it anyway — and the files are removed by a
+  * shutdown hook. At 100 TB the same tables live in the warehouse and
+  * are refreshed by the ingest pipeline, not per session.
+  */
+object ArtifactStore {
+
+  private def tableName(name: String, key: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_${name}_$tag"
+  }
+
+  private def whDir(table: String): java.nio.file.Path = {
+    val wh = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-artifacts")
+    val dir = wh.resolve(table)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () }))
+    wh
+  }
+
+  /** Plain parquet artifact (small derived tables: signatures,
+    * codebooks). `build` runs only on the first request per JVM. */
+  def table(s: SparkSession, key: String, name: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val t = tableName(name, key)
+    if (!s.catalog.tableExists(t)) {
+      val wh = whDir(t)
+      build.write.mode("overwrite").format("parquet")
+        .option("path", s"$wh/$t").saveAsTable(t)
+    }
+    s.table(t)
+  }
+
+  /** Bucketed+sorted artifact — for tables consumed by repeated joins on
+    * `keys`: the build repartitions on the keys first, so every bucket is
+    * ONE file and the read-back scan is pre-partitioned AND pre-sorted —
+    * joins on exactly `keys` need no Exchange (and no Sort) on this side. */
+  def bucketed(s: SparkSession, key: String, name: String,
+      keys: Seq[String], numBuckets: Int)(build: => DataFrame): DataFrame =
+    synchronized {
+      val t = tableName(name, key)
+      if (!s.catalog.tableExists(t)) {
+        val wh = whDir(t)
+        Bucketing.writeBucketed(
+          build.repartition(numBuckets, keys.map(org.apache.spark.sql.functions.col): _*),
+          t, keys, numBuckets, wh.toString)
+      }
+      s.table(t)
+    }
+}
