@@ -257,6 +257,10 @@ object PlanCheck {
         !p.contains("SortMergeJoin"))
     checkTree("q151_vocab_coverage", "vocab rank/cumsum windows sit above the token aggregate",
       noGlobalFactWindow)
+    check("q156_bpe_pair_stats", "pair counts combine map-side; top-50 via TakeOrderedAndProject (no global sort)",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    check("q157_boilerplate_prefix", "prefix groups combine map-side; 16-byte keys, never text, cross the exchange",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

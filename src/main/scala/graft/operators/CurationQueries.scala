@@ -272,5 +272,35 @@ object CurationQueries {
         expr("bit_xor(CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT))")
           .as("checksum")))
 
-  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122, q134)
+  /** Boilerplate / template detection by shared document PREFIX — the
+    * curation screen that catches scraped pages stamped from one
+    * template (identical headers, licence banners, navigation chrome)
+    * which full-text dedup (q50) misses because the bodies differ and
+    * near-dup LSH may miss because the shared part is a fixed-length
+    * head, not the dominant token mass. Grouping key is md5 of the
+    * first 40 chars, so the exchange carries a 16-byte key per doc —
+    * never text (q50's convention at prefix granularity). Output: every
+    * doc with its prefix-group size, the group's keeper (min doc_id),
+    * and the is_templated flag (group ≥ 2). HASH-MATCHED.
+    */
+  val q157 = QueryDef.oracle("q157_boilerplate_prefix",
+    """WITH p AS (SELECT doc_id, md5(substr(text, 1, 40)) AS prefix_hash
+      |           FROM documents),
+      |g AS (SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_same_prefix,
+      |             min(doc_id) AS prefix_keeper
+      |      FROM p GROUP BY prefix_hash)
+      |SELECT doc_id, p.prefix_hash, n_same_prefix, prefix_keeper,
+      |       n_same_prefix >= 2 AS is_templated
+      |FROM p JOIN g USING (prefix_hash)""".stripMargin)(
+    (s, d) => {
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 40)).as("prefix_hash"))
+      val g = p.groupBy("prefix_hash")
+        .agg(count(lit(1)).as("n_same_prefix"), min("doc_id").as("prefix_keeper"))
+      p.join(g, Seq("prefix_hash"))
+        .select(col("doc_id"), col("prefix_hash"), col("n_same_prefix"),
+          col("prefix_keeper"), (col("n_same_prefix") >= 2).as("is_templated"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122, q134, q157)
 }

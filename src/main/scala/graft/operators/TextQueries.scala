@@ -310,5 +310,42 @@ object TextQueries {
             .as("n_chunks"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151)
+  /** BPE-training pair statistics — the first statistic a BPE tokenizer
+    * trainer computes, distributed: corpus-wide counts of ADJACENT
+    * character pairs within words (the initial symbol sequence before
+    * any merge), top-50 by frequency. Each training round of real BPE
+    * re-runs exactly this shape with the current vocab's symbols, so
+    * this is the per-iteration kernel: scan-stage word split + pair
+    * explode (a chars× NARROW multiplier — nothing shuffles until the
+    * count), map-side-combined pair counts (exchange carries |distinct
+    * pairs| partials, sublinear in corpus), bounded top-k via
+    * TakeOrderedAndProject — no global sort. Deterministic: ties break
+    * on the pair string; counts are exact integers — HASH-MATCHED.
+    * Single-char words contribute no pairs (guarded: Spark's sequence()
+    * would otherwise generate a DESCENDING range for empty windows).
+    */
+  val q156 = QueryDef.oracle("q156_bpe_pair_stats",
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |  FROM documents),
+      |w AS (SELECT unnest(l) AS w FROM toks),
+      |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM p GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair
+      |LIMIT 50""".stripMargin)(
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+      val pairList = when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))
+      words.select(explode(pairList).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair")).limit(50)
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156)
 }
