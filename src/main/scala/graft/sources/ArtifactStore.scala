@@ -25,8 +25,15 @@ object ArtifactStore {
   }
 
   private def whDir(table: String): java.nio.file.Path = {
+    // pid-scoped: the catalog entry is per-JVM but a shared path would
+    // NOT be — a second JVM rebuilding the same artifact (same corpus
+    // tag) would overwrite part files out from under this JVM's live
+    // readers (observed as FILE_NOT_EXIST mid-query). Each JVM owns its
+    // copy; the shutdown hook reclaims it. At scale the warehouse, not
+    // tmpdir, owns artifacts and refresh is coordinated by ingest.
     val wh = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-artifacts")
+      System.getProperty("java.io.tmpdir"),
+      s"graft-artifacts-${ProcessHandle.current().pid()}")
     val dir = wh.resolve(table)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try java.nio.file.Files.walk(dir)
@@ -65,4 +72,17 @@ object ArtifactStore {
       }
       s.table(t)
     }
+
+  /** Day-2 increment: append a new batch into an existing bucketed
+    * artifact. Spark routes appended rows into their buckets (more
+    * files per bucket), so the layout — and the exchange-free join
+    * contract — survives corpus growth without ever re-shuffling the
+    * existing data; only the per-bucket sort-on-read is re-paid once a
+    * bucket holds multiple files. Column order must match the table. */
+  def append(s: SparkSession, key: String, name: String,
+      batch: DataFrame): Unit = synchronized {
+    val t = tableName(name, key)
+    require(s.catalog.tableExists(t), s"artifact $t has not been built")
+    batch.write.mode("append").insertInto(t)
+  }
 }
