@@ -259,6 +259,9 @@ object PlanCheck {
       noGlobalFactWindow)
     check("q156_bpe_pair_stats", "pair counts combine map-side; top-50 via TakeOrderedAndProject (no global sort)",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    check("q158_bpe_merge_round", "merge round: winning pair broadcast into the rewrite; counts combine map-side; bounded top-k",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 16-byte keys, never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -324,12 +325,25 @@ object TextQueries {
     * Single-char words contribute no pairs (guarded: Spark's sequence()
     * would otherwise generate a DESCENDING range for empty windows).
     */
-  val q156 = QueryDef.oracle("q156_bpe_pair_stats",
+  /** Adjacent character pairs of a symbol string (empty below 2 chars —
+    * guarded because Spark's sequence() would otherwise generate a
+    * DESCENDING range). Shared by q156 (round-1 stats) and q158 (the
+    * merge round), which must agree on pair extraction. */
+  private def charPairs(w: Column): Column =
+    when(length(w) >= 2,
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The shared words + round-1-pairs CTE prefix of the BPE oracles. */
+  private val bpePairCtes: String =
     """WITH toks AS (
       |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |  FROM documents),
       |w AS (SELECT unnest(l) AS w FROM toks),
-      |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w)
+      |p AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w)""".stripMargin
+
+  val q156 = QueryDef.oracle("q156_bpe_pair_stats",
+    s"""$bpePairCtes
       |SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
       |FROM p GROUP BY pair
       |ORDER BY n_occurrences DESC, pair
@@ -337,15 +351,59 @@ object TextQueries {
     (s, d) => {
       val words = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
-      val pairList = when(length(col("w")) >= 2,
-        transform(sequence(lit(1), length(col("w")) - 1),
-          i => col("w").substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))
-      words.select(explode(pairList).as("pair"))
+      words.select(explode(charPairs(col("w"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
         .orderBy(col("n_occurrences").desc, col("pair")).limit(50)
     })
 
+  /** One full BPE MERGE ROUND, distributed: pick the corpus-wide most
+    * frequent adjacent pair (q156's statistic, argmax with ties on the
+    * pair string), APPLY the merge to every word, and recount — the
+    * iterative step that turns pair statistics into a tokenizer. The
+    * merge trick: greedy BPE merging is left-to-right non-overlapping
+    * replacement, which is EXACTLY the semantics of literal `replace()`
+    * in both engines — so applying merge "er" is
+    * `replace(w, 'er', chr(1))` with an out-of-alphabet sentinel char
+    * standing for the merged symbol (the corpus is sentinel-free by
+    * construction of \\s-tokenization; chr(1) never survives a token).
+    * Round-2 pairs are then plain adjacent pairs over the rewritten
+    * words; the sentinel expands back to a bracketed "(er)" in the
+    * report, so composite pairs like "m(er)" are readable. No
+    * collect(): the 1-row winning-pair table crossJoin-broadcasts into
+    * the rewrite scan. Scale: two scan stages + two map-side-combined
+    * pair counts — each further training round repeats this exact
+    * shape. HASH-MATCHED (exact counts, deterministic ties).
+    */
+  val q158 = QueryDef.oracle("q158_bpe_merge_round",
+    s"""$bpePairCtes,
+      |m AS (SELECT pair FROM (
+      |        SELECT pair, count(*) AS c FROM p GROUP BY pair
+      |        ORDER BY c DESC, pair LIMIT 1)),
+      |w2 AS (SELECT replace(w, (SELECT pair FROM m), chr(1)) AS w FROM w),
+      |p2 AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w2),
+      |e AS (SELECT replace(pair, chr(1), '(' || (SELECT pair FROM m) || ')') AS pair
+      |      FROM p2)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       (SELECT pair FROM m) AS merged_pair
+      |FROM e GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair
+      |LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+      val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .select(col("pair").as("m"))
+      val rewritten = words.crossJoin(broadcast(top1))
+        .select(expr("replace(w, m, chr(1))").as("w"), col("m"))
+      rewritten.select(explode(charPairs(col("w"))).as("rp"), col("m"))
+        .select(expr("replace(rp, chr(1), concat('(', m, ')'))").as("pair"), col("m"))
+        .groupBy("pair", "m").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair")).limit(20)
+        .select(col("pair"), col("n_occurrences"), col("m").as("merged_pair"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156, q158)
 }
