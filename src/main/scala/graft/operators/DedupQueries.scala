@@ -776,6 +776,52 @@ object DedupQueries {
         round(col("n_near_dup_docs") / col("n_docs").cast("double"), 4).as("near_dup_rate"))
     })
 
+  /** Cross-source overlap matrix — q152's companion: q152 says how
+    * duplicated each source is; THIS says which sources duplicate WHICH
+    * — the contamination-graph view a corpus owner reads before
+    * deciding what to crawl less of (and the between-sources leg of
+    * eval-set decontamination: a benchmark source overlapping a train
+    * source is the leak). One row per unordered source pair (src_a ≤
+    * src_b) with the near-dup pair count between them, split into
+    * within-source and cross-source, plus the distinct docs involved on
+    * each side. Same portable pair set as q99/q152 (shared code and
+    * CTEs — the matrix cannot disagree with the dedup queries). Scale:
+    * the pair set joins the (doc_id, source) map twice — two keyed
+    * shuffles of id pairs, never text; the matrix itself is
+    * |sources|²-bounded. HASH-MATCHED.
+    */
+  val q159 = QueryDef.oracle("q159_source_overlap_matrix", {
+    s"""$portablePairsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |lab AS (
+       |  SELECT least(a.source, b.source) AS src_a,
+       |         greatest(a.source, b.source) AS src_b,
+       |         p.ia, p.ib
+       |  FROM pairs p JOIN src a ON a.doc_id = p.ia
+       |               JOIN src b ON b.doc_id = p.ib)
+       |SELECT src_a, src_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       src_a = src_b AS within_source,
+       |       CAST(count(DISTINCT ia) AS BIGINT) AS n_docs_a,
+       |       CAST(count(DISTINCT ib) AS BIGINT) AS n_docs_b
+       |FROM lab GROUP BY src_a, src_b""".stripMargin})(
+    (s, d) => {
+      val pairs = portablePairs(s, d)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val lab = pairs
+        .join(src.select(col("doc_id").as("ia"), col("source").as("sa")), Seq("ia"))
+        .join(src.select(col("doc_id").as("ib"), col("source").as("sb")), Seq("ib"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"), col("ia"), col("ib"))
+      lab.groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("ia").as("n_docs_a"),
+          countDistinct("ib").as("n_docs_b"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          (col("src_a") === col("src_b")).as("within_source"),
+          col("n_docs_a"), col("n_docs_b"))
+    })
+
   /** Character-level verification of the near-dup candidates — the third
     * leg of the verify toolbox (q52 estimates set overlap from
     * signatures, q54 computes exact token-set Jaccard, this computes the
@@ -842,5 +888,5 @@ object DedupQueries {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152, q153)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152, q153, q159)
 }

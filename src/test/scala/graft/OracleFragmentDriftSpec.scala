@@ -36,7 +36,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q129_cluster_canonical", "q139_contrastive_triples",
         "q145_triangle_census", "q148_incremental_dedup",
         "q150_leakage_safe_split", "q152_source_dedup_report",
-        "q153_near_dup_edit_verify", "q155_dedup_sampling_weights")
+        "q153_near_dup_edit_verify", "q155_dedup_sampling_weights",
+        "q159_source_overlap_matrix")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -59,7 +60,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q129_cluster_canonical", "q139_contrastive_triples",
         "q145_triangle_census", "q150_leakage_safe_split",
         "q152_source_dedup_report", "q153_near_dup_edit_verify",
-        "q155_dedup_sampling_weights")
+        "q155_dedup_sampling_weights", "q159_source_overlap_matrix")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
