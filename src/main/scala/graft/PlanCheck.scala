@@ -177,10 +177,14 @@ object PlanCheck {
         !p.contains("BroadcastNestedLoopJoin"))
     // two sanctioned join shapes here: the broadcast-driven inequality
     // join of negative mining (BroadcastNestedLoopJoin, q61's accepted
-    // shape) and the stored-bandrows bucketed self-join (SortMergeJoin,
-    // exchange-free by layout — asserted on q99's plan); never cartesian
-    check("q139_contrastive_triples", "negative mining broadcast-driven; pairs from the bucketed self-join; never cartesian",
+    // shape) and the stored-bandrows bucketed self-join — and the tree
+    // assert requires EVERY sort-merge join in the plan to be the
+    // bucketed exchange-free kind, so a shuffle-requiring SMJ regression
+    // cannot hide behind the sanctioned one
+    check("q139_contrastive_triples", "negative mining broadcast-driven; never cartesian",
       p => !p.contains("CartesianProduct"))
+    checkTree("q139_contrastive_triples", "every sort-merge join is the bucketed exchange-free self-join",
+      PlanAudit.allSmjBucketed)
     // the only SinglePartition window allowed is the ≤10001-row bucket
     // table; the doc-side cumsum must be keyed on bucket and the offsets
     // must come back via broadcast
@@ -213,19 +217,7 @@ object PlanCheck {
       val ok = try {
         val p = graft.operators.DedupQueries.q148BandingJoin(spark, d)
           .queryExecution.sparkPlan
-        p.collect {
-          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-        }.exists { j =>
-          Seq(j.left, j.right).exists { side =>
-            side.collectFirst {
-              case sc: org.apache.spark.sql.execution.FileSourceScanExec
-                  if sc.relation.bucketSpec.isDefined => sc
-            }.isDefined &&
-            side.collect {
-              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-            }.isEmpty
-          }
-        }
+        PlanAudit.hasBucketedSmj(p)
       } catch {
         case e: Throwable => System.err.println(s"[plancheck] q148 banding: $e"); false
       }
@@ -241,17 +233,7 @@ object PlanCheck {
     checkTree("q99_portable_minhash_pairs", "banding self-join of the stored bucketed bandrows — no Exchange on either side",
       p => p.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      }.exists { j =>
-        Seq(j.left, j.right).forall { side =>
-          side.collectFirst {
-            case sc: org.apache.spark.sql.execution.FileSourceScanExec
-                if sc.relation.bucketSpec.isDefined => sc
-          }.isDefined &&
-          side.collect {
-            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-          }.isEmpty
-        }
-      })
+      }.exists(j => Seq(j.left, j.right).forall(PlanAudit.bucketedExchangeFreeSide)))
     check("q149_embedding_outliers", "dims expansion combines map-side; stats broadcast back",
       p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin"))

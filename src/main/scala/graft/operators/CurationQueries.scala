@@ -278,8 +278,10 @@ object CurationQueries {
     * which full-text dedup (q50) misses because the bodies differ and
     * near-dup LSH may miss because the shared part is a fixed-length
     * head, not the dominant token mass. Grouping key is md5 of the
-    * first 40 chars, so the exchange carries a 16-byte key per doc —
-    * never text (q50's convention at prefix granularity). Output: every
+    * first 40 chars, so the exchange carries a 32-char hex key per doc
+    * — never text (q50's convention at prefix granularity; production
+    * would unhex to 16 binary bytes, halving the key again). Output:
+    * every
     * doc with its prefix-group size, the group's keeper (min doc_id),
     * and the is_templated flag (group ≥ 2). HASH-MATCHED.
     */

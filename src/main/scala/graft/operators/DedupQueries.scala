@@ -796,27 +796,35 @@ object DedupQueries {
        |lab AS (
        |  SELECT least(a.source, b.source) AS src_a,
        |         greatest(a.source, b.source) AS src_b,
-       |         p.ia, p.ib
+       |         CASE WHEN a.source <= b.source THEN p.ia ELSE p.ib END AS doc_a,
+       |         CASE WHEN a.source <= b.source THEN p.ib ELSE p.ia END AS doc_b
        |  FROM pairs p JOIN src a ON a.doc_id = p.ia
        |               JOIN src b ON b.doc_id = p.ib)
        |SELECT src_a, src_b,
        |       CAST(count(*) AS BIGINT) AS n_pairs,
        |       src_a = src_b AS within_source,
-       |       CAST(count(DISTINCT ia) AS BIGINT) AS n_docs_a,
-       |       CAST(count(DISTINCT ib) AS BIGINT) AS n_docs_b
+       |       CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+       |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
        |FROM lab GROUP BY src_a, src_b""".stripMargin})(
     (s, d) => {
       val pairs = portablePairs(s, d)
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      // doc_a/doc_b re-orient each pair to match the canonicalized
+      // source order: doc_a always belongs to src_a (ia only happens to
+      // be the lower DOC id — on a cross-source pair where least/
+      // greatest swaps the sources, counting distinct ia under src_a
+      // would count the WRONG source's doc)
       val lab = pairs
         .join(src.select(col("doc_id").as("ia"), col("source").as("sa")), Seq("ia"))
         .join(src.select(col("doc_id").as("ib"), col("source").as("sb")), Seq("ib"))
         .select(least(col("sa"), col("sb")).as("src_a"),
-          greatest(col("sa"), col("sb")).as("src_b"), col("ia"), col("ib"))
+          greatest(col("sa"), col("sb")).as("src_b"),
+          when(col("sa") <= col("sb"), col("ia")).otherwise(col("ib")).as("doc_a"),
+          when(col("sa") <= col("sb"), col("ib")).otherwise(col("ia")).as("doc_b"))
       lab.groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_pairs"),
-          countDistinct("ia").as("n_docs_a"),
-          countDistinct("ib").as("n_docs_b"))
+          countDistinct("doc_a").as("n_docs_a"),
+          countDistinct("doc_b").as("n_docs_b"))
         .select(col("src_a"), col("src_b"), col("n_pairs"),
           (col("src_a") === col("src_b")).as("within_source"),
           col("n_docs_a"), col("n_docs_b"))

@@ -189,12 +189,20 @@ object PipelineQueries {
         } finally q.stop()
         // conf stays lowered until the stream STOPS: start() is async, so
         // restoring earlier could race the first micro-batch's planning
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the memory-sink table, not the staged files, holds the result —
-      // the per-invocation feed copies can go now (bench sweeps would
-      // otherwise accumulate them in the system tmpdir)
-      JFiles.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => JFiles.deleteIfExists(p))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // the memory-sink table, not the staged files, holds the result —
+        // the per-invocation feed copies can go now (bench sweeps would
+        // otherwise accumulate them in tmpdir). INSIDE the finally so a
+        // failed streaming lifecycle doesn't strand its copy; best-effort
+        // so a deletion error can't mask the original exception.
+        try {
+          val walk = JFiles.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => JFiles.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }
       s.table(table).filter(col("drink") =!= "zzz-sentinel")
     })
 

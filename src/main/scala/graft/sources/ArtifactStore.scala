@@ -24,22 +24,25 @@ object ArtifactStore {
     s"graft_${name}_$tag"
   }
 
-  private def whDir(table: String): java.nio.file.Path = {
-    // pid-scoped: the catalog entry is per-JVM but a shared path would
-    // NOT be — a second JVM rebuilding the same artifact (same corpus
-    // tag) would overwrite part files out from under this JVM's live
-    // readers (observed as FILE_NOT_EXIST mid-query). Each JVM owns its
-    // copy; the shutdown hook reclaims it. At scale the warehouse, not
-    // tmpdir, owns artifacts and refresh is coordinated by ingest.
+  // pid-scoped: the catalog entry is per-JVM but a shared path would
+  // NOT be — a second JVM rebuilding the same artifact (same corpus
+  // tag) would overwrite part files out from under this JVM's live
+  // readers (observed as FILE_NOT_EXIST mid-query). Each JVM owns its
+  // copy; ONE shutdown hook (registered on first use) reclaims the
+  // whole pid directory — including the parent itself, so repeated
+  // runs don't strand empty per-pid dirs. At scale the warehouse, not
+  // tmpdir, owns artifacts and refresh is coordinated by ingest.
+  private lazy val whDir: java.nio.file.Path = {
     val wh = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft-artifacts-${ProcessHandle.current().pid()}")
-    val dir = wh.resolve(table)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try java.nio.file.Files.walk(dir)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Throwable => () }))
+      try {
+        val walk = java.nio.file.Files.walk(wh)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }))
     wh
   }
 
@@ -49,9 +52,8 @@ object ArtifactStore {
       build: => DataFrame): DataFrame = synchronized {
     val t = tableName(name, key)
     if (!s.catalog.tableExists(t)) {
-      val wh = whDir(t)
       build.write.mode("overwrite").format("parquet")
-        .option("path", s"$wh/$t").saveAsTable(t)
+        .option("path", s"$whDir/$t").saveAsTable(t)
     }
     s.table(t)
   }
@@ -65,10 +67,9 @@ object ArtifactStore {
     synchronized {
       val t = tableName(name, key)
       if (!s.catalog.tableExists(t)) {
-        val wh = whDir(t)
         Bucketing.writeBucketed(
           build.repartition(numBuckets, keys.map(org.apache.spark.sql.functions.col): _*),
-          t, keys, numBuckets, wh.toString)
+          t, keys, numBuckets, whDir.toString)
       }
       s.table(t)
     }

@@ -35,17 +35,7 @@ class ArtifactStoreSpec extends SparkSpec {
       .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
     val plan = probe.join(art.hint("merge"), Seq("l_orderkey"))
       .queryExecution.sparkPlan
-    val ok = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-    }.exists(j => Seq(j.left, j.right).exists { side =>
-      side.collectFirst {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.relation.bucketSpec.isDefined => sc
-      }.isDefined &&
-      side.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.isEmpty
-    })
+    val ok = PlanAudit.hasBucketedSmj(plan)
     assert(ok, "artifact side of the join must be an exchange-free bucketed scan")
   }
 
@@ -68,17 +58,7 @@ class ArtifactStoreSpec extends SparkSpec {
       .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
     val plan = probe.join(art.hint("merge"), Seq("l_orderkey"))
       .queryExecution.sparkPlan
-    val ok = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-    }.exists(j => Seq(j.left, j.right).exists { side =>
-      side.collectFirst {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.relation.bucketSpec.isDefined => sc
-      }.isDefined &&
-      side.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }.isEmpty
-    })
+    val ok = PlanAudit.hasBucketedSmj(plan)
     assert(ok, "appended artifact must still join exchange-free on the bucket keys")
   }
 }
