@@ -40,17 +40,18 @@ object AsOfJoin {
       org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c).copy())))
     val lTagged = left.select(
       col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        (left.columns.map(c => col(c)) :+ nullPayload.as("__p")): _*)
+        (left.columns.toIndexedSeq.map(c => col(c)) :+ nullPayload.as("__p")): _*)
     val rTagged = right.select(
       col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        (left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        (left.columns.toIndexedSeq.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
           payloadStruct.as("__p")): _*)
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
