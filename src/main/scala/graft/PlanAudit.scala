@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join => LogicalJoin, LocalLimit, LogicalPlan, Filter => LogicalFilter}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 
@@ -34,4 +38,79 @@ object PlanAudit {
   def allSmjBucketed(p: SparkPlan): Boolean =
     p.collect { case j: SortMergeJoinExec => j }
       .forall(j => Seq(j.left, j.right).exists(bucketedExchangeFreeSide))
+
+  /** The broadcast-side discipline, generalized (the q153 lesson, then
+    * re-learned on q136/q154/q155): a side the developer FORCED to
+    * broadcast with a hint, whose subtree scans a CORPUS-SIZED table
+    * (`documents` / `embeddings` — the tables that grow to 100 TB),
+    * must also contain a node that BOUNDS the broadcast's cardinality
+    * before it ships to every executor — an aggregation, a semi/anti
+    * join, a limit, or a deliberate Filter (the query-set /
+    * probe-budget shape: |Q| rows selected out of the corpus). A hinted
+    * broadcast of a bare corpus projection —
+    * `broadcast(embeddings.select(id, label))` — has none of these and
+    * is a driver-side collect in disguise: it passes at sf0.1 and fails
+    * outright at 100×. Returns TRUE iff no such unbounded hinted
+    * corpus broadcast exists anywhere in the plan.
+    *
+    * Audits the OPTIMIZED LOGICAL plan's join hints, not physical
+    * broadcast nodes, deliberately: at test scale the planner also
+    * chooses broadcast for UN-hinted corpus self-joins purely on size
+    * statistics — those flip to shuffle joins on real data (and AQE
+    * re-plans at runtime), so they are not design defects. A HINT is
+    * the developer overruling statistics forever; that is the only
+    * broadcast decision that must prove the side is bounded.
+    *
+    * Imperfect on purpose: an aggregate whose key is ~unique (q155's
+    * cluster-size table) still slips through — cardinality is not a
+    * plan-shape property — so reviews still matter; this predicate
+    * mechanizes the CATEGORICAL mistake (raw corpus projection under a
+    * forced broadcast) that has now been made three times. */
+  def boundedBroadcasts(p: LogicalPlan): Boolean =
+    unboundedCorpusBroadcasts(p).isEmpty
+
+  /** The offending hinted build-side subtrees behind
+    * [[boundedBroadcasts]] — exposed so dev tooling can print WHAT
+    * tripped the audit. */
+  def unboundedCorpusBroadcasts(p: LogicalPlan): Seq[LogicalPlan] =
+    hintedBroadcastSides(p).filter { b =>
+      val scansCorpus = b.exists {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
+            val s = rp.toString
+            s.contains("documents") || s.contains("embeddings")
+          }
+          case _ => false
+        }
+        case _ => false
+      }
+      scansCorpus && !b.exists {
+        case _: Aggregate => true
+        case j: LogicalJoin if j.joinType == LeftSemi || j.joinType == LeftAnti => true
+        case _: GlobalLimit | _: LocalLimit => true
+        // inner joins INFER isnotnull(key) filters onto both sides, so a
+        // null-check-only Filter proves nothing: a filter bounds only if
+        // some conjunct is more selective than IsNotNull
+        case f: LogicalFilter => nontrivialPredicate(f.condition)
+        case _ => false
+      }
+    }
+
+  /** Every join side carrying an explicit BROADCAST hint. After
+    * optimization, `broadcast(df)` hints live in `Join.hint`
+    * (EliminateResolvedHint folded the ResolvedHint nodes there). */
+  private def hintedBroadcastSides(p: LogicalPlan): Seq[LogicalPlan] =
+    p.collect { case j: LogicalJoin =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+        case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+      }
+    }.flatten
+
+  private def nontrivialPredicate(cond: Expression): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).exists { case _: IsNotNull => false; case _ => true }
+  }
 }

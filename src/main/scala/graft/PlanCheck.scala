@@ -168,7 +168,7 @@ object PlanCheck {
       p => p.contains("partial_count"))
     check("q135_referential_integrity", "integrity checks are anti-joins, never cartesian",
       p => p.contains("LeftAnti") && !p.contains("CartesianProduct"))
-    check("q136_knn_label_propagation", "classify rides q61's broadcast scan; truth broadcast",
+    check("q136_knn_label_propagation", "classify rides q61's broadcast scan; |Q|-row prediction side broadcast (never the corpus truth map)",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
     check("q137_rolling_active_users", "day list broadcasts into the range join (no SMJ)",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"))
@@ -244,8 +244,52 @@ object PlanCheck {
     check("q158_bpe_merge_round", "merge round: winning pair broadcast into the rewrite; counts combine map-side; bounded top-k",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
-    check("q157_boilerplate_prefix", "prefix groups combine map-side; 16-byte keys, never text, cross the exchange",
+    check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    // the broadcast-side discipline, mechanized (q153's lesson, then
+    // re-learned on q136/q154/q155): across the WHOLE corpus-scanning
+    // family, no HINTED broadcast side may hold an UNBOUNDED documents /
+    // embeddings scan — no aggregate, semi join, limit, or filter
+    // between scan and broadcast. That shape is a driver-side collect
+    // in disguise: free at sf0.1, fatal at 100x. (Un-hinted broadcasts
+    // the planner picks from toy-scale statistics are exempt — they
+    // flip to shuffle joins on real data.) One combined line so a new
+    // corpus query is covered by adding its name here.
+    locally {
+      val family = Seq(
+        "q40_token_stats", "q41_quality_score", "q42_lang_id", "q43_fingerprint",
+        "q44_ngram_profile", "q45_hash_sample", "q46_class_balance", "q48_ngram_freq",
+        "q49_array_ops", "q50_dedup_exact", "q51_minhash_signatures",
+        "q52_minhash_lsh_dedup", "q53_simhash_dedup", "q54_ngram_jaccard_verify",
+        "q55_group_minhash", "q56_dedup_clusters", "q57_source_profile",
+        "q58_cross_source_contamination", "q60_embedding_profile", "q61_ann_bruteforce",
+        "q62_ann_lsh_bucketed", "q63_embedding_near_dup", "q64_ann_ivf",
+        "q65_ann_rank_oracle", "q66_ann_quantized", "q67_ann_pq",
+        "q68_portable_vec_lsh", "q69_ann_ivfpq", "q77_token_packing",
+        "q98_portable_fingerprint", "q99_portable_minhash_pairs",
+        "q100_portable_simhash", "q117_repetition_filter", "q118_ngram_decontam",
+        "q119_heavy_hitters", "q120_mixture_sample", "q121_dpp_join",
+        "q122_tfidf_top_terms", "q123_unigram_lm_score", "q124_bm25_retrieval",
+        "q125_bloom_prefilter_join", "q126_gapfill_forward", "q127_markov_transitions",
+        "q128_doc_chunks", "q129_cluster_canonical", "q130_lexical_diversity",
+        "q134_corpus_manifest", "q136_knn_label_propagation",
+        "q139_contrastive_triples", "q140_budget_selection", "q145_triangle_census",
+        "q148_incremental_dedup", "q149_embedding_outliers", "q150_leakage_safe_split",
+        "q151_vocab_coverage", "q152_source_dedup_report", "q153_near_dup_edit_verify",
+        "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
+        "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix")
+      val offenders = family.filter { n =>
+        try !PlanAudit.boundedBroadcasts(
+          SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)
+        catch { case e: Throwable =>
+          System.err.println(s"[plancheck] broadcast audit $n: $e"); true }
+      }
+      val ok = offenders.isEmpty
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} ${"broadcast_audit"}%-28s " +
+        s"no unbounded hinted corpus-table broadcast across ${family.size} corpus queries" +
+        (if (ok) "" else s" — offenders: ${offenders.mkString(", ")}"))
+    }
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")
     spark.stop()
     if (misses > 0) sys.exit(1) // let CI/scripts gate on the result

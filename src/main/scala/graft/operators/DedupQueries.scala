@@ -739,7 +739,11 @@ object DedupQueries {
     * CTEs, so this report and the dedup queries cannot disagree).
     * Rates are a single division of exact counts, rounded — HASH-
     * MATCHED. Scale: two keyed shuffles (md5 groups, source rollup);
-    * the partnered-id set is candidate-sized and broadcasts. */
+    * the partnered-id set is candidate-sized — id-only, but on a
+    * duplicate-heavy corpus that is data-sized, so it is NOT hinted
+    * onto a broadcast: AQE broadcasts it when the candidate set is
+    * actually small and shuffles it when it isn't (the q155 rule —
+    * a forced hint must prove its side is bounded; this one can't). */
   val q152 = QueryDef.oracle("q152_source_dedup_report", {
     s"""$portablePairsCtes,
        |partnered AS (SELECT DISTINCT doc_id FROM (
@@ -766,7 +770,7 @@ object DedupQueries {
         .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
       val g = h.groupBy("hh").agg(min("doc_id").as("keeper"))
       val per = h.join(g, "hh")
-        .join(broadcast(partnered), Seq("doc_id"), "left")
+        .join(partnered, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("doc_id") =!= col("keeper"), 1)).as("n_exact_drops"),

@@ -631,7 +631,10 @@ object ModelPrepQueries {
     * drift; rerun- and partition-stable, the q45 convention at 16-bit
     * resolution). `E[Σ kept per cluster] = 1` by construction.
     * Scale: rides q129's rounds + one keyed join of the (id, label)
-    * table; the weight/keep math is scan-stage. HASH-MATCHED.
+    * table against the cluster-size table — a PLAIN join (q129's
+    * template): on a mostly-unique corpus |clusters| ≈ |docs|, so the
+    * size table is data-sized and must never ride a broadcast. The
+    * weight/keep math is scan-stage. HASH-MATCHED.
     */
   val q155 = QueryDef.oracle("q155_dedup_sampling_weights", {
     // 4-nibble hex → integer, portably: strpos into the nibble alphabet
@@ -657,7 +660,9 @@ object ModelPrepQueries {
         .agg(count(lit(1)).as("cluster_size"))
       val u16 = conv(substring(md5(col("v").cast("string")), 1, 4), 16, 10)
         .cast("long")
-      lab.join(broadcast(cs), lab("lbl") === cs("cluster_id"))
+      // plain keyed join (q129's template) — |clusters| ≈ |docs| on a
+      // mostly-unique corpus, so cs is data-sized: never broadcast it
+      lab.join(cs, lab("lbl") === cs("cluster_id"))
         .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"),
           round(lit(1.0) / col("cluster_size"), 6).as("weight"),
           u16.as("u16"))

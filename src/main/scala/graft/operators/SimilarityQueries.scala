@@ -918,9 +918,10 @@ object SimilarityQueries {
     * smaller label), compared against its own label. Composes on q61's
     * hash-matched top-10 — the oracle literally nests q61's SQL — so the
     * whole classify step inherits the exact-search guarantee; the extra
-    * work over q61 is one |Q|×10-row aggregation and a broadcast truth
-    * join. The scale path swaps the brute-force neighbor stage for
-    * q62/q64/q69 unchanged.
+    * work over q61 is one |Q|×10-row aggregation and a truth join that
+    * broadcasts the |Q|-row PREDICTION side while the corpus-sized
+    * (vec_id, label) map streams past it. The scale path swaps the
+    * brute-force neighbor stage for q62/q64/q69 unchanged.
     */
   val q136 = QueryDef.oracle("q136_knn_label_propagation",
     s"""WITH knn AS (${q61.sql.get}),
@@ -942,7 +943,9 @@ object SimilarityQueries {
         .select(col("q_id"), col("label").as("pred_label"), col("votes"))
       val truth = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label").as("true_label"))
-      pred.join(broadcast(truth), pred("q_id") === truth("vec_id"))
+      // broadcast the |Q|-row prediction table, not the corpus-sized
+      // truth map (q154's rule): the corpus streams past |Q| rows once
+      broadcast(pred).join(truth, pred("q_id") === truth("vec_id"))
         .select(col("q_id"), col("pred_label"), col("votes"), col("true_label"),
           (col("pred_label") === col("true_label")).as("agree"))
     })
@@ -1030,8 +1033,11 @@ object SimilarityQueries {
     * Composes on q61's hash-matched exact ranks (the oracle nests q61's
     * SQL, q136's convention), so the metric layer inherits the search
     * guarantee; swap in q62/q64/q69 unchanged to score an ANN backend
-    * instead. Scale: one |Q|×10-row aggregation + a broadcast truth
-    * join — the metrics cost nothing beyond the search being evaluated.
+    * instead. Scale: one |Q|×10-row aggregation + a truth join that
+    * broadcasts the |Q|×10-row SEARCH side — never the corpus-sized
+    * (vec_id, label) map (the q153 lesson: broadcast the side that is
+    * bounded by construction; the corpus streams past it once) — so
+    * the metrics cost nothing beyond the search being evaluated.
     */
   val q154 = QueryDef.oracle("q154_retrieval_metrics",
     s"""WITH knn AS (${q61.sql.get}),
@@ -1055,7 +1061,10 @@ object SimilarityQueries {
       val truth = Tables.embeddings(s, d)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"))
       val isHit = col("label") === col("q_label")
-      top.join(broadcast(truth), Seq("q_id"))
+      // broadcast the |Q|×10 search result, stream the corpus-sized
+      // truth map past it (broadcasting truth would be a driver-side
+      // collect of the whole corpus in disguise)
+      broadcast(top).join(truth, Seq("q_id"))
         .groupBy(col("q_id"), col("q_label").as("label"))
         .agg(count(when(isHit, 1)).as("n_relevant_at_10"),
           min(when(isHit, col("rk"))).cast("long").as("first_rel_rank"),
