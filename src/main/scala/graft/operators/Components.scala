@@ -34,8 +34,13 @@ object Components {
       .distinct()
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LAZY checkpoints throughout: the potential aggregation below is
+    // the round's ONLY action — it materializes the checkpoint as a
+    // side effect, so each round costs one Spark job, not two (eager
+    // localCheckpoint ran a dedicated materialization job per round;
+    // at small per-round data the loop was job-overhead-bound).
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Labels only ever DECREASE (min is monotone), so the label sum is a
     // strictly decreasing potential function: fixpoint ⇔ sum unchanged.
     // One agg per round replaces a join + count. decimal(38,0) so huge
@@ -48,7 +53,7 @@ object Components {
     while (!converged && iter < maxIters) {
       val next = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextPot = potential(next)
       converged = nextPot.compareTo(cur) == 0
       cur = nextPot

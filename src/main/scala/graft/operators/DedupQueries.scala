@@ -420,15 +420,26 @@ object DedupQueries {
     }
 
   /** Candidate near-dup pairs (ia < ib) from the portable MinHash-LSH —
-    * the Spark twin of [[portablePairsCtes]]; shared by q99 and q129. */
-  private[graft] def portablePairs(s: SparkSession, d: String): DataFrame = {
+    * the Spark twin of [[portablePairsCtes]]; shared by the whole pair
+    * family (q52/q54/q56/q129/q139/q145/q150/q152/q153/q155/q159).
+    * Reads the stored scored-pairs artifact: the candidate set is a pure
+    * function of the corpus, so production computes it once at ingest —
+    * consumers pay a parquet scan, never the banding join. q99 is the
+    * exception on purpose: it runs [[bandingPairs]] live, proving the
+    * generation PLAN (exchange-free bucketed self-join) stays right. */
+  private[graft] def portablePairs(s: SparkSession, d: String): DataFrame =
+    portableScoredPairs(s, d).select("ia", "ib")
+
+  /** Candidate generation itself — the banding self-join over the stored
+    * bucketed band table. The artifact build and q99 run THIS; everyone
+    * else reads the resulting pair set back via [[portablePairs]]. */
+  private[graft] def bandingPairs(s: SparkSession, d: String): DataFrame = {
     // the stored band table feeds BOTH sides of the banding self-join:
     // both scans carry the same (band, digest) bucketing, so candidate
     // generation is EXCHANGE-FREE — the corpus is minhashed once per
-    // corpus (the store build), not once per consumer, and the ten
-    // pair-family queries (q52/q54/q56/q99/q129/q139/q145/q150/q152/
-    // q153) share the artifact. The merge hint pins the zip-into-
-    // buckets shape AQE would otherwise demote at toy sizes.
+    // corpus (the store build), not once per consumer. The merge hint
+    // pins the zip-into-buckets shape AQE would otherwise demote at toy
+    // sizes.
     val bandrows = storedBandrows(s, d)
     val l = bandrows.select(col("band"), col("digest"), col("doc_id").as("ia"))
     val r = bandrows.select(col("band"), col("digest"), col("doc_id").as("ib"))
@@ -482,26 +493,39 @@ object DedupQueries {
        |               JOIN sig sb ON sb.doc_id = p.ib)""".stripMargin
 
   /** Spark twin of [[portableScoredCtes]]: candidate pairs with their
-    * agreeing-minhash count. Signatures are recomputed ONLY for docs in a
-    * candidate pair (broadcast semi-join BEFORE the kernel — the q54
-    * trade: gram/signature cost is O(candidates), not O(corpus), and the
-    * band shuffle still carries just (band, digest, doc_id)). */
-  private[graft] def portableScoredPairs(s: SparkSession, d: String): DataFrame = {
-    // materialized once (lazily): candIds + both sides of the sig join
-    val pairs = portablePairs(s, d).localCheckpoint(false)
-    val candIds = pairs.select(col("ia").as("doc_id"))
-      .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
-    // raw native sigs (sentinel P for gram-less docs — candidates always
-    // have grams, so the sentinel never reaches the comparison)
-    val sigs = Tables.documents(s, d)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), portableMinhashSigNative(col("text"), 3, PortK).as("mh"))
-      .localCheckpoint(false)
-    val withA = sigs.join(broadcast(pairs), col("doc_id") === col("ia"))
-      .select(col("ia"), col("ib"), col("mh").as("mh_a"))
-    sigs.join(broadcast(withA), col("doc_id") === col("ib"))
-      .select(col("ia"), col("ib"), nMatch(col("mh_a"), col("mh")).as("n_match"))
-  }
+    * agreeing-minhash count, as a STORED artifact (the bandrows contract
+    * one level up: the scored candidate set is a pure function of the
+    * corpus, so production scores it once at ingest and every dedup /
+    * cluster / split / sampling consumer reads it back — before this,
+    * each of q52/q54/q56 and the six portablePairs consumers re-ran the
+    * semi-join + signature recompute + two pair joins per query). The
+    * build: signatures are recomputed ONLY for docs in a candidate pair
+    * (broadcast semi-join BEFORE the kernel — the q54 trade: gram /
+    * signature cost is O(candidates), not O(corpus), and the band
+    * shuffle still carries just (band, digest, doc_id)). Content is a
+    * deterministic SET (integer ids + exact match counts), so read-back
+    * order differences cannot reach any consumer's output — every
+    * consumer aggregates or joins on it. */
+  private[graft] def portableScoredPairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "scored_pairs") {
+      // materialized once (lazily): candIds + both sides of the sig join
+      val pairs = bandingPairs(s, d).localCheckpoint(false)
+      val candIds = pairs.select(col("ia").as("doc_id"))
+        .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
+      // raw native sigs (sentinel P for gram-less docs — candidates always
+      // have grams, so the sentinel never reaches the comparison). No
+      // broadcast hints: candIds/pairs are candidate-sized — data-sized
+      // on a duplicate-heavy corpus — so AQE decides (the q152/q155
+      // rule; this is a once-per-corpus ingest job, not a query).
+      val sigs = Tables.documents(s, d)
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), portableMinhashSigNative(col("text"), 3, PortK).as("mh"))
+        .localCheckpoint(false)
+      val withA = sigs.join(pairs, col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("mh").as("mh_a"))
+      sigs.join(withA, col("doc_id") === col("ib"))
+        .select(col("ia"), col("ib"), nMatch(col("mh_a"), col("mh")).as("n_match"))
+    }
 
   /** Agreeing-minhash count between two signature arrays — the Column
     * twin of [[matchSumSql]]. */
@@ -628,7 +652,10 @@ object DedupQueries {
   val q99 = QueryDef.oracle("q99_portable_minhash_pairs", portableMinhashOracleSql)(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = portablePairs(s, d)
+      // LIVE banding join on purpose (not the stored pair artifact):
+      // q99 is the plan-proof query — PlanCheck asserts candidate
+      // generation stays an exchange-free bucketed self-join here
+      val pairs = bandingPairs(s, d)
       val partners = pairs.select(col("ia").as("doc_id"), col("ib").as("p"))
         .unionByName(pairs.select(col("ib").as("doc_id"), col("ia").as("p")))
         .groupBy("doc_id")
