@@ -963,16 +963,19 @@ object SimilarityQueries {
     * dim) aggregate; the |labels|×dims stats table broadcasts back;
     * the per-vector re-sum and the rank window are keyed.
     *
-    * OVERFLOW BOUND (the price of the cnt² scaling): each squared term
-    * is ≤ (2·cnt·Q)² with Q = max|qv|, so the d2 sum stays inside int64
-    * only while dims·(2·cnt·Q)² < 2⁶³ — i.e. cnt < √(2⁶³/dims)/(2·Q),
-    * ≈ 19k members per label at dims=64, Q≈1e4 (unit-norm coords at
-    * 1e-4 quantization). Beyond that Spark (non-ANSI) wraps silently
-    * while DuckDB raises — the exactness claim breaks. At production
-    * label cardinalities, compute the squared term in DECIMAL(38,0)
-    * (term² ≤ 2⁸² ≈ 5e24 even at cnt=1e8 — 38 digits hold it with 13
-    * to spare) or switch to two-pass mean-subtracted arithmetic; do
-    * NOT reuse this int64 pattern unexamined. */
+    * PRECISION (the price of the cnt² scaling): the linear term
+    * cnt·qv − s stays comfortably inside int64 (|term| ≤ 2·cnt·Q with
+    * Q = max|qv| ≈ 1e4 ⇒ fine to cnt ≈ 4·10¹⁴ members), but its SQUARE
+    * overflows int64 at cnt ≈ 19k members per label (dims=64). So the
+    * square and the d2 sum run in DECIMAL: each term is cast to
+    * DECIMAL(19,0) — 19 digits hold any realistic linear term, and
+    * 19+19 is exactly DuckDB's 38-digit multiply-width cap — squared
+    * into DECIMAL(38,0) and summed there. d2 ≤ dims·(2·cnt·Q)² needs
+    * 38 digits only past cnt ≈ 6·10¹³ members per label — effectively
+    * unbounded. Both engines do identical decimal arithmetic, so the
+    * result (and the rank ordering, which is what is_outlier consumes)
+    * stays bit-exact at cardinalities where the old int64 form wrapped
+    * silently (DecimalOverflowSpec pins one such case). */
   val q149 = QueryDef.oracle("q149_embedding_outliers",
     """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |qd AS (
@@ -984,7 +987,9 @@ object SimilarityQueries {
       |                 CAST(count(*) AS BIGINT) AS cnt
       |          FROM qd GROUP BY label, dim),
       |d2 AS (SELECT vec_id, q.label,
-      |              CAST(SUM((st.cnt * q.qv - st.s) * (st.cnt * q.qv - st.s)) AS BIGINT) AS d2
+      |              CAST(SUM(CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0))
+      |                       * CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0)))
+      |                   AS DECIMAL(38,0)) AS d2
       |       FROM qd q JOIN stats st ON st.label = q.label AND st.dim = q.dim
       |       GROUP BY vec_id, q.label),
       |ranked AS (SELECT vec_id, label, d2,
@@ -1002,10 +1007,14 @@ object SimilarityQueries {
           round(col("v").cast("double") * 10000).cast("long").as("qv"))
       val stats = dims.groupBy("label", "dim")
         .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
-      val term = col("cnt") * col("qv") - col("s")
+      // linear term in int64 (safe), square + sum in decimal (int64
+      // wraps past ~19k members/label; 19+19 digits is DuckDB's
+      // multiply-width cap, so both engines square DECIMAL(19,0))
+      val term = (col("cnt") * col("qv") - col("s")).cast("decimal(19,0)")
       val d2 = dims.join(broadcast(stats), Seq("label", "dim"))
         .select(col("vec_id"), col("label"), (term * term).as("t"))
-        .groupBy("vec_id", "label").agg(sum("t").as("d2"))
+        .groupBy("vec_id", "label")
+        .agg(sum("t").cast("decimal(38,0)").as("d2"))
       val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
       val wN = Window.partitionBy("label")
       d2.withColumn("rnk", row_number().over(wRnk).cast("long"))

@@ -107,10 +107,16 @@ object Fixtures {
       } finally
         // whenever the move did NOT succeed (lost race, write failure),
         // the private build dir still exists — remove it so crashed or
-        // racing runs don't accumulate fixture copies in tmpdir
+        // racing runs don't accumulate fixture copies in tmpdir.
+        // Best-effort on purpose: a cleanup failure must not mask the
+        // original exception (and the walk stream must close either way)
         if (Files.exists(build))
-          Files.walk(build).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+          try {
+            val walk = Files.walk(build)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
     }
     Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
       "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",

@@ -32,6 +32,14 @@ object ArtifactStore {
   // whole pid directory — including the parent itself, so repeated
   // runs don't strand empty per-pid dirs. At scale the warehouse, not
   // tmpdir, owns artifacts and refresh is coordinated by ingest.
+  //
+  // The same race exists WITHIN a JVM across SparkSessions that do not
+  // share a SharedState (each SharedState has its own catalog, so the
+  // second session sees tableExists=false and rebuilds mode(overwrite)
+  // onto the path the first session is reading). The artifact path is
+  // therefore ALSO keyed on the SharedState identity below — sessions
+  // sharing a catalog share files; sessions with separate catalogs get
+  // separate copies, same rule as separate JVMs.
   private lazy val whDir: java.nio.file.Path = {
     val wh = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
@@ -46,6 +54,13 @@ object ArtifactStore {
     wh
   }
 
+  /** Catalog-scoped artifact directory: sessions that share a
+    * SharedState (and therefore a catalog) share files; a session with
+    * its own SharedState gets its own subtree and can never overwrite
+    * a sibling catalog's live artifacts. */
+  private def ssDir(s: SparkSession): String =
+    s"$whDir/ss${Integer.toHexString(System.identityHashCode(s.sharedState))}"
+
   /** Plain parquet artifact (small derived tables: signatures,
     * codebooks). `build` runs only on the first request per JVM. */
   def table(s: SparkSession, key: String, name: String)(
@@ -53,7 +68,7 @@ object ArtifactStore {
     val t = tableName(name, key)
     if (!s.catalog.tableExists(t)) {
       build.write.mode("overwrite").format("parquet")
-        .option("path", s"$whDir/$t").saveAsTable(t)
+        .option("path", s"${ssDir(s)}/$t").saveAsTable(t)
     }
     s.table(t)
   }
@@ -69,7 +84,7 @@ object ArtifactStore {
       if (!s.catalog.tableExists(t)) {
         Bucketing.writeBucketed(
           build.repartition(numBuckets, keys.map(org.apache.spark.sql.functions.col): _*),
-          t, keys, numBuckets, whDir.toString)
+          t, keys, numBuckets, ssDir(s))
       }
       s.table(t)
     }
