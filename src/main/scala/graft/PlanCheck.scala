@@ -244,6 +244,14 @@ object PlanCheck {
     check("q158_bpe_merge_round", "merge round: winning pair broadcast into the rewrite; counts combine map-side; bounded top-k",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the training loop composes: every one of the three rounds repeats
+    // q158's exact shape — a bounded top-1 (TakeOrderedAndProject) per
+    // round, winners riding 1-row broadcasts, pair counts map-side
+    // combined, and never a cartesian product
+    check("q160_bpe_training_rounds", "3 chained merge rounds: one bounded top-1 per round, winners broadcast, no cartesian",
+      p => p.contains("partial_count") &&
+        "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     // the broadcast-side discipline, mechanized (q153's lesson, then
@@ -277,7 +285,8 @@ object PlanCheck {
         "q148_incremental_dedup", "q149_embedding_outliers", "q150_leakage_safe_split",
         "q151_vocab_coverage", "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
-        "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix")
+        "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
+        "q160_bpe_training_rounds")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -404,6 +404,80 @@ object TextQueries {
         .select(col("pair"), col("n_occurrences"), col("m").as("merged_pair"))
     })
 
+  /** THREE chained BPE merge rounds — the proof that q158's single
+    * round COMPOSES into the training loop a tokenizer trainer ships:
+    * each round counts adjacent pairs over the current words, takes the
+    * corpus-wide argmax (ties on the pair string, both engines binary
+    * collation), and applies the merge as literal replace() with a
+    * fresh out-of-alphabet sentinel (chr(1), chr(2) — CorpusGuardSpec
+    * pins the corpus sentinel-free). Output is the ordered MERGE LIST
+    * (round, merged_pair, n_occurrences) with sentinels expanded to
+    * bracketed readable form — composite merges like "(e(er))" surface
+    * as such. No collect() anywhere: each winner is a 1-row table
+    * crossJoin-broadcast into the next rewrite, so round k's scan
+    * carries k accumulated replaces. Scale: per round, one corpus-wide
+    * map-side-combined pair count + a bounded top-1 — exactly q158's
+    * shape repeated (PlanCheck asserts the tripled shape); a real
+    * 30k-merge trainer would checkpoint the rewritten words every few
+    * hundred rounds instead of accumulating lineage, but the per-round
+    * DATA movement — pair partials only, never words — is this plan's.
+    * HASH-MATCHED (exact counts, deterministic ties).
+    */
+  val q160 = QueryDef.oracle("q160_bpe_training_rounds",
+    s"""$bpePairCtes,
+      |m1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p
+      |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+      |w2 AS (SELECT replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM w),
+      |p2 AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w2),
+      |m2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p2
+      |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+      |w3 AS (SELECT replace(w, (SELECT pair FROM m2), chr(2)) AS w FROM w2),
+      |p3 AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w3),
+      |m3 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p3
+      |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+      |d2 AS (SELECT replace((SELECT pair FROM m2), chr(1),
+      |                      '(' || (SELECT pair FROM m1) || ')') AS d)
+      |SELECT * FROM (
+      |  SELECT 1 AS round, (SELECT pair FROM m1) AS merged_pair,
+      |         (SELECT c FROM m1) AS n_occurrences
+      |  UNION ALL
+      |  SELECT 2, (SELECT d FROM d2), (SELECT c FROM m2)
+      |  UNION ALL
+      |  SELECT 3, replace(replace((SELECT pair FROM m3),
+      |                            chr(2), '(' || (SELECT d FROM d2) || ')'),
+      |                    chr(1), '(' || (SELECT pair FROM m1) || ')'),
+      |         (SELECT c FROM m3))
+      |ORDER BY round""".stripMargin)(
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+      def top1(ws: org.apache.spark.sql.DataFrame) =
+        ws.select(explode(charPairs(col("w"))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("pair")).limit(1)
+      val m1 = top1(words).select(col("pair").as("m1"), col("c").as("c1"))
+      val w2 = words.crossJoin(broadcast(m1))
+        .select(expr("replace(w, m1, chr(1))").as("w"))
+      val m2 = top1(w2).select(col("pair").as("m2"), col("c").as("c2"))
+      val w3 = w2.crossJoin(broadcast(m2))
+        .select(expr("replace(w, m2, chr(2))").as("w"))
+      val m3 = top1(w3).select(col("pair").as("m3"), col("c").as("c3"))
+      m1.crossJoin(broadcast(m2)).crossJoin(broadcast(m3))
+        .select(array(
+          struct(lit(1).as("round"), col("m1").as("raw"), col("c1").as("n")),
+          struct(lit(2).as("round"), col("m2").as("raw"), col("c2").as("n")),
+          struct(lit(3).as("round"), col("m3").as("raw"), col("c3").as("n")))
+          .as("ms"), col("m1"), col("m2"))
+        .select(explode(col("ms")).as("r"), col("m1"), col("m2"))
+        .select(col("r.round").as("round"),
+          expr("replace(replace(r.raw, chr(2), " +
+            "concat('(', replace(m2, chr(1), concat('(', m1, ')')), ')')), " +
+            "chr(1), concat('(', m1, ')'))").as("merged_pair"),
+          col("r.n").as("n_occurrences"))
+        .orderBy("round")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156, q158)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
+      q158, q160)
 }
