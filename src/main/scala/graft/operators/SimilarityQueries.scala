@@ -421,36 +421,42 @@ object SimilarityQueries {
       |         ROW_NUMBER() OVER (PARTITION BY q_id
       |           ORDER BY cos DESC, vec_id) AS rk
       |  FROM cand) WHERE rk <= 10""".stripMargin)(
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val centroids = storedIvfCentroids(s, d)
-        .select(col("c_id"), col("c").cast("array<double>").as("c_vec"))
-      // coarse quantization: best (cos, c_id) per vector, embedding NOT
-      // carried through the agg — only (vec_id, c_id) crosses the wire
-      val assignMap = emb.crossJoin(broadcast(centroids))
-        .select(col("vec_id"),
-          struct(VecExpressions.cosineFast(s, col("embedding"), col("c_vec"))
-            .as("c_cos"), col("c_id")).as("sc"))
-        .groupBy("vec_id").agg(max("sc").as("best"))
-        .select(col("vec_id"), col("best.c_id").as("c_id"))
-      val assigned = emb.join(assignMap, Seq("vec_id"))
-      // each query probes its nprobe nearest inverted lists
-      val wProbe = Window.partitionBy("q_id")
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val probes = querySet(s, d).crossJoin(broadcast(centroids))
-        .select(col("q_id"), col("q_vec"), col("c_id"),
-          VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
-        .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= IvfNprobe)
-        .select("q_id", "q_vec", "c_id")
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("c_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("label"),
-          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
-    })
+    (s, d) => ivfTop10(s, d, IvfNprobe))
+
+  /** q64's search, parameterized by probe budget — the query fn runs it
+    * at IvfNprobe (the value baked into the oracle SQL); the frontier
+    * measurement (`tools.AnnFrontier`, SCALE.md's recall-vs-nprobe
+    * table) sweeps it. */
+  private[graft] def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = storedIvfCentroids(s, d)
+      .select(col("c_id"), col("c").cast("array<double>").as("c_vec"))
+    // coarse quantization: best (cos, c_id) per vector, embedding NOT
+    // carried through the agg — only (vec_id, c_id) crosses the wire
+    val assignMap = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(VecExpressions.cosineFast(s, col("embedding"), col("c_vec"))
+          .as("c_cos"), col("c_id")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("best"))
+      .select(col("vec_id"), col("best.c_id").as("c_id"))
+    val assigned = emb.join(assignMap, Seq("vec_id"))
+    // each query probes its nprobe nearest inverted lists
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = querySet(s, d).crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
+      .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= nprobe)
+      .select("q_id", "q_vec", "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("label"))
+  }
 
   /** Exact-ANN rank oracle: top-5 cosine neighbors for 20 query vectors,
     * HASH-MATCHED against DuckDB's list_cosine_similarity — the output is

@@ -39,6 +39,8 @@ class AnnRecallSpec extends SparkSpec {
     // neighbors (cos 0.26-0.45) on a near-isotropic corpus, so recall is
     // budget-bound — training moves the whole frontier, it cannot make
     // 12.5% of the corpus contain 80% of arbitrary weak neighbors. The
+    // full measured recall-vs-nprobe curve (tools.AnnFrontier, both SFs)
+    // is published in SCALE.md: 24 is where it first crosses 0.8. The
     // gate pins recall AND the smaller budget together: raising nprobe
     // back to pass would trip the companion budget assert below.
     val r = recallVsExact("q64_ann_ivf")
