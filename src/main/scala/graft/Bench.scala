@@ -23,29 +23,59 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
       catch { case e: Throwable => System.err.println(s"[bench] error: $e"); false }
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = run(fn)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!ok) System.err.println(s"[bench] $name FAILED")
+      if (ok) dt else -1.0 // a failure must not masquerade as a fast success
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) // warm-up (codegen compilation, parquet footers, JIT)
       // min of three timed runs: GC/JIT/system noise only ever ADDS
       // time, so the minimum is the better steady-state estimate — three
       // because a single host-level stall has been observed outlasting a
       // warm-up + two runs
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = run(fn)
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (!ok) System.err.println(s"[bench] $name FAILED")
-        if (ok) dt else -1.0 // a failure must not masquerade as a fast success
-      }
+      val times = (1 to 3).map(_ => timeOnce(name, fn))
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }.toMap
+    // Stall recheck (round-6 evidence: a host stall outlasted warm-up +
+    // all three runs of q155, recording 8.26 s for a ~1.1 s query — a
+    // min-of-N taken inside one time window cannot see through a stall
+    // that covers the window). Queries whose min is an outlier against
+    // the suite (> 3x the suite median, median immune to the outliers
+    // being tested) get ONE more run now — temporally separated from
+    // the original window by the rest of the sweep — and keep the
+    // smaller number. Genuinely slow queries re-measure at their old
+    // min (one extra run each, bounded); stalled ones come back real.
+    val mins = firstPass.values.filter(_ >= 0).toSeq.sorted
+    val results =
+      if (mins.isEmpty) firstPass
+      else {
+        val median = mins(mins.size / 2)
+        firstPass.map { case (name, v) =>
+          if (v > 3 * median) {
+            val again = timeOnce(name, selected(name))
+            val best = if (again >= 0) math.min(v, again) else v
+            if (best < v)
+              System.err.println(
+                f"[bench] $name stall-recheck: $v%.2f -> $best%.2f s")
+            name -> best
+          } else name -> v
+        }
+      }
+    val rechecked = firstPass.collect {
+      case (n, v) if v >= 0 && results(n) < v => n }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
 
     // Full-precision, every-query JSON goes to the file.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
+    val recheckedJson = rechecked.map(Json.q).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":${Json.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"stall_rechecked":$recheckedJson,"sf":${Json.q(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")
