@@ -252,6 +252,14 @@ object PlanCheck {
       p => p.contains("partial_count") &&
         "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // (the only SinglePartition is the 1-row n_sources scalar aggregate,
+    // which sits above the distinct-source rollup — bounded by design)
+    check("q161_source_salient_terms", "class TF-IDF: tf combines map-side; rank window keyed on source",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    checkTree("q161_source_salient_terms", "no data-sized global window (0-key windows only above aggregates)",
+      noGlobalFactWindow)
+    check("q162_curation_pipeline", "curation pipeline: manifest rollup combines map-side; quality filter scan-stage; no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     // the broadcast-side discipline, mechanized (q153's lesson, then
@@ -286,7 +294,7 @@ object PlanCheck {
         "q151_vocab_coverage", "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
         "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
-        "q160_bpe_training_rounds")
+        "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -304,5 +304,55 @@ object CurationQueries {
           col("prefix_keeper"), (col("n_same_prefix") >= 2).as("is_templated"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q117, q118, q119, q120, q121, q122, q134, q157)
+  /** Per-SOURCE salient terms — q122's TF-IDF lifted to class level
+    * (the c-TF-IDF idea): a term's weight in a source is its in-source
+    * frequency times the log-inverse of how many SOURCES use it, so
+    * terms shared by every source (stopwords, boilerplate) score zero
+    * and each source surfaces the vocabulary that makes it DIFFERENT —
+    * the labeling step a corpus owner runs to see what each crawl
+    * actually contains (and the keyword view of q159's overlap matrix:
+    * q159 says sources A and B duplicate each other, this says around
+    * which terms). Same float-score convention as q122 (round 4, ties
+    * on tok) — HASH-MATCHED. Scale: one corpus scan; tf is
+    * (|sources| × vocab)-bounded, the source-df table is vocab-sized
+    * and therefore NOT hinted onto a broadcast (vocab grows with the
+    * corpus; AQE broadcasts it while it fits); the rank window is
+    * keyed on source. */
+  val q161 = QueryDef.oracle("q161_source_salient_terms",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |sdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS src_df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |      FROM documents),
+      |scored AS (SELECT tf.source, tf.tok, tf.tf, sdf.src_df,
+      |             round(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / sdf.src_df), 4)
+      |               AS score
+      |           FROM tf JOIN sdf USING (tok), n)
+      |SELECT source, tok, tf, src_df, score, rnk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |                                    ORDER BY score DESC, tok) AS BIGINT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val sdf = tf.groupBy("tok").agg(count(lit(1)).as("src_df"))
+      val n = Tables.documents(s, d).agg(countDistinct("source").as("n_sources"))
+      val scored = tf.join(sdf, Seq("tok")).crossJoin(broadcast(n))
+        .select(col("source"), col("tok"), col("tf"), col("src_df"),
+          round(col("tf") * log(col("n_sources").cast("double") / col("src_df")), 4)
+            .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("source", "tok", "tf", "src_df", "score", "rnk")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161)
 }

@@ -669,6 +669,75 @@ object ModelPrepQueries {
         .withColumn("kept", col("u16") * col("cluster_size") < 65536)
     })
 
+  /** The END-TO-END curation pipeline, one query: raw documents →
+    * training-ready per-(split, source) manifest. A document survives
+    * iff it is
+    *  (a) its near-dup cluster's CANONICAL (q129's labels — shared
+    *      CTEs, the clustering cannot disagree with q129/q150),
+    *  (b) its exact-dup group's keeper (min doc_id per md5(text), q50's
+    *      rule — NOT implied by (a) for gram-less docs: empty/1-gram
+    *      texts produce no bands, so LSH can't pair even byte-identical
+    *      copies; the md5 pass catches what banding can't see), and
+    *  (c) of acceptable quality (q41's formula ≥ 0.5 — shared fragment,
+    *      one definition of "quality" across the engine).
+    * Survivors get q150's leakage-safe split (md5 nibble of the CLUSTER
+    * id, so near-dups can never straddle train/test), and the output is
+    * the manifest a training run starts from: docs / whitespace tokens /
+    * chars per (split, source) — all exact BIGINT sums, no floats
+    * anywhere in the output. Scale: rides q129's rounds + two keyed
+    * joins (labels, md5 keepers — both data-sized, neither hinted) and
+    * one scan-stage quality filter; the rollup is
+    * |splits|×|sources|-bounded. HASH-MATCHED.
+    */
+  val q162 = QueryDef.oracle("q162_curation_pipeline", {
+    def splitCase(nib: String): String =
+      s"CASE WHEN $nib = 'e' THEN 'val' WHEN $nib = 'f' THEN 'test' ELSE 'train' END"
+    s"""$canonLabelCtes,
+       |keepers AS (SELECT md5(text) AS hh, min(doc_id) AS keeper
+       |            FROM documents GROUP BY 1),
+       |kept AS (
+       |  SELECT d.source, l.lbl, d.text
+       |  FROM documents d
+       |  JOIN l$CanonRounds l ON l.v = d.doc_id
+       |  JOIN keepers g ON g.hh = md5(d.text)
+       |  WHERE d.doc_id = l.lbl AND d.doc_id = g.keeper
+       |    AND ${graft.operators.TextQueries.qualitySql} >= 0.5),
+       |sp AS (SELECT source,
+       |         ${splitCase("substr(md5(CAST(lbl AS VARCHAR)), 32, 1)")} AS split,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+       |         CAST(length(text) AS BIGINT) AS n_chars
+       |       FROM kept)
+       |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM sp GROUP BY 1, 2""".stripMargin})(
+    (s, d) => {
+      def splitOf(nib: Column): Column =
+        when(nib === "e", "val").when(nib === "f", "test").otherwise("train")
+      val lab = canonLabels(s, d, CanonRounds)
+      val docs = Tables.documents(s, d)
+      val keepers = docs.select(md5(col("text")).as("hh"), col("doc_id"))
+        .groupBy("hh").agg(min("doc_id").as("keeper"))
+      docs
+        .join(lab, col("doc_id") === col("v"))
+        .filter(col("doc_id") === col("lbl")) // near-dup canonical
+        .select(col("doc_id"), col("source"), col("text"),
+          col("lbl"), md5(col("text")).as("hh"))
+        .join(keepers, Seq("hh")) // data-sized: plain keyed join
+        .filter(col("doc_id") === col("keeper")) // exact keeper (gram-less docs)
+        .filter(qualityScore(col("text")) >= 0.5)
+        .select(
+          splitOf(substring(md5(col("lbl").cast("string")), 32, 1)).as("split"),
+          col("source"),
+          tokenCount(col("text")).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum("n_chars").as("total_chars"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145, q150, q155)
+    Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
+      q150, q155, q162)
 }

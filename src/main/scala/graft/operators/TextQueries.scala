@@ -27,9 +27,11 @@ object TextQueries {
     * counts with identical operation order in both engines, so the
     * rounded score is bit-reproducible.
     */
-  val q41 = QueryDef.oracle("q41_quality_score",
-    """SELECT doc_id, lang,
-      |  round((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+  /** q41's quality formula over a column named `text` — ONE definition
+    * shared by q41 (the per-doc report) and q162's keep criterion (the
+    * curation pipeline), which must agree on what "quality" means. */
+  private[graft] val qualitySql: String =
+    """round((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
       |              WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.4
       |      + (CASE WHEN length(text) > 0
       |              THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
@@ -38,7 +40,11 @@ object TextQueries {
       |      + (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
       |               AND CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\S+'))
       |                   BETWEEN 3 AND 12
-      |              THEN 1.0 ELSE 0.3 END) * 0.2, 4) AS quality,
+      |              THEN 1.0 ELSE 0.3 END) * 0.2, 4)""".stripMargin
+
+  val q41 = QueryDef.oracle("q41_quality_score",
+    raw"""SELECT doc_id, lang,
+      |  $qualitySql AS quality,
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpeish_tokens
       |FROM documents""".stripMargin)(
     (s, d) => Tables.documents(s, d)
