@@ -260,6 +260,9 @@ object PlanCheck {
       noGlobalFactWindow)
     check("q162_curation_pipeline", "curation pipeline: manifest rollup combines map-side; quality filter scan-stage; no cartesian",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    check("q163_label_centroid_overlap", "centroid stats combine map-side; pair matrix is a dim-keyed equi-join, never cartesian",
+      p => p.contains("partial_sum") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     // the broadcast-side discipline, mechanized (q153's lesson, then
@@ -294,7 +297,8 @@ object PlanCheck {
         "q151_vocab_coverage", "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
         "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
-        "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline")
+        "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline",
+        "q163_label_centroid_overlap")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -982,7 +982,20 @@ object SimilarityQueries {
     * result (and the rank ordering, which is what is_outlier consumes)
     * stays bit-exact at cardinalities where the old int64 form wrapped
     * silently (DecimalOverflowSpec pins one such case). */
-  val q149 = QueryDef.oracle("q149_embedding_outliers",
+  /** Spark twin of [[quantStatsCtes]]'s `qd`: the 1e-4-quantized
+    * (vec_id, label, dim, qv) expansion. */
+  private def quantDims(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast("double") * 10000).cast("long").as("qv"))
+
+  /** The 1e-4-quantized per-(label, dim) integer sums — the exact
+    * label-centroid state shared by q149 (outliers: distance to OWN
+    * centroid) and q163 (overlap: cosine BETWEEN centroids), which must
+    * agree on what a centroid is. */
+  private[graft] val quantStatsCtes: String =
     """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |qd AS (
       |  SELECT vec_id, label,
@@ -991,7 +1004,10 @@ object SimilarityQueries {
       |  FROM emb),
       |stats AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s,
       |                 CAST(count(*) AS BIGINT) AS cnt
-      |          FROM qd GROUP BY label, dim),
+      |          FROM qd GROUP BY label, dim)""".stripMargin
+
+  val q149 = QueryDef.oracle("q149_embedding_outliers",
+    s"""$quantStatsCtes,
       |d2 AS (SELECT vec_id, q.label,
       |              CAST(SUM(CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0))
       |                       * CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0)))
@@ -1006,11 +1022,7 @@ object SimilarityQueries {
       |       rnk <= CAST(ceil(0.05 * n) AS BIGINT) AS is_outlier
       |FROM ranked""".stripMargin)(
     (s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("dim0", "v")))
-        .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
-          round(col("v").cast("double") * 10000).cast("long").as("qv"))
+      val dims = quantDims(s, d)
       val stats = dims.groupBy("label", "dim")
         .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
       // linear term in int64 (safe), square + sum in decimal (int64
@@ -1092,6 +1104,66 @@ object SimilarityQueries {
           col("rank_weighted_hits"))
     })
 
+  /** Label-centroid overlap matrix — the TOPIC-level near-dup screen: a
+    * pair of labels whose centroids point the same way is a candidate
+    * duplicated topic group (two crawls of the same subject, a split
+    * label that should merge) — the embedding-space companion of q159's
+    * source overlap matrix. Centroids are the same exact integer state
+    * as q149 (shared [[quantStatsCtes]] — outliers and overlap cannot
+    * disagree on what a centroid is): per-(label, dim) sums of 1e-4
+    * quantized coordinates, cosine-scale-invariant so the unnormalized
+    * sum IS the centroid. Dot products and squared norms run in
+    * DECIMAL(19,0)² → DECIMAL(38,0) (q149's convention — exact at any
+    * label cardinality); only the final |labels|²-row cosine takes one
+    * double division+sqrt, rounded (q122's convention) — HASH-MATCHED.
+    * Scale: one dims× skinny expansion collapsing map-side to the
+    * |labels|×dims stats table; the pair matrix is a |labels|×dims
+    * self-join keyed on dim — |labels|²-bounded output, corpus never
+    * moves. */
+  val q163 = QueryDef.oracle("q163_label_centroid_overlap",
+    s"""$quantStatsCtes,
+      |norm AS (SELECT label,
+      |           CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+      |                AS DECIMAL(38,0)) AS n2
+      |         FROM stats GROUP BY label),
+      |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM emb GROUP BY label),
+      |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+      |           CAST(SUM(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0)))
+      |                AS DECIMAL(38,0)) AS dot
+      |         FROM stats a JOIN stats b ON a.dim = b.dim AND a.label < b.label
+      |         GROUP BY 1, 2)
+      |SELECT d.label_a, d.label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+      |       round(CAST(d.dot AS DOUBLE)
+      |             / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 4)
+      |         AS centroid_cos
+      |FROM dots d
+      |JOIN norm x ON x.label = d.label_a
+      |JOIN norm y ON y.label = d.label_b
+      |JOIN nv na ON na.label = d.label_a
+      |JOIN nv nb ON nb.label = d.label_b""".stripMargin)(
+    (s, d) => {
+      val stats = quantDims(s, d).groupBy("label", "dim").agg(sum("qv").as("s"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      val norm = stats.groupBy("label")
+        .agg(sum(dec(col("s")) * dec(col("s"))).cast("decimal(38,0)").as("n2"))
+      val nv = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"))
+      val a = stats.select(col("label").as("label_a"), col("dim"), col("s").as("sa"))
+      val b = stats.select(col("label").as("label_b"), col("dim"), col("s").as("sb"))
+      val dots = a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(dec(col("sa")) * dec(col("sb"))).cast("decimal(38,0)").as("dot"))
+      dots
+        .join(norm.select(col("label").as("label_a"), col("n2").as("n2a")), Seq("label_a"))
+        .join(norm.select(col("label").as("label_b"), col("n2").as("n2b")), Seq("label_b"))
+        .join(nv.select(col("label").as("label_a"), col("n_vecs").as("n_a")), Seq("label_a"))
+        .join(nv.select(col("label").as("label_b"), col("n_vecs").as("n_b")), Seq("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          round(col("dot").cast("double")
+            / sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 4)
+            .as("centroid_cos"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154, q163)
 }

@@ -82,6 +82,18 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every centroid consumer embeds the canonical quantized-stats CTEs verbatim") {
+      val frag = graft.operators.SimilarityQueries.quantStatsCtes
+      val consumers = sqlByName.filter(_._2.contains("'qv': CAST(round(e[i] * 10000)"))
+      consumers.keySet shouldBe Set(
+        "q149_embedding_outliers", "q163_label_centroid_overlap")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the label-centroid definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
