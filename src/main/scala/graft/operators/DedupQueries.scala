@@ -926,6 +926,62 @@ object DedupQueries {
             / greatest(col("len_a"), col("len_b")).cast("double"), 6))
     })
 
+  /** Duplicated n-gram FRACTION per document — the span-level dedup
+    * metric (the RefinedWeb/Gopher-style "what share of this doc's text
+    * exists elsewhere in the corpus" screen, finer than whole-doc
+    * near-dup): for every POSITIONAL word 3-gram, is that gram present
+    * in ≥ 2 distinct documents? Positional on purpose — the MinHash
+    * family's grams are list_distinct'd (set semantics for signatures);
+    * a fraction over positions is what quality filtering consumes, so
+    * this deliberately does NOT share the bandrows gram fragment.
+    * Output: (doc_id, n_grams, n_dup_grams, dup_fraction) — exact
+    * BIGINT counts, one rounded division (q152's convention), NULL
+    * fraction for gram-less docs. HASH-MATCHED.
+    * Scale: the heavy honest metric — two keyed shuffles of
+    * position-level rows: gram-hash partials for the distinct-doc
+    * count, then the positions rejoin their counts on the same key.
+    * The md5 collapses arbitrary-length gram text to fixed 32-char
+    * keys BEFORE any exchange, so both shuffles carry hashes + ids
+    * only, never text. In production this is an ingest-time artifact
+    * like bandrows, not a per-query pass. */
+  val q164 = QueryDef.oracle("q164_dup_ngram_fraction",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |  FROM documents),
+      |gpos AS (
+      |  SELECT doc_id, unnest([list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                         FOR i IN range(1, len(l) - 1)]) AS gram
+      |  FROM toks WHERE len(l) >= 3),
+      |g AS (SELECT doc_id, md5(gram) AS gh FROM gpos),
+      |nd AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM g GROUP BY 1),
+      |per AS (SELECT g.doc_id,
+      |          CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(count(CASE WHEN nd.nd >= 2 THEN 1 END) AS BIGINT) AS n_dup_grams
+      |        FROM g JOIN nd USING (gh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |       COALESCE(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |       COALESCE(n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+      |       round(n_dup_grams / CAST(n_grams AS DOUBLE), 4) AS dup_fraction
+      |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)(
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), explode(wordNgrams(col("text"), 3)).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("gh"))
+      val nd = g.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      val per = g.join(nd, Seq("gh")) // data-sized both ways: plain keyed join
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("nd") >= 2, 1)).as("n_dup_grams"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          round(col("n_dup_grams") / col("n_grams").cast("double"), 4)
+            .as("dup_fraction"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152, q153, q159)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
+      q153, q159, q164)
 }
