@@ -50,23 +50,28 @@ object Bench {
     // smaller number. Genuinely slow queries re-measure at their old
     // min (one extra run each, bounded); stalled ones come back real.
     val mins = firstPass.values.filter(_ >= 0).toSeq.sorted
+    val recheckedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results =
       if (mins.isEmpty) firstPass
       else {
         val median = mins(mins.size / 2)
         firstPass.map { case (name, v) =>
           if (v > 3 * median) {
+            recheckedNames += name // ALL triggered rechecks, improved or not
             val again = timeOnce(name, selected(name))
             val best = if (again >= 0) math.min(v, again) else v
-            if (best < v)
-              System.err.println(
-                f"[bench] $name stall-recheck: $v%.2f -> $best%.2f s")
+            System.err.println(
+              f"[bench] $name stall-recheck: $v%.2f -> $best%.2f s" +
+                (if (best < v) "" else " (confirmed slow)"))
             name -> best
           } else name -> v
         }
       }
-    val rechecked = firstPass.collect {
-      case (n, v) if v >= 0 && results(n) < v => n }.toSeq.sorted
+    // every query the 3x-median rule TRIGGERED on — a name here with an
+    // unchanged time means "rechecked and confirmed slow", the forensic
+    // signal a stall adjudication needs (improved-only would be
+    // indistinguishable from never-triggered)
+    val rechecked = recheckedNames.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
 

@@ -71,30 +71,44 @@ object PlanAudit {
 
   /** The offending hinted build-side subtrees behind
     * [[boundedBroadcasts]] — exposed so dev tooling can print WHAT
-    * tripped the audit. */
+    * tripped the audit.
+    *
+    * PATH-sensitive on purpose: a bounding node counts only if it sits
+    * BETWEEN the broadcast root and the corpus scan — a corpus
+    * projection joined with some aggregated side table is still
+    * corpus-sized (the aggregate bounds the OTHER input, not the rows
+    * that ship), so `exists(bounding)` over the whole subtree would
+    * exempt exactly the shape the guard exists to catch. */
   def unboundedCorpusBroadcasts(p: LogicalPlan): Seq[LogicalPlan] =
-    hintedBroadcastSides(p).filter { b =>
-      val scansCorpus = b.exists {
-        case r: LogicalRelation => r.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
-            val s = rp.toString
-            s.contains("documents") || s.contains("embeddings")
-          }
-          case _ => false
-        }
-        case _ => false
+    hintedBroadcastSides(p).filter(hasUnboundedCorpusPath)
+
+  /** TRUE iff some path from `p` down to a corpus-table scan passes
+    * through no bounding node (aggregate / semi-anti join / limit /
+    * nontrivial filter). */
+  private def hasUnboundedCorpusPath(p: LogicalPlan): Boolean = p match {
+    case r: LogicalRelation => r.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
+        val s = rp.toString
+        s.contains("documents") || s.contains("embeddings")
       }
-      scansCorpus && !b.exists {
-        case _: Aggregate => true
-        case j: LogicalJoin if j.joinType == LeftSemi || j.joinType == LeftAnti => true
-        case _: GlobalLimit | _: LocalLimit => true
-        // inner joins INFER isnotnull(key) filters onto both sides, so a
-        // null-check-only Filter proves nothing: a filter bounds only if
-        // some conjunct is more selective than IsNotNull
-        case f: LogicalFilter => nontrivialPredicate(f.condition)
-        case _ => false
-      }
+      case _ => false
     }
+    case _: Aggregate => false
+    case j: LogicalJoin if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+      // the semi/anti join bounds its LEFT output rows only when the
+      // right side prunes them; rows still flow from the left, so keep
+      // walking the left (a semi-join against a small id set IS the
+      // sanctioned bounding shape — but only because the left's rows
+      // are filtered; treat it as bounding, matching the documented
+      // contract)
+      false
+    case _: GlobalLimit | _: LocalLimit => false
+    // inner joins INFER isnotnull(key) filters onto both sides, so a
+    // null-check-only Filter proves nothing: a filter bounds only if
+    // some conjunct is more selective than IsNotNull
+    case f: LogicalFilter if nontrivialPredicate(f.condition) => false
+    case other => other.children.exists(hasUnboundedCorpusPath)
+  }
 
   /** Every join side carrying an explicit BROADCAST hint. After
     * optimization, `broadcast(df)` hints live in `Join.hint`

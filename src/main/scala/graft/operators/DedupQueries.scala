@@ -964,6 +964,11 @@ object DedupQueries {
       |       round(n_dup_grams / CAST(n_grams AS DOUBLE), 4) AS dup_fraction
       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)(
     (s, d) => {
+      // `g` feeds both the distinct-doc count and the rejoin, and is
+      // deliberately NOT checkpointed: materializing the position-level
+      // (id, 32-char hash) frame costs more than recomputing the
+      // codegen'd explode+md5 scan (measured at sf0.1: 1.5 s recompute
+      // vs 1.8 s checkpointed — the frame is bigger than the work)
       val g = Tables.documents(s, d)
         .select(col("doc_id"), explode(wordNgrams(col("text"), 3)).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("gh"))

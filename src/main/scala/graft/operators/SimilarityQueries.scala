@@ -1133,9 +1133,10 @@ object SimilarityQueries {
       |         FROM stats a JOIN stats b ON a.dim = b.dim AND a.label < b.label
       |         GROUP BY 1, 2)
       |SELECT d.label_a, d.label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
-      |       round(CAST(d.dot AS DOUBLE)
-      |             / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 4)
-      |         AS centroid_cos
+      |       CASE WHEN x.n2 > 0 AND y.n2 > 0
+      |            THEN round(CAST(d.dot AS DOUBLE)
+      |                       / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 4)
+      |            END AS centroid_cos
       |FROM dots d
       |JOIN norm x ON x.label = d.label_a
       |JOIN norm y ON y.label = d.label_b
@@ -1159,8 +1160,12 @@ object SimilarityQueries {
         .join(nv.select(col("label").as("label_a"), col("n_vecs").as("n_a")), Seq("label_a"))
         .join(nv.select(col("label").as("label_b"), col("n_vecs").as("n_b")), Seq("label_b"))
         .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-          round(col("dot").cast("double")
-            / sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 4)
+          // NULL (not NaN/Inf) for a zero-norm centroid on BOTH engines
+          // — Spark's non-ANSI 0/0 is NULL but DuckDB's is NaN, so the
+          // guard is what keeps a degenerate label hash-matched
+          when(col("n2a") > 0 && col("n2b") > 0,
+            round(col("dot").cast("double")
+              / sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 4))
             .as("centroid_cos"))
     })
 

@@ -441,18 +441,17 @@ object TextQueries {
       |p3 AS (SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair FROM w3),
       |m3 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p3
       |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
-      |d2 AS (SELECT replace((SELECT pair FROM m2), chr(1),
-      |                      '(' || (SELECT pair FROM m1) || ')') AS d)
+      |d2 AS (SELECT replace(m2.pair, chr(1), '(' || m1.pair || ')') AS d
+      |       FROM m2, m1)
       |SELECT * FROM (
-      |  SELECT 1 AS round, (SELECT pair FROM m1) AS merged_pair,
-      |         (SELECT c FROM m1) AS n_occurrences
+      |  SELECT 1 AS round, pair AS merged_pair, c AS n_occurrences FROM m1
       |  UNION ALL
-      |  SELECT 2, (SELECT d FROM d2), (SELECT c FROM m2)
+      |  SELECT 2, d, c FROM m2, d2
       |  UNION ALL
-      |  SELECT 3, replace(replace((SELECT pair FROM m3),
-      |                            chr(2), '(' || (SELECT d FROM d2) || ')'),
-      |                    chr(1), '(' || (SELECT pair FROM m1) || ')'),
-      |         (SELECT c FROM m3))
+      |  SELECT 3, replace(replace(m3.pair,
+      |                            chr(2), '(' || d2.d || ')'),
+      |                    chr(1), '(' || m1.pair || ')'), m3.c
+      |  FROM m3, d2, m1)
       |ORDER BY round""".stripMargin)(
     (s, d) => {
       val words = Tables.documents(s, d)
@@ -468,19 +467,24 @@ object TextQueries {
       val w3 = w2.crossJoin(broadcast(m2))
         .select(expr("replace(w, m2, chr(2))").as("w"))
       val m3 = top1(w3).select(col("pair").as("m3"), col("c").as("c3"))
-      m1.crossJoin(broadcast(m2)).crossJoin(broadcast(m3))
-        .select(array(
-          struct(lit(1).as("round"), col("m1").as("raw"), col("c1").as("n")),
-          struct(lit(2).as("round"), col("m2").as("raw"), col("c2").as("n")),
-          struct(lit(3).as("round"), col("m3").as("raw"), col("c3").as("n")))
-          .as("ms"), col("m1"), col("m2"))
-        .select(explode(col("ms")).as("r"), col("m1"), col("m2"))
-        .select(col("r.round").as("round"),
-          expr("replace(replace(r.raw, chr(2), " +
+      // one output row per NON-EMPTY round (each branch is FROM-driven
+      // off its winner table, mirroring the oracle's FROM m1/m2/m3
+      // branches) — on a degenerate corpus where a round's pair set is
+      // empty, both engines emit exactly the completed-round prefix
+      // instead of Spark collapsing to zero rows via the cross joins
+      val b1 = m1.select(lit(1).as("round"), col("m1").as("merged_pair"),
+        col("c1").as("n_occurrences"))
+      val b2 = m2.crossJoin(broadcast(m1))
+        .select(lit(2).as("round"),
+          expr("replace(m2, chr(1), concat('(', m1, ')'))").as("merged_pair"),
+          col("c2").as("n_occurrences"))
+      val b3 = m3.crossJoin(broadcast(m2)).crossJoin(broadcast(m1))
+        .select(lit(3).as("round"),
+          expr("replace(replace(m3, chr(2), " +
             "concat('(', replace(m2, chr(1), concat('(', m1, ')')), ')')), " +
             "chr(1), concat('(', m1, ')'))").as("merged_pair"),
-          col("r.n").as("n_occurrences"))
-        .orderBy("round")
+          col("c3").as("n_occurrences"))
+      b1.unionByName(b2).unionByName(b3).orderBy("round")
     })
 
   val defs: Seq[QueryDef] =

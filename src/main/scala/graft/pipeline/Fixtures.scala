@@ -116,7 +116,13 @@ object Fixtures {
             try walk.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.deleteIfExists(p))
             finally walk.close()
-          } catch { case _: java.io.IOException => () }
+          } catch {
+            // NonFatal, not just IOException: the walk stream wraps I/O
+            // failures mid-traversal in UncheckedIOException (a
+            // RuntimeException), which must equally not mask the
+            // original build/move exception
+            case scala.util.control.NonFatal(_) => ()
+          }
     }
     Map("barStock" -> "bar_stock.csv", "budapest" -> "budapest.csv.gz",
       "london" -> "london_transactions.csv.gz", "ny" -> "ny.csv.gz",

@@ -24,8 +24,8 @@ object ProfileQ56 {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(f"run $run: setup-build ${ms(t0)}%.0f ms")
       t0 = System.nanoTime
-      var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
-      println(f"run $run: labels0-checkpoint ${ms(t0)}%.0f ms")
+      var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint(false)
+      println(f"run $run: labels0-build ${ms(t0)}%.0f ms")
       def potential(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
         df.agg(sum(col("component").cast("decimal(38,0)"))).first().getDecimal(0)
       t0 = System.nanoTime
@@ -36,11 +36,11 @@ object ProfileQ56 {
         t0 = System.nanoTime
         val next = sym.join(labels, sym("dst") === labels("id"))
           .groupBy(col("src").as("id")).agg(min("component").as("component"))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy, matching Components.connectedComponents
         val tJoin = ms(t0)
         t0 = System.nanoTime
         val nextPot = potential(next)
-        println(f"run $run round $iter: join+ckpt $tJoin%.0f ms, potential ${ms(t0)}%.0f ms")
+        println(f"run $run round $iter: plan-build $tJoin%.0f ms, round-job(ckpt+potential) ${ms(t0)}%.0f ms")
         converged = nextPot.compareTo(cur) == 0
         cur = nextPot; labels = next; iter += 1
       }

@@ -42,6 +42,19 @@ class BroadcastAuditSpec extends SparkSpec {
     assert(!audited(probe.join(broadcast(all), Seq("doc_id"))))
   }
 
+  test("flags a corpus enriched with an aggregated side table (bounding must be ON the path)") {
+    // the aggregate bounds the stats side, NOT the corpus rows that
+    // ship — subtree-wide exists(bounding) would wrongly exempt this
+    val stats = Tables.documents(spark, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val enriched = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source")).join(stats, Seq("source"))
+    val probe = Tables.documents(spark, d)
+      .groupBy(col("lang")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    assert(!audited(probe.join(broadcast(enriched), Seq("doc_id"))))
+  }
+
   test("accepts a broadcast bounded by a filter (the query-set shape)") {
     val q = Tables.embeddings(spark, d)
       .filter(col("vec_id") % 50 === 0)
