@@ -268,6 +268,10 @@ object PlanCheck {
     check("q164_dup_ngram_fraction", "gram text collapses to md5 keys before any exchange; counts combine map-side",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q165_bpe_apply", "tokenize-with-merges: 3 bounded top-1s + char counts map-side; winners broadcast, no cartesian",
+      p => p.contains("partial_count") &&
+        "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     // the broadcast-side discipline, mechanized (q153's lesson, then
@@ -303,7 +307,7 @@ object PlanCheck {
         "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
         "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
         "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline",
-        "q163_label_centroid_overlap", "q164_dup_ngram_fraction")
+        "q163_label_centroid_overlap", "q164_dup_ngram_fraction", "q165_bpe_apply")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

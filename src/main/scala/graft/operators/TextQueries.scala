@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -429,7 +429,11 @@ object TextQueries {
     * DATA movement — pair partials only, never words — is this plan's.
     * HASH-MATCHED (exact counts, deterministic ties).
     */
-  val q160 = QueryDef.oracle("q160_bpe_training_rounds",
+  /** The 3-round BPE training CTE chain (winners m1/m2/m3, rewritten
+    * words w2/w3, readable round-2 display d2) — shared by q160 (the
+    * merge LIST) and q165 (APPLYING the merges), which must agree on
+    * what was learned. */
+  private[graft] val bpeChainCtes: String =
     s"""$bpePairCtes,
       |m1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p
       |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
@@ -442,7 +446,34 @@ object TextQueries {
       |m3 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c FROM p3
       |       GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
       |d2 AS (SELECT replace(m2.pair, chr(1), '(' || m1.pair || ')') AS d
-      |       FROM m2, m1)
+      |       FROM m2, m1)""".stripMargin
+
+  /** Spark twin of [[bpeChainCtes]]: (m1(m1,c1), m2(m2,c2), m3(m3,c3),
+    * w3 — words after the first two merges). */
+  private def bpeChain(s: SparkSession, d: String) = {
+    // deliberately NOT checkpointed: each round re-derives the word
+    // list through the codegen'd tokenize+explode scan — measured at
+    // sf0.1, materializing the corpus-sized words frame made q160
+    // SLOWER (2.3 -> 2.6 s) and left q165 flat; the frame is as big as
+    // the text that produces it (q164's lesson, same outcome)
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+    def top1(ws: DataFrame) =
+      ws.select(explode(charPairs(col("w"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+    val m1 = top1(words).select(col("pair").as("m1"), col("c").as("c1"))
+    val w2 = words.crossJoin(broadcast(m1))
+      .select(expr("replace(w, m1, chr(1))").as("w"))
+    val m2 = top1(w2).select(col("pair").as("m2"), col("c").as("c2"))
+    val w3 = w2.crossJoin(broadcast(m2))
+      .select(expr("replace(w, m2, chr(2))").as("w"))
+    val m3 = top1(w3).select(col("pair").as("m3"), col("c").as("c3"))
+    (m1, m2, m3, w3)
+  }
+
+  val q160 = QueryDef.oracle("q160_bpe_training_rounds",
+    s"""$bpeChainCtes
       |SELECT * FROM (
       |  SELECT 1 AS round, pair AS merged_pair, c AS n_occurrences FROM m1
       |  UNION ALL
@@ -454,19 +485,7 @@ object TextQueries {
       |  FROM m3, d2, m1)
       |ORDER BY round""".stripMargin)(
     (s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-      def top1(ws: org.apache.spark.sql.DataFrame) =
-        ws.select(explode(charPairs(col("w"))).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1)
-      val m1 = top1(words).select(col("pair").as("m1"), col("c").as("c1"))
-      val w2 = words.crossJoin(broadcast(m1))
-        .select(expr("replace(w, m1, chr(1))").as("w"))
-      val m2 = top1(w2).select(col("pair").as("m2"), col("c").as("c2"))
-      val w3 = w2.crossJoin(broadcast(m2))
-        .select(expr("replace(w, m2, chr(2))").as("w"))
-      val m3 = top1(w3).select(col("pair").as("m3"), col("c").as("c3"))
+      val (m1, m2, m3, _) = bpeChain(s, d)
       // one output row per NON-EMPTY round (each branch is FROM-driven
       // off its winner table, mirroring the oracle's FROM m1/m2/m3
       // branches) — on a degenerate corpus where a round's pair set is
@@ -487,7 +506,56 @@ object TextQueries {
       b1.unionByName(b2).unionByName(b3).orderBy("round")
     })
 
+  /** APPLY the trained tokenizer — the other half of the BPE story
+    * (q156/q158/q160 learn the merges; this TOKENIZES the corpus with
+    * them and reports the resulting vocabulary head): all three learned
+    * merges (q160's exact chain — shared [[bpeChainCtes]], training and
+    * application cannot disagree) rewrite every word, after which each
+    * remaining CHARACTER is one token (a sentinel char IS the merged
+    * symbol), so token counts are character frequencies over the
+    * rewritten corpus. Top-20 tokens by count, sentinels expanded to
+    * readable bracketed forms ("(er)", "((er)s)"). FROM-driven
+    * everywhere (q160's rule): a degenerate corpus that empties a
+    * training round yields the same rows on both engines. Scale: the
+    * three rewrite scans + one map-side-combined char count — apply
+    * cost is the same shape as training cost, and a real tokenizer
+    * run would fold all 30k merges into one scan-stage pass exactly
+    * like these three. HASH-MATCHED. */
+  val q165 = QueryDef.oracle("q165_bpe_apply",
+    s"""$bpeChainCtes,
+      |w4 AS (SELECT replace(w3.w, m3.pair, chr(3)) AS w FROM w3, m3),
+      |d3 AS (SELECT replace(replace(m3.pair, chr(2), '(' || d2.d || ')'),
+      |                      chr(1), '(' || m1.pair || ')') AS d
+      |       FROM m3, d2, m1),
+      |ch AS (SELECT unnest(string_split(w, '')) AS tok FROM w4),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
+      |SELECT replace(replace(replace(tc.tok,
+      |         chr(3), '(' || d3.d || ')'),
+      |         chr(2), '(' || d2.d || ')'),
+      |         chr(1), '(' || m1.pair || ')') AS token,
+      |       tc.n AS n_occurrences
+      |FROM tc, d3, d2, m1
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val (m1, m2, m3, w3) = bpeChain(s, d)
+      val w4 = w3.crossJoin(broadcast(m3))
+        .select(expr("replace(w, m3, chr(3))").as("w"))
+      val tc = w4.select(explode(split(col("w"), "")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      tc.crossJoin(broadcast(m3)).crossJoin(broadcast(m2)).crossJoin(broadcast(m1))
+        .select(
+          expr("replace(replace(replace(tok, " +
+            "chr(3), concat('(', replace(replace(m3, chr(2), " +
+            "concat('(', replace(m2, chr(1), concat('(', m1, ')')), ')')), " +
+            "chr(1), concat('(', m1, ')')), ')')), " +
+            "chr(2), concat('(', replace(m2, chr(1), concat('(', m1, ')')), ')')), " +
+            "chr(1), concat('(', m1, ')'))").as("token"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token")).limit(20)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160)
+      q158, q160, q165)
 }

@@ -22,14 +22,15 @@ class CorpusGuardSpec extends SparkSpec {
           "[ \\t\\n\\x0B\\f\\r]+ class before trusting any \\s-based oracle")
     }
 
-    test(s"documents at $sf are BPE-sentinel-free (chr(1), chr(2))") {
-      // q158/q160 stand a merged symbol in for chr(1)/chr(2) during the
-      // rewrite — sound only while no token can already contain one
+    test(s"documents at $sf are BPE-sentinel-free (chr(1)..chr(3))") {
+      // q158/q160/q165 stand a merged symbol in for chr(1)/chr(2)/chr(3)
+      // during the rewrite — sound only while no token already has one
       val n = Tables.documents(spark, s"/root/testdata/$sf")
-        .filter(col("text").contains("\u0001") || col("text").contains("\u0002"))
+        .filter(col("text").contains("\u0001") || col("text").contains("\u0002")
+          || col("text").contains("\u0003"))
         .count()
       assert(n == 0,
-        s"$n documents contain a BPE sentinel char — q158/q160's literal-" +
+        s"$n documents contain a BPE sentinel char — q158/q160/q165's literal-" +
           "replace merge encoding is no longer collision-free on this corpus")
     }
   }

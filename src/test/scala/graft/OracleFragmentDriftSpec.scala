@@ -94,6 +94,18 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every BPE consumer embeds the canonical 3-round training chain verbatim") {
+      val frag = graft.operators.TextQueries.bpeChainCtes
+      val consumers = sqlByName.filter(_._2.contains("m1 AS (SELECT pair"))
+      consumers.keySet shouldBe Set(
+        "q160_bpe_training_rounds", "q165_bpe_apply")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the learned-merge definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
