@@ -272,6 +272,10 @@ object PlanCheck {
       p => p.contains("partial_count") &&
         "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    check("q166_mixture_temperature", "mixture weights: source counts combine map-side; scalar total broadcast back",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    check("q167_source_quality_profile", "quality pass scan-stage; one map-side-combined source rollup (single scan)",
+      p => p.contains("partial_count") && scans(p, "documents") == 1)
     check("q157_boilerplate_prefix", "prefix groups combine map-side; 32-char hex md5 keys (unhex to 16 bytes in production), never text, cross the exchange",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     // the broadcast-side discipline, mechanized (q153's lesson, then
@@ -307,7 +311,8 @@ object PlanCheck {
         "q154_retrieval_metrics", "q155_dedup_sampling_weights", "q156_bpe_pair_stats",
         "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
         "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline",
-        "q163_label_centroid_overlap", "q164_dup_ngram_fraction", "q165_bpe_apply")
+        "q163_label_centroid_overlap", "q164_dup_ngram_fraction", "q165_bpe_apply",
+        "q166_mixture_temperature", "q167_source_quality_profile")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -353,6 +353,41 @@ object CurationQueries {
         .select("source", "tok", "tf", "src_df", "score", "rnk")
     })
 
+  /** Per-source QUALITY profile — the intake report behind q162's keep
+    * decision: for each source, exact quality-score distribution stats
+    * (micro-integer sum for the mean — q41's rounded score ×10⁴ is an
+    * exact integer, so the sum is partition/engine-exact — plus min and
+    * max) and the REJECT RATE at q162's 0.5 threshold, i.e. how much of
+    * each crawl the curation pipeline will drop before dedup even runs.
+    * One definition of quality across the engine (shared
+    * [[graft.operators.TextQueries.qualitySql]] fragment — drift-pinned
+    * with q41/q162). Scale: one scan-stage quality pass + one
+    * |sources|-bounded map-side-combined rollup. HASH-MATCHED. */
+  val q167 = QueryDef.oracle("q167_source_quality_profile", {
+    val q = graft.operators.TextQueries.qualitySql
+    s"""WITH sc AS (SELECT source, $q AS quality FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT)
+       |         AS quality_sum_x10k,
+       |       min(quality) AS min_quality, max(quality) AS max_quality,
+       |       CAST(count(CASE WHEN quality < 0.5 THEN 1 END) AS BIGINT)
+       |         AS n_rejected,
+       |       round(count(CASE WHEN quality < 0.5 THEN 1 END)
+       |             / CAST(count(*) AS DOUBLE), 4) AS reject_rate
+       |FROM sc GROUP BY source""".stripMargin})(
+    (s, d) => {
+      val sc = Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      sc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("quality") * 10000).cast("long")).as("quality_sum_x10k"),
+          min("quality").as("min_quality"), max("quality").as("max_quality"),
+          count(when(col("quality") < 0.5, 1)).as("n_rejected"),
+          round(count(when(col("quality") < 0.5, 1))
+            / count(lit(1)).cast("double"), 4).as("reject_rate"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161)
+    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167)
 }

@@ -737,7 +737,47 @@ object ModelPrepQueries {
           sum("n_chars").as("total_chars"))
     })
 
+  /** Temperature-based source mixture (α = 0.5) — the standard
+    * rebalancing formula for multi-source/multilingual training (weight
+    * ∝ n^α upweights small sources relative to proportional sampling):
+    * per source, the unnormalized weight √n in exact micro-units
+    * (IEEE sqrt is correctly-rounded, so both engines produce the
+    * identical double, and rounding to integer micro-units BEFORE the
+    * normalizing sum keeps that sum partition- and engine-exact — the
+    * micro-integer-sums convention), the resulting sampling share in
+    * ppm (one rounded division per source row, q152's convention), and
+    * the per-source expected document count at a 100k-doc epoch budget.
+    * Scale: one map-side-combined count per source + a |sources|-row
+    * broadcast-back of the scalar total. HASH-MATCHED.
+    */
+  val q166 = QueryDef.oracle("q166_mixture_temperature",
+    """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |        CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_micro
+      |      FROM n),
+      |tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS total_micro FROM w)
+      |SELECT source, n_docs, weight_micro,
+      |       CAST(round(weight_micro * 1000000.0 / total_micro) AS BIGINT)
+      |         AS share_ppm,
+      |       CAST(round(weight_micro * 100000.0 / total_micro) AS BIGINT)
+      |         AS epoch_docs_100k
+      |FROM w, tot""".stripMargin)(
+    (s, d) => {
+      val n = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val w = n.select(col("source"), col("n_docs"),
+        round(sqrt(col("n_docs")) * 1000000).cast("long").as("weight_micro"))
+      val tot = w.agg(sum("weight_micro").as("total_micro"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("weight_micro"),
+          round(col("weight_micro") * lit(1000000.0) / col("total_micro"))
+            .cast("long").as("share_ppm"),
+          round(col("weight_micro") * lit(100000.0) / col("total_micro"))
+            .cast("long").as("epoch_docs_100k"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162)
+      q150, q155, q162, q166)
 }

@@ -110,7 +110,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
       consumers.keySet shouldBe Set(
-        "q41_quality_score", "q162_curation_pipeline")
+        "q41_quality_score", "q162_curation_pipeline",
+        "q167_source_quality_profile")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
