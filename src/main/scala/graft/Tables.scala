@@ -25,18 +25,34 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp by default. Read nanos as long
-    * (legacy.parquet.nanosAsLong) and convert with integer division —
-    * double math would lose precision at the 1e18-nanos magnitude.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (read as plain long via
+    * legacy.parquet.nanosAsLong, since Spark 4 refuses nanos timestamps)
+    * and INT64 TIMESTAMP_MICROS with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Dispatch on the type the scan actually produced so
+    * either generation loads; downstream always sees session-TZ
+    * TimestampType (session TZ is UTC, so the NTZ cast is value-preserving
+    * and matches DuckDB's naive TIMESTAMP reading).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FLOOR division, not DIV (truncation): a pre-epoch nanos value must
-    // round toward -inf to match how DuckDB reads the same TIMESTAMP_NS
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(
+    normalizeEventTs(load(spark, sfDir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType whatever the scan
+    * produced. Shared by the batch loader and the streaming specs (a file
+    * stream over the same parquet hits the same encoding drift).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      // nanos-as-long: FLOOR division, not DIV (truncation) — a pre-epoch
+      // nanos value must round toward -inf to match DuckDB's TIMESTAMP_NS
+      // reading; integer math because doubles lose precision at 1e18.
+      df.withColumn("ts", timestamp_micros(
         expr("(ts - ((ts % 1000 + 1000) % 1000)) DIV 1000")))
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -60,9 +60,7 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("session_window agg matches the stateful fold and the lag+cumsum formulation on real data") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
         r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))

@@ -18,8 +18,8 @@ class FileStreamSpec extends SparkSpec {
       src.resolve("batch0.parquet"))
 
     val schema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(src.toString))
 
     val results = scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Long)]()
     val q = EventStreams.tumbling(stream)
