@@ -1018,7 +1018,7 @@ object SimilarityQueries {
       |                  ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk,
       |                  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
       |           FROM d2)
-      |SELECT vec_id, label, d2, rnk,
+      |SELECT vec_id, label, CAST(d2 AS VARCHAR) AS d2, rnk,
       |       rnk <= CAST(ceil(0.05 * n) AS BIGINT) AS is_outlier
       |FROM ranked""".stripMargin)(
     (s, d) => {
@@ -1035,10 +1035,15 @@ object SimilarityQueries {
         .agg(sum("t").cast("decimal(38,0)").as("d2"))
       val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
       val wN = Window.partitionBy("label")
+      // rank on the DECIMAL, ship d2 as VARCHAR: DECIMAL(38,0) is
+      // hasher-hostile on the wire (DuckDB .df() renders it float64,
+      // Spark parquet keeps fixed-point — same value, different
+      // stringification), while the digit string is identical on both
+      // engines. The math and the ordering stay exact-decimal.
       d2.withColumn("rnk", row_number().over(wRnk).cast("long"))
         .withColumn("n", count(lit(1)).over(wN))
-        .select(col("vec_id"), col("label"), col("d2"), col("rnk"),
-          (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
+        .select(col("vec_id"), col("label"), col("d2").cast("string").as("d2"),
+          col("rnk"), (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
     })
 
   /** Retrieval-quality metrics (the eval harness of an embedding-search

@@ -29,7 +29,7 @@ class DecimalOverflowSpec extends SparkSpec {
 
       val got = SparkEntry.queries("q149_embedding_outliers")(spark, dir)
         .collect().map(r => r.getLong(0) ->
-          (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3), r.getBoolean(4))).toMap
+          (BigInt(r.getString(2)), r.getLong(3), r.getBoolean(4))).toMap
 
       // independent exact math (BigInt end to end)
       val qv = rows.map { case (id, e, l) =>
