@@ -112,6 +112,9 @@ object PlanCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q100_portable_simhash", "portable simhash: no cartesian, equi-join on (blk,val)",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("q58_cross_source_contamination",
+      "linear grouped form: 2 doc scans, no hh×hh self-join blowup",
+      p => scans(p, "documents") == 2 && p.contains("partial_count"))
     check("q77_token_packing", "packing cumsum is a KEYED window (never SinglePartition)",
       p => p.contains("Window") && !p.contains("SinglePartition"))
     check("q78_scd2_islands", "islands: keyed windows only, no cartesian",

@@ -290,11 +290,16 @@ object DedupQueries {
 
   /** Exact cross-source contamination (benchmark/test-set leakage): per
     * source, how many of its documents' texts also appear verbatim in a
-    * DIFFERENT source. Joins on the 16-byte md5, never text — one keyed
-    * shuffle sized by |corpus| hashes. Always |sources| rows, zeros on a
-    * leak-free corpus (exact semantics, fully oracle-checked); the
-    * near-dup form of the same question is q52's candidate pairs
-    * filtered to cross-source. */
+    * DIFFERENT source. A doc is contaminated iff its md5 occurs in ≥ 2
+    * distinct sources, so the engine aggregates per-hash distinct-source
+    * counts and joins them back — LINEAR in the corpus, where the naive
+    * hash self-join (the oracle's formulation, kept as-is to prove
+    * equivalence) squares the largest duplicate class: one
+    * boilerplate stub repeated a million times would generate 10¹²
+    * pairs on a single key. Shuffles carry the 16-byte md5, never text.
+    * Always |sources| rows, zeros on a leak-free corpus; the near-dup
+    * form of the same question is q52's candidate pairs filtered to
+    * cross-source. */
   val q58 = QueryDef.oracle("q58_cross_source_contamination",
     """WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
       |leaked AS (
@@ -307,13 +312,13 @@ object DedupQueries {
     (s, d) => {
       val h = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
-      val leaked = h.select(col("doc_id").as("leak_id"), col("hh"), col("source").as("src_a"))
-        .join(h.select(col("hh"), col("source").as("src_b")), Seq("hh"))
-        .filter(col("src_a") =!= col("src_b"))
-        .select("leak_id").distinct()
-      h.join(leaked, col("doc_id") === col("leak_id"), "left")
+      // doc leaked ⟺ its hash spans ≥2 sources (equivalent to the
+      // oracle's exists-a-partner-in-another-source self-join)
+      val nsrc = h.groupBy("hh").agg(countDistinct(col("source")).as("nsrc"))
+      h.join(nsrc, Seq("hh"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), count(col("leak_id")).as("n_contaminated"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nsrc") >= 2, 1L).otherwise(0L)).as("n_contaminated"))
     })
 
   // --- Engine-portable MinHash-LSH (q99) -------------------------------
