@@ -115,6 +115,9 @@ object PlanCheck {
     check("q58_cross_source_contamination",
       "linear grouped form: 2 doc scans, no hh×hh self-join blowup",
       p => scans(p, "documents") == 2 && p.contains("partial_count"))
+    check("q168_bpe_fold_apply",
+      "k-merge apply is ONE corpus scan (merge table folded, never rescanned)",
+      p => scans(p, "documents") == 1)
     check("q77_token_packing", "packing cumsum is a KEYED window (never SinglePartition)",
       p => p.contains("Window") && !p.contains("SinglePartition"))
     check("q78_scd2_islands", "islands: keyed windows only, no cartesian",

@@ -555,7 +555,87 @@ object TextQueries {
         .orderBy(col("n_occurrences").desc, col("token")).limit(20)
     })
 
+  /** PRODUCTION-shaped BPE apply — the one-pass k-merge fold q165's
+    * Scaladoc promised ("a production tokenizer folds all 30k merges
+    * into one scan-stage pass"), made real and mechanically asserted:
+    *
+    *  - the trained merge list becomes a stored ARTIFACT
+    *    ([[graft.sources.ArtifactStore]] — built once per corpus, which
+    *    is exactly how a tokenizer ships: train offline, apply
+    *    everywhere);
+    *  - application is ONE corpus scan folding the whole ordered merge
+    *    table through a single higher-order `aggregate` expression —
+    *    per-merge cost is a replace inside the fold, so k grows the
+    *    expression, NOT the number of corpus scans (q160/q165 rescan
+    *    per merge: pedagogically oracle-checkable, but at k=30k that is
+    *    the difference between a tokenizer and a non-starter);
+    *  - the readable sentinel→"(er)" expansion is itself a fold: each
+    *    merge's display string is its pattern with all EARLIER
+    *    sentinels expanded (an `aggregate` over the prefix already
+    *    folded), so display strings are sentinel-free and replacement
+    *    order stops mattering.
+    *
+    * Same output contract as q165 (top-20 tokens, bracketed readable
+    * forms) and the SAME oracle SQL — the trainer chain and the fold
+    * apply cannot disagree without a hash mismatch. The `size(ms) = 3`
+    * guard mirrors the oracle's FROM m1×d2×d3 emptiness convention on
+    * degenerate corpora. PlanCheck pins the one-scan apply plan.
+    * HASH-MATCHED.
+    */
+  val q168 = QueryDef.oracle("q168_bpe_fold_apply", // oracle: q165's chain verbatim
+    s"""$bpeChainCtes,
+      |w4 AS (SELECT replace(w3.w, m3.pair, chr(3)) AS w FROM w3, m3),
+      |d3 AS (SELECT replace(replace(m3.pair, chr(2), '(' || d2.d || ')'),
+      |                      chr(1), '(' || m1.pair || ')') AS d
+      |       FROM m3, d2, m1),
+      |ch AS (SELECT unnest(string_split(w, '')) AS tok FROM w4),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
+      |SELECT replace(replace(replace(tc.tok,
+      |         chr(3), '(' || d3.d || ')'),
+      |         chr(2), '(' || d2.d || ')'),
+      |         chr(1), '(' || m1.pair || ')') AS token,
+      |       tc.n AS n_occurrences
+      |FROM tc, d3, d2, m1
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val merges = graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
+        val (m1, m2, m3, _) = bpeChain(s, d)
+        m1.select(lit(1).as("round"), col("m1").as("pat"), lit("\u0001").as("sent"))
+          .unionByName(m2.select(lit(2).as("round"), col("m2").as("pat"),
+            lit("\u0002").as("sent")))
+          .unionByName(m3.select(lit(3).as("round"), col("m3").as("pat"),
+            lit("\u0003").as("sent")))
+      }
+      // one row: the ordered merge array + per-sentinel display map
+      // (each display = pattern with every earlier sentinel expanded)
+      val mrow = merges
+        .agg(sort_array(collect_list(
+          struct(col("round"), col("pat"), col("sent")))).as("ms"))
+        .select(col("ms"), expr(
+          """aggregate(ms,
+            |  cast(array() as array<struct<sent:string,disp:string>>),
+            |  (acc, m) -> array_append(acc, named_struct(
+            |    'sent', m.sent,
+            |    'disp', concat('(',
+            |      aggregate(acc, m.pat, (a, pd) -> replace(a, pd.sent, pd.disp)),
+            |      ')'))))""".stripMargin).as("dmap"))
+        .filter(size(col("ms")) === 3)
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+      val applied = words.crossJoin(broadcast(mrow))
+        .select(expr("aggregate(ms, w, (acc, m) -> replace(acc, m.pat, m.sent))")
+          .as("w"), col("dmap"))
+      applied.select(explode(split(col("w"), "")).as("tok"), col("dmap"))
+        .groupBy("tok", "dmap").agg(count(lit(1)).as("n"))
+        .select(
+          expr("aggregate(dmap, tok, (a, pd) -> replace(a, pd.sent, pd.disp))")
+            .as("token"),
+          col("n").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token")).limit(20)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165)
+      q158, q160, q165, q168)
 }
