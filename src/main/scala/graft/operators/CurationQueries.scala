@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.MisraGriesAgg
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation suite over the `documents` table — the operators a
@@ -388,6 +389,82 @@ object CurationQueries {
             / count(lit(1)).cast("double"), 4).as("reject_rate"))
     })
 
+  /** DSIR-style importance weighting for domain-matched data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", simplified to unigram features): the
+    * TARGET domain is the `en` slice, the POOL is every other doc; each
+    * pool doc is scored by the log-likelihood ratio of its tokens under
+    * add-1-smoothed unigram LMs of target vs pool, and the top 25 by
+    * per-token average ratio are the docs a pretraining mix would pull
+    * in to look more like the target. Cross-engine exactness uses the
+    * q123/q124 convention: the ratio's `ln` is computed ONCE per vocab
+    * word and quantized to integer micro-units; per-doc sums are then
+    * exact integer math, and the top-25 is an integer ORDER BY (avg
+    * micro DESC, doc_id) — orderBy+limit compiles to
+    * TakeOrderedAndProject, no global sort. Scale: two vocab-sized
+    * map-side-combined aggregations (never text past the tokenizer),
+    * the 1-row stats frame and the vocab weights join keyed on token
+    * (AQE broadcasts while small); the paper's 10k-dim hashed-ngram
+    * variant swaps `tok` for `pmod(xxhash64(tok), 10000)` and shrinks
+    * the weight table to a constant — same plan shape. HASH-MATCHED. */
+  val q169 = QueryDef.oracle("q169_dsir_importance",
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |cnt AS (SELECT tok,
+      |          CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |          CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cp
+      |        FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cp) AS BIGINT) AS np,
+      |              CAST(count(*) AS BIGINT) AS v FROM cnt),
+      |w AS (SELECT tok, CAST(round((ln((ct + 1) / CAST(nt + v AS DOUBLE))
+      |                             - ln((cp + 1) / CAST(np + v AS DOUBLE)))
+      |                            * 1000000) AS BIGINT) AS micro
+      |      FROM cnt, st),
+      |tf AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM (SELECT d.doc_id, d.lang, t.tok
+      |             FROM documents d JOIN toks t USING (doc_id)
+      |             WHERE d.lang <> 'en') GROUP BY 1, 2, 3),
+      |doc AS (SELECT doc_id, lang,
+      |               CAST(SUM(c * micro) AS BIGINT) AS score_micro,
+      |               CAST(SUM(c) AS BIGINT) AS n_toks
+      |        FROM tf JOIN w USING (tok) GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_toks,
+      |       round(score_micro / 1000000.0 / n_toks, 4) AS avg_logratio, rnk
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+      |        ORDER BY round(score_micro / 1000000.0 / n_toks, 4) DESC, doc_id)
+      |        AS BIGINT) AS rnk FROM doc)
+      |WHERE rnk <= 25""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          col("lang"), explode(tokens(col("text"))).as("tok"))
+      val cnt = toks.groupBy("tok").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cp"))
+      val st = cnt.agg(sum("ct").as("nt"), sum("cp").as("np"),
+        count(lit(1)).as("v"))
+      val w = cnt.crossJoin(broadcast(st)).select(col("tok"),
+        round((log((col("ct") + 1) / (col("nt") + col("v")).cast("double"))
+          - log((col("cp") + 1) / (col("np") + col("v")).cast("double")))
+          * 1000000).cast("long").as("micro"))
+      val tf = toks.filter(col("lang") =!= "en")
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      val docScores = tf.join(w, Seq("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * col("micro")).as("score_micro"),
+          sum("c").as("n_toks"))
+      val avg = round(col("score_micro") / lit(1000000.0) / col("n_toks"), 4)
+      // q124's convention: orderBy+limit (TakeOrderedAndProject — no
+      // global sort materializes) BEFORE the rank window runs on 25 rows
+      val top = docScores.withColumn("avg_logratio", avg)
+        .orderBy(col("avg_logratio").desc, col("doc_id")).limit(25)
+      val wRnk = Window.orderBy(col("avg_logratio").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(wRnk).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("avg_logratio"), col("rnk"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167)
+    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169)
 }
