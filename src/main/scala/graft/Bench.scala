@@ -49,6 +49,37 @@ object Bench {
     // the original window by the rest of the sweep — and keep the
     // smaller number. Genuinely slow queries re-measure at their old
     // min (one extra run each, bounded); stalled ones come back real.
+    //
+    // Second trigger (round-7 lesson: q111 crept 0.78->1.26 s and q131
+    // 0.63->0.85 s — both well under 3x the suite median, so the stall
+    // recheck never fired and the creep couldn't be told from a plan
+    // regression): ALSO recheck any query measuring > 1.5x its own
+    // previous-round number. The reference map is the latest driver
+    // BENCH_r*.json in the CWD whose sf matches this run (overridable
+    // via SPARK_GRAFT_BENCH_PREV); absent/foreign-sf files disable the
+    // trigger rather than mis-firing across scale factors.
+    val prevRound: Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      val latest = explicit.orElse {
+        val re = raw"BENCH_r(\d+)\.json".r
+        val dir = new java.io.File(".").listFiles()
+        Option(dir).toSeq.flatten.flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.getPath))
+          case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)
+      }
+      latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+        .map(java.nio.file.Files.readString)
+        // driver BENCH_r*.json wraps the bench stdout inside a "tail"
+        // string, so the queries map appears ESCAPED (\"q17\":0.709) —
+        // match both that and plain bench.json, sf check included
+        .filter(txt => txt.contains("\"sf\":" + Json.q(sfDir)) ||
+          txt.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\"")))
+        .map { txt =>
+          raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+    }
     val mins = firstPass.values.filter(_ >= 0).toSeq.sorted
     val recheckedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val results =
@@ -56,7 +87,8 @@ object Bench {
       else {
         val median = mins(mins.size / 2)
         firstPass.map { case (name, v) =>
-          if (v > 3 * median) {
+          if (v > 3 * median ||
+              prevRound.get(name).exists(p => p > 0 && v > 1.5 * p)) {
             recheckedNames += name // ALL triggered rechecks, improved or not
             val again = timeOnce(name, selected(name))
             val best = if (again >= 0) math.min(v, again) else v
