@@ -115,6 +115,9 @@ object PlanCheck {
     check("q58_cross_source_contamination",
       "linear grouped form: 2 doc scans, no hh×hh self-join blowup",
       p => scans(p, "documents") == 2 && p.contains("partial_count"))
+    check("q170_semantic_dedup",
+      "IVF codebook broadcasts into assignment; pair stage c_id-keyed, no cartesian",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     check("q168_bpe_fold_apply",
       "k-merge apply is ONE corpus scan (merge table folded, never rescanned)",
       p => scans(p, "documents") == 1)

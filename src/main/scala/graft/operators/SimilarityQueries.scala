@@ -1174,6 +1174,85 @@ object SimilarityQueries {
             .as("centroid_cos"))
     })
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * embedding space with the trained IVF coarse quantizer (the stored
+    * `cent_ivf` artifact — SemDeDup's k-means IS an IVF assignment), then
+    * within each cluster drop every vector that has a LOWER-id member at
+    * cosine ≥ 0.35 (keep-lowest-id, the q50/q56 keeper convention; the
+    * paper uses ~0.95 on real text embeddings — this synthetic corpus is
+    * near-orthogonal, max pairwise cosine 0.48, so the threshold is
+    * tuned to the corpus's cosine scale to keep the decision logic
+    * EXERCISED, the q52 est-Jaccard≥0.5 convention). The
+    * cosine threshold is decided in FULLY EXACT integer math — no doubles
+    * anywhere in the keep/drop decision: over the 1e-4-quantized vectors,
+    * cos ≥ 7/20 ⟺ dot ≥ 0 ∧ (20·dot)² ≥ 49·n2a·n2b, with the squares
+    * in DECIMAL(38,0) on the engine and HUGEINT on DuckDB (both exact;
+    * 20·dot ≤ ~10¹² so the DECIMAL(19,0) square never saturates), and
+    * zero-norm vectors guarded out (0/0 matches nothing, both engines).
+    * Complements the text-side MinHash stack: near-identical MEANING
+    * (paraphrases, translations-of-boilerplate) that exact/MinHash dedup
+    * cannot see. Scale: assignment is a map-side argmax against the
+    * broadcast IvfK-row codebook; the pair stage is cluster-keyed — the
+    * shuffle carries (c_id, 64 longs)-rows and pair volume is
+    * Σ|cluster|², bounded by CHOOSING K (SemDeDup runs K ∝ N/1e4; a
+    * mega-cluster is an AQE-skew-split candidate, and the within-cluster
+    * quadratic is the algorithm's own definition, not an accident of the
+    * plan). Oracle replays the trained k-means chain verbatim (shared
+    * [[ivfCentCtes]] — codebook drift impossible), the same assignment
+    * argmax, and the same integer threshold. HASH-MATCHED.
+    */
+  val q170 = QueryDef.oracle("q170_semantic_dedup",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, i.v FROM asg a JOIN iq i USING (vec_id)),
+       |p AS (SELECT x.c_id, x.vec_id AS ia, y.vec_id AS ib,
+       |        CAST(list_sum([x.v[i] * y.v[i] FOR i IN range(1, len(x.v) + 1)]) AS BIGINT) AS dot,
+       |        CAST(list_sum([x.v[i] * x.v[i] FOR i IN range(1, len(x.v) + 1)]) AS BIGINT) AS n2a,
+       |        CAST(list_sum([y.v[i] * y.v[i] FOR i IN range(1, len(y.v) + 1)]) AS BIGINT) AS n2b
+       |      FROM m x JOIN m y ON x.c_id = y.c_id AND x.vec_id < y.vec_id),
+       |close AS (SELECT ib, CAST(count(*) AS BIGINT) AS n_close FROM p
+       |          WHERE n2a > 0 AND n2b > 0 AND dot >= 0
+       |            AND CAST(dot * 20 AS HUGEINT) * (dot * 20)
+       |                >= CAST(n2a * 49 AS HUGEINT) * n2b
+       |          GROUP BY ib)
+       |SELECT m.vec_id, m.c_id, COALESCE(c.n_close, CAST(0 AS BIGINT)) AS n_close,
+       |       COALESCE(c.n_close, CAST(0 AS BIGINT)) = 0 AS keep
+       |FROM m LEFT JOIN close c ON c.ib = m.vec_id""".stripMargin)(
+    (s, d) => {
+      val vecs = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val asg = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          struct(VecExpressions.cosineFast(s, col("v").cast("array<double>"),
+            col("c").cast("array<double>")).as("s"), col("c_id")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("b"))
+        .select(col("vec_id"), col("b.c_id").as("c_id"))
+      val m = asg.join(vecs, Seq("vec_id"))
+      def idot(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
+      val pairs = m.select(col("c_id"), col("vec_id").as("ia"), col("v").as("va"))
+        .join(m.select(col("c_id"), col("vec_id").as("ib"), col("v").as("vb")), Seq("c_id"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ib"), idot("va", "vb").as("dot"),
+          idot("va", "va").as("n2a"), idot("vb", "vb").as("n2b"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      val close = pairs
+        .filter(col("n2a") > 0 && col("n2b") > 0 && col("dot") >= 0 &&
+          dec(col("dot") * 20) * dec(col("dot") * 20) >=
+            dec(col("n2a") * 49) * dec(col("n2b")))
+        .groupBy(col("ib").as("vec_id")).agg(count(lit(1)).as("n_close"))
+      m.select(col("vec_id"), col("c_id")).join(close, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"),
+          (coalesce(col("n_close"), lit(0L)) === 0).as("keep"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154, q163)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
+      q163, q170)
 }
