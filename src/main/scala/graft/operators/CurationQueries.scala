@@ -465,6 +465,75 @@ object CurationQueries {
           col("avg_logratio"), col("rnk"))
     })
 
+  /** Gopher-style quality-rule report (Rae et al. 2021 §A1.1, the rule
+    * battery most production corpora run before model-based filtering),
+    * thresholds tuned to this corpus's scale so every rule actually
+    * fires (the q170 convention — the paper's absolute numbers assume
+    * web documents):
+    *
+    *   R1 word count in [20, 90]            (Gopher: [50, 100k])
+    *   R2 mean word length in [4.0, 4.9]    (Gopher: [3, 10])
+    *   R3 distinct-token ratio ≥ 0.35       (Gopher's duplicate-fraction rules)
+    *   R4 ≥ 1 stop word present             (Gopher: ≥ 2 of 8)
+    *
+    * EVERY threshold is decided in exact integer math — ratios compare
+    * by cross-multiplication (mean-word-length ∈ [4, 4.9] ⟺
+    * 10·chars ≥ 40·n ∧ 10·chars ≤ 49·n where chars = Σ token lengths =
+    * non-whitespace char count; distinct ratio ≥ 0.35 ⟺ 20·d ≥ 7·n), so
+    * no float ever decides a document's fate and the report is
+    * hash-exact. Output is the per-source rule ledger: how many docs
+    * each rule rejects, how many pass all four, and the pass rate — the
+    * shape a curation run reviews before committing a filter config.
+    * Scale: one scan-stage pass per doc (token array + three integer
+    * counts), one |sources|-bounded map-side-combined rollup. */
+  val q171 = QueryDef.oracle("q171_gopher_rules",
+    """WITH f AS (
+      |  SELECT source,
+      |         len(toks) AS n, len(list_distinct(toks)) AS d,
+      |         length(regexp_replace(text, '\s', '', 'g')) AS chars,
+      |         len(list_intersect(toks, ['the', 'a'])) > 0 AS has_stop
+      |  FROM (SELECT source, text,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |        FROM documents)),
+      |r AS (SELECT source,
+      |        n BETWEEN 20 AND 90 AS r1,
+      |        10 * chars >= 40 * n AND 10 * chars <= 49 * n AS r2,
+      |        20 * d >= 7 * n AS r3,
+      |        has_stop AS r4
+      |      FROM f)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(CASE WHEN NOT r1 THEN 1 END) AS BIGINT) AS fail_word_count,
+      |       CAST(count(CASE WHEN NOT r2 THEN 1 END) AS BIGINT) AS fail_word_length,
+      |       CAST(count(CASE WHEN NOT r3 THEN 1 END) AS BIGINT) AS fail_repetition,
+      |       CAST(count(CASE WHEN NOT r4 THEN 1 END) AS BIGINT) AS fail_stopword,
+      |       CAST(count(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 END) AS BIGINT)
+      |         AS n_pass,
+      |       round(count(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 END)
+      |             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+      |FROM r GROUP BY source""".stripMargin)(
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val f = Tables.documents(s, d).select(col("source"),
+        size(toks).as("n"), size(array_distinct(toks)).as("d"),
+        length(regexp_replace(col("text"), "\\s", "")).as("chars"),
+        arrays_overlap(toks, array(lit("the"), lit("a"))).as("has_stop"))
+      val r = f.select(col("source"),
+        col("n").between(20, 90).as("r1"),
+        (col("chars") * 10 >= col("n") * 40 && col("chars") * 10 <= col("n") * 49).as("r2"),
+        (col("d") * 20 >= col("n") * 7).as("r3"),
+        col("has_stop").as("r4"))
+      val passAll = col("r1") && col("r2") && col("r3") && col("r4")
+      r.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!col("r1"), 1)).as("fail_word_count"),
+        count(when(!col("r2"), 1)).as("fail_word_length"),
+        count(when(!col("r3"), 1)).as("fail_repetition"),
+        count(when(!col("r4"), 1)).as("fail_stopword"),
+        count(when(passAll, 1)).as("n_pass"),
+        round(count(when(passAll, 1)) / count(lit(1)).cast("double"), 4)
+          .as("pass_rate"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169)
+    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171)
 }
