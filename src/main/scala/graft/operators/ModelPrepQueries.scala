@@ -30,7 +30,10 @@ object ModelPrepQueries {
   // the LM join is keyed on token (vocabulary-sized right side — AQE
   // broadcasts it when small, shuffles when it is not; never the corpus
   // text). Per-token micro-bits are exact ints, so doc sums are exact.
-  val q123 = QueryDef.oracle("q123_unigram_lm_score",
+  /** The unigram-LM CTE chain up to `doc(doc_id, micro_sum, n_toks)` —
+    * the per-doc exact micro-bit scores shared by q123 (the filter) and
+    * q172 (the CCNet buckets), which must agree on what the LM says. */
+  private[graft] val lmCtes: String =
     """WITH toks AS (SELECT doc_id, unnest(list_filter(
       |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
       |              FROM documents),
@@ -44,28 +47,36 @@ object ModelPrepQueries {
       |         FROM g, st),
       |doc AS (SELECT tf.doc_id, CAST(SUM(tf.c * b.micro_bits) AS BIGINT) AS micro_sum,
       |               CAST(SUM(tf.c) AS BIGINT) AS n_toks
-      |        FROM tf JOIN bits b USING (tok) GROUP BY 1)
+      |        FROM tf JOIN bits b USING (tok) GROUP BY 1)""".stripMargin
+
+  val q123 = QueryDef.oracle("q123_unigram_lm_score",
+    s"""$lmCtes
       |SELECT d.doc_id, coalesce(doc.n_toks, CAST(0 AS BIGINT)) AS n_toks,
       |       round(doc.micro_sum / 1000000.0 / doc.n_toks, 4) AS bits_per_tok,
       |       round(doc.micro_sum / 1000000.0 / doc.n_toks, 4) <= 4.91 AS kept
       |FROM documents d LEFT JOIN doc USING (doc_id)""".stripMargin)(
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val g = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
-      val st = g.agg(sum("cg").as("n_total"), count(lit(1)).as("vocab"))
-      val bits = g.crossJoin(broadcast(st)).select(col("tok"),
-        round(log2((col("n_total") + col("vocab")).cast("double") / (col("cg") + lit(1)))
-          * lit(1000000)).cast("long").as("micro_bits"))
-      val doc = tf.join(bits, Seq("tok"))
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("micro_bits")).as("micro_sum"), sum("c").as("n_toks"))
+      val doc = lmDocScores(s, d)
       val bpt = round(col("micro_sum") / lit(1000000.0) / col("n_toks"), 4)
       Tables.documents(s, d).select("doc_id").join(doc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
           bpt.as("bits_per_tok"), (bpt <= 4.91).as("kept"))
     })
+
+  /** Spark twin of [[lmCtes]]'s `doc`: (doc_id, micro_sum, n_toks). */
+  private def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val g = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+    val st = g.agg(sum("cg").as("n_total"), count(lit(1)).as("vocab"))
+    val bits = g.crossJoin(broadcast(st)).select(col("tok"),
+      round(log2((col("n_total") + col("vocab")).cast("double") / (col("cg") + lit(1)))
+        * lit(1000000)).cast("long").as("micro_bits"))
+    tf.join(bits, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("micro_bits")).as("micro_sum"), sum("c").as("n_toks"))
+  }
 
   // --- q124: BM25 retrieval (k1=1.2, b=0.75) ---------------------------
   // Classic sparse retrieval over the corpus for a fixed query term set.
@@ -777,7 +788,48 @@ object ModelPrepQueries {
             .cast("long").as("epoch_docs_100k"))
     })
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): within each
+    * language, rank every document by its unigram-LM bits/token (q123's
+    * exact micro-bit scores — shared [[lmCtes]]/[[lmDocScores]], the
+    * filter and the buckets cannot disagree on the LM) and NTILE(3)
+    * into head/middle/tail. CCNet trains on head+middle and drops or
+    * downweights tail; this report is the size/perplexity profile that
+    * decision reads. Determinism: the rank orders by the IEEE-exact
+    * double micro_sum/n_toks (identical division on both engines) with
+    * doc_id tiebreak; bucket boundaries are NTILE's integer row split.
+    * Scale: rides q123's two keyed aggregations plus one lang-keyed
+    * window (per-language sort — CCNet's own per-shard sort, never
+    * global) and a |langs|×3 rollup. */
+  val q172 = QueryDef.oracle("q172_ccnet_buckets",
+    s"""$lmCtes,
+      |scored AS (SELECT d.doc_id, d.lang, doc.micro_sum, doc.n_toks
+      |           FROM documents d JOIN doc USING (doc_id)),
+      |bkt AS (SELECT lang, micro_sum, n_toks,
+      |          NTILE(3) OVER (PARTITION BY lang
+      |            ORDER BY micro_sum * 1.0 / n_toks, doc_id) AS b
+      |        FROM scored)
+      |SELECT lang,
+      |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |       round(min(micro_sum * 1.0 / n_toks) / 1000000.0, 4) AS min_bits_per_tok,
+      |       round(max(micro_sum * 1.0 / n_toks) / 1000000.0, 4) AS max_bits_per_tok
+      |FROM bkt GROUP BY 1, 2""".stripMargin)(
+    (s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(lmDocScores(s, d), Seq("doc_id"))
+      val bpt = col("micro_sum") * lit(1.0) / col("n_toks")
+      val wB = Window.partitionBy("lang").orderBy(bpt.asc, col("doc_id"))
+      scored.withColumn("b", ntile(3).over(wB))
+        .groupBy(col("lang"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          round(min(bpt) / lit(1000000.0), 4).as("min_bits_per_tok"),
+          round(max(bpt) / lit(1000000.0), 4).as("max_bits_per_tok"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166)
+      q150, q155, q162, q166, q172)
 }

@@ -106,6 +106,18 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every unigram-LM consumer embeds the canonical micro-bit chain verbatim") {
+      val frag = graft.operators.ModelPrepQueries.lmCtes
+      val consumers = sqlByName.filter(_._2.contains("micro_bits"))
+      consumers.keySet shouldBe Set(
+        "q123_unigram_lm_score", "q172_ccnet_buckets")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the LM definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
