@@ -599,17 +599,9 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, token
       |LIMIT 20""".stripMargin)(
     (s, d) => {
-      val merges = graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
-        val (m1, m2, m3, _) = bpeChain(s, d)
-        m1.select(lit(1).as("round"), col("m1").as("pat"), lit("\u0001").as("sent"))
-          .unionByName(m2.select(lit(2).as("round"), col("m2").as("pat"),
-            lit("\u0002").as("sent")))
-          .unionByName(m3.select(lit(3).as("round"), col("m3").as("pat"),
-            lit("\u0003").as("sent")))
-      }
       // one row: the ordered merge array + per-sentinel display map
       // (each display = pattern with every earlier sentinel expanded)
-      val mrow = merges
+      val mrow = storedBpeMerges(s, d)
         .agg(sort_array(collect_list(
           struct(col("round"), col("pat"), col("sent")))).as("ms"))
         .select(col("ms"), expr(
@@ -635,7 +627,59 @@ object TextQueries {
         .orderBy(col("n_occurrences").desc, col("token")).limit(20)
     })
 
+  /** The trained merge TABLE as a stored artifact (round, pat, sent) —
+    * built once per corpus by running the q160/q165 3-round chain, read
+    * back by every apply-side consumer (q168 tokenization, q173
+    * fertility). The artifact IS the shipped tokenizer. */
+  private def storedBpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
+      val (m1, m2, m3, _) = bpeChain(s, d)
+      m1.select(lit(1).as("round"), col("m1").as("pat"), lit("\u0001").as("sent"))
+        .unionByName(m2.select(lit(2).as("round"), col("m2").as("pat"),
+          lit("\u0002").as("sent")))
+        .unionByName(m3.select(lit(3).as("round"), col("m3").as("pat"),
+          lit("\u0003").as("sent")))
+    }
+
+  /** Tokenizer FERTILITY by language — the multilingual-equity metric a
+    * tokenizer eval reports (tokens per word; a language with high
+    * fertility pays more sequence length for the same text): apply the
+    * trained merges (the `bpe_merges` artifact — q168's fold, second
+    * consumer) to every word, count post-merge characters (each = one
+    * token, q165's convention) per language. Exactness: integer word
+    * and token counts; fertility is one IEEE division rounded 4dp.
+    * Scale: ONE corpus scan (the fold applies all k merges in-expression)
+    * + a |langs|-bounded map-side-combined rollup; the oracle replays
+    * training + per-word application verbatim from the shared chain.
+    * HASH-MATCHED. */
+  val q173 = QueryDef.oracle("q173_tokenizer_fertility",
+    s"""$bpeChainCtes,
+      |wl AS (SELECT lang, unnest(list_filter(
+      |         regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+      |       FROM documents),
+      |wl2 AS (SELECT lang, replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM wl),
+      |wl3 AS (SELECT lang, replace(w, (SELECT pair FROM m2), chr(2)) AS w FROM wl2),
+      |wl4 AS (SELECT lang, replace(wl3.w, m3.pair, chr(3)) AS w FROM wl3, m3)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+      |       round(SUM(len(w)) * 1.0 / count(*), 4) AS fertility
+      |FROM wl4 GROUP BY lang""".stripMargin)(
+    (s, d) => {
+      val mrow = storedBpeMerges(s, d)
+        .agg(sort_array(collect_list(
+          struct(col("round"), col("pat"), col("sent")))).as("ms"))
+        .filter(size(col("ms")) === 3)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .crossJoin(broadcast(mrow))
+        .select(col("lang"),
+          expr("aggregate(ms, w, (acc, m) -> replace(acc, m.pat, m.sent))").as("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), sum(length(col("w"))).as("n_tokens"),
+          round(sum(length(col("w"))) * lit(1.0) / count(lit(1)), 4).as("fertility"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168)
+      q158, q160, q165, q168, q173)
 }

@@ -98,7 +98,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.TextQueries.bpeChainCtes
       val consumers = sqlByName.filter(_._2.contains("m1 AS (SELECT pair"))
       consumers.keySet shouldBe Set(
-        "q160_bpe_training_rounds", "q165_bpe_apply", "q168_bpe_fold_apply")
+        "q160_bpe_training_rounds", "q165_bpe_apply", "q168_bpe_fold_apply",
+        "q173_tokenizer_fertility")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the learned-merge definition: ") {
           sql.contains(frag) shouldBe true
