@@ -1,5 +1,20 @@
 package graft
 object Bench {
+  /** Extract the per-query timing map from a previous bench record, for
+    * the >1.5×-previous-round stall-recheck trigger. Accepts BOTH wire
+    * shapes: a plain `bench.json` line, and the driver's `BENCH_r*.json`
+    * which wraps that line ESCAPED inside a "tail" string
+    * (`\"q17_poc_analysis\":0.709`). Returns empty unless the record's
+    * sf matches this run — a prev map from a different scale factor
+    * would mis-fire on every query. Unit-tested (BenchPrevParseSpec). */
+  private[graft] def parsePrevQueries(txt: String, sfDir: String): Map[String, Double] = {
+    val sfOk = txt.contains("\"sf\":" + Json.q(sfDir)) ||
+      txt.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\""))
+    if (!sfOk) Map.empty
+    else raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -70,15 +85,7 @@ object Bench {
       }
       latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
         .map(java.nio.file.Files.readString)
-        // driver BENCH_r*.json wraps the bench stdout inside a "tail"
-        // string, so the queries map appears ESCAPED (\"q17\":0.709) —
-        // match both that and plain bench.json, sf check included
-        .filter(txt => txt.contains("\"sf\":" + Json.q(sfDir)) ||
-          txt.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\"")))
-        .map { txt =>
-          raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
+        .map(parsePrevQueries(_, sfDir)).getOrElse(Map.empty)
     }
     val mins = firstPass.values.filter(_ >= 0).toSeq.sorted
     val recheckedNames = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins both wire shapes [[Bench.parsePrevQueries]] must read — a plain
+  * bench.json line and the driver's BENCH_r*.json with the same line
+  * escaped inside its "tail" string — plus the foreign-sf guard. The
+  * escaped shape is the round-8 lesson: a regex anchored on `"q...":`
+  * silently matched names WITH a trailing backslash against the driver
+  * file, so the 1.5×-previous-round trigger never fired.
+  */
+class BenchPrevParseSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("plain bench.json shape parses") {
+    val txt =
+      """{"metric":"total","value":74.2,"unit":"sec","queries":{"q17_poc_analysis":0.732,"q147_streaming_poc":3.6},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePrevQueries(txt, sf) ==
+      Map("q17_poc_analysis" -> 0.732, "q147_streaming_poc" -> 3.6))
+  }
+
+  test("driver BENCH_r*.json escaped-tail shape parses with clean names") {
+    val txt =
+      """{"n":"7","rc":"0","sf":"0.1","tail":"{\"metric\":\"total\",\"value\":69.541,\"queries\":{\"q17_poc_analysis\":0.709,\"q165_bpe_apply\":2.261},\"sf\":\"/root/testdata/sf0.1\"}"}"""
+    val m = Bench.parsePrevQueries(txt, sf)
+    assert(m == Map("q17_poc_analysis" -> 0.709, "q165_bpe_apply" -> 2.261))
+    assert(m.keys.forall(!_.contains("\\")), "names must not carry the escape backslash")
+  }
+
+  test("a record from a different scale factor is rejected entirely") {
+    val txt =
+      """{"metric":"total","queries":{"q17_poc_analysis":0.1},"sf":"/root/testdata/sf0.001"}"""
+    assert(Bench.parsePrevQueries(txt, sf).isEmpty)
+  }
+
+  test("the real driver BENCH_r07.json parses (if present)") {
+    val p = java.nio.file.Paths.get("/root/repo/BENCH_r07.json")
+    assume(java.nio.file.Files.exists(p))
+    val m = Bench.parsePrevQueries(java.nio.file.Files.readString(p), sf)
+    assert(m.nonEmpty)
+    assert(m.contains("q17_poc_analysis"))
+    assert(m.keys.forall(!_.contains("\\")))
+  }
+}
