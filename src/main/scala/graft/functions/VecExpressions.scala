@@ -134,6 +134,65 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryExpre
     copy(left = l, right = r)
 }
 
+/** Exact integer (dot, |a|², |b|²) of two array<long> vectors in ONE
+  * fused pass — the q170 pair-stage kernel: the semantic-dedup
+  * threshold needs all three, and the HOF formulation
+  * (`aggregate(zip_with(...))` ×3) walks both arrays three times
+  * through lambda frames outside whole-stage codegen. Returns
+  * struct<dot:bigint, n2a:bigint, n2b:bigint>; null for null inputs or
+  * length mismatch (zip_with's convention, so swapping forms can't
+  * silently change results). Longs wrap past 2⁶³ like any integer
+  * expression — callers quantize so per-element products stay ≤ ~10⁹
+  * (1e-4 units: 64 dims × (3·10⁴)² ≈ 6·10¹⁰ ≪ 2⁶³).
+  */
+case class VecIntDotNorms(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_int_dot_norms"
+  override def nullable: Boolean = true
+  override def dataType: DataType = VecIntDotNorms.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, " +
+          s"got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecIntDotNorms.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |${ev.value} = graft.functions.VecIntDotNorms.kernel($a, $b);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecIntDotNorms =
+    copy(left = l, right = r)
+}
+
+object VecIntDotNorms {
+  val schema: StructType = StructType(Seq(
+    StructField("dot", LongType, nullable = false),
+    StructField("n2a", LongType, nullable = false),
+    StructField("n2b", LongType, nullable = false)))
+
+  def kernel(x: ArrayData, y: ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < n) {
+        val a = x.getLong(i); val b = y.getLong(i)
+        dot += a * b; na += a * a; nb += b * b; i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(dot, na, nb)
+    }
+  }
+}
+
 /** Registration + Column-API access. Queries call [[registerOnce]] at
   * build time so the expressions resolve in whatever session the driver
   * hands us; registration is idempotent.
@@ -156,6 +215,12 @@ object VecExpressions {
         require(exprs.length == 2, s"vec_cosine: expected 2 arguments, got ${exprs.length}")
         VecCosine(exprs.head, exprs(1))
       }),
+    ("vec_int_dot_norms", classOf[VecIntDotNorms].getName,
+      exprs => {
+        require(exprs.length == 2,
+          s"vec_int_dot_norms: expected 2 arguments, got ${exprs.length}")
+        VecIntDotNorms(exprs.head, exprs(1))
+      }),
     ("vec_lsh_buckets", classOf[VecLshBuckets].getName,
       exprs => VecLshBuckets(exprs.head,
         HashFunctions.intArg("vec_lsh_buckets", exprs, 1),
@@ -174,6 +239,11 @@ object VecExpressions {
 
   def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
     registerOnce(spark); call_function("vec_cosine", a, b)
+  }
+
+  /** Fused exact integer (dot, n2a, n2b) — see [[VecIntDotNorms]]. */
+  def intDotNorms(spark: SparkSession, a: Column, b: Column): Column = {
+    registerOnce(spark); call_function("vec_int_dot_norms", a, b)
   }
 
   /** Multi-table LSH bucket array (see [[VecLshBuckets]]); explode and

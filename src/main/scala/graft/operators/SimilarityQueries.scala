@@ -1233,13 +1233,16 @@ object SimilarityQueries {
         .groupBy("vec_id").agg(max("sc").as("b"))
         .select(col("vec_id"), col("b.c_id").as("c_id"))
       val m = asg.join(vecs, Seq("vec_id"))
-      def idot(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, e) -> acc + e)")
+      // fused native kernel: (dot, |a|², |b|²) in ONE codegen loop per
+      // pair — the HOF form (aggregate∘zip_with ×3) walked both arrays
+      // three times through lambda frames
       val pairs = m.select(col("c_id"), col("vec_id").as("ia"), col("v").as("va"))
         .join(m.select(col("c_id"), col("vec_id").as("ib"), col("v").as("vb")), Seq("c_id"))
         .filter(col("ia") < col("ib"))
-        .select(col("ib"), idot("va", "vb").as("dot"),
-          idot("va", "va").as("n2a"), idot("vb", "vb").as("n2b"))
+        .select(col("ib"),
+          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
+        .select(col("ib"), col("st.dot").as("dot"),
+          col("st.n2a").as("n2a"), col("st.n2b").as("n2b"))
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
       val close = pairs
         .filter(col("n2a") > 0 && col("n2b") > 0 && col("dot") >= 0 &&

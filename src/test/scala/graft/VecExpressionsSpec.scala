@@ -57,4 +57,34 @@ class VecExpressionsSpec extends SparkSpec {
     val v = d.select(VecExpressions.dotFast(spark, col("a"), col("b"))).collect().head.getDouble(0)
     assert(v == 11.0)
   }
+
+  test("VecIntDotNorms matches the HOF integer formulation exactly") {
+    val idf = Seq(
+      (Seq(3L, -4L, 5L), Seq(10L, 20L, -30L)),
+      (Seq(0L, 0L), Seq(0L, 7L)),
+      (Seq(30000L, -29999L, 12345L), Seq(29999L, 30000L, -12345L))
+    ).toDF("a", "b")
+    def hof(x: String, y: String) =
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0L, (acc, e) -> acc + e)")
+    val rows = idf.select(
+      VecExpressions.intDotNorms(spark, col("a"), col("b")).as("st"),
+      hof("a", "b").as("dot"), hof("a", "a").as("n2a"), hof("b", "b").as("n2b"))
+      .collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getLong(0) == r.getLong(1))
+      assert(st.getLong(1) == r.getLong(2))
+      assert(st.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("VecIntDotNorms: length mismatch and null input yield NULL") {
+    val idf = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(1L, 2L, 3L))),
+      (None, Some(Seq(1L)))
+    ).toDF("a", "b")
+    val rows = idf.select(
+      VecExpressions.intDotNorms(spark, col("a"), col("b"))).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
 }
