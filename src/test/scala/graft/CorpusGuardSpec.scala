@@ -22,16 +22,18 @@ class CorpusGuardSpec extends SparkSpec {
           "[ \\t\\n\\x0B\\f\\r]+ class before trusting any \\s-based oracle")
     }
 
-    test(s"documents at $sf are BPE-sentinel-free (chr(1)..chr(3))") {
-      // q158/q160/q165 stand a merged symbol in for chr(1)/chr(2)/chr(3)
-      // during the rewrite — sound only while no token already has one
+    test(s"documents at $sf are BPE-sentinel-free (chr(1)..chr(5))") {
+      // q158/q160/q165/q168 stand a merged symbol in for chr(1)..chr(3)
+      // during the rewrite, and q174's k-round trainer extends that to
+      // chr(k)=chr(5) — sound only while no token already has one
       val n = Tables.documents(spark, s"/root/testdata/$sf")
-        .filter(col("text").contains("\u0001") || col("text").contains("\u0002")
-          || col("text").contains("\u0003"))
+        .filter((1 to 5).map(c => col("text").contains(c.toChar.toString))
+          .reduce(_ || _))
         .count()
       assert(n == 0,
-        s"$n documents contain a BPE sentinel char — q158/q160/q165's literal-" +
-          "replace merge encoding is no longer collision-free on this corpus")
+        s"$n documents contain a BPE sentinel char — the literal-replace " +
+          "merge encoding (q158/q160/q165/q168/q174) is no longer " +
+          "collision-free on this corpus")
     }
   }
 }
