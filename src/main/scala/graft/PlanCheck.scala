@@ -115,6 +115,23 @@ object PlanCheck {
     check("q58_cross_source_contamination",
       "linear grouped form: 2 doc scans, no hh×hh self-join blowup",
       p => scans(p, "documents") == 2 && p.contains("partial_count"))
+    check("q169_dsir_importance", "integer micro-unit scoring: map-side partials, top-25 via TakeOrderedAndProject",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    check("q171_gopher_rules", "rule ledger: one scan, map-side-combined rollup",
+      p => scans(p, "documents") == 1 && p.contains("partial_count"))
+    // text-level !SinglePartition would false-flag the LM's legitimate
+    // 1-row scalar agg (n_total/vocab) — walk the tree instead: every
+    // zero-key window must sit above an aggregate, i.e. the NTILE window
+    // itself is lang-keyed
+    checkTree("q172_ccnet_buckets", "NTILE window is lang-keyed, never fact-global",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        .forall(_.partitionSpec.nonEmpty))
+    check("q173_tokenizer_fertility", "fertility apply is ONE corpus scan (artifact fold)",
+      p => scans(p, "documents") == 1)
+    check("q174_bpe_train_k",
+      "k-round trainer: final plan reads k PINNED 1-row winners (no 2^k re-derivation)",
+      p => scans(p, "documents") == 0 && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
     check("q170_semantic_dedup",
       "IVF codebook broadcasts into assignment; pair stage c_id-keyed, no cartesian",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

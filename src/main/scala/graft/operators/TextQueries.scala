@@ -711,12 +711,15 @@ object TextQueries {
     * emit identical raw chars) instead of q160's bracketed display,
     * which would nest k deep for nothing a hash check can read.
     * CorpusGuardSpec pins the corpus sentinel-free through chr(k).
-    * Scale: round r's top-1 subtree carries r−1 accumulated replaces, so
-    * the single-query plan holds k(k+1)/2 corpus scans — at k=5 that is
-    * 15 codegen'd scan passes — measured at sf0.1: 3.52 s unchained vs
-    * 3.63 s with a localCheckpoint every 2 rounds (the q160 trade:
-    * materializing words costs more than rescanning at this corpus
-    * size, and the balance flips only at depth/scale); a 30k-merge
+    * Scale: each round's ONE-ROW winner is localCheckpointed — without
+    * that, the winner subtree re-derives every earlier round inside
+    * both the next rewrite and the final union, and the corpus-scan
+    * count doubles per round (2^k: 31 scans at k=5, observed in the
+    * plan before the fix; 3.52 s at sf0.1). With the pin, training is
+    * k sequential passes, round r's pass carrying r−1 accumulated
+    * replaces — linear in k, the shape a deep trainer needs
+    * (checkpointing the corpus-sized words instead was measured SLOWER
+    * here, the q160 trade); a 30k-merge
     * production trainer breaks the chain with periodic checkpoints and
     * ships the result as the `bpe_merges` artifact (q168/q173 consume
     * exactly that). HASH-MATCHED. */
@@ -731,9 +734,18 @@ object TextQueries {
       var words = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       val outs = (1 to BpeTrainK).map { r =>
+        // localCheckpoint pins round r's ONE-ROW winner: without it the
+        // winner subtree re-derives every earlier round inside both the
+        // next rewrite and the final union, and the plan's corpus-scan
+        // count DOUBLES per round (2^k — 31 scans at k=5, observed).
+        // Checkpointing one row is nothing like checkpointing the
+        // corpus-sized words (the measured-slower q160 trade): total
+        // work drops to k sequential passes, round r's pass carrying
+        // r−1 accumulated replaces.
         val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("pair")).limit(1)
+          .localCheckpoint(false)
         val out = top1.select(lit(r).as("round"), col("pair").as("merged_pair"),
           col("c").as("n_occurrences"))
         val m = top1.select(col("pair").as("m"))
