@@ -451,11 +451,18 @@ object TextQueries {
   /** Spark twin of [[bpeChainCtes]]: (m1(m1,c1), m2(m2,c2), m3(m3,c3),
     * w3 — words after the first two merges). */
   private def bpeChain(s: SparkSession, d: String) = {
-    // deliberately NOT checkpointed: each round re-derives the word
-    // list through the codegen'd tokenize+explode scan — measured at
-    // sf0.1, materializing the corpus-sized words frame made q160
-    // SLOWER (2.3 -> 2.6 s) and left q165 flat; the frame is as big as
-    // the text that produces it (q164's lesson, same outcome)
+    // the corpus-sized WORDS frame is deliberately NOT checkpointed:
+    // measured at sf0.1, materializing it made q160 SLOWER (2.3 ->
+    // 2.6 s) and left q165 flat — the frame is as big as the text that
+    // produces it (q164's lesson). The ONE-ROW winners are a different
+    // story (q174's lesson, round 8): unpinned, each winner subtree
+    // re-derives every earlier round inside both the next rewrite and
+    // every consumer, doubling corpus scans per round — pinning m1/m2/m3
+    // cuts q160 from 7 passes to 3 and q165 from ~15 to 4. Measured at
+    // sf0.1 the pin costs ~0.25 s (sequential materialization jobs
+    // under-utilize local[32] where the old single job ran its 7
+    // redundant scans in parallel) — the linear-vs-exponential pass
+    // count is the 100-TB-correct side of that trade.
     val words = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("w"))
     def top1(ws: DataFrame) =
@@ -463,12 +470,15 @@ object TextQueries {
         .groupBy("pair").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
     val m1 = top1(words).select(col("pair").as("m1"), col("c").as("c1"))
+      .localCheckpoint(false)
     val w2 = words.crossJoin(broadcast(m1))
       .select(expr("replace(w, m1, chr(1))").as("w"))
     val m2 = top1(w2).select(col("pair").as("m2"), col("c").as("c2"))
+      .localCheckpoint(false)
     val w3 = w2.crossJoin(broadcast(m2))
       .select(expr("replace(w, m2, chr(2))").as("w"))
     val m3 = top1(w3).select(col("pair").as("m3"), col("c").as("c3"))
+      .localCheckpoint(false)
     (m1, m2, m3, w3)
   }
 
