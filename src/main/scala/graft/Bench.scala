@@ -11,8 +11,13 @@ object Bench {
     val sfOk = txt.contains("\"sf\":" + Json.q(sfDir)) ||
       txt.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\""))
     if (!sfOk) Map.empty
-    else raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // full JSON-number grammar incl. negative exponents: bench.json
+    // values come from Double.toString, which emits E-notation below
+    // 1e-3 ("9.5E-4") — a character class like [0-9.eE+]+ would capture
+    // "9.5E" and blow up toDouble; toDoubleOption guards the rest
+    else raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+      .findAllMatchIn(txt)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,9 +88,16 @@ object Bench {
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
       }
-      latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      // any failure here (unreadable file, weird encoding) must degrade
+      // to "no prev map" — a startup crash in the recheck helper would
+      // kill the whole sweep before a single timing is written
+      try latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
         .map(java.nio.file.Files.readString)
         .map(parsePrevQueries(_, sfDir)).getOrElse(Map.empty)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prev-round map unavailable: $e")
+        Map.empty
+      }
     }
     val mins = firstPass.values.filter(_ >= 0).toSeq.sorted
     val recheckedNames = scala.collection.mutable.ArrayBuffer.empty[String]

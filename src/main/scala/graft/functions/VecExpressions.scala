@@ -185,6 +185,10 @@ object VecIntDotNorms {
     else {
       var dot = 0L; var na = 0L; var nb = 0L; var i = 0
       while (i < n) {
+        // a null element nulls the whole result — the zip_with/aggregate
+        // convention the doc promises (getLong on a null slot would
+        // silently read 0 and produce a concrete wrong struct)
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val a = x.getLong(i); val b = y.getLong(i)
         dot += a * b; na += a * a; nb += b * b; i += 1
       }

@@ -313,9 +313,12 @@ object DedupQueries {
       val h = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
       // doc leaked ⟺ its hash spans ≥2 sources (equivalent to the
-      // oracle's exists-a-partner-in-another-source self-join)
+      // oracle's exists-a-partner-in-another-source self-join). LEFT
+      // join: a NULL-text doc (NULL md5) matches nothing on hh — the
+      // oracle's LEFT JOIN still counts it in n_docs, an inner join
+      // would silently drop it
       val nsrc = h.groupBy("hh").agg(countDistinct(col("source")).as("nsrc"))
-      h.join(nsrc, Seq("hh"))
+      h.join(nsrc, Seq("hh"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("nsrc") >= 2, 1L).otherwise(0L)).as("n_contaminated"))

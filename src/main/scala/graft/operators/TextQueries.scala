@@ -611,9 +611,7 @@ object TextQueries {
     (s, d) => {
       // one row: the ordered merge array + per-sentinel display map
       // (each display = pattern with every earlier sentinel expanded)
-      val mrow = storedBpeMerges(s, d)
-        .agg(sort_array(collect_list(
-          struct(col("round"), col("pat"), col("sent")))).as("ms"))
+      val mrow = bpeMergeRow(s, d)
         .select(col("ms"), expr(
           """aggregate(ms,
             |  cast(array() as array<struct<sent:string,disp:string>>),
@@ -622,7 +620,6 @@ object TextQueries {
             |    'disp', concat('(',
             |      aggregate(acc, m.pat, (a, pd) -> replace(a, pd.sent, pd.disp)),
             |      ')'))))""".stripMargin).as("dmap"))
-        .filter(size(col("ms")) === 3)
       val words = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       val applied = words.crossJoin(broadcast(mrow))
@@ -641,6 +638,16 @@ object TextQueries {
     * built once per corpus by running the q160/q165 3-round chain, read
     * back by every apply-side consumer (q168 tokenization, q173
     * fertility). The artifact IS the shipped tokenizer. */
+  /** The ONE-ROW ordered merge array from the stored artifact, with the
+    * oracle's FROM-driven emptiness convention (zero rows unless all 3
+    * training rounds produced a winner) — shared by every apply-side
+    * consumer so the shipped-tokenizer shape cannot fork. */
+  private def bpeMergeRow(s: SparkSession, d: String): DataFrame =
+    storedBpeMerges(s, d)
+      .agg(sort_array(collect_list(
+        struct(col("round"), col("pat"), col("sent")))).as("ms"))
+      .filter(size(col("ms")) === 3)
+
   private def storedBpeMerges(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
       val (m1, m2, m3, _) = bpeChain(s, d)
@@ -675,10 +682,7 @@ object TextQueries {
       |       round(SUM(len(w)) * 1.0 / count(*), 4) AS fertility
       |FROM wl4 GROUP BY lang""".stripMargin)(
     (s, d) => {
-      val mrow = storedBpeMerges(s, d)
-        .agg(sort_array(collect_list(
-          struct(col("round"), col("pat"), col("sent")))).as("ms"))
-        .filter(size(col("ms")) === 3)
+      val mrow = bpeMergeRow(s, d)
       Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
         .crossJoin(broadcast(mrow))

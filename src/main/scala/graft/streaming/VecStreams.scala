@@ -21,9 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     member at cosine ≥ the threshold emits a (vec, dup_of) candidate
   *     instead of admitting — admit-first, so duplicates never become
   *     members other vectors are compared against (chains collapse
-  *     toward the earliest arrival, [[DocStreams]]' convention; batch
-  *     q170 keys on vec_id instead of arrival, so the two agree exactly
-  *     when arrival order is vec_id order — the spec pins this).
+  *     toward the earliest arrival, [[DocStreams]]' convention). NOTE
+  *     this is deliberately NOT batch q170's rule: q170 drops a vector
+  *     if ANY lower-id close partner exists, admitted or not, so on a
+  *     transitive chain A~B, B~C, A≁C (id order = arrival order) q170
+  *     drops both B and C while admit-first keeps C — the streaming
+  *     semantics are the ingest-gate ones (compare against what the
+  *     corpus actually admitted), and the spec's reference fold pins
+  *     exactly that.
   *
   * The threshold decision is the SAME exact integer predicate as q170 —
   * over 1e-4-quantized coordinates, cos ≥ 7/20 ⟺ dot ≥ 0 ∧
@@ -42,6 +47,14 @@ object VecStreams {
   final case class Member(vec_id: Long, tsMs: Long, qv: Array[Long])
   final case class ClusterMembers(members: List[Member])
   final case class SemDup(vec_id: Long, dup_of: Long, c_id: Int, ts: Timestamp)
+
+  /** 1e-4 quantization matching batch q170 and the DuckDB oracle
+    * bit-for-bit: Spark's `round()` on DOUBLE is BigDecimal HALF_UP
+    * (half away from zero), while `math.round` rounds half toward +∞ —
+    * they disagree on negative half-units (-312.5 → -313 vs -312). */
+  private[streaming] def quantize(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** q170's exact integer threshold predicate (cos ≥ num/den), BigInt so
     * the squares can't wrap. Zero-norm vectors match nothing. */
@@ -96,7 +109,7 @@ object VecStreams {
     val assigned = vecs
       .as[Vec]
       .map { v =>
-        val qv = v.embedding.map(x => math.round(x.toDouble * 10000)).toArray
+        val qv = v.embedding.map(x => quantize(x.toDouble)).toArray
         Assigned(v.vec_id, v.ts, assign(qv, centroids), qv)
       }
       .withWatermark("ts", watermark)

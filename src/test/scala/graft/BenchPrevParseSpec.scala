@@ -28,6 +28,13 @@ class BenchPrevParseSpec extends AnyFunSuite {
     assert(m.keys.forall(!_.contains("\\")), "names must not carry the escape backslash")
   }
 
+  test("E-notation values (Double.toString below 1e-3) parse instead of crashing") {
+    val txt =
+      """{"metric":"total","queries":{"q99_fast":9.5E-4,"q98_big":1.2E2},"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parsePrevQueries(txt, sf) ==
+      Map("q99_fast" -> 9.5e-4, "q98_big" -> 120.0))
+  }
+
   test("a record from a different scale factor is rejected entirely") {
     val txt =
       """{"metric":"total","queries":{"q17_poc_analysis":0.1},"sf":"/root/testdata/sf0.001"}"""

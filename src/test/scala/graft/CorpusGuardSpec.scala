@@ -22,12 +22,14 @@ class CorpusGuardSpec extends SparkSpec {
           "[ \\t\\n\\x0B\\f\\r]+ class before trusting any \\s-based oracle")
     }
 
-    test(s"documents at $sf are BPE-sentinel-free (chr(1)..chr(5))") {
+    test(s"documents at $sf are BPE-sentinel-free (chr(1)..chr(${graft.operators.TextQueries.BpeTrainK}))") {
       // q158/q160/q165/q168 stand a merged symbol in for chr(1)..chr(3)
       // during the rewrite, and q174's k-round trainer extends that to
-      // chr(k)=chr(5) — sound only while no token already has one
+      // chr(BpeTrainK) — bound DERIVED from the constant so bumping k
+      // cannot outrun the guard
       val n = Tables.documents(spark, s"/root/testdata/$sf")
-        .filter((1 to 5).map(c => col("text").contains(c.toChar.toString))
+        .filter((1 to graft.operators.TextQueries.BpeTrainK)
+          .map(c => col("text").contains(c.toChar.toString))
           .reduce(_ || _))
         .count()
       assert(n == 0,

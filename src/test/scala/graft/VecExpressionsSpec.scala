@@ -78,6 +78,16 @@ class VecExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("VecIntDotNorms: a null ELEMENT nulls the result (zip_with convention)") {
+    val idf = Seq(1).toDF("x").select(
+      VecExpressions.intDotNorms(spark,
+        expr("array(1L, CAST(NULL AS BIGINT))"), expr("array(1L, 2L)")).as("st"),
+      expr("aggregate(zip_with(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)," +
+        " (p, q) -> p * q), 0L, (acc, e) -> acc + e)").as("hof"))
+    val r = idf.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("VecIntDotNorms: length mismatch and null input yield NULL") {
     val idf = Seq(
       (Some(Seq(1L, 2L)), Some(Seq(1L, 2L, 3L))),

@@ -24,6 +24,17 @@ class VecStreamsSpec extends SparkSpec {
   private val vB = vec(0.1f, 1.0f)        // cluster 1
   private val orthoA = vec(0.1f, -1.0f)   // cluster assignment cluster0? cos with e1=0.0995 vs e2=-0.995 → cluster 0
 
+  test("quantize matches Spark round() (HALF_UP) on negative half-units") {
+    import org.apache.spark.sql.functions.{col, round}
+    val vals = Seq(-0.03125, 0.03125, -0.00005, 0.00005, 1.23456)
+    val sparkSide = vals.toDF("x")
+      .select(round(col("x") * 10000).cast("long")).collect().map(_.getLong(0))
+    val streamSide = vals.map(VecStreams.quantize)
+    assert(streamSide == sparkSide.toSeq,
+      s"stream $streamSide vs batch ${sparkSide.toSeq} — verdicts would diverge")
+    assert(VecStreams.quantize(-0.03125) == -313L) // math.round would say -312
+  }
+
   test("threshold predicate: clear dup above, orthogonal below, zero-norm never") {
     def q(v: Seq[Float]) = v.map(x => math.round(x.toDouble * 10000)).toArray
     assert(closeEnough(q(vA), q(vAdup), 7, 20))
