@@ -276,10 +276,12 @@ object PlanCheck {
     // q158's exact shape — a bounded top-1 (TakeOrderedAndProject) per
     // round, winners riding 1-row broadcasts, pair counts map-side
     // combined, and never a cartesian product
-    check("q160_bpe_training_rounds", "3 chained merge rounds: one bounded top-1 per round, winners broadcast, no cartesian",
-      p => p.contains("partial_count") &&
-        "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
-        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // since the round-8 winner pin, the per-round top-1s run in their
+    // own materialization jobs — the FINAL plan must read the 3 pinned
+    // 1-row winners (ExistingRDD), not re-derive them (the 2^k hazard)
+    check("q160_bpe_training_rounds", "3 chained rounds: final plan reads pinned winners, no re-derivation, no cartesian",
+      p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
     // (the only SinglePartition is the 1-row n_sources scalar aggregate,
     // which sits above the distinct-source rollup — bounded by design)
     check("q161_source_salient_terms", "class TF-IDF: tf combines map-side; rank window keyed on source",
@@ -294,10 +296,9 @@ object PlanCheck {
     check("q164_dup_ngram_fraction", "gram text collapses to md5 keys before any exchange; counts combine map-side",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
-    check("q165_bpe_apply", "tokenize-with-merges: 3 bounded top-1s + char counts map-side; winners broadcast, no cartesian",
-      p => p.contains("partial_count") &&
-        "TakeOrderedAndProject".r.findAllIn(p).size >= 3 &&
-        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    check("q165_bpe_apply", "apply: ONE live corpus scan (w3 rewrite chain) + pinned winners; char counts map-side",
+      p => p.contains("partial_count") && p.contains("ExistingRDD") &&
+        scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
     check("q166_mixture_temperature", "mixture weights: source counts combine map-side; scalar total broadcast back",
       p => p.contains("partial_count") && !p.contains("CartesianProduct"))
     check("q167_source_quality_profile", "quality pass scan-stage; one map-side-combined source rollup (single scan)",
