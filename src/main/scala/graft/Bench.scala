@@ -79,22 +79,24 @@ object Bench {
     // via SPARK_GRAFT_BENCH_PREV); absent/foreign-sf files disable the
     // trigger rather than mis-firing across scale factors.
     val prevRound: Map[String, Double] = {
-      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      val latest = explicit.orElse {
-        val re = raw"BENCH_r(\d+)\.json".r
-        val dir = new java.io.File(".").listFiles()
-        Option(dir).toSeq.flatten.flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f.getPath))
-          case _ => None
-        }).sortBy(-_._1).headOption.map(_._2)
-      }
-      // any failure here (unreadable file, weird encoding) must degrade
-      // to "no prev map" — a startup crash in the recheck helper would
-      // kill the whole sweep before a single timing is written
-      try latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
-        .map(java.nio.file.Files.readString)
-        .map(parsePrevQueries(_, sfDir)).getOrElse(Map.empty)
-      catch { case e: Throwable =>
+      // the WHOLE lookup — discovery included — must degrade to "no
+      // prev map" on any failure (absurd round number, unreadable file,
+      // weird encoding): a startup crash in the recheck helper would
+      // kill the sweep before a single timing is written
+      try {
+        val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        val latest = explicit.orElse {
+          val re = raw"BENCH_r(\d+)\.json".r
+          val dir = new java.io.File(".").listFiles()
+          Option(dir).toSeq.flatten.flatMap(f => f.getName match {
+            case re(n) => n.toIntOption.map((_, f.getPath))
+            case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+        }
+        latest.map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+          .map(java.nio.file.Files.readString)
+          .map(parsePrevQueries(_, sfDir)).getOrElse(Map.empty)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] prev-round map unavailable: $e")
         Map.empty
       }

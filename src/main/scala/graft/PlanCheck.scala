@@ -269,6 +269,12 @@ object PlanCheck {
       noGlobalFactWindow)
     check("q156_bpe_pair_stats", "pair counts combine map-side; top-50 via TakeOrderedAndProject (no global sort)",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    // q158 is ALSO the per-round plan proof for q160/q165/q174: since
+    // the winner pin, their top-1 subtrees run inside localCheckpoint
+    // materialization jobs the final plan no longer shows — q158's
+    // un-pinned single round is the same top1()+rewrite code path, so a
+    // regression inside the round (lost partial agg, cartesian rewrite)
+    // fails HERE even though the pinned queries' checks can't see it
     check("q158_bpe_merge_round", "merge round: winning pair broadcast into the rewrite; counts combine map-side; bounded top-k",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -634,10 +634,6 @@ object TextQueries {
         .orderBy(col("n_occurrences").desc, col("token")).limit(20)
     })
 
-  /** The trained merge TABLE as a stored artifact (round, pat, sent) —
-    * built once per corpus by running the q160/q165 3-round chain, read
-    * back by every apply-side consumer (q168 tokenization, q173
-    * fertility). The artifact IS the shipped tokenizer. */
   /** The ONE-ROW ordered merge array from the stored artifact, with the
     * oracle's FROM-driven emptiness convention (zero rows unless all 3
     * training rounds produced a winner) — shared by every apply-side
@@ -648,6 +644,10 @@ object TextQueries {
         struct(col("round"), col("pat"), col("sent")))).as("ms"))
       .filter(size(col("ms")) === 3)
 
+  /** The trained merge TABLE as a stored artifact (round, pat, sent) —
+    * built once per corpus by running the q160/q165 3-round chain, read
+    * back by every apply-side consumer (q168 tokenization, q173
+    * fertility). The artifact IS the shipped tokenizer. */
   private def storedBpeMerges(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
       val (m1, m2, m3, _) = bpeChain(s, d)

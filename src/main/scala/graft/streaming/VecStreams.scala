@@ -52,9 +52,18 @@ object VecStreams {
     * bit-for-bit: Spark's `round()` on DOUBLE is BigDecimal HALF_UP
     * (half away from zero), while `math.round` rounds half toward +∞ —
     * they disagree on negative half-units (-312.5 → -313 vs -312). */
-  private[streaming] def quantize(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 10000)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  private[streaming] def quantize(x: Double): Long = {
+    val v = x * 10000
+    // non-finite / out-of-range degrade exactly like the batch path's
+    // cast(round(v) as long): NaN -> 0, ±Inf and overflow clamp — a bad
+    // embedding must not crash the stream (BigDecimal.valueOf throws on
+    // NaN; longValueExact throws on overflow)
+    if (v.isNaN) 0L
+    else if (v >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (v <= Long.MinValue.toDouble) Long.MinValue
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   /** q170's exact integer threshold predicate (cos ≥ num/den), BigInt so
     * the squares can't wrap. Zero-norm vectors match nothing. */
