@@ -4,20 +4,26 @@ object Bench {
     * the >1.5×-previous-round stall-recheck trigger. Accepts BOTH wire
     * shapes: a plain `bench.json` line, and the driver's `BENCH_r*.json`
     * which wraps that line ESCAPED inside a "tail" string
-    * (`\"q17_poc_analysis\":0.709`). Returns empty unless the record's
-    * sf matches this run — a prev map from a different scale factor
-    * would mis-fire on every query. Unit-tested (BenchPrevParseSpec). */
+    * (`\"q17_poc_analysis\":0.709`). Records are matched PER LINE: a
+    * file holding records for several scale factors (e.g. a bench.json
+    * appended across sf runs) contributes only the lines whose own sf
+    * matches this run — a whole-file sf gate would harvest every
+    * q*:number pair in the file once ANY record matched, mixing foreign
+    * -sf timings into the 1.5× recheck map. (Both wire shapes are
+    * single-line JSON records, so line = record.) Unit-tested
+    * (BenchPrevParseSpec). */
   private[graft] def parsePrevQueries(txt: String, sfDir: String): Map[String, Double] = {
-    val sfOk = txt.contains("\"sf\":" + Json.q(sfDir)) ||
-      txt.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\""))
-    if (!sfOk) Map.empty
     // full JSON-number grammar incl. negative exponents: bench.json
     // values come from Double.toString, which emits E-notation below
     // 1e-3 ("9.5E-4") — a character class like [0-9.eE+]+ would capture
     // "9.5E" and blow up toDouble; toDoubleOption guards the rest
-    else raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
-      .findAllMatchIn(txt)
-      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    val numRe =
+      raw"""(q[0-9][A-Za-z0-9_]*)\\?":(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+    txt.linesIterator.filter { line =>
+      line.contains("\"sf\":" + Json.q(sfDir)) ||
+        line.contains("\\\"sf\\\":" + Json.q(sfDir).replace("\"", "\\\""))
+    }.flatMap(line => numRe.findAllMatchIn(line)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))).toMap
   }
 
   def main(args: Array[String]): Unit = {

@@ -312,16 +312,21 @@ object DedupQueries {
     (s, d) => {
       val h = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), md5(col("text")).as("hh"))
-      // doc leaked ⟺ its hash spans ≥2 sources (equivalent to the
-      // oracle's exists-a-partner-in-another-source self-join). LEFT
-      // join: a NULL-text doc (NULL md5) matches nothing on hh — the
-      // oracle's LEFT JOIN still counts it in n_docs, an inner join
-      // would silently drop it
+      // doc leaked ⟺ its OWN source is non-null AND its hash spans ≥2
+      // distinct non-null sources (equivalent to the oracle's
+      // exists-a-partner-in-another-source self-join: `a.source <>
+      // b.source` is NULL-strict, so a NULL-source doc never joins and
+      // a NULL-source partner never counts — countDistinct already
+      // ignores NULL sources, and the isNotNull guard below matches the
+      // a-side strictness). LEFT join: a NULL-text doc (NULL md5)
+      // matches nothing on hh — the oracle's LEFT JOIN still counts it
+      // in n_docs, an inner join would silently drop it
       val nsrc = h.groupBy("hh").agg(countDistinct(col("source")).as("nsrc"))
       h.join(nsrc, Seq("hh"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("nsrc") >= 2, 1L).otherwise(0L)).as("n_contaminated"))
+          sum(when(col("source").isNotNull && col("nsrc") >= 2, 1L)
+            .otherwise(0L)).as("n_contaminated"))
     })
 
   // --- Engine-portable MinHash-LSH (q99) -------------------------------

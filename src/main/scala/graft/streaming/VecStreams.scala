@@ -66,32 +66,67 @@ object VecStreams {
   }
 
   /** q170's exact integer threshold predicate (cos ≥ num/den), BigInt so
-    * the squares can't wrap. Zero-norm vectors match nothing. */
+    * the squares can't wrap. Zero-norm vectors match nothing; a
+    * dimension MISMATCH matches nothing (the batch kernel VecIntDotNorms
+    * nulls on it — a malformed embedding must not crash the stream).
+    * Accumulation: Long on the fast path, promoted to BigInt when any
+    * coordinate's square could wrap the Long sums (quantize clamps
+    * non-finite inputs to ±Long.MaxValue, whose square alone wraps —
+    * without the promotion such a degraded vector's keep/drop verdict
+    * would be arbitrary wrapped garbage instead of the exact answer for
+    * the clamped values). */
   private[streaming] def closeEnough(a: Array[Long], b: Array[Long],
       num: Int, den: Int): Boolean = {
-    var dot = 0L; var n2a = 0L; var n2b = 0L
+    if (a.length != b.length || a.length == 0) return false
+    // |x| ≤ safe ⟹ Σ x² over a.length terms fits a Long
+    val safe = math.sqrt(Long.MaxValue.toDouble / a.length).toLong - 1
+    var big = false
     var i = 0
-    while (i < a.length) {
-      dot += a(i) * b(i); n2a += a(i) * a(i); n2b += b(i) * b(i); i += 1
+    while (i < a.length && !big) {
+      if (a(i) > safe || a(i) < -safe || b(i) > safe || b(i) < -safe) big = true
+      i += 1
     }
-    n2a > 0 && n2b > 0 && dot >= 0 &&
-      BigInt(dot) * den * (BigInt(dot) * den) >=
-        BigInt(num) * num * (BigInt(n2a) * n2b)
+    if (big) {
+      var dot = BigInt(0); var n2a = BigInt(0); var n2b = BigInt(0)
+      i = 0
+      while (i < a.length) {
+        val x = BigInt(a(i)); val y = BigInt(b(i))
+        dot += x * y; n2a += x * x; n2b += y * y; i += 1
+      }
+      n2a > 0 && n2b > 0 && dot >= 0 &&
+        (dot * den) * (dot * den) >= BigInt(num) * num * (n2a * n2b)
+    } else {
+      var dot = 0L; var n2a = 0L; var n2b = 0L
+      i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); n2a += a(i) * a(i); n2b += b(i) * b(i); i += 1
+      }
+      n2a > 0 && n2b > 0 && dot >= 0 &&
+        BigInt(dot) * den * (BigInt(dot) * den) >=
+          BigInt(num) * num * (BigInt(n2a) * n2b)
+    }
   }
 
   /** Nearest-centroid assignment, double cosine with ties toward the
-    * larger c_id — the batch trainer/q170 argmax convention. */
+    * larger c_id — the batch trainer/q170 argmax convention. Centroids
+    * whose dimension differs from the vector's are SKIPPED (a malformed
+    * vector lands in the all-skipped sentinel cluster Int.MinValue
+    * instead of killing the stream with an index-out-of-bounds — and
+    * can never emit a dup candidate there, since closeEnough also
+    * rejects mismatched dims). */
   private[streaming] def assign(qv: Array[Long],
       cents: Array[(Int, Array[Long])]): Int = {
     var bestId = Int.MinValue
     var bestCos = Double.NegativeInfinity
     val n2 = math.sqrt(qv.map(x => x.toDouble * x).sum)
     cents.foreach { case (cId, c) =>
-      val dot = qv.indices.map(i => qv(i).toDouble * c(i)).sum
-      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-      val cos = if (n2 == 0 || cn == 0) -1.0 else dot / (n2 * cn)
-      if (cos > bestCos || (cos == bestCos && cId > bestId)) {
-        bestCos = cos; bestId = cId
+      if (c.length == qv.length) {
+        val dot = qv.indices.map(i => qv(i).toDouble * c(i)).sum
+        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        val cos = if (n2 == 0 || cn == 0) -1.0 else dot / (n2 * cn)
+        if (cos > bestCos || (cos == bestCos && cId > bestId)) {
+          bestCos = cos; bestId = cId
+        }
       }
     }
     bestId

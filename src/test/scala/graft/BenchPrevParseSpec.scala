@@ -41,6 +41,15 @@ class BenchPrevParseSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueries(txt, sf).isEmpty)
   }
 
+  test("a multi-record file keeps only the matching-sf line's timings") {
+    val txt =
+      """{"metric":"total","queries":{"q17_poc_analysis":0.01,"q99_only_small":0.02},"sf":"/root/testdata/sf0.001"}
+        |{"metric":"total","queries":{"q17_poc_analysis":0.732},"sf":"/root/testdata/sf0.1"}""".stripMargin
+    val m = Bench.parsePrevQueries(txt, sf)
+    assert(m == Map("q17_poc_analysis" -> 0.732),
+      "foreign-sf lines must not leak their timings into the map")
+  }
+
   test("the real driver BENCH_r07.json parses (if present)") {
     val p = java.nio.file.Paths.get("/root/repo/BENCH_r07.json")
     assume(java.nio.file.Files.exists(p))

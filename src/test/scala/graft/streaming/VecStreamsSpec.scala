@@ -42,6 +42,45 @@ class VecStreamsSpec extends SparkSpec {
     assert(!closeEnough(q(vec()), q(vA), 7, 20), "zero-norm matched")
   }
 
+  test("dimension mismatch matches nothing and assigns to the sentinel cluster — never throws") {
+    def q(v: Seq[Float]) = v.map(x => math.round(x.toDouble * 10000)).toArray
+    val short = Array(10000L, 500L) // 2 dims vs the 8-dim members/centroids
+    assert(!closeEnough(short, q(vA), 7, 20))
+    assert(!closeEnough(q(vA), short, 7, 20))
+    assert(assign(short, cents) == Int.MinValue, "all centroids skipped")
+    assert(assign(q(vA), cents) == 0, "well-formed assignment unchanged")
+  }
+
+  test("clamped non-finite coordinates promote to BigInt — verdict is exact, not wrapped") {
+    // quantize(Inf) clamps to Long.MaxValue, whose square wraps a Long;
+    // identical degraded vectors have cosine exactly 1 and MUST match,
+    // while a degraded vs a normal vector is decided by the exact math
+    val degraded = Array(Long.MaxValue, Long.MaxValue, 0L)
+    assert(quantize(Double.PositiveInfinity) == Long.MaxValue)
+    assert(quantize(Double.NaN) == 0L)
+    assert(closeEnough(degraded, degraded, 7, 20),
+      "identical degraded vectors are cos=1 — the wrapped-Long form got this wrong")
+    val ortho = Array(0L, 0L, 10000L)
+    assert(!closeEnough(degraded, ortho, 7, 20))
+  }
+
+  test("a wrong-dimension vector flows through the stream without killing it") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Vec]
+    val q = VecStreams.semanticDupCandidates(ms.toDF(), cents)
+      .writeStream.format("memory").queryName("vdbad").outputMode("append").start()
+    try {
+      ms.addData(
+        Vec(1, t("2024-01-01 10:00:00"), vA),
+        Vec(2, t("2024-01-01 10:00:10"), Seq(1.0f)), // 1 dim vs 8-dim centroids
+        Vec(3, t("2024-01-01 10:00:20"), vAdup))
+      q.processAllAvailable() // pre-guard this threw AIOOBE and killed the query
+      val out = spark.table("vdbad").as[SemDup].collect().toSeq
+      assert(out == Seq(SemDup(3, 1, 0, t("2024-01-01 10:00:20"))),
+        s"well-formed dup detection must survive the malformed row: $out")
+    } finally q.stop()
+  }
+
   test("a later semantic near-dup is flagged against the earliest member; cross-cluster never compares") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Vec]
