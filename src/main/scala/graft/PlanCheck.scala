@@ -159,6 +159,11 @@ object PlanCheck {
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     check("q121_dpp_join", "runtime month set prunes fact partitions (DPP subquery)",
       p => p.toLowerCase.contains("dynamicpruning"))
+    // the month predicate must land in the scan's PartitionFilters line
+    // (directory pruning on the stored layout), never as a data filter
+    check("q29_partitioned_scan", "stored-layout read: month range prunes partitions (PartitionFilters)",
+      p => p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("ship_month")))
     check("q122_tfidf_top_terms", "df frame broadcasts back into tf (no SortMergeJoin)",
       p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     check("q123_unigram_lm_score", "LM build/score: every agg combines map-side",

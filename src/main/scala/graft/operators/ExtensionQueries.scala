@@ -96,12 +96,14 @@ object ExtensionQueries {
         lead(col("o_orderkey"), 1).over(w).as("next_ok"))
     })
 
-  /** Partition-pruned layout round-trip: write lineitem partitioned by
-    * ship month (a bounded directory count — day-level would mean
-    * thousands of dirs for this date range; granularity is a layout
-    * decision), read back with a partition filter, aggregate. The oracle
-    * runs the same filter on the raw table — layout must not change
-    * results, only the bytes read (PartitionFilters in the plan).
+  /** Partition-pruned aggregate over the STORED ship-month layout
+    * ([[graft.sources.Layout.partitionedLineitem]] — an ArtifactStore
+    * artifact built once per corpus, the store-don't-recompute rule):
+    * the query — and the bench — pay the pruned read only; the write
+    * path is LayoutSpec's. The partition filter must land as the scan's
+    * PartitionFilters (directory pruning, PlanCheck-asserted), and the
+    * oracle runs the same filter on the raw table — layout must never
+    * change results, only the bytes read.
     */
   val q29 = QueryDef.oracle("q29_partitioned_scan",
     """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
@@ -110,18 +112,11 @@ object ExtensionQueries {
       |FROM lineitem
       |WHERE CAST(date_trunc('month', l_shipdate) AS DATE) >= DATE '1998-01-01'
       |GROUP BY 1""".stripMargin)(
-    (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-q29").toString + "/li"
-      graft.sources.Layout.writePartitioned(
-        Tables.lineitem(s, d)
-          .withColumn("ship_month", trunc(col("l_shipdate"), "month")),
-        out, Seq("ship_month"))
-      s.read.parquet(out)
-        .filter(col("ship_month") >= lit("1998-01-01").cast("date"))
-        .groupBy("ship_month")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
-    })
+    (s, d) => graft.sources.Layout.partitionedLineitem(s, d)
+      .filter(col("ship_month") >= lit("1998-01-01").cast("date"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents")))
 
   /** GROUPING SETS (§2.9 — rollup q19 / cube q20 cover the fixed
     * lattices; this is the explicit-set form): three chosen sets in one

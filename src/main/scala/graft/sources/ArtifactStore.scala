@@ -89,6 +89,27 @@ object ArtifactStore {
       s.table(t)
     }
 
+  /** Hive-partitioned artifact — for layouts consumed by partition-
+    * PRUNED scans (the ship-month lineitem of q29/q121): the build
+    * shuffles rows onto the partition key first (file count = partition
+    * -value count, not tasks × values), and the table registers as a
+    * partitioned datasource table, so a reader's filter on the
+    * partition column becomes the scan's PartitionFilters — directory
+    * pruning before any data is read. The layout is a pure function of
+    * the corpus: production writes it at ingest and every query reads
+    * it back; re-writing it per query is a cost nothing should pay
+    * (q29 used to — the write belongs here, the read in the query). */
+  def partitioned(s: SparkSession, key: String, name: String,
+      partCols: Seq[String])(build: => DataFrame): DataFrame = synchronized {
+    val t = tableName(name, key)
+    if (!s.catalog.tableExists(t)) {
+      build.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .format("parquet").option("path", s"${ssDir(s)}/$t").saveAsTable(t)
+    }
+    s.table(t)
+  }
+
   /** Day-2 increment: append a new batch into an existing bucketed
     * artifact. Spark routes appended rows into their buckets (more
     * files per bucket), so the layout — and the exchange-free join
