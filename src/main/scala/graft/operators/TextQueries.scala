@@ -340,6 +340,15 @@ object TextQueries {
       transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Training depth of the SHIPPED tokenizer: the k-round trainer
+    * (q174), the stored `bpe_merges` artifact, and its apply-side
+    * consumers (q168 tokenization, q173 fertility) all derive from this
+    * one constant — bumping it deepens the whole chain together
+    * (CorpusGuardSpec's sentinel bound follows it too). Declared ahead
+    * of the query vals because their oracle SQL is GENERATED from it at
+    * object init, and a forward-referenced val would silently read 0. */
+  val BpeTrainK = 5
+
   /** The shared words + round-1-pairs CTE prefix of the BPE oracles. */
   private val bpePairCtes: String =
     """WITH toks AS (
@@ -586,28 +595,16 @@ object TextQueries {
     *    order stops mattering.
     *
     * Same output contract as q165 (top-20 tokens, bracketed readable
-    * forms) and the SAME oracle SQL — the trainer chain and the fold
-    * apply cannot disagree without a hash mismatch. The `size(ms) = 3`
-    * guard mirrors the oracle's FROM m1×d2×d3 emptiness convention on
-    * degenerate corpora. PlanCheck pins the one-scan apply plan.
-    * HASH-MATCHED.
+    * forms) at depth k = [[BpeTrainK]] — the oracle is GENERATED
+    * unrolled CTEs ([[bpeApplyCtesK]]) replaying the k-round trainer
+    * plus the fold application, so the trainer that ships the artifact
+    * and the fold apply cannot disagree without a hash mismatch. The
+    * `size(ms) = BpeTrainK` guard mirrors the oracle's FROM-every-
+    * display emptiness convention on degenerate corpora. PlanCheck pins
+    * the one-scan apply plan. HASH-MATCHED.
     */
-  val q168 = QueryDef.oracle("q168_bpe_fold_apply", // oracle: q165's chain verbatim
-    s"""$bpeChainCtes,
-      |w4 AS (SELECT replace(w3.w, m3.pair, chr(3)) AS w FROM w3, m3),
-      |d3 AS (SELECT replace(replace(m3.pair, chr(2), '(' || d2.d || ')'),
-      |                      chr(1), '(' || m1.pair || ')') AS d
-      |       FROM m3, d2, m1),
-      |ch AS (SELECT unnest(string_split(w, '')) AS tok FROM w4),
-      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
-      |SELECT replace(replace(replace(tc.tok,
-      |         chr(3), '(' || d3.d || ')'),
-      |         chr(2), '(' || d2.d || ')'),
-      |         chr(1), '(' || m1.pair || ')') AS token,
-      |       tc.n AS n_occurrences
-      |FROM tc, d3, d2, m1
-      |ORDER BY n_occurrences DESC, token
-      |LIMIT 20""".stripMargin)(
+  val q168 = QueryDef.oracle("q168_bpe_fold_apply",
+    bpeApplyCtesK(BpeTrainK))(
     (s, d) => {
       // one row: the ordered merge array + per-sentinel display map
       // (each display = pattern with every earlier sentinel expanded)
@@ -635,52 +632,43 @@ object TextQueries {
     })
 
   /** The ONE-ROW ordered merge array from the stored artifact, with the
-    * oracle's FROM-driven emptiness convention (zero rows unless all 3
-    * training rounds produced a winner) — shared by every apply-side
-    * consumer so the shipped-tokenizer shape cannot fork. */
+    * oracle's FROM-driven emptiness convention (zero rows unless all
+    * [[BpeTrainK]] training rounds produced a winner) — shared by every
+    * apply-side consumer so the shipped-tokenizer shape cannot fork. */
   private def bpeMergeRow(s: SparkSession, d: String): DataFrame =
     storedBpeMerges(s, d)
       .agg(sort_array(collect_list(
         struct(col("round"), col("pat"), col("sent")))).as("ms"))
-      .filter(size(col("ms")) === 3)
+      .filter(size(col("ms")) === BpeTrainK)
 
   /** The trained merge TABLE as a stored artifact (round, pat, sent) —
-    * built once per corpus by running the q160/q165 3-round chain, read
-    * back by every apply-side consumer (q168 tokenization, q173
-    * fertility). The artifact IS the shipped tokenizer. */
+    * built once per corpus by the k-round trainer at k = [[BpeTrainK]]
+    * ([[bpeTrainWinners]], the exact loop q174 proves), read back by
+    * every apply-side consumer (q168 tokenization, q173 fertility). The
+    * artifact IS the shipped tokenizer — and it is the DEEPEST chain
+    * trained, not a shallower sibling. */
   private def storedBpeMerges(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.table(s, d, "bpe_merges") {
-      val (m1, m2, m3, _) = bpeChain(s, d)
-      m1.select(lit(1).as("round"), col("m1").as("pat"), lit("\u0001").as("sent"))
-        .unionByName(m2.select(lit(2).as("round"), col("m2").as("pat"),
-          lit("\u0002").as("sent")))
-        .unionByName(m3.select(lit(3).as("round"), col("m3").as("pat"),
-          lit("\u0003").as("sent")))
+      bpeTrainWinners(s, d, BpeTrainK)
+        .map(_.select(col("round"), col("pat"),
+          expr("chr(round)").as("sent")))
+        .reduce(_.unionByName(_))
     }
 
   /** Tokenizer FERTILITY by language — the multilingual-equity metric a
     * tokenizer eval reports (tokens per word; a language with high
     * fertility pays more sequence length for the same text): apply the
-    * trained merges (the `bpe_merges` artifact — q168's fold, second
-    * consumer) to every word, count post-merge characters (each = one
-    * token, q165's convention) per language. Exactness: integer word
-    * and token counts; fertility is one IEEE division rounded 4dp.
-    * Scale: ONE corpus scan (the fold applies all k merges in-expression)
-    * + a |langs|-bounded map-side-combined rollup; the oracle replays
-    * training + per-word application verbatim from the shared chain.
-    * HASH-MATCHED. */
+    * trained merges (the `bpe_merges` artifact — the k-round trainer's
+    * output at k = [[BpeTrainK]], q168's fold, second consumer) to
+    * every word, count post-merge characters (each = one token, q165's
+    * convention) per language. Exactness: integer word and token
+    * counts; fertility is one IEEE division rounded 4dp. Scale: ONE
+    * corpus scan (the fold applies all k merges in-expression) + a
+    * |langs|-bounded map-side-combined rollup; the oracle is GENERATED
+    * unrolled CTEs replaying training + per-word application at the
+    * same depth ([[bpeFertilityCtesK]]). HASH-MATCHED. */
   val q173 = QueryDef.oracle("q173_tokenizer_fertility",
-    s"""$bpeChainCtes,
-      |wl AS (SELECT lang, unnest(list_filter(
-      |         regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
-      |       FROM documents),
-      |wl2 AS (SELECT lang, replace(w, (SELECT pair FROM m1), chr(1)) AS w FROM wl),
-      |wl3 AS (SELECT lang, replace(w, (SELECT pair FROM m2), chr(2)) AS w FROM wl2),
-      |wl4 AS (SELECT lang, replace(wl3.w, m3.pair, chr(3)) AS w FROM wl3, m3)
-      |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
-      |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
-      |       round(SUM(len(w)) * 1.0 / count(*), 4) AS fertility
-      |FROM wl4 GROUP BY lang""".stripMargin)(
+    bpeFertilityCtesK(BpeTrainK))(
     (s, d) => {
       val mrow = bpeMergeRow(s, d)
       Tables.documents(s, d)
@@ -698,7 +686,7 @@ object TextQueries {
     * [[SimilarityQueries]] oracle generator) — round r counts adjacent
     * pairs over the current words, takes the (count DESC, pair) argmax,
     * and rewrites with sentinel chr(r). */
-  private def bpeTrainCtesK(k: Int): String = {
+  private[graft] def bpeTrainCtesK(k: Int): String = {
     val rounds = (1 to k).map { r =>
       val src = if (r == 1) "p" else s"p$r"
       val wSrc = if (r == 1) "w" else s"w$r"
@@ -714,7 +702,79 @@ object TextQueries {
     s"$bpePairCtes,\n" + rounds.mkString(",\n")
   }
 
-  val BpeTrainK = 5
+  /** Generated APPLY-side oracle for the k-round chain (q168's
+    * contract at depth k): the trained words get round k's rewrite too,
+    * each winner's DISPLAY expands its earlier sentinels to bracketed
+    * readable forms (displays are sentinel-free by induction, so
+    * replacement order stops mattering), and tokens = characters of the
+    * fully rewritten words. FROM-driven off every display — zero rows
+    * unless all k rounds produced a winner, mirroring the engine's
+    * size(ms) = k guard. */
+  private[graft] def bpeApplyCtesK(k: Int): String = {
+    val wSrc = if (k == 1) "w" else s"w$k"
+    val disp = (1 to k).map { r =>
+      if (r == 1) "d1 AS (SELECT pair AS d FROM mr1)"
+      else {
+        val expanded = (r - 1 to 1 by -1).foldLeft(s"mr$r.pair") { (acc, j) =>
+          s"replace($acc, chr($j), '(' || d$j.d || ')')"
+        }
+        s"d$r AS (SELECT $expanded AS d FROM mr$r, " +
+          (r - 1 to 1 by -1).map(j => s"d$j").mkString(", ") + ")"
+      }
+    }.mkString(",\n")
+    val tokenExpr = (k to 1 by -1).foldLeft("tc.tok") { (acc, r) =>
+      s"replace($acc, chr($r), '(' || d$r.d || ')')"
+    }
+    s"""${bpeTrainCtesK(k)},
+       |wA AS (SELECT replace(w, (SELECT pair FROM mr$k), chr($k)) AS w FROM $wSrc),
+       |$disp,
+       |ch AS (SELECT unnest(string_split(w, '')) AS tok FROM wA),
+       |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1)
+       |SELECT $tokenExpr AS token, tc.n AS n_occurrences
+       |FROM tc, ${(k to 1 by -1).map(r => s"d$r").mkString(", ")}
+       |ORDER BY n_occurrences DESC, token
+       |LIMIT 20""".stripMargin
+  }
+
+  /** Generated FERTILITY oracle for the k-round chain (q173's contract
+    * at depth k): per-language word stream through all k rewrites (each
+    * FROM-driven off its 1-row winner), then tokens-per-word. */
+  private[graft] def bpeFertilityCtesK(k: Int): String = {
+    val rewrites = (1 to k).map { r =>
+      val src = if (r == 1) "wl" else s"wl${r - 1}"
+      s"wl$r AS (SELECT lang, replace($src.w, mr$r.pair, chr($r)) AS w FROM $src, mr$r)"
+    }.mkString(",\n")
+    s"""${bpeTrainCtesK(k)},
+       |wl AS (SELECT lang, unnest(list_filter(
+       |         regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+       |       FROM documents),
+       |$rewrites
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+       |       round(SUM(len(w)) * 1.0 / count(*), 4) AS fertility
+       |FROM wl$k GROUP BY lang""".stripMargin
+  }
+
+  /** The k-round trainer loop shared by q174 and the `bpe_merges`
+    * artifact build — ONE source of what the shipped tokenizer learned:
+    * per round, a corpus-wide pair count, the (count DESC, pair) argmax
+    * pinned as a 1-row localCheckpoint (the linear-passes shape — see
+    * q174's Scaladoc for the 2^k hazard the pin removes), and the
+    * rewrite folded into the running words. Returns the pinned winners
+    * as (round, pat, c) frames in round order. */
+  private def bpeTrainWinners(s: SparkSession, d: String, k: Int): Seq[DataFrame] = {
+    var words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+    (1 to k).map { r =>
+      val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .localCheckpoint(false)
+      words = words.crossJoin(broadcast(top1.select(col("pair").as("m"))))
+        .select(expr(s"replace(w, m, chr($r))").as("w"))
+      top1.select(lit(r).as("round"), col("pair").as("pat"), col("c"))
+    }
+  }
 
   /** k-ROUND BPE training (k = 5) — the proof that the q158/q160 merge
     * round composes into an arbitrary-depth training loop, not just the
@@ -744,31 +804,14 @@ object TextQueries {
     s"""${bpeTrainCtesK(BpeTrainK)}
        |SELECT * FROM ($branches)
        |ORDER BY round""".stripMargin})(
-    (s, d) => {
-      var words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-      val outs = (1 to BpeTrainK).map { r =>
-        // localCheckpoint pins round r's ONE-ROW winner: without it the
-        // winner subtree re-derives every earlier round inside both the
-        // next rewrite and the final union, and the plan's corpus-scan
-        // count DOUBLES per round (2^k — 31 scans at k=5, observed).
-        // Checkpointing one row is nothing like checkpointing the
-        // corpus-sized words (the measured-slower q160 trade): total
-        // work drops to k sequential passes, round r's pass carrying
-        // r−1 accumulated replaces.
-        val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("pair")).limit(1)
-          .localCheckpoint(false)
-        val out = top1.select(lit(r).as("round"), col("pair").as("merged_pair"),
-          col("c").as("n_occurrences"))
-        val m = top1.select(col("pair").as("m"))
-        words = words.crossJoin(broadcast(m))
-          .select(expr(s"replace(w, m, chr($r))").as("w"))
-        out
-      }
-      outs.reduce(_.unionByName(_)).orderBy("round")
-    })
+    (s, d) =>
+      // the pinned-winner loop lives in [[bpeTrainWinners]], shared with
+      // the `bpe_merges` artifact build — the trainer q174 proves IS the
+      // trainer that ships
+      bpeTrainWinners(s, d, BpeTrainK)
+        .map(_.select(col("round"), col("pat").as("merged_pair"),
+          col("c").as("n_occurrences")))
+        .reduce(_.unionByName(_)).orderBy("round"))
 
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,

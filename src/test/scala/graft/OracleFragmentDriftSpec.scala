@@ -98,10 +98,22 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.TextQueries.bpeChainCtes
       val consumers = sqlByName.filter(_._2.contains("m1 AS (SELECT pair"))
       consumers.keySet shouldBe Set(
-        "q160_bpe_training_rounds", "q165_bpe_apply", "q168_bpe_fold_apply",
-        "q173_tokenizer_fertility")
+        "q160_bpe_training_rounds", "q165_bpe_apply")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the learned-merge definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every shipped-tokenizer consumer embeds the GENERATED k-round chain at k = BpeTrainK verbatim") {
+      val frag = graft.operators.TextQueries.bpeTrainCtesK(
+        graft.operators.TextQueries.BpeTrainK)
+      val consumers = sqlByName.filter(_._2.contains("mr1 AS (SELECT pair"))
+      consumers.keySet shouldBe Set(
+        "q174_bpe_train_k", "q168_bpe_fold_apply", "q173_tokenizer_fertility")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the shipped-tokenizer chain (or trains a different depth): ") {
           sql.contains(frag) shouldBe true
         }
       }
