@@ -242,9 +242,8 @@ object PlanCheck {
     // is a bucketed scan of the persisted (band, digest, idx_id) table —
     // pre-partitioned on the join keys, so NO Exchange below the join on
     // that side (the batch side shuffles into the bucket layout). The
-    // join is audited on its own DataFrame: q148 localCheckpoints the
-    // candidate set, which hides the join behind an RDDScan in the
-    // final plan.
+    // join is audited on its own DataFrame for a clean predicate — in
+    // q148's final plan it sits inside a BroadcastExchange build subtree.
     locally {
       val what = "index side of the banding join is the stored bucketed scan (no Exchange)"
       val ok = try {
