@@ -306,6 +306,28 @@ object PlanCheck {
     check("q164_dup_ngram_fraction", "gram text collapses to md5 keys before any exchange; counts combine map-side",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
+      p => scans(p, "documents") == 1 && !p.contains("Exchange"))
+    check("q175_repeated_spans", "span pass: md5 keys before exchange, map-side partials, no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    // the island window must be doc-keyed, and the island + per-doc aggs
+    // must REUSE its hashpartitioning(doc_id) — exactly one exchange at
+    // and above the window (the subset-satisfied ClusteredDistribution
+    // claim in the q175 scaladoc, made mechanical)
+    checkTree("q175_repeated_spans", "island window doc-keyed; both aggs above it reuse its partitioning",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        // (a) every window is keyed; (b) no shuffle sits ABOVE a window —
+        // i.e. the island agg and the per-doc agg consume the window's
+        // hashpartitioning(doc_id) directly, adding no exchange
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty) && !p.exists {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.exists { case _: org.apache.spark.sql.execution.window.WindowExec => true
+                       case _ => false }
+          case _ => false
+        }
+      })
     check("q165_bpe_apply", "apply: ONE live corpus scan (w3 rewrite chain) + pinned winners; char counts map-side",
       p => p.contains("partial_count") && p.contains("ExistingRDD") &&
         scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
@@ -349,7 +371,10 @@ object PlanCheck {
         "q157_boilerplate_prefix", "q158_bpe_merge_round", "q159_source_overlap_matrix",
         "q160_bpe_training_rounds", "q161_source_salient_terms", "q162_curation_pipeline",
         "q163_label_centroid_overlap", "q164_dup_ngram_fraction", "q165_bpe_apply",
-        "q166_mixture_temperature", "q167_source_quality_profile")
+        "q166_mixture_temperature", "q167_source_quality_profile",
+        "q168_bpe_fold_apply", "q169_dsir_importance", "q170_semantic_dedup",
+        "q171_gopher_rules", "q172_ccnet_buckets", "q173_tokenizer_fertility",
+        "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

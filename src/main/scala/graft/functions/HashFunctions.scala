@@ -55,6 +55,8 @@ object HashFunctions {
     ("portable_simhash", classOf[PortableSimHash].getName,
       exprs => PortableSimHash(exprs.head,
         intArg("portable_simhash", exprs, 1), intArg("portable_simhash", exprs, 2))),
+    ("pii_scrub", classOf[PiiScrub].getName,
+      exprs => PiiScrub(exprs.head)),
     ("topk_agg", classOf[TopKNative].getName,
       exprs => {
         require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
@@ -117,6 +119,13 @@ object HashFunctions {
     * into a single evaluation under whole-stage codegen. */
   def textStatsNative(text: Column): Column =
     native("text_stats", text)
+
+  /** Fused PII detect + redact (Column form of [[PiiScrub]]):
+    * struct<n_emails:int, n_phones:int, n_ips:int, redacted:string> —
+    * one evaluation where the regex formulation pays six (3 counts +
+    * 3 replaces); pass semantics pinned by PiiScrubSpec. */
+  def piiScrubNative(text: Column): Column =
+    native("pii_scrub", text)
 
   /** Fused engine-portable MinHash signature (Column form of
     * [[PortableMinHashSig]]); slots are the sentinel P for gram-less

@@ -534,6 +534,98 @@ object CurationQueries {
           .as("pass_rate"))
     })
 
+  // --- PII scrub (q176) -------------------------------------------------
+  // The three patterns share Java-regex / RE2 semantics (no lookaround,
+  // no backrefs; `\b` = ASCII word boundary over this ASCII corpus), so
+  // the same strings drive the Spark reference formulation (in
+  // PiiScrubSpec), the DuckDB oracle, and — by the differential spec —
+  // the fused native kernel the query actually runs.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII injection: the synthetic corpus contains no
+    * digits or '@' at all (verified per testdata drop), so the scrub
+    * would be a zero-count no-op on raw text. Both engines append the
+    * SAME doc_id-derived PII fragments — email / phone / IP by
+    * doc_id % 4, plus a second email on % 12 = 6 so multi-PII docs
+    * exist — making detection counts, redaction offsets, and the
+    * redacted-text fingerprints all non-trivially verified. */
+  private[graft] def piiInjectedCol =
+    concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact agent"), col("doc_id").cast("string"),
+          lit("@example.com for details")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" from host 10."), (col("doc_id") % 250).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string"), lit(" up")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 12 === 6,
+        concat(lit(" or agent"), col("doc_id").cast("string"),
+          lit("@mail.example.org"))).otherwise(lit("")))
+
+  // single line ON PURPOSE: this fragment is interpolated into a
+  // stripMargin'd oracle string, where a line-leading `||` would lose
+  // its first pipe to the margin strip
+  private def piiInjectedSql: String =
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com for details' " +
+      "WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' " +
+      "WHEN doc_id % 4 = 2 THEN ' from host 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up' " +
+      "ELSE '' END || CASE WHEN doc_id % 12 = 6 THEN ' or agent' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END"
+
+  /** PII detection + redaction scrub — the curation pass between crawl
+    * and training that a corpus with real user text cannot skip: per
+    * doc, counts of email / NANP-phone / IPv4 patterns and the md5
+    * fingerprint of the redacted text (fingerprint, not the text — at
+    * 100 TB the scrub report must not re-materialize the corpus).
+    * Sequential pass semantics (email → IP → phone, each over the
+    * previous pass's output) so counts and redactions are well-defined
+    * even when patterns abut. The engine runs the FUSED native kernel
+    * ([[graft.functions.PiiScrub]]): one evaluation per row where the
+    * regex formulation pays six executions — q41's TextStats lesson;
+    * PiiScrubSpec pins kernel ≡ regex-chain over adversarial fixtures
+    * and the whole corpus. HASH-MATCHED against DuckDB running the real
+    * regexes. Scale: pure scan-stage work, zero exchanges before the
+    * driver's result collection — the scrub rides the ingest scan. */
+  val q176 = QueryDef.oracle("q176_pii_scrub", {
+    s"""WITH pii AS (SELECT doc_id, source, $piiInjectedSql AS t FROM documents),
+       |r1 AS (SELECT doc_id, source,
+       |              CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |              regexp_replace(t, '$EmailRe', '[EMAIL]', 'g') AS t
+       |       FROM pii),
+       |r2 AS (SELECT doc_id, source, n_emails,
+       |              CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+       |              regexp_replace(t, '$IpRe', '[IP]', 'g') AS t
+       |       FROM r1),
+       |r3 AS (SELECT doc_id, source, n_emails, n_ips,
+       |              CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |              regexp_replace(t, '$PhoneRe', '[PHONE]', 'g') AS t
+       |       FROM r2)
+       |SELECT doc_id, source, n_emails, n_phones, n_ips,
+       |       n_emails + n_phones + n_ips AS pii_total,
+       |       md5(t) AS redacted_fp,
+       |       (n_emails + n_phones + n_ips) > 0 AS has_pii
+       |FROM r3""".stripMargin})(
+    (s, d) => {
+      import graft.functions.HashFunctions.piiScrubNative
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          piiScrubNative(piiInjectedCol).as("st"))
+        .select(col("doc_id"), col("source"),
+          col("st.n_emails").cast("long").as("n_emails"),
+          col("st.n_phones").cast("long").as("n_phones"),
+          col("st.n_ips").cast("long").as("n_ips"),
+          (col("st.n_emails") + col("st.n_phones") + col("st.n_ips"))
+            .cast("long").as("pii_total"),
+          md5(col("st.redacted")).as("redacted_fp"),
+          (col("st.n_emails") + col("st.n_phones") + col("st.n_ips") > 0)
+            .as("has_pii"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171)
+    Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
+      q176)
 }

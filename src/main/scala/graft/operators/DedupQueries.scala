@@ -1009,7 +1009,93 @@ object DedupQueries {
             .as("dup_fraction"))
     })
 
+  /** Window length (in word tokens) of the repeated-span detector —
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") remove 50-token repeats from real corpora; 5 matches this
+    * testdata's ~80-token documents. Baked into q175's oracle SQL at
+    * object init. */
+  private val SpanK = 5
+
+  /** Substring-level exact dedup — repeated-SPAN extraction (the Lee et
+    * al. 2022 suffix-array pass, re-expressed bucketed): q164 reports
+    * WHAT FRACTION of a doc's positional grams exist elsewhere; this
+    * query reports WHERE — maximal runs of consecutive duplicated
+    * [[SpanK]]-gram starts, i.e. the concrete character spans a
+    * remove-repeated-substrings pass would cut. A gram is "duplicated"
+    * when its text occurs ≥ 2 times ANYWHERE in the corpus (within- and
+    * cross-document repeats both count, unlike q164's distinct-doc
+    * test). Islands via the classic pos − row_number() trick under a
+    * per-doc window. Output per doc: span count, duplicated gram count,
+    * longest span (tokens), total span tokens (adjacent spans < SpanK
+    * apart may overlap-count — documented upper bound), first span
+    * start. HASH-MATCHED end to end.
+    *
+    * Scale shape (the anchor-gram alternative to a distributed suffix
+    * array, which needs global order): two keyed shuffles of
+    * position-level (32-char md5, id, pos) rows — gram-hash partials
+    * for the occurrence count (map-side combine), positions rejoin
+    * their counts on the same key — then ONE doc-keyed exchange for the
+    * window; the island agg and the per-doc agg both reuse that
+    * hashpartitioning(doc_id) (subset-satisfied ClusteredDistribution),
+    * so they add no exchange. Text never shuffles. In production the
+    * duplicated-gram inventory is an ingest-time artifact like
+    * bandrows; the per-doc span pass is the only per-query work. */
+  val q175 = QueryDef.oracle("q175_repeated_spans", {
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |gpos AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
+       |                        FOR i IN range(1, len(l) - $SpanK + 2)], recursive := true)
+       |  FROM toks WHERE len(l) >= $SpanK),
+       |rep AS (SELECT gh FROM gpos GROUP BY gh HAVING count(*) >= 2),
+       |dup AS (SELECT g.doc_id, g.pos FROM gpos g JOIN rep USING (gh)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM dup),
+       |spans AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n_gr,
+       |                 min(pos) AS s, max(pos) AS e
+       |          FROM isl GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |               CAST(sum(n_gr) AS BIGINT) AS n_dup_grams,
+       |               CAST(max(e - s + $SpanK) AS BIGINT) AS max_span_tokens,
+       |               CAST(sum(e - s + $SpanK) AS BIGINT) AS dup_tokens,
+       |               CAST(min(s) AS BIGINT) AS first_dup_pos
+       |        FROM spans GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |       COALESCE(n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+       |       max_span_tokens, COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |       first_dup_pos
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin})(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val g = docs
+        .select(col("doc_id"), posexplode(wordNgrams(col("text"), SpanK)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+      val rep = g.groupBy("gh").agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2).select("gh")
+      val dup = g.join(rep, Seq("gh")).select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val isl = dup.withColumn("grp", col("pos") - row_number().over(w))
+      val spans = isl.groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("n_gr"), min("pos").as("s"), max("pos").as("e"))
+      val per = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("n_gr").as("n_dup_grams"),
+          max(col("e") - col("s") + SpanK).cast("long").as("max_span_tokens"),
+          sum(col("e") - col("s") + SpanK).as("dup_tokens"),
+          min("s").cast("long").as("first_dup_pos"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          col("max_span_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          col("first_dup_pos"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164)
+      q153, q159, q164, q175)
 }
