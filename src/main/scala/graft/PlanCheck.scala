@@ -306,6 +306,9 @@ object PlanCheck {
     check("q164_dup_ngram_fraction", "gram text collapses to md5 keys before any exchange; counts combine map-side",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q177_media_phash_neardup", "media near-dup: stored fingerprints; (blk,val) equi-join, never cartesian",
+      p => p.contains("media_phash") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
     check("q175_repeated_spans", "span pass: md5 keys before exchange, map-side partials, no cartesian",
@@ -374,7 +377,8 @@ object PlanCheck {
         "q166_mixture_temperature", "q167_source_quality_profile",
         "q168_bpe_fold_apply", "q169_dsir_importance", "q170_semantic_dedup",
         "q171_gopher_rules", "q172_ccnet_buckets", "q173_tokenizer_fertility",
-        "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub")
+        "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub",
+        "q177_media_phash_neardup")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -145,4 +145,48 @@ object Media {
       it.grouped(batchSize).flatMap(batch => codec.resizeBatch(batch, w, h))
     }
   }
+
+  /** Perceptual difference-hash over raw media bytes (the pHash family's
+    * dHash, on the byte stream instead of decoded pixels — codec-free,
+    * so it is DETERMINISTIC and oracle-able, unlike the stub features):
+    * the content is coarsened to 64 equal cells of `len/64` bytes each
+    * (trailing remainder ignored), and bit i (0 ≤ i < 63) is set when
+    * cell i's unsigned byte sum exceeds cell i+1's — a gradient
+    * signature that survives small local edits, re-encodings that
+    * preserve byte-level structure, and padding changes. Content under
+    * 64 bytes degrades to per-byte gradients. 63 bits, not 64, so the
+    * fingerprint stays non-negative in an int64 on every engine.
+    * Bytes are read UNSIGNED (& 0xFF); over this ASCII corpus byte ==
+    * char code, which is what lets the DuckDB oracle replay the hash
+    * from `unicode()` codes (q177).
+    */
+  def dhash63(content: Array[Byte]): Long = {
+    val n = content.length
+    var fp = 0L
+    if (n >= 64) {
+      val m = n / 64
+      val cells = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        var s = 0L
+        var j = i * m
+        val e = j + m
+        while (j < e) { s += (content(j) & 0xFF); j += 1 }
+        cells(i) = s
+        i += 1
+      }
+      i = 0
+      while (i < 63) {
+        if (cells(i) > cells(i + 1)) fp |= (1L << i)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + 1 < n && i < 63) {
+        if ((content(i) & 0xFF) > (content(i + 1) & 0xFF)) fp |= (1L << i)
+        i += 1
+      }
+    }
+    fp
+  }
 }

@@ -89,5 +89,98 @@ object MultimodalQueries {
         col("meta.width").as("width"), col("meta.height").as("height"),
         length(col("content")).cast("long").as("resized_bytes")))
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74)
+  /** Stored media fingerprint table — a pure function of the corpus
+    * (codec-free byte math), so production computes it once at media
+    * ingest and every consumer reads it back; same contract as the text
+    * SimHash signature artifact. Content bytes stay in the scan stage of
+    * the one build pass (mapPartitions), never in any shuffle. */
+  private def phashDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sources.ArtifactStore.table(s, d, "media_phash") {
+      import s.implicits._
+      mediaDs(s, d)
+        .mapPartitions(_.map(r => (r.media_id, r.modality, Media.dhash63(r.content))))
+        .toDF("media_id", "modality", "ph")
+    }
+
+  private val PhashBlocks = 4 // 16-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
+  private val PhashMaxHamming = 3
+
+  /** Multimodal near-dup — pHash-style fingerprints over raw media
+    * bytes with Hamming-bucket candidate generation (q53/q100's
+    * pigeonhole machinery pointed at the media table): per media item,
+    * its [[Media.dhash63]] gradient fingerprint, the count of near-dup
+    * partners within Hamming distance 3, the best distance, and the
+    * smallest partner id. Any pair within distance 3 shares at least
+    * one of the 4 16-bit blocks, so candidates come from a keyed
+    * equi-join on (block, value) and only candidates pay the
+    * bit_count(xor) verify — never all-pairs. The fingerprint is
+    * deterministic integer byte math (no codec), so unlike the stub
+    * feature query (q72) this is fully HASH-MATCHED: DuckDB replays
+    * cells → gradient bits → blocks → pairs → summary end to end.
+    * Scale: the fingerprint table is a stored ingest artifact; the
+    * block shuffle carries (block, value, id, fp) — ~25 bytes/row ×
+    * 4 blocks, never content bytes; bucket sizes are ~uniform in the
+    * 16-bit value space, so the within-bucket verify is linear-ish. */
+  val q177 = QueryDef.oracle("q177_media_phash_neardup", {
+    s"""WITH codes AS (
+       |  SELECT doc_id AS media_id,
+       |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       |              WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |         CAST(strlen(text) AS BIGINT) AS n,
+       |         CAST(strlen(text) // 64 AS BIGINT) AS m,
+       |         list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cs
+       |  FROM documents),
+       |fp AS (
+       |  SELECT media_id, modality,
+       |    CAST(CASE WHEN m >= 1 THEN
+       |      list_sum([CASE WHEN list_sum(cs[i*m+1 : i*m+m]) > list_sum(cs[(i+1)*m+1 : (i+1)*m+m])
+       |                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 63)])
+       |    ELSE
+       |      list_sum([CASE WHEN i + 2 <= n AND cs[i+1] > cs[i+2]
+       |                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END FOR i IN range(0, 63)])
+       |    END AS BIGINT) AS ph
+       |  FROM codes),
+       |blocks AS (
+       |  SELECT media_id, ph, b AS blk, (ph >> (16*b)) & 65535 AS val
+       |  FROM fp, (SELECT unnest(range(0, $PhashBlocks)) AS b)),
+       |pairs AS (
+       |  SELECT ia, ib, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming FROM (
+       |    SELECT DISTINCT a.media_id AS ia, a.ph AS fa, b.media_id AS ib, b.ph AS fb
+       |    FROM blocks a JOIN blocks b
+       |      ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id)
+       |  WHERE bit_count(xor(fa, fb)) <= $PhashMaxHamming),
+       |partners AS (
+       |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_near_dups,
+       |         min(hamming) AS best_hamming, min(p) AS min_partner
+       |  FROM (SELECT ia AS media_id, hamming, ib AS p FROM pairs
+       |        UNION ALL SELECT ib AS media_id, hamming, ia AS p FROM pairs)
+       |  GROUP BY media_id)
+       |SELECT f.media_id, f.modality, f.ph AS phash63,
+       |       COALESCE(n_near_dups, CAST(0 AS BIGINT)) AS n_near_dups,
+       |       best_hamming, min_partner
+       |FROM fp f LEFT JOIN partners USING (media_id)""".stripMargin})(
+    (s, d) => {
+      val fp = phashDf(s, d)
+      val blocks = fp.select(col("media_id"), col("ph"),
+        posexplode(array((0 until PhashBlocks).map(b =>
+          shiftright(col("ph"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("blk", "val")))
+      val a = blocks.select(col("blk"), col("val"), col("media_id").as("ia"), col("ph").as("fa"))
+      val b = blocks.select(col("blk"), col("val"), col("media_id").as("ib"), col("ph").as("fb"))
+      val pairs = a.join(b, Seq("blk", "val")).filter(col("ia") < col("ib"))
+        .select("ia", "fa", "ib", "fb").distinct()
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+        .filter(col("hamming") <= PhashMaxHamming)
+      val partners = pairs.select(col("ia").as("media_id"), col("hamming"), col("ib").as("p"))
+        .unionByName(pairs.select(col("ib").as("media_id"), col("hamming"), col("ia").as("p")))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_near_dups"),
+          min("hamming").as("best_hamming"), min("p").as("min_partner"))
+      fp.select(col("media_id"), col("modality"), col("ph").as("phash63"))
+        .join(partners, Seq("media_id"), "left")
+        .select(col("media_id"), col("modality"), col("phash63"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_hamming"), col("min_partner"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177)
 }

@@ -99,4 +99,27 @@ class MediaSpec extends SparkSpec {
       assert(o.content.take(want).sameElements(r.content))
     }
   }
+
+  test("dhash63: cell path, short-content path, unsigned bytes, invariances") {
+    // n >= 64: 64 cells of m bytes; bit i = cell i > cell i+1
+    val ascending = Array.tabulate[Byte](128)(i => i.toByte) // every cell < next
+    assert(Media.dhash63(ascending) == 0L)
+    val descending = Array.tabulate[Byte](128)(i => (127 - i).toByte)
+    assert(Media.dhash63(descending) == (1L << 63) - 1) // all 63 bits set
+    // trailing remainder bytes (len not divisible by 64) are ignored
+    val padded = ascending ++ Array.fill[Byte](7)(0)
+    assert(Media.dhash63(padded) == Media.dhash63(ascending))
+    // n < 64: per-byte gradients
+    assert(Media.dhash63(Array[Byte](5, 3, 4)) == 1L) // 5>3 sets bit 0; 3<4 clears bit 1
+    assert(Media.dhash63(Array[Byte](9)) == 0L)
+    assert(Media.dhash63(Array.emptyByteArray) == 0L)
+    // bytes are unsigned: 0x80 (-128 signed) must read as 128 > 'a'(97)
+    assert(Media.dhash63(Array[Byte](0x80.toByte, 'a'.toByte)) == 1L)
+    // fingerprint is non-negative (63 bits) — the int64-portability claim
+    assert(Media.dhash63(descending) >= 0L)
+    // locality: one flipped byte in one cell changes at most 2 bits
+    val tweaked = ascending.clone(); tweaked(70) = 127
+    val h = java.lang.Long.bitCount(Media.dhash63(ascending) ^ Media.dhash63(tweaked))
+    assert(h <= 2, s"one-byte edit moved $h bits")
+  }
 }
