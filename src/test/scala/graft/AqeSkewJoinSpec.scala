@@ -61,4 +61,63 @@ class AqeSkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q170's pair stage: AQE splits a mega-cluster of the c_id self-join") {
+    // SCALE.md's SemDeDup skew claim, demonstrated instead of asserted:
+    // q170's pair stage is a self-join of (c_id, vec_id, v) on c_id, so
+    // a MEGA-CLUSTER (one c_id owning a large share of the corpus —
+    // boilerplate/empty-ish embeddings collapse into one centroid in
+    // practice) lands all its rows in one shuffle partition on BOTH
+    // sides. The downstream n_close aggregation is keyed on ib, NOT on
+    // the join key, so the join output's c_id-clustering is not needed
+    // afterwards and AQE is free to split the hot partition. This pins
+    // that the split actually engages on the pair-stage JOIN SHAPE
+    // (same keying, array payload, ia<ib pruning, ib-keyed count).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // mega-cluster: 3000 vectors in c_id 0 with a 256-dim mixed
+      // payload (~2 KB/row raw → megabytes in the hot partition, well
+      // past the 128 KB test threshold even after shuffle compression);
+      // tail: 50 clusters × 40 vectors (the median)
+      val hot = spark.range(0, 3000)
+        .select(lit(0L).as("c_id"), col("id").as("vec_id"))
+      val tail = spark.range(0, 2000)
+        .select((col("id") % 50 + 1).as("c_id"), (col("id") + 10000).as("vec_id"))
+      val m = hot.unionByName(tail)
+        .withColumn("v", transform(sequence(lit(0), lit(127)),
+          i => pmod(col("vec_id") * 2654435761L + i * 40503, lit(127)) - 63))
+      // q170's actual pair-stage kernel: intDotNorms consumes BOTH
+      // arrays, so the ~1 KB/row payload genuinely crosses the c_id
+      // exchange (a payload nothing downstream reads would be
+      // projection-pruned before the shuffle and never register as skew)
+      val pairs = m.select(col("c_id"), col("vec_id").as("ia"), col("v").as("va"))
+        .join(m.select(col("c_id"), col("vec_id").as("ib"), col("v").as("vb")), Seq("c_id"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ib"),
+          graft.functions.VecExpressions.intDotNorms(spark, col("va"), col("vb")).as("st"))
+        .groupBy("ib").agg(count(lit(1)).as("n_pairs"), sum(col("st.dot")).as("dot_sum"))
+      // every vec except each cluster's minimum has ≥1 ia<ib partner:
+      // 5000 vectors − 51 cluster minima
+      assert(pairs.queryExecution.toRdd.count() == 3000 + 2000 - 51)
+      val finalPlan = (pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }).toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the pair-stage join skewed; plan:\n$finalPlan")
+      assert(finalPlan.contains("skewed"),
+        s"mega-cluster partition was not split; plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
