@@ -47,9 +47,9 @@ object DedupQueries {
   // reference would silently read 0 during initialization).
   private val PortP = graft.functions.PortableHashKernels.P
   private val PortMul = 1000003L
-  private val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
-  private val PortBands = 4
-  private val PortMatchMin = PortK / 2 // est-Jaccard ≥ 0.5 ⇔ ≥ half the minhashes agree
+  private[graft] val PortK = 12 // 4 bands × 3 rows: P(pair|j=.98)≈1, P(pair|j=.2)≈.03
+  private[graft] val PortBands = 4
+  private[graft] val PortMatchMin = PortK / 2 // est-Jaccard ≥ 0.5 ⇔ ≥ half the minhashes agree
   private val SimBits = 24 // < 30 bits of the mod-1e9+7 gram hash: unbiased-ish
   private val SimBlocks = 3 // 8-bit blocks; hamming ≤ SimBlocks qualifies a pair
   private val EditCap = 2000 // chars of each side the q153 edit-distance DP sees
@@ -542,7 +542,7 @@ object DedupQueries {
 
   /** Agreeing-minhash count between two signature arrays — the Column
     * twin of [[matchSumSql]]. */
-  private def nMatch(a: Column, b: Column): Column =
+  private[graft] def nMatch(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("long")
 
@@ -563,7 +563,7 @@ object DedupQueries {
     * bit-identical to recomputing and the DuckDB oracle is unchanged.
     * Files live under the system tmpdir and are removed at JVM exit
     * (the in-memory catalog entry dies with the JVM anyway). */
-  private def storedBandIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def storedBandIndex(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.bucketed(s, d, "band_index",
       Seq("band", "digest"), BandIndexBuckets) {
       val sig = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)

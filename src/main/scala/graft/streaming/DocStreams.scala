@@ -128,4 +128,96 @@ object DocStreams {
           }
       }
   }
+
+  // --- Streaming incremental-index admission (q148's contract) ---------
+
+  final case class AdmissionDoc(doc_id: Long, ts: Timestamp, text: String)
+  final case class AdmissionCand(doc_id: Long, ts: Timestamp,
+      mh_new: Seq[Long], idx_id: Option[Long], n_match: Option[Long])
+  final case class Admission(doc_id: Long, n_index_partners: Long,
+      best_index_partner: Option[Long], best_match: Option[Long],
+      admitted: Boolean, ts: Timestamp)
+
+  /** Streaming form of q148's incremental cross-corpus admission: each
+    * ARRIVING document is checked against the STORED band index — the
+    * day-to-day ingest gate, now per-document instead of per-batch.
+    * Built on the SAME portable kernels and constants as the batch path
+    * (DedupQueries' sig/digest/agreement builders — shared code, so the
+    * two cannot drift; IncrementalAdmissionStreamSpec pins stream ≡
+    * q148 on the admitted set).
+    *
+    * Shape: signature + band digests are computed scan-side on the
+    * stream; candidates come from a STREAM-STATIC left-outer join
+    * against the index's (band, digest, idx_id) table — stateless, no
+    * watermark-delayed state, because the index side is a static
+    * artifact — then a second stream-static join fetches the candidate
+    * index signatures and the per-pair agreement count is computed
+    * inline. The per-doc verdict folds in a flatMapGroupsWithState with
+    * NO stored state (NoTimeout, state never set): every row of an
+    * arriving doc lands in the same trigger (they all derive from that
+    * doc's one input row), so the group's rows ARE the complete
+    * evidence and the verdict is emitted immediately — a stateful
+    * streaming aggregation would buffer results until the watermark
+    * passed instead. Left-outer keeps no-candidate (and gram-less,
+    * null-digest) docs flowing: they emit admitted=true.
+    *
+    * Like q148, stream×stream pairs are never generated — admission is
+    * vs the index only; a doc re-arriving in a later trigger re-decides
+    * against the same index (id-level dedup is the upstream feed's
+    * contract, as in the batch path where the batch is a set).
+    *
+    * Scale: the arriving micro-batch is the only moving data — the
+    * index table stays put (bucketed on (band, digest), the join is
+    * keyed), signatures ride the stream rows (~100 B at k=12), and the
+    * group fold touches only each doc's own candidates.
+    */
+  def incrementalAdmission(
+      docs: DataFrame,
+      bandIndex: DataFrame,
+      idxSigs: DataFrame,
+      matchMin: Int = graft.operators.DedupQueries.PortMatchMin,
+      watermark: String = "1 hour"): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.DedupQueries
+    val P = graft.functions.PortableHashKernels.P
+    val sig = graft.functions.HashFunctions
+      .portableMinhashSigNative(col("text"), 3, DedupQueries.PortK)
+    // digests from the raw signature, sentinel slots nulled exactly as
+    // the batch banding does (gram-less docs get all-null digests and
+    // therefore no candidates — but still flow, via the left outer)
+    val digests = DedupQueries.portableBandDigests { i =>
+      val v = element_at(col("mh_new"), i + 1)
+      when(v === P, lit(null).cast("long")).otherwise(v)
+    }
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), sig.as("mh_new"))
+      .select(col("doc_id"), col("ts"), col("mh_new"),
+        posexplode(array(digests: _*)).as(Seq("band", "digest")))
+    val cands = banded
+      .join(bandIndex, Seq("band", "digest"), "left_outer")
+      .join(idxSigs, Seq("idx_id"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("mh_new"), col("idx_id"),
+        when(col("mh").isNotNull,
+          DedupQueries.nMatch(col("mh_new"), col("mh"))).as("n_match"))
+      .as[AdmissionCand]
+    cands.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[AdmissionCand], _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          // several bands can propose the same (doc, idx) pair — one
+          // vote per partner, like the batch path's DISTINCT
+          val partners = rs.collect {
+            case AdmissionCand(_, _, _, Some(idx), Some(nm)) if nm >= matchMin =>
+              (idx, nm)
+          }.distinct
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(
+            if (partners.isEmpty) Admission(id, 0L, None, None, admitted = true, ts)
+            else Admission(id, partners.size.toLong,
+              Some(partners.map(_._1).min), Some(partners.map(_._2).max),
+              admitted = false, ts))
+      }
+  }
 }
