@@ -311,6 +311,9 @@ object PlanCheck {
         !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
+    check("q178_span_removal", "removal pass: md5 keys before exchange, map-side partials, no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q175_repeated_spans", "span pass: md5 keys before exchange, map-side partials, no cartesian",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
@@ -378,7 +381,7 @@ object PlanCheck {
         "q168_bpe_fold_apply", "q169_dsir_importance", "q170_semantic_dedup",
         "q171_gopher_rules", "q172_ccnet_buckets", "q173_tokenizer_fertility",
         "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub",
-        "q177_media_phash_neardup")
+        "q177_media_phash_neardup", "q178_span_removal")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -1095,7 +1095,84 @@ object DedupQueries {
           col("first_dup_pos"))
     })
 
+  /** Span REMOVAL — the executable form of q175: where q175 reports the
+    * repeated spans, this query actually CUTS them and emits the cleaned
+    * token stream's fingerprint — the Lee et al. 2022 dedup pass a
+    * training pipeline runs, keep-first variant: every positional
+    * [[SpanK]]-gram keeps its corpus-canonical occurrence (minimal
+    * (doc_id, pos), encoded doc_id·10⁶+pos — positions are bounded by
+    * document length, far under 10⁶) and every OTHER occurrence marks
+    * its K token positions for removal; a token survives iff no
+    * redundant gram start covers it. Cleaned text is the surviving
+    * tokens joined by single spaces (whitespace-normalized on both
+    * sides, so an untouched doc's fingerprint is md5 of its normalized
+    * text, and a fully-duplicated doc cleans to the empty string).
+    * Output: exact token counts, removal fraction, md5 fingerprint —
+    * never the re-materialized text (q176's report discipline).
+    * HASH-MATCHED end to end.
+    *
+    * Scale: q164/q175's two gram-key shuffles (md5 keys + ids, never
+    * text) plus one doc-keyed collect_set of removal starts; the
+    * coverage test is a per-doc HOF over (tokens × removal starts) —
+    * bounded by the doc's own duplication, and the removal-start set is
+    * the doc's redundant grams only. Set-vs-list is immaterial: the
+    * coverage predicate is order-independent, so collect_set here and
+    * list() in the oracle agree. */
+  val q178 = QueryDef.oracle("q178_span_removal", {
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |gpos AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
+       |                        FOR i IN range(1, len(l) - $SpanK + 2)], recursive := true)
+       |  FROM toks WHERE len(l) >= $SpanK),
+       |gc AS (SELECT gh, count(*) AS n_occ, min(doc_id * 1000000 + pos) AS first_key
+       |       FROM gpos GROUP BY gh),
+       |red AS (SELECT g.doc_id, g.pos FROM gpos g JOIN gc USING (gh)
+       |        WHERE gc.n_occ >= 2 AND g.doc_id * 1000000 + g.pos <> gc.first_key),
+       |ps AS (SELECT doc_id, list(pos) AS ps FROM red GROUP BY doc_id),
+       |c AS (SELECT t.doc_id, len(l) AS n_tokens,
+       |        [l[i] FOR i IN range(1, len(l) + 1)
+       |         IF len(list_filter(coalesce(ps, []), p -> p <= i - 1 AND i - 1 < p + $SpanK)) = 0] AS kept
+       |      FROM toks t LEFT JOIN ps USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       |       CAST(len(kept) AS BIGINT) AS n_kept,
+       |       CASE WHEN n_tokens > 0
+       |            THEN round((n_tokens - len(kept)) / CAST(n_tokens AS DOUBLE), 4) END AS removed_frac,
+       |       md5(COALESCE(list_aggregate(kept, 'string_agg', ' '), '')) AS cleaned_fp
+       |FROM c""".stripMargin})(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = docs
+        .select(col("doc_id"), posexplode(wordNgrams(col("text"), SpanK)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+      val gc = g.groupBy("gh").agg(count(lit(1)).as("n_occ"),
+        min(col("doc_id") * 1000000 + col("pos")).as("first_key"))
+      val red = g.join(gc, Seq("gh"))
+        .filter(col("n_occ") >= 2 &&
+          col("doc_id") * 1000000 + col("pos") =!= col("first_key"))
+        .select("doc_id", "pos")
+      val ps = red.groupBy("doc_id").agg(collect_set("pos").as("ps"))
+      val kSpan = SpanK // stable identifier for the lambda closure
+      docs.select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("l"))
+        .join(ps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("l"),
+          coalesce(col("ps"), array().cast("array<int>")).as("ps"))
+        .select(col("doc_id"), col("l"),
+          filter(col("l"), (_, i) =>
+            !exists(col("ps"), p => p <= i && i < p + kSpan)).as("kept"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_tokens"),
+          (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
+          size(col("kept")).cast("long").as("n_kept"),
+          when(size(col("l")) > 0,
+            round((size(col("l")) - size(col("kept")))
+              / size(col("l")).cast("double"), 4)).as("removed_frac"),
+          md5(array_join(col("kept"), " ")).as("cleaned_fp"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175)
+      q153, q159, q164, q175, q178)
 }
