@@ -303,19 +303,19 @@ object PlanCheck {
     check("q163_label_centroid_overlap", "centroid stats combine map-side; pair matrix is a dim-keyed equi-join, never cartesian",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
-    check("q164_dup_ngram_fraction", "gram text collapses to md5 keys before any exchange; counts combine map-side",
-      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+    check("q164_dup_ngram_fraction", "gram counts read the STORED bucketed inventory (no per-query re-hash); no cartesian",
+      p => p.contains("graft_gpos3") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
     check("q177_media_phash_neardup", "media near-dup: stored fingerprints; (blk,val) equi-join, never cartesian",
       p => p.contains("media_phash") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
-    check("q178_span_removal", "removal pass: md5 keys before exchange, map-side partials, no cartesian",
-      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+    check("q178_span_removal", "removal pass reads the stored gram inventory; no cartesian",
+      p => p.contains("graft_gpos5") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
-    check("q175_repeated_spans", "span pass: md5 keys before exchange, map-side partials, no cartesian",
-      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+    check("q175_repeated_spans", "span pass reads the stored gram inventory; no cartesian",
+      p => p.contains("graft_gpos5") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
     // the island window must be doc-keyed, and the island + per-doc aggs
     // must REUSE its hashpartitioning(doc_id) — exactly one exchange at
