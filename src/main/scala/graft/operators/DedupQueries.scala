@@ -1028,9 +1028,24 @@ object DedupQueries {
   /** Window length (in word tokens) of the repeated-span detector —
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") remove 50-token repeats from real corpora; 5 matches this
-    * testdata's ~80-token documents. Baked into q175's oracle SQL at
-    * object init. */
+    * testdata's ~80-token documents. Baked into q175/q178's oracle SQL
+    * at object init. */
   private val SpanK = 5
+
+  /** Shared oracle prefix of the span family — toks + the positional
+    * [[SpanK]]-gram inventory gpos(doc_id, pos, gh). ONE definition for
+    * q175 (span report) and q178 (span removal), so the two queries
+    * cannot disagree on tokenization or gram identity — the portable-
+    * MinHash fragment convention applied here. */
+  private def spanGposCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  FROM documents),
+       |gpos AS (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
+       |                        FOR i IN range(1, len(l) - $SpanK + 2)]
+       |                        , recursive := true)
+       |  FROM toks WHERE len(l) >= $SpanK)""".stripMargin
 
   /** Substring-level exact dedup — repeated-SPAN extraction (the Lee et
     * al. 2022 suffix-array pass, re-expressed bucketed): q164 reports
@@ -1057,13 +1072,7 @@ object DedupQueries {
     * duplicated-gram inventory is an ingest-time artifact like
     * bandrows; the per-doc span pass is the only per-query work. */
   val q175 = QueryDef.oracle("q175_repeated_spans", {
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
-       |  FROM documents),
-       |gpos AS (
-       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
-       |                        FOR i IN range(1, len(l) - $SpanK + 2)], recursive := true)
-       |  FROM toks WHERE len(l) >= $SpanK),
+    s"""$spanGposCtes,
        |rep AS (SELECT gh FROM gpos GROUP BY gh HAVING count(*) >= 2),
        |dup AS (SELECT g.doc_id, g.pos FROM gpos g JOIN rep USING (gh)),
        |isl AS (SELECT doc_id, pos,
@@ -1133,13 +1142,7 @@ object DedupQueries {
     * coverage predicate is order-independent, so collect_set here and
     * list() in the oracle agree. */
   val q178 = QueryDef.oracle("q178_span_removal", {
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
-       |  FROM documents),
-       |gpos AS (
-       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
-       |                        FOR i IN range(1, len(l) - $SpanK + 2)], recursive := true)
-       |  FROM toks WHERE len(l) >= $SpanK),
+    s"""$spanGposCtes,
        |gc AS (SELECT gh, count(*) AS n_occ, min(doc_id * 1000000 + pos) AS first_key
        |       FROM gpos GROUP BY gh),
        |red AS (SELECT g.doc_id, g.pos FROM gpos g JOIN gc USING (gh)
