@@ -1039,7 +1039,8 @@ object DedupQueries {
     * MinHash fragment convention applied here. */
   private def spanGposCtes: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+       |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\\s+'), []),
+       |                             x -> x <> '') AS l
        |  FROM documents),
        |gpos AS (
        |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
@@ -1170,7 +1171,11 @@ object DedupQueries {
         .select("doc_id", "pos")
       val ps = red.groupBy("doc_id").agg(collect_set("pos").as("ps"))
       val kSpan = SpanK // stable identifier for the lambda closure
-      docs.select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("l"))
+      // NULL text ⇒ empty token list on BOTH sides (oracle COALESCEs the
+      // split): a NULL-text doc cleans to md5(''), never a NULL fingerprint
+      docs.select(col("doc_id"),
+        coalesce(graft.functions.TextFunctions.tokens(col("text")),
+          array().cast("array<string>")).as("l"))
         .join(ps, Seq("doc_id"), "left")
         .select(col("doc_id"), col("l"),
           coalesce(col("ps"), array().cast("array<int>")).as("ps"))

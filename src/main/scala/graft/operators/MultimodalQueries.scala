@@ -102,8 +102,8 @@ object MultimodalQueries {
         .toDF("media_id", "modality", "ph")
     }
 
-  private val PhashBlocks = 4 // 16-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
-  private val PhashMaxHamming = 3
+  private[graft] val PhashBlocks = 4 // 16-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
+  private[graft] val PhashMaxHamming = 3
 
   /** Multimodal near-dup — pHash-style fingerprints over raw media
     * bytes with Hamming-bucket candidate generation (q53/q100's

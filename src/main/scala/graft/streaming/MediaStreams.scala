@@ -36,7 +36,9 @@ object MediaStreams {
   final case class BlockOwner(media_id: Long, ts: Timestamp, fp: Long)
   final case class PhashDup(media_id: Long, dup_of: Long, hamming: Int, ts: Timestamp)
 
-  private val Blocks = 4
+  // q177's own constants — shared so the streamed flags stay a subset of
+  // the batch pair set by construction, not by parallel-edit discipline
+  private val Blocks = graft.operators.MultimodalQueries.PhashBlocks
 
   /** media: (media_id LONG, ts TIMESTAMP, content BINARY), batch or
     * streaming. Same batch-degeneration contract as DocStreams: without
@@ -45,7 +47,7 @@ object MediaStreams {
     */
   def phashNearDups(
       media: DataFrame,
-      maxHamming: Int = 3,
+      maxHamming: Int = graft.operators.MultimodalQueries.PhashMaxHamming,
       watermark: String = "1 hour",
       horizonSeconds: Long = 3600L): Dataset[PhashDup] = {
     import media.sparkSession.implicits._

@@ -27,8 +27,7 @@ object ProfileQ148 {
       println(f"[q148]   $label%-22s min=${ts.min}%6.3f  runs=${ts.map(t => f"$t%5.3f").mkString(",")}")
     }
     timeDf("band_index read") {
-      graft.sources.ArtifactStore.bucketed(s, d, "band_index", Seq("band", "digest"), 8)(
-        sys.error("already built"))
+      graft.operators.DedupQueries.storedBandIndex(s, d) // built by warm-up
     }
     timeDf("banding join") { graft.operators.DedupQueries.q148BandingJoin(s, d) }
     val times = (1 to 8).map { i =>

@@ -83,8 +83,8 @@ class AqeSkewJoinSpec extends SparkSpec {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      // mega-cluster: 3000 vectors in c_id 0 with a 256-dim mixed
-      // payload (~2 KB/row raw → megabytes in the hot partition, well
+      // mega-cluster: 3000 vectors in c_id 0 with a 128-dim mixed
+      // payload (~1 KB/row raw → megabytes in the hot partition, well
       // past the 128 KB test threshold even after shuffle compression);
       // tail: 50 clusters × 40 vectors (the median)
       val hot = spark.range(0, 3000)
