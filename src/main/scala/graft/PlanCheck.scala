@@ -309,6 +309,12 @@ object PlanCheck {
     check("q177_media_phash_neardup", "media near-dup: stored fingerprints; (blk,val) equi-join, never cartesian",
       p => p.contains("media_phash") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    // the fingerprint scan hides behind Components' per-round
+    // localCheckpoint (RDDScan) in the final plan — q148's lesson — so
+    // the stored-scan claim is asserted on the pair DataFrame via q177's
+    // check above; here only the join discipline of the closure
+    check("q179_media_dedup_clusters", "media clusters: id-keyed joins only, never cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
     check("q178_span_removal", "removal pass reads the stored gram inventory; no cartesian",
@@ -381,7 +387,8 @@ object PlanCheck {
         "q168_bpe_fold_apply", "q169_dsir_importance", "q170_semantic_dedup",
         "q171_gopher_rules", "q172_ccnet_buckets", "q173_tokenizer_fertility",
         "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub",
-        "q177_media_phash_neardup", "q178_span_removal")
+        "q177_media_phash_neardup", "q178_span_removal",
+        "q179_media_dedup_clusters")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

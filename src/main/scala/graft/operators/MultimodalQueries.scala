@@ -121,7 +121,12 @@ object MultimodalQueries {
     * block shuffle carries (block, value, id, fp) — ~25 bytes/row ×
     * 4 blocks, never content bytes; bucket sizes are ~uniform in the
     * 16-bit value space, so the within-bucket verify is linear-ish. */
-  val q177 = QueryDef.oracle("q177_media_phash_neardup", {
+  /** Shared oracle prefix of the media pHash family — codes → fp →
+    * blocks → pairs(ia, ib, hamming ≤ PhashMaxHamming). ONE definition
+    * for q177 (near-dup report) and q179 (dedup clusters), the span/
+    * portable-MinHash fragment convention: the two queries cannot
+    * disagree on the fingerprint or the pair set. */
+  private def phashPairCtes: String =
     s"""WITH codes AS (
        |  SELECT doc_id AS media_id,
        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -148,7 +153,27 @@ object MultimodalQueries {
        |    SELECT DISTINCT a.media_id AS ia, a.ph AS fa, b.media_id AS ib, b.ph AS fb
        |    FROM blocks a JOIN blocks b
        |      ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id)
-       |  WHERE bit_count(xor(fa, fb)) <= $PhashMaxHamming),
+       |  WHERE bit_count(xor(fa, fb)) <= $PhashMaxHamming)""".stripMargin
+
+  /** Verified near-dup pairs (ia < ib, hamming ≤ PhashMaxHamming) from
+    * the stored fingerprints — the Spark twin of [[phashPairCtes]]'s
+    * `pairs`, shared by q177 and q179. */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fp = phashDf(s, d)
+    val blocks = fp.select(col("media_id"), col("ph"),
+      posexplode(array((0 until PhashBlocks).map(b =>
+        shiftright(col("ph"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("blk", "val")))
+    val a = blocks.select(col("blk"), col("val"), col("media_id").as("ia"), col("ph").as("fa"))
+    val b = blocks.select(col("blk"), col("val"), col("media_id").as("ib"), col("ph").as("fb"))
+    a.join(b, Seq("blk", "val")).filter(col("ia") < col("ib"))
+      .select("ia", "fa", "ib", "fb").distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select("ia", "ib", "hamming")
+  }
+
+  val q177 = QueryDef.oracle("q177_media_phash_neardup", {
+    s"""$phashPairCtes,
        |partners AS (
        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_near_dups,
        |         min(hamming) AS best_hamming, min(p) AS min_partner
@@ -161,15 +186,7 @@ object MultimodalQueries {
        |FROM fp f LEFT JOIN partners USING (media_id)""".stripMargin})(
     (s, d) => {
       val fp = phashDf(s, d)
-      val blocks = fp.select(col("media_id"), col("ph"),
-        posexplode(array((0 until PhashBlocks).map(b =>
-          shiftright(col("ph"), 16 * b).bitwiseAND(lit(65535L))): _*)).as(Seq("blk", "val")))
-      val a = blocks.select(col("blk"), col("val"), col("media_id").as("ia"), col("ph").as("fa"))
-      val b = blocks.select(col("blk"), col("val"), col("media_id").as("ib"), col("ph").as("fb"))
-      val pairs = a.join(b, Seq("blk", "val")).filter(col("ia") < col("ib"))
-        .select("ia", "fa", "ib", "fb").distinct()
-        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-        .filter(col("hamming") <= PhashMaxHamming)
+      val pairs = phashPairs(s, d)
       val partners = pairs.select(col("ia").as("media_id"), col("hamming"), col("ib").as("p"))
         .unionByName(pairs.select(col("ib").as("media_id"), col("hamming"), col("ia").as("p")))
         .groupBy("media_id")
@@ -182,5 +199,45 @@ object MultimodalQueries {
           col("best_hamming"), col("min_partner"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177)
+  /** Media dedup CLUSTERS — q56's transitive-closure view pointed at the
+    * media pair set: connected components over q177's verified pHash
+    * pairs, canonical keeper = the cluster's minimal media_id, keep/drop
+    * action per item. This completes the media family's report → cluster
+    * symmetry with the text stack (q177 ↔ q52, q179 ↔ q56) on SHARED
+    * pair machinery ([[phashPairs]] / [[phashPairCtes]]), so report and
+    * clusters cannot disagree. Oracle is an independent recursive-CTE
+    * transitive-closure fixpoint, q56's convention. Scale: rides
+    * [[graft.operators.Components]] — per-round (id, label) pairs,
+    * rounds ≈ cluster diameter (near-dup clusters are shallow). */
+  val q179 = QueryDef.oracle("q179_media_dedup_clusters", {
+    val recursiveCtes = phashPairCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |undir AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT f.media_id,
+       |         CASE WHEN min(r.b) IS NULL THEN f.media_id
+       |              ELSE LEAST(f.media_id, min(r.b)) END AS cluster_id
+       |  FROM fp f LEFT JOIN reach r ON r.a = f.media_id
+       |  GROUP BY f.media_id),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT c.media_id, c.cluster_id, s.cluster_size,
+       |       CASE WHEN c.media_id = c.cluster_id THEN 'keep' ELSE 'drop' END AS action
+       |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin})(
+    (s, d) => {
+      val edges = phashPairs(s, d).select(col("ia").as("src"), col("ib").as("dst"))
+      val vertices = phashDf(s, d).select(col("media_id").as("id"))
+      val comp = graft.operators.Components.connectedComponents(vertices, edges)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("media_id"), col("component").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179)
 }
