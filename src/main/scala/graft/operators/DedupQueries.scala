@@ -1037,7 +1037,7 @@ object DedupQueries {
     * q175 (span report) and q178 (span removal), so the two queries
     * cannot disagree on tokenization or gram identity — the portable-
     * MinHash fragment convention applied here. */
-  private def spanGposCtes: String =
+  private[graft] def spanGposCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\\s+'), []),
        |                             x -> x <> '') AS l

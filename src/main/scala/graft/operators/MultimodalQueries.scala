@@ -105,28 +105,12 @@ object MultimodalQueries {
   private[graft] val PhashBlocks = 4 // 16-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
   private[graft] val PhashMaxHamming = 3
 
-  /** Multimodal near-dup — pHash-style fingerprints over raw media
-    * bytes with Hamming-bucket candidate generation (q53/q100's
-    * pigeonhole machinery pointed at the media table): per media item,
-    * its [[Media.dhash63]] gradient fingerprint, the count of near-dup
-    * partners within Hamming distance 3, the best distance, and the
-    * smallest partner id. Any pair within distance 3 shares at least
-    * one of the 4 16-bit blocks, so candidates come from a keyed
-    * equi-join on (block, value) and only candidates pay the
-    * bit_count(xor) verify — never all-pairs. The fingerprint is
-    * deterministic integer byte math (no codec), so unlike the stub
-    * feature query (q72) this is fully HASH-MATCHED: DuckDB replays
-    * cells → gradient bits → blocks → pairs → summary end to end.
-    * Scale: the fingerprint table is a stored ingest artifact; the
-    * block shuffle carries (block, value, id, fp) — ~25 bytes/row ×
-    * 4 blocks, never content bytes; bucket sizes are ~uniform in the
-    * 16-bit value space, so the within-bucket verify is linear-ish. */
   /** Shared oracle prefix of the media pHash family — codes → fp →
     * blocks → pairs(ia, ib, hamming ≤ PhashMaxHamming). ONE definition
     * for q177 (near-dup report) and q179 (dedup clusters), the span/
     * portable-MinHash fragment convention: the two queries cannot
     * disagree on the fingerprint or the pair set. */
-  private def phashPairCtes: String =
+  private[graft] def phashPairCtes: String =
     s"""WITH codes AS (
        |  SELECT doc_id AS media_id,
        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -172,6 +156,22 @@ object MultimodalQueries {
       .select("ia", "ib", "hamming")
   }
 
+  /** Multimodal near-dup — pHash-style fingerprints over raw media
+    * bytes with Hamming-bucket candidate generation (q53/q100's
+    * pigeonhole machinery pointed at the media table): per media item,
+    * its [[Media.dhash63]] gradient fingerprint, the count of near-dup
+    * partners within Hamming distance 3, the best distance, and the
+    * smallest partner id. Any pair within distance 3 shares at least
+    * one of the 4 16-bit blocks, so candidates come from a keyed
+    * equi-join on (block, value) and only candidates pay the
+    * bit_count(xor) verify — never all-pairs. The fingerprint is
+    * deterministic integer byte math (no codec), so unlike the stub
+    * feature query (q72) this is fully HASH-MATCHED: DuckDB replays
+    * cells → gradient bits → blocks → pairs → summary end to end.
+    * Scale: the fingerprint table is a stored ingest artifact; the
+    * block shuffle carries (block, value, id, fp) — ~25 bytes/row ×
+    * 4 blocks, never content bytes; bucket sizes are ~uniform in the
+    * 16-bit value space, so the within-bucket verify is linear-ish. */
   val q177 = QueryDef.oracle("q177_media_phash_neardup", {
     s"""$phashPairCtes,
        |partners AS (

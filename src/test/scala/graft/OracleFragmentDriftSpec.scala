@@ -131,6 +131,30 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every span-family consumer embeds the canonical gpos chain verbatim") {
+      val frag = DedupQueries.spanGposCtes
+      val consumers = sqlByName.filter(_._2.contains("{'pos': i - 1, 'gh':"))
+      consumers.keySet shouldBe Set("q175_repeated_spans", "q178_span_removal")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the positional-gram definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every media-pHash consumer embeds the canonical fingerprint/pair chain verbatim") {
+      val frag = graft.operators.MultimodalQueries.phashPairCtes
+      val recursive = frag.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      val consumers = sqlByName.filter(_._2.contains("(ph >> (16*b)) & 65535"))
+      consumers.keySet shouldBe Set(
+        "q177_media_phash_neardup", "q179_media_dedup_clusters")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the pHash pair definition: ") {
+          (sql.contains(frag) || sql.contains(recursive)) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
