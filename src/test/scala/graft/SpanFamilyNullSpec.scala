@@ -49,4 +49,24 @@ class SpanFamilyNullSpec extends SparkSpec {
       finally walk.close()
     }
   }
+
+  test("removal implies spans, not conversely (canonical occurrences survive)") {
+    // cross-query coherence on the real corpus: q178 cuts a doc only
+    // where q175 reported a span (shared gpos artifact + oracle
+    // fragment, so a violation means the island/canonical logic forked)
+    // — while a doc holding only CANONICAL occurrences has spans but no
+    // removal, so the converse must NOT hold (both sets non-empty at
+    // sf0.001: 57 span-docs, 30 removal-docs when this was pinned)
+    val d = "/root/testdata/sf0.001"
+    val removed = SparkEntry.queries("q178_span_removal")(spark, d)
+      .filter(col("n_removed") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val spanned = SparkEntry.queries("q175_repeated_spans")(spark, d)
+      .filter(col("n_spans") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty && (spanned -- removed).nonEmpty,
+      s"fixture degenerated: removed=${removed.size} spanned=${spanned.size}")
+    assert(removed.subsetOf(spanned),
+      s"docs cut without a reported span: ${(removed -- spanned).toSeq.sorted.take(5)}")
+  }
 }
