@@ -1030,7 +1030,7 @@ object DedupQueries {
     * Better") remove 50-token repeats from real corpora; 5 matches this
     * testdata's ~80-token documents. Baked into q175/q178's oracle SQL
     * at object init. */
-  private val SpanK = 5
+  private[graft] val SpanK = 5
 
   /** Shared oracle prefix of the span family — toks + the positional
     * [[SpanK]]-gram inventory gpos(doc_id, pos, gh). ONE definition for
@@ -1192,7 +1192,66 @@ object DedupQueries {
           md5(array_join(col("kept"), " ")).as("cleaned_fp"))
     })
 
+  /** Incremental SPAN overlap — the substring leg of the day-2 intake
+    * gate, completing the incremental family (q148 asks "is today's doc
+    * a near-duplicate of the index?"; this asks "how much of today's
+    * doc's TEXT already exists in the index, verbatim?" — the question
+    * that catches boilerplate-stuffed and template-heavy crawl arrivals
+    * whole-doc MinHash misses): for each NEW doc (doc_id % 5 = 0, the
+    * q148 convention), the fraction of its tokens covered by a
+    * [[SpanK]]-gram that occurs ANYWHERE in the index corpus, via
+    * q178's coverage machinery pointed across the corpus split.
+    * `flagged` is the exact integer test overlap·2 ≥ n_tokens (≥ half
+    * the doc is index text). HASH-MATCHED end to end.
+    *
+    * Scale: both gram sides read the stored `gpos` artifact — the index
+    * gram SET distinct-aggregates on the bucketed gram key and the
+    * batch positions semi-join it, both exchange-free bucket-aligned
+    * reads; the only data shuffle is the batch-doc-keyed collect of hit
+    * positions. The increment never re-reads index TEXT. */
+  val q180 = QueryDef.oracle("q180_incremental_span_overlap", {
+    s"""$spanGposCtes,
+       |idx AS (SELECT DISTINCT gh FROM gpos WHERE doc_id % 5 <> 0),
+       |hit AS (SELECT g.doc_id, g.pos FROM gpos g JOIN idx USING (gh)
+       |        WHERE g.doc_id % 5 = 0),
+       |ps AS (SELECT doc_id, list(pos) AS ps FROM hit GROUP BY doc_id),
+       |c AS (SELECT t.doc_id, len(l) AS n_tokens,
+       |        len([i FOR i IN range(1, len(l) + 1)
+       |             IF len(list_filter(coalesce(ps, []), p -> p <= i - 1 AND i - 1 < p + $SpanK)) > 0]) AS ov
+       |      FROM toks t LEFT JOIN ps USING (doc_id)
+       |      WHERE t.doc_id % 5 = 0)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(ov AS BIGINT) AS overlap_tokens,
+       |       CASE WHEN n_tokens > 0 THEN round(ov / CAST(n_tokens AS DOUBLE), 4) END AS overlap_frac,
+       |       CASE WHEN n_tokens > 0 THEN ov * 2 >= n_tokens ELSE FALSE END AS flagged
+       |FROM c""".stripMargin})(
+    (s, d) => {
+      val g = storedGramPositions(s, d, SpanK)
+      val isNew = col("doc_id") % 5 === 0
+      val idx = g.filter(!isNew).select("gh").distinct()
+      val hit = g.filter(isNew).join(idx, Seq("gh"), "left_semi")
+        .select("doc_id", "pos")
+      val ps = hit.groupBy("doc_id").agg(collect_set("pos").as("ps"))
+      val kSpan = SpanK
+      Tables.documents(s, d).filter(isNew)
+        .select(col("doc_id"),
+          coalesce(tokens(col("text")), array().cast("array<string>")).as("l"))
+        .join(ps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("l"),
+          coalesce(col("ps"), array().cast("array<int>")).as("ps"))
+        .select(col("doc_id"), size(col("l")).as("n_tokens"),
+          size(filter(col("l"), (_, i) =>
+            exists(col("ps"), p => p <= i && i < p + kSpan))).as("ov"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("ov").cast("long").as("overlap_tokens"),
+          when(col("n_tokens") > 0,
+            round(col("ov") / col("n_tokens").cast("double"), 4)).as("overlap_frac"),
+          coalesce(when(col("n_tokens") > 0, col("ov") * 2 >= col("n_tokens")),
+            lit(false)).as("flagged"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178)
+      q153, q159, q164, q175, q178, q180)
 }

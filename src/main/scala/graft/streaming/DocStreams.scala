@@ -138,6 +138,74 @@ object DocStreams {
       best_index_partner: Option[Long], best_match: Option[Long],
       admitted: Boolean, ts: Timestamp)
 
+  final case class SpanOverlap(doc_id: Long, n_tokens: Long,
+      overlap_tokens: Long, flagged: Boolean, ts: Timestamp)
+
+  // not private: the Dataset encoder's generated projection code cannot
+  // access private classes (observed as a Janino CompileException)
+  final case class SpanRow(doc_id: Long, ts: Timestamp,
+      n_tokens: Int, pos: Option[Int], m: Option[Int])
+
+  /** Streaming form of q180's incremental span overlap — the substring
+    * leg of the ingest gate, per arriving document: how many of the
+    * doc's tokens are covered by a k-gram that already exists in the
+    * index corpus's stored gram inventory, and does that cover ≥ half
+    * the doc (q180's exact integer test). Same machinery as
+    * [[incrementalAdmission]]: gram hashes computed scan-side with the
+    * SAME tokenize/gram/md5 chain as the stored `gpos` artifact
+    * (`wordNgrams` + md5 — the batch path hashes identical gram
+    * strings), a STATELESS stream-static left-outer join against the
+    * index gram set, and a zero-state per-doc verdict fold (a doc's
+    * gram rows all land in its arrival trigger). `posexplode_outer`
+    * keeps gram-less docs flowing — they emit overlap 0, unflagged.
+    * Token coverage is an exact merged-interval sum over the matched
+    * gram starts, identical to the batch HOF's per-token test.
+    * Stream ≡ q180 pinned by SpanOverlapStreamSpec.
+    */
+  def spanOverlap(
+      docs: DataFrame,
+      idxGrams: DataFrame, // (gh) — DISTINCT index gram hashes
+      k: Int = graft.operators.DedupQueries.SpanK,
+      watermark: String = "1 hour"): Dataset[SpanOverlap] = {
+    import docs.sparkSession.implicits._
+    val joined = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        // NULL text ⇒ empty token stream (q178's parity contract)
+        size(graft.functions.TextFunctions.tokens(
+          coalesce(col("text"), lit("")))).as("n_tokens"),
+        posexplode_outer(
+          graft.functions.HashFunctions.wordNgramsNative(
+            coalesce(col("text"), lit("")), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("ts"), col("n_tokens"), col("pos"),
+        md5(col("gram")).as("gh"))
+      .join(idxGrams.select(col("gh"), lit(1).as("m")), Seq("gh"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("n_tokens"), col("pos"), col("m"))
+      .as[SpanRow]
+    joined.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, SpanOverlap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[SpanRow], _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          val n = rs.head.n_tokens
+          val starts = rs.collect {
+            case SpanRow(_, _, _, Some(p), Some(_)) => p
+          }.distinct.sorted
+          // exact merged-interval token count: [p, min(p+k, n))
+          var covered = 0L
+          var curEnd = -1
+          starts.foreach { p =>
+            val e = math.min(p + k, n)
+            val s0 = math.max(p, curEnd)
+            if (e > s0) { covered += e - s0; curEnd = e }
+            else curEnd = math.max(curEnd, e)
+          }
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(SpanOverlap(id, n.toLong, covered,
+            flagged = n > 0 && covered * 2 >= n, ts))
+      }
+  }
+
   /** Streaming form of q148's incremental cross-corpus admission: each
     * ARRIVING document is checked against the STORED band index — the
     * day-to-day ingest gate, now per-document instead of per-batch.

@@ -134,7 +134,9 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
     it("every span-family consumer embeds the canonical gpos chain verbatim") {
       val frag = DedupQueries.spanGposCtes
       val consumers = sqlByName.filter(_._2.contains("{'pos': i - 1, 'gh':"))
-      consumers.keySet shouldBe Set("q175_repeated_spans", "q178_span_removal")
+      consumers.keySet shouldBe Set(
+        "q175_repeated_spans", "q178_span_removal",
+        "q180_incremental_span_overlap")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the positional-gram definition: ") {
           sql.contains(frag) shouldBe true
