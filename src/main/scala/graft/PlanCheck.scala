@@ -317,6 +317,11 @@ object PlanCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
+    checkTree("q181_quality_canonical", "keeper window is cluster-keyed, never fact-global",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        .forall(_.partitionSpec.nonEmpty))
+    check("q181_quality_canonical", "quality keeper: id-keyed joins only, never cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q180_incremental_span_overlap", "span gate: both gram sides read the stored inventory; no cartesian",
       p => p.contains("graft_gpos5") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
@@ -391,7 +396,8 @@ object PlanCheck {
         "q171_gopher_rules", "q172_ccnet_buckets", "q173_tokenizer_fertility",
         "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub",
         "q177_media_phash_neardup", "q178_span_removal",
-        "q179_media_dedup_clusters", "q180_incremental_span_overlap")
+        "q179_media_dedup_clusters", "q180_incremental_span_overlap",
+        "q181_quality_canonical")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -829,7 +829,54 @@ object ModelPrepQueries {
           round(max(bpt) / lit(1000000.0), 4).as("max_bits_per_tok"))
     })
 
+  /** Quality-aware canonical selection — RefinedWeb's refinement of
+    * q129's min-id keeper: within each near-dup cluster, KEEP THE
+    * HIGHEST-QUALITY member (q41's quality formula; ties broken by the
+    * smaller doc_id, so the choice is deterministic and, on
+    * byte-identical duplicates — which score identically — degrades to
+    * q129's min-id rule). Built entirely on shared machinery:
+    * [[canonLabels]] / [[canonLabelCtes]] for the clustering and
+    * q41's drift-pinned quality fragment for the score, so this query
+    * cannot disagree with q129 on clusters or with q41 on quality.
+    * Output per doc: cluster, own quality, the cluster's keeper and its
+    * quality, is_keeper. Scale: the (id, label) table joins the
+    * scan-stage quality pass on doc_id; keeper selection is one
+    * cluster-keyed window over the |docs|-row label table — rank 1 per
+    * cluster, no global sort. */
+  val q181 = QueryDef.oracle("q181_quality_canonical", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""$canonLabelCtes,
+       |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+       |m AS (SELECT l.v AS doc_id, l.lbl AS cluster_id, q.quality
+       |      FROM l$CanonRounds l JOIN q ON q.doc_id = l.v),
+       |k AS (SELECT cluster_id, doc_id, quality,
+       |             ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                                ORDER BY quality DESC, doc_id) AS rn
+       |      FROM m),
+       |keep AS (SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality
+       |         FROM k WHERE rn = 1)
+       |SELECT m.doc_id, m.cluster_id, m.quality,
+       |       keep.keeper_id, keep.keeper_quality,
+       |       (m.doc_id = keep.keeper_id) AS is_keeper
+       |FROM m JOIN keep USING (cluster_id)""".stripMargin})(
+    (s, d) => {
+      val lab = canonLabels(s, d, CanonRounds)
+      val m = lab.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), qualityScore(col("text")).as("quality")),
+          Seq("doc_id"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val keep = m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+          col("quality").as("keeper_quality"))
+      m.join(keep, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          col("keeper_id"), col("keeper_quality"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172)
+      q150, q155, q162, q166, q172, q181)
 }

@@ -37,7 +37,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q145_triangle_census", "q148_incremental_dedup",
         "q150_leakage_safe_split", "q152_source_dedup_report",
         "q153_near_dup_edit_verify", "q155_dedup_sampling_weights",
-        "q159_source_overlap_matrix", "q162_curation_pipeline")
+        "q159_source_overlap_matrix", "q162_curation_pipeline",
+        "q181_quality_canonical")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -61,7 +62,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q145_triangle_census", "q150_leakage_safe_split",
         "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q155_dedup_sampling_weights", "q159_source_overlap_matrix",
-        "q162_curation_pipeline")
+        "q162_curation_pipeline", "q181_quality_canonical")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -162,7 +163,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
       consumers.keySet shouldBe Set(
         "q41_quality_score", "q162_curation_pipeline",
-        "q167_source_quality_profile")
+        "q167_source_quality_profile", "q181_quality_canonical")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
