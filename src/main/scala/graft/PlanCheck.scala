@@ -318,8 +318,12 @@ object PlanCheck {
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
     checkTree("q181_quality_canonical", "keeper window is cluster-keyed, never fact-global",
-      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-        .forall(_.partitionSpec.nonEmpty))
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        // nonEmpty: an empty collect would pass vacuously and stop
+        // guarding the moment the keeper shape is rewritten
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
     check("q181_quality_canonical", "quality keeper: id-keyed joins only, never cartesian",
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q180_incremental_span_overlap", "span gate: both gram sides read the stored inventory; no cartesian",

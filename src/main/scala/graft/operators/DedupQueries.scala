@@ -1017,7 +1017,8 @@ object DedupQueries {
     * self-read with no exchange on either side. Pure function of the
     * corpus, so every consumer's answer is bit-identical to recomputing
     * and the DuckDB oracles (which DO recompute from raw text) are
-    * unchanged. Consumers: q164 (n=3), q175/q178 (n=SpanK). */
+    * unchanged. Consumers: q164 (n=3), q175/q178/q180 (n=SpanK), plus
+    * the streaming span gate's index side (SpanOverlapStreamSpec). */
   private[graft] def storedGramPositions(s: SparkSession, d: String, n: Int): DataFrame =
     graft.sources.ArtifactStore.bucketed(s, d, s"gpos$n", Seq("gh"), 8) {
       Tables.documents(s, d)
