@@ -317,6 +317,33 @@ object PlanCheck {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("q176_pii_scrub", "fused scrub rides the scan: ONE doc scan, no Exchange",
       p => scans(p, "documents") == 1 && !p.contains("Exchange"))
+    check("q183_classifier_score", "fused classifier rides the scan: ONE doc scan, no Exchange",
+      p => scans(p, "documents") == 1 && !p.contains("Exchange"))
+    check("q184_cms_error_profile",
+      "CMS: map-side-combined token agg; probe joins broadcast; top-20 via TakeOrdered",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    checkTree("q186_stratified_kfold", "fold dealing is stratum-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    checkTree("q185_winnowing_fingerprints", "winnowing windows are doc-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q185_winnowing_fingerprints",
+      "fingerprints read the STORED gram inventory; pair join gh-keyed, no cartesian",
+      p => p.contains("graft_gpos5") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    checkTree("q182_prototype_selection", "prototype ranking window is cluster-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q182_prototype_selection", "codebook broadcasts into assignment; no cartesian",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     checkTree("q181_quality_canonical", "keeper window is cluster-keyed, never fact-global",
       p => {
         val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
@@ -401,7 +428,9 @@ object PlanCheck {
         "q174_bpe_train_k", "q175_repeated_spans", "q176_pii_scrub",
         "q177_media_phash_neardup", "q178_span_removal",
         "q179_media_dedup_clusters", "q180_incremental_span_overlap",
-        "q181_quality_canonical")
+        "q181_quality_canonical", "q182_prototype_selection",
+        "q183_classifier_score", "q184_cms_error_profile",
+        "q185_winnowing_fingerprints", "q186_stratified_kfold")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -57,6 +57,8 @@ object HashFunctions {
         intArg("portable_simhash", exprs, 1), intArg("portable_simhash", exprs, 2))),
     ("pii_scrub", classOf[PiiScrub].getName,
       exprs => PiiScrub(exprs.head)),
+    ("classifier_score", classOf[PortableClassifierScore].getName,
+      exprs => PortableClassifierScore(exprs.head)),
     ("topk_agg", classOf[TopKNative].getName,
       exprs => {
         require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
@@ -126,6 +128,13 @@ object HashFunctions {
     * 3 replaces); pass semantics pinned by PiiScrubSpec. */
   def piiScrubNative(text: Column): Column =
     native("pii_scrub", text)
+
+  /** Fused hashed-linear-classifier scorer (Column form of
+    * [[PortableClassifierScore]]): struct<n_tok:bigint, score:bigint>
+    * in one text pass — bag-of-tokens, portable codepoint hash,
+    * LCG-derived integer weights (the oracle replays the exact sums). */
+  def classifierScoreNative(text: Column): Column =
+    native("classifier_score", text)
 
   /** Fused engine-portable MinHash signature (Column form of
     * [[PortableMinHashSig]]); slots are the sentinel P for gram-less

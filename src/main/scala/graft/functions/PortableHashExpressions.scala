@@ -142,6 +142,46 @@ object PortableHashKernels {
     }
     new GenericInternalRow(Array[Any](hs.length, fp))
   }
+
+  /** Hashed linear classifier constants (the classic public LCG pair —
+    * any engine can type them in). Distinct from the MinHash stream
+    * constants so the two families can't be conflated. */
+  val ClsA = 1103515245L
+  val ClsB = 12345L
+
+  /** fastText-style hashed bag-of-words linear scorer, fused: one pass
+    * over the text, per TOKEN (bag semantics — every occurrence votes,
+    * unlike the gram family's DISTINCT) fold the portable codepoint
+    * hash, map it to an integer weight in [-1000, 1000] via
+    * ((h·ClsA + ClsB) mod P) mod 2001 − 1000, and sum. Returns
+    * struct<n_tok:bigint, score:bigint>. Every intermediate is
+    * non-negative before its mod and bounded by P·ClsA ≈ 1.1e18, so
+    * Java `%` ≡ SQL `%` and nothing wraps — the DuckDB oracle replays
+    * the exact integers. A "trained" linear model would ship real
+    * weights; the hash-derived weights exercise the identical plan
+    * (hash → lookup → sum) with a portable stand-in.
+    */
+  def classifierScore(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var nTok = 0L
+    var score = 0L
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0L
+        while (i < len && !isWs(str.charAt(i))) {
+          val cp = str.codePointAt(i)
+          h = (h * 131L + cp) % P
+          i += Character.charCount(cp)
+        }
+        nTok += 1L
+        score += ((h * ClsA + ClsB) % P) % 2001L - 1000L
+      }
+    }
+    new GenericInternalRow(Array[Any](nTok, score))
+  }
 }
 
 abstract class PortableTextExpression extends UnaryExpression {
@@ -188,5 +228,25 @@ case class PortableSimHash(child: Expression, n: Int, bits: Int)
       s"${ev.value} = graft.functions.PortableHashKernels.simhash($v, $n, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
+    copy(child = newChild)
+}
+
+/** Fused hashed-linear-classifier score → struct<n_tok:bigint,
+  * score:bigint> (see [[PortableHashKernels.classifierScore]]). */
+case class PortableClassifierScore(child: Expression)
+    extends PortableTextExpression {
+  override def prettyName: String = "classifier_score"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashKernels.classifierScore(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PortableHashKernels.classifierScore($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableClassifierScore =
     copy(child = newChild)
 }

@@ -625,7 +625,109 @@ object CurationQueries {
             .as("has_pii"))
     })
 
+  /** Hashed-linear-classifier quality gate (the fastText-shaped plan:
+    * token → hash → weight lookup → sum, Joulin et al. 2016): per doc,
+    * every token occurrence (BAG semantics, unlike the gram family's
+    * DISTINCT) hashes through the portable codepoint fold and votes an
+    * integer weight in [-1000, 1000]; keep = positive sum. ZERO
+    * shuffles — the fused [[graft.functions.PortableClassifierScore]]
+    * kernel computes (n_tok, score) in one text pass inside the scan
+    * stage, so at 100 TB this is a pure map over the corpus (the
+    * production classifier would broadcast a real trained weight table;
+    * the LCG-derived weights exercise the identical plan with a
+    * stand-in any engine reproduces — the oracle replays exact sums).
+    * Differential spec pins kernel ≡ the HOF spec formulation.
+    */
+  val q183 = QueryDef.oracle("q183_classifier_score",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(t, ''),
+       |               c -> CAST(unicode(c) AS BIGINT))),
+       |             (a, b) -> (a * 131 + b) % 1000000007)) AS ths
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tok,
+       |       CAST(COALESCE(list_sum(list_transform(ths,
+       |         th -> ((th * ${graft.functions.PortableHashKernels.ClsA}
+       |                 + ${graft.functions.PortableHashKernels.ClsB})
+       |                % 1000000007) % 2001 - 1000)), 0) AS BIGINT) AS score,
+       |       COALESCE(list_sum(list_transform(ths,
+       |         th -> ((th * ${graft.functions.PortableHashKernels.ClsA}
+       |                 + ${graft.functions.PortableHashKernels.ClsB})
+       |                % 1000000007) % 2001 - 1000)), 0) > 0 AS keep
+       |FROM h""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      Tables.documents(s, d)
+        .select(col("doc_id"), classifierScoreNative(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.n_tok").as("n_tok"),
+          col("cs.score").as("score"), (col("cs.score") > 0).as("keep"))
+    })
+
+  /** Count-Min sketch error profile (Cormode & Muthukrishnan 2005) with
+    * EXACT replay: 4 portable hash rows × 512 cells over the global
+    * token frequencies, then the CMS point estimate (min over rows) for
+    * the 20 most frequent tokens next to their true counts — the
+    * overestimate column IS the sketch's collision error, measured, not
+    * simulated. Scale shape: one map-side-combined token aggregate
+    * (vocab-sized, sublinear in corpus); the sketch itself is a
+    * CONSTANT 2048-row table built from that aggregate, and the
+    * heavy-token probe joins against it broadcast — at 100 TB nothing
+    * downstream of the token agg grows at all. The same (a_i, b_i)
+    * universal-hash streams as the portable MinHash family, so the
+    * oracle types in the identical constants.
+    */
+  val q184 = {
+    import graft.functions.PortableHashKernels.{a, b}
+    val rows = 1 to 4
+    val vals = rows.map(j => s"(${j}, ${a(j)}, ${b(j)})").mkString(", ")
+    QueryDef.oracle("q184_cms_error_profile",
+      s"""WITH toks AS (SELECT unnest(list_filter(
+         |                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+         |              FROM documents),
+         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+         |h AS (SELECT tok, freq,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(tok, ''),
+         |            c -> CAST(unicode(c) AS BIGINT))),
+         |          (a, b) -> (a * 131 + b) % 1000000007) AS th
+         |      FROM f),
+         |c AS (SELECT tok, freq, s.j,
+         |        ((th * s.a + s.b) % 1000000007) % 512 AS cell
+         |      FROM h CROSS JOIN (VALUES $vals) AS s(j, a, b)),
+         |cms AS (SELECT j, cell, CAST(SUM(freq) AS BIGINT) AS cnt
+         |        FROM c GROUP BY j, cell),
+         |heavy AS (SELECT tok FROM f ORDER BY freq DESC, tok LIMIT 20)
+         |SELECT c.tok, c.freq, CAST(MIN(m.cnt) AS BIGINT) AS est,
+         |       CAST(MIN(m.cnt) - c.freq AS BIGINT) AS err
+         |FROM c JOIN cms m USING (j, cell)
+         |WHERE c.tok IN (SELECT tok FROM heavy)
+         |GROUP BY c.tok, c.freq""".stripMargin)(
+      (s, d) => {
+        val f = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val h = f.withColumn("th", portableStringHash(col("tok")))
+        val cells = h.select(col("tok"), col("freq"),
+          explode(array(rows.map(j =>
+            struct(lit(j).as("j"),
+              ((col("th") * a(j) + b(j)) % 1000000007L % 512L).as("cell"))): _*))
+            .as("jc"))
+          .select(col("tok"), col("freq"),
+            col("jc.j").as("j"), col("jc.cell").as("cell"))
+        val cms = cells.groupBy("j", "cell").agg(sum("freq").as("cnt"))
+        val heavy = f.orderBy(col("freq").desc, col("tok")).limit(20)
+          .select(col("tok"))
+        cells.join(broadcast(heavy), Seq("tok"))
+          .join(broadcast(cms), Seq("j", "cell"))
+          .groupBy("tok", "freq")
+          .agg(min("cnt").as("est"), (min("cnt") - col("freq")).as("err"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176)
+      q176, q183, q184)
 }

@@ -1017,7 +1017,7 @@ object DedupQueries {
     * self-read with no exchange on either side. Pure function of the
     * corpus, so every consumer's answer is bit-identical to recomputing
     * and the DuckDB oracles (which DO recompute from raw text) are
-    * unchanged. Consumers: q164 (n=3), q175/q178/q180 (n=SpanK), plus
+    * unchanged. Consumers: q164 (n=3), q175/q178/q180/q185 (n=SpanK), plus
     * the streaming span gate's index side (SpanOverlapStreamSpec). */
   private[graft] def storedGramPositions(s: SparkSession, d: String, n: Int): DataFrame =
     graft.sources.ArtifactStore.bucketed(s, d, s"gpos$n", Seq("gh"), 8) {
@@ -1252,7 +1252,80 @@ object DedupQueries {
             lit(false)).as("flagged"))
     })
 
+  /** Winnowing window width (in gram positions) and the stop-fingerprint
+    * cap, baked into q185's oracle at object init. w=4 over the SpanK=5
+    * gram inventory gives the Schleimer guarantee: any shared substring
+    * of ≥ w + SpanK − 1 = 8 tokens produces at least one shared
+    * fingerprint. */
+  private[graft] val WinnowW = 4
+  private[graft] val WinnowStop = 50
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local document fingerprinting): over each document's
+    * positional [[SpanK]]-gram hashes, slide a [[WinnowW]]-position
+    * window and select the minimum hash (rightmost occurrence on ties —
+    * ROBUST winnowing, so near-identical docs select the same
+    * positions); the distinct selected hashes are the document's
+    * fingerprints, and documents sharing ≥ 2 fingerprints are match
+    * candidates. Position-ROBUST where MinHash is permutation-random:
+    * winnowing guarantees every shared run of ≥ WinnowW+SpanK−1 tokens
+    * yields a shared fingerprint, which is the plagiarism/quote
+    * detector's contract, not a similarity estimate. Fingerprints
+    * selected by > [[WinnowStop]] documents are dropped as boilerplate
+    * BEFORE pairing (MOSS's "ignore matches in too many documents"),
+    * which is also the 100-TB bound: the gh-keyed pair join fans out at
+    * most WinnowStop² per fingerprint, never a dup-class square. The
+    * windowing itself is a constant ×WinnowW position explode under
+    * doc-keyed windows — no global state anywhere. Reads the stored
+    * gpos[[SpanK]] inventory (one gram scan per corpus, shared with
+    * q175/q178/q180).
+    */
+  val q185 = QueryDef.oracle("q185_winnowing_fingerprints", {
+    s"""$spanGposCtes,
+       |gp AS (SELECT doc_id, pos, gh,
+       |              CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS np
+       |       FROM gpos),
+       |cells AS (SELECT doc_id, pos, gh,
+       |                 unnest(range(greatest(pos - ${WinnowW - 1}, 0),
+       |                              least(pos, greatest(np - $WinnowW, 0)) + 1)) AS s
+       |          FROM gp),
+       |win AS (SELECT doc_id, s, gh FROM (
+       |          SELECT doc_id, s, gh,
+       |                 row_number() OVER (PARTITION BY doc_id, s
+       |                                    ORDER BY gh, pos DESC) AS rn
+       |          FROM cells) WHERE rn = 1),
+       |fp AS (SELECT DISTINCT doc_id, gh FROM win),
+       |keep AS (SELECT gh FROM fp GROUP BY gh
+       |         HAVING count(*) BETWEEN 2 AND $WinnowStop)
+       |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fp a JOIN keep USING (gh) JOIN fp b USING (gh)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2""".stripMargin})(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = storedGramPositions(s, d, SpanK)
+      val gp = g.withColumn("np",
+        count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+      val cells = gp.withColumn("s",
+        explode(sequence(greatest(col("pos") - (WinnowW - 1), lit(0)),
+          least(col("pos"), greatest(col("np") - WinnowW, lit(0))))))
+      val win = cells
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id", "s").orderBy(col("gh"), col("pos").desc)))
+        .filter(col("rn") === 1)
+      val fp = win.select("doc_id", "gh").distinct()
+      val keep = fp.groupBy("gh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, WinnowStop)).select("gh")
+      fp.join(keep, Seq("gh"))
+        .join(fp.select(col("doc_id").as("ib"), col("gh")), Seq("gh"))
+        .filter(col("doc_id") < col("ib"))
+        .groupBy(col("doc_id").as("ia"), col("ib"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180)
+      q153, q159, q164, q175, q178, q180, q185)
 }

@@ -876,7 +876,59 @@ object ModelPrepQueries {
           (col("doc_id") === col("keeper_id")).as("is_keeper"))
     })
 
+  /** Stratified k-fold assignment with EXACT largest-remainder
+    * allocation: within every (source, lang) stratum, docs are ordered
+    * by a deterministic integer hash of doc_id (the LCG permutation —
+    * content-independent, so folds don't correlate with any text
+    * property) and dealt into k=5 contiguous blocks whose sizes are
+    * ⌊n/k⌋ or ⌊n/k⌋+1 with the first n mod k folds taking the extra —
+    * per-stratum fold sizes can NEVER differ by more than one, which is
+    * the property random assignment only delivers in expectation. This
+    * is the cross-validation/eval-holdout primitive next to q150's
+    * leakage-safe 2-way split: proportional per stratum, pure integers,
+    * any engine re-deals identically. Scale shape: one (source, lang)-
+    * keyed window exchange carrying (doc_id, 8-byte hash); the fold
+    * arithmetic is scan-local on the ranked rows. The block-boundary
+    * division guards base=0 (stratum smaller than k) with greatest(·,1)
+    * — that branch is unreachable then, but ANSI division must not
+    * throw on the never-taken leg.
+    */
+  val q186 = QueryDef.oracle("q186_stratified_kfold",
+    """WITH s AS (SELECT doc_id, source, lang,
+      |             ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
+      |           FROM documents),
+      |r AS (SELECT doc_id, source, lang,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+      |                                ORDER BY h, doc_id) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n
+      |      FROM s)
+      |SELECT doc_id, source, lang,
+      |       CAST(CASE WHEN rn <= (n % 5) * (n // 5 + 1)
+      |                 THEN (rn - 1) // (n // 5 + 1)
+      |                 ELSE (n % 5) + (rn - 1 - (n % 5) * (n // 5 + 1))
+      |                      // greatest(n // 5, 1)
+      |            END AS BIGINT) AS fold
+      |FROM r""".stripMargin)(
+    (s, d) => {
+      val k = 5
+      val hash = ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L
+      val w = Window.partitionBy("source", "lang")
+      val r = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), hash.as("h"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          row_number().over(w.orderBy(col("h"), col("doc_id"))).cast("long").as("rn"),
+          count(lit(1)).over(w).as("n"))
+      val base = expr("n div 5")
+      val rem = col("n") % k
+      val fold = when(col("rn") <= rem * (base + 1),
+        expr("(rn - 1) div (n div 5 + 1)"))
+        .otherwise(rem + expr(
+          "(rn - 1 - (n % 5) * (n div 5 + 1)) div greatest(n div 5, 1)"))
+      r.select(col("doc_id"), col("source"), col("lang"),
+        fold.cast("long").as("fold"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181)
+      q150, q155, q162, q166, q172, q181, q186)
 }

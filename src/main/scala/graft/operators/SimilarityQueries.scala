@@ -116,18 +116,28 @@ object SimilarityQueries {
     * centroid table; at 100 TB training runs on a corpus sample (this
     * corpus is small enough to train on in full), while assignment /
     * encode — the full-scan stages — live in the queries themselves. */
+  /** Map-side argmax assignment of `src(vec_id, v)` to its nearest
+    * centroid in `cent(c_id, c)` by double cosine, ties toward the
+    * larger c_id (max(struct) ≡ ORDER BY cos DESC, c_id DESC) — the ONE
+    * assignment definition shared by k-means training, q170 and q182,
+    * replayed verbatim in the oracle `asg` CTEs. The exchange carries
+    * (vec_id, best-struct) partial maxima, never vectors. */
+  private def nearestCentroid(s: SparkSession, src: DataFrame,
+      cent: DataFrame): DataFrame =
+    src.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(VecExpressions.cosineFast(s, col("v").cast("array<double>"),
+          col("c").cast("array<double>")).as("s"), col("c_id")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("b"))
+      .select(col("vec_id"), col("b.c_id").as("c_id"))
+
   private def trainCentroids(s: SparkSession, src: DataFrame,
       k: Int, iters: Int): DataFrame = {
     var cent = src.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("c"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val asg = src.crossJoin(broadcast(cent))
-        .select(col("vec_id"),
-          struct(VecExpressions.cosineFast(s, col("v").cast("array<double>"),
-            col("c").cast("array<double>")).as("s"), col("c_id")).as("sc"))
-        .groupBy("vec_id").agg(max("sc").as("b"))
-        .select(col("vec_id"), col("b.c_id").as("c_id"))
+      val asg = nearestCentroid(s, src, cent)
       val sums = asg.join(src, Seq("vec_id"))
         .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "uv")))
         .groupBy("c_id", "dim").agg(sum("uv").as("sv"))
@@ -207,10 +217,15 @@ object SimilarityQueries {
       |                        x -> CAST(round(x * 10000) AS BIGINT)) AS v
       |       FROM embeddings)""".stripMargin
 
+  /** The bare generated IVF k-means chain — exposed for the oracle
+    * drift guard, which pins every consumer (q64/q69/q170/q182) to this
+    * exact text so the trained codebook cannot fork across oracles. */
+  private[graft] def ivfChainCtes: String = kmeansCtes("ivf", "iq", IvfK, KmIters)
+
   /** iq + IVF training chain; exposes cent(c_id, c_vec DOUBLE[]). */
   private def ivfCentCtes: String =
     s"""$iqCte,
-       |${kmeansCtes("ivf", "iq", IvfK, KmIters)},
+       |$ivfChainCtes,
        |cent AS (SELECT c_id, CAST(c AS DOUBLE[]) AS c_vec FROM ivfcent$KmIters)""".stripMargin
 
   /** The 8 per-subspace training chains, concatenated into a single
@@ -812,7 +827,7 @@ object SimilarityQueries {
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
        |             FROM embeddings),
        |$iqCte,
-       |${kmeansCtes("ivf", "iq", IvfK, KmIters)},
+       |$ivfChainCtes,
        |ivfcent AS (SELECT c_id, CAST(c AS DOUBLE[]) AS c_vec FROM ivfcent$KmIters),
        |${pqCentCtes("pqcent")},
        |assign AS (
@@ -1226,12 +1241,7 @@ object SimilarityQueries {
     (s, d) => {
       val vecs = quantizedVecs(s, d)
       val cent = storedIvfCentroids(s, d)
-      val asg = vecs.crossJoin(broadcast(cent))
-        .select(col("vec_id"),
-          struct(VecExpressions.cosineFast(s, col("v").cast("array<double>"),
-            col("c").cast("array<double>")).as("s"), col("c_id")).as("sc"))
-        .groupBy("vec_id").agg(max("sc").as("b"))
-        .select(col("vec_id"), col("b.c_id").as("c_id"))
+      val asg = nearestCentroid(s, vecs, cent)
       val m = asg.join(vecs, Seq("vec_id"))
       // fused native kernel: (dot, |a|², |b|²) in ONE codegen loop per
       // pair — the HOF form (aggregate∘zip_with ×3) walked both arrays
@@ -1255,7 +1265,64 @@ object SimilarityQueries {
           (coalesce(col("n_close"), lit(0L)) === 0).as("keep"))
     })
 
+  /** Cluster-balanced prototype selection (the SSL-prototypes pruning
+    * of Sorscher et al. 2022 "Beyond neural scaling laws"): assign every
+    * embedding to its nearest stored IVF centroid, rank within each
+    * cluster by INTEGER prototypicality — the exact BIGINT dot product
+    * against the cluster's sum-centroid (monotone in cosine across a
+    * cluster's equal-norm members; exact and portable where the cosine
+    * itself is float) — and keep the top 30% per cluster, quota
+    * computed in integers: keep ⇔ (rn−1)·10 < n·3 ≡ rn ≤ ⌈0.3n⌉. The
+    * per-cluster quota is what makes the cut DIVERSITY-preserving: a
+    * global top-30% would empty small clusters into big ones. Scale
+    * shape: assignment is a scan against the broadcast codebook (q170's
+    * exchange-free argmax); the only data-sized shuffle is the
+    * c_id-keyed ranking window carrying (vec_id, c_id, proto BIGINT) —
+    * 24 bytes/row, never the vectors — and its partition count is
+    * bounded by the codebook size with per-cluster skew bounded by the
+    * training balance (mega-cluster handling demonstrated in
+    * AqeSkewJoinSpec on q170's identical keying).
+    */
+  val q182 = QueryDef.oracle("q182_prototype_selection",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |sc AS (SELECT a.vec_id, a.c_id,
+       |        CAST(list_sum([q.v[k] * t.c[k] FOR k IN range(1, len(q.v) + 1)])
+       |          AS BIGINT) AS proto
+       |       FROM asg a JOIN iq q USING (vec_id)
+       |         JOIN ivfcent$KmIters t USING (c_id)),
+       |r AS (SELECT vec_id, c_id, proto,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY c_id
+       |          ORDER BY proto DESC, vec_id) AS BIGINT) AS rn,
+       |        COUNT(*) OVER (PARTITION BY c_id) AS n
+       |      FROM sc)
+       |SELECT vec_id, c_id, proto, rn, (rn - 1) * 10 < n * 3 AS keep
+       |FROM r""".stripMargin)(
+    (s, d) => {
+      val vecs = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val proto = nearestCentroid(s, vecs, cent)
+        .join(vecs, Seq("vec_id"))
+        .join(broadcast(cent), Seq("c_id"))
+        .select(col("vec_id"), col("c_id"),
+          VecExpressions.intDotNorms(s, col("v"), col("c"))
+            .getField("dot").as("proto"))
+      val w = Window.partitionBy("c_id")
+      proto
+        .select(col("vec_id"), col("c_id"), col("proto"),
+          row_number().over(w.orderBy(col("proto").desc, col("vec_id")))
+            .cast("long").as("rn"),
+          count(lit(1)).over(w).as("n"))
+        .select(col("vec_id"), col("c_id"), col("proto"), col("rn"),
+          ((col("rn") - 1) * 10 < col("n") * 3).as("keep"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170)
+      q163, q170, q182)
 }

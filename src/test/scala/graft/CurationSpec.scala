@@ -40,4 +40,21 @@ class CurationSpec extends SparkSpec {
     val Seq((muf, dtf)) = stats("a\t\ta  a   b")
     assert(muf == 0.75 && dtf == 0.0)
   }
+
+  test("q184: the CMS point estimate NEVER underestimates, and errors are collision mass") {
+    val rows = SparkEntry.queries("q184_cms_error_profile")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20, "profile must cover exactly the top-20 tokens")
+    rows.foreach { case (tok, freq, est, err) =>
+      assert(est >= freq, s"'$tok': CMS est $est < true freq $freq — impossible")
+      assert(err == est - freq)
+    }
+  }
+
+  test("q183: the classifier cut is non-vacuous on the corpus (both classes present)") {
+    val keeps = SparkEntry.queries("q183_classifier_score")(
+      spark, "/root/testdata/sf0.001").collect().map(_.getBoolean(3))
+    assert(keeps.contains(true) && keeps.contains(false))
+  }
 }

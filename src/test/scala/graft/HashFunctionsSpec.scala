@@ -177,4 +177,29 @@ class HashFunctionsSpec extends SparkSpec {
     assert(nat == hof)
     assert(nat(6) == ((0, 0L))) // empty text: no grams, fp 0
   }
+
+  test("classifier score: native fused kernel == HOF formulation on edge-case texts") {
+    import graft.functions.PortableHashKernels.{ClsA, ClsB}
+    val df = portableEdgeTexts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val nat = df.select(col("id"), classifierScoreNative(col("text")).as("cs"))
+      .select(col("id"), col("cs.n_tok"), col("cs.score"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val toks = tokens(col("text"))
+    val hof = df.select(col("id"), size(toks).cast("long"),
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + (((portableStringHash(t) * ClsA + ClsB) % 1000000007L) % 2001L - 1000L)))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nat == hof)
+    assert(nat(6) == ((0L, 0L)) && nat(7) == ((0L, 0L))) // empty / ws-only
+  }
+
+  test("classifier score: BAG semantics — a repeated token votes once per occurrence") {
+    val m = Seq((1, "zq"), (2, "zq zq zq")).toDF("id", "text")
+      .select(col("id"), classifierScoreNative(col("text")).as("cs"))
+      .select(col("id"), col("cs.n_tok"), col("cs.score"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1)._1 == 1L && m(2)._1 == 3L)
+    assert(m(2)._2 == 3L * m(1)._2) // distinct-gram semantics would give 1×
+    assert(m(1)._2 != 0L) // non-vacuous: 'zq' carries a real weight
+  }
 }

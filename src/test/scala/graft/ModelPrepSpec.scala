@@ -184,6 +184,20 @@ class ModelPrepSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q186: per-stratum fold sizes never differ by more than one; folds partition the stratum") {
+    val rows = q("q186_stratified_kfold").collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (stratum, ms) =>
+      val sizes = ms.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf((0L until 5L).toSet), s"$stratum: bad fold id")
+      val n = ms.size
+      // exact largest-remainder shape: n mod 5 folds of ⌊n/5⌋+1, rest ⌊n/5⌋
+      val expected = (0L until 5L).map(f =>
+        f -> (n / 5 + (if (f < n % 5) 1 else 0))).filter(_._2 > 0).toMap
+      assert(sizes == expected, s"$stratum: $sizes ≠ $expected")
+    }
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>

@@ -137,7 +137,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("{'pos': i - 1, 'gh':"))
       consumers.keySet shouldBe Set(
         "q175_repeated_spans", "q178_span_removal",
-        "q180_incremental_span_overlap")
+        "q180_incremental_span_overlap", "q185_winnowing_fingerprints")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the positional-gram definition: ") {
           sql.contains(frag) shouldBe true
@@ -154,6 +154,19 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the pHash pair definition: ") {
           (sql.contains(frag) || sql.contains(recursive)) shouldBe true
+        }
+      }
+    }
+
+    it("every trained-IVF-codebook consumer embeds the canonical k-means chain verbatim") {
+      val frag = graft.operators.SimilarityQueries.ivfChainCtes
+      val consumers = sqlByName.filter(_._2.contains("ivfasg1 AS"))
+      consumers.keySet shouldBe Set(
+        "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
+        "q182_prototype_selection")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the IVF codebook training: ") {
+          sql.contains(frag) shouldBe true
         }
       }
     }

@@ -36,4 +36,23 @@ class SemanticDedupSpec extends SparkSpec {
     assert(rows.exists(!_._4), "no vector dropped — threshold never exercised")
     assert(rows.count(_._4) > rows.length / 2, "over half the corpus dropped")
   }
+
+  test("q182 prototype selection: per-cluster quota is EXACTLY ceil(0.3·n), top-ranked prefix kept") {
+    val out = SparkEntry.queries("q182_prototype_selection")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(out.length.toLong == nVecs, "selection must cover the corpus exactly once")
+    assert(out.map(_._1).distinct.length == out.length)
+    out.groupBy(_._2).foreach { case (c, ms) =>
+      val n = ms.length
+      val kept = ms.count(_._5)
+      assert(kept == (3 * n + 9) / 10, s"cluster $c: kept $kept of $n ≠ ceil(0.3n)")
+      // the kept rows are the rank prefix 1..kept — quota by prototypicality,
+      // not an arbitrary subset
+      assert(ms.filter(_._5).map(_._4).sorted.toSeq == (1L to kept).toSeq,
+        s"cluster $c: kept ranks are not the top prefix")
+    }
+    // diversity property: every cluster retains at least one member
+    assert(out.groupBy(_._2).forall(_._2.exists(_._5)))
+  }
 }
