@@ -323,6 +323,13 @@ object PlanCheck {
       "CMS: map-side-combined token agg; probe joins broadcast; top-20 via TakeOrdered",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q187_bigram_lm_score",
+      "bigram LM: map-side-combined aggregates; vocab stat broadcast; no cartesian",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q188_source_divergence",
+      "JS matrix: term joins keyed on (source, tok); only the dim-sized pair cross is unkeyed",
+      p => p.contains("partial_count") && !p.contains("SortMergeJoin"))
     checkTree("q186_stratified_kfold", "fold dealing is stratum-keyed, never fact-global",
       p => {
         val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
@@ -430,7 +437,8 @@ object PlanCheck {
         "q179_media_dedup_clusters", "q180_incremental_span_overlap",
         "q181_quality_canonical", "q182_prototype_selection",
         "q183_classifier_score", "q184_cms_error_profile",
-        "q185_winnowing_fingerprints", "q186_stratified_kfold")
+        "q185_winnowing_fingerprints", "q186_stratified_kfold",
+        "q187_bigram_lm_score", "q188_source_divergence")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

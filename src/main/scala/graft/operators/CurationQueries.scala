@@ -727,7 +727,87 @@ object CurationQueries {
       })
   }
 
+  /** Source-divergence matrix: Jensen–Shannon divergence (bits, log2)
+    * between every pair of per-source unigram distributions — the
+    * DISTRIBUTIONAL sibling of q159's membership-overlap matrix: q159
+    * says which sources share documents, this says which sources speak
+    * the same language even when they share none. Used to pick mixture
+    * weights and spot redundant crawls. Determinism: each token's JS
+    * contribution (pointwise ≥ 0, so the half-up/half-away rounding
+    * seam never opens) is computed in doubles with identical
+    * association in both engines and rounded to integer MICRO-units per
+    * (pair, token) TYPE; the per-pair sum runs on exact BIGINTs —
+    * partition-order-proof (the q123 policy). Scale shape: the
+    * (source, token) aggregate combines map-side and is vocab-sized;
+    * the pair table is |sources|² rows (a dim-sized cross, broadcast);
+    * term rows are pairs × union-vocab, all keyed joins.
+    */
+  val q188 = QueryDef.oracle("q188_source_divergence",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |t AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM toks GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM t GROUP BY 1),
+      |p AS (SELECT a.source AS sa, b.source AS sb, a.ns AS na, b.ns AS nb
+      |      FROM n a JOIN n b ON a.source < b.source),
+      |u AS (SELECT p.sa, p.sb, p.na, p.nb, t.tok
+      |      FROM p JOIN t ON t.source = p.sa
+      |      UNION
+      |      SELECT p.sa, p.sb, p.na, p.nb, t.tok
+      |      FROM p JOIN t ON t.source = p.sb),
+      |term AS (SELECT u.sa, u.sb, u.na, u.nb, u.tok,
+      |           coalesce(ta.c, CAST(0 AS BIGINT)) AS ca,
+      |           coalesce(tb.c, CAST(0 AS BIGINT)) AS cb
+      |         FROM u LEFT JOIN t ta ON ta.source = u.sa AND ta.tok = u.tok
+      |                LEFT JOIN t tb ON tb.source = u.sb AND tb.tok = u.tok),
+      |mic AS (SELECT sa, sb,
+      |          CAST(round(0.5 * (
+      |            CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+      |              * log2((CAST(ca AS DOUBLE) / na) * 2
+      |                     / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+      |              ELSE 0 END
+      |          + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+      |              * log2((CAST(cb AS DOUBLE) / nb) * 2
+      |                     / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+      |              ELSE 0 END) * 1000000) AS BIGINT) AS micro
+      |        FROM term)
+      |SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(SUM(micro) AS BIGINT) AS js_micro,
+      |       round(SUM(micro) / 1000000.0, 4) AS js_bits
+      |FROM mic GROUP BY 1, 2""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val t = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val n = t.groupBy("source").agg(sum("c").as("ns"))
+      val p = n.select(col("source").as("sa"), col("ns").as("na"))
+        .crossJoin(n.select(col("source").as("sb"), col("ns").as("nb")))
+        .filter(col("sa") < col("sb"))
+      val ta = t.select(col("source").as("sa"), col("tok"), col("c").as("ca"))
+      val tb = t.select(col("source").as("sb"), col("tok"), col("c").as("cb"))
+      val u = p.join(ta.select("sa", "tok"), Seq("sa"))
+        .select("sa", "sb", "na", "nb", "tok")
+        .union(p.join(tb.select("sb", "tok"), Seq("sb"))
+          .select("sa", "sb", "na", "nb", "tok"))
+        .distinct()
+      val term = u.join(ta, Seq("sa", "tok"), "left")
+        .join(tb, Seq("sb", "tok"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val contrib = lit(0.5) * (
+        when(col("ca") > 0, pa * log2(pa * lit(2) / (pa + pb))).otherwise(lit(0.0))
+          + when(col("cb") > 0, pb * log2(pb * lit(2) / (pa + pb))).otherwise(lit(0.0)))
+      val mic = term.select(col("sa"), col("sb"),
+        round(contrib * lit(1000000)).cast("long").as("micro"))
+      mic.groupBy("sa", "sb").agg(
+        count(lit(1)).as("n_types"),
+        sum("micro").as("js_micro"),
+        round(sum("micro") / lit(1000000.0), 4).as("js_bits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184)
+      q176, q183, q184, q188)
 }

@@ -876,6 +876,124 @@ object ModelPrepQueries {
           (col("doc_id") === col("keeper_id")).as("is_keeper"))
     })
 
+  /** Bigram LM scoring — the context-aware step past q123's unigram
+    * model (CCNet scores with a 5-gram KenLM; a bigram captures the
+    * same "does this doc read like the corpus" signal with corpus-only
+    * training). Add-1-smoothed P(w₂|w₁) = (c₂+1)/(c₁+V) over the
+    * observed bigrams, doc score = average bits per bigram. Same
+    * micro-unit policy as q123: the per-BIGRAM-TYPE bits are rounded to
+    * integer micro-bits ONCE (vocabulary-sized table), and every doc
+    * sum runs on exact BIGINTs — partition-order-proof, bit-identical
+    * across engines. Scale shape: bigram aggregates combine map-side
+    * (bigram-type-sized, sublinear in corpus); the LM join is keyed on
+    * the bigram; the 1-row vocab stat broadcasts. Docs under 2 tokens
+    * have no bigrams: n_bigrams 0, score NULL (q123's convention).
+    */
+  val q187 = QueryDef.oracle("q187_bigram_lm_score",
+    """WITH tk AS (SELECT doc_id, list_filter(
+      |             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |bi AS (SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i+1]}
+      |                              FOR i IN range(1, len(l))],
+      |                             recursive := true)
+      |       FROM tk),
+      |bf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+      |       FROM bi GROUP BY 1, 2, 3),
+      |g2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+      |g1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM g2 GROUP BY 1),
+      |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |       FROM (SELECT unnest(l) AS tok FROM tk)),
+      |bits AS (SELECT w1, w2, CAST(round(log2(
+      |           CAST(c1 + vocab AS DOUBLE) / (c2 + 1)) * 1000000) AS BIGINT)
+      |           AS micro_bits
+      |         FROM g2 JOIN g1 USING (w1), vs),
+      |doc AS (SELECT bf.doc_id,
+      |               CAST(SUM(bf.c * b.micro_bits) AS BIGINT) AS micro_sum,
+      |               CAST(SUM(bf.c) AS BIGINT) AS n_bi
+      |        FROM bf JOIN bits b USING (w1, w2) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(doc.n_bi, CAST(0 AS BIGINT)) AS n_bigrams,
+      |       round(doc.micro_sum / 1000000.0 / doc.n_bi, 4) AS bits_per_bigram,
+      |       round(doc.micro_sum / 1000000.0 / doc.n_bi, 4) <= 4.9 AS kept
+      |FROM documents d LEFT JOIN doc USING (doc_id)""".stripMargin)(
+    (s, d) => {
+      val bi = bigramStream(s, d)
+      val bf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      val doc = bf.join(bigramLmBits(s, d), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("micro_bits")).as("micro_sum"),
+          sum("c").as("n_bi"))
+      val bpb = round(col("micro_sum") / lit(1000000.0) / col("n_bi"), 4)
+      Tables.documents(s, d).select("doc_id").join(doc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
+          bpb.as("bits_per_bigram"), (bpb <= 4.9).as("kept"))
+    })
+
+  /** Corpus bigram occurrences (doc_id, w1, w2), one row per adjacent
+    * token pair — the training stream of the bigram LM, shared by q187
+    * and the stored-artifact builders so model and query cannot drift. */
+  private def bigramStream(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("l"))
+    val len1 = greatest(size(col("l")) - 1, lit(0))
+    tk.select(col("doc_id"), explode(zip_with(
+        slice(col("l"), lit(1), len1), slice(col("l"), lit(2), len1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** 1-row (vocab BIGINT): distinct token count over the whole corpus. */
+  private def lm2Vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok").as("vocab"))
+
+  /** The trained bigram LM: (w1, w2, micro_bits) per OBSERVED bigram
+    * type, micro_bits = round(log2((c1+V)/(c2+1))·10⁶). g2 aggregates
+    * the re-exploded stream rather than rolling up from the per-doc
+    * table: the per-doc table is nearly corpus-sized (its bigrams are
+    * mostly distinct), so a rollup pays a second full shuffle of it
+    * while the re-explode combines map-side straight down to the small
+    * bigram-TYPE table — measured 1.43 s vs 1.72 s at sf0.1. */
+  private[graft] def bigramLmBits(s: SparkSession, d: String): DataFrame = {
+    val g2 = bigramStream(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val g1 = g2.groupBy("w1").agg(sum("c2").as("c1"))
+    g2.join(g1, Seq("w1")).crossJoin(broadcast(lm2Vocab(s, d)))
+      .select(col("w1"), col("w2"),
+        round(log2((col("c1") + col("vocab")).cast("double") / (col("c2") + lit(1)))
+          * lit(1000000)).cast("long").as("micro_bits"))
+  }
+
+  /** (w1, miss_micro): the add-1 score of an UNSEEN bigram with a seen
+    * prefix — (c1+V)/(0+1) — which batch q187 never needs (it scores
+    * the corpus the LM was trained on) but an arriving stream does. */
+  private[graft] def bigramLmPrefix(s: SparkSession, d: String): DataFrame = {
+    val g1 = bigramStream(s, d).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+    g1.crossJoin(broadcast(lm2Vocab(s, d)))
+      .select(col("w1"),
+        round(log2((col("c1") + col("vocab")).cast("double"))
+          * lit(1000000)).cast("long").as("miss_micro"))
+  }
+
+  /** The trained bigram LM as STORED artifacts (the bpe_merges pattern
+    * applied to a statistical model: train once per corpus, read back
+    * by every scorer): bits per observed bigram, the unseen-bigram
+    * fallback per prefix, and the 1-row fully-OOV score log2(V)·10⁶.
+    * Returns (bits, prefix, oovMicro) for the streaming scorer
+    * [[graft.streaming.DocStreams.lmScore]]. */
+  private[graft] def storedBigramLm(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    import graft.sources.ArtifactStore
+    val bits = ArtifactStore.table(s, d, "lm2_bits")(bigramLmBits(s, d))
+    val prefix = ArtifactStore.table(s, d, "lm2_prefix")(bigramLmPrefix(s, d))
+    val oov = ArtifactStore.table(s, d, "lm2_stats")(
+      lm2Vocab(s, d).select(
+        round(log2(col("vocab").cast("double")) * lit(1000000))
+          .cast("long").as("oov_micro")))
+    (bits, prefix, oov.head().getLong(0))
+  }
+
   /** Stratified k-fold assignment with EXACT largest-remainder
     * allocation: within every (source, lang) stratum, docs are ordered
     * by a deterministic integer hash of doc_id (the LCG permutation —
@@ -930,5 +1048,5 @@ object ModelPrepQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186)
+      q150, q155, q162, q166, q172, q181, q186, q187)
 }

@@ -288,4 +288,69 @@ object DocStreams {
               admitted = false, ts))
       }
   }
+
+  final case class LmRow(doc_id: Long, ts: Timestamp, micro: Option[Long])
+  final case class LmScore(doc_id: Long, n_bigrams: Long, micro_sum: Long,
+      bits_per_bigram: Option[Double], kept: Option[Boolean], ts: Timestamp)
+
+  /** Streaming bigram-LM scoring: each ARRIVING document is scored
+    * against the STORED bigram LM (`lm2_bits` / `lm2_prefix` /
+    * `lm2_stats` — ModelPrepQueries.storedBigramLm), the ingest-time
+    * form of q187. Bigrams are built scan-side with the SAME
+    * tokenize/zip_with chain as the batch path; the model lookups are
+    * STATELESS stream-static left-outer joins (the LM never moves —
+    * it's the small side of two keyed joins), and the per-doc fold
+    * holds ZERO state: a doc's bigram rows all land in its arrival
+    * trigger. Unseen bigrams — which batch q187 never meets, since it
+    * scores the training corpus — degrade through exactly the add-1
+    * ladder the model defines: seen pair → micro_bits; seen prefix,
+    * new continuation → (c1+V)/1; fully-OOV prefix → log2(V). Docs
+    * with < 2 tokens (or NULL text) flow through with n_bigrams 0 and
+    * a NULL score, matching q187's row for them. Rounding mirrors the
+    * batch `round(·, 4)` (HALF_UP). Stream ≡ q187 pinned by
+    * LmStreamSpec on the training corpus.
+    */
+  def lmScore(
+      docs: DataFrame,
+      bits: DataFrame,    // (w1, w2, micro_bits)
+      prefix: DataFrame,  // (w1, miss_micro)
+      oovMicro: Long,
+      threshold: Double = 4.9,
+      watermark: String = "1 hour"): Dataset[LmScore] = {
+    import docs.sparkSession.implicits._
+    val toks = graft.functions.TextFunctions.tokens(
+      coalesce(col("text"), lit("")))
+    val len1 = greatest(size(col("l")) - 1, lit(0))
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), toks.as("l"))
+      .select(col("doc_id"), col("ts"),
+        posexplode_outer(zip_with(
+          slice(col("l"), lit(1), len1), slice(col("l"), lit(2), len1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("i", "p")))
+      .select(col("doc_id"), col("ts"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(bits, Seq("w1", "w2"), "left_outer")
+      .join(prefix, Seq("w1"), "left_outer")
+      .select(col("doc_id"), col("ts"),
+        when(col("w1").isNull, lit(null).cast("long")) // bigram-less doc
+          .otherwise(coalesce(col("micro_bits"), col("miss_micro"),
+            lit(oovMicro))).as("micro"))
+      .as[LmRow]
+    rows.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, LmScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[LmRow], _: GroupState[Boolean]) =>
+          val rs = it.toSeq
+          val micros = rs.flatMap(_.micro)
+          val n = micros.length.toLong
+          val sum = micros.sum
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          val bpb =
+            if (n > 0) Some(BigDecimal(sum / 1000000.0 / n)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+          Iterator.single(LmScore(id, n, sum, bpb, bpb.map(_ <= threshold), ts))
+      }
+  }
 }

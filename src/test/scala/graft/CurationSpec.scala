@@ -52,6 +52,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q188: JS divergence stays in [0, 1] bits and covers every source pair once") {
+    val rows = SparkEntry.queries("q188_source_divergence")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((sa, sb), js) =>
+      assert(sa < sb, "matrix must be strictly upper-triangular")
+      // micro-rounding can push a hair past the analytic bound, never more
+      assert(js >= -1e-4 && js <= 1.0 + 1e-4, s"($sa,$sb): JS $js outside [0,1]")
+    }
+    assert(rows.map { case ((a, b), _) => (a, b) }.distinct.length == rows.length)
+  }
+
   test("q183: the classifier cut is non-vacuous on the corpus (both classes present)") {
     val keeps = SparkEntry.queries("q183_classifier_score")(
       spark, "/root/testdata/sf0.001").collect().map(_.getBoolean(3))

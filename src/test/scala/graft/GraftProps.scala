@@ -156,6 +156,21 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("classifier_score fused kernel == HOF formulation for arbitrary text") =
+    forAll(Gen.listOfN(5, text)) { texts =>
+      import graft.functions.PortableHashKernels.{ClsA, ClsB}
+      val df = texts.toDF("text")
+      val cs = graft.functions.HashFunctions.classifierScoreNative(col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      df.select(cs.getField("n_tok").as("fn"), cs.getField("score").as("fs"),
+          size(toks).cast("long").as("sn"),
+          aggregate(toks, lit(0L), (acc, t) =>
+            acc + (((TextFunctions.portableStringHash(t) * ClsA + ClsB)
+              % 1000000007L) % 2001L - 1000L)).as("ss"))
+        .collect().forall(r =>
+          r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3))
+    }
+
   property("as-of join preserves the left row count (left-join semantics)") =
     forAll(
       Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000L))),

@@ -198,6 +198,24 @@ class ModelPrepSpec extends SparkSpec {
     }
   }
 
+  test("q187: bigram count is exactly n_tokens−1; scores positive; both classes cut") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id",
+        "size(filter(split(text, '\\\\s+'), x -> x != '')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q187_bigram_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    rows.foreach { case (id, nBi, bpb) =>
+      val expect = math.max(docs(id) - 1, 0).toLong
+      assert(nBi == expect, s"doc $id: $nBi bigrams ≠ n_toks−1 = $expect")
+      bpb.foreach(b => assert(b > 0, s"doc $id: non-positive score $b"))
+    }
+    val kept = q("q187_bigram_lm_score").collect().map(r =>
+      if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+    assert(kept.contains(Some(true)) && kept.contains(Some(false)))
+  }
+
   test("q130: entropy bounded by log2(types); ttr is the exact ratio") {
     val rows = q("q130_lexical_diversity").collect()
     rows.foreach { r =>

@@ -122,7 +122,10 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
 
     it("every unigram-LM consumer embeds the canonical micro-bit chain verbatim") {
       val frag = graft.operators.ModelPrepQueries.lmCtes
-      val consumers = sqlByName.filter(_._2.contains("micro_bits"))
+      // the marker is the unigram smoothing expression, not the generic
+      // micro_bits column name — q187's bigram LM shares the column-name
+      // convention but is deliberately its own (self-contained) model
+      val consumers = sqlByName.filter(_._2.contains("CAST(n_total + vocab AS DOUBLE)"))
       consumers.keySet shouldBe Set(
         "q123_unigram_lm_score", "q172_ccnet_buckets")
       consumers.foreach { case (name, sql) =>
