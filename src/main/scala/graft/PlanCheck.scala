@@ -323,6 +323,10 @@ object PlanCheck {
       "CMS: map-side-combined token agg; probe joins broadcast; top-20 via TakeOrdered",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject") &&
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    check("q189_pair_pagerank",
+      "PageRank rounds: keyed contribution aggregates over the pinned edge list, no cartesian",
+      p => p.contains("partial_sum") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q187_bigram_lm_score",
       "bigram LM: map-side-combined aggregates; vocab stat broadcast; no cartesian",
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
@@ -438,7 +442,8 @@ object PlanCheck {
         "q181_quality_canonical", "q182_prototype_selection",
         "q183_classifier_score", "q184_cms_error_profile",
         "q185_winnowing_fingerprints", "q186_stratified_kfold",
-        "q187_bigram_lm_score", "q188_source_divergence")
+        "q187_bigram_lm_score", "q188_source_divergence",
+        "q189_pair_pagerank")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

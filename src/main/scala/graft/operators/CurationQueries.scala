@@ -642,7 +642,7 @@ object CurationQueries {
     s"""WITH h AS (
        |  SELECT doc_id,
        |    list_transform(
-       |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''),
        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
        |             list_transform(string_split(t, ''),
        |               c -> CAST(unicode(c) AS BIGINT))),
@@ -661,7 +661,12 @@ object CurationQueries {
     (s, d) => {
       import graft.functions.HashFunctions.classifierScoreNative
       Tables.documents(s, d)
-        .select(col("doc_id"), classifierScoreNative(col("text")).as("cs"))
+        // NULL text ⇒ empty token stream (q178's parity contract): the
+        // oracle's COALESCE(list_sum(...), 0) scores a NULL-text doc
+        // (0, 0, keep=false); without this coalesce the kernel's
+        // null-propagation would emit NULLs instead
+        .select(col("doc_id"),
+          classifierScoreNative(coalesce(col("text"), lit(""))).as("cs"))
         .select(col("doc_id"), col("cs.n_tok").as("n_tok"),
           col("cs.score").as("score"), (col("cs.score") > 0).as("keep"))
     })

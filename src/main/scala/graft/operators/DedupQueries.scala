@@ -1325,7 +1325,62 @@ object DedupQueries {
         .filter(col("n_shared") >= 2)
     })
 
+  /** Deterministic integer PageRank over the near-dup pair graph — the
+    * ITERATION family beyond q56's fixpoint closure: q56 says which
+    * docs form a cluster, this ranks HOW CENTRAL each doc is inside its
+    * neighborhood (the "canonical hub" signal a keep-the-best dedup can
+    * weight by, next to q181's quality rule). Graph = q56's exact edge
+    * set (stored scored_pairs, n_match ≥ [[PortMatchMin]]), undirected.
+    * Three damped iterations in PURE INTEGERS: contribution =
+    * rank div degree (floor), new rank = 150000 + (85·Σ) div 100 —
+    * the floors cost ≤1 micro-unit per term and buy bit-identical
+    * results at any partitioning, on any engine (the k-means-oracle
+    * convention: the oracle unrolls the same three rounds). Scale
+    * shape: per iteration, one keyed shuffle of (node, contribution)
+    * partial sums — the Pregel message pattern as a DataFrame — against
+    * the artifact-scan edge list; no global state, rounds are a fixed
+    * constant.
+    */
+  val q189 = QueryDef.oracle("q189_pair_pagerank", {
+    val iter = (1 to 3).map { t =>
+      s"""c$t AS (SELECT ed.v AS u, CAST(SUM(r${t - 1}.r // d.deg) AS BIGINT) AS s
+         |       FROM ed JOIN r${t - 1} ON r${t - 1}.u = ed.u
+         |               JOIN deg d ON d.u = ed.u
+         |       GROUP BY 1),
+         |r$t AS (SELECT deg.u,
+         |          CAST(150000 + (85 * COALESCE(c$t.s, 0)) // 100 AS BIGINT) AS r
+         |        FROM deg LEFT JOIN c$t USING (u))""".stripMargin
+    }.mkString(",\n")
+    s"""$portableScoredCtes,
+       |e AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |ed AS (SELECT ia AS u, ib AS v FROM e
+       |       UNION ALL SELECT ib AS u, ia AS v FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iter
+       |SELECT deg.u AS doc_id, deg.deg AS degree, r3.r AS rank_micro
+       |FROM deg JOIN r3 USING (u)""".stripMargin})(
+    (s, d) => {
+      val e = portableScoredPairs(s, d).filter(col("n_match") >= PortMatchMin)
+      val ed = e.select(col("ia").as("u"), col("ib").as("v"))
+        .unionByName(e.select(col("ib").as("u"), col("ia").as("v")))
+        .localCheckpoint(false) // one artifact scan feeds all three rounds
+      val deg = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+      var r = deg.select(col("u"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = ed.join(r, Seq("u")).join(deg, Seq("u"))
+          .select(col("v").as("u"), expr("r div deg").as("fl"))
+          .groupBy("u").agg(sum("fl").as("s"))
+        r = deg.select(col("u")).join(contrib, Seq("u"), "left")
+          .select(col("u"), (lit(150000L)
+            + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+      }
+      deg.join(r, Seq("u"))
+        .select(col("u").as("doc_id"), col("deg").as("degree"),
+          col("r").as("rank_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180, q185)
+      q153, q159, q164, q175, q178, q180, q185, q189)
 }

@@ -40,4 +40,26 @@ class ComponentsSpec extends SparkSpec {
     assert(bad == 0)
     df.unpersist()
   }
+
+  test("q189 PageRank nodes are exactly q56's multi-member-cluster docs; ranks bounded") {
+    val d = "/root/testdata/sf0.001"
+    val pr = SparkEntry.queries("q189_pair_pagerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pr.nonEmpty)
+    // a doc has a kept edge ⟺ its connected component has ≥ 2 members
+    val clusters = SparkEntry.queries("q56_dedup_clusters")(spark, d)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val multi = clusters.groupBy(_._2).filter(_._2.length >= 2)
+      .values.flatten.map(_._1).toSet
+    assert(pr.map(_._1).toSet == multi,
+      "PageRank node set must equal the multi-member cluster membership")
+    pr.foreach { case (id, deg, rank) =>
+      assert(deg >= 1, s"doc $id: zero degree")
+      // every node receives ≥ 1 micro-unit per in-edge over the base 0.15
+      assert(rank > 150000L, s"doc $id: rank $rank at or under the base")
+    }
+    // the damped total cannot exceed the undamped start mass
+    assert(pr.map(_._3).sum <= 1000000L * pr.length)
+  }
 }

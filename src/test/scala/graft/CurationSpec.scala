@@ -65,6 +65,26 @@ class CurationSpec extends SparkSpec {
     assert(rows.map { case ((a, b), _) => (a, b) }.distinct.length == rows.length)
   }
 
+  test("q183/q187 treat a NULL-text doc as an empty token stream, not NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cls-null-").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "a", 16L),
+      (2L, null.asInstanceOf[String], "en", "b", 0L),
+      (3L, "solo", "en", "c", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cls = SparkEntry.queries("q183_classifier_score")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(cls(2L) == ((0L, 0L, false)), s"NULL-text doc: ${cls(2L)}")
+    assert(cls(1L)._1 == 3L)
+    val lm = SparkEntry.queries("q187_bigram_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.isNullAt(2)))).toMap
+    // NULL text and a 1-token doc both have zero bigrams and a NULL score
+    assert(lm(2L) == ((0L, true)) && lm(3L) == ((0L, true)))
+    assert(lm(1L)._1 == 2L)
+  }
+
   test("q183: the classifier cut is non-vacuous on the corpus (both classes present)") {
     val keeps = SparkEntry.queries("q183_classifier_score")(
       spark, "/root/testdata/sf0.001").collect().map(_.getBoolean(3))

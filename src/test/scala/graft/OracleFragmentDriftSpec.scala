@@ -38,7 +38,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q150_leakage_safe_split", "q152_source_dedup_report",
         "q153_near_dup_edit_verify", "q155_dedup_sampling_weights",
         "q159_source_overlap_matrix", "q162_curation_pipeline",
-        "q181_quality_canonical")
+        "q181_quality_canonical", "q189_pair_pagerank")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -62,7 +62,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q145_triangle_census", "q150_leakage_safe_split",
         "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q155_dedup_sampling_weights", "q159_source_overlap_matrix",
-        "q162_curation_pipeline", "q181_quality_canonical")
+        "q162_curation_pipeline", "q181_quality_canonical",
+        "q189_pair_pagerank")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -75,7 +76,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("sa.mh0"))
       consumers.keySet shouldBe Set(
         "q52_minhash_lsh_dedup", "q56_dedup_clusters",
-        "q148_incremental_dedup")
+        "q148_incremental_dedup", "q189_pair_pagerank")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
