@@ -390,6 +390,37 @@ object PlanCheck {
           case _ => false
         }
       })
+    // q190: the reconciliation claim — text is digested BEFORE the
+    // full-outer join, so no Exchange block's input ever carries the
+    // text column (asserted on the formatted blocks: sparkPlan predates
+    // EnsureRequirements, so the exchanges only exist in the string)
+    check("q190_snapshot_diff", "diff shuffles carry digests, never the text column",
+      p => {
+        val blocks = p.split("\n\n").filter(_.contains(") Exchange"))
+        blocks.nonEmpty && !blocks.exists(_.contains("text#"))
+      })
+    // the scored-pairs artifact scan hides behind its localCheckpoint
+    // (ExistingRDD) in the final plan — q148/q179's lesson; the stored-
+    // scan shape itself is asserted by the ArtifactStore specs
+    check("q191_lsh_calibration",
+      "calibration rides the pinned scored pairs; gram recompute candidate-only; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    checkTree("q191_lsh_calibration", "cumulative window runs over the aggregate-reduced table, never fact input",
+      noGlobalFactWindow)
+    check("q192_embedding_dim_stats",
+      "dim stats: ONE embeddings scan, explode collapsed by map-side partial agg",
+      p => p.contains("partial_count") && scans(p, "embeddings") == 1 &&
+        !p.contains("CartesianProduct"))
+    // the gpos5 scan also hides behind the distinct's localCheckpoint
+    check("q193_containment_pairs",
+      "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    check("q194_curation_funnel",
+      "funnel: map-side-combined rollups; eval grams broadcast; only the 5x5 stage theta-join is unkeyed",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q165_bpe_apply", "apply: ONE live corpus scan (w3 rewrite chain) + pinned winners; char counts map-side",
       p => p.contains("partial_count") && p.contains("ExistingRDD") &&
         scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
@@ -443,7 +474,9 @@ object PlanCheck {
         "q183_classifier_score", "q184_cms_error_profile",
         "q185_winnowing_fingerprints", "q186_stratified_kfold",
         "q187_bigram_lm_score", "q188_source_divergence",
-        "q189_pair_pagerank")
+        "q189_pair_pagerank", "q190_snapshot_diff", "q191_lsh_calibration",
+        "q192_embedding_dim_stats", "q193_containment_pairs",
+        "q194_curation_funnel")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.MisraGriesAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,17 +53,15 @@ object CurationQueries {
       .withColumn("kept",
         col("max_unigram_frac") <= 0.15 && col("dup_trigram_frac") <= 0.01))
 
-  /** Eval-set n-gram decontamination (GPT-3 App. C / PaLM-style): flag
-    * every corpus document sharing a word-4-gram with the held-out eval
-    * source (`src0`). The eval gram set is SMALL by construction — that
-    * is the real-world shape (eval benchmarks are KBs, the corpus is
-    * TBs) — so it broadcasts, the corpus side stays scan-local through
-    * the semi-join, and the only exchange is the per-doc hit count
-    * (doc_id + partial count, map-side combined). No gram ever crosses
-    * the wire.
-    */
-  val q118 = QueryDef.oracle("q118_ngram_decontam",
-    """WITH g AS (
+  /** The decontamination CTE chain — word-4-gram inventory `g`, the
+    * held-out eval gram set `ev` (source `src0`), and per-doc overlap
+    * counts `hits` for non-eval docs. ONE definition shared by q118
+    * (the per-doc report) and q194's funnel stage 4 (ModelPrepQueries),
+    * which must agree on what "contaminated" means — the qualitySql /
+    * portable-MinHash fragment convention. Composable after another
+    * fragment's WITH (no leading keyword). */
+  private[graft] val decontamCtes: String =
+    """g AS (
       |  SELECT doc_id, source, unnest(
       |           CASE WHEN len(l) < 4 THEN []
       |                ELSE list_distinct([list_aggregate(l[i:i+3], 'string_agg', ' ')
@@ -73,19 +72,40 @@ object CurationQueries {
       |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
       |hits AS (SELECT g.doc_id, count(*) AS n_hits
       |         FROM g JOIN ev USING (gram) WHERE g.source <> 'src0'
-      |         GROUP BY g.doc_id)
+      |         GROUP BY g.doc_id)""".stripMargin
+
+  /** Per-doc hit counts for non-eval docs — the Spark twin of
+    * [[decontamCtes]], shared by q118 and q194. The eval gram set is
+    * SMALL by construction, so it broadcasts and the corpus side stays
+    * scan-local through the semi-join. */
+  private[graft] def decontamHits(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(wordNgrams(col("text"), 4))).as("gram"))
+    val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Eval-set n-gram decontamination (GPT-3 App. C / PaLM-style): flag
+    * every corpus document sharing a word-4-gram with the held-out eval
+    * source (`src0`). The eval gram set is SMALL by construction — that
+    * is the real-world shape (eval benchmarks are KBs, the corpus is
+    * TBs) — so it broadcasts, the corpus side stays scan-local through
+    * the semi-join, and the only exchange is the per-doc hit count
+    * (doc_id + partial count, map-side combined). No gram ever crosses
+    * the wire. Gram machinery lives in [[decontamCtes]]/[[decontamHits]],
+    * shared with q194's funnel stage.
+    */
+  val q118 = QueryDef.oracle("q118_ngram_decontam", {
+    s"""WITH $decontamCtes
       |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
       |       coalesce(h.n_hits, 0) > 0 AS contaminated
       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') c
-      |LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin)(
+      |LEFT JOIN hits h ON c.doc_id = h.doc_id""".stripMargin})(
     (s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(wordNgrams(col("text"), 4))).as("gram"))
-      val evalGrams = grams.filter(col("source") === "src0").select("gram").distinct()
-      val hits = grams.filter(col("source") =!= "src0")
-        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val hits = decontamHits(s, d)
       Tables.documents(s, d).filter(col("source") =!= "src0").select("doc_id")
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"),

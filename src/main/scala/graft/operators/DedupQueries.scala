@@ -1380,7 +1380,155 @@ object DedupQueries {
           col("r").as("rank_micro"))
     })
 
+  /** LSH threshold calibration — the S-curve audit behind choosing
+    * [[PortMatchMin]]: for every observed agreeing-minhash count
+    * `n_match`, how many candidate pairs land there, how many are TRUE
+    * near-dups by exact 3-gram Jaccard ≥ 1/2 (the integer cross-
+    * multiplication 2·|∩| ≥ |∪| — no floats), and the CUMULATIVE
+    * precision a deployment would get by admitting pairs at threshold
+    * ≥ n_match (ppm, integer division — both engines truncate toward
+    * zero). This is the measurement that justifies the banding
+    * parameters everywhere else in the engine: q52/q56/q129/… all admit
+    * at n_match ≥ PortMatchMin, and this table says what precision that
+    * buys and what raising or lowering the bar would trade.
+    *
+    * Scale shape: rides the stored scored_pairs artifact (candidate-
+    * bounded, never all-pairs); exact grams are recomputed ONLY for
+    * docs in a candidate pair (q54's propose/dispose trade — broadcast
+    * semi-join before the gram projection, so gram cost is
+    * O(candidates), not O(corpus)); the calibration rollup groups by
+    * n_match (≤ [[PortK]]+1 rows), and the cumulative window runs over
+    * that aggregate-reduced table, never fact-sized input. HASH-MATCHED
+    * end to end. */
+  val q191 = QueryDef.oracle("q191_lsh_calibration", {
+    s"""$portableScoredCtes,
+       |jn AS (
+       |  SELECT s.n_match,
+       |         len(list_intersect(ga.gs, gb.gs)) AS inter,
+       |         len(ga.gs) AS na, len(gb.gs) AS nb
+       |  FROM scored s JOIN grams ga ON ga.doc_id = s.ia
+       |                JOIN grams gb ON gb.doc_id = s.ib),
+       |b AS (
+       |  SELECT n_match, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(CASE WHEN 2 * inter >= na + nb - inter THEN 1 END) AS BIGINT) AS n_true
+       |  FROM jn GROUP BY 1),
+       |c AS (
+       |  SELECT n_match, n_pairs, n_true,
+       |         CAST(SUM(n_pairs) OVER w AS BIGINT) AS cum_pairs,
+       |         CAST(SUM(n_true) OVER w AS BIGINT) AS cum_true
+       |  FROM b WINDOW w AS (ORDER BY n_match DESC))
+       |SELECT n_match, n_pairs, n_true, cum_pairs, cum_true,
+       |       CAST((1000000 * cum_true) // cum_pairs AS BIGINT) AS precision_ppm
+       |FROM c""".stripMargin})(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = portableScoredPairs(s, d).localCheckpoint(false)
+      // exact grams only for docs appearing in a candidate pair — the
+      // q54 trade: the semi-join restricts the corpus scan BEFORE the
+      // gram projection
+      val candIds = scored.select(col("ia").as("doc_id"))
+        .unionByName(scored.select(col("ib").as("doc_id"))).distinct()
+      val grams = Tables.documents(s, d)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(wordNgrams(col("text"), 3)).as("gs"))
+        .localCheckpoint(false) // consumed by both sides of the pair join
+      val withA = grams.join(broadcast(scored), col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("n_match"), col("gs").as("g_a"))
+      val jn = grams.join(broadcast(withA), col("doc_id") === col("ib"))
+        .select(col("n_match"),
+          size(array_intersect(col("g_a"), col("gs"))).as("inter"),
+          size(col("g_a")).as("na"), size(col("gs")).as("nb"))
+      val b = jn.groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(lit(2) * col("inter") >= col("na") + col("nb") - col("inter"), 1))
+            .as("n_true"))
+      // cumulative-by-descending-threshold over the ≤ PortK+1-row
+      // aggregate (zero-key window above an Aggregate — never fact-sized)
+      val w = Window.orderBy(col("n_match").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      b.select(col("n_match"), col("n_pairs"), col("n_true"),
+          sum("n_pairs").over(w).as("cum_pairs"),
+          sum("n_true").over(w).as("cum_true"))
+        .select(col("n_match"), col("n_pairs"), col("n_true"),
+          col("cum_pairs"), col("cum_true"),
+          expr("(1000000 * cum_true) div cum_pairs").as("precision_ppm"))
+    })
+
+  /** Boilerplate cap and candidate floor for q193 — grams selected by
+    * more than ContStop docs are dropped before pairing (the q185
+    * convention), and a pair must share ≥ ContMinShared CAPPED grams to
+    * become a candidate. Baked into q193's oracle at object init. */
+  private[graft] val ContStop = 50
+  private[graft] val ContMinShared = 2
+
+  /** Asymmetric CONTAINMENT pairs — the quote/excerpt detector Jaccard
+    * can't be: a 30-token quote inside a 3000-token article has
+    * near-zero Jaccard but containment ≈ 1.0 on the quote side.
+    * Containment(A,B) = |G(A)∩G(B)| / min(|G(A)|,|G(B)|) over distinct
+    * positional [[SpanK]]-gram hashes (the span family's gram
+    * identity), reported in exact ppm (positive integers, so
+    * truncation agrees across engines) with a quote flag at the 0.8
+    * threshold via integer cross-multiplication (10·|∩| ≥ 8·min).
+    * Propose/dispose (q54's shape, gram-keyed instead of band-keyed):
+    * candidates = pairs sharing ≥ [[ContMinShared]] grams after the
+    * [[ContStop]] boilerplate cap — so the gram-keyed pair join fans
+    * out at most ContStop² per gram, never a dup-class square — then
+    * the EXACT intersection is recounted over ALL shared grams (capped
+    * and boilerplate alike) for just those candidate pairs.
+    *
+    * Scale shape: reads the stored gpos[[SpanK]] inventory (bucketed on
+    * gh — the distinct, the per-gram cap count, and the per-doc gram
+    * count all run exchange-free or doc-keyed); the exact recount joins
+    * the BROADCAST candidate set back against the bucketed inventory,
+    * so its cost is O(candidate docs' grams), not O(corpus).
+    * HASH-MATCHED. */
+  val q193 = QueryDef.oracle("q193_containment_pairs", {
+    s"""$spanGposCtes,
+       |dg AS (SELECT DISTINCT doc_id, gh FROM gpos),
+       |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM dg GROUP BY 1),
+       |keep AS (SELECT gh FROM dg GROUP BY gh
+       |         HAVING count(*) BETWEEN 2 AND $ContStop),
+       |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM dg a JOIN keep USING (gh) JOIN dg b USING (gh)
+       |         WHERE a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= $ContMinShared),
+       |ex AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS inter
+       |       FROM cand c JOIN dg a ON a.doc_id = c.ia
+       |                   JOIN dg b ON b.doc_id = c.ib AND b.gh = a.gh
+       |       GROUP BY 1, 2)
+       |SELECT ex.ia, ex.ib, ex.inter, na.ng AS na, nb.ng AS nb,
+       |       CAST((1000000 * ex.inter) // LEAST(na.ng, nb.ng) AS BIGINT)
+       |         AS containment_ppm,
+       |       10 * ex.inter >= 8 * LEAST(na.ng, nb.ng) AS quote_flag
+       |FROM ex JOIN nd na ON na.doc_id = ex.ia
+       |        JOIN nd nb ON nb.doc_id = ex.ib""".stripMargin})(
+    (s, d) => {
+      val dg = storedGramPositions(s, d, SpanK)
+        .select("doc_id", "gh").distinct()
+        .localCheckpoint(false) // five consumers below share one derivation
+      val nd = dg.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val keep = dg.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs").between(2, ContStop)).select("gh")
+      val l = dg.join(keep, Seq("gh")).select(col("gh"), col("doc_id").as("ia"))
+      val cand = l.join(dg.select(col("gh"), col("doc_id").as("ib")), Seq("gh"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= ContMinShared).select("ia", "ib")
+      // exact recount over ALL shared grams, candidates only (broadcast)
+      val withA = dg.join(broadcast(cand), col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("gh").as("gha"))
+      val ex = dg.join(broadcast(withA),
+          col("doc_id") === col("ib") && col("gh") === col("gha"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      ex.join(nd.select(col("doc_id").as("ia"), col("ng").as("na")), Seq("ia"))
+        .join(nd.select(col("doc_id").as("ib"), col("ng").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("inter"), col("na"), col("nb"),
+          expr("(1000000 * inter) div least(na, nb)").as("containment_ppm"),
+          (lit(10) * col("inter") >= lit(8) * least(col("na"), col("nb")))
+            .as("quote_flag"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180, q185, q189)
+      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193)
 }

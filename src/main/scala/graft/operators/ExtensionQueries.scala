@@ -455,6 +455,71 @@ object ExtensionQueries {
           (col("o_orderstatus") === col("era_status")).as("status_matches"))
     })
 
+  /** Corpus snapshot reconciliation — the CDC-style diff between two
+    * corpus versions: per (source, status ∈ added/removed/changed/
+    * unchanged), exact doc and char counts. The two snapshots are
+    * deterministic in-query views of `documents` (v_new drops
+    * doc_id%11=5 — "removed"; v_old drops doc_id%13=3 — "added" — and
+    * carries a `v1 `-prefixed text for doc_id%7=2 — "changed"), so the
+    * oracle replays them bit-identically; in production they are two
+    * ingest snapshots of the same table. Status via FULL OUTER join on
+    * the key comparing content digests NULL-safely (`<=>`: a NULL-text
+    * doc present unmodified in both versions is `unchanged`, not
+    * `changed` — DuckDB's IS NOT DISTINCT FROM).
+    *
+    * Scale shape: both sides project to (doc_id, source, md5, length)
+    * BEFORE the join, so the reconciliation shuffle carries ~50 B/row
+    * regardless of document size — text never moves. At 100 TB the two
+    * snapshots live bucketed on doc_id (the ArtifactStore layout
+    * contract), making the diff a zip of co-bucketed scans with no
+    * exchange at all; the rollup is |sources|×4-bounded with map-side
+    * combine. HASH-MATCHED.
+    */
+  val q190 = QueryDef.oracle("q190_snapshot_diff",
+    """WITH v_old AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 7 = 2 THEN 'v1 ' || text ELSE text END) AS hh,
+      |         length(CASE WHEN doc_id % 7 = 2 THEN 'v1 ' || text ELSE text END) AS len
+      |  FROM documents WHERE doc_id % 13 <> 3),
+      |v_new AS (
+      |  SELECT doc_id, source, md5(text) AS hh, length(text) AS len
+      |  FROM documents WHERE doc_id % 11 <> 5),
+      |j AS (
+      |  SELECT COALESCE(n.source, o.source) AS source,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN n.hh IS NOT DISTINCT FROM o.hh THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |         COALESCE(n.len, o.len) AS len
+      |  FROM v_new n FULL OUTER JOIN v_old o ON n.doc_id = o.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(COALESCE(SUM(len), 0) AS BIGINT) AS n_chars
+      |FROM j GROUP BY 1, 2""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldText = when(col("doc_id") % 7 === 2, concat(lit("v1 "), col("text")))
+        .otherwise(col("text"))
+      // digest + length projected BEFORE the join: the reconciliation
+      // shuffle carries (id, source, 32-char md5, len), never text
+      val vOld = docs.filter(col("doc_id") % 13 =!= 3)
+        .select(col("doc_id").as("o_id"), col("source").as("o_source"),
+          md5(oldText).as("o_hh"), length(oldText).as("o_len"))
+      val vNew = docs.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id").as("n_id"), col("source").as("n_source"),
+          md5(col("text")).as("n_hh"), length(col("text")).as("n_len"))
+      vNew.join(vOld, col("n_id") === col("o_id"), "full_outer")
+        .select(
+          coalesce(col("n_source"), col("o_source")).as("source"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("n_hh") <=> col("o_hh"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("n_len"), col("o_len")).as("len"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("len"), lit(0L)).cast("long").as("n_chars"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q78, q79, q88, q89, q93, q94, q138)
+    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190)
 }

@@ -1046,7 +1046,110 @@ object ModelPrepQueries {
         fold.cast("long").as("fold"))
     })
 
+  /** The curation FUNNEL — per-stage survivor accounting for the whole
+    * cleaning chain, the report every pipeline owner reads first ("we
+    * ingested X tokens, dedup cut Y%, quality cut Z%…"). Stages are
+    * cumulative (a survivor of stage s passed every earlier stage), each
+    * reusing the engine's ONE definition of that rule:
+    *  0 `raw`          — every document;
+    *  1 `exact_dedup`  — q50's keeper rule (min doc_id per md5(text),
+    *                     NULL-safe so NULL-text docs form a group
+    *                     instead of vanishing from the funnel);
+    *  2 `near_dedup`   — q129's cluster canonical ([[canonLabelCtes]]);
+    *  3 `quality`      — q41's score ≥ 0.5 (qualitySql fragment);
+    *  4 `decontam`     — drops the held-out eval source AND every doc
+    *                     sharing a 4-gram with it (q118's
+    *                     [[graft.operators.CurationQueries.decontamCtes]]).
+    * Output: 5 rows of exact BIGINT doc/token/char counts. Computed as
+    * ONE pass deriving each doc's deepest-stage-survived, a ≤5-row
+    * aggregate, and a 5×5 theta-join for the cumulative rollup — the
+    * stage sets are never materialized separately.
+    *
+    * Scale shape: rides the SAME exchanges its ingredient queries
+    * already pay (canon labels' rounds, the md5 keeper agg, the
+    * broadcast eval-gram semi-join); the funnel adds one doc-keyed
+    * flag join chain and a constant-size rollup. HASH-MATCHED.
+    */
+  val q194 = QueryDef.oracle("q194_curation_funnel", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""$canonLabelCtes,
+       |${graft.operators.CurationQueries.decontamCtes},
+       |keep1 AS (SELECT md5(text) AS hh, min(doc_id) AS keeper
+       |          FROM documents GROUP BY 1),
+       |f0 AS (
+       |  SELECT d.doc_id,
+       |         (d.doc_id = k.keeper) AS ok1,
+       |         (d.doc_id = l.lbl) AS ok2,
+       |         ($qualitySql >= 0.5) AS ok3,
+       |         (d.source <> 'src0' AND COALESCE(h.n_hits, 0) = 0) AS ok4,
+       |         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS toks,
+       |         CAST(length(d.text) AS BIGINT) AS chars
+       |  FROM documents d
+       |  JOIN l$CanonRounds l ON l.v = d.doc_id
+       |  JOIN keep1 k ON k.hh IS NOT DISTINCT FROM md5(d.text)
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id),
+       |f AS (
+       |  SELECT CASE WHEN ok1 AND ok2 AND ok3 AND ok4 THEN 4
+       |              WHEN ok1 AND ok2 AND ok3 THEN 3
+       |              WHEN ok1 AND ok2 THEN 2
+       |              WHEN ok1 THEN 1 ELSE 0 END AS last_stage,
+       |         toks, chars
+       |  FROM f0),
+       |per AS (SELECT last_stage, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS t,
+       |               CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS c
+       |        FROM f GROUP BY 1),
+       |st AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS stage)
+       |SELECT st.stage,
+       |       CASE st.stage WHEN 0 THEN 'raw' WHEN 1 THEN 'exact_dedup'
+       |            WHEN 2 THEN 'near_dedup' WHEN 3 THEN 'quality'
+       |            ELSE 'decontam' END AS stage_name,
+       |       CAST(COALESCE(SUM(p.n), 0) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(SUM(p.t), 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS n_chars
+       |FROM st LEFT JOIN per p ON p.last_stage >= st.stage
+       |GROUP BY st.stage""".stripMargin})(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lab = canonLabels(s, d, CanonRounds)
+      val keepers = docs.select(md5(col("text")).as("hh"), col("doc_id"))
+        .groupBy("hh").agg(min("doc_id").as("keeper"))
+      val hits = graft.operators.CurationQueries.decontamHits(s, d)
+      val f = docs
+        .join(lab, col("doc_id") === col("v"))
+        .join(keepers, col("hh") <=> md5(col("text"))) // NULL-safe: NULL-text docs stay in the funnel
+        .join(hits, Seq("doc_id"), "left")
+        .select(
+          (col("doc_id") === col("keeper")).as("ok1"),
+          (col("doc_id") === col("lbl")).as("ok2"),
+          (qualityScore(col("text")) >= 0.5).as("ok3"),
+          (col("source") =!= "src0" && coalesce(col("n_hits"), lit(0L)) === 0).as("ok4"),
+          tokenCount(col("text")).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        .select(
+          when(col("ok1") && col("ok2") && col("ok3") && col("ok4"), 4L)
+            .when(col("ok1") && col("ok2") && col("ok3"), 3L)
+            .when(col("ok1") && col("ok2"), 2L)
+            .when(col("ok1"), 1L).otherwise(0L).as("last_stage"),
+          col("toks"), col("chars"))
+      val per = f.groupBy("last_stage")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("toks"), lit(0L)).as("t"),
+          coalesce(sum("chars"), lit(0L)).as("c"))
+      s.range(5).select(col("id").as("stage"))
+        .join(broadcast(per), col("last_stage") >= col("stage"), "left")
+        .groupBy("stage")
+        .agg(coalesce(sum("n"), lit(0L)).as("n_docs"),
+          coalesce(sum("t"), lit(0L)).as("n_tokens"),
+          coalesce(sum("c"), lit(0L)).as("n_chars"))
+        .select(col("stage"),
+          when(col("stage") === 0, "raw").when(col("stage") === 1, "exact_dedup")
+            .when(col("stage") === 2, "near_dedup").when(col("stage") === 3, "quality")
+            .otherwise("decontam").as("stage_name"),
+          col("n_docs"), col("n_tokens"), col("n_chars"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186, q187)
+      q150, q155, q162, q166, q172, q181, q186, q187, q194)
 }

@@ -1322,7 +1322,47 @@ object SimilarityQueries {
           ((col("rn") - 1) * 10 < col("n") * 3).as("keep"))
     })
 
+  /** Per-DIMENSION embedding statistics — the normalization/whitening
+    * prep pass every embedding pipeline runs before indexing or
+    * training (mean-centering, per-dim scale, dead-dimension
+    * detection): for each of the 64 dimensions, exact integer count /
+    * sum / sum-of-squares over the 1e-4-quantized coordinates (the
+    * codebook-training convention — no float accumulation anywhere),
+    * min/max, and the truncating-integer-division mean in micro-units
+    * (both engines truncate toward zero, so negative means agree).
+    * Sums are DECIMAL(38,0) (q149's convention): Σq² per dim is
+    * n·(1e4·|x|)² — BIGINT-safe here, 128-bit-safe at any corpus size.
+    *
+    * Scale shape: ONE corpus scan; posexplode fans each vector into 64
+    * (dim, q) rows but partial aggregation collapses them map-side, so
+    * the only exchange carries ≤ 64 × n_partitions partial states —
+    * the canonical "explode is fine when the agg is map-side-combined"
+    * pattern. Output is 64 rows regardless of corpus size.
+    * HASH-MATCHED. */
+  val q192 = QueryDef.oracle("q192_embedding_dim_stats", {
+    s"""WITH $iqCte,
+      |e AS (SELECT unnest([{'dim': i - 1, 'q': v[i]}
+      |                     FOR i IN range(1, len(v) + 1)], recursive := true)
+      |      FROM iq)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
+      |       CAST(SUM(q * q) AS DECIMAL(38,0)) AS sumsq_q,
+      |       CAST(min(q) AS BIGINT) AS min_q,
+      |       CAST(max(q) AS BIGINT) AS max_q,
+      |       CAST((100 * SUM(q)) // count(*) AS BIGINT) AS mean_micro
+      |FROM e GROUP BY dim""".stripMargin})(
+    (s, d) => {
+      val e = quantizedVecs(s, d)
+        .select(posexplode(col("v")).as(Seq("dim", "q")))
+      e.groupBy("dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("q").cast("decimal(38,0)").as("sum_q"),
+          sum(col("q") * col("q")).cast("decimal(38,0)").as("sumsq_q"),
+          min("q").as("min_q"), max("q").as("max_q"),
+          expr("CAST((100 * sum(q)) div count(*) AS BIGINT)").as("mean_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182)
+      q163, q170, q182, q192)
 }

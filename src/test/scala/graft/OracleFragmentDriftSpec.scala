@@ -38,7 +38,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q150_leakage_safe_split", "q152_source_dedup_report",
         "q153_near_dup_edit_verify", "q155_dedup_sampling_weights",
         "q159_source_overlap_matrix", "q162_curation_pipeline",
-        "q181_quality_canonical", "q189_pair_pagerank")
+        "q181_quality_canonical", "q189_pair_pagerank",
+        "q191_lsh_calibration", "q194_curation_funnel")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -63,7 +64,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q152_source_dedup_report", "q153_near_dup_edit_verify",
         "q155_dedup_sampling_weights", "q159_source_overlap_matrix",
         "q162_curation_pipeline", "q181_quality_canonical",
-        "q189_pair_pagerank")
+        "q189_pair_pagerank", "q191_lsh_calibration",
+        "q194_curation_funnel")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -76,7 +78,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("sa.mh0"))
       consumers.keySet shouldBe Set(
         "q52_minhash_lsh_dedup", "q56_dedup_clusters",
-        "q148_incremental_dedup", "q189_pair_pagerank")
+        "q148_incremental_dedup", "q189_pair_pagerank",
+        "q191_lsh_calibration")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -141,7 +144,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("{'pos': i - 1, 'gh':"))
       consumers.keySet shouldBe Set(
         "q175_repeated_spans", "q178_span_removal",
-        "q180_incremental_span_overlap", "q185_winnowing_fingerprints")
+        "q180_incremental_span_overlap", "q185_winnowing_fingerprints",
+        "q193_containment_pairs")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the positional-gram definition: ") {
           sql.contains(frag) shouldBe true
@@ -175,12 +179,25 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every decontamination consumer embeds the canonical eval-gram chain verbatim") {
+      val frag = graft.operators.CurationQueries.decontamCtes
+      val consumers = sqlByName.filter(_._2.contains("FROM g JOIN ev USING (gram)"))
+      consumers.keySet shouldBe Set(
+        "q118_ngram_decontam", "q194_curation_funnel")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the decontamination definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
       consumers.keySet shouldBe Set(
         "q41_quality_score", "q162_curation_pipeline",
-        "q167_source_quality_profile", "q181_quality_canonical")
+        "q167_source_quality_profile", "q181_quality_canonical",
+        "q194_curation_funnel")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
