@@ -413,6 +413,10 @@ object PlanCheck {
       p => p.contains("partial_count") && scans(p, "embeddings") == 1 &&
         !p.contains("CartesianProduct"))
     // the gpos5 scan also hides behind the distinct's localCheckpoint
+    check("q195_lsh_recall_audit",
+      "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -476,7 +480,7 @@ object PlanCheck {
         "q187_bigram_lm_score", "q188_source_divergence",
         "q189_pair_pagerank", "q190_snapshot_diff", "q191_lsh_calibration",
         "q192_embedding_dim_stats", "q193_containment_pairs",
-        "q194_curation_funnel")
+        "q194_curation_funnel", "q195_lsh_recall_audit")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

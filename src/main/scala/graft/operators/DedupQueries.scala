@@ -1528,7 +1528,102 @@ object DedupQueries {
             .as("quote_flag"))
     })
 
+  /** Truth-candidate floor for q195: a pair must share ≥ this many
+    * CAPPED 3-grams to be recounted. Safe for the J ≥ 1/2 truth set: a
+    * true pair on n-gram docs shares ≥ n/3 grams (26 at this corpus's
+    * ~80 tokens), so 4 cannot drop truth unless nearly every shared
+    * gram is boilerplate-capped — the documented > ContStop dup-class
+    * caveat. Cuts the 3-gram candidate fan-out ~4x vs a floor of 2.
+    * Baked into q195's oracle at object init. */
+  private[graft] val RecallMinShared = 4
+
+  /** LSH RECALL audit — q191's other half: q191 asks "of the pairs
+    * banding proposes, how many are real?", this asks "of the REAL
+    * near-dup pairs, how many does banding catch?". Ground truth is
+    * generated INDEPENDENTLY of the banding under audit: candidate
+    * pairs from the shared-3-gram inventory (the q193 machinery at
+    * n = 3 — per-gram cap ≤ [[ContStop]] docs, ≥ [[ContMinShared]]
+    * shared capped grams), exact-recounted and kept where exact 3-gram
+    * Jaccard ≥ 1/2 (2·|∩| ≥ |∪|, q54's true-dup rule in integers).
+    * Each true pair is then checked against the admitted set (stored
+    * scored_pairs at n_match ≥ [[PortMatchMin]]) and rolled up by
+    * Jaccard decile ((10·|∩|) div |∪| ∈ 5..10): n_true, n_caught,
+    * recall_ppm — the curve that shows WHERE banding misses (recall
+    * climbs with similarity; the 0.5-0.6 band is where tuning lives).
+    * Truth caveat, documented: a true pair sharing ONLY grams that
+    * occur in > ContStop docs escapes the truth set — that needs a
+    * > ContStop-sized dup class, which exact dedup (q50) already owns.
+    *
+    * Scale shape: the truth side is q193's bounded gram-keyed
+    * generation off the stored gpos3 inventory (≤ ContStop² fan-out
+    * per gram, exact recount candidate-only); the admitted side is an
+    * artifact scan; the rollup is 6 rows. HASH-MATCHED. */
+  val q195 = QueryDef.oracle("q195_lsh_recall_audit", {
+    s"""$portableScoredCtes,
+       |dg AS (SELECT doc_id, md5(g) AS gh
+       |       FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+       |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM dg GROUP BY 1),
+       |gcap AS (SELECT gh FROM dg GROUP BY gh
+       |         HAVING count(*) BETWEEN 2 AND $ContStop),
+       |tc AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+       |       FROM dg a JOIN gcap USING (gh) JOIN dg b USING (gh)
+       |       WHERE a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING count(*) >= $RecallMinShared),
+       |ex AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS inter
+       |       FROM tc c JOIN dg a ON a.doc_id = c.ia
+       |                 JOIN dg b ON b.doc_id = c.ib AND b.gh = a.gh
+       |       GROUP BY 1, 2),
+       |tr AS (SELECT ex.ia, ex.ib, ex.inter,
+       |              na.ng + nb.ng - ex.inter AS un
+       |       FROM ex JOIN nd na ON na.doc_id = ex.ia
+       |               JOIN nd nb ON nb.doc_id = ex.ib
+       |       WHERE 2 * ex.inter >= na.ng + nb.ng - ex.inter),
+       |adm AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |fl AS (SELECT CAST((10 * tr.inter) // tr.un AS BIGINT) AS jac_decile,
+       |              (adm.ia IS NOT NULL) AS caught
+       |       FROM tr LEFT JOIN adm ON adm.ia = tr.ia AND adm.ib = tr.ib)
+       |SELECT jac_decile, CAST(count(*) AS BIGINT) AS n_true,
+       |       CAST(count(CASE WHEN caught THEN 1 END) AS BIGINT) AS n_caught,
+       |       CAST((1000000 * count(CASE WHEN caught THEN 1 END)) // count(*)
+       |            AS BIGINT) AS recall_ppm
+       |FROM fl GROUP BY 1""".stripMargin})(
+    (s, d) => {
+      val dg = storedGramPositions(s, d, 3)
+        .select("doc_id", "gh").distinct()
+        .localCheckpoint(false) // shared by the cap, counts, and both recount sides
+      val nd = dg.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val gcap = dg.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs").between(2, ContStop)).select("gh")
+      val tc = dg.join(gcap, Seq("gh")).select(col("gh"), col("doc_id").as("ia"))
+        .join(dg.select(col("gh"), col("doc_id").as("ib")), Seq("gh"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= RecallMinShared).select("ia", "ib")
+      val withA = dg.join(broadcast(tc), col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("gh").as("gha"))
+      val ex = dg.join(broadcast(withA),
+          col("doc_id") === col("ib") && col("gh") === col("gha"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      val tr = ex
+        .join(nd.select(col("doc_id").as("ia"), col("ng").as("na")), Seq("ia"))
+        .join(nd.select(col("doc_id").as("ib"), col("ng").as("nb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("un"))
+        .filter(lit(2) * col("inter") >= col("un"))
+      val adm = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia"), col("ib"), lit(true).as("caught"))
+      tr.join(adm, Seq("ia", "ib"), "left")
+        .select(expr("(10 * inter) div un").as("jac_decile"),
+          coalesce(col("caught"), lit(false)).as("caught"))
+        .groupBy("jac_decile")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("caught"), 1)).as("n_caught"))
+        .select(col("jac_decile"), col("n_true"), col("n_caught"),
+          expr("(1000000 * n_caught) div n_true").as("recall_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193)
+      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195)
 }

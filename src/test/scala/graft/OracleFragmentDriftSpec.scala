@@ -39,7 +39,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q153_near_dup_edit_verify", "q155_dedup_sampling_weights",
         "q159_source_overlap_matrix", "q162_curation_pipeline",
         "q181_quality_canonical", "q189_pair_pagerank",
-        "q191_lsh_calibration", "q194_curation_funnel")
+        "q191_lsh_calibration", "q194_curation_funnel",
+        "q195_lsh_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -65,7 +66,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q155_dedup_sampling_weights", "q159_source_overlap_matrix",
         "q162_curation_pipeline", "q181_quality_canonical",
         "q189_pair_pagerank", "q191_lsh_calibration",
-        "q194_curation_funnel")
+        "q194_curation_funnel", "q195_lsh_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -79,7 +80,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q52_minhash_lsh_dedup", "q56_dedup_clusters",
         "q148_incremental_dedup", "q189_pair_pagerank",
-        "q191_lsh_calibration")
+        "q191_lsh_calibration", "q195_lsh_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
