@@ -98,6 +98,15 @@ object CurationQueries {
     * the wire. Gram machinery lives in [[decontamCtes]]/[[decontamHits]],
     * shared with q194's funnel stage.
     */
+  /** The eval set's distinct 4-gram DIGESTS — the static side of the
+    * streaming decontam gate (DocStreams.decontamGate). Same gram
+    * identity as [[decontamHits]] (md5 of the same distinct-4-gram
+    * chain), so the stream and batch verdicts cannot disagree. */
+  private[graft] def evalGramHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("source") === "src0")
+      .select(explode(array_distinct(wordNgrams(col("text"), 4))).as("gram"))
+      .select(md5(col("gram")).as("gh")).distinct()
+
   val q118 = QueryDef.oracle("q118_ngram_decontam", {
     s"""WITH $decontamCtes
       |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,

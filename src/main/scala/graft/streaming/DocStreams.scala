@@ -353,4 +353,55 @@ object DocStreams {
           Iterator.single(LmScore(id, n, sum, bpb, bpb.map(_ <= threshold), ts))
       }
   }
+
+  final case class DecontamRow(doc_id: Long, ts: Timestamp, hit: Option[Int])
+  final case class Decontam(doc_id: Long, n_hits: Long, contaminated: Boolean,
+      ts: Timestamp)
+
+  /** Streaming eval-set decontamination gate — the ingest-time form of
+    * q118: each ARRIVING document is checked for word-4-gram overlap
+    * with the held-out eval set, so contaminated documents are flagged
+    * the moment they enter the pipeline instead of in a batch sweep.
+    * Grams are built scan-side with the SAME distinct-4-gram chain as
+    * the batch path (CurationQueries.decontamHits — shared gram
+    * identity via md5 keys); the eval-gram lookup is ONE STATELESS
+    * stream-static left-outer join (the eval set is KBs against a TB
+    * stream — it never moves, exactly the batch broadcast shape); the
+    * per-doc fold holds ZERO state (NoTimeout, state never set): a
+    * doc's gram rows all land in its arrival trigger, so the group is
+    * complete evidence and the verdict emits immediately. NULL-text and
+    * gram-less docs flow through unflagged with n_hits 0 (the
+    * posexplode_outer null row misses the join — q118's LEFT JOIN
+    * contract). n_hits counts the doc's DISTINCT grams found in the
+    * eval set, matching the batch column exactly; stream ≡ q118 pinned
+    * by DecontamStreamSpec.
+    *
+    * Scale: the arriving micro-batch is the only moving data; the join
+    * key is a 16-byte digest per distinct gram, and state is zero.
+    */
+  def decontamGate(
+      docs: DataFrame,
+      evalGrams: DataFrame, // (gh) — DISTINCT md5 of the eval 4-grams
+      watermark: String = "1 hour"): Dataset[Decontam] = {
+    import docs.sparkSession.implicits._
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode_outer(array_distinct(
+          wordNgramsNative(coalesce(col("text"), lit("")), 4)))
+          .as(Seq("i", "gram")))
+      .select(col("doc_id"), col("ts"), md5(col("gram")).as("gh"))
+      .join(evalGrams.select(col("gh"), lit(1).as("hit")), Seq("gh"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("hit"))
+      .as[DecontamRow]
+    rows.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, Decontam](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[DecontamRow], _: GroupState[Boolean]) =>
+          val rs = it.toSeq
+          val n = rs.count(_.hit.isDefined).toLong
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(Decontam(id, n, contaminated = n > 0, ts))
+      }
+  }
 }
