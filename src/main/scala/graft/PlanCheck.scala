@@ -413,6 +413,14 @@ object PlanCheck {
       p => p.contains("partial_count") && scans(p, "embeddings") == 1 &&
         !p.contains("CartesianProduct"))
     // the gpos5 scan also hides behind the distinct's localCheckpoint
+    checkTree("q196_quality_percentile", "percentile windows are source-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q197_power_iteration",
+      "mat-vec rounds: map-side-combined 64-key aggregates; direction rides 1-row broadcasts",
+      p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -480,7 +488,8 @@ object PlanCheck {
         "q187_bigram_lm_score", "q188_source_divergence",
         "q189_pair_pagerank", "q190_snapshot_diff", "q191_lsh_calibration",
         "q192_embedding_dim_stats", "q193_containment_pairs",
-        "q194_curation_funnel", "q195_lsh_recall_audit")
+        "q194_curation_funnel", "q195_lsh_recall_audit",
+        "q196_quality_percentile", "q197_power_iteration")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -841,7 +841,51 @@ object CurationQueries {
         round(sum("micro") / lit(1000000.0), 4).as("js_bits"))
     })
 
+  /** Per-source quality PERCENTILE calibration — the rank-normalized
+    * form of q41's score that makes "top X% of each source" a
+    * well-defined selection: an absolute threshold (q162's 0.5) keeps
+    * different fractions of different sources, while a curation budget
+    * is usually phrased per source ("keep every source's best 40%").
+    * Per doc: the q41 quality score (shared fragment — one definition
+    * of quality engine-wide), its dense ROW_NUMBER rank inside its
+    * source (quality desc, doc_id tiebreak — fully deterministic), the
+    * source size, top_ppm = ((rank−1)·10⁶) div n (exact integer, 0 for
+    * the best doc), and the top-half keep flag via integer
+    * cross-multiplication.
+    *
+    * Scale shape: one scan-stage quality pass + ONE source-keyed
+    * window exchange (the q172 NTILE precedent: per-source sort is
+    * CCNet's own per-shard sort, never a global order; per-source size
+    * is the only skew). Output is fact-sized by design — it's the
+    * per-doc selection table later stages filter on. HASH-MATCHED. */
+  val q196 = QueryDef.oracle("q196_quality_percentile", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+       |r AS (SELECT doc_id, source, quality,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |               ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk,
+       |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |      FROM q)
+       |SELECT doc_id, source, quality, rnk, n_src,
+       |       CAST(((rnk - 1) * 1000000) // n_src AS BIGINT) AS top_ppm,
+       |       rnk * 2 <= n_src AS top_half
+       |FROM r""".stripMargin})(
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          row_number().over(w).cast("long").as("rnk"),
+          count(lit(1)).over(Window.partitionBy("source")).as("n_src"))
+        .select(col("doc_id"), col("source"), col("quality"), col("rnk"),
+          col("n_src"),
+          expr("((rnk - 1) * 1000000) div n_src").as("top_ppm"),
+          (col("rnk") * 2 <= col("n_src")).as("top_half"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188)
+      q176, q183, q184, q188, q196)
 }

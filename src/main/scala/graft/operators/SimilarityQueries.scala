@@ -210,8 +210,10 @@ object SimilarityQueries {
     (init +: steps).mkString(",\n")
   }
 
-  /** The quantized-source CTE both codebook chains train on. */
-  private def iqCte: String =
+  /** The quantized-source CTE both codebook chains train on — exposed
+    * for the oracle drift guard, which pins every consumer to this
+    * exact text. */
+  private[graft] def iqCte: String =
     """iq AS (SELECT vec_id,
       |         list_transform(CAST(embedding AS DOUBLE[]),
       |                        x -> CAST(round(x * 10000) AS BIGINT)) AS v
@@ -1362,7 +1364,81 @@ object SimilarityQueries {
           expr("CAST((100 * sum(q)) div count(*) AS BIGINT)").as("mean_micro"))
     })
 
+  /** Power-iteration rounds — fixed so the oracle can unroll them (the
+    * k-means/PageRank convention). */
+  private[graft] val PowIters = 3
+
+  /** Dominant spectral direction of the embedding second-moment matrix
+    * via POWER ITERATION — the spectral family next to the k-means
+    * codebooks: the top (uncentered-)PCA component every whitening /
+    * anisotropy-removal pass starts from ("all-but-the-top" post-
+    * processing), computed without ever materializing the 64×64 matrix.
+    * [[PowIters]] rounds of v ← C·v in PURE LONGS, each round ONE
+    * corpus pass: per vector the dot s' = (q·v) div 10⁶ rides the scan
+    * against the 1-row broadcast direction, the mat-vec w_i = Σ q_i·s'
+    * is a 64-key map-side-combined aggregate, and renormalization
+    * divides by D = max(1, max|w| div 10⁶) — truncating long division
+    * both engines define identically, chosen over exact max-scaling
+    * because w·10⁶ would overflow int64 while w div D cannot (any
+    * per-round scale is valid for power iteration; only determinism
+    * and bounded growth matter). v₀ = 10⁶·e₀. Bounds at this corpus:
+    * |s'| ≤ 64·q_max, |w| ≤ N·q_max·|s'| ≈ 10¹⁵ — at production N the
+    * w sum widens to DECIMAL(38,0) with a pre-max downshift, same
+    * plan. Start-vector caveat: e₀ fails only if the dominant
+    * eigenvector is exactly ⊥ e₀ in every round — measure-zero, and
+    * the oracle replays the identical trajectory regardless. Output:
+    * 64 rows (dim, w_raw, comp_scaled). HASH-MATCHED.
+    */
+  val q197 = QueryDef.oracle("q197_power_iteration", {
+    val iters = (1 to PowIters).map { t =>
+      s"""s$t AS (SELECT e.vec_id, CAST(SUM(e.q * v.v) AS BIGINT) // 1000000 AS sp
+         |        FROM e JOIN v${t - 1} v USING (dim) GROUP BY 1),
+         |w$t AS (SELECT e.dim, CAST(SUM(e.q * s.sp) AS BIGINT) AS w
+         |        FROM e JOIN s$t s USING (vec_id) GROUP BY 1),
+         |n$t AS (SELECT GREATEST(CAST(MAX(ABS(w)) AS BIGINT) // 1000000, 1) AS dd
+         |        FROM w$t),
+         |v$t AS (SELECT dim, w // dd AS v FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $iqCte,
+       |e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': v[i]}
+       |                     FOR i IN range(1, len(v) + 1)], recursive := true)
+       |      FROM iq),
+       |v0 AS (SELECT DISTINCT dim,
+       |              CAST(CASE WHEN dim = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+       |       FROM e),
+       |$iters
+       |SELECT w.dim, w.w AS w_raw, v.v AS comp_scaled
+       |FROM w$PowIters w JOIN v$PowIters v USING (dim)""".stripMargin})(
+    (s, d) => {
+      val iq = quantizedVecs(s, d)
+      // 1-row start direction 1e6·e0, shaped by the data (no collect)
+      var vArr = iq.limit(1)
+        .select(transform(col("v"), (_, i) =>
+          when(i === 0, lit(1000000L)).otherwise(lit(0L))).as("varr"))
+        .localCheckpoint(false)
+      var out: DataFrame = null
+      for (_ <- 1 to PowIters) {
+        val scored = iq.crossJoin(broadcast(vArr))
+          .select(col("vec_id"), col("v"),
+            expr("aggregate(zip_with(v, varr, (a, b) -> a * b), 0L, (a, x) -> a + x)" +
+              " div 1000000").as("sp"))
+        val w = scored
+          .select(posexplode(col("v")).as(Seq("dim", "q")), col("sp"))
+          .groupBy("dim").agg(sum(col("q") * col("sp")).as("w"))
+        val dd = w.agg(greatest(expr("max(abs(w)) div 1000000"), lit(1L)).as("dd"))
+        out = w.crossJoin(broadcast(dd))
+          .select(col("dim"), col("w"), expr("w div dd").as("vv"))
+        // pin the 1-row direction so the next round's scan does not
+        // re-derive this round (the BPE-winner convention)
+        vArr = out
+          .agg(expr("transform(array_sort(collect_list(struct(dim, vv))), x -> x.vv)")
+            .as("varr"))
+          .localCheckpoint(false)
+      }
+      out.select(col("dim"), col("w").as("w_raw"), col("vv").as("comp_scaled"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192)
+      q163, q170, q182, q192, q197)
 }

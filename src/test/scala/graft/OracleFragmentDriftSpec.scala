@@ -192,13 +192,28 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every quantized-vector consumer embeds the canonical iq CTE verbatim") {
+      val frag = graft.operators.SimilarityQueries.iqCte
+      val consumers = sqlByName.filter(_._2.contains(
+        "x -> CAST(round(x * 10000) AS BIGINT)) AS v"))
+      consumers.keySet shouldBe Set(
+        "q64_ann_ivf", "q67_ann_pq", "q69_ann_ivfpq", "q170_semantic_dedup",
+        "q182_prototype_selection", "q192_embedding_dim_stats",
+        "q197_power_iteration")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the quantization definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every quality-scoring consumer embeds the canonical quality formula verbatim") {
       val frag = graft.operators.TextQueries.qualitySql
       val consumers = sqlByName.filter(_._2.contains("BETWEEN 200 AND 20000"))
       consumers.keySet shouldBe Set(
         "q41_quality_score", "q162_curation_pipeline",
         "q167_source_quality_profile", "q181_quality_canonical",
-        "q194_curation_funnel")
+        "q194_curation_funnel", "q196_quality_percentile")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
