@@ -1149,7 +1149,57 @@ object ModelPrepQueries {
           col("n_docs"), col("n_tokens"), col("n_chars"))
     })
 
+  /** Balanced output-shard assignment — the LAST step of a training-data
+    * pipeline: deal documents into `ShardN` output shards so every shard
+    * carries a near-equal token load (a skewed shard becomes the
+    * straggler of every epoch). Greedy bin-packing (first-fit by
+    * descending size) gives the best balance but is inherently
+    * SEQUENTIAL — one global ordered pass, unparallelizable and
+    * order-fragile. The distributed answer is SERPENTINE DEALING: rank
+    * docs per source by token count descending (doc_id tiebreak), then
+    * deal rank 1..S left-to-right and rank S+1..2S right-to-left
+    * (boustrophedon) — consecutive heavy docs land on DIFFERENT shards
+    * and each full serpentine round adds exactly one doc to every
+    * shard with complementary sizes, so shard totals track within one
+    * doc's tokens of each other per source, hence globally. Everything
+    * is integer arithmetic on the per-source rank: round = (rk−1) div
+    * S, pos = (rk−1) mod S, shard = pos when round even else S−1−pos.
+    * Scale: the ONLY data-sized exchange is the source-keyed ranking
+    * window carrying (doc_id, n_tokens) — 16 B/row, never text; no
+    * global sort anywhere (the q196 CCNet per-shard-sort convention).
+    * Output: one row per doc (doc_id, source, n_tokens, rk, shard).
+    * HASH-MATCHED.
+    */
+  /** Output shard count for q199 (production: one per writer task). */
+  private val ShardN = 8
+
+  val q199 = QueryDef.oracle("q199_shard_dealing",
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk
+       |      FROM t)
+       |SELECT doc_id, source, n_tokens, rk,
+       |       CASE WHEN ((rk - 1) // $ShardN) % 2 = 0
+       |            THEN (rk - 1) % $ShardN
+       |            ELSE $ShardN - 1 - (rk - 1) % $ShardN END AS shard
+       |FROM r""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("shard",
+          when(expr(s"((rk - 1) div $ShardN) % 2") === 0,
+            (col("rk") - 1) % ShardN)
+            .otherwise(lit(ShardN - 1) - (col("rk") - 1) % ShardN))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186, q187, q194)
+      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199)
 }

@@ -1438,7 +1438,82 @@ object SimilarityQueries {
       out.select(col("dim"), col("w").as("w_raw"), col("vv").as("comp_scaled"))
     })
 
+  /** EMBEDDING-level eval decontamination — the semantic sibling of
+    * q118's n-gram gate (the Llama-3 convention: benchmark questions
+    * paraphrased into the training pool slip past token overlap but not
+    * past embedding similarity). Eval set = vec_id % 20 = 0 (the held
+    * benchmark); pool = the rest (training candidates). Both sides go
+    * through the ONE shared IVF assignment (trained stored codebook,
+    * [[ivfCentCtes]] — drift impossible), the pair stage is
+    * cluster-keyed eval×pool (never pool×pool: cost is
+    * Σ|cluster∩eval|·|cluster∩pool|, linear in the pool for a
+    * bounded eval set — at 100 TB the eval side of every cluster is
+    * tiny and the join is effectively a per-cluster broadcast), and a
+    * pool vector is CONTAMINATED when its exact-integer cosine against
+    * ANY eval member reaches 3/10: over the 1e-4-quantized vectors,
+    * cos ≥ 3/10 ⟺ dot ≥ 0 ∧ (10·dot)² ≥ 9·n2a·n2b with the squares in
+    * DECIMAL(38,0)/HUGEINT (both exact; 10·dot ≤ ~10¹² so the
+    * DECIMAL(19,0) square never saturates), zero-norm vectors guarded
+    * out. The fused [[VecExpressions.intDotNorms]] kernel computes
+    * (dot, |a|², |b|²) in ONE codegen loop per pair. Cluster-keying is
+    * the recall/cost trade the IVF index exists for: a cross-cluster
+    * eval twin is missed (nprobe=1), the same contract as q64 —
+    * measured, not hidden, by the q195-style audit convention. Output:
+    * one row per pool vector (vec_id, c_id, n_eval_close,
+    * contaminated). HASH-MATCHED.
+    */
+  val q198 = QueryDef.oracle("q198_semantic_decontam",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, i.v FROM asg a JOIN iq i USING (vec_id)),
+       |ev AS (SELECT * FROM m WHERE vec_id % 20 = 0),
+       |pool AS (SELECT * FROM m WHERE vec_id % 20 <> 0),
+       |p AS (SELECT y.vec_id AS ib,
+       |        CAST(list_sum([x.v[i] * y.v[i] FOR i IN range(1, len(x.v) + 1)]) AS BIGINT) AS dot,
+       |        CAST(list_sum([x.v[i] * x.v[i] FOR i IN range(1, len(x.v) + 1)]) AS BIGINT) AS n2a,
+       |        CAST(list_sum([y.v[i] * y.v[i] FOR i IN range(1, len(y.v) + 1)]) AS BIGINT) AS n2b
+       |      FROM ev x JOIN pool y ON x.c_id = y.c_id),
+       |close AS (SELECT ib, CAST(count(*) AS BIGINT) AS n_eval_close FROM p
+       |          WHERE n2a > 0 AND n2b > 0 AND dot >= 0
+       |            AND CAST(dot * 10 AS HUGEINT) * (dot * 10)
+       |                >= CAST(n2a * 9 AS HUGEINT) * n2b
+       |          GROUP BY ib)
+       |SELECT pool.vec_id, pool.c_id,
+       |       COALESCE(c.n_eval_close, CAST(0 AS BIGINT)) AS n_eval_close,
+       |       COALESCE(c.n_eval_close, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM pool LEFT JOIN close c ON c.ib = pool.vec_id""".stripMargin)(
+    (s, d) => {
+      val vecs = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val m = nearestCentroid(s, vecs, cent).join(vecs, Seq("vec_id"))
+      val ev = m.filter(col("vec_id") % 20 === 0)
+        .select(col("c_id"), col("v").as("va"))
+      val pool = m.filter(col("vec_id") % 20 =!= 0)
+      val pairs = ev
+        .join(pool.select(col("c_id"), col("vec_id").as("ib"), col("v").as("vb")),
+          Seq("c_id"))
+        .select(col("ib"),
+          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
+        .select(col("ib"), col("st.dot").as("dot"),
+          col("st.n2a").as("n2a"), col("st.n2b").as("n2b"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      val close = pairs
+        .filter(col("n2a") > 0 && col("n2b") > 0 && col("dot") >= 0 &&
+          dec(col("dot") * 10) * dec(col("dot") * 10) >=
+            dec(col("n2a") * 9) * dec(col("n2b")))
+        .groupBy(col("ib").as("vec_id")).agg(count(lit(1)).as("n_eval_close"))
+      pool.select(col("vec_id"), col("c_id")).join(close, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          coalesce(col("n_eval_close"), lit(0L)).as("n_eval_close"),
+          (coalesce(col("n_eval_close"), lit(0L)) > 0).as("contaminated"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197)
+      q163, q170, q182, q192, q197, q198)
 }
