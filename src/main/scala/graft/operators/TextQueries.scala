@@ -62,7 +62,11 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "est", "les"),
     "es" -> Seq("el", "la", "y", "es", "los"))
 
-  val q42 = QueryDef.oracle("q42_lang_id", {
+  /** The per-doc `(doc_id, labeled_lang, detected_lang)` oracle SELECT —
+    * the ONE SQL definition of the langid heuristic, shared by q42 (the
+    * per-doc report) and q200 (the confusion-matrix rollup) so the two
+    * cannot drift. */
+  private[graft] val langIdOracleSelect: String = {
     def score(markers: Seq[String]): String =
       s"len(list_filter(l, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
     val scores = langMarkers.map { case (l, ms) => l -> score(ms) }
@@ -77,7 +81,9 @@ object TextQueries {
        |        list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |                    x -> x <> '') AS l
        |      FROM documents)""".stripMargin
-  })(
+  }
+
+  val q42 = QueryDef.oracle("q42_lang_id", langIdOracleSelect)(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         langIdHeuristic(col("text")).as("detected_lang")))
@@ -813,7 +819,81 @@ object TextQueries {
           col("c").as("n_occurrences")))
         .reduce(_.unionByName(_)).orderBy("round"))
 
+  /** Language-ID CONFUSION MATRIX — the model-eval rollup of q42: per
+    * (labeled, detected) cell, the doc count and its exact share of the
+    * labeled language in ppm (integer division), plus the diagonal
+    * flag. The per-doc classification comes from the ONE shared
+    * [[langIdOracleSelect]] fragment (q42's definition verbatim — the
+    * heuristic under audit cannot drift from the audit). This is the
+    * acceptance report a langid filter ships with: per-language recall
+    * sits on the diagonal, and every off-diagonal cell names the
+    * specific confusion (e.g. es→fr) that a marker-list change would
+    * move. Scale: one (labeled, detected)-keyed aggregate (≤ langs²
+    * groups, map-side combined) + a broadcast join against the
+    * labeled-lang totals (≤ langs rows). Output ≤ langs² rows at any
+    * corpus size. HASH-MATCHED.
+    */
+  val q200 = QueryDef.oracle("q200_langid_confusion",
+    s"""WITH d AS ($langIdOracleSelect),
+       |tot AS (SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+       |        FROM d GROUP BY 1)
+       |SELECT d.labeled_lang, d.detected_lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) * 1000000 // t.n_labeled AS BIGINT) AS share_ppm,
+       |       d.labeled_lang = d.detected_lang AS correct
+       |FROM d JOIN tot t USING (labeled_lang)
+       |GROUP BY d.labeled_lang, d.detected_lang, t.n_labeled""".stripMargin)(
+    (s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang").as("labeled_lang"),
+          langIdHeuristic(col("text")).as("detected_lang"))
+      val tot = perDoc.groupBy("labeled_lang")
+        .agg(count(lit(1)).as("n_labeled"))
+      perDoc.groupBy("labeled_lang", "detected_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(tot), Seq("labeled_lang"))
+        .select(col("labeled_lang"), col("detected_lang"), col("n_docs"),
+          expr("n_docs * 1000000 div n_labeled").as("share_ppm"),
+          (col("labeled_lang") === col("detected_lang")).as("correct"))
+    })
+
+  /** Per-source VOCABULARY GROWTH audit (the Heaps'-law health check a
+    * corpus intake runs): token volume, distinct-type count, hapax
+    * count (types seen exactly once), and the two exact-ppm ratios —
+    * type-token ratio and hapax share of the vocabulary. A source whose
+    * hapax share collapses is template spam (the same tokens over and
+    * over); one whose TTR spikes is ID/hash noise (every token novel) —
+    * the two tails a quality gate wants flagged BEFORE training a
+    * tokenizer on the mix. All counts are exact integers off ONE
+    * (source, tok)-keyed aggregate (map-side combined, exchange volume
+    * = per-source vocab size, sublinear in corpus); the rollup above it
+    * is |sources|-sized. Output: one row per source. HASH-MATCHED.
+    */
+  val q201 = QueryDef.oracle("q201_vocab_growth",
+    """WITH tf AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT source, unnest(list_filter(
+      |          regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |        FROM documents)
+      |  GROUP BY source, tok)
+      |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_toks,
+      |       CAST(count(*) AS BIGINT) AS n_types,
+      |       CAST(count(*) FILTER (freq = 1) AS BIGINT) AS n_hapax,
+      |       CAST(count(*) * 1000000 // SUM(freq) AS BIGINT) AS ttr_ppm,
+      |       CAST(count(*) FILTER (freq = 1) * 1000000 // count(*) AS BIGINT)
+      |         AS hapax_ppm
+      |FROM tf GROUP BY source""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      .groupBy("source")
+      .agg(sum("freq").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_toks"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_toks").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm")))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168, q173, q174)
+      q158, q160, q165, q168, q173, q174, q200, q201)
 }
