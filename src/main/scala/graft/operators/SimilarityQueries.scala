@@ -1513,6 +1513,27 @@ object SimilarityQueries {
           (coalesce(col("n_eval_close"), lit(0L)) > 0).as("contaminated"))
     })
 
+  /** The side data the STREAMING decontam gate closure-captures
+    * (`VecStreams.semanticDecontamGate`): the trained IVF codebook and
+    * the eval set's quantized vectors grouped by their q198 assignment
+    * — both derived through the SAME stored artifact and argmax as the
+    * batch query, so the gate's reference side cannot drift from q198.
+    * Bounded by construction (IvfK centroids; the eval set is the held
+    * benchmark, not the corpus) — in production both ship as
+    * broadcasts. */
+  private[graft] def decontamEvalSide(s: SparkSession, d: String)
+      : (Array[(Int, Array[Long])], Map[Int, Seq[(Long, Array[Long])]]) = {
+    val cent = storedIvfCentroids(s, d)
+    val centArr = cent.collect().map { r =>
+      r.getLong(0).toInt -> r.getSeq[Long](1).toArray }
+    val ev = quantizedVecs(s, d).filter(col("vec_id") % 20 === 0)
+    val evArr = nearestCentroid(s, ev, cent).join(ev, Seq("vec_id"))
+      .collect()
+      .map(r => (r.getLong(1).toInt, (r.getLong(0), r.getSeq[Long](2).toArray)))
+    (centArr, evArr.groupBy(_._1).map { case (c, xs) =>
+      c -> xs.sortBy(_._2._1).map(_._2).toSeq })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198)

@@ -132,6 +132,45 @@ object VecStreams {
     bestId
   }
 
+  final case class DecontamVerdict(vec_id: Long, ts: Timestamp, c_id: Int,
+    n_eval_close: Long, contaminated: Boolean)
+
+  /** Streaming SEMANTIC DECONTAMINATION gate — q198 at ingest time (ref
+    * batch semantics: SimilarityQueries.q198): every arriving training
+    * candidate is checked against the held EVAL SET's embeddings before
+    * admission. Unlike dedup, the reference side is STATIC (the
+    * benchmark doesn't grow with the corpus), so the gate is
+    * STATELESS: assignment to the trained coarse quantizer and the
+    * per-cluster eval comparison both run scan-side against
+    * closure-captured side data (in production: `sparkContext
+    * .broadcast` of the stored `cent_ivf` artifact and the eval
+    * members' quantized vectors grouped by their OWN q198 assignment)
+    * — no shuffle, no state store, the stream's throughput is the scan
+    * throughput. The verdict is q198's exact integer predicate
+    * (cos ≥ num/den over 1e-4-quantized coordinates, BigInt-safe), so
+    * a (vector, eval-member) pair gets the same answer streamed or
+    * batched — bit for bit, spec-pinned against q198 on the real
+    * corpus. Malformed vectors degrade exactly like
+    * [[semanticDupCandidates]]: NaN/Inf clamp in [[quantize]],
+    * dimension mismatches assign to the sentinel cluster and match
+    * nothing.
+    */
+  def semanticDecontamGate(
+      vecs: DataFrame,
+      centroids: Array[(Int, Array[Long])],
+      evalByCluster: Map[Int, Seq[(Long, Array[Long])]],
+      thresholdNum: Int = 3,
+      thresholdDen: Int = 10): Dataset[DecontamVerdict] = {
+    import vecs.sparkSession.implicits._
+    vecs.as[Vec].map { v =>
+      val qv = v.embedding.map(x => quantize(x.toDouble)).toArray
+      val cId = assign(qv, centroids)
+      val n = evalByCluster.getOrElse(cId, Nil)
+        .count(e => closeEnough(e._2, qv, thresholdNum, thresholdDen))
+      DecontamVerdict(v.vec_id, v.ts, cId, n.toLong, n > 0)
+    }
+  }
+
   /** vecs: (vec_id LONG, ts TIMESTAMP, embedding ARRAY<FLOAT>), batch or
     * streaming. `centroids` is the trained coarse quantizer (collected
     * from the `cent_ivf` artifact — IvfK rows, bounded by construction).
