@@ -421,6 +421,18 @@ object PlanCheck {
     check("q197_power_iteration",
       "mat-vec rounds: map-side-combined 64-key aggregates; direction rides 1-row broadcasts",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
+    check("q198_semantic_decontam",
+      "decontam: IVF codebook broadcasts into assignment; eval x pool pairs c_id-keyed, no cartesian",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    check("q199_shard_dealing", "dealing rank is a source-KEYED window (never SinglePartition)",
+      p => p.contains("Window") && !p.contains("SinglePartition"))
+    check("q200_langid_confusion",
+      "confusion cells combine map-side; labeled-lang totals broadcast back",
+      p => p.contains("partial_count") && p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"))
+    check("q201_vocab_growth",
+      "vocab growth: ONE documents scan; (source, tok) counts combine map-side",
+      p => p.contains("partial_count") && scans(p, "documents") == 1)
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -489,7 +501,9 @@ object PlanCheck {
         "q189_pair_pagerank", "q190_snapshot_diff", "q191_lsh_calibration",
         "q192_embedding_dim_stats", "q193_containment_pairs",
         "q194_curation_funnel", "q195_lsh_recall_audit",
-        "q196_quality_percentile", "q197_power_iteration")
+        "q196_quality_percentile", "q197_power_iteration",
+        "q198_semantic_decontam", "q199_shard_dealing",
+        "q200_langid_confusion", "q201_vocab_growth")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)
