@@ -433,6 +433,13 @@ object PlanCheck {
     check("q201_vocab_growth",
       "vocab growth: ONE documents scan; (source, tok) counts combine map-side",
       p => p.contains("partial_count") && scans(p, "documents") == 1)
+    check("q202_cdc_chunks",
+      "CDC: hashes/boundaries scan-side; ONE documents scan; chunk window doc-KEYED; fp rollup map-side",
+      p => scans(p, "documents") == 1 && p.contains("Window") &&
+        !p.contains("SinglePartition") && p.contains("partial_count"))
+    check("q203_pmi_collocations",
+      "PMI: bigram counts combine map-side; top-25 via TakeOrderedAndProject (no global sort)",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -503,7 +510,8 @@ object PlanCheck {
         "q194_curation_funnel", "q195_lsh_recall_audit",
         "q196_quality_percentile", "q197_power_iteration",
         "q198_semantic_decontam", "q199_shard_dealing",
-        "q200_langid_confusion", "q201_vocab_growth")
+        "q200_langid_confusion", "q201_vocab_growth",
+        "q202_cdc_chunks", "q203_pmi_collocations")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -1623,7 +1623,98 @@ object DedupQueries {
           expr("(1000000 * n_caught) div n_true").as("recall_ppm"))
     })
 
+  /** CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync family, at token
+    * granularity) — the storage-style dedup modality the fixed-window
+    * families miss: boundaries are cut where a ROLLING hash of the last
+    * 3 tokens hits 0 mod 8 (expected chunk ≈ 8 tokens), so an insertion
+    * early in a document shifts every fixed 512-token chunk but leaves
+    * every content-defined boundary after it in place — the chunks
+    * downstream of the edit still dedup. All arithmetic is the portable
+    * modular family (q43/q98's fold, one definition both engines
+    * replay): token hash = char fold mod 1e9+7; window hash =
+    * ((h[i-2]·1000003 + h[i-1]) mod M ·1000003 + h[i]) mod M; chunk
+    * fingerprint = the same 1000003-fold over the chunk's token hashes.
+    * Scale shape: token/window hashes and boundary flags are pure
+    * scan-stage array ops (no shuffle); the doc-keyed chunk-index
+    * window carries (doc_id, pos, th) ints — never text; the final
+    * rollup keys on the 8-byte chunk fingerprint (map-side combined).
+    * Output: one row per distinct chunk (fingerprint, n_docs, n_occ,
+    * n_tokens, keeper_doc, shared). HASH-MATCHED.
+    */
+  val q202 = QueryDef.oracle("q202_cdc_chunks",
+    """WITH tk AS (SELECT doc_id, list_filter(
+      |             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |th AS (SELECT doc_id,
+      |         [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(string_split(t, ''),
+      |              c -> CAST(unicode(c) AS BIGINT))),
+      |            (a, b) -> (a * 131 + b) % 1000000007) FOR t IN l] AS h
+      |       FROM tk),
+      |w AS (SELECT doc_id, h,
+      |        [CASE WHEN i >= 3 THEN
+      |           ((h[i-2] * 1000003 + h[i-1]) % 1000000007 * 1000003 + h[i])
+      |             % 1000000007 END
+      |         FOR i IN range(1, len(h) + 1)] AS wh
+      |      FROM th),
+      |tok AS (SELECT doc_id, pos, h[pos] AS th,
+      |          len([j FOR j IN range(4, pos + 1) IF wh[j - 1] % 8 = 0])
+      |            AS chunk
+      |        FROM (SELECT doc_id, h, wh,
+      |                unnest(range(1, len(h) + 1)) AS pos
+      |              FROM w)),
+      |ch AS (SELECT doc_id, chunk,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           array_agg(th ORDER BY pos)),
+      |           (a, b) -> (a * 1000003 + b) % 1000000007) AS chunk_fp,
+      |         CAST(count(*) AS BIGINT) AS n_tokens
+      |       FROM tok GROUP BY doc_id, chunk)
+      |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occ,
+      |       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS keeper_doc,
+      |       count(DISTINCT doc_id) >= 2 AS shared
+      |FROM ch GROUP BY chunk_fp""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 1000000007L
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .select(col("doc_id"),
+          transform(col("l"), t => portableStringHash(t)).as("h"))
+      def at(arr: Column, i: Column) = element_at(arr, i.cast("int"))
+      val withWh = tk.withColumn("wh",
+        transform(sequence(lit(1), size(col("h"))), i =>
+          when(i >= 3,
+            ((at(col("h"), i - 2) * 1000003L + at(col("h"), i - 1)) % M
+              * 1000003L + at(col("h"), i)) % M)))
+      // (pos, th, boundary-before) rows; chunk index via doc-keyed cumsum
+      val toks = withWh
+        .select(col("doc_id"),
+          posexplode(zip_with(col("h"),
+            transform(sequence(lit(1), size(col("h"))), i =>
+              (i >= 4 && at(col("wh"), i - 1) % 8 === 0).cast("int")),
+            (a, b) => struct(a.as("th"), b.as("nb")))).as(Seq("p0", "x")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          col("x.th").as("th"), col("x.nb").as("nb"))
+      val wc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ch = toks
+        .withColumn("chunk", sum("nb").over(wc))
+        .groupBy("doc_id", "chunk")
+        .agg(aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("th")))),
+              x => x.getField("th")),
+            lit(0L), (a, b) => (a * 1000003L + b) % M).as("chunk_fp"),
+          count(lit(1)).as("n_tokens"))
+      ch.groupBy("chunk_fp")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+          min("n_tokens").as("n_tokens"), min("doc_id").as("keeper_doc"))
+        .select(col("chunk_fp"), col("n_docs"), col("n_occ"), col("n_tokens"),
+          col("keeper_doc"), (col("n_docs") >= 2).as("shared"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195)
+      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202)
 }

@@ -1199,7 +1199,59 @@ object ModelPrepQueries {
             .otherwise(lit(ShardN - 1) - (col("rk") - 1) % ShardN))
     })
 
+  /** PMI COLLOCATIONS — multiword-expression discovery (the Church &
+    * Hanks 1990 association measure): for every adjacent-token bigram
+    * seen ≥ 5 times, pointwise mutual information against the bigram
+    * stream's own marginals, PMI = log2(c₁₂·N / (c₁·c₂)) — symmetric
+    * ASSOCIATION, unlike q127's conditional transitions or q187's
+    * smoothed likelihood. This is the pass that finds the "new york" /
+    * "machine learning" units a tokenizer or phrase-mining stage wants
+    * pinned before training. The bigram stream is the ONE shared
+    * [[bigramStream]] (q187's training stream — the measures cannot
+    * disagree on what a bigram is). Micro-unit policy: both engines
+    * compute round(log2((c₁₂::double · N)/(c₁::double · c₂))·10⁶) with
+    * identical association, so the ranking is bit-stable; count
+    * aggregates combine map-side (vocab²-bounded, sublinear in corpus);
+    * top-25 rides TakeOrderedAndProject (no global sort). Output: 25
+    * rows (w1, w2, c12, micro_pmi). HASH-MATCHED.
+    */
+  val q203 = QueryDef.oracle("q203_pmi_collocations",
+    """WITH tk AS (SELECT doc_id, list_filter(
+      |             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |bi AS (SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i+1]}
+      |                              FOR i IN range(1, len(l))],
+      |                             recursive := true)
+      |       FROM tk),
+      |g2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+      |cl AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM g2 GROUP BY 1),
+      |cr AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM g2 GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM g2),
+      |p AS (SELECT w1, w2, c12,
+      |        CAST(round(log2(CAST(c12 AS DOUBLE) * nb / (CAST(c1 AS DOUBLE) * c2))
+      |          * 1000000) AS BIGINT) AS micro_pmi
+      |      FROM g2 JOIN cl USING (w1) JOIN cr USING (w2), n
+      |      WHERE c12 >= 5)
+      |SELECT w1, w2, c12, micro_pmi FROM p
+      |ORDER BY micro_pmi DESC, w1, w2 LIMIT 25""".stripMargin)(
+    (s, d) => {
+      val g2 = bigramStream(s, d)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cl = g2.groupBy("w1").agg(sum("c12").as("c1"))
+      val cr = g2.groupBy("w2").agg(sum("c12").as("c2"))
+      val n = g2.agg(sum("c12").as("nb"))
+      g2.filter(col("c12") >= 5)
+        .join(cl, Seq("w1")).join(cr, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log2(col("c12").cast("double") * col("nb")
+            / (col("c1").cast("double") * col("c2"))) * 1000000)
+            .cast("long").as("micro_pmi"))
+        .orderBy(col("micro_pmi").desc, col("w1"), col("w2"))
+        .limit(25)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199)
+      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203)
 }
