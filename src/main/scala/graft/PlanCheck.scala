@@ -440,6 +440,15 @@ object PlanCheck {
     check("q203_pmi_collocations",
       "PMI: bigram counts combine map-side; top-25 via TakeOrderedAndProject (no global sort)",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
+    check("q204_whitening_residuals",
+      "whitening apply: direction+norm ride 1-row broadcasts; only the 64-key dim rollup shuffles",
+      p => p.contains("partial_count") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q205_weighted_sample", "A-ES reservoir rank is source-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -511,7 +520,8 @@ object PlanCheck {
         "q196_quality_percentile", "q197_power_iteration",
         "q198_semantic_decontam", "q199_shard_dealing",
         "q200_langid_confusion", "q201_vocab_growth",
-        "q202_cdc_chunks", "q203_pmi_collocations")
+        "q202_cdc_chunks", "q203_pmi_collocations",
+        "q204_whitening_residuals", "q205_weighted_sample")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

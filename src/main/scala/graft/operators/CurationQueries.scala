@@ -885,7 +885,65 @@ object CurationQueries {
           (col("rnk") * 2 <= col("n_src")).as("top_half"))
     })
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * 2006) — "sample 10 docs per source with probability ∝ quality" in
+    * ONE distributed pass: each doc draws a deterministic pseudo-uniform
+    * u from the portable hash family (q43's char fold over a salted
+    * doc_id — both engines replay it), and the classic reservoir key
+    * u^(1/w) is ranked via its monotone log form ln(u)/w, quantized to
+    * integer picounits with identical association in both engines. The
+    * top-k per source BY THIS KEY is distributed exactly like the A-ES
+    * reservoir (the whole point of the paper: the key makes weighted
+    * sampling order-independent and mergeable — any partitioning of the
+    * corpus yields the same winners), so "sampling" becomes a keyed
+    * top-k: one source-keyed ranking window over (doc_id, w, key)
+    * ints, no global state, no sequential draw. Weight = the q41 shared
+    * quality fragment in exact tenths-of-basis-points (micro-weight);
+    * zero-quality docs are excluded (w=0 means "never sample", the
+    * A-ES convention). Complements q120 (uniform hash-mod mixture) and
+    * q140 (hard budget cut): this is the SOFT, probability-proportional
+    * selection between them. Output: k rows per source. HASH-MATCHED.
+    */
+  val q205 = QueryDef.oracle("q205_weighted_sample", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+       |w AS (SELECT doc_id, source,
+       |        CAST(round(quality * 10000) AS BIGINT) AS w_micro
+       |      FROM q),
+       |h AS (SELECT doc_id, source, w_micro,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split('wrs:' || CAST(doc_id AS VARCHAR), ''),
+       |            c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, b) -> (a * 131 + b) % 1000000007) AS hh
+       |      FROM w WHERE w_micro > 0),
+       |k AS (SELECT doc_id, source, w_micro,
+       |        CAST(round(ln((hh % 1000000 + 1) / 1000001.0)
+       |          * 1000000000000 / w_micro) AS BIGINT) AS sel_key
+       |      FROM h),
+       |r AS (SELECT doc_id, source, w_micro, sel_key,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rk
+       |      FROM k)
+       |SELECT doc_id, source, w_micro, sel_key, rk FROM r WHERE rk <= 10""".stripMargin})(
+    (s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("sel_key").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("w_micro"))
+        .filter(col("w_micro") > 0)
+        .withColumn("hh", graft.functions.TextFunctions.portableStringHash(
+          concat(lit("wrs:"), col("doc_id").cast("string"))))
+        .withColumn("sel_key",
+          round(log((col("hh") % 1000000 + 1) / lit(1000001.0))
+            * lit(1.0e12) / col("w_micro")).cast("long"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("w_micro"), col("sel_key"),
+          col("rk"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196)
+      q176, q183, q184, q188, q196, q205)
 }

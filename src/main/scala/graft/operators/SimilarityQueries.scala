@@ -1389,7 +1389,10 @@ object SimilarityQueries {
     * the oracle replays the identical trajectory regardless. Output:
     * 64 rows (dim, w_raw, comp_scaled). HASH-MATCHED.
     */
-  val q197 = QueryDef.oracle("q197_power_iteration", {
+  /** The power-iteration CTE chain (`e`, `v0`, `s1..v$PowIters`) —
+    * shared verbatim by q197 (the direction itself) and q204 (the
+    * whitening apply), so the two cannot disagree on the direction. */
+  private def powIterOracleCtes: String = {
     val iters = (1 to PowIters).map { t =>
       s"""s$t AS (SELECT e.vec_id, CAST(SUM(e.q * v.v) AS BIGINT) // 1000000 AS sp
          |        FROM e JOIN v${t - 1} v USING (dim) GROUP BY 1),
@@ -1399,42 +1402,55 @@ object SimilarityQueries {
          |        FROM w$t),
          |v$t AS (SELECT dim, w // dd AS v FROM w$t, n$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $iqCte,
-       |e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': v[i]}
+    s"""e AS (SELECT vec_id, unnest([{'dim': i - 1, 'q': v[i]}
        |                     FOR i IN range(1, len(v) + 1)], recursive := true)
        |      FROM iq),
        |v0 AS (SELECT DISTINCT dim,
        |              CAST(CASE WHEN dim = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
        |       FROM e),
-       |$iters
-       |SELECT w.dim, w.w AS w_raw, v.v AS comp_scaled
-       |FROM w$PowIters w JOIN v$PowIters v USING (dim)""".stripMargin})(
-    (s, d) => {
-      val iq = quantizedVecs(s, d)
-      // 1-row start direction 1e6·e0, shaped by the data (no collect)
-      var vArr = iq.limit(1)
-        .select(transform(col("v"), (_, i) =>
-          when(i === 0, lit(1000000L)).otherwise(lit(0L))).as("varr"))
+       |$iters""".stripMargin
+  }
+
+  /** The Spark power-iteration loop shared by q197/q204: returns the
+    * final round's per-dim frame (dim, w, vv) and the PINNED 1-row
+    * direction array (varr), both localCheckpoint-backed so consumers
+    * never re-derive the rounds. */
+  private def powerRounds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val iq = quantizedVecs(s, d)
+    // 1-row start direction 1e6·e0, shaped by the data (no collect)
+    var vArr = iq.limit(1)
+      .select(transform(col("v"), (_, i) =>
+        when(i === 0, lit(1000000L)).otherwise(lit(0L))).as("varr"))
+      .localCheckpoint(false)
+    var out: DataFrame = null
+    for (_ <- 1 to PowIters) {
+      val scored = iq.crossJoin(broadcast(vArr))
+        .select(col("vec_id"), col("v"),
+          expr("aggregate(zip_with(v, varr, (a, b) -> a * b), 0L, (a, x) -> a + x)" +
+            " div 1000000").as("sp"))
+      val w = scored
+        .select(posexplode(col("v")).as(Seq("dim", "q")), col("sp"))
+        .groupBy("dim").agg(sum(col("q") * col("sp")).as("w"))
+      val dd = w.agg(greatest(expr("max(abs(w)) div 1000000"), lit(1L)).as("dd"))
+      out = w.crossJoin(broadcast(dd))
+        .select(col("dim"), col("w"), expr("w div dd").as("vv"))
+      // pin the 1-row direction so the next round's scan does not
+      // re-derive this round (the BPE-winner convention)
+      vArr = out
+        .agg(expr("transform(array_sort(collect_list(struct(dim, vv))), x -> x.vv)")
+          .as("varr"))
         .localCheckpoint(false)
-      var out: DataFrame = null
-      for (_ <- 1 to PowIters) {
-        val scored = iq.crossJoin(broadcast(vArr))
-          .select(col("vec_id"), col("v"),
-            expr("aggregate(zip_with(v, varr, (a, b) -> a * b), 0L, (a, x) -> a + x)" +
-              " div 1000000").as("sp"))
-        val w = scored
-          .select(posexplode(col("v")).as(Seq("dim", "q")), col("sp"))
-          .groupBy("dim").agg(sum(col("q") * col("sp")).as("w"))
-        val dd = w.agg(greatest(expr("max(abs(w)) div 1000000"), lit(1L)).as("dd"))
-        out = w.crossJoin(broadcast(dd))
-          .select(col("dim"), col("w"), expr("w div dd").as("vv"))
-        // pin the 1-row direction so the next round's scan does not
-        // re-derive this round (the BPE-winner convention)
-        vArr = out
-          .agg(expr("transform(array_sort(collect_list(struct(dim, vv))), x -> x.vv)")
-            .as("varr"))
-          .localCheckpoint(false)
-      }
+    }
+    (out, vArr)
+  }
+
+  val q197 = QueryDef.oracle("q197_power_iteration",
+    s"""WITH $iqCte,
+       |$powIterOracleCtes
+       |SELECT w.dim, w.w AS w_raw, v.v AS comp_scaled
+       |FROM w$PowIters w JOIN v$PowIters v USING (dim)""".stripMargin)(
+    (s, d) => {
+      val (out, _) = powerRounds(s, d)
       out.select(col("dim"), col("w").as("w_raw"), col("vv").as("comp_scaled"))
     })
 
@@ -1513,6 +1529,63 @@ object SimilarityQueries {
           (coalesce(col("n_eval_close"), lit(0L)) > 0).as("contaminated"))
     })
 
+  /** "ALL-BUT-THE-TOP" WHITENING APPLY (Mu & Viswanath 2018) — the pass
+    * that consumes q197's dominant direction: remove each embedding's
+    * projection onto the top spectral component and report the
+    * per-dimension statistics of the residual corpus (q192's report
+    * shape, post-whitening). The subtraction is EXACT INTEGER math —
+    * no division ever happens: with the direction downscaled once
+    * (u = v div 1000, a global constant choice), the residual is
+    * scaled by u·u and computed as r_d = q_d·(u·u) − (q·u)·u_d, which
+    * is (u·u)·(q − proj_u(q)) exactly, term for term in int64 (bounds:
+    * |q|≤~1e4, |u|≤~2e3, u·u≤~2.6e8, all products ≤ ~5e12). The
+    * direction comes from the SHARED [[powIterOracleCtes]] /
+    * [[powerRounds]] chain — q197 and this query cannot disagree on
+    * it. Scale shape: the direction and its norm ride ONE 1-row
+    * broadcast; per-vector projections are scan-stage; the only
+    * exchange is the 64-key dim rollup (map-side combined, q192's
+    * shape). Residual sums/squares promote to DECIMAL(38,0)/HUGEINT
+    * before squaring (r² ≈ 2.6e25 overflows int64). A near-zero
+    * residual variance on every dim would mean the corpus is rank-1
+    * anisotropic — the condition this post-processing exists to
+    * detect and remove. Output: 64 rows. HASH-MATCHED.
+    */
+  val q204 = QueryDef.oracle("q204_whitening_residuals",
+    s"""WITH $iqCte,
+       |$powIterOracleCtes,
+       |us AS (SELECT dim, v // 1000 AS u FROM v$PowIters),
+       |uu AS (SELECT CAST(SUM(u * u) AS BIGINT) AS u2 FROM us),
+       |p AS (SELECT e.vec_id, CAST(SUM(e.q * us.u) AS BIGINT) AS pu
+       |      FROM e JOIN us USING (dim) GROUP BY 1),
+       |r AS (SELECT e.dim, e.q * uu.u2 - p.pu * us.u AS r
+       |      FROM e JOIN us USING (dim) JOIN p USING (vec_id), uu)
+       |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(r) AS DECIMAL(38,0)) AS sum_r,
+       |       CAST(SUM(CAST(r AS HUGEINT) * r) AS DECIMAL(38,0)) AS sumsq_r,
+       |       CAST(min(r) AS BIGINT) AS min_r,
+       |       CAST(max(r) AS BIGINT) AS max_r
+       |FROM r GROUP BY dim""".stripMargin)(
+    (s, d) => {
+      val (_, vArr) = powerRounds(s, d)
+      val side = vArr
+        .select(expr("transform(varr, x -> x div 1000)").as("us"))
+        .select(col("us"), expr("aggregate(us, 0L, (a, x) -> a + x * x)").as("u2"))
+      quantizedVecs(s, d).crossJoin(broadcast(side))
+        .select(col("u2"),
+          expr("aggregate(zip_with(v, us, (a, b) -> a * b), 0L, (a, x) -> a + x)")
+            .as("pu"),
+          posexplode(zip_with(col("v"), col("us"),
+            (q, u) => struct(q.as("q"), u.as("u")))).as(Seq("dim", "x")))
+        .select(col("dim"),
+          (col("x.q") * col("u2") - col("pu") * col("x.u")).as("r"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("r").cast("decimal(38,0)").as("sum_r"),
+          sum(col("r").cast("decimal(20,0)") * col("r").cast("decimal(20,0)"))
+            .cast("decimal(38,0)").as("sumsq_r"),
+          min("r").as("min_r"), max("r").as("max_r"))
+    })
+
   /** The side data the STREAMING decontam gate closure-captures
     * (`VecStreams.semanticDecontamGate`): the trained IVF codebook and
     * the eval set's quantized vectors grouped by their q198 assignment
@@ -1536,5 +1609,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198)
+      q163, q170, q182, q192, q197, q198, q204)
 }
