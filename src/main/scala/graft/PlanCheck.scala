@@ -449,6 +449,10 @@ object PlanCheck {
         val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
         ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
       })
+    check("q206_rendezvous_sharding",
+      "HRW: per-doc scan-stage arithmetic only — no exchange, no window, no join",
+      p => !p.contains("Exchange") && !p.contains("Window") &&
+        scans(p, "documents") == 1)
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -521,7 +525,8 @@ object PlanCheck {
         "q198_semantic_decontam", "q199_shard_dealing",
         "q200_langid_confusion", "q201_vocab_growth",
         "q202_cdc_chunks", "q203_pmi_collocations",
-        "q204_whitening_residuals", "q205_weighted_sample")
+        "q204_whitening_residuals", "q205_weighted_sample",
+        "q206_rendezvous_sharding")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

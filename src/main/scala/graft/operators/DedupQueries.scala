@@ -1682,6 +1682,10 @@ object DedupQueries {
         .select(col("doc_id"), tokens(col("text")).as("l"))
         .select(col("doc_id"),
           transform(col("l"), t => portableStringHash(t)).as("h"))
+        // token-less docs produce no chunks — and Spark's sequence(1, 0)
+        // would otherwise generate a DESCENDING [1, 0] (the charPairs
+        // pitfall) and fabricate a phantom chunk (caught by CdcChunkSpec)
+        .filter(size(col("h")) > 0)
       def at(arr: Column, i: Column) = element_at(arr, i.cast("int"))
       val withWh = tk.withColumn("wh",
         transform(sequence(lit(1), size(col("h"))), i =>

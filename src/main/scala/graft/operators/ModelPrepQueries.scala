@@ -1251,7 +1251,67 @@ object ModelPrepQueries {
         .limit(25)
     })
 
+  /** RENDEZVOUS (highest-random-weight) SHARDING — q199's missing
+    * property: q199 balances a FIXED shard count, but re-dealing on
+    * S→S+1 moves almost every doc (rank mod S reshuffles globally).
+    * HRW hashing (Thaler & Ravishankar 1998 — the scheme behind
+    * consistent routing in storage systems) assigns each doc to
+    * argmax_s h(doc, s), so adding shard S+1 moves EXACTLY the docs
+    * whose new-shard hash wins — an expected 1/(S+1) of the corpus —
+    * and every moved doc moves TO the new shard (nothing reshuffles
+    * among survivors; spec-pinned, not just asserted in prose). The
+    * weight is the portable char fold over 'rdv:s:doc_id' passed
+    * through a SQUARE-MOD scramble (h² mod p): the raw fold is
+    * POLYNOMIAL in the shard digit — candidates differ by s·131^k with
+    * k = the digit's distance from the end, which for short doc_ids
+    * never wraps the modulus, making the weight MONOTONE in s so the
+    * newest shard always won (the spec caught this as a 100% moved
+    * fraction) — squaring makes the s-dependence quadratic with
+    * many-wrap cross terms, restoring the uniformity HRW needs. Argmax
+    * ties break toward the LOWER shard (first-max in both engines).
+    * Everything is
+    * scan-stage per-doc arithmetic — S hash folds per doc, no shuffle,
+    * no state; the output here carries both the S=8 and S=9 worlds
+    * plus the moved flag so the reshard cost is measured, not
+    * estimated. Output: one row per doc. HASH-MATCHED.
+    */
+  val q206 = QueryDef.oracle("q206_rendezvous_sharding", {
+    def hsList(s: Int) =
+      s"""list_transform([list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(string_split(concat('rdv:', CAST(s AS VARCHAR),
+         |       ':', CAST(doc_id AS VARCHAR)), ''),
+         |     c -> CAST(unicode(c) AS BIGINT))),
+         |   (a, b) -> (a * 131 + b) % 1000000007) FOR s IN range(0, $s)],
+         | h -> h * h % 1000000007)""".stripMargin
+    s"""WITH h AS (SELECT doc_id, ${hsList(8)} AS h8, ${hsList(9)} AS h9
+       |           FROM documents)
+       |SELECT doc_id,
+       |       CAST(list_position(h8, list_max(h8)) - 1 AS BIGINT) AS shard8,
+       |       CAST(list_position(h9, list_max(h9)) - 1 AS BIGINT) AS shard9,
+       |       list_position(h8, list_max(h8)) <> list_position(h9, list_max(h9))
+       |         AS moved
+       |FROM h""".stripMargin})(
+    (s, d) => {
+      def hs(n: Int) = transform(
+        transform(sequence(lit(0), lit(n - 1)), sh =>
+          tokHash(concat(lit("rdv:"), sh.cast("string"), lit(":"),
+            col("doc_id").cast("string")))),
+        h => h * h % 1000000007L)
+      // first-max argmax (ties toward the lower shard, both engines)
+      def arg(arr: Column) =
+        (array_position(arr, array_max(arr)) - 1).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), hs(8).as("h8"), hs(9).as("h9"))
+        .select(col("doc_id"), arg(col("h8")).as("shard8"),
+          arg(col("h9")).as("shard9"),
+          (arg(col("h8")) =!= arg(col("h9"))).as("moved"))
+    })
+
+  /** The q43/q98 portable char fold, locally named for q206. */
+  private def tokHash(c: Column): Column =
+    graft.functions.TextFunctions.portableStringHash(c)
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203)
+      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206)
 }

@@ -172,7 +172,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("ivfasg1 AS"))
       consumers.keySet shouldBe Set(
         "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
-        "q182_prototype_selection")
+        "q182_prototype_selection", "q198_semantic_decontam")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -199,7 +199,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q64_ann_ivf", "q67_ann_pq", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q192_embedding_dim_stats",
-        "q197_power_iteration")
+        "q197_power_iteration", "q198_semantic_decontam",
+        "q204_whitening_residuals")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
@@ -213,7 +214,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q41_quality_score", "q162_curation_pipeline",
         "q167_source_quality_profile", "q181_quality_canonical",
-        "q194_curation_funnel", "q196_quality_percentile")
+        "q194_curation_funnel", "q196_quality_percentile",
+        "q205_weighted_sample")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
