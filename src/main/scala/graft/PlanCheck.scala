@@ -453,6 +453,10 @@ object PlanCheck {
       "HRW: per-doc scan-stage arithmetic only — no exchange, no window, no join",
       p => !p.contains("Exchange") && !p.contains("Window") &&
         scans(p, "documents") == 1)
+    check("q208_fold_leakage",
+      "leak audit rides the STORED scored-pairs artifact; fold joins doc_id-keyed, no cartesian",
+      p => p.contains("graft_scored_pairs") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -526,7 +530,7 @@ object PlanCheck {
         "q200_langid_confusion", "q201_vocab_growth",
         "q202_cdc_chunks", "q203_pmi_collocations",
         "q204_whitening_residuals", "q205_weighted_sample",
-        "q206_rendezvous_sharding")
+        "q206_rendezvous_sharding", "q208_fold_leakage")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -1011,39 +1011,92 @@ object ModelPrepQueries {
     * — that branch is unreachable then, but ANSI division must not
     * throw on the never-taken leg.
     */
-  val q186 = QueryDef.oracle("q186_stratified_kfold",
-    """WITH s AS (SELECT doc_id, source, lang,
+  /** The k-fold CTE chain up to `folds(doc_id, source, lang, fold)` —
+    * the ONE SQL definition of the stratified assignment, shared by
+    * q186 (the assignment itself) and q208 (the leakage audit over it),
+    * which must agree on every doc's fold by construction. */
+  private[graft] val kfoldCtes: String =
+    """s AS (SELECT doc_id, source, lang,
       |             ((doc_id % 1000000007) * 1103515245 + 12345) % 1000000007 AS h
       |           FROM documents),
       |r AS (SELECT doc_id, source, lang,
       |        CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
       |                                ORDER BY h, doc_id) AS BIGINT) AS rn,
       |        CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n
-      |      FROM s)
-      |SELECT doc_id, source, lang,
+      |      FROM s),
+      |folds AS (SELECT doc_id, source, lang,
       |       CAST(CASE WHEN rn <= (n % 5) * (n // 5 + 1)
       |                 THEN (rn - 1) // (n // 5 + 1)
       |                 ELSE (n % 5) + (rn - 1 - (n % 5) * (n // 5 + 1))
       |                      // greatest(n // 5, 1)
       |            END AS BIGINT) AS fold
-      |FROM r""".stripMargin)(
+      |FROM r)""".stripMargin
+
+  /** Spark twin of [[kfoldCtes]]' `folds`. */
+  private def kfoldAssign(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val hash = ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L
+    val w = Window.partitionBy("source", "lang")
+    val r = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), hash.as("h"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        row_number().over(w.orderBy(col("h"), col("doc_id"))).cast("long").as("rn"),
+        count(lit(1)).over(w).as("n"))
+    val base = expr("n div 5")
+    val rem = col("n") % k
+    val fold = when(col("rn") <= rem * (base + 1),
+      expr("(rn - 1) div (n div 5 + 1)"))
+      .otherwise(rem + expr(
+        "(rn - 1 - (n % 5) * (n div 5 + 1)) div greatest(n div 5, 1)"))
+    r.select(col("doc_id"), col("source"), col("lang"),
+      fold.cast("long").as("fold"))
+  }
+
+  val q186 = QueryDef.oracle("q186_stratified_kfold",
+    s"""WITH $kfoldCtes
+       |SELECT doc_id, source, lang, fold FROM folds""".stripMargin)(
+    (s, d) => kfoldAssign(s, d))
+
+  /** FOLD-LEAKAGE AUDIT — the ML-hygiene check that motivates q150's
+    * cluster-aware split: q186 deals folds stratified by (source, lang)
+    * but BLIND to near-duplicates, so a near-dup pair split across two
+    * folds leaks training text into the held-out fold and inflates
+    * every cross-validated metric. This query measures that leak
+    * exactly: the admitted near-dup pair set (the STORED `scored_pairs`
+    * artifact at the engine's one PortMatchMin threshold — the same
+    * edge set q56's clusters and q150's split consume) joined to q186's
+    * fold assignment (the shared [[kfoldCtes]] — audit and assignment
+    * cannot drift), rolled up per unordered fold pair. Off-diagonal
+    * rows ARE the leak; the diagonal shows pairs q186 happened to keep
+    * together. Scale: two doc_id-keyed joins of the pair set against
+    * the fold table (pair-sized, not corpus²), a ≤ k(k+1)/2-row
+    * rollup. Output: one row per occupied fold pair. HASH-MATCHED.
+    */
+  val q208 = QueryDef.oracle("q208_fold_leakage",
+    s"""${graft.operators.DedupQueries.portableScoredCtes},
+       |$kfoldCtes,
+       |kept AS (SELECT ia, ib FROM scored
+       |         WHERE n_match >= ${graft.operators.DedupQueries.PortMatchMin})
+       |SELECT least(fa.fold, fb.fold) AS fold_lo,
+       |       greatest(fa.fold, fb.fold) AS fold_hi,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       least(fa.fold, fb.fold) <> greatest(fa.fold, fb.fold) AS leaking
+       |FROM kept k JOIN folds fa ON fa.doc_id = k.ia
+       |            JOIN folds fb ON fb.doc_id = k.ib
+       |GROUP BY 1, 2""".stripMargin)(
     (s, d) => {
-      val k = 5
-      val hash = ((col("doc_id") % 1000000007L) * 1103515245L + 12345L) % 1000000007L
-      val w = Window.partitionBy("source", "lang")
-      val r = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("lang"), hash.as("h"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          row_number().over(w.orderBy(col("h"), col("doc_id"))).cast("long").as("rn"),
-          count(lit(1)).over(w).as("n"))
-      val base = expr("n div 5")
-      val rem = col("n") % k
-      val fold = when(col("rn") <= rem * (base + 1),
-        expr("(rn - 1) div (n div 5 + 1)"))
-        .otherwise(rem + expr(
-          "(rn - 1 - (n % 5) * (n div 5 + 1)) div greatest(n div 5, 1)"))
-      r.select(col("doc_id"), col("source"), col("lang"),
-        fold.cast("long").as("fold"))
+      val folds = kfoldAssign(s, d).select(col("doc_id"), col("fold"))
+      val kept = graft.operators.DedupQueries.portableScoredPairs(s, d)
+        .filter(col("n_match") >= graft.operators.DedupQueries.PortMatchMin)
+        .select(col("ia"), col("ib"))
+      kept
+        .join(folds.select(col("doc_id").as("ia"), col("fold").as("fa")), Seq("ia"))
+        .join(folds.select(col("doc_id").as("ib"), col("fold").as("fb")), Seq("ib"))
+        .select(least(col("fa"), col("fb")).as("fold_lo"),
+          greatest(col("fa"), col("fb")).as("fold_hi"))
+        .groupBy("fold_lo", "fold_hi").agg(count(lit(1)).as("n_pairs"))
+        .select(col("fold_lo"), col("fold_hi"), col("n_pairs"),
+          (col("fold_lo") =!= col("fold_hi")).as("leaking"))
     })
 
   /** The curation FUNNEL — per-stage survivor accounting for the whole
@@ -1313,5 +1366,6 @@ object ModelPrepQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
-      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206)
+      q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
+      q208)
 }
