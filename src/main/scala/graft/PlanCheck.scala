@@ -457,6 +457,12 @@ object PlanCheck {
       "leak audit rides the STORED scored-pairs artifact; fold joins doc_id-keyed, no cartesian",
       p => p.contains("graft_scored_pairs") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    checkTree("q207_robust_length_outliers",
+      "median/MAD rank windows are source-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -530,7 +536,8 @@ object PlanCheck {
         "q200_langid_confusion", "q201_vocab_growth",
         "q202_cdc_chunks", "q203_pmi_collocations",
         "q204_whitening_residuals", "q205_weighted_sample",
-        "q206_rendezvous_sharding", "q208_fold_leakage")
+        "q206_rendezvous_sharding", "q207_robust_length_outliers",
+        "q208_fold_leakage")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

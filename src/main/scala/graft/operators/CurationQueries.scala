@@ -943,7 +943,68 @@ object CurationQueries {
           col("rk"))
     })
 
+  /** ROBUST length-outlier pruning (median/MAD, the CCNet-family
+    * robust sibling of q132's mean/σ z-score): per source, flag docs
+    * whose token count sits more than 3 MADs from the source median.
+    * Mean/σ is exactly what a length outlier CORRUPTS (one 10⁶-token
+    * doc drags the mean past its neighbors); the median and the median
+    * absolute deviation have 50% breakdown, so the fence holds no
+    * matter how wild the tail is. Everything is EXACT integers — no
+    * percentile_cont interpolation (engines disagree on halving):
+    * the LOWER MEDIAN is the value at rank (n+1)//2 under a total
+    * order (value, doc_id), picked twice — once over token counts,
+    * once over |x − med| — and the fence is the integer comparison
+    * dev > 3·mad. A degenerate all-equal source has mad = 0 and flags
+    * any deviation, the strictest correct reading. Scale: two
+    * source-keyed ranking windows over (doc_id, ints) and two
+    * |sources|-row broadcast joins — no global sort, no percentile
+    * state. Output: one row per doc. HASH-MATCHED.
+    */
+  val q207 = QueryDef.oracle("q207_robust_length_outliers",
+    """WITH t AS (SELECT doc_id, source,
+      |             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |r1 AS (SELECT doc_id, source, n_tokens,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+      |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |       FROM t),
+      |med AS (SELECT source, n_tokens AS med FROM r1 WHERE rn = (n + 1) // 2),
+      |d AS (SELECT r1.doc_id, r1.source, r1.n_tokens, m.med,
+      |        abs(r1.n_tokens - m.med) AS dev
+      |      FROM r1 JOIN med m USING (source)),
+      |r2 AS (SELECT doc_id, source, n_tokens, med, dev,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY dev, doc_id) AS BIGINT) AS rn,
+      |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |       FROM d),
+      |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.doc_id, d.source, d.n_tokens, d.med, m.mad,
+      |       d.dev > 3 * m.mad AS outlier
+      |FROM d JOIN mad m USING (source)""".stripMargin)(
+    (s, d) => {
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("source")
+        df.select(col("source"), col(valueCol), col("doc_id"))
+          .withColumn("rn",
+            row_number().over(w.orderBy(col(valueCol), col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("source"), col(valueCol).as(out))
+      }
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      val med = lowerMedian(t, "n_tokens", "med")
+      val dd = t.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_tokens") - col("med")))
+      val mad = lowerMedian(dd, "dev", "mad")
+      dd.join(broadcast(mad), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("med"),
+          col("mad"), (col("dev") > col("mad") * 3).as("outlier"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205)
+      q176, q183, q184, q188, q196, q205, q207)
 }
