@@ -419,8 +419,8 @@ object PlanCheck {
         ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
       })
     check("q197_power_iteration",
-      "mat-vec rounds: map-side-combined 64-key aggregates; direction rides 1-row broadcasts",
-      p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
+      "direction reads the STORED pow_dir artifact (rounds run once per corpus)",
+      p => p.contains("graft_pow_dir") && !p.contains("CartesianProduct"))
     check("q198_semantic_decontam",
       "decontam: IVF codebook broadcasts into assignment; eval x pool pairs c_id-keyed, no cartesian",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
@@ -434,15 +434,19 @@ object PlanCheck {
       "vocab growth: ONE documents scan; (source, tok) counts combine map-side",
       p => p.contains("partial_count") && scans(p, "documents") == 1)
     check("q202_cdc_chunks",
-      "CDC: hashes/boundaries scan-side; ONE documents scan; chunk window doc-KEYED; fp rollup map-side",
-      p => scans(p, "documents") == 1 && p.contains("Window") &&
-        !p.contains("SinglePartition") && p.contains("partial_count"))
+      "CDC rollup rides the STORED bucketed chunk inventory; fp rollup combines map-side",
+      p => p.contains("graft_cdcocc") && p.contains("partial_count") &&
+        scans(p, "documents") == 0)
+    check("q209_incremental_chunk_overlap",
+      "chunk gate: both sides read the bucketed inventory; per-doc rollups doc-keyed, no cartesian",
+      p => p.contains("graft_cdcocc") && !p.contains("CartesianProduct") &&
+        scans(p, "documents") == 0)
     check("q203_pmi_collocations",
       "PMI: bigram counts combine map-side; top-25 via TakeOrderedAndProject (no global sort)",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     check("q204_whitening_residuals",
-      "whitening apply: direction+norm ride 1-row broadcasts; only the 64-key dim rollup shuffles",
-      p => p.contains("partial_count") && p.contains("ExistingRDD") &&
+      "whitening apply: stored direction rides a 1-row broadcast; only the 64-key dim rollup shuffles",
+      p => p.contains("graft_pow_dir") && p.contains("partial_count") &&
         !p.contains("CartesianProduct"))
     checkTree("q205_weighted_sample", "A-ES reservoir rank is source-keyed, never fact-global",
       p => {
@@ -537,7 +541,7 @@ object PlanCheck {
         "q202_cdc_chunks", "q203_pmi_collocations",
         "q204_whitening_residuals", "q205_weighted_sample",
         "q206_rendezvous_sharding", "q207_robust_length_outliers",
-        "q208_fold_leakage")
+        "q208_fold_leakage", "q209_incremental_chunk_overlap")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

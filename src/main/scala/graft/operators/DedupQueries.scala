@@ -1641,7 +1641,13 @@ object DedupQueries {
     * Output: one row per distinct chunk (fingerprint, n_docs, n_occ,
     * n_tokens, keeper_doc, shared). HASH-MATCHED.
     */
-  val q202 = QueryDef.oracle("q202_cdc_chunks",
+  /** Shared oracle prefix of the CDC family — the chain up to
+    * `ch(doc_id, chunk, chunk_fp, n_tokens)` (token hashes → rolling
+    * window hashes → mod-8 boundaries → per-chunk fingerprints). ONE
+    * definition for q202 (the corpus chunk rollup) and q209 (the
+    * incremental intake overlap), which must agree on every boundary
+    * and fingerprint by construction. */
+  private[graft] def cdcChunkCtes: String =
     """WITH tk AS (SELECT doc_id, list_filter(
       |             regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |           FROM documents),
@@ -1668,14 +1674,15 @@ object DedupQueries {
       |           array_agg(th ORDER BY pos)),
       |           (a, b) -> (a * 1000003 + b) % 1000000007) AS chunk_fp,
       |         CAST(count(*) AS BIGINT) AS n_tokens
-      |       FROM tok GROUP BY doc_id, chunk)
-      |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-      |       CAST(count(*) AS BIGINT) AS n_occ,
-      |       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
-      |       min(doc_id) AS keeper_doc,
-      |       count(DISTINCT doc_id) >= 2 AS shared
-      |FROM ch GROUP BY chunk_fp""".stripMargin)(
-    (s, d) => {
+      |       FROM tok GROUP BY doc_id, chunk)""".stripMargin
+
+  /** Spark twin of [[cdcChunkCtes]]' `ch`, as a STORED BUCKETED artifact
+    * (the gpos contract for the chunk modality): the corpus is chunked
+    * ONCE per (JVM, corpus), bucketed on chunk_fp so q202's rollup and
+    * q209's index/new-batch joins run bucket-aligned with no exchange
+    * on the fingerprint key. */
+  private[graft] def cdcChunkOcc(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketed(s, d, "cdcocc", Seq("chunk_fp"), 8) {
       import org.apache.spark.sql.expressions.Window
       val M = 1000000007L
       val tk = Tables.documents(s, d)
@@ -1703,7 +1710,7 @@ object DedupQueries {
           col("x.th").as("th"), col("x.nb").as("nb"))
       val wc = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ch = toks
+      toks
         .withColumn("chunk", sum("nb").over(wc))
         .groupBy("doc_id", "chunk")
         .agg(aggregate(
@@ -1711,14 +1718,72 @@ object DedupQueries {
               x => x.getField("th")),
             lit(0L), (a, b) => (a * 1000003L + b) % M).as("chunk_fp"),
           count(lit(1)).as("n_tokens"))
-      ch.groupBy("chunk_fp")
-        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
-          min("n_tokens").as("n_tokens"), min("doc_id").as("keeper_doc"))
-        .select(col("chunk_fp"), col("n_docs"), col("n_occ"), col("n_tokens"),
-          col("keeper_doc"), (col("n_docs") >= 2).as("shared"))
+    }
+
+  val q202 = QueryDef.oracle("q202_cdc_chunks",
+    s"""$cdcChunkCtes
+       |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS keeper_doc,
+       |       count(DISTINCT doc_id) >= 2 AS shared
+       |FROM ch GROUP BY chunk_fp""".stripMargin)(
+    (s, d) => cdcChunkOcc(s, d)
+      .groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("n_tokens").as("n_tokens"), min("doc_id").as("keeper_doc"))
+      .select(col("chunk_fp"), col("n_docs"), col("n_occ"), col("n_tokens"),
+        col("keeper_doc"), (col("n_docs") >= 2).as("shared")))
+
+  /** INCREMENTAL CHUNK OVERLAP — the rsync question at intake time:
+    * how much of an arriving document is ALREADY STORED, chunk for
+    * chunk? New batch = doc_id % 5 = 0 (the q148/q180 convention);
+    * the index side is the stored chunk inventory's distinct
+    * fingerprints. Complements q180's span gate: spans ask about
+    * verbatim n-gram runs anywhere, chunks ask about the storage
+    * units a CDC-deduped store would actually skip re-writing — and
+    * boundary realignment (CdcChunkSpec) means an edited re-upload
+    * still reports high overlap. Both sides read the bucketed
+    * `cdcocc` artifact, so the fingerprint joins are bucket-aligned
+    * with NO exchange on the key; the per-doc rollups are doc-keyed.
+    * Output: one row per chunked new doc. HASH-MATCHED.
+    */
+  val q209 = QueryDef.oracle("q209_incremental_chunk_overlap",
+    s"""$cdcChunkCtes,
+       |idx AS (SELECT DISTINCT chunk_fp FROM ch WHERE doc_id % 5 <> 0),
+       |nw AS (SELECT doc_id, chunk_fp, n_tokens FROM ch WHERE doc_id % 5 = 0),
+       |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS known_chunks,
+       |               CAST(SUM(n_tokens) AS BIGINT) AS known_tokens
+       |        FROM nw JOIN idx USING (chunk_fp) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |        FROM nw GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks, t.n_tokens,
+       |       COALESCE(h.known_chunks, CAST(0 AS BIGINT)) AS known_chunks,
+       |       COALESCE(h.known_tokens, CAST(0 AS BIGINT)) AS known_tokens,
+       |       COALESCE(h.known_tokens, CAST(0 AS BIGINT)) * 2 >= t.n_tokens
+       |         AS flagged
+       |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin)(
+    (s, d) => {
+      val occ = cdcChunkOcc(s, d)
+      val isNew = col("doc_id") % 5 === 0
+      val idx = occ.filter(!isNew).select("chunk_fp").distinct()
+      val nw = occ.filter(isNew).select("doc_id", "chunk_fp", "n_tokens")
+      val hit = nw.join(idx, Seq("chunk_fp"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("known_chunks"), sum("n_tokens").as("known_tokens"))
+      nw.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+          coalesce(col("known_chunks"), lit(0L)).as("known_chunks"),
+          coalesce(col("known_tokens"), lit(0L)).as("known_tokens"),
+          (coalesce(col("known_tokens"), lit(0L)) * 2 >= col("n_tokens"))
+            .as("flagged"))
     })
 
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
-      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202)
+      q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
+      q209)
 }

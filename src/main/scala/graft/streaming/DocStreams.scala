@@ -379,6 +379,85 @@ object DocStreams {
     * Scale: the arriving micro-batch is the only moving data; the join
     * key is a 16-byte digest per distinct gram, and state is zero.
     */
+  final case class ChunkRow(doc_id: Long, ts: Timestamp,
+      n_tok: Option[Long], known: Option[Int])
+  final case class ChunkOverlap(doc_id: Long, n_chunks: Long, n_tokens: Long,
+      known_chunks: Long, known_tokens: Long, flagged: Boolean, ts: Timestamp)
+
+  /** Streaming CHUNK-OVERLAP gate — the ingest-time form of q209 (the
+    * rsync question per arriving document: how much of this is already
+    * stored, chunk for chunk?). The arriving doc is chunked SCAN-SIDE
+    * by the same content-defined boundaries as the batch path (token
+    * char-fold → rolling 3-token hash → 0 mod 8 cuts → per-chunk
+    * 1000003-fold, all in one aggregate expression per row — no state,
+    * no window); the stored inventory's distinct fingerprints are the
+    * small side of ONE stateless stream-static left-outer join (in
+    * production: the bucketed `cdcocc` artifact's fp column); the
+    * per-doc verdict folds with ZERO state (NoTimeout — a doc's chunk
+    * rows all land in its arrival trigger). Chunk-less docs (NULL/empty
+    * text) flow through unflagged with zero counts — the DocStreams
+    * degenerate-doc convention (batch q209 simply omits them; the spec
+    * pins both behaviors). Boundary realignment (CdcChunkSpec) is what
+    * makes this gate useful: an edited re-upload still reports high
+    * overlap. Stream ≡ q209 pinned by ChunkOverlapStreamSpec.
+    */
+  def chunkOverlap(
+      docs: DataFrame,
+      idxFps: DataFrame, // (chunk_fp) — DISTINCT stored chunk fingerprints
+      watermark: String = "1 hour"): Dataset[ChunkOverlap] = {
+    import docs.sparkSession.implicits._
+    val M = 1000000007L
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))
+          .as("l"))
+      .withColumn("h",
+        transform(col("l"),
+          t => graft.functions.TextFunctions.portableStringHash(t)))
+      .withColumn("wh", expr(
+        s"""transform(sequence(1, greatest(size(h), 1)), i ->
+           |  IF(i >= 3, ((element_at(h, i-2) * 1000003 + element_at(h, i-1))
+           |    % $M * 1000003 + element_at(h, i)) % $M,
+           |    CAST(NULL AS BIGINT)))""".stripMargin))
+      .withColumn("chunks", expr(
+        s"""IF(size(h) = 0,
+           |  CAST(array() AS array<struct<fp: bigint, n: bigint>>),
+           |  aggregate(sequence(1, greatest(size(h), 1)),
+           |    named_struct('fp', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),
+           |      'acc', CAST(array() AS array<struct<fp: bigint, n: bigint>>)),
+           |    (a, i) -> IF(i >= 4 AND element_at(wh, i - 1) % 8 = 0,
+           |      named_struct('fp', element_at(h, i) % $M,
+           |        'n', CAST(1 AS BIGINT),
+           |        'acc', array_append(a.acc,
+           |          named_struct('fp', a.fp, 'n', a.n))),
+           |      named_struct('fp', (a.fp * 1000003 + element_at(h, i)) % $M,
+           |        'n', a.n + 1, 'acc', a.acc)),
+           |    a -> array_append(a.acc, named_struct('fp', a.fp, 'n', a.n))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("ts"),
+        posexplode_outer(col("chunks")).as(Seq("ci", "c")))
+      .select(col("doc_id"), col("ts"), col("c.fp").as("chunk_fp"),
+        col("c.n").as("n_tok"))
+      .join(idxFps.select(col("chunk_fp"), lit(1).as("known")),
+        Seq("chunk_fp"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("n_tok"), col("known"))
+      .as[ChunkRow]
+    rows.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, ChunkOverlap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[ChunkRow], _: GroupState[Boolean]) =>
+          val rs = it.toSeq
+          val real = rs.filter(_.n_tok.isDefined)
+          val nTokens = real.flatMap(_.n_tok).sum
+          val knownToks = real.filter(_.known.isDefined).flatMap(_.n_tok).sum
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(ChunkOverlap(id, real.size.toLong, nTokens,
+            real.count(_.known.isDefined).toLong, knownToks,
+            flagged = nTokens > 0 && knownToks * 2 >= nTokens, ts))
+      }
+  }
+
   def decontamGate(
       docs: DataFrame,
       evalGrams: DataFrame, // (gh) — DISTINCT md5 of the eval 4-grams
