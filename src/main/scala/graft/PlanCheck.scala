@@ -467,6 +467,13 @@ object PlanCheck {
         val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
         ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
       })
+    check("q210_padding_waste",
+      "padding audit: ONE documents scan, map-side-combined source rollup",
+      p => p.contains("partial_count") && scans(p, "documents") == 1)
+    check("q211_pq_code_usage",
+      "code usage: stored codebook broadcasts into encode; (j, code)-keyed 128-group rollup",
+      p => p.contains("graft_cent_pq") && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -541,7 +548,8 @@ object PlanCheck {
         "q202_cdc_chunks", "q203_pmi_collocations",
         "q204_whitening_residuals", "q205_weighted_sample",
         "q206_rendezvous_sharding", "q207_robust_length_outliers",
-        "q208_fold_leakage", "q209_incremental_chunk_overlap")
+        "q208_fold_leakage", "q209_incremental_chunk_overlap",
+        "q210_padding_waste", "q211_pq_code_usage")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

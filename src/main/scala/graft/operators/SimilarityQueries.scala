@@ -580,29 +580,40 @@ object SimilarityQueries {
   private val PqK = 16 // centroids per subspace codebook
   private val PqShortlist = 128 // ADC-pruned candidates per query, exact-reranked
 
-  private def pqOracleSql: String = {
-    def lo(j: Int) = j * PqSub + 1
-    def hi(j: Int) = (j + 1) * PqSub
-    def subCos(l: String, r: String, j: Int) =
-      s"list_cosine_similarity($l[${lo(j)}:${hi(j)}], $r[${lo(j)}:${hi(j)}])"
+  private def subCosSql(l: String, r: String, j: Int) = {
+    val lo = j * PqSub + 1
+    val hi = (j + 1) * PqSub
+    s"list_cosine_similarity($l[$lo:$hi], $r[$lo:$hi])"
+  }
+
+  /** The PQ ENCODE CTE chain up to `enc(vec_id, code0..code{m-1})` —
+    * the ONE SQL definition of the trained-codebook assignment, shared
+    * by q67/q69 (the ANN paths) and q211 (the utilization audit), which
+    * must agree on every code by construction. */
+  private def pqEncOracleCtes: String = {
     val encCtes = (0 until PqM).map { j =>
       s"""enc$j AS (
          |  SELECT vec_id, c_id AS code$j FROM (
          |    SELECT v.vec_id, c.c_id,
          |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |             ORDER BY ${subCos("v.e", "c.c", j)} DESC, c.c_id DESC) AS rn
+         |             ORDER BY ${subCosSql("v.e", "c.c", j)} DESC, c.c_id DESC) AS rn
          |    FROM emb v CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val qtabCols = (0 until PqM).map(j => s"${subCos("q.e", "c.c", j)} AS s$j").mkString(",\n         ")
-    val qarrCols = (0 until PqM).map(j => s"list(s$j ORDER BY c_id) AS a$j").mkString(", ")
     val encJoin = (1 until PqM).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
-    val approx = (0 until PqM).map(j => s"qa.a$j[en.code$j + 1]").mkString(" + ")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
        |             FROM embeddings),
        |$iqCte,
        |${pqCentCtes("cent")},
        |$encCtes,
-       |enc AS (SELECT * FROM enc0 $encJoin),
+       |enc AS (SELECT * FROM enc0 $encJoin)""".stripMargin
+  }
+
+  private def pqOracleSql: String = {
+    def subCos(l: String, r: String, j: Int) = subCosSql(l, r, j)
+    val qtabCols = (0 until PqM).map(j => s"${subCos("q.e", "c.c", j)} AS s$j").mkString(",\n         ")
+    val qarrCols = (0 until PqM).map(j => s"list(s$j ORDER BY c_id) AS a$j").mkString(", ")
+    val approx = (0 until PqM).map(j => s"qa.a$j[en.code$j + 1]").mkString(" + ")
+    s"""$pqEncOracleCtes,
        |qtab AS (
        |  SELECT q.vec_id AS q_id, c.c_id,
        |         $qtabCols
@@ -1596,6 +1607,42 @@ object SimilarityQueries {
           min("r").as("min_r"), max("r").as("max_r"))
     })
 
+  /** PQ CODEBOOK-UTILIZATION audit — the index-health report a PQ
+    * deployment watches: per (subspace, code), how many vectors encode
+    * to that centroid, in exact counts and ppm shares. Dead codes are
+    * wasted bits (the subspace effectively has < K centroids — retrain
+    * or shrink K); a code holding most of a subspace's mass means the
+    * ADC distance table can't discriminate there and recall quietly
+    * degrades. The encode comes from the ONE shared [[pqEncOracleCtes]]
+    * chain (q67's assignment verbatim — the audit cannot drift from the
+    * index under audit). Scale: the encode is q67's broadcast-codebook
+    * scan; the rollup is a (j, code)-keyed aggregate bounded by m·K
+    * (128 groups), map-side combined. Output ≤ m·K rows. HASH-MATCHED.
+    */
+  val q211 = QueryDef.oracle("q211_pq_code_usage", {
+    val melt = (0 until PqM).map(j =>
+      s"{'j': $j, 'code': code$j}").mkString(", ")
+    s"""$pqEncOracleCtes,
+       |u AS (SELECT j, code, CAST(count(*) AS BIGINT) AS n_vecs
+       |      FROM (SELECT vec_id, unnest([$melt], recursive := true) FROM enc)
+       |      GROUP BY j, code),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM enc)
+       |SELECT j, code, n_vecs, n_vecs * 1000000 // n AS share_ppm
+       |FROM u, tot""".stripMargin})(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val enc = pqEncode(s, d, emb)
+      val tot = enc.agg(count(lit(1)).as("n"))
+      enc
+        .select(posexplode(array((0 until PqM).map(j => col(s"code$j")): _*))
+          .as(Seq("j", "code")))
+        .groupBy("j", "code").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("j"), col("code"), col("n_vecs"),
+          expr("n_vecs * 1000000 div n").as("share_ppm"))
+    })
+
   /** The side data the STREAMING decontam gate closure-captures
     * (`VecStreams.semanticDecontamGate`): the trained IVF codebook and
     * the eval set's quantized vectors grouped by their q198 assignment
@@ -1619,5 +1666,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198, q204)
+      q163, q170, q182, q192, q197, q198, q204, q211)
 }

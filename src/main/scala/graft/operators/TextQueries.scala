@@ -893,7 +893,45 @@ object TextQueries {
         expr("n_types * 1000000 div n_toks").as("ttr_ppm"),
         expr("n_hapax * 1000000 div n_types").as("hapax_ppm")))
 
+  /** PADDING-WASTE accounting — the number that justifies q77's
+    * concat-and-chunk packing: per source, the token slots a naive
+    * pad-each-doc-to-512 batching would allocate (⌈n/512⌉·512 per doc)
+    * vs the actual token mass vs what packing allocates (one ⌈Σn/512⌉
+    * ceiling for the whole source). waste_ppm is the exact integer
+    * share of padded slots burned on padding — for ~80-token docs that
+    * is ~84% of the batch doing nothing, the single biggest silent
+    * compute sink in naive fine-tuning loaders. One map-side-combined
+    * source rollup over scan-stage integer arithmetic; ≤ |sources|
+    * rows. HASH-MATCHED.
+    */
+  val q210 = QueryDef.oracle("q210_padding_waste",
+    """WITH t AS (SELECT doc_id, source,
+      |             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+      |           FROM documents),
+      |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(SUM((n + 511) // 512 * 512) AS BIGINT) AS padded_slots
+      |      FROM t GROUP BY source)
+      |SELECT source, n_docs, n_tokens, padded_slots,
+      |       padded_slots - n_tokens AS waste_tokens,
+      |       CASE WHEN padded_slots > 0
+      |            THEN (padded_slots - n_tokens) * 1000000 // padded_slots
+      |            ELSE CAST(0 AS BIGINT) END AS waste_ppm,
+      |       (n_tokens + 511) // 512 * 512 AS packed_slots
+      |FROM r""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        sum(expr("(n + 511) div 512 * 512")).as("padded_slots"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("padded_slots"),
+        (col("padded_slots") - col("n_tokens")).as("waste_tokens"),
+        when(col("padded_slots") > 0,
+          expr("(padded_slots - n_tokens) * 1000000 div padded_slots"))
+          .otherwise(lit(0L)).as("waste_ppm"),
+        expr("(n_tokens + 511) div 512 * 512").as("packed_slots")))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168, q173, q174, q200, q201)
+      q158, q160, q165, q168, q173, q174, q200, q201, q210)
 }
