@@ -202,7 +202,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q64_ann_ivf", "q67_ann_pq", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q192_embedding_dim_stats",
         "q197_power_iteration", "q198_semantic_decontam",
-        "q204_whitening_residuals")
+        "q204_whitening_residuals", "q211_pq_code_usage")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
