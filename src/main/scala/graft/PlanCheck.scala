@@ -474,6 +474,12 @@ object PlanCheck {
       "code usage: stored codebook broadcasts into encode; (j, code)-keyed 128-group rollup",
       p => p.contains("graft_cent_pq") && p.contains("partial_count") &&
         !p.contains("CartesianProduct"))
+    checkTree("q212_seasonal_anomaly",
+      "weekday-median rank window is (type, weekday)-keyed, never fact-global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&

@@ -266,5 +266,59 @@ object EventQueries {
           round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137)
+  /** SEASONALITY-AWARE volume anomaly — the weekday-profile complement
+    * of q132's trailing z-score: a Monday spike that is normal FOR
+    * MONDAYS shouldn't page anyone, and a quiet Sunday is only quiet
+    * against other Sundays. Baseline = the LOWER MEDIAN of the same
+    * (event_type, weekday)'s daily counts (the q207 exact-rank
+    * convention — no interpolation, no float), weekday computed
+    * PORTABLY as epoch-days mod 7 (Spark's dayofweek is 1-based
+    * Sunday-first, DuckDB's 0-based — engines disagree, day arithmetic
+    * doesn't; wd 0 = Thursday, the 1970-01-01 anchor). A day is
+    * anomalous when its count leaves the [base/2, 2·base] band —
+    * integer cross-multiplications, no division. Scale: one keyed
+    * daily aggregate (map-side combined), one (type, weekday)-keyed
+    * rank window over ≤ types·7·days rows, a broadcast-sized baseline
+    * join. Output: one row per (event_type, day). HASH-MATCHED.
+    */
+  val q212 = QueryDef.oracle("q212_seasonal_anomaly",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1, 2),
+      |wd AS (SELECT event_type, d, n,
+      |         CAST(datediff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS weekday
+      |       FROM daily),
+      |r AS (SELECT event_type, d, n, weekday,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type, weekday
+      |          ORDER BY n, d) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type, weekday) AS BIGINT)
+      |          AS cnt
+      |      FROM wd),
+      |base AS (SELECT event_type, weekday, n AS base_med FROM r
+      |         WHERE rn = (cnt + 1) // 2)
+      |SELECT w.event_type, w.d, w.n, w.weekday, b.base_med,
+      |       w.n > 2 * b.base_med AS spike,
+      |       w.n * 2 < b.base_med AS quiet
+      |FROM wd w JOIN base b USING (event_type, weekday)""".stripMargin)(
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("weekday",
+          (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+      val w = Window.partitionBy("event_type", "weekday")
+      val base = daily
+        .withColumn("rn", row_number().over(w.orderBy(col("n"), col("d"))).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("weekday"), col("n").as("base_med"))
+      daily.join(broadcast(base), Seq("event_type", "weekday"))
+        .select(col("event_type"), col("d"), col("n"), col("weekday"),
+          col("base_med"),
+          (col("n") > col("base_med") * 2).as("spike"),
+          (col("n") * 2 < col("base_med")).as("quiet"))
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212)
 }
