@@ -480,6 +480,10 @@ object PlanCheck {
         val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
         ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
       })
+    check("q213_cluster_size_histogram",
+      "histogram rides the PINNED component labels (edges from the stored pairs inside the loop); no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        scans(p, "documents") == 0)
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -555,7 +559,8 @@ object PlanCheck {
         "q204_whitening_residuals", "q205_weighted_sample",
         "q206_rendezvous_sharding", "q207_robust_length_outliers",
         "q208_fold_leakage", "q209_incremental_chunk_overlap",
-        "q210_padding_waste", "q211_pq_code_usage")
+        "q210_padding_waste", "q211_pq_code_usage",
+        "q212_seasonal_anomaly", "q213_cluster_size_histogram")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

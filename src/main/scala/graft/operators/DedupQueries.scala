@@ -272,6 +272,51 @@ object DedupQueries {
           when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
     })
 
+  /** DUPLICATE-CLUSTER SIZE HISTOGRAM — the dedup forensics rollup of
+    * q56: is duplication a long tail of pairs or a few mega-clusters?
+    * The answer decides the remediation (pair-level keeper rules vs
+    * hunting the template that spawned the mega-cluster) and the cost
+    * model (Σ|cluster|² for any within-cluster pass). Same edge set and
+    * same transitive closure as q56 (shared scored-pairs artifact +
+    * [[Components.connectedComponents]]; the oracle extends q56's
+    * recursive-CTE fixpoint with the rollup), collapsed to one row per
+    * distinct cluster size with cluster and doc counts — ≤ √(2·pairs)
+    * rows at any corpus size. Singletons are counted (size 1 = the
+    * undeduplicated mass), so the histogram's doc total is always the
+    * corpus size — a built-in conservation check. HASH-MATCHED.
+    */
+  val q213 = QueryDef.oracle("q213_cluster_size_histogram", {
+    val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |undir AS (SELECT ia AS a, ib AS b FROM kept UNION SELECT ib, ia FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN min(r.b) IS NULL THEN d.doc_id
+       |              ELSE LEAST(d.doc_id, min(r.b)) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size""".stripMargin})(
+    (s, d) => {
+      val edges = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      Components.connectedComponents(vertices, edges)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    })
+
   /** Per-source corpus profile over the `source` dimension — the intake
     * report a multi-source training-data pipeline starts from. One keyed
     * shuffle; the distinct-counts expand map-side. */
@@ -1785,5 +1830,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209)
+      q209, q213)
 }

@@ -40,7 +40,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q159_source_overlap_matrix", "q162_curation_pipeline",
         "q181_quality_canonical", "q189_pair_pagerank",
         "q191_lsh_calibration", "q194_curation_funnel",
-        "q195_lsh_recall_audit", "q208_fold_leakage")
+        "q195_lsh_recall_audit", "q208_fold_leakage",
+        "q213_cluster_size_histogram")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -67,7 +68,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q162_curation_pipeline", "q181_quality_canonical",
         "q189_pair_pagerank", "q191_lsh_calibration",
         "q194_curation_funnel", "q195_lsh_recall_audit",
-        "q208_fold_leakage")
+        "q208_fold_leakage", "q213_cluster_size_histogram")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -82,7 +83,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q52_minhash_lsh_dedup", "q56_dedup_clusters",
         "q148_incremental_dedup", "q189_pair_pagerank",
         "q191_lsh_calibration", "q195_lsh_recall_audit",
-        "q208_fold_leakage")
+        "q208_fold_leakage", "q213_cluster_size_histogram")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
