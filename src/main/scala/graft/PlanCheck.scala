@@ -484,6 +484,12 @@ object PlanCheck {
       "histogram rides the PINNED component labels (edges from the stored pairs inside the loop); no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
         scans(p, "documents") == 0)
+    check("q214_budget_apportionment",
+      "apportionment: map-side source counts; rank window rides the |sources|-row aggregate",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    checkTree("q214_budget_apportionment",
+      "the global remainder-rank window sits above the aggregate, never fact input",
+      noGlobalFactWindow)
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -560,7 +566,8 @@ object PlanCheck {
         "q206_rendezvous_sharding", "q207_robust_length_outliers",
         "q208_fold_leakage", "q209_incremental_chunk_overlap",
         "q210_padding_waste", "q211_pq_code_usage",
-        "q212_seasonal_anomaly", "q213_cluster_size_histogram")
+        "q212_seasonal_anomaly", "q213_cluster_size_histogram",
+        "q214_budget_apportionment")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

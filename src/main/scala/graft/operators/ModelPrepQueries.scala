@@ -761,31 +761,89 @@ object ModelPrepQueries {
     * Scale: one map-side-combined count per source + a |sources|-row
     * broadcast-back of the scalar total. HASH-MATCHED.
     */
-  val q166 = QueryDef.oracle("q166_mixture_temperature",
+  /** The temperature-weight CTE chain (`n`, `w`, `tot`) — ONE SQL
+    * definition of the √n mixture weights, shared by q166 (the share
+    * report) and q214 (the exact apportionment), which must agree on
+    * every weight by construction. */
+  private[graft] val mixtureWeightCtes: String =
     """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       |           FROM documents GROUP BY source),
       |w AS (SELECT source, n_docs,
       |        CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS weight_micro
       |      FROM n),
-      |tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS total_micro FROM w)
-      |SELECT source, n_docs, weight_micro,
-      |       CAST(round(weight_micro * 1000000.0 / total_micro) AS BIGINT)
-      |         AS share_ppm,
-      |       CAST(round(weight_micro * 100000.0 / total_micro) AS BIGINT)
-      |         AS epoch_docs_100k
-      |FROM w, tot""".stripMargin)(
-    (s, d) => {
-      val n = Tables.documents(s, d).groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
-      val w = n.select(col("source"), col("n_docs"),
+      |tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS total_micro FROM w)"""
+      .stripMargin
+
+  /** Spark twin of [[mixtureWeightCtes]]: (w(source, n_docs,
+    * weight_micro), tot(total_micro)). */
+  private def mixtureWeights(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val w = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
         round(sqrt(col("n_docs")) * 1000000).cast("long").as("weight_micro"))
-      val tot = w.agg(sum("weight_micro").as("total_micro"))
+    (w, w.agg(sum("weight_micro").as("total_micro")))
+  }
+
+  val q166 = QueryDef.oracle("q166_mixture_temperature",
+    s"""$mixtureWeightCtes
+       |SELECT source, n_docs, weight_micro,
+       |       CAST(round(weight_micro * 1000000.0 / total_micro) AS BIGINT)
+       |         AS share_ppm,
+       |       CAST(round(weight_micro * 100000.0 / total_micro) AS BIGINT)
+       |         AS epoch_docs_100k
+       |FROM w, tot""".stripMargin)(
+    (s, d) => {
+      val (w, tot) = mixtureWeights(s, d)
       w.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("weight_micro"),
           round(col("weight_micro") * lit(1000000.0) / col("total_micro"))
             .cast("long").as("share_ppm"),
           round(col("weight_micro") * lit(100000.0) / col("total_micro"))
             .cast("long").as("epoch_docs_100k"))
+    })
+
+  /** EXACT BUDGET APPORTIONMENT — the step q166's rounded shares can't
+    * finish: round(B·wₛ/Σw) per source does NOT sum to B (rounding
+    * drift of up to |sources|/2 docs), and a training-mix manifest
+    * that over- or under-fills its budget by "a few docs" is a
+    * different mix every run. Largest-remainder (Hamilton) allocation
+    * fixes it in pure integers: base = B·wₛ div Σw, and the L = B −
+    * Σbase leftover docs go to the L largest remainders (source-name
+    * tiebreak) — Σalloc = B EXACTLY, by construction (q186's dealing
+    * convention at mixture scale). Weights come from the ONE shared
+    * [[mixtureWeightCtes]] chain. The ranking window is global but
+    * runs over the |sources|-row aggregate (the zero-key-window rule's
+    * sanctioned case). Output: one row per source. HASH-MATCHED.
+    */
+  val q214 = QueryDef.oracle("q214_budget_apportionment",
+    s"""$mixtureWeightCtes,
+       |q AS (SELECT source, n_docs, weight_micro,
+       |        CAST(weight_micro * 100000 // total_micro AS BIGINT) AS base,
+       |        CAST(weight_micro * 100000 % total_micro AS BIGINT) AS rem
+       |      FROM w, tot),
+       |l AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover FROM q),
+       |r AS (SELECT source, n_docs, weight_micro, base, rem,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+       |          AS rk
+       |      FROM q)
+       |SELECT source, n_docs, weight_micro, base, rem, rk,
+       |       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+       |FROM r, l""".stripMargin)(
+    (s, d) => {
+      val (w, tot) = mixtureWeights(s, d)
+      val q = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("weight_micro"),
+          expr("weight_micro * 100000 div total_micro").as("base"),
+          (col("weight_micro") * 100000 % col("total_micro")).as("rem"))
+      val l = q.agg((lit(100000L) - sum("base")).as("leftover"))
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source")))
+            .cast("long"))
+        .crossJoin(broadcast(l))
+        .select(col("source"), col("n_docs"), col("weight_micro"), col("base"),
+          col("rem"), col("rk"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
     })
 
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): within each
@@ -1367,5 +1425,5 @@ object ModelPrepQueries {
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208)
+      q208, q214)
 }
