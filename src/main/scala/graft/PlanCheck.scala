@@ -490,6 +490,10 @@ object PlanCheck {
     checkTree("q214_budget_apportionment",
       "the global remainder-rank window sits above the aggregate, never fact input",
       noGlobalFactWindow)
+    check("q215_crossmodal_gate",
+      "cross-modal join carries verdicts (id, small ints) — text and vectors reduced before the exchange",
+      p => !p.contains("CartesianProduct") && scans(p, "documents") == 1 &&
+        scans(p, "embeddings") == 2) // the q149 chain reads embeddings twice (stats + d2)
     check("q195_lsh_recall_audit",
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -567,7 +571,7 @@ object PlanCheck {
         "q208_fold_leakage", "q209_incremental_chunk_overlap",
         "q210_padding_waste", "q211_pq_code_usage",
         "q212_seasonal_anomaly", "q213_cluster_size_histogram",
-        "q214_budget_apportionment")
+        "q214_budget_apportionment", "q215_crossmodal_gate")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

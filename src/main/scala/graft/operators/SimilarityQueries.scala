@@ -1034,44 +1034,91 @@ object SimilarityQueries {
       |                 CAST(count(*) AS BIGINT) AS cnt
       |          FROM qd GROUP BY label, dim)""".stripMargin
 
-  val q149 = QueryDef.oracle("q149_embedding_outliers",
+  /** The outlier CTE chain (`quantStatsCtes` through `ranked`) — ONE
+    * SQL definition of the per-label centroid-distance outlier rank,
+    * shared by q149 (the report) and q215 (the cross-modal gate), which
+    * must agree on every verdict by construction. */
+  private def outlierChainCtes: String =
     s"""$quantStatsCtes,
-      |d2 AS (SELECT vec_id, q.label,
-      |              CAST(SUM(CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0))
-      |                       * CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0)))
-      |                   AS DECIMAL(38,0)) AS d2
-      |       FROM qd q JOIN stats st ON st.label = q.label AND st.dim = q.dim
-      |       GROUP BY vec_id, q.label),
-      |ranked AS (SELECT vec_id, label, d2,
-      |                  ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk,
-      |                  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
-      |           FROM d2)
+       |d2 AS (SELECT vec_id, q.label,
+       |              CAST(SUM(CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0))
+       |                       * CAST(st.cnt * q.qv - st.s AS DECIMAL(19,0)))
+       |                   AS DECIMAL(38,0)) AS d2
+       |       FROM qd q JOIN stats st ON st.label = q.label AND st.dim = q.dim
+       |       GROUP BY vec_id, q.label),
+       |ranked AS (SELECT vec_id, label, d2,
+       |                  ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rnk,
+       |                  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
+       |           FROM d2)""".stripMargin
+
+  /** Spark twin of [[outlierChainCtes]]' `ranked` (plus the verdict):
+    * (vec_id, label, d2 string, rnk, is_outlier). */
+  private def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    val dims = quantDims(s, d)
+    val stats = dims.groupBy("label", "dim")
+      .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
+    // linear term in int64 (safe), square + sum in decimal (int64
+    // wraps past ~19k members/label; 19+19 digits is DuckDB's
+    // multiply-width cap, so both engines square DECIMAL(19,0))
+    val term = (col("cnt") * col("qv") - col("s")).cast("decimal(19,0)")
+    val d2 = dims.join(broadcast(stats), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"), (term * term).as("t"))
+      .groupBy("vec_id", "label")
+      .agg(sum("t").cast("decimal(38,0)").as("d2"))
+    val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
+    val wN = Window.partitionBy("label")
+    // rank on the DECIMAL, ship d2 as VARCHAR: DECIMAL(38,0) is
+    // hasher-hostile on the wire (DuckDB .df() renders it float64,
+    // Spark parquet keeps fixed-point — same value, different
+    // stringification), while the digit string is identical on both
+    // engines. The math and the ordering stay exact-decimal.
+    d2.withColumn("rnk", row_number().over(wRnk).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("vec_id"), col("label"), col("d2").cast("string").as("d2"),
+        col("rnk"), (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
+  }
+
+  val q149 = QueryDef.oracle("q149_embedding_outliers",
+    s"""$outlierChainCtes
       |SELECT vec_id, label, CAST(d2 AS VARCHAR) AS d2, rnk,
       |       rnk <= CAST(ceil(0.05 * n) AS BIGINT) AS is_outlier
       |FROM ranked""".stripMargin)(
+    (s, d) => embeddingOutliers(s, d))
+
+  /** CROSS-MODAL curation gate — the join no single-modality pass can
+    * express: a document survives only if its TEXT passes the quality
+    * bar (the shared q41 fragment, ≥ 0.5) AND its EMBEDDING is not a
+    * per-label outlier (the shared q149 chain, top-5% centroid
+    * distance). The two signals catch different failures — fluent spam
+    * reads fine but embeds far from its label's mass; OCR noise embeds
+    * centrally but reads as garbage — and modern curation (quality
+    * classifier ∧ SemDeDup-family embedding screen) gates on both.
+    * This is also the engine's one documents⋈embeddings equijoin (the
+    * corpus is keyed 1:1 on doc_id = vec_id): both sides reduce to
+    * (id, small ints) BEFORE the join, so the exchange carries
+    * verdicts, never text or vectors. Output: one row per doc.
+    * HASH-MATCHED.
+    */
+  val q215 = QueryDef.oracle("q215_crossmodal_gate", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""$outlierChainCtes,
+       |o AS (SELECT vec_id, label,
+       |        rnk <= CAST(ceil(0.05 * n) AS BIGINT) AS is_outlier
+       |      FROM ranked),
+       |tq AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)
+       |SELECT tq.doc_id, tq.source, o.label, tq.quality, o.is_outlier,
+       |       tq.quality >= 0.5 AND NOT o.is_outlier AS kept
+       |FROM tq JOIN o ON o.vec_id = tq.doc_id""".stripMargin})(
     (s, d) => {
-      val dims = quantDims(s, d)
-      val stats = dims.groupBy("label", "dim")
-        .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
-      // linear term in int64 (safe), square + sum in decimal (int64
-      // wraps past ~19k members/label; 19+19 digits is DuckDB's
-      // multiply-width cap, so both engines square DECIMAL(19,0))
-      val term = (col("cnt") * col("qv") - col("s")).cast("decimal(19,0)")
-      val d2 = dims.join(broadcast(stats), Seq("label", "dim"))
-        .select(col("vec_id"), col("label"), (term * term).as("t"))
-        .groupBy("vec_id", "label")
-        .agg(sum("t").cast("decimal(38,0)").as("d2"))
-      val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
-      val wN = Window.partitionBy("label")
-      // rank on the DECIMAL, ship d2 as VARCHAR: DECIMAL(38,0) is
-      // hasher-hostile on the wire (DuckDB .df() renders it float64,
-      // Spark parquet keeps fixed-point — same value, different
-      // stringification), while the digit string is identical on both
-      // engines. The math and the ordering stay exact-decimal.
-      d2.withColumn("rnk", row_number().over(wRnk).cast("long"))
-        .withColumn("n", count(lit(1)).over(wN))
-        .select(col("vec_id"), col("label"), col("d2").cast("string").as("d2"),
-          col("rnk"), (col("rnk") <= ceil(lit(0.05) * col("n"))).as("is_outlier"))
+      val tq = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      val o = embeddingOutliers(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"), col("is_outlier"))
+      tq.join(o, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("label"), col("quality"),
+          col("is_outlier"),
+          (col("quality") >= 0.5 && !col("is_outlier")).as("kept"))
     })
 
   /** Retrieval-quality metrics (the eval harness of an embedding-search
@@ -1666,5 +1713,5 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198, q204, q211)
+      q163, q170, q182, q192, q197, q198, q204, q211, q215)
 }

@@ -95,7 +95,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.SimilarityQueries.quantStatsCtes
       val consumers = sqlByName.filter(_._2.contains("'qv': CAST(round(e[i] * 10000)"))
       consumers.keySet shouldBe Set(
-        "q149_embedding_outliers", "q163_label_centroid_overlap")
+        "q149_embedding_outliers", "q163_label_centroid_overlap",
+        "q215_crossmodal_gate")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the label-centroid definition: ") {
           sql.contains(frag) shouldBe true
@@ -218,7 +219,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q41_quality_score", "q162_curation_pipeline",
         "q167_source_quality_profile", "q181_quality_canonical",
         "q194_curation_funnel", "q196_quality_percentile",
-        "q205_weighted_sample")
+        "q205_weighted_sample", "q215_crossmodal_gate")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
