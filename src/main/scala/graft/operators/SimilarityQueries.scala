@@ -1390,8 +1390,13 @@ object SimilarityQueries {
     * codebook-training convention — no float accumulation anywhere),
     * min/max, and the truncating-integer-division mean in micro-units
     * (both engines truncate toward zero, so negative means agree).
-    * Sums are DECIMAL(38,0) (q149's convention): Σq² per dim is
-    * n·(1e4·|x|)² — BIGINT-safe here, 128-bit-safe at any corpus size.
+    * Sums ACCUMULATE in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    * the per-element q and q² fit int64 but the running total is cast
+    * 128-bit-wide BEFORE the sum, so production corpus sizes cannot
+    * wrap — and SHIP as VARCHAR per q149's wire convention (the
+    * driver hasher renders DuckDB DECIMAL as float64 while Spark
+    * keeps fixed-point; the digit string is identical on both
+    * engines, r9 verdict task 1).
     *
     * Scale shape: ONE corpus scan; posexplode fans each vector into 64
     * (dim, q) rows but partial aggregation collapses them map-side, so
@@ -1405,8 +1410,8 @@ object SimilarityQueries {
       |                     FOR i IN range(1, len(v) + 1)], recursive := true)
       |      FROM iq)
       |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
-      |       CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
-      |       CAST(SUM(q * q) AS DECIMAL(38,0)) AS sumsq_q,
+      |       CAST(CAST(SUM(q) AS DECIMAL(38,0)) AS VARCHAR) AS sum_q,
+      |       CAST(CAST(SUM(q * q) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_q,
       |       CAST(min(q) AS BIGINT) AS min_q,
       |       CAST(max(q) AS BIGINT) AS max_q,
       |       CAST((100 * SUM(q)) // count(*) AS BIGINT) AS mean_micro
@@ -1416,10 +1421,12 @@ object SimilarityQueries {
         .select(posexplode(col("v")).as(Seq("dim", "q")))
       e.groupBy("dim")
         .agg(count(lit(1)).as("n_vecs"),
-          sum("q").cast("decimal(38,0)").as("sum_q"),
-          sum(col("q") * col("q")).cast("decimal(38,0)").as("sumsq_q"),
+          sum(col("q").cast("decimal(38,0)")).cast("string").as("sum_q"),
+          sum((col("q") * col("q")).cast("decimal(38,0)")).cast("string")
+            .as("sumsq_q"),
           min("q").as("min_q"), max("q").as("max_q"),
-          expr("CAST((100 * sum(q)) div count(*) AS BIGINT)").as("mean_micro"))
+          expr("CAST((100 * sum(cast(q AS decimal(38,0)))) div count(*) AS BIGINT)")
+            .as("mean_micro"))
     })
 
   /** Power-iteration rounds — fixed so the oracle can unroll them (the
@@ -1611,7 +1618,11 @@ object SimilarityQueries {
     * broadcast; per-vector projections are scan-stage; the only
     * exchange is the 64-key dim rollup (map-side combined, q192's
     * shape). Residual sums/squares promote to DECIMAL(38,0)/HUGEINT
-    * before squaring (r² ≈ 2.6e25 overflows int64). A near-zero
+    * BEFORE accumulating (r² ≈ 2.6e25 overflows int64, and even the
+    * linear Σr wraps int64 at production corpus counts) and ship as
+    * VARCHAR per q149's wire convention — digit strings hash
+    * identically on both engines where DECIMAL(38,0) does not. A
+    * near-zero
     * residual variance on every dim would mean the corpus is rank-1
     * anisotropic — the condition this post-processing exists to
     * detect and remove. Output: 64 rows. HASH-MATCHED.
@@ -1626,8 +1637,9 @@ object SimilarityQueries {
        |r AS (SELECT e.dim, e.q * uu.u2 - p.pu * us.u AS r
        |      FROM e JOIN us USING (dim) JOIN p USING (vec_id), uu)
        |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
-       |       CAST(SUM(r) AS DECIMAL(38,0)) AS sum_r,
-       |       CAST(SUM(CAST(r AS HUGEINT) * r) AS DECIMAL(38,0)) AS sumsq_r,
+       |       CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS VARCHAR) AS sum_r,
+       |       CAST(CAST(SUM(CAST(r AS HUGEINT) * r) AS DECIMAL(38,0)) AS VARCHAR)
+       |         AS sumsq_r,
        |       CAST(min(r) AS BIGINT) AS min_r,
        |       CAST(max(r) AS BIGINT) AS max_r
        |FROM r GROUP BY dim""".stripMargin)(
@@ -1648,9 +1660,9 @@ object SimilarityQueries {
           (col("x.q") * col("u2") - col("pu") * col("x.u")).as("r"))
         .groupBy("dim")
         .agg(count(lit(1)).as("n_vecs"),
-          sum("r").cast("decimal(38,0)").as("sum_r"),
+          sum(col("r").cast("decimal(38,0)")).cast("string").as("sum_r"),
           sum(col("r").cast("decimal(20,0)") * col("r").cast("decimal(20,0)"))
-            .cast("decimal(38,0)").as("sumsq_r"),
+            .cast("string").as("sumsq_r"),
           min("r").as("min_r"), max("r").as("max_r"))
     })
 
