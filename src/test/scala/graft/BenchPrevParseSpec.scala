@@ -50,6 +50,14 @@ class BenchPrevParseSpec extends AnyFunSuite {
       "foreign-sf lines must not leak their timings into the map")
   }
 
+  test("a history file's LATER matching line wins (most recent sweep is the reference)") {
+    val txt =
+      """{"metric":"total","queries":{"q151_vocab_coverage":0.55},"sf":"/root/testdata/sf0.1"}
+        |{"metric":"total","queries":{"q151_vocab_coverage":0.37,"q17_poc_analysis":0.68},"sf":"/root/testdata/sf0.1"}""".stripMargin
+    assert(Bench.parsePrevQueries(txt, sf) ==
+      Map("q151_vocab_coverage" -> 0.37, "q17_poc_analysis" -> 0.68))
+  }
+
   test("the real driver BENCH_r07.json parses (if present)") {
     val p = java.nio.file.Paths.get("/root/repo/BENCH_r07.json")
     assume(java.nio.file.Files.exists(p))
