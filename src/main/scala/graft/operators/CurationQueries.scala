@@ -903,6 +903,18 @@ object CurationQueries {
     * A-ES convention). Complements q120 (uniform hash-mod mixture) and
     * q140 (hard budget cut): this is the SOFT, probability-proportional
     * selection between them. Output: k rows per source. HASH-MATCHED.
+    *
+    * KNOWN PLATFORM SENSITIVITY (the q149-note convention, r9 ADVICE):
+    * sel_key rounds a double ln() to picounits, so it assumes DuckDB's
+    * libm and the JVM's StrictMath-backed log agree to the last ulp at
+    * every .5 rounding boundary. They do on this container (hash-green
+    * since q205 landed) and the inputs are coarse (only 1e6 distinct
+    * u values), but a libm revision could flip a boundary value. This
+    * is accepted — unlike the integer-exact convention used elsewhere
+    * — because the monotone ln form IS the A-ES estimator: an integer
+    * surrogate (cross-multiplied u^(1/w) comparisons) would change
+    * every emitted sel_key value, and the quantity is a ranking key,
+    * not a statistic a consumer does arithmetic on.
     */
   val q205 = QueryDef.oracle("q205_weighted_sample", {
     val qualitySql = graft.operators.TextQueries.qualitySql

@@ -1603,7 +1603,14 @@ object DedupQueries {
     * generation off the stored gpos3 inventory (≤ ContStop² fan-out
     * per gram, exact recount candidate-only); the admitted side is an
     * artifact scan; the rollup is 6 rows. HASH-MATCHED. */
-  val q195 = QueryDef.oracle("q195_lsh_recall_audit", {
+  /** The recall-audit chain shared by q195 (all pairs) and q216 (the
+    * incremental new×index direction): ground-truth true pairs from the
+    * capped 3-gram inventory, exact-recounted, left-joined against the
+    * admitted set, rolled up by Jaccard decile. `crossCond` restricts
+    * the truth pair generation (empty for q195; the exactly-one-side-
+    * is-new predicate for q216) — ONE definition, so the two audits
+    * cannot disagree on truth generation or decile arithmetic. */
+  private[graft] def recallAuditOracle(crossCond: String): String =
     s"""$portableScoredCtes,
        |dg AS (SELECT doc_id, md5(g) AS gh
        |       FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
@@ -1612,7 +1619,7 @@ object DedupQueries {
        |         HAVING count(*) BETWEEN 2 AND $ContStop),
        |tc AS (SELECT a.doc_id AS ia, b.doc_id AS ib
        |       FROM dg a JOIN gcap USING (gh) JOIN dg b USING (gh)
-       |       WHERE a.doc_id < b.doc_id
+       |       WHERE a.doc_id < b.doc_id$crossCond
        |       GROUP BY 1, 2 HAVING count(*) >= $RecallMinShared),
        |ex AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS inter
        |       FROM tc c JOIN dg a ON a.doc_id = c.ia
@@ -1631,41 +1638,152 @@ object DedupQueries {
        |       CAST(count(CASE WHEN caught THEN 1 END) AS BIGINT) AS n_caught,
        |       CAST((1000000 * count(CASE WHEN caught THEN 1 END)) // count(*)
        |            AS BIGINT) AS recall_ppm
-       |FROM fl GROUP BY 1""".stripMargin})(
+       |FROM fl GROUP BY 1""".stripMargin
+
+  /** Spark twin of [[recallAuditOracle]]; crossOnly mirrors crossCond. */
+  private def recallAuditFrame(s: SparkSession, d: String,
+      crossOnly: Boolean): DataFrame = {
+    val dg = storedGramPositions(s, d, 3)
+      .select("doc_id", "gh").distinct()
+      .localCheckpoint(false) // shared by the cap, counts, and both recount sides
+    val nd = dg.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val gcap = dg.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs").between(2, ContStop)).select("gh")
+    val pairPred =
+      if (crossOnly)
+        col("ia") < col("ib") &&
+          ((col("ia") % 5 === 0) =!= (col("ib") % 5 === 0))
+      else col("ia") < col("ib")
+    val tc = dg.join(gcap, Seq("gh")).select(col("gh"), col("doc_id").as("ia"))
+      .join(dg.select(col("gh"), col("doc_id").as("ib")), Seq("gh"))
+      .filter(pairPred)
+      .groupBy("ia", "ib").agg(count(lit(1)).as("nshared"))
+      .filter(col("nshared") >= RecallMinShared).select("ia", "ib")
+    val withA = dg.join(broadcast(tc), col("doc_id") === col("ia"))
+      .select(col("ia"), col("ib"), col("gh").as("gha"))
+    val ex = dg.join(broadcast(withA),
+        col("doc_id") === col("ib") && col("gh") === col("gha"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+    val tr = ex
+      .join(nd.select(col("doc_id").as("ia"), col("ng").as("na")), Seq("ia"))
+      .join(nd.select(col("doc_id").as("ib"), col("ng").as("nb")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"))
+      .filter(lit(2) * col("inter") >= col("un"))
+    val adm = portableScoredPairs(s, d)
+      .filter(col("n_match") >= PortMatchMin)
+      .select(col("ia"), col("ib"), lit(true).as("caught"))
+    tr.join(adm, Seq("ia", "ib"), "left")
+      .select(expr("(10 * inter) div un").as("jac_decile"),
+        coalesce(col("caught"), lit(false)).as("caught"))
+      .groupBy("jac_decile")
+      .agg(count(lit(1)).as("n_true"),
+        count(when(col("caught"), 1)).as("n_caught"))
+      .select(col("jac_decile"), col("n_true"), col("n_caught"),
+        expr("(1000000 * n_caught) div n_true").as("recall_ppm"))
+  }
+
+  val q195 = QueryDef.oracle("q195_lsh_recall_audit",
+    recallAuditOracle(""))((s, d) => recallAuditFrame(s, d, crossOnly = false))
+
+  /** STREAMING ADMISSION GATE recall audit (r9 verdict task 7): q195's
+    * audit convention applied to the incremental ingest gate — the
+    * direction `DocStreams.incrementalAdmission` (≡ batch q148, pinned
+    * by IncrementalAdmissionStreamSpec) actually runs day to day. Truth
+    * pairs are restricted to NEW×INDEX (exactly one side has
+    * doc_id % 5 = 0 — q148's split), so recall_ppm per Jaccard decile
+    * reads directly as "of arriving documents whose true overlap with
+    * the stored corpus is in decile d, what fraction does the gate
+    * catch?" — the gate's miss rate MEASURED, not assumed. The admitted
+    * side stays the stored scored_pairs artifact: q148's banding
+    * candidates are exactly the cross subset of the all-pairs banding
+    * collisions (same bands, same signatures, same agreement count), so
+    * restricting the TRUTH side suffices — and
+    * StreamingGateAuditSpec pins that equivalence against q148's own
+    * output at sf0.001, plus the decile-10 invariant (identical gram
+    * sets ⇒ identical signatures ⇒ always caught, recall_ppm = 10⁶).
+    * Scale shape: identical to q195 (bounded gram-keyed truth
+    * generation, artifact-scan admitted side, ≤ 6-row rollup).
+    * HASH-MATCHED. */
+  val q216 = QueryDef.oracle("q216_admission_recall_audit",
+    recallAuditOracle(" AND ((a.doc_id % 5 = 0) <> (b.doc_id % 5 = 0))"))(
+    (s, d) => recallAuditFrame(s, d, crossOnly = true))
+
+  /** STREAMING SPAN GATE audit (r9 verdict task 7, second gate): the
+    * ingest span gate (`DocStreams.spanOverlap` ≡ batch q180, pinned by
+    * SpanOverlapStreamSpec) flags an arriving doc when ≥ half its
+    * tokens are covered by [[SpanK]]=5-gram matches against the stored
+    * index — but a 5-gram gate is structurally blind to SHORT copies:
+    * a doc stitched from 3–4-token index fragments has high true
+    * overlap and near-zero 5-gram coverage. This query MEASURES that
+    * blindness instead of assuming it away: true overlap = the same
+    * merged-interval coverage at the finer 3-gram granularity (the
+    * gpos3 inventory, windows [p, p+3)), and per TRUE-coverage decile
+    * it reports how many new docs the 5-gram gate flags. Reading the
+    * output: flag_ppm ≈ 10⁶ in deciles where the gate works; any
+    * decile ≥ 5 with flag_ppm < 10⁶ is the gate's measured miss rate
+    * (short-fragment copies), and flags in deciles < 5 would be
+    * over-triggering. Both coverages share q180's exact interval
+    * arithmetic; docs with zero tokens are excluded (no denominator).
+    *
+    * Scale shape: two gram-keyed semi-joins off the stored gpos3/gpos5
+    * inventories (hashes + ids, never text), two doc-keyed position
+    * collects bounded by each doc's own match count, one corpus scan
+    * for the token arrays, ≤ 11-row rollup. HASH-MATCHED. */
+  val q217 = QueryDef.oracle("q217_span_gate_audit", {
+    s"""$spanGposCtes,
+       |g3 AS (SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+2], 'string_agg', ' '))}
+       |                              FOR i IN range(1, len(l) - 1)]
+       |                             , recursive := true)
+       |       FROM toks WHERE len(l) >= 3),
+       |idx5 AS (SELECT DISTINCT gh FROM gpos WHERE doc_id % 5 <> 0),
+       |idx3 AS (SELECT DISTINCT gh FROM g3 WHERE doc_id % 5 <> 0),
+       |ps5 AS (SELECT g.doc_id, list(g.pos) AS p5 FROM gpos g JOIN idx5 USING (gh)
+       |        WHERE g.doc_id % 5 = 0 GROUP BY 1),
+       |ps3 AS (SELECT g.doc_id, list(g.pos) AS p3 FROM g3 g JOIN idx3 USING (gh)
+       |        WHERE g.doc_id % 5 = 0 GROUP BY 1),
+       |c AS (SELECT t.doc_id, len(l) AS n_tokens,
+       |        len([i FOR i IN range(1, len(l) + 1)
+       |             IF len(list_filter(coalesce(p5, []), p -> p <= i - 1 AND i - 1 < p + $SpanK)) > 0]) AS ov5,
+       |        len([i FOR i IN range(1, len(l) + 1)
+       |             IF len(list_filter(coalesce(p3, []), p -> p <= i - 1 AND i - 1 < p + 3)) > 0]) AS ov3
+       |      FROM toks t LEFT JOIN ps5 USING (doc_id) LEFT JOIN ps3 USING (doc_id)
+       |      WHERE t.doc_id % 5 = 0 AND len(l) > 0)
+       |SELECT CAST((10 * ov3) // n_tokens AS BIGINT) AS true_decile,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN 2 * ov5 >= n_tokens THEN 1 END) AS BIGINT) AS n_flagged,
+       |       CAST((1000000 * count(CASE WHEN 2 * ov5 >= n_tokens THEN 1 END)) // count(*)
+       |            AS BIGINT) AS flag_ppm
+       |FROM c GROUP BY 1""".stripMargin})(
     (s, d) => {
-      val dg = storedGramPositions(s, d, 3)
-        .select("doc_id", "gh").distinct()
-        .localCheckpoint(false) // shared by the cap, counts, and both recount sides
-      val nd = dg.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-      val gcap = dg.groupBy("gh").agg(count(lit(1)).as("ndocs"))
-        .filter(col("ndocs").between(2, ContStop)).select("gh")
-      val tc = dg.join(gcap, Seq("gh")).select(col("gh"), col("doc_id").as("ia"))
-        .join(dg.select(col("gh"), col("doc_id").as("ib")), Seq("gh"))
-        .filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("nshared"))
-        .filter(col("nshared") >= RecallMinShared).select("ia", "ib")
-      val withA = dg.join(broadcast(tc), col("doc_id") === col("ia"))
-        .select(col("ia"), col("ib"), col("gh").as("gha"))
-      val ex = dg.join(broadcast(withA),
-          col("doc_id") === col("ib") && col("gh") === col("gha"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      val tr = ex
-        .join(nd.select(col("doc_id").as("ia"), col("ng").as("na")), Seq("ia"))
-        .join(nd.select(col("doc_id").as("ib"), col("ng").as("nb")), Seq("ib"))
-        .select(col("ia"), col("ib"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("un"))
-        .filter(lit(2) * col("inter") >= col("un"))
-      val adm = portableScoredPairs(s, d)
-        .filter(col("n_match") >= PortMatchMin)
-        .select(col("ia"), col("ib"), lit(true).as("caught"))
-      tr.join(adm, Seq("ia", "ib"), "left")
-        .select(expr("(10 * inter) div un").as("jac_decile"),
-          coalesce(col("caught"), lit(false)).as("caught"))
-        .groupBy("jac_decile")
-        .agg(count(lit(1)).as("n_true"),
-          count(when(col("caught"), 1)).as("n_caught"))
-        .select(col("jac_decile"), col("n_true"), col("n_caught"),
-          expr("(1000000 * n_caught) div n_true").as("recall_ppm"))
+      val g5 = storedGramPositions(s, d, SpanK)
+      val g3 = storedGramPositions(s, d, 3)
+      val isNew = col("doc_id") % 5 === 0
+      val idx5 = g5.filter(!isNew).select("gh").distinct()
+      val idx3 = g3.filter(!isNew).select("gh").distinct()
+      val p5 = g5.filter(isNew).join(idx5, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(collect_set("pos").as("p5"))
+      val p3 = g3.filter(isNew).join(idx3, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(collect_set("pos").as("p3"))
+      val kSpan = SpanK
+      Tables.documents(s, d).filter(isNew)
+        .select(col("doc_id"),
+          coalesce(tokens(col("text")), array().cast("array<string>")).as("l"))
+        .join(p5, Seq("doc_id"), "left").join(p3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("l"),
+          coalesce(col("p5"), array().cast("array<int>")).as("p5"),
+          coalesce(col("p3"), array().cast("array<int>")).as("p3"))
+        .select(col("doc_id"), size(col("l")).as("n_tokens"),
+          size(filter(col("l"), (_, i) =>
+            exists(col("p5"), p => p <= i && i < p + kSpan))).as("ov5"),
+          size(filter(col("l"), (_, i) =>
+            exists(col("p3"), p => p <= i && i < p + 3))).as("ov3"))
+        .filter(col("n_tokens") > 0)
+        .groupBy(expr("(10 * ov3) div n_tokens").as("true_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(lit(2) * col("ov5") >= col("n_tokens"), 1)).as("n_flagged"))
+        .select(col("true_decile"), col("n_docs"), col("n_flagged"),
+          expr("(1000000 * n_flagged) div n_docs").as("flag_ppm"))
     })
 
   /** CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync family, at token
@@ -1830,5 +1948,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213)
+      q209, q213, q216, q217)
 }

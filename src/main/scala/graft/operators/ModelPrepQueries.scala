@@ -1325,6 +1325,14 @@ object ModelPrepQueries {
     * aggregates combine map-side (vocab²-bounded, sublinear in corpus);
     * top-25 rides TakeOrderedAndProject (no global sort). Output: 25
     * rows (w1, w2, c12, micro_pmi). HASH-MATCHED.
+    *
+    * KNOWN PLATFORM SENSITIVITY (the q149-note convention, r9 ADVICE;
+    * q205's sel_key carries the same note): micro_pmi rounds a double
+    * log2 to micro-units, assuming DuckDB's libm and the JVM agree to
+    * the ulp at .5 boundaries — true on this container (hash-green
+    * since landing), not guaranteed across libm revisions. Accepted
+    * because PMI IS a log measure: an integer surrogate would redefine
+    * the emitted values, and micro_pmi is consumed as a ranking score.
     */
   val q203 = QueryDef.oracle("q203_pmi_collocations",
     """WITH tk AS (SELECT doc_id, list_filter(

@@ -358,27 +358,6 @@ object DocStreams {
   final case class Decontam(doc_id: Long, n_hits: Long, contaminated: Boolean,
       ts: Timestamp)
 
-  /** Streaming eval-set decontamination gate — the ingest-time form of
-    * q118: each ARRIVING document is checked for word-4-gram overlap
-    * with the held-out eval set, so contaminated documents are flagged
-    * the moment they enter the pipeline instead of in a batch sweep.
-    * Grams are built scan-side with the SAME distinct-4-gram chain as
-    * the batch path (CurationQueries.decontamHits — shared gram
-    * identity via md5 keys); the eval-gram lookup is ONE STATELESS
-    * stream-static left-outer join (the eval set is KBs against a TB
-    * stream — it never moves, exactly the batch broadcast shape); the
-    * per-doc fold holds ZERO state (NoTimeout, state never set): a
-    * doc's gram rows all land in its arrival trigger, so the group is
-    * complete evidence and the verdict emits immediately. NULL-text and
-    * gram-less docs flow through unflagged with n_hits 0 (the
-    * posexplode_outer null row misses the join — q118's LEFT JOIN
-    * contract). n_hits counts the doc's DISTINCT grams found in the
-    * eval set, matching the batch column exactly; stream ≡ q118 pinned
-    * by DecontamStreamSpec.
-    *
-    * Scale: the arriving micro-batch is the only moving data; the join
-    * key is a 16-byte digest per distinct gram, and state is zero.
-    */
   final case class ChunkRow(doc_id: Long, ts: Timestamp,
       n_tok: Option[Long], known: Option[Int])
   final case class ChunkOverlap(doc_id: Long, n_chunks: Long, n_tokens: Long,
@@ -458,6 +437,27 @@ object DocStreams {
       }
   }
 
+  /** Streaming eval-set decontamination gate — the ingest-time form of
+    * q118: each ARRIVING document is checked for word-4-gram overlap
+    * with the held-out eval set, so contaminated documents are flagged
+    * the moment they enter the pipeline instead of in a batch sweep.
+    * Grams are built scan-side with the SAME distinct-4-gram chain as
+    * the batch path (CurationQueries.decontamHits — shared gram
+    * identity via md5 keys); the eval-gram lookup is ONE STATELESS
+    * stream-static left-outer join (the eval set is KBs against a TB
+    * stream — it never moves, exactly the batch broadcast shape); the
+    * per-doc fold holds ZERO state (NoTimeout, state never set): a
+    * doc's gram rows all land in its arrival trigger, so the group is
+    * complete evidence and the verdict emits immediately. NULL-text and
+    * gram-less docs flow through unflagged with n_hits 0 (the
+    * posexplode_outer null row misses the join — q118's LEFT JOIN
+    * contract). n_hits counts the doc's DISTINCT grams found in the
+    * eval set, matching the batch column exactly; stream ≡ q118 pinned
+    * by DecontamStreamSpec.
+    *
+    * Scale: the arriving micro-batch is the only moving data; the join
+    * key is a 16-byte digest per distinct gram, and state is zero.
+    */
   def decontamGate(
       docs: DataFrame,
       evalGrams: DataFrame, // (gh) — DISTINCT md5 of the eval 4-grams

@@ -13,9 +13,10 @@ class DimStatsSpec extends SparkSpec {
 
   test("dim stats tile the corpus: n_vecs everywhere, Σ sumsq == direct norm sum") {
     val d = "/root/testdata/sf0.001"
+    // sum_q/sumsq_q ship as digit strings (the q149 wire convention)
     val rows = SparkEntry.queries("q192_embedding_dim_stats")(spark, d)
       .collect().map(r => (r.getInt(0).toLong, r.getLong(1),
-        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact(),
+        r.getString(2).toLong, r.getString(3).toLong,
         r.getLong(6)))
     val n = Tables.embeddings(spark, d).count()
     assert(rows.length == 64 && rows.map(_._1).toSet == (0L until 64L).toSet)
@@ -42,7 +43,7 @@ class DimStatsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("q192_embedding_dim_stats")(spark, dir)
       .collect().map(r => r.getInt(0).toLong ->
-        (r.getDecimal(2).longValueExact(), r.getLong(6))).toMap
+        (r.getString(2).toLong, r.getLong(6))).toMap
     // dim 0: q = (-1, -1, 0) -> sum -2; (100 * -2) div 3 = -66 (trunc), not -67 (floor)
     assert(out(0L) == (-2L, -66L), s"dim0: $out")
     // dim 1: q = (10000, 5000, -7500) -> sum 7500; 750000 div 3 = 250000

@@ -41,7 +41,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q181_quality_canonical", "q189_pair_pagerank",
         "q191_lsh_calibration", "q194_curation_funnel",
         "q195_lsh_recall_audit", "q208_fold_leakage",
-        "q213_cluster_size_histogram")
+        "q213_cluster_size_histogram", "q216_admission_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -68,7 +68,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q162_curation_pipeline", "q181_quality_canonical",
         "q189_pair_pagerank", "q191_lsh_calibration",
         "q194_curation_funnel", "q195_lsh_recall_audit",
-        "q208_fold_leakage", "q213_cluster_size_histogram")
+        "q208_fold_leakage", "q213_cluster_size_histogram",
+        "q216_admission_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -83,7 +84,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q52_minhash_lsh_dedup", "q56_dedup_clusters",
         "q148_incremental_dedup", "q189_pair_pagerank",
         "q191_lsh_calibration", "q195_lsh_recall_audit",
-        "q208_fold_leakage", "q213_cluster_size_histogram")
+        "q208_fold_leakage", "q213_cluster_size_histogram",
+        "q216_admission_recall_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -150,7 +152,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q175_repeated_spans", "q178_span_removal",
         "q180_incremental_span_overlap", "q185_winnowing_fingerprints",
-        "q193_containment_pairs")
+        "q193_containment_pairs", "q217_span_gate_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the positional-gram definition: ") {
           sql.contains(frag) shouldBe true
