@@ -1016,7 +1016,227 @@ object CurationQueries {
           col("mad"), (col("dev") > col("mad") * 3).as("outlier"))
     })
 
+  /** The Gopher rule battery's stop-word set (Rae et al. 2021 §A1.1:
+    * "must contain at least 2 of a fixed list of common English
+    * words"; the paper's list plus "a", without which the rule is
+    * degenerate on this corpus — its 31-word synthetic vocabulary
+    * carries exactly two function words, "the" and "a", so the
+    * two-distinct-stops requirement then genuinely splits it). ONE
+    * definition for the batch query and the streaming gate. */
+  private[graft] val GopherStops =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER RULE BATTERY (Rae et al. 2021 §A1.1 / RedPajama's rule
+    * port) — the per-document boolean screens every large-scale text
+    * pipeline runs BEFORE model-based scoring, complementing q41's
+    * weighted score and q117's repetition fractions with the named
+    * hard rules: word count in [50, 100k]; mean word length in [3, 10]
+    * chars; symbol-to-word ratio (# and ...) ≤ 0.1; < 90% of lines
+    * bullet-led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain
+    * an alphabetic char; ≥ 2 distinct stop words present. Every ratio
+    * compare is cross-multiplied exact integers — no division, no
+    * floats, no rounding anywhere, so the verdicts are bit-identical
+    * by construction. On this corpus the line/symbol rules pass
+    * vacuously (the synthetic text has no newlines or punctuation —
+    * verified at build time) while the word-count, mean-length and
+    * stop-word rules genuinely split it; all seven run regardless,
+    * because the battery IS the operator. n_failed counts failing
+    * rules; kept ⟺ all pass.
+    *
+    * Scale shape: pure scan-stage row work (tokenize + count + regex
+    * per doc, all inside WholeStageCodegen) — NO exchange anywhere;
+    * output one row per doc. The streaming twin
+    * (DocStreams.gopherGate) applies the same rules at ingest;
+    * GopherRuleSpec pins batch ≡ stream on crafted rule-edge docs.
+    * HASH-MATCHED. */
+  val q218 = QueryDef.oracle("q218_gopher_rules", {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l,
+       |    string_split(text, chr(10)) AS lines,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_wchars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_words, n_wchars, n_hash, n_ell,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, s -> regexp_matches(s, '^\\s*[-*•]')))
+       |         AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, s -> regexp_matches(s, '(\\.\\.\\.|…)\\s*$$')))
+       |         AS BIGINT) AS n_ellend,
+       |    CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+       |         AS BIGINT) AS n_alpha,
+       |    CAST(len(list_distinct(list_filter(list_transform(l, y -> lower(y)),
+       |                                       x -> x IN ($stops)))) AS BIGINT) AS n_stops
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |    n_words BETWEEN 50 AND 100000 AS r_word_count,
+       |    3 * n_words <= n_wchars AND n_wchars <= 10 * n_words AS r_mean_word_len,
+       |    10 * (n_hash + n_ell) <= n_words AS r_symbol_ratio,
+       |    10 * n_bullet <= 9 * n_lines AS r_bullet_lines,
+       |    10 * n_ellend <= 3 * n_lines AS r_ellipsis_lines,
+       |    5 * n_alpha >= 4 * n_words AS r_alpha_words,
+       |    n_stops >= 2 AS r_stop_words
+       |  FROM c)
+       |SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+       |       r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stop_words,
+       |       CAST(7 - (CAST(r_word_count AS INT) + CAST(r_mean_word_len AS INT)
+       |         + CAST(r_symbol_ratio AS INT) + CAST(r_bullet_lines AS INT)
+       |         + CAST(r_ellipsis_lines AS INT) + CAST(r_alpha_words AS INT)
+       |         + CAST(r_stop_words AS INT)) AS BIGINT) AS n_failed,
+       |       r_word_count AND r_mean_word_len AND r_symbol_ratio
+       |         AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+       |         AND r_stop_words AS kept
+       |FROM r""".stripMargin})(
+    (s, d) => gopherRuleFrame(Tables.documents(s, d).select("doc_id", "text")))
+
+  /** Spark twin of q218's rule chain — shared verbatim by the batch
+    * query and the streaming ingest gate (`DocStreams.gopherGate`), so
+    * the two CANNOT disagree on a verdict. Pure narrow row-local ops
+    * (safe on both batch and streaming DataFrames); every input column
+    * EXCEPT text survives (the streaming gate keeps its event time,
+    * and text is dropped per the report discipline — verdicts travel,
+    * content doesn't). */
+  private[graft] def gopherRuleFrame(docs: DataFrame): DataFrame = {
+    val stopsArr = array(GopherStops.map(lit): _*)
+    docs
+      .withColumn("l", tokens(col("text")))
+      .withColumn("lines", split(col("text"), "\n", -1))
+      .withColumn("n_words", size(col("l")).cast("long"))
+      .withColumn("n_wchars",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("n_hash",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long"))
+      .withColumn("n_ell",
+        ((length(col("text"))
+          - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lines"), s => s.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("n_ellend",
+        size(filter(col("lines"), s => s.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("l"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stops",
+        size(array_distinct(filter(transform(col("l"), y => lower(y)),
+          x => array_contains(stopsArr, x)))).cast("long"))
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("n_wchars") &&
+          col("n_wchars") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol_ratio",
+        lit(10) * (col("n_hash") + col("n_ell")) <= col("n_words"))
+      .withColumn("r_bullet_lines",
+        lit(10) * col("n_bullet") <= lit(9) * col("n_lines"))
+      .withColumn("r_ellipsis_lines",
+        lit(10) * col("n_ellend") <= lit(3) * col("n_lines"))
+      .withColumn("r_alpha_words",
+        lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("r_stop_words", col("n_stops") >= 2)
+      .withColumn("n_failed",
+        (lit(7) - (col("r_word_count").cast("int")
+          + col("r_mean_word_len").cast("int") + col("r_symbol_ratio").cast("int")
+          + col("r_bullet_lines").cast("int") + col("r_ellipsis_lines").cast("int")
+          + col("r_alpha_words").cast("int") + col("r_stop_words").cast("int")))
+          .cast("long"))
+      .withColumn("kept",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stop_words"))
+      .drop("text", "l", "lines", "n_wchars", "n_hash", "n_ell", "n_lines",
+        "n_bullet", "n_ellend", "n_alpha", "n_stops")
+  }
+
+  /** BIGRAM REPETITION PROFILE — the char-weighted half of Gopher's
+    * repetition battery that q117 (count-weighted unigram/trigram)
+    * doesn't cover: per document, the fraction of word characters
+    * claimed by the single most frequent word-2-gram (top2_ppm) and by
+    * ALL word-2-grams occurring ≥ 2 times (dup2_ppm). Char-weighting
+    * is Rae et al.'s actual formulation — a repeated LONG phrase is
+    * worse than a repeated short one at equal counts. Conventions,
+    * identical on both engines: an occurrence's char weight is the
+    * gram's length minus its joining space; occurrences overlap (each
+    * bigram start counts), so dup2_ppm may exceed 10⁶ on heavily
+    * looped text — documented, exact, and monotone in repetition;
+    * the top gram ties break on (count DESC, md5 ASC) so both engines
+    * elect the same winner; docs with < 2 tokens report zeros.
+    *
+    * Scale shape: q164's "heavy honest metric" family — ONE keyed
+    * shuffle of (doc_id, 16-byte md5, char len) triples (never text)
+    * into a map-side-combined (doc, gram) count, then a doc-keyed
+    * top-1 window and rollup on the SAME hashpartitioning(doc_id)
+    * (subset-satisfied, no extra exchange). HASH-MATCHED. */
+  val q219 = QueryDef.oracle("q219_bigram_repetition",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_wchars
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, n_wchars, md5(g) AS gh,
+      |         CAST(length(g) - 1 AS BIGINT) AS clen
+      |  FROM (SELECT doc_id, n_wchars,
+      |          unnest([list_aggregate(l[i:i+1], 'string_agg', ' ')
+      |                  FOR i IN range(1, len(l))]) AS g
+      |        FROM t)),
+      |gc AS (SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS cnt,
+      |              min(clen) AS clen, min(n_wchars) AS n_wchars
+      |       FROM bi GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT doc_id, min(n_wchars) AS n_wchars,
+      |    CAST(max(CASE WHEN rn = 1 THEN cnt * clen END) AS BIGINT) AS top_chars,
+      |    CAST(coalesce(SUM(CASE WHEN cnt >= 2 THEN cnt * clen END), 0)
+      |         AS BIGINT) AS dup_chars
+      |  FROM (SELECT doc_id, gh, cnt, clen, n_wchars,
+      |          ROW_NUMBER() OVER (PARTITION BY doc_id
+      |            ORDER BY cnt DESC, gh) AS rn
+      |        FROM gc)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(f.n_wchars, CAST(0 AS BIGINT)) AS n_wchars,
+      |       CAST(CASE WHEN f.n_wchars > 0
+      |                 THEN (1000000 * f.top_chars) // f.n_wchars
+      |                 ELSE 0 END AS BIGINT) AS top2_ppm,
+      |       CAST(CASE WHEN f.n_wchars > 0
+      |                 THEN (1000000 * f.dup_chars) // f.n_wchars
+      |                 ELSE 0 END AS BIGINT) AS dup2_ppm
+      |FROM documents d LEFT JOIN fin f USING (doc_id)""".stripMargin)(
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s", ""))
+            .cast("long").as("n_wchars"),
+          explode(wordNgrams(col("text"), 2)).as("g"))
+      val bi = t
+        .select(col("doc_id"), col("n_wchars"), md5(col("g")).as("gh"),
+          (length(col("g")) - 1).cast("long").as("clen"))
+      val gc = bi.groupBy("doc_id", "gh")
+        .agg(count(lit(1)).as("cnt"), min("clen").as("clen"),
+          min("n_wchars").as("n_wchars"))
+      val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gh"))
+      val per = gc.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(min("n_wchars").as("n_wchars"),
+          max(when(col("rn") === 1, col("cnt") * col("clen"))).as("top_chars"),
+          coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("clen"))), lit(0L))
+            .as("dup_chars"))
+      Tables.documents(s, d).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_wchars"), lit(0L)).as("n_wchars"),
+          coalesce(when(col("n_wchars") > 0,
+            expr("(1000000 * top_chars) div n_wchars")), lit(0L)).as("top2_ppm"),
+          coalesce(when(col("n_wchars") > 0,
+            expr("(1000000 * dup_chars) div n_wchars")), lit(0L)).as("dup2_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205, q207)
+      q176, q183, q184, q188, q196, q205, q207, q218, q219)
 }

@@ -483,4 +483,19 @@ object DocStreams {
           Iterator.single(Decontam(id, n, contaminated = n > 0, ts))
       }
   }
+
+  /** Streaming GOPHER RULE gate — q218's hard-rule battery applied at
+    * ingest time: each arriving document gets its seven rule verdicts,
+    * n_failed, and the kept decision the moment it enters the pipeline.
+    * The rule chain is the SHARED `CurationQueries.gopherRuleFrame`
+    * (one definition — the gate cannot drift from the batch query;
+    * GopherRuleSpec pins agreement on rule-edge fixtures), and it is
+    * entirely STATELESS scan-side row work: no watermark, no state
+    * store, no shuffle — the cheapest possible admission gate, which
+    * is exactly why production pipelines run the rule battery FIRST
+    * and spend model-based scoring only on survivors. Text is dropped
+    * on the way out (verdicts travel, content doesn't); the event
+    * time and any other feed columns pass through. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    graft.operators.CurationQueries.gopherRuleFrame(docs)
 }
