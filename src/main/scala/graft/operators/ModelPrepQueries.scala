@@ -1430,8 +1430,73 @@ object ModelPrepQueries {
   private def tokHash(c: Column): Column =
     graft.functions.TextFunctions.portableStringHash(c)
 
+  /** FILTER CALIBRATION contingency — the question a pipeline asks
+    * before trusting its cheap filter: does q41's heuristic quality
+    * score AGREE with the unigram-LM perplexity filter (the CCNet
+    * signal), and where do they disagree? For every scored document,
+    * cross-tabulate its q172 perplexity bucket (the SAME per-lang
+    * NTILE(3) head/middle/tail — shared [[lmCtes]], so the buckets
+    * cannot drift from q172) against its quality decile (q205's exact
+    * micro-quality idiom: round(quality·10⁴), integer-div to a decile,
+    * capped at 9), with each cell's within-bucket share in ppm. Read
+    * it like a confusion matrix: mass on the head-bucket/high-decile
+    * diagonal means the cheap filter can pre-screen for the expensive
+    * one; a head-bucket/low-decile cell is fluent text the heuristic
+    * under-rates (and vice versa — each off-diagonal cell is a
+    * concrete disagreement population worth sampling). Docs the LM
+    * cannot score (no tokens) are excluded, matching q172.
+    *
+    * Scale shape: the LM side is q123's vocab-bounded aggregate
+    * chain; the quality side is scan-stage; the join is doc-keyed
+    * (ids + small ints, never text); output ≤ 3·10 cells + a 3-row
+    * broadcast bucket total. HASH-MATCHED. */
+  val q223 = QueryDef.oracle("q223_filter_calibration", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""$lmCtes,
+      |scored AS (SELECT d.doc_id, d.lang, doc.micro_sum, doc.n_toks
+      |           FROM documents d JOIN doc USING (doc_id)),
+      |bkt AS (SELECT doc_id,
+      |          NTILE(3) OVER (PARTITION BY lang
+      |            ORDER BY micro_sum * 1.0 / n_toks, doc_id) AS b
+      |        FROM scored),
+      |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+      |w AS (SELECT doc_id, CAST(round(quality * 10000) AS BIGINT) AS w_micro
+      |      FROM q),
+      |cell AS (SELECT
+      |           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |             AS bucket,
+      |           CAST(least(w_micro // 1000, 9) AS BIGINT) AS q_decile
+      |         FROM bkt JOIN w USING (doc_id)),
+      |tot AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_bucket
+      |        FROM cell GROUP BY 1)
+      |SELECT c.bucket, c.q_decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST((1000000 * count(*)) // t.n_bucket AS BIGINT) AS share_ppm
+      |FROM cell c JOIN tot t USING (bucket)
+      |GROUP BY c.bucket, c.q_decile, t.n_bucket""".stripMargin})(
+    (s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(lmDocScores(s, d), Seq("doc_id"))
+      val bpt = col("micro_sum") * lit(1.0) / col("n_toks")
+      val wB = Window.partitionBy("lang").orderBy(bpt.asc, col("doc_id"))
+      val bkt = scored.withColumn("b", ntile(3).over(wB))
+        .select(col("doc_id"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("w_micro"))
+      val cell = bkt.join(w, Seq("doc_id"))
+        .select(col("bucket"),
+          expr("CAST(least(w_micro div 1000, 9) AS BIGINT)").as("q_decile"))
+      val tot = cell.groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+      cell.groupBy("bucket", "q_decile").agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(tot), Seq("bucket"))
+        .select(col("bucket"), col("q_decile"), col("n_docs"),
+          expr("(1000000 * n_docs) div n_bucket").as("share_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214)
+      q208, q214, q223)
 }

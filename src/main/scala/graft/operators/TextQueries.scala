@@ -931,7 +931,57 @@ object TextQueries {
           .otherwise(lit(0L)).as("waste_ppm"),
         expr("(n_tokens + 511) div 512 * 512").as("packed_slots")))
 
+  /** PER-SOURCE LEXICAL DIVERSITY report — the corpus-composition
+    * metrics a data-mixing decision reads before weighting sources:
+    * unigram Shannon entropy of each source's token distribution (in
+    * micro-bits — a source of repeated boilerplate scores low, diverse
+    * prose scores near log2(vocab)), type-token ratio in ppm, plus the
+    * exact token and vocabulary counts. Entropy uses q123's established
+    * micro-bit convention — per-token-type bits = round(log2(N/c)·10⁶)
+    * (one engine-identical rounding per VALUE, then pure integer
+    * arithmetic), H_micro = Σ c·bits div N — and inherits that
+    * convention's documented libm platform note. Scale shape: one
+    * map-side-combined (source, token) aggregate (vocab-bounded,
+    * sublinear in corpus), a |sources|-row stats rollup broadcast
+    * back, and a second vocab-sized rollup — the corpus text never
+    * shuffles. Output: one row per source. HASH-MATCHED. */
+  val q220 = QueryDef.oracle("q220_source_entropy",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM toks GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_total,
+      |              CAST(count(*) AS BIGINT) AS vocab
+      |       FROM g GROUP BY 1),
+      |b AS (SELECT g.source, g.c,
+      |        CAST(round(log2(CAST(st.n_total AS DOUBLE) / g.c) * 1000000)
+      |             AS BIGINT) AS micro_bits
+      |      FROM g JOIN st USING (source))
+      |SELECT st.source, st.n_total AS n_tokens, st.vocab,
+      |       CAST((1000000 * st.vocab) // st.n_total AS BIGINT) AS ttr_ppm,
+      |       CAST(CAST(SUM(b.c * b.micro_bits) AS BIGINT) // st.n_total
+      |            AS BIGINT) AS entropy_micro_bits
+      |FROM b JOIN st USING (source)
+      |GROUP BY st.source, st.n_total, st.vocab""".stripMargin)(
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val g = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val st = g.groupBy("source")
+        .agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
+      g.join(broadcast(st), Seq("source"))
+        .select(col("source"), col("n_total"), col("vocab"), col("c"),
+          round(log2(col("n_total").cast("double") / col("c")) * lit(1000000))
+            .cast("long").as("micro_bits"))
+        .groupBy("source", "n_total", "vocab")
+        .agg(sum(col("c") * col("micro_bits")).as("bits_sum"))
+        .select(col("source"), col("n_total").as("n_tokens"), col("vocab"),
+          expr("(1000000 * vocab) div n_total").as("ttr_ppm"),
+          expr("bits_sum div n_total").as("entropy_micro_bits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168, q173, q174, q200, q201, q210)
+      q158, q160, q165, q168, q173, q174, q200, q201, q210, q220)
 }

@@ -138,7 +138,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       // convention but is deliberately its own (self-contained) model
       val consumers = sqlByName.filter(_._2.contains("CAST(n_total + vocab AS DOUBLE)"))
       consumers.keySet shouldBe Set(
-        "q123_unigram_lm_score", "q172_ccnet_buckets")
+        "q123_unigram_lm_score", "q172_ccnet_buckets",
+        "q223_filter_calibration")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the LM definition: ") {
           sql.contains(frag) shouldBe true
@@ -221,7 +222,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q41_quality_score", "q162_curation_pipeline",
         "q167_source_quality_profile", "q181_quality_canonical",
         "q194_curation_funnel", "q196_quality_percentile",
-        "q205_weighted_sample", "q215_crossmodal_gate")
+        "q205_weighted_sample", "q215_crossmodal_gate",
+        "q223_filter_calibration")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
