@@ -1723,7 +1723,157 @@ object SimilarityQueries {
       c -> xs.sortBy(_._2._1).map(_._2).toSeq })
   }
 
+  /** Farthest-point selection rounds — fixed so the oracle can unroll
+    * them (the PowIters/KmIters convention). */
+  private[graft] val SelR = 4
+
+  /** K-CENTER CORESET via farthest-point traversal (Gonzalez 1985 — the
+    * 2-approximation every diversity-sampling / data-pruning pass
+    * starts from, and the k-means++-style seeding a codebook trainer
+    * wants): start from the lowest vec_id, then [[SelR]]−1 times pick
+    * the vector FARTHEST from the selected set (exact integer L2² over
+    * the 1e-4-quantized coordinates, ties toward the smaller vec_id).
+    * The picked distance at round t IS the covering radius of the
+    * first t centers, so the output doubles as the radius-decay curve
+    * a coverage analysis reads; a final row reports the covering
+    * radius of the complete coreset (every corpus vector is within
+    * √d2 of some center — the Gonzalez guarantee: ≤ 2× the optimal
+    * k-center radius).
+    *
+    * Scale shape: per round ONE corpus scan against a 1-row broadcast
+    * holding all selected centers (≤ SelR × 64 longs); d2min is a
+    * scan-stage HOF fold (no shuffle), and the argmax rides
+    * TakeOrderedAndProject (no global sort). Selections pin via
+    * 1-row localCheckpoints (q174's lesson: unpinned winners re-derive
+    * every earlier round). Arithmetic: d2 ≤ 64·(2e4)² ≈ 2.6e10 —
+    * int64-exact with 8 orders of headroom. Output: SelR + 1 rows.
+    * HASH-MATCHED. */
+  val q222 = QueryDef.oracle("q222_kcenter_coreset", {
+    val d2 = (a: String, b: String) =>
+      s"CAST(list_sum([($a.v[k] - $b.v[k]) * ($a.v[k] - $b.v[k]) " +
+        s"FOR k IN range(1, len($a.v) + 1)]) AS BIGINT)"
+    val rounds = (1 until SelR).map { t =>
+      s"""d$t AS (SELECT i.vec_id, MIN(${d2("i", "s")}) AS d2
+         |        FROM iq i, sel${t - 1} s GROUP BY i.vec_id),
+         |p$t AS (SELECT CAST($t AS BIGINT) AS rnd, vec_id, d2
+         |        FROM d$t ORDER BY d2 DESC, vec_id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+         |          SELECT p.rnd, p.vec_id, iq.v
+         |          FROM p$t p JOIN iq ON iq.vec_id = p.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val pickRows = (1 until SelR)
+      .map(t => s"SELECT rnd, vec_id, d2 FROM p$t").mkString("\nUNION ALL ")
+    s"""WITH $iqCte,
+       |sel0 AS (SELECT CAST(0 AS BIGINT) AS rnd, vec_id, v
+       |         FROM iq ORDER BY vec_id LIMIT 1),
+       |$rounds,
+       |dF AS (SELECT i.vec_id, MIN(${d2("i", "s")}) AS d2
+       |       FROM iq i, sel${SelR - 1} s GROUP BY i.vec_id)
+       |SELECT rnd AS round, vec_id, d2 FROM (
+       |  SELECT rnd, vec_id, CAST(NULL AS BIGINT) AS d2 FROM sel0
+       |  UNION ALL $pickRows
+       |  UNION ALL SELECT CAST($SelR AS BIGINT), CAST(NULL AS BIGINT),
+       |                   (SELECT MAX(d2) FROM dF))""".stripMargin})(
+    (s, d) => {
+      val iq = quantizedVecs(s, d)
+      val d2Expr = "array_min(transform(cents, c -> " +
+        "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
+      def centsOf(sel: DataFrame): DataFrame =
+        sel.agg(expr(
+          "transform(array_sort(collect_list(struct(rnd, vec_id, v))), x -> x.v)")
+          .as("cents"))
+      val s0 = iq.orderBy("vec_id").limit(1)
+        .select(lit(0L).as("rnd"), col("vec_id"), col("v"))
+        .localCheckpoint(false)
+      var sel = s0
+      var out = s0.select(col("rnd"), col("vec_id"),
+        lit(null).cast("long").as("d2"))
+      for (t <- 1 until SelR) {
+        val pick = iq.crossJoin(broadcast(centsOf(sel)))
+          .select(col("vec_id"), col("v"), expr(d2Expr).as("d2"))
+          .orderBy(col("d2").desc, col("vec_id")).limit(1)
+          .select(lit(t.toLong).as("rnd"), col("vec_id"), col("v"), col("d2"))
+          .localCheckpoint(false)
+        out = out.unionByName(pick.select("rnd", "vec_id", "d2"))
+        sel = sel.unionByName(pick.select("rnd", "vec_id", "v"))
+          .localCheckpoint(false)
+      }
+      val radius = iq.crossJoin(broadcast(centsOf(sel)))
+        .select(expr(d2Expr).as("d2"))
+        .agg(max("d2").as("d2"))
+        .select(lit(SelR.toLong).as("rnd"), lit(null).cast("long").as("vec_id"),
+          col("d2"))
+      out.unionByName(radius)
+        .select(col("rnd").as("round"), col("vec_id"), col("d2"))
+    })
+
+  /** HARD-NEGATIVE MINING — the pair-construction pass metric-learning
+    * and contrastive training run against a labeled embedding corpus
+    * (q139 mines text triples; this is its embedding-space sibling):
+    * for every vector, the CLOSEST vector carrying a DIFFERENT label —
+    * the negatives that actually move a contrastive loss, since far
+    * negatives are already separated. "Closest" is exact integer L2²
+    * over the quantized coordinates (d2 = n2a + n2b − 2·dot from the
+    * ONE fused kernel q170's pair stage uses), ties toward the smaller
+    * candidate id — a total order both engines replay. Candidates come
+    * from the vector's own trained-IVF cell (the SHARED [[ivfCentCtes]]
+    * / [[storedIvfCentroids]] assignment — the miner cannot disagree
+    * with the index), so the pair stage is CLUSTER-KEYED: at 100 TB the
+    * fan-out is Σ|cell|², never corpus², with the same AQE skew-split
+    * demonstrated for q170's mega-cell. Vectors whose cell holds no
+    * other label emit NULL negatives (visible, not dropped — a
+    * single-label cell is itself a curation signal). Output: one row
+    * per vector. HASH-MATCHED. */
+  val q228 = QueryDef.oracle("q228_hard_negatives",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, e.label, i.v
+       |      FROM asg a JOIN iq i USING (vec_id)
+       |                 JOIN embeddings e USING (vec_id)),
+       |cand AS (SELECT x.vec_id, x.label, x.c_id, y.vec_id AS neg_id,
+       |           y.label AS neg_label,
+       |           CAST(list_sum([(x.v[k] - y.v[k]) * (x.v[k] - y.v[k])
+       |                          FOR k IN range(1, len(x.v) + 1)]) AS BIGINT) AS d2
+       |         FROM m x JOIN m y ON x.c_id = y.c_id AND x.label <> y.label),
+       |best AS (SELECT vec_id, label, c_id, neg_id, neg_label, d2 FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, neg_id) AS rn FROM cand) WHERE rn = 1)
+       |SELECT m.vec_id, m.label, m.c_id, b.neg_id, b.neg_label, b.d2
+       |FROM m LEFT JOIN best b USING (vec_id)""".stripMargin)(
+    (s, d) => {
+      val iq = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val m = nearestCentroid(s, iq, cent)
+        .join(iq, Seq("vec_id"))
+        .join(Tables.embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+      val cand = m.select(col("c_id"), col("vec_id"), col("label"),
+          col("v").as("va"))
+        .join(m.select(col("c_id"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("v").as("vb")), Seq("c_id"))
+        .filter(col("label") =!= col("neg_label"))
+        .select(col("vec_id"), col("label"), col("c_id"), col("neg_id"),
+          col("neg_label"),
+          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
+        .select(col("vec_id"), col("label"), col("c_id"), col("neg_id"),
+          col("neg_label"),
+          (col("st.n2a") + col("st.n2b") - lit(2) * col("st.dot")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("neg_id"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("neg_id"), col("neg_label"), col("d2"))
+      m.select(col("vec_id"), col("label"), col("c_id"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("c_id"), col("neg_id"),
+          col("neg_label"), col("d2"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198, q204, q211, q215)
+      q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q228)
 }

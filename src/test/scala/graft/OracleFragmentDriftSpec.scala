@@ -179,7 +179,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("ivfasg1 AS"))
       consumers.keySet shouldBe Set(
         "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
-        "q182_prototype_selection", "q198_semantic_decontam")
+        "q182_prototype_selection", "q198_semantic_decontam",
+        "q228_hard_negatives")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -207,7 +208,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q64_ann_ivf", "q67_ann_pq", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q192_embedding_dim_stats",
         "q197_power_iteration", "q198_semantic_decontam",
-        "q204_whitening_residuals", "q211_pq_code_usage")
+        "q204_whitening_residuals", "q211_pq_code_usage",
+        "q222_kcenter_coreset", "q228_hard_negatives")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
