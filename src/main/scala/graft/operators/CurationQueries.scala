@@ -1236,7 +1236,81 @@ object CurationQueries {
             expr("(1000000 * dup_chars) div n_wchars")), lit(0L)).as("dup2_ppm"))
     })
 
+  /** Bootstrap replicate count — fixed so the oracle can unroll the
+    * same replicate set. */
+  private[graft] val BootB = 20
+
+  /** BOOTSTRAP CONFIDENCE INTERVALS for a corpus metric — the eval-
+    * rigor pass a data team runs before trusting a per-source number:
+    * is src7's mean quality REALLY higher than src12's, or is that
+    * sampling noise? [[BootB]] deterministic half-sample replicates
+    * (m-out-of-n bootstrap): document membership in replicate b is a
+    * pure function of content key — the portable char-fold hash of
+    * 'boot:b:doc_id' mod 2 (q120/q45's determinism argument: stable
+    * across engines, reruns, partitionings, cluster sizes — none of
+    * which is true of an RNG bootstrap). Each replicate's per-source
+    * mean quality is an exact integer (micro-quality sum div count —
+    * q205's micro idiom on q41's shared formula); the CI is the
+    * replicate min/max envelope next to the full-sample point
+    * estimate. Disjoint [lo, hi] envelopes between two sources is the
+    * actionable read.
+    *
+    * Scale shape: ONE corpus scan computes quality; the replicate
+    * explosion multiplies only (id, source, int) rows ×B — never text
+    * — and both rollups combine map-side ((source × B) then |sources|
+    * groups). Output: one row per source. HASH-MATCHED. */
+  val q221 = QueryDef.oracle("q221_bootstrap_quality_ci", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+       |w AS (SELECT doc_id, source,
+       |        CAST(round(quality * 10000) AS BIGINT) AS w_micro
+       |      FROM q),
+       |fullm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(w_micro) // count(*) AS BIGINT) AS mean_micro
+       |          FROM w GROUP BY 1),
+       |r AS (SELECT w.*, CAST(b AS BIGINT) AS b
+       |      FROM w, (SELECT unnest(range(0, $BootB)) AS b)),
+       |inc AS (SELECT source, b, w_micro FROM r WHERE
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(
+       |            'boot:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+       |            ''), c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, x) -> (a * 131 + x) % 1000000007) % 2 = 0),
+       |rep AS (SELECT source, b,
+       |          CAST(SUM(w_micro) // count(*) AS BIGINT) AS rep_mean
+       |        FROM inc GROUP BY 1, 2),
+       |ci AS (SELECT source, CAST(min(rep_mean) AS BIGINT) AS boot_lo,
+       |              CAST(max(rep_mean) AS BIGINT) AS boot_hi,
+       |              CAST(count(*) AS BIGINT) AS n_reps
+       |       FROM rep GROUP BY 1)
+       |SELECT f.source, f.n_docs, f.mean_micro, c.boot_lo, c.boot_hi,
+       |       c.boot_hi - c.boot_lo AS boot_spread, c.n_reps
+       |FROM fullm f JOIN ci c USING (source)""".stripMargin})(
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("w_micro"))
+      val full = w.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(w_micro) div count(1)").as("mean_micro"))
+      val inc = w
+        .select(col("doc_id"), col("source"), col("w_micro"),
+          explode(sequence(lit(0L), lit(BootB - 1L))).as("b"))
+        .filter(graft.functions.TextFunctions.portableStringHash(
+          concat(lit("boot:"), col("b").cast("string"), lit(":"),
+            col("doc_id").cast("string"))) % 2 === 0)
+      val rep = inc.groupBy("source", "b")
+        .agg(expr("sum(w_micro) div count(1)").as("rep_mean"))
+      val ci = rep.groupBy("source")
+        .agg(min("rep_mean").as("boot_lo"), max("rep_mean").as("boot_hi"),
+          count(lit(1)).as("n_reps"))
+      full.join(ci, Seq("source"))
+        .select(col("source"), col("n_docs"), col("mean_micro"),
+          col("boot_lo"), col("boot_hi"),
+          (col("boot_hi") - col("boot_lo")).as("boot_spread"), col("n_reps"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205, q207, q218, q219)
+      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221)
 }

@@ -1873,7 +1873,60 @@ object SimilarityQueries {
           col("neg_label"), col("d2"))
     })
 
+  /** INT8 SCALAR-QUANTIZATION error profile — the audit that belongs
+    * next to q66 (which SEARCHES with the int8 codes) the way q211
+    * audits q67's PQ codes: how much does the per-vector symmetric
+    * int8 quantizer (scale = max|x|/127, q66's exact convention —
+    * replicated term for term, including the 1e-30 floor and the
+    * INTEGER cast) actually distort each dimension? Per dim, exact
+    * stats of err = round(x·10⁴) − round(x̂·10⁴) where x̂ = qv·scale is
+    * the reconstruction — both roundings are the established one-
+    * rounding-per-VALUE idiom, after which everything is int64 (|err|
+    * is bounded by half a quantization step ≈ scale·10⁴/2 plus one ulp
+    * of rounding — a few hundred micro-units). A dimension whose
+    * max_abs_err dwarfs the others is dominated by the vectors' outlier
+    * coordinates setting the scale — the signal that moves a deployment
+    * from per-vector to per-dim scales. Scale shape: ONE corpus scan,
+    * posexplode collapsed map-side into a 64-group aggregate (q192's
+    * exact shape). Output: 64 rows. HASH-MATCHED. */
+  val q226 = QueryDef.oracle("q226_sq8_error_profile",
+    """WITH sc AS (
+      |  SELECT vec_id, embedding,
+      |         greatest(CAST(list_max(list_transform(embedding, y -> abs(y)))
+      |                  AS DOUBLE) / 127.0, 1e-30) AS scale
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT vec_id, unnest([{'dim': i - 1,
+      |           'err': CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+      |                - CAST(round(CAST(round(CAST(embedding[i] AS DOUBLE) / scale)
+      |                             AS INTEGER) * scale * 10000) AS BIGINT)}
+      |          FOR i IN range(1, len(embedding) + 1)], recursive := true)
+      |  FROM sc)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(max(abs(err)) AS BIGINT) AS max_abs_err,
+      |       CAST(SUM(err) AS BIGINT) AS sum_err,
+      |       CAST(SUM(err * err) AS BIGINT) AS sumsq_err
+      |FROM r GROUP BY dim""".stripMargin)(
+    (s, d) => {
+      val scale = greatest(
+        array_max(transform(col("embedding"), x => abs(x))).cast("double") / 127.0,
+        lit(1e-30))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), scale.as("scale"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select(col("dim"),
+          (round(col("x") * 10000).cast("long")
+            - round(round(col("x") / col("scale")).cast("int")
+              * col("scale") * 10000).cast("long")).as("err"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          max(abs(col("err"))).as("max_abs_err"),
+          sum("err").as("sum_err"),
+          sum(col("err") * col("err")).as("sumsq_err"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q228)
+      q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q228)
 }

@@ -225,7 +225,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q167_source_quality_profile", "q181_quality_canonical",
         "q194_curation_funnel", "q196_quality_percentile",
         "q205_weighted_sample", "q215_crossmodal_gate",
-        "q223_filter_calibration")
+        "q221_bootstrap_quality_ci", "q223_filter_calibration")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
