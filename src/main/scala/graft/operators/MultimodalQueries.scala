@@ -239,5 +239,137 @@ object MultimodalQueries {
           when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179)
+  // Constellation-landmark constants (Wang 2003's Shazam shape at toy
+  // scale): 8-sample frames hopped by 4, anchor→target gap 2 frames,
+  // per-landmark doc cap 50 (boilerplate guard, the ContStop
+  // convention), ≥ 4 shared landmarks to pair.
+  private[graft] val AudioW = 8
+  private[graft] val AudioHop = 4
+  private[graft] val AudioGap = 2
+  private[graft] val AudioCap = 50
+  private[graft] val AudioMinShared = 4
+
+  /** AUDIO FINGERPRINT dedup — constellation landmark hashing (the
+    * Shazam/Chromaprint family), completing the per-modality dedup
+    * triptych: text has span/MinHash dedup, images have q177's pHash,
+    * audio gets landmark matching. The (stub) signal is the content's
+    * byte sequence; real audio would substitute an FFT peak picker in
+    * the same pipeline positions. Per audio item: frame the signal
+    * ([[AudioW]]-sample windows, hop [[AudioHop]]), take each frame's
+    * PEAK (max sample — the stub's spectral peak), and hash anchor
+    * peaks against the peak [[AudioGap]] frames later into landmark
+    * codes (p_anchor·1000003 + p_target). Two items sharing ≥
+    * [[AudioMinShared]] distinct landmarks are match candidates;
+    * best_partner maximizes shared landmarks (ties to the smaller id),
+    * and containment_ppm = shared/min(n_landmarks) is the dup signal —
+    * landmark containment survives trims and concatenation, which is
+    * the property that makes constellation hashing the audio dedup
+    * standard. All integer arithmetic; landmarks over-[[AudioCap]]
+    * documents are dropped before pairing (boilerplate cap = the
+    * 100-TB fan-out bound: ≤ Cap² pairs per landmark, never corpus²).
+    *
+    * Scale shape: signal→frames→peaks→landmarks is pure scan-stage
+    * array work (content never shuffles — the landmark table carries
+    * (lm, media_id) ints); candidate pairs come from ONE landmark-
+    * keyed self-join; the pair rollup and per-item window are keyed
+    * and bounded. Output: one row per audio item. HASH-MATCHED. */
+  val q229 = QueryDef.oracle("q229_audio_landmark_dedup", {
+    s"""WITH au AS (
+       |  SELECT doc_id AS media_id,
+       |         list_transform(string_split(text, ''),
+       |                        c -> CAST(unicode(c) AS BIGINT)) AS cs
+       |  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1),
+       |pk AS (
+       |  SELECT media_id,
+       |         CASE WHEN len(cs) >= $AudioW THEN
+       |           [list_max(cs[f * $AudioHop + 1 : f * $AudioHop + $AudioW])
+       |            FOR f IN range(0, (len(cs) - $AudioW) // $AudioHop + 1)]
+       |         ELSE [] END AS peaks
+       |  FROM au),
+       |lmrow AS (
+       |  SELECT DISTINCT media_id, lm FROM (
+       |    SELECT media_id,
+       |           unnest(CASE WHEN len(peaks) > $AudioGap THEN
+       |             [peaks[f + 1] * 1000003 + peaks[f + 1 + $AudioGap]
+       |              FOR f IN range(0, len(peaks) - $AudioGap)]
+       |           ELSE [] END) AS lm
+       |    FROM pk)),
+       |nl AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_landmarks
+       |       FROM lmrow GROUP BY 1),
+       |capd AS (SELECT lm FROM lmrow GROUP BY lm
+       |         HAVING count(*) BETWEEN 2 AND $AudioCap),
+       |sh AS (SELECT a.media_id AS ia, b.media_id AS ib,
+       |              CAST(count(*) AS BIGINT) AS shared
+       |       FROM lmrow a JOIN capd USING (lm) JOIN lmrow b USING (lm)
+       |       WHERE a.media_id < b.media_id
+       |       GROUP BY 1, 2 HAVING count(*) >= $AudioMinShared),
+       |und AS (SELECT ia AS media_id, ib AS p, shared FROM sh
+       |        UNION ALL SELECT ib, ia, shared FROM sh),
+       |best AS (SELECT media_id, p, shared FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+       |             ORDER BY shared DESC, p) AS rn FROM und) WHERE rn = 1),
+       |np AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_partners
+       |       FROM und GROUP BY 1)
+       |SELECT nl.media_id, nl.n_landmarks,
+       |       COALESCE(np.n_partners, CAST(0 AS BIGINT)) AS n_partners,
+       |       b.p AS best_partner, b.shared AS best_shared,
+       |       CASE WHEN b.p IS NOT NULL THEN
+       |         CAST((1000000 * b.shared) // least(nl.n_landmarks, pn.n_landmarks)
+       |              AS BIGINT) END AS containment_ppm
+       |FROM nl LEFT JOIN np USING (media_id) LEFT JOIN best b USING (media_id)
+       |        LEFT JOIN nl pn ON pn.media_id = b.p"""
+      .stripMargin})(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val au = Tables.documents(s, d)
+        .filter((col("doc_id") % 3).cast("int") === 1)
+        .select(col("doc_id").as("media_id"),
+          expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+            .as("cs"))
+      val pk = au.select(col("media_id"), expr(
+        s"""IF(size(cs) >= $AudioW,
+           |  transform(
+           |    sequence(0, (size(cs) - $AudioW) div $AudioHop),
+           |    f -> array_max(slice(cs, f * $AudioHop + 1, $AudioW))),
+           |  CAST(array() AS array<bigint>))""".stripMargin)
+        .as("peaks"))
+      val lmrow = pk.select(col("media_id"), explode(expr(
+        s"""IF(size(peaks) > $AudioGap,
+           |  transform(
+           |    sequence(0, size(peaks) - $AudioGap - 1),
+           |    f -> element_at(peaks, f + 1) * 1000003
+           |         + element_at(peaks, f + 1 + $AudioGap)),
+           |  CAST(array() AS array<bigint>))""".stripMargin))
+        .as("lm")).distinct()
+        .localCheckpoint(false) // shared by counts, the cap, and both join sides
+      val nl = lmrow.groupBy("media_id").agg(count(lit(1)).as("n_landmarks"))
+      val capd = lmrow.groupBy("lm").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs").between(2, AudioCap)).select("lm")
+      val sh = lmrow.join(capd, Seq("lm"))
+        .select(col("lm"), col("media_id").as("ia"))
+        .join(lmrow.select(col("lm"), col("media_id").as("ib")), Seq("lm"))
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= AudioMinShared)
+      val und = sh.select(col("ia").as("media_id"), col("ib").as("p"), col("shared"))
+        .unionByName(sh.select(col("ib").as("media_id"), col("ia").as("p"),
+          col("shared")))
+      val w = Window.partitionBy("media_id")
+        .orderBy(col("shared").desc, col("p"))
+      val best = und.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("media_id", "p", "shared")
+      val np = und.groupBy("media_id").agg(count(lit(1)).as("n_partners"))
+      nl.join(np, Seq("media_id"), "left")
+        .join(best, Seq("media_id"), "left")
+        .join(nl.select(col("media_id").as("p"), col("n_landmarks").as("nlp")),
+          Seq("p"), "left")
+        .select(col("media_id"), col("n_landmarks"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          col("p").as("best_partner"), col("shared").as("best_shared"),
+          when(col("p").isNotNull,
+            expr("(1000000 * shared) div least(n_landmarks, nlp)"))
+            .as("containment_ppm"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179, q229)
 }
