@@ -498,6 +498,47 @@ object PlanCheck {
       "recall audit rides the pinned gram sets + the stored admitted pairs; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q216_admission_recall_audit",
+      "incremental-direction recall audit: same pinned-artifact shape as q195",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    check("q217_span_gate_audit",
+      "span-gate audit: both gram inventories read from stored catalog artifacts; no cartesian",
+      p => p.contains("graft_gpos3_") && p.contains("graft_gpos5_") &&
+        !p.contains("CartesianProduct"))
+    check("q218_gopher_rules",
+      "rule battery is pure scan-stage row work (no Exchange anywhere)",
+      p => !p.contains("Exchange"))
+    check("q219_bigram_repetition",
+      "bigram repetition: map-side partial agg; doc window reuses the doc_id partitioning",
+      p => p.contains("partial_count") && p.contains("hashpartitioning"))
+    check("q220_source_entropy",
+      "entropy: vocab-bounded map-side-combined aggregates, text never shuffles",
+      p => p.contains("partial_count") && p.contains("hashpartitioning"))
+    check("q221_bootstrap_quality_ci",
+      "bootstrap: replicate rollups combine map-side; no cartesian",
+      p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
+    // q222's per-round argmaxes run EAGERLY at frame-build time (1-row
+    // localCheckpoint pins, q174's lesson) — each intermediate pick plan
+    // rides TakeOrderedAndProject, but the FINAL plan only shows the
+    // pinned picks (ExistingRDD) plus the radius pass's broadcast.
+    check("q222_kcenter_coreset",
+      "coreset: picks pinned (ExistingRDD); radius pass against 1-row broadcast centers",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q223_filter_calibration",
+      "calibration: vocab-bounded LM chain, scan-stage quality, doc-keyed join; no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    check("q226_sq8_error_profile",
+      "sq8 audit: posexplode collapsed map-side into the 64-group aggregate (q192's shape)",
+      p => p.contains("partial_sum") && p.contains("hashpartitioning"))
+    check("q228_hard_negatives",
+      "hard negatives: centroids broadcast; the pair stage is cluster-KEYED, never cartesian",
+      p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q229_audio_landmark_dedup",
+      "audio landmarks: scan-stage signal work; pair join landmark-keyed, no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -571,7 +612,13 @@ object PlanCheck {
         "q208_fold_leakage", "q209_incremental_chunk_overlap",
         "q210_padding_waste", "q211_pq_code_usage",
         "q212_seasonal_anomaly", "q213_cluster_size_histogram",
-        "q214_budget_apportionment", "q215_crossmodal_gate")
+        "q214_budget_apportionment", "q215_crossmodal_gate",
+        "q216_admission_recall_audit", "q217_span_gate_audit",
+        "q218_gopher_rules", "q219_bigram_repetition",
+        "q220_source_entropy", "q221_bootstrap_quality_ci",
+        "q222_kcenter_coreset", "q223_filter_calibration",
+        "q226_sq8_error_profile", "q228_hard_negatives",
+        "q229_audio_landmark_dedup")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)
