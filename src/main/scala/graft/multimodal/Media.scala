@@ -189,4 +189,34 @@ object Media {
     }
     fp
   }
+
+  /** Distinct constellation landmark codes of a byte signal — the
+    * Scala kernel of q229's math for the streaming ingest gate: frame
+    * the unsigned byte values (width `w`, hop `hop`), take each
+    * frame's peak (max), hash anchor peaks against the peak `gap`
+    * frames later (p·1000003 + p'). Byte values equal the SQL chain's
+    * `unicode(c)` codepoints on ASCII content (this corpus; the spec
+    * pins per-item set agreement against the engine's own SQL-side
+    * chain). Short signals yield an empty set, matching the SQL
+    * guards. */
+  def audioLandmarks(content: Array[Byte], w: Int, hop: Int, gap: Int): Array[Long] = {
+    val n = content.length
+    if (n < w) return Array.empty
+    val nf = (n - w) / hop + 1
+    val peaks = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var m = 0L
+      var j = f * hop
+      val e = j + w
+      while (j < e) { val v = (content(j) & 0xFF).toLong; if (v > m) m = v; j += 1 }
+      peaks(f) = m
+      f += 1
+    }
+    if (nf <= gap) return Array.empty
+    val out = new scala.collection.mutable.LinkedHashSet[Long]
+    f = 0
+    while (f < nf - gap) { out += peaks(f) * 1000003L + peaks(f + gap); f += 1 }
+    out.toArray
+  }
 }

@@ -249,6 +249,37 @@ object MultimodalQueries {
   private[graft] val AudioCap = 50
   private[graft] val AudioMinShared = 4
 
+  /** The engine's audio landmark inventory — (media_id, lm) DISTINCT
+    * rows over the audio modality, q229's signal→frames→peaks→landmark
+    * chain as ONE Spark definition, shared by q229 and the streaming
+    * gate's index side / spec (`MediaStreams.landmarkGate`), so the
+    * batch query, the gate, and the Scala byte kernel
+    * ([[graft.multimodal.Media.audioLandmarks]]) are pinned to the
+    * same codes. */
+  private[graft] def audioLandmarkRows(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val au = Tables.documents(s, d)
+      .filter((col("doc_id") % 3).cast("int") === 1)
+      .select(col("doc_id").as("media_id"),
+        expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+          .as("cs"))
+    val pk = au.select(col("media_id"), expr(
+      s"""IF(size(cs) >= $AudioW,
+         |  transform(
+         |    sequence(0, (size(cs) - $AudioW) div $AudioHop),
+         |    f -> array_max(slice(cs, f * $AudioHop + 1, $AudioW))),
+         |  CAST(array() AS array<bigint>))""".stripMargin)
+      .as("peaks"))
+    pk.select(col("media_id"), explode(expr(
+      s"""IF(size(peaks) > $AudioGap,
+         |  transform(
+         |    sequence(0, size(peaks) - $AudioGap - 1),
+         |    f -> element_at(peaks, f + 1) * 1000003
+         |         + element_at(peaks, f + 1 + $AudioGap)),
+         |  CAST(array() AS array<bigint>))""".stripMargin))
+      .as("lm")).distinct()
+  }
+
   /** AUDIO FINGERPRINT dedup — constellation landmark hashing (the
     * Shazam/Chromaprint family), completing the per-modality dedup
     * triptych: text has span/MinHash dedup, images have q177's pHash,
@@ -321,26 +352,7 @@ object MultimodalQueries {
       .stripMargin})(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val au = Tables.documents(s, d)
-        .filter((col("doc_id") % 3).cast("int") === 1)
-        .select(col("doc_id").as("media_id"),
-          expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
-            .as("cs"))
-      val pk = au.select(col("media_id"), expr(
-        s"""IF(size(cs) >= $AudioW,
-           |  transform(
-           |    sequence(0, (size(cs) - $AudioW) div $AudioHop),
-           |    f -> array_max(slice(cs, f * $AudioHop + 1, $AudioW))),
-           |  CAST(array() AS array<bigint>))""".stripMargin)
-        .as("peaks"))
-      val lmrow = pk.select(col("media_id"), explode(expr(
-        s"""IF(size(peaks) > $AudioGap,
-           |  transform(
-           |    sequence(0, size(peaks) - $AudioGap - 1),
-           |    f -> element_at(peaks, f + 1) * 1000003
-           |         + element_at(peaks, f + 1 + $AudioGap)),
-           |  CAST(array() AS array<bigint>))""".stripMargin))
-        .as("lm")).distinct()
+      val lmrow = audioLandmarkRows(s, d)
         .localCheckpoint(false) // shared by counts, the cap, and both join sides
       val nl = lmrow.groupBy("media_id").agg(count(lit(1)).as("n_landmarks"))
       val capd = lmrow.groupBy("lm").agg(count(lit(1)).as("n_docs"))

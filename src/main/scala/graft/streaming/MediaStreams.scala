@@ -101,4 +101,64 @@ object MediaStreams {
           }
       }
   }
+
+  final case class LmRow(media_id: Long, ts: Timestamp, n_landmarks: Long,
+      lm: Option[Long], known: Option[Int])
+  final case class LandmarkVerdict(media_id: Long, n_landmarks: Long,
+      n_matched: Long, containment_ppm: Long, flagged: Boolean, ts: Timestamp)
+
+  /** Streaming AUDIO LANDMARK gate — the ingest-time form of q229's
+    * matching, in the stream-vs-stored-index shape of
+    * [[DocStreams.incrementalAdmission]]: each ARRIVING audio item's
+    * constellation landmarks ([[Media.audioLandmarks]], the Scala twin
+    * of q229's chain — per-item set agreement spec-pinned) are checked
+    * against the STORED landmark inventory via ONE stateless
+    * stream-static left-outer join; the per-item verdict folds with
+    * ZERO state (NoTimeout — an item's landmark rows all land in its
+    * arrival trigger). containment_ppm = matched/own landmarks, q229's
+    * dup signal; flagged at ≥ [[MultimodalQueries.AudioMinShared]]
+    * matches. Landmark-less items (short signals) flow through
+    * unflagged — the DocStreams degenerate convention.
+    *
+    * Scale: the arriving micro-batch is the only moving data; the join
+    * key is one 8-byte landmark code per distinct landmark, content
+    * bytes never leave the scan-side flatMap, and state is zero. */
+  def landmarkGate(
+      media: DataFrame,
+      idxLandmarks: DataFrame, // (lm) — DISTINCT stored landmark codes
+      watermark: String = "1 hour"): Dataset[LandmarkVerdict] = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    // primitives captured locally: closing over the MultimodalQueries
+    // module would drag its QueryDef graph into the task closure
+    // (observed as Task not serializable)
+    val mq = graft.operators.MultimodalQueries
+    val (lw, lhop, lgap, minShared) =
+      (mq.AudioW, mq.AudioHop, mq.AudioGap, mq.AudioMinShared)
+    val rows = media.as[MediaMsg]
+      .flatMap { m =>
+        val lms = Media.audioLandmarks(m.content, lw, lhop, lgap)
+        if (lms.isEmpty) Seq((m.media_id, m.ts, 0L, Option.empty[Long]))
+        else lms.toSeq.map(l => (m.media_id, m.ts, lms.length.toLong, Some(l)))
+      }
+      .toDF("media_id", "ts", "n_landmarks", "lm")
+      .withWatermark("ts", watermark)
+      .join(idxLandmarks.select(col("lm"), lit(1).as("known")),
+        Seq("lm"), "left_outer")
+      .select(col("media_id"), col("ts"), col("n_landmarks"), col("lm"),
+        col("known"))
+      .as[LmRow]
+    rows.groupByKey(_.media_id)
+      .flatMapGroupsWithState[Boolean, LandmarkVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[LmRow], _: GroupState[Boolean]) =>
+          val rs = it.toSeq
+          val n = rs.head.n_landmarks
+          val matched = rs.count(r => r.lm.isDefined && r.known.isDefined).toLong
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          val ppm = if (n > 0) 1000000L * matched / n else 0L
+          Iterator.single(LandmarkVerdict(id, n, matched, ppm,
+            flagged = matched >= minShared, ts))
+      }
+  }
 }
