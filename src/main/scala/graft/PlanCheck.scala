@@ -539,6 +539,22 @@ object PlanCheck {
       "audio landmarks: scan-stage signal work; pair join landmark-keyed, no cartesian",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q224_portable_hll",
+      "HLL: vocab distinct + 128-row-per-source rollup combine map-side; grids/tables broadcast; no cartesian",
+      p => p.contains("partial_max") && p.contains("BroadcastExchange") &&
+        scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
+    check("q225_length_bucket_waste",
+      "length buckets: scan-stage pow2 bit-smear; ONE map-side-combined (source,bucket) rollup",
+      p => p.contains("partial_count") && scans(p, "documents") == 1 &&
+        !p.contains("CartesianProduct"))
+    check("q227_label_scatter",
+      "label scatter: (label,dim) partials combine map-side; label rollup broadcast; one embeddings scan per side",
+      p => p.contains("partial_sum") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q230_benford_audit",
+      "benford: scan-stage digit ladder; map-side-combined (type,digit) counts; 9-row constants broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -617,8 +633,9 @@ object PlanCheck {
         "q218_gopher_rules", "q219_bigram_repetition",
         "q220_source_entropy", "q221_bootstrap_quality_ci",
         "q222_kcenter_coreset", "q223_filter_calibration",
-        "q226_sq8_error_profile", "q228_hard_negatives",
-        "q229_audio_landmark_dedup")
+        "q224_portable_hll", "q225_length_bucket_waste",
+        "q226_sq8_error_profile", "q227_label_scatter",
+        "q228_hard_negatives", "q229_audio_landmark_dedup")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

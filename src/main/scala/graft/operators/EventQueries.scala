@@ -319,6 +319,83 @@ object EventQueries {
           (col("n") * 2 < col("base_med")).as("quiet"))
     })
 
+  /** BENFORD first-digit audit — the forensic-accounting integrity
+    * check (Benford 1938; Nigrini's fraud screen) applied to the event
+    * value stream: per event_type, the observed first-significant-digit
+    * distribution of |value| in exact ppm next to Benford's expected
+    * log₁₀(1+1/d) mass. Fabricated, capped, or unit-mixed feeds bend
+    * this curve long before totals look wrong — the distributional
+    * sibling of q135's row-level integrity audit. Float-free pipeline:
+    * values quantize to integer CENTS (the repo's percentile
+    * convention), the first digit comes from a 15-step threshold LADDER
+    * (x ≥ 10ᵏ ⇒ digit = x div 10ᵏ) — no log10 at a power-of-10
+    * boundary for libms to disagree on — and the expected masses are
+    * shared integer ppm literals. Zero-cent values carry no leading
+    * digit and are excluded (counted nowhere, like Benford's own
+    * treatment); the (event_type × digit 1..9) grid is completed with
+    * zero rows so absent digits are visible. Scale shape: scan-stage
+    * digit extraction + ONE map-side-combined (event_type, digit)
+    * count + a 9-row broadcast grid/constants join — nothing else
+    * moves. HASH-MATCHED. */
+  val q230 = {
+    val benfordPpm =
+      Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+        51153L, 45757L)
+    val caseSql = (14 to 1 by -1).map { k =>
+      val p = math.pow(10, k).toLong
+      s"WHEN x >= $p THEN x // $p"
+    }.mkString("CASE ", " ", " ELSE x END")
+    val caseSpark = (14 to 1 by -1).map { k =>
+      val p = math.pow(10, k).toLong
+      s"WHEN x >= ${p}L THEN x div ${p}L"
+    }.mkString("CASE ", " ", " ELSE x END")
+    val valsSql = benfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    QueryDef.oracle("q230_benford_audit",
+      s"""WITH c AS (SELECT event_type,
+         |             ABS(CAST(round(value * 100) AS BIGINT)) AS x
+         |           FROM events
+         |           WHERE value IS NOT NULL AND round(value * 100) <> 0),
+         |dg AS (SELECT event_type, $caseSql AS digit FROM c),
+         |obs AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+         |        FROM dg GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+         |        FROM obs GROUP BY 1),
+         |grid AS (SELECT t.event_type, b.digit, b.exp_ppm, t.total
+         |         FROM tot t CROSS JOIN (VALUES $valsSql) AS b(digit, exp_ppm))
+         |SELECT g.event_type, CAST(g.digit AS BIGINT) AS digit,
+         |       COALESCE(o.n, 0) AS n,
+         |       CAST(COALESCE(o.n, 0) * 1000000 // g.total AS BIGINT) AS obs_ppm,
+         |       CAST(g.exp_ppm AS BIGINT) AS exp_ppm,
+         |       CAST(COALESCE(o.n, 0) * 1000000 // g.total - g.exp_ppm
+         |            AS BIGINT) AS dev_ppm
+         |FROM grid g LEFT JOIN obs o
+         |  ON g.event_type = o.event_type AND g.digit = o.digit""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.events(s, d)
+          .filter(col("value").isNotNull &&
+            round(col("value") * 100) =!= 0)
+          .select(col("event_type"),
+            abs(round(col("value") * 100).cast("long")).as("x"))
+        val obs = c.withColumn("digit", expr(caseSpark))
+          .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+        val tot = obs.groupBy("event_type").agg(sum("n").as("total"))
+        val bench = benfordPpm.zipWithIndex.map { case (p, i) =>
+          ((i + 1).toLong, p)
+        }.toDF("digit", "exp_ppm")
+        val grid = tot.crossJoin(broadcast(bench))
+        grid.join(obs, Seq("event_type", "digit"), "left")
+          .select(col("event_type"), col("digit"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            expr("CAST(COALESCE(n, 0L) * 1000000 div total AS BIGINT)")
+              .as("obs_ppm"),
+            col("exp_ppm"),
+            expr("CAST(COALESCE(n, 0L) * 1000000 div total - exp_ppm" +
+              " AS BIGINT)").as("dev_ppm"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212)
+    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230)
 }

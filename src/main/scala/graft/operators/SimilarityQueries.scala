@@ -1926,7 +1926,64 @@ object SimilarityQueries {
           sum(col("err") * col("err")).as("sumsq_err"))
     })
 
+  /** LABEL-COHERENCE scatter audit — the within-class half of the
+    * separability question q163's centroid-overlap matrix asks between
+    * classes: per label, the exact within-label scatter
+    * Σ‖x−μ‖² computed WITHOUT materializing μ via the moment identity
+    * n·Σ‖x‖² − ‖Σx‖² (= n²·avg squared deviation, exact in integers —
+    * no per-row subtraction against a rounded centroid, no floats). A
+    * label whose mean squared deviation rivals the global spread is
+    * incoherent — mislabeled or a catch-all — and a contrastive /
+    * classifier training run wants it flagged before it poisons the
+    * margin. All math in q192's quantized micro-units: per-(label, dim)
+    * sums accumulate in DECIMAL(38,0)/HUGEINT (128-bit-safe per the r9
+    * ADVICE convention), the scatter ships as VARCHAR (q149's wire
+    * rule) next to BIGINT per-vector means both engines truncate
+    * identically. Scale shape: ONE corpus scan → map-side-combined
+    * (label, dim) aggregate (≤ |labels|·64 partial states on the
+    * exchange) → |labels|-row rollup; the n_vecs side is a second
+    * label-keyed count joined broadcast. Output: one row per label.
+    * HASH-MATCHED. */
+  val q227 = QueryDef.oracle("q227_label_scatter", {
+    s"""WITH $iqCte,
+       |il AS (SELECT iq.vec_id, e.label, iq.v
+       |       FROM iq JOIN embeddings e USING (vec_id)),
+       |e AS (SELECT label, unnest([{'dim': i - 1, 'q': v[i]}
+       |                     FOR i IN range(1, len(v) + 1)], recursive := true)
+       |      FROM il),
+       |g1 AS (SELECT label, dim,
+       |         SUM(CAST(q AS HUGEINT)) AS s,
+       |         SUM(CAST(q AS HUGEINT) * q) AS ss
+       |       FROM e GROUP BY 1, 2),
+       |g2 AS (SELECT label, SUM(ss) AS total_ss, SUM(s * s) AS sum_s2
+       |       FROM g1 GROUP BY 1),
+       |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM il GROUP BY 1)
+       |SELECT n.label, n.n_vecs,
+       |       CAST(n.n_vecs * g2.total_ss - g2.sum_s2 AS VARCHAR) AS scatter,
+       |       CAST((n.n_vecs * g2.total_ss - g2.sum_s2)
+       |            // (n.n_vecs * n.n_vecs) AS BIGINT) AS msd_e8
+       |FROM n JOIN g2 USING (label)""".stripMargin})(
+    (s, d) => {
+      val il = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("v"))
+      val e = il.select(col("label"), posexplode(col("v")).as(Seq("dim", "q")))
+      val g1 = e.groupBy("label", "dim")
+        .agg(sum(col("q").cast("decimal(38,0)")).as("s"),
+          sum(col("q").cast("decimal(38,0)") * col("q")).as("ss"))
+      val g2 = g1.groupBy("label")
+        .agg(sum("ss").as("total_ss"), sum(expr("s * s")).as("sum_s2"))
+      val n = il.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      n.join(broadcast(g2), Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) * total_ss - sum_s2" +
+            " AS STRING)").as("scatter"),
+          expr("CAST((CAST(n_vecs AS DECIMAL(38,0)) * total_ss - sum_s2)" +
+            " div (n_vecs * n_vecs) AS BIGINT)").as("msd_e8"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
-      q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q228)
+      q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
+      q228)
 }

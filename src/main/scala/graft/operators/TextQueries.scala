@@ -981,7 +981,179 @@ object TextQueries {
           expr("bits_sum div n_total").as("entropy_micro_bits"))
     })
 
+  /** PORTABLE HyperLogLog — the hash-MATCHED sketch the q25 ledger row
+    * says engine-native sketches can't be: per-source distinct-token
+    * cardinality estimated by a 128-bucket HLL built ENTIRELY from the
+    * engine-portable hash family, next to the exact answer and the
+    * error it made. Because every bit of the sketch (bucket index, rank,
+    * harmonic sum, α correction) is exact integer arithmetic over
+    * [[graft.functions.PortableHashKernels]] streams, DuckDB replays the
+    * whole estimator bit-for-bit — the DECLARED result is the estimate
+    * itself, not a rows-only row count. The 30-bit base hash is widened
+    * to ~60 bits via two independent affine streams (h1·P + h2): the
+    * top bits (which set the rank geometry down to ρ ≈ 25, far past the
+    * ρ ≈ log2(n/m)+3 this corpus reaches) come from the uniform h1.
+    * Rank extraction is float-free: bit-smear (w |= w>>1 … w>>32) then
+    * `bit_count` gives the MSB position in pure integer ops — no log2
+    * at a power-of-2 boundary to disagree on. ρ lives in a 53-bit frame
+    * (w < P²/128 < 2⁵³), empty buckets fold in ALGEBRAICALLY
+    * ((m − occupied)·2⁵⁴ added to the harmonic sum — no bucket grid,
+    * no second corpus branch), and the harmonic sum Σ2^(54−ρ) ≤ 128·2⁵⁴ sits in
+    * int64; only the α·m²·2⁵⁴ numerator widens to DECIMAL(38,0)/HUGEINT
+    * (internal — BIGINT on the wire, q149's rule). α₁₂₈ = 0.715271 is a
+    * shared ppm literal. The small-range (linear-counting) correction —
+    * raw ≤ 2.5m with empty buckets ⇒ est = m·ln(m/V) — would reopen
+    * the q205 ln() platform seam, EXCEPT that with m = 128 the
+    * correction has only 128 possible values: they are precomputed once
+    * in Scala and embedded as the SAME 128-entry integer literal table
+    * in both engines (the Benford-constant trick), so the full
+    * Flajolet HLL estimator is replayed with zero float evaluation at
+    * query time. Scale shape: ONE corpus scan in ONE linear chain —
+    * distinct (source, token) aggregate (vocab-sized, map-side
+    * combined), then a 128-row-per-source (max, count) rollup that
+    * carries the exact distinct count alongside the sketch, so the
+    * exact/estimate comparison costs no extra pass. `SketchAccuracySpec`
+    * gates the estimate against HLL theory (σ = 1.04/√128 ≈ 9.2%).
+    * HASH-MATCHED. */
+  val q224 = {
+    import graft.functions.PortableHashKernels.{a, b}
+    val (a1, b1, a2, b2) = (a(11), b(11), a(12), b(12))
+    // linear-counting table: V empty buckets -> round(m * ln(m / V)),
+    // computed HERE so both engines read identical integer literals
+    val lcVals = (1 to 128).map(v =>
+      s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
+    QueryDef.oracle("q224_portable_hll",
+      s"""WITH toks AS (SELECT source, unnest(list_filter(
+         |                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+         |              FROM documents),
+         |dt AS (SELECT DISTINCT source, tok FROM toks),
+         |h AS (SELECT source,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(tok, ''),
+         |            c -> CAST(unicode(c) AS BIGINT))),
+         |          (a, b) -> (a * 131 + b) % 1000000007) AS th
+         |      FROM dt),
+         |wd AS (SELECT source,
+         |         ((th * $a1 + $b1) % 1000000007) * 1000000007
+         |           + ((th * $a2 + $b2) % 1000000007) AS comb
+         |       FROM h),
+         |bw AS (SELECT source, comb % 128 AS bucket, comb // 128 AS w FROM wd),
+         |m1 AS (SELECT source, bucket, w | (w >> 1) AS w FROM bw),
+         |m2 AS (SELECT source, bucket, w | (w >> 2) AS w FROM m1),
+         |m3 AS (SELECT source, bucket, w | (w >> 4) AS w FROM m2),
+         |m4 AS (SELECT source, bucket, w | (w >> 8) AS w FROM m3),
+         |m5 AS (SELECT source, bucket, w | (w >> 16) AS w FROM m4),
+         |m6 AS (SELECT source, bucket, w | (w >> 32) AS w FROM m5),
+         |r AS (SELECT source, bucket,
+         |        MAX(54 - CAST(bit_count(w) AS BIGINT)) AS mx,
+         |        CAST(count(*) AS BIGINT) AS cnt
+         |      FROM m6 GROUP BY 1, 2),
+         |z AS (SELECT source,
+         |        CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - mx AS INTEGER))
+         |             + (128 - count(*)) * 18014398509481984 AS BIGINT) AS zs,
+         |        CAST(128 - count(*) AS BIGINT) AS n_empty,
+         |        CAST(SUM(cnt) AS BIGINT) AS n_exact
+         |      FROM r GROUP BY 1),
+         |raw AS (SELECT source, n_exact, n_empty,
+         |          CAST(CAST(715271 AS HUGEINT) * 16384 * 18014398509481984
+         |               // zs // 1000000 AS BIGINT) AS raw_est
+         |        FROM z),
+         |est AS (SELECT r.source, r.n_exact, r.n_empty,
+         |          CAST(CASE WHEN r.n_empty > 0 AND r.raw_est <= 320
+         |               THEN lc.lc_est ELSE r.raw_est END AS BIGINT) AS est_hll
+         |        FROM raw r LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |          ON r.n_empty = lc.v)
+         |SELECT source, n_exact, n_empty, est_hll,
+         |       CAST((est_hll - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+         |FROM est""".stripMargin)(
+      (s, d) => {
+        val dt = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .distinct()
+        val bw = dt
+          .withColumn("th", portableStringHash(col("tok")))
+          .withColumn("comb", expr(
+            s"((th * ${a1}L + ${b1}L) % 1000000007L) * 1000000007L" +
+              s" + ((th * ${a2}L + ${b2}L) % 1000000007L)"))
+          .select(col("source"), expr("comb % 128L").as("bucket"),
+            expr("comb div 128L").as("w"))
+        val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, k) =>
+          df.withColumn("w", expr(s"w | shiftright(w, $k)")))
+        val r = sm
+          .withColumn("rho", expr("54L - CAST(bit_count(w) AS BIGINT)"))
+          .groupBy("source", "bucket")
+          .agg(max("rho").as("mx"), count(lit(1)).as("cnt"))
+        val z = r.groupBy("source")
+          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mx AS INT))"))
+            + (lit(128L) - count(lit(1))) * 18014398509481984L).as("zs"),
+            (lit(128L) - count(lit(1))).as("n_empty"),
+            sum("cnt").cast("long").as("n_exact"))
+        val lc = (1 to 128).map(v =>
+          (v.toLong, math.round(128.0 * math.log(128.0 / v))))
+        val lcDf = s.createDataFrame(lc).toDF("v", "lc_est")
+        z.withColumn("raw_est", expr(
+            "CAST(CAST(715271 AS DECIMAL(38,0)) * 16384 * 18014398509481984" +
+              " div zs div 1000000 AS BIGINT)"))
+          .join(broadcast(lcDf), col("n_empty") === col("v"), "left")
+          .withColumn("est_hll", expr(
+            "CAST(CASE WHEN n_empty > 0 AND raw_est <= 320" +
+              " THEN lc_est ELSE raw_est END AS BIGINT)"))
+          .select(col("source"), col("n_exact"), col("n_empty"), col("est_hll"),
+            expr("CAST((est_hll - n_exact) * 1000000 div n_exact AS BIGINT)")
+              .as("err_ppm"))
+      })
+  }
+
+  /** Length-BUCKETED batching waste — the dynamic-batching counterpart
+    * of q210's pad-to-512 accounting: docs are binned to the next
+    * power-of-two token length (clamped to [16, 1024], long docs
+    * truncated at the cap — q210's convention), the way a serving /
+    * fine-tuning stack pads within length-sorted batches instead of to
+    * one global max. Per (source, bucket): docs, real tokens, padded
+    * slots, waste in exact ppm — read next to q210's ~88% global-pad
+    * waste, this is the measured case FOR length bucketing. The next-
+    * pow2 is the same float-free bit-smear kernel as q224's rank
+    * extraction (v = m−1 smeared, +1), so the whole table is integer-
+    * exact on both engines. Scan-stage per-doc math + ONE map-side-
+    * combined (source, bucket) rollup — nothing else moves. HASH-
+    * MATCHED. */
+  val q225 = QueryDef.oracle("q225_length_bucket_waste",
+    """WITH n AS (SELECT doc_id, source,
+      |             LEAST(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT),
+      |                   1024) AS c
+      |           FROM documents),
+      |v AS (SELECT source, c, GREATEST(c, 16) - 1 AS v FROM n),
+      |s1 AS (SELECT source, c, v | (v >> 1) AS v FROM v),
+      |s2 AS (SELECT source, c, v | (v >> 2) AS v FROM s1),
+      |s3 AS (SELECT source, c, v | (v >> 4) AS v FROM s2),
+      |s4 AS (SELECT source, c, v | (v >> 8) AS v FROM s3),
+      |b AS (SELECT source, c, v + 1 AS bucket FROM s4)
+      |SELECT source, bucket,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |       CAST(bucket * count(*) AS BIGINT) AS n_slots,
+      |       CAST(bucket * count(*) - SUM(c) AS BIGINT) AS waste,
+      |       CAST((bucket * count(*) - SUM(c)) * 1000000
+      |            // (bucket * count(*)) AS BIGINT) AS waste_ppm
+      |FROM b GROUP BY source, bucket""".stripMargin)(
+    (s, d) => {
+      val n = Tables.documents(s, d).select(col("source"),
+        least(tokenCount(col("text")).cast("long"), lit(1024L)).as("c"))
+      val v0 = n.withColumn("v", greatest(col("c"), lit(16L)) - 1L)
+      val b = Seq(1, 2, 4, 8).foldLeft(v0)((df, k) =>
+        df.withColumn("v", expr(s"v | shiftright(v, $k)")))
+        .withColumn("bucket", col("v") + 1L)
+      b.groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("c").as("n_tokens"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("bucket") * col("n_docs")).as("n_slots"),
+          (col("bucket") * col("n_docs") - col("n_tokens")).as("waste"),
+          expr("CAST((bucket * n_docs - n_tokens) * 1000000" +
+            " div (bucket * n_docs) AS BIGINT)").as("waste_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168, q173, q174, q200, q201, q210, q220)
+      q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225)
 }

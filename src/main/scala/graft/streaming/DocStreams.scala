@@ -498,4 +498,67 @@ object DocStreams {
     * time and any other feed columns pass through. */
   def gopherGate(docs: DataFrame): DataFrame =
     graft.operators.CurationQueries.gopherRuleFrame(docs)
+
+  final case class PackIn(doc_id: Long, ts: Timestamp, source: String,
+      n_tok: Option[Long])
+  final case class PackAssign(doc_id: Long, source: String,
+      n_tokens: Option[Long], cum_before: Long, start_chunk: Long,
+      end_chunk: Option[Long], n_chunks: Option[Long], ts: Timestamp)
+
+  /** Streaming PACK ASSEMBLER — the ingest-time form of q77's
+    * concat-and-chunk sequence packing, and (unlike the stateless
+    * gates) a genuinely STATEFUL intake operator: chunk assignment
+    * depends on every token that streamed in before you. State per
+    * source is ONE long — the cumulative token count — so the store is
+    * O(|sources|) forever, no eviction needed (packing is a monotone
+    * fold, not a window). Each arriving doc is assigned its
+    * start/end/n_chunks exactly as q77 computes them (integer division
+    * against [[graft.operators.TextQueries]]'s 512-token chunk size by
+    * default), and the state advances by the doc's token count.
+    *
+    * Ordering contract (the determinism seam every packing system has):
+    * q77 packs in (source, doc_id) order. Within a trigger the group's
+    * rows are sorted by doc_id before folding; ACROSS triggers the
+    * caller must deliver each source's docs in nondecreasing doc_id
+    * order (the natural shape for an append-only intake feed) — then
+    * the stream replays q77's assignment bit-for-bit, which
+    * `PackAssemblerStreamSpec` pins across a multi-trigger feed. NULL-
+    * text docs mirror the batch column semantics exactly: n_tokens /
+    * end_chunk / n_chunks NULL, cum_before and start_chunk real, and
+    * the cumulative count does not advance (SUM skips NULLs).
+    *
+    * Scale shape: one shuffle keyed on source (the same key the batch
+    * window uses); the exchange carries (doc_id, ts, source, one long).
+    * Token counting rides the scan stage. */
+  def packAssembler(
+      docs: DataFrame,
+      chunkTokens: Long = 512L,
+      watermark: String = "1 hour"): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+      .as[PackIn]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rs: Iterator[PackIn], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rs.toSeq.sortBy(_.doc_id).map { r =>
+            val before = cum
+            cum += r.n_tok.getOrElse(0L)
+            val start = before / chunkTokens
+            val end = r.n_tok.flatMap(n =>
+              if (n == 0) None else Some((before + n - 1) / chunkTokens))
+            val nChunks = r.n_tok.map(n =>
+              if (n == 0) 0L else (before + n - 1) / chunkTokens - start + 1)
+            PackAssign(r.doc_id, source, r.n_tok, before, start, end,
+              nChunks, r.ts)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

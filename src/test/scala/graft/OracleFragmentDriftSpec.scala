@@ -209,7 +209,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q182_prototype_selection", "q192_embedding_dim_stats",
         "q197_power_iteration", "q198_semantic_decontam",
         "q204_whitening_residuals", "q211_pq_code_usage",
-        "q222_kcenter_coreset", "q228_hard_negatives")
+        "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true

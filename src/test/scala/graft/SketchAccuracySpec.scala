@@ -48,4 +48,22 @@ class SketchAccuracySpec extends SparkSpec {
         s"$k: approx median $approx vs exact $med")
     }
   }
+
+  test("q224 portable HLL within estimator error bounds of the exact count per source") {
+    // raw-HLL sigma with m=128 is 1.04/sqrt(128) = 9.2% relative (gate
+    // 3.8 sigma = 35%); the linear-counting regime (small sources — this
+    // corpus's templated vocab lives there) is far tighter, gated at
+    // max(8, 15%). The regime split is the query's own 2.5m rule.
+    val hll = SparkEntry.queries("q224_portable_hll")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hll.nonEmpty)
+    hll.foreach { case (src, (exactN, nEmpty, est)) =>
+      val bound =
+        if (nEmpty > 0 && est <= 320) math.max(8.0, exactN * 0.15)
+        else exactN * 0.35
+      assert(math.abs(est - exactN) <= bound,
+        s"$src: HLL est $est vs exact $exactN (empty buckets: $nEmpty)")
+    }
+  }
 }
