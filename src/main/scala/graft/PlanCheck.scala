@@ -555,6 +555,16 @@ object PlanCheck {
       "benford: scan-stage digit ladder; map-side-combined (type,digit) counts; 9-row constants broadcast",
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    check("q231_cluster_salient_terms",
+      "cluster terms: closure pinned (ExistingRDD); tf/df rollups map-side; per-cluster keyed window",
+      p => p.contains("ExistingRDD") && p.contains("partial_count") &&
+        p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
+    check("q232_hubness_histogram",
+      "hubness: centroids broadcast; nn pairs cluster-KEYED; bounded degree rollups; no cartesian",
+      p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q233_sampled_percentile_error",
+      "sampled percentile: two event_type-keyed rank windows; no global window, no cartesian",
+      p => p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -635,7 +645,8 @@ object PlanCheck {
         "q222_kcenter_coreset", "q223_filter_calibration",
         "q224_portable_hll", "q225_length_bucket_waste",
         "q226_sq8_error_profile", "q227_label_scatter",
-        "q228_hard_negatives", "q229_audio_landmark_dedup")
+        "q228_hard_negatives", "q229_audio_landmark_dedup",
+        "q231_cluster_salient_terms", "q232_hubness_histogram")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -1686,6 +1686,96 @@ object DedupQueries {
   val q195 = QueryDef.oracle("q195_lsh_recall_audit",
     recallAuditOracle(""))((s, d) => recallAuditFrame(s, d, crossOnly = false))
 
+  /** PER-CLUSTER SALIENT TERMS — dedup forensics one level deeper than
+    * q213's size histogram: not how big the near-dup clusters are but
+    * WHAT CONTENT they hold, as each multi-document cluster's top-3
+    * distinguishing terms by cluster-grain c-TF-IDF (q161's scoring —
+    * tf·ln(N/df) rounded to 4 places, the same sanctioned double —
+    * with clusters standing where q161 put sources). The report a
+    * curation owner reads to see whether mega-clusters are boilerplate
+    * templates, mirrored press releases, or genuine popular content —
+    * which decides remediation exactly like q213 decides mechanism.
+    * Cluster labels come from q56's shared transitive closure over the
+    * STORED scored-pairs artifact (one drift-pinned edge definition);
+    * single-doc clusters carry no duplication signal and are excluded
+    * before any token work, so the explode only touches documents that
+    * are actually duplicated. Scale shape: closure as q56 (bounded
+    * per-round (id, label) pairs), then ONE scan of the clustered
+    * subset → map-side-combined (cluster, token) counts → vocab-sized
+    * cluster-df rollup → per-cluster keyed top-3 window (never
+    * global). Output: 3 rows per multi-doc cluster. HASH-MATCHED. */
+  val q231 = QueryDef.oracle("q231_cluster_salient_terms", {
+    val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |undir AS (SELECT ia AS a, ib AS b FROM kept UNION SELECT ib, ia FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN min(r.b) IS NULL THEN d.doc_id
+       |              ELSE LEAST(d.doc_id, min(r.b)) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY cluster_id),
+       |multi AS (SELECT cluster_id, cluster_size FROM sizes
+       |          WHERE cluster_size >= 2),
+       |ctoks AS (SELECT m.cluster_id, m.cluster_size,
+       |            unnest(list_filter(regexp_split_to_array(d.text, '\\s+'),
+       |                               x -> x <> '')) AS tok
+       |          FROM documents d
+       |          JOIN comp c ON d.doc_id = c.doc_id
+       |          JOIN multi m ON c.cluster_id = m.cluster_id),
+       |tf AS (SELECT cluster_id, cluster_size, tok,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |       FROM ctoks GROUP BY 1, 2, 3),
+       |cdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cl_df FROM tf GROUP BY 1),
+       |ncl AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters FROM multi),
+       |scored_t AS (SELECT tf.cluster_id, tf.cluster_size, tf.tok, tf.tf,
+       |               cdf.cl_df,
+       |               round(tf.tf * ln(CAST(ncl.n_clusters AS DOUBLE) / cdf.cl_df),
+       |                     4) AS score
+       |             FROM tf JOIN cdf USING (tok), ncl)
+       |SELECT cluster_id, cluster_size, tok, tf, cl_df, score, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                 ORDER BY score DESC, tok) AS BIGINT) AS rnk
+       |  FROM scored_t)
+       |WHERE rnk <= 3""".stripMargin})(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val edges = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val comp = Components.connectedComponents(vertices, edges)
+      val multi = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") >= 2)
+      val clustered = comp.join(multi, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+      val tf = Tables.documents(s, d).join(clustered, "doc_id")
+        .select(col("cluster_id"), col("cluster_size"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("cluster_id", "cluster_size", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy("tok").agg(count(lit(1)).as("cl_df"))
+      val ncl = multi.agg(count(lit(1)).as("n_clusters"))
+      val scored = tf.join(cdf, Seq("tok")).crossJoin(broadcast(ncl))
+        .select(col("cluster_id"), col("cluster_size"), col("tok"), col("tf"),
+          col("cl_df"),
+          round(col("tf") * log(col("n_clusters").cast("double") / col("cl_df")),
+            4).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("cluster_id", "cluster_size", "tok", "tf", "cl_df", "score",
+          "rnk")
+    })
+
   /** STREAMING ADMISSION GATE recall audit (r9 verdict task 7): q195's
     * audit convention applied to the incremental ingest gate — the
     * direction `DocStreams.incrementalAdmission` (≡ batch q148, pinned
@@ -1948,5 +2038,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217)
+      q209, q213, q216, q217, q231)
 }

@@ -396,6 +396,79 @@ object EventQueries {
       })
   }
 
+  /** SAMPLED-PERCENTILE error audit — the number that prices the
+    * engine's deterministic hash sampling (q45's md5 convention) for
+    * STATISTICS rather than row selection: per event_type, the exact
+    * lower median of integer cents next to the same median computed on
+    * the 1/16 md5(event_id) subsample, with the drift in exact ppm.
+    * This is the decision input for "can the daily dashboard run on
+    * the sample?" — at 100 TB the subsample is what monitoring
+    * actually scans, and this audit MEASURES the error instead of
+    * assuming the folklore √n bound. All integer: cents quantization
+    * (the percentile convention), rank-based lower median (q212's
+    * convention — no interpolation, no float), md5 membership identical
+    * in both engines. A type whose sample went empty survives via the
+    * LEFT JOIN with NULL sample columns (visible, not dropped). Scale
+    * shape: one scan + two event_type-keyed rank windows (the sample
+    * side windows 1/16 of the rows); output one row per event_type.
+    * HASH-MATCHED. */
+  val q233 = QueryDef.oracle("q233_sampled_percentile_error",
+    """WITH c AS (SELECT event_id, event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY cents, event_id) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      |      FROM c),
+      |ex AS (SELECT event_type, cents AS med_exact, cnt AS n_rows
+      |       FROM r WHERE rn = (cnt + 1) // 2),
+      |sc AS (SELECT event_id, event_type, cents FROM c
+      |       WHERE substr(md5(CAST(event_id AS VARCHAR)), 32, 1) = '0'),
+      |rs AS (SELECT event_type, cents,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |           ORDER BY cents, event_id) AS BIGINT) AS rn,
+      |         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      |       FROM sc),
+      |sm AS (SELECT event_type, cents AS med_sample, cnt AS n_sample
+      |       FROM rs WHERE rn = (cnt + 1) // 2)
+      |SELECT ex.event_type, ex.n_rows, ex.med_exact,
+      |       sm.n_sample, sm.med_sample,
+      |       ABS(sm.med_sample - ex.med_exact) AS abs_err,
+      |       CASE WHEN ex.med_exact = 0 THEN NULL
+      |            ELSE CAST((sm.med_sample - ex.med_exact) * 1000000
+      |                      // ex.med_exact AS BIGINT) END AS err_ppm
+      |FROM ex LEFT JOIN sm USING (event_type)""".stripMargin)(
+    (s, d) => {
+      val c = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame,
+          medName: String, nName: String) = {
+        val w = Window.partitionBy("event_type")
+        df.withColumn("rn",
+            row_number().over(w.orderBy(col("cents"), col("event_id")))
+              .cast("long"))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("cents").as(medName),
+            col("cnt").as(nName))
+      }
+      val ex = lowerMedian(c, "med_exact", "n_rows")
+      val sm = lowerMedian(
+        c.filter(substring(md5(col("event_id").cast("string")), 32, 1) === "0"),
+        "med_sample", "n_sample")
+      ex.join(sm, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_rows"), col("med_exact"),
+          col("n_sample"), col("med_sample"),
+          abs(col("med_sample") - col("med_exact")).as("abs_err"),
+          when(col("med_exact") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST((med_sample - med_exact) * 1000000 div med_exact AS BIGINT)"))
+            .as("err_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230)
+    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233)
 }

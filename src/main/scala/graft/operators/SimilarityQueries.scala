@@ -1873,6 +1873,71 @@ object SimilarityQueries {
           col("neg_label"), col("d2"))
     })
 
+  /** HUBNESS histogram — the high-dimensional pathology audit for the
+    * ANN/contrastive stack (Radovanović et al. 2010): in high
+    * dimensions the nearest-neighbor relation grows HUBS, points that
+    * are the closest neighbor of disproportionately many others, and
+    * ANTIHUBS that are nobody's neighbor — which silently skews kNN
+    * label propagation (q136), hard-negative mining (q228) and
+    * retrieval metrics (q154). This measures it: each vector's single
+    * nearest SAME-CELL neighbor (any label — q228's chain without the
+    * label cut, same exact-int64 d2 from the fused dot/norms kernel,
+    * same (d2, id) tie-break), then the in-degree distribution of that
+    * relation over ALL vectors — degree 0 counts the antihubs, the
+    * right tail IS the hubness. A healthy corpus shows a thin
+    * Poisson-ish tail; a heavy tail says distances are concentrating
+    * and the embedding/whitening (q197/q204) needs attention before
+    * ANN recall pays for it. Same 100-TB shape as q228: centroids
+    * broadcast, candidate pairs CLUSTER-KEYED (Σ|cell|², never
+    * corpus²), per-vector argmin window keyed on vec_id, then two
+    * bounded rollups. Output: one row per occurring in-degree.
+    * HASH-MATCHED. */
+  val q232 = QueryDef.oracle("q232_hubness_histogram",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, i.v
+       |      FROM asg a JOIN iq i USING (vec_id)),
+       |cand AS (SELECT x.vec_id, y.vec_id AS nn_id,
+       |           CAST(list_sum([(x.v[k] - y.v[k]) * (x.v[k] - y.v[k])
+       |                          FOR k IN range(1, len(x.v) + 1)]) AS BIGINT) AS d2
+       |         FROM m x JOIN m y ON x.c_id = y.c_id
+       |                          AND x.vec_id <> y.vec_id),
+       |best AS (SELECT vec_id, nn_id FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, nn_id) AS rn FROM cand) WHERE rn = 1),
+       |indeg AS (SELECT nn_id, CAST(count(*) AS BIGINT) AS deg
+       |          FROM best GROUP BY 1),
+       |alldeg AS (SELECT m.vec_id, COALESCE(i.deg, 0) AS in_degree
+       |           FROM m LEFT JOIN indeg i ON m.vec_id = i.nn_id)
+       |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM alldeg GROUP BY in_degree""".stripMargin)(
+    (s, d) => {
+      val iq = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val m = nearestCentroid(s, iq, cent).join(iq, Seq("vec_id"))
+      val cand = m.select(col("c_id"), col("vec_id"), col("v").as("va"))
+        .join(m.select(col("c_id"), col("vec_id").as("nn_id"),
+          col("v").as("vb")), Seq("c_id"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
+        .select(col("vec_id"), col("nn_id"),
+          (col("st.n2a") + col("st.n2b") - lit(2) * col("st.dot")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("nn_id"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("nn_id"))
+      val indeg = best.groupBy("nn_id").agg(count(lit(1)).as("deg"))
+      m.select("vec_id")
+        .join(indeg, col("vec_id") === col("nn_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
+    })
+
   /** INT8 SCALAR-QUANTIZATION error profile — the audit that belongs
     * next to q66 (which SEARCHES with the int8 codes) the way q211
     * audits q67's PQ codes: how much does the per-vector symmetric
@@ -1985,5 +2050,5 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228)
+      q228, q232)
 }

@@ -499,6 +499,83 @@ object DocStreams {
   def gopherGate(docs: DataFrame): DataFrame =
     graft.operators.CurationQueries.gopherRuleFrame(docs)
 
+  final case class HllDoc(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+  final case class HllState(regs: Seq[Long], n_docs: Long)
+  final case class HllEstimate(source: String, n_docs_seen: Long,
+      n_empty: Long, est_hll: Long, ts: Timestamp)
+
+  /** Streaming PORTABLE-HLL cardinality gate — the ingest-time twin of
+    * q224: per source, a 128-register HyperLogLog over the arriving
+    * token stream, emitting the running distinct-token estimate every
+    * trigger. This is the canonical BOUNDED-STATE streaming sketch:
+    * state is exactly 128 longs + a doc counter per source, forever —
+    * no watermark eviction needed because registers only ratchet up —
+    * and because register max is idempotent and commutative, the
+    * estimate is ORDER- and DUPLICATION-INDEPENDENT: any arrival order,
+    * any trigger boundaries, any replay converges to the batch answer.
+    * `HllStreamSpec` pins exactly that: the corpus fed in REVERSE
+    * doc_id order across two triggers lands on q224's est_hll
+    * bit-for-bit (hash/bucket/rank/harmonic-sum/α/linear-counting are
+    * the same integer math — the Scala fold here, the SQL chain there,
+    * both over [[graft.functions.PortableHashKernels]]'s codepoint
+    * contract, and the q224 oracle replays both).
+    *
+    * Scale shape: tokenization + hashing ride the stateful operator's
+    * input iterator (per-doc work, no extra shuffle beyond the one
+    * source-keyed exchange); the emitted stream is one row per source
+    * per trigger. */
+  def hllGate(docs: DataFrame, watermark: String = "1 hour"): Dataset[HllEstimate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.PortableHashKernels.{a, b, P}
+    val (a1, b1, a2, b2) = (a(11), b(11), a(12), b(12))
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"), col("text"))
+      .as[HllDoc]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[HllState, HllEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rs: Iterator[HllDoc], state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(HllState(Seq.fill(128)(0L), 0L))
+          val regs = st.regs.toArray
+          var nDocs = st.n_docs
+          var maxTs: Timestamp = null
+          rs.foreach { doc =>
+            nDocs += 1
+            if (maxTs == null || doc.ts.after(maxTs)) maxTs = doc.ts
+            if (doc.text != null) doc.text.split("\\s+").foreach { tok =>
+              if (tok.nonEmpty) {
+                // the portable codepoint fold — q224's hash, verbatim
+                var th = 0L
+                var ci = 0
+                while (ci < tok.length) {
+                  val cp = tok.codePointAt(ci)
+                  th = (th * 131L + cp) % P
+                  ci += Character.charCount(cp)
+                }
+                val comb = ((th * a1 + b1) % P) * P + ((th * a2 + b2) % P)
+                val bucket = (comb % 128L).toInt
+                val w = comb / 128L
+                // rho = 54 - MSB position in the 53-bit frame (0 -> 54)
+                val rho = 54L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+                if (rho > regs(bucket)) regs(bucket) = rho
+              }
+            }
+          }
+          val nEmpty = regs.count(_ == 0L).toLong
+          val zs = regs.map(mx => 1L << (54 - mx)).sum
+          val raw = (BigInt(715271) * 16384 * 18014398509481984L / zs /
+            1000000).toLong
+          val est =
+            if (nEmpty > 0 && raw <= 320)
+              math.round(128.0 * math.log(128.0 / nEmpty))
+            else raw
+          state.update(HllState(regs.toSeq, nDocs))
+          Iterator.single(HllEstimate(source, nDocs, nEmpty, est, maxTs))
+      }
+  }
+
   final case class PackIn(doc_id: Long, ts: Timestamp, source: String,
       n_tok: Option[Long])
   final case class PackAssign(doc_id: Long, source: String,

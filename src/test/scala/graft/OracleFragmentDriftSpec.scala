@@ -41,7 +41,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q181_quality_canonical", "q189_pair_pagerank",
         "q191_lsh_calibration", "q194_curation_funnel",
         "q195_lsh_recall_audit", "q208_fold_leakage",
-        "q213_cluster_size_histogram", "q216_admission_recall_audit")
+        "q213_cluster_size_histogram", "q216_admission_recall_audit",
+        "q231_cluster_salient_terms")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -69,7 +70,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q189_pair_pagerank", "q191_lsh_calibration",
         "q194_curation_funnel", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
-        "q216_admission_recall_audit")
+        "q216_admission_recall_audit", "q231_cluster_salient_terms")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -85,7 +86,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q148_incremental_dedup", "q189_pair_pagerank",
         "q191_lsh_calibration", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
-        "q216_admission_recall_audit")
+        "q216_admission_recall_audit", "q231_cluster_salient_terms")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -180,7 +181,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q198_semantic_decontam",
-        "q228_hard_negatives")
+        "q228_hard_negatives", "q232_hubness_histogram")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -209,7 +210,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q182_prototype_selection", "q192_embedding_dim_stats",
         "q197_power_iteration", "q198_semantic_decontam",
         "q204_whitening_residuals", "q211_pq_code_usage",
-        "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives")
+        "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
+        "q232_hubness_histogram")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
