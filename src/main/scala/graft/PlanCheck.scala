@@ -556,8 +556,8 @@ object PlanCheck {
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
     check("q231_cluster_salient_terms",
-      "cluster terms: closure pinned (ExistingRDD); tf/df rollups map-side; per-cluster keyed window",
-      p => p.contains("ExistingRDD") && p.contains("partial_count") &&
+      "cluster terms: labels read from the stored dedup_clusters artifact; tf/df rollups map-side; per-cluster keyed window",
+      p => p.contains("graft_dedup_clusters_") && p.contains("partial_count") &&
         p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
     check("q232_hubness_histogram",
       "hubness: centroids broadcast; nn pairs cluster-KEYED; bounded degree rollups; no cartesian",

@@ -1695,15 +1695,35 @@ object DedupQueries {
     * curation owner reads to see whether mega-clusters are boilerplate
     * templates, mirrored press releases, or genuine popular content —
     * which decides remediation exactly like q213 decides mechanism.
-    * Cluster labels come from q56's shared transitive closure over the
-    * STORED scored-pairs artifact (one drift-pinned edge definition);
-    * single-doc clusters carry no duplication signal and are excluded
-    * before any token work, so the explode only touches documents that
-    * are actually duplicated. Scale shape: closure as q56 (bounded
-    * per-round (id, label) pairs), then ONE scan of the clustered
+    * Cluster labels read back from the STORED `dedup_clusters` artifact
+    * ([[clusterLabels]] — q56's closure materialized once at ingest,
+    * the store-don't-recompute pattern); single-doc clusters carry no
+    * duplication signal and are excluded before any token work, so the
+    * explode only touches documents that are actually duplicated.
+    * Scale shape: one label-table scan + ONE scan of the clustered
     * subset → map-side-combined (cluster, token) counts → vocab-sized
     * cluster-df rollup → per-cluster keyed top-3 window (never
     * global). Output: 3 rows per multi-doc cluster. HASH-MATCHED. */
+  /** STORED near-dup cluster labels — (doc_id, cluster_id), q56's exact
+    * closure over the stored scored-pairs edge set, materialized once
+    * (the bandrows/codebook store-don't-recompute pattern: labels are a
+    * pure function of the corpus, production writes them at ingest).
+    * Day-2 consumers that need who-clusters-with-whom (q231) read this
+    * back instead of re-running label propagation; q56/q213 keep
+    * running the closure LIVE — they ARE the declared closure
+    * computations, and their hash-matched output is what verifies this
+    * artifact's builder (identical Components call, deterministic
+    * min-label fixpoint). */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "dedup_clusters") {
+      val edges = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      Components.connectedComponents(vertices, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }
+
   val q231 = QueryDef.oracle("q231_cluster_salient_terms", {
     val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$recursiveCtes,
@@ -1746,16 +1766,11 @@ object DedupQueries {
        |WHERE rnk <= 3""".stripMargin})(
     (s, d) => {
       import graft.functions.TextFunctions.tokens
-      val edges = portableScoredPairs(s, d)
-        .filter(col("n_match") >= PortMatchMin)
-        .select(col("ia").as("src"), col("ib").as("dst"))
-      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val comp = Components.connectedComponents(vertices, edges)
-      val multi = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      val comp = clusterLabels(s, d)
+      val multi = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") >= 2)
-      val clustered = comp.join(multi, "component")
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          col("cluster_size"))
+      val clustered = comp.join(multi, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       val tf = Tables.documents(s, d).join(clustered, "doc_id")
         .select(col("cluster_id"), col("cluster_size"),
           explode(tokens(col("text"))).as("tok"))
