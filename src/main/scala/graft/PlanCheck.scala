@@ -565,6 +565,14 @@ object PlanCheck {
     check("q233_sampled_percentile_error",
       "sampled percentile: two event_type-keyed rank windows; no global window, no cartesian",
       p => p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
+    check("q234_interarrival_histogram",
+      "interarrival: user-keyed lag window; (type,bucket) counts map-side; totals broadcast",
+      p => p.contains("partial_count") && p.contains("hashpartitioning") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q235_clip_calibration",
+      "clip bounds: (dim,value) counts map-side FIRST, rank scan on the compressed table; 64-row bounds broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -646,7 +654,8 @@ object PlanCheck {
         "q224_portable_hll", "q225_length_bucket_waste",
         "q226_sq8_error_profile", "q227_label_scatter",
         "q228_hard_negatives", "q229_audio_landmark_dedup",
-        "q231_cluster_salient_terms", "q232_hubness_histogram")
+        "q231_cluster_salient_terms", "q232_hubness_histogram",
+        "q235_clip_calibration")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

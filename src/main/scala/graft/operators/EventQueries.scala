@@ -469,6 +469,70 @@ object EventQueries {
             .as("err_ppm"))
     })
 
+  /** INTER-ARRIVAL time histogram — the traffic-shape profile under
+    * every sessionization/capacity decision the events family makes
+    * (q31's 30-minute gap, q137's rolling windows): per event_type, the
+    * distribution of per-user gaps between consecutive events, binned
+    * to power-of-two seconds with the same float-free bit-smear kernel
+    * as q224/q225 (no log2 seam), capped at 2²⁰ s ≈ 12 days. A bimodal
+    * histogram (burst mode + return mode) validates the session gap; a
+    * fat sub-second mode flags machine traffic. Exact integers all the
+    * way: epoch seconds by date_diff, gaps from a user-keyed lag window
+    * (ORDER BY ts, event_id — deterministic under ts ties), share in
+    * exact ppm of the type's gap total. First events carry no gap and
+    * are excluded by the NULL lag on both engines. Scale shape: one
+    * user-keyed lag window + one map-side-combined (type, bucket)
+    * rollup + a \|types\|-row broadcast total. HASH-MATCHED. */
+  val q234 = QueryDef.oracle("q234_interarrival_histogram",
+    """WITH e AS (SELECT event_type, user_id, event_id,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es
+      |           FROM events),
+      |g AS (SELECT event_type,
+      |        es - LAG(es) OVER (PARTITION BY user_id
+      |                           ORDER BY es, event_id) AS gap
+      |      FROM e),
+      |c AS (SELECT event_type, LEAST(gap, 1048576) AS gap FROM g
+      |      WHERE gap IS NOT NULL),
+      |v AS (SELECT event_type, gap,
+      |        CASE WHEN gap <= 1 THEN gap ELSE gap - 1 END AS v FROM c),
+      |s1 AS (SELECT event_type, gap, v | (v >> 1) AS v FROM v),
+      |s2 AS (SELECT event_type, gap, v | (v >> 2) AS v FROM s1),
+      |s3 AS (SELECT event_type, gap, v | (v >> 4) AS v FROM s2),
+      |s4 AS (SELECT event_type, gap, v | (v >> 8) AS v FROM s3),
+      |s5 AS (SELECT event_type, gap, v | (v >> 16) AS v FROM s4),
+      |b AS (SELECT event_type,
+      |        CASE WHEN gap <= 1 THEN gap ELSE v + 1 END AS bucket FROM s5),
+      |h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM h GROUP BY 1)
+      |SELECT h.event_type, h.bucket, h.n,
+      |       CAST(h.n * 1000000 // t.total AS BIGINT) AS share_ppm
+      |FROM h JOIN t USING (event_type)""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val c = e
+        .withColumn("gap", col("es") - lag("es", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), least(col("gap"), lit(1048576L)).as("gap"))
+      val v0 = c.withColumn("v",
+        when(col("gap") <= 1, col("gap")).otherwise(col("gap") - 1))
+      val b = Seq(1, 2, 4, 8, 16).foldLeft(v0)((df, k) =>
+        df.withColumn("v", expr(s"v | shiftright(v, $k)")))
+        .select(col("event_type"),
+          when(col("gap") <= 1, col("gap")).otherwise(col("v") + 1)
+            .as("bucket"))
+      val h = b.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val t = h.groupBy("event_type").agg(sum("n").as("total"))
+      h.join(broadcast(t), Seq("event_type"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233)
+    Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
+      q234)
 }

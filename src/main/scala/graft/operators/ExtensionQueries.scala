@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.pipeline.SqlScripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Beyond-reference extension operators (SURVEY.md §2.9): sketch
@@ -422,6 +424,22 @@ object ExtensionQueries {
     * orders, so orders whose same-day twin took the era slot surface as
     * status_matches = false (the non-vacuous check).
     */
+  /** q138's deduped SCD2 version table — (o_custkey, eff_from, version,
+    * era_status), one row per (custkey, start day), max version winning
+    * a same-day tie. Shared by q138's batch PIT join and the streaming
+    * gate `EventStreams.pitEnrich` so batch and stream cannot disagree
+    * on the dimension. */
+  private[graft] def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    val hist = q78.fn(s, d)
+    val byStart = Window.partitionBy("o_custkey", "eff_from")
+      .orderBy(col("version").desc)
+    hist.withColumn("vrn", row_number().over(byStart))
+      .filter(col("vrn") === 1)
+      .select(col("o_custkey"), col("eff_from"),
+        col("version").cast("long").as("version"),
+        col("o_orderstatus").as("era_status"))
+  }
+
   val q138 = QueryDef.oracle("q138_scd2_pit_join",
     s"""WITH hist AS (${q78.sql.get}),
        |vers AS (SELECT o_custkey, eff_from, CAST(version AS BIGINT) AS version,
@@ -436,15 +454,7 @@ object ExtensionQueries {
        |FROM probe p ASOF LEFT JOIN vers v
        |ON p.o_custkey = v.o_custkey AND v.eff_from <= p.o_orderdate""".stripMargin)(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val hist = q78.fn(s, d)
-      val byStart = Window.partitionBy("o_custkey", "eff_from")
-        .orderBy(col("version").desc)
-      val vers = hist.withColumn("vrn", row_number().over(byStart))
-        .filter(col("vrn") === 1)
-        .select(col("o_custkey"), col("eff_from"),
-          col("version").cast("long").as("version"),
-          col("o_orderstatus").as("era_status"))
+      val vers = scd2Versions(s, d)
       val probe = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
       AsOfJoin.backward(probe, vers, "o_custkey", "o_orderdate", "eff_from",

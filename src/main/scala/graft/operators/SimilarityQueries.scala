@@ -2047,8 +2047,80 @@ object SimilarityQueries {
             " div (n_vecs * n_vecs) AS BIGINT)").as("msd_e8"))
     })
 
+  /** Per-dimension CLIP-RANGE calibration — the action q226's audit
+    * points at: when a dimension's int8 error is dominated by outlier
+    * coordinates setting the scale, the fix is clipping to robust
+    * bounds before quantizing. This computes those bounds EXACTLY: per
+    * dimension, the rank-based p1/p99 of the quantized values (ceil-
+    * rank convention, no interpolation — q212's order-statistic
+    * family) and how much mass a [p1, p99] clip would saturate, in
+    * exact ppm. The scalable shape matters: NOT a per-dim sort of the
+    * corpus — values are quantized integers, so the distribution
+    * compresses to (dim, value) COUNTS first (map-side combined,
+    * bounded by distinct values per dim), the rank scan is a keyed
+    * cumsum window over that compressed table, and the clip-mass pass
+    * is a 64-row broadcast join back onto the counts. Output: 64 rows.
+    * HASH-MATCHED. */
+  val q235 = QueryDef.oracle("q235_clip_calibration", {
+    s"""WITH $iqCte,
+       |e AS (SELECT unnest([{'dim': i - 1, 'q': v[i]}
+       |                     FOR i IN range(1, len(v) + 1)], recursive := true)
+       |      FROM iq),
+       |vc AS (SELECT dim, q, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM e GROUP BY 1, 2),
+       |cum AS (SELECT dim, q, cnt,
+       |          CAST(SUM(cnt) OVER (PARTITION BY dim ORDER BY q
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum,
+       |          CAST(SUM(cnt) OVER (PARTITION BY dim) AS BIGINT) AS n
+       |        FROM vc),
+       |lo AS (SELECT dim, MIN(q) AS p01_q FROM cum
+       |       WHERE cum >= (n + 99) // 100 GROUP BY dim),
+       |hi AS (SELECT dim, MIN(q) AS p99_q FROM cum
+       |       WHERE cum >= (99 * n + 99) // 100 GROUP BY dim),
+       |bounds AS (SELECT lo.dim, lo.p01_q, hi.p99_q
+       |           FROM lo JOIN hi USING (dim))
+       |SELECT b.dim, CAST(SUM(vc.cnt) AS BIGINT) AS n,
+       |       b.p01_q, b.p99_q,
+       |       CAST(SUM(CASE WHEN vc.q < b.p01_q THEN vc.cnt ELSE 0 END)
+       |            AS BIGINT) AS n_below,
+       |       CAST(SUM(CASE WHEN vc.q > b.p99_q THEN vc.cnt ELSE 0 END)
+       |            AS BIGINT) AS n_above,
+       |       CAST((SUM(CASE WHEN vc.q < b.p01_q THEN vc.cnt ELSE 0 END)
+       |             + SUM(CASE WHEN vc.q > b.p99_q THEN vc.cnt ELSE 0 END))
+       |            * 1000000 // SUM(vc.cnt) AS BIGINT) AS clip_ppm
+       |FROM vc JOIN bounds b USING (dim)
+       |GROUP BY b.dim, b.p01_q, b.p99_q""".stripMargin})(
+    (s, d) => {
+      val e = quantizedVecs(s, d)
+        .select(posexplode(col("v")).as(Seq("dim", "q")))
+      val vc = e.groupBy("dim", "q").agg(count(lit(1)).as("cnt"))
+      val wd = Window.partitionBy("dim")
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(wd.orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("cnt").over(wd))
+      val lo = cum.filter(col("cum") >= expr("(n + 99) div 100"))
+        .groupBy("dim").agg(min("q").as("p01_q"))
+      val hi = cum.filter(col("cum") >= expr("(99 * n + 99) div 100"))
+        .groupBy("dim").agg(min("q").as("p99_q"))
+      val bounds = lo.join(hi, Seq("dim"))
+      vc.join(broadcast(bounds), Seq("dim"))
+        .groupBy("dim", "p01_q", "p99_q")
+        .agg(sum("cnt").as("n"),
+          sum(when(col("q") < col("p01_q"), col("cnt")).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("q") > col("p99_q"), col("cnt")).otherwise(0L))
+            .as("n_above"))
+        .select(col("dim"), col("n").cast("long").as("n"), col("p01_q"),
+          col("p99_q"), col("n_below").cast("long").as("n_below"),
+          col("n_above").cast("long").as("n_above"),
+          expr("CAST((n_below + n_above) * 1000000 div n AS BIGINT)")
+            .as("clip_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232)
+      q228, q232, q235)
 }

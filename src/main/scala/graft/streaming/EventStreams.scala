@@ -167,4 +167,73 @@ object EventStreams {
           .map(s => Session(user, s.start, s.last, s.n))
       }
   }
+
+  final case class PitCand(o_orderkey: Long, ts: Timestamp, o_custkey: Long,
+      order_date: java.sql.Date, o_orderstatus: String,
+      eff_from: Option[java.sql.Date], version: Option[Long],
+      era_status: Option[String])
+  final case class PitEnriched(o_orderkey: Long, o_custkey: Long,
+      order_date: java.sql.Date, version: Option[Long],
+      era_status: Option[String], status_matches: Option[Boolean],
+      ts: Timestamp)
+
+  /** Streaming POINT-IN-TIME SCD2 enrichment gate — q138's as-of lookup
+    * at ingest time: each ARRIVING order resolves the dimension version
+    * in effect at its own date the moment it enters the pipeline,
+    * instead of in a batch backfill. The dimension is q138's deduped
+    * version table (`ExtensionQueries.scd2Versions` — the ONE shared
+    * build, so stream and batch cannot disagree on eras): a static
+    * frame, KBs against a TB stream, joined stream-static LEFT OUTER on
+    * custkey with the `eff_from <= order_date` range predicate — the
+    * broadcast shape, never a shuffle of the stream beyond the probe
+    * key. The per-probe as-of pick (LATEST eff_from ≤ date, q138's
+    * backward rule; eff_from is unique per custkey post-dedup so no
+    * further tie) folds in a ZERO-state flatMapGroupsWithState
+    * (NoTimeout, state never set): all of a probe's candidate versions
+    * land in its arrival trigger, so the group is complete evidence and
+    * the verdict emits immediately. Probes with no era yet (date before
+    * the first version, unknown custkey) flow through with NULL
+    * version/era — q138's LEFT semantics. Stream ≡ batch pinned by
+    * `PitEnrichStreamSpec` over the full orders probe set.
+    */
+  def pitEnrich(
+      probes: DataFrame,
+      versions: DataFrame,
+      watermark: String = "1 hour"): Dataset[PitEnriched] = {
+    import probes.sparkSession.implicits._
+    val p = probes
+      .withWatermark("ts", watermark)
+      .select(col("o_orderkey"), col("ts"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_orderstatus"))
+    val vers = versions.select(col("o_custkey").as("v_custkey"),
+      to_date(col("eff_from")).as("eff_from"), col("version"),
+      col("era_status"))
+    // the range predicate lives IN the join: non-applicable (future)
+    // versions never produce a row, while a probe with no applicable
+    // version keeps its single all-NULL row — q138's LEFT semantics
+    val cands = p
+      .join(vers, p("o_custkey") === vers("v_custkey") &&
+        col("eff_from") <= col("order_date"), "left_outer")
+      .select(col("o_orderkey"), col("ts"), col("o_custkey"),
+        col("order_date"), col("o_orderstatus"),
+        col("eff_from"), col("version"), col("era_status"))
+      .as[PitCand]
+    cands.groupByKey(_.o_orderkey)
+      .flatMapGroupsWithState[Boolean, PitEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[PitCand], _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          val head = rs.head
+          val applicable = rs.filter(_.eff_from.isDefined)
+          val best =
+            if (applicable.isEmpty) None
+            else Some(applicable.maxBy(_.eff_from.get.getTime))
+          Iterator.single(PitEnriched(head.o_orderkey, head.o_custkey,
+            head.order_date,
+            best.flatMap(_.version), best.flatMap(_.era_status),
+            best.flatMap(_.era_status)
+              .map(es => head.o_orderstatus == es),
+            rs.map(_.ts).maxBy(_.getTime)))
+      }
+  }
 }

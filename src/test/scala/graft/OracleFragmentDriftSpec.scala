@@ -211,7 +211,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q197_power_iteration", "q198_semantic_decontam",
         "q204_whitening_residuals", "q211_pq_code_usage",
         "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
-        "q232_hubness_histogram")
+        "q232_hubness_histogram", "q235_clip_calibration")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
