@@ -573,6 +573,19 @@ object PlanCheck {
       "clip bounds: (dim,value) counts map-side FIRST, rank scan on the compressed table; 64-row bounds broadcast",
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    check("q236_vocab_overlap",
+      "vocab overlap: token-keyed vocab self-join (never documents); |sources|-row grid broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q237_source_embedding_drift",
+      "source drift: ONE corpus pass into the pinned moment table (ExistingRDD); all rollups downstream of it",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct") &&
+        scans(p, "documents") == 0)
+    check("q238_threshold_sweep",
+      "threshold sweep: bounded histograms off the stored scored_pairs; no corpus scan at all",
+      p => p.contains("graft_scored_pairs_") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -655,7 +668,8 @@ object PlanCheck {
         "q226_sq8_error_profile", "q227_label_scatter",
         "q228_hard_negatives", "q229_audio_landmark_dedup",
         "q231_cluster_salient_terms", "q232_hubness_histogram",
-        "q235_clip_calibration")
+        "q235_clip_calibration", "q236_vocab_overlap",
+        "q237_source_embedding_drift", "q238_threshold_sweep")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

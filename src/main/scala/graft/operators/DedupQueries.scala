@@ -1704,6 +1704,68 @@ object DedupQueries {
     * subset → map-side-combined (cluster, token) counts → vocab-sized
     * cluster-df rollup → per-cluster keyed top-3 window (never
     * global). Output: 3 rows per multi-doc cluster. HASH-MATCHED. */
+  /** Dedup THRESHOLD sweep — the what-if q191's calibration curve is
+    * read against: for every candidate threshold t (1..12 agreeing
+    * minhash slots, bracketing [[PortMatchMin]]), how many candidate
+    * PAIRS survive and how many DOCUMENTS would be touched? q191 gives
+    * the precision of each threshold; this gives its blast radius —
+    * together they are the evidence a threshold change ships with
+    * (drop t by one: +how many docs suddenly near-dup?). Pure
+    * artifact-side arithmetic: pair counts per n_match and per-doc max
+    * n_match histograms (both tiny) cross a 12-row threshold grid, so
+    * the sweep costs two bounded rollups over the STORED scored pairs
+    * — no corpus scan at all. Cumulative counts by integer comparison,
+    * shares in exact ppm of the all-candidate totals. Output: 12 rows.
+    * HASH-MATCHED. */
+  val q238 = QueryDef.oracle("q238_threshold_sweep", {
+    s"""$portableScoredCtes,
+       |ph AS (SELECT n_match, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM scored GROUP BY 1),
+       |dm AS (SELECT doc_id, MAX(n_match) AS maxm FROM (
+       |         SELECT ia AS doc_id, n_match FROM scored
+       |         UNION ALL SELECT ib, n_match FROM scored)
+       |       GROUP BY 1),
+       |dh AS (SELECT maxm, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM dm GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT SUM(n_pairs) FROM ph) AS BIGINT) AS tp,
+       |               CAST((SELECT SUM(n_docs) FROM dh) AS BIGINT) AS td),
+       |grid AS (SELECT CAST(range + 1 AS BIGINT) AS threshold FROM range(12))
+       |SELECT g.threshold,
+       |       CAST(COALESCE((SELECT SUM(p.n_pairs) FROM ph p
+       |                      WHERE p.n_match >= g.threshold), 0) AS BIGINT)
+       |         AS n_pairs,
+       |       CAST(COALESCE((SELECT SUM(h.n_docs) FROM dh h
+       |                      WHERE h.maxm >= g.threshold), 0) AS BIGINT)
+       |         AS n_docs,
+       |       CAST(COALESCE((SELECT SUM(p.n_pairs) FROM ph p
+       |                      WHERE p.n_match >= g.threshold), 0)
+       |            * 1000000 // tot.tp AS BIGINT) AS pair_share_ppm
+       |FROM grid g, tot""".stripMargin})(
+    (s, d) => {
+      val sp = portableScoredPairs(s, d)
+      val ph = sp.groupBy("n_match").agg(count(lit(1)).as("n_pairs"))
+      val dm = sp.select(col("ia").as("doc_id"), col("n_match"))
+        .unionByName(sp.select(col("ib").as("doc_id"), col("n_match")))
+        .groupBy("doc_id").agg(max("n_match").as("maxm"))
+      val dh = dm.groupBy("maxm").agg(count(lit(1)).as("n_docs"))
+      val tot = ph.agg(sum("n_pairs").as("tp"))
+        .crossJoin(dh.agg(sum("n_docs").as("td")))
+      val grid = s.range(1, 13).withColumnRenamed("id", "threshold")
+      val pcum = grid.join(broadcast(ph), col("n_match") >= col("threshold"),
+          "left")
+        .groupBy("threshold")
+        .agg(coalesce(sum("n_pairs"), lit(0L)).as("n_pairs"))
+      val dcum = grid.join(broadcast(dh), col("maxm") >= col("threshold"),
+          "left")
+        .groupBy("threshold")
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"))
+      pcum.join(dcum, Seq("threshold")).crossJoin(broadcast(tot))
+        .select(col("threshold"), col("n_pairs").cast("long").as("n_pairs"),
+          col("n_docs").cast("long").as("n_docs"),
+          expr("CAST(n_pairs * 1000000 div tp AS BIGINT)")
+            .as("pair_share_ppm"))
+    })
+
   /** STORED near-dup cluster labels — (doc_id, cluster_id), q56's exact
     * closure over the stored scored-pairs edge set, materialized once
     * (the bandrows/codebook store-don't-recompute pattern: labels are a
@@ -2053,5 +2115,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231)
+      q209, q213, q216, q217, q231, q238)
 }

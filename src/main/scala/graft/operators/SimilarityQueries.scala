@@ -2119,8 +2119,82 @@ object SimilarityQueries {
             .as("clip_ppm"))
     })
 
+  /** Per-SOURCE embedding drift — the cross-modal intake audit q215's
+    * gate needs upstream: is one crawl's embedding distribution
+    * SHIFTED relative to the corpus? Shift is measured as the exact
+    * squared distance between each source's centroid and the global
+    * centroid, computed WITHOUT dividing either centroid into floats:
+    * dev = Σ_d (n_g·S_{s,d} − n_s·S_{g,d})² is (n_s·n_g)²·‖μ_s − μ_g‖²
+    * in pure integers (q227's moment-identity discipline, source grain,
+    * documents⋈embeddings on the q215 doc_id = vec_id contract). The
+    * normalized mean-squared shift ships as BIGINT after one
+    * truncating division both engines define identically; the raw dev
+    * ships VARCHAR (q149's wire rule — it exceeds float64 exactness).
+    * A drifted source means its encoder ran with different
+    * normalization, a different model version, or genuinely different
+    * content — all three things a training run wants flagged before
+    * mixing. Scale shape: one documents⋈embeddings join feeding ONE
+    * (source, dim) map-side agg (≤ |sources|×64 partials) whose tiny
+    * moment table is PINNED (eager localCheckpoint, the q222 pattern)
+    * — counts, global sums, and the deviation rollup all derive from
+    * it, so the corpus is scanned exactly once. Output: one row per
+    * source. HASH-MATCHED. */
+  val q237 = QueryDef.oracle("q237_source_embedding_drift", {
+    s"""WITH $iqCte,
+       |sv AS (SELECT d.source, iq.v FROM iq
+       |       JOIN documents d ON iq.vec_id = d.doc_id),
+       |e AS (SELECT source, unnest([{'dim': i - 1, 'q': v[i]}
+       |                     FOR i IN range(1, len(v) + 1)], recursive := true)
+       |      FROM sv),
+       |g1 AS (SELECT source, dim, SUM(CAST(q AS HUGEINT)) AS s,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM e GROUP BY 1, 2),
+       |ns AS (SELECT source, cnt AS n_vecs FROM g1 WHERE dim = 0),
+       |gt AS (SELECT dim, SUM(s) AS sg FROM g1 GROUP BY 1),
+       |ng AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_g FROM ns),
+       |dev AS (SELECT g1.source,
+       |          SUM((ng.n_g * g1.s - ns.n_vecs * gt.sg)
+       |              * (ng.n_g * g1.s - ns.n_vecs * gt.sg)) AS dev
+       |        FROM g1 JOIN gt USING (dim)
+       |                JOIN ns USING (source), ng
+       |        GROUP BY 1)
+       |SELECT ns.source, ns.n_vecs,
+       |       CAST(dev.dev AS VARCHAR) AS dev_scaled,
+       |       CAST(dev.dev // (ns.n_vecs * ns.n_vecs)
+       |            // (ng.n_g * ng.n_g) AS BIGINT) AS shift_e8
+       |FROM ns JOIN dev USING (source), ng""".stripMargin})(
+    (s, d) => {
+      val sv = quantizedVecs(s, d)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      val e = sv.select(col("source"), posexplode(col("v")).as(Seq("dim", "q")))
+      // ONE corpus pass; the 64 x |sources| moment table is pinned
+      // (eager localCheckpoint, the q222 pattern) so the four downstream
+      // consumers reuse it instead of re-deriving the join + explode
+      val g1 = e.groupBy("source", "dim")
+        .agg(sum(col("q").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val ns = g1.filter(col("dim") === 0)
+        .select(col("source"), col("cnt").as("n_vecs"))
+      val gt = g1.groupBy("dim").agg(sum("s").as("sg"))
+      val ng = ns.agg(sum("n_vecs").as("n_g"))
+      val dev = g1.join(broadcast(gt), Seq("dim"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(ng))
+        .select(col("source"),
+          ((col("n_g") * col("s") - col("n_vecs") * col("sg")) *
+            (col("n_g") * col("s") - col("n_vecs") * col("sg"))).as("t2"))
+        .groupBy("source").agg(sum("t2").as("dev"))
+      ns.join(broadcast(dev), Seq("source")).crossJoin(broadcast(ng))
+        .select(col("source"), col("n_vecs"),
+          col("dev").cast("string").as("dev_scaled"),
+          expr("CAST((dev div (n_vecs * n_vecs)) div (n_g * n_g) AS BIGINT)")
+            .as("shift_e8"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235)
+      q228, q232, q235, q237)
 }

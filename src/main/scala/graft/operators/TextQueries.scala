@@ -1153,7 +1153,61 @@ object TextQueries {
             " div (bucket * n_docs) AS BIGINT)").as("waste_ppm"))
     })
 
+  /** Pairwise source VOCABULARY overlap — the third angle on "do these
+    * crawls duplicate each other", completing the triangle: q159
+    * measures shared DOCUMENTS (membership), q188 shared WORD
+    * FREQUENCIES (distribution), this measures shared WORD TYPES (set
+    * Jaccard of the vocabularies). Two mirrors score high on all
+    * three; two same-domain independent crawls score high here and on
+    * q188 but zero on q159 — the separation that tells dedup apart
+    * from topical redundancy. Exact integers: |A∩B| from ONE
+    * token-keyed self-join of the distinct (source, token) table
+    * (vocab-sized, never documents), |A∪B| by inclusion-exclusion,
+    * Jaccard in exact ppm. The full |sources|² /2 grid is a broadcast
+    * cross of the |sources|-row vocab table, so never-overlapping
+    * pairs surface as explicit zeros. Output: one row per unordered
+    * source pair. HASH-MATCHED. */
+  val q236 = QueryDef.oracle("q236_vocab_overlap",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |dt AS (SELECT DISTINCT source, tok FROM toks),
+      |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM dt GROUP BY 1),
+      |inter AS (SELECT a.source AS sa, b.source AS sb,
+      |            CAST(count(*) AS BIGINT) AS n_common
+      |          FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+      |          GROUP BY 1, 2),
+      |grid AS (SELECT a.source AS sa, b.source AS sb,
+      |           a.vocab AS va, b.vocab AS vb
+      |         FROM vs a JOIN vs b ON a.source < b.source)
+      |SELECT g.sa, g.sb, g.va, g.vb,
+      |       COALESCE(i.n_common, 0) AS n_common,
+      |       CAST(COALESCE(i.n_common, 0) * 1000000
+      |            // (g.va + g.vb - COALESCE(i.n_common, 0)) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM grid g LEFT JOIN inter i ON g.sa = i.sa AND g.sb = i.sb""".stripMargin)(
+    (s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val vs = dt.groupBy("source").agg(count(lit(1)).as("vocab"))
+      val inter = dt.select(col("source").as("sa"), col("tok"))
+        .join(dt.select(col("source").as("sb"), col("tok")), Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
+      val grid = vs.select(col("source").as("sa"), col("vocab").as("va"))
+        .join(broadcast(vs.select(col("source").as("sb"),
+          col("vocab").as("vb"))), col("sa") < col("sb"))
+      grid.join(inter, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"), col("va"), col("vb"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr("CAST(COALESCE(n_common, 0L) * 1000000" +
+            " div (va + vb - COALESCE(n_common, 0L)) AS BIGINT)")
+            .as("jaccard_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
-      q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225)
+      q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
+      q236)
 }

@@ -42,7 +42,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q191_lsh_calibration", "q194_curation_funnel",
         "q195_lsh_recall_audit", "q208_fold_leakage",
         "q213_cluster_size_histogram", "q216_admission_recall_audit",
-        "q231_cluster_salient_terms")
+        "q231_cluster_salient_terms", "q238_threshold_sweep")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -70,7 +70,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q189_pair_pagerank", "q191_lsh_calibration",
         "q194_curation_funnel", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
-        "q216_admission_recall_audit", "q231_cluster_salient_terms")
+        "q216_admission_recall_audit", "q231_cluster_salient_terms",
+        "q238_threshold_sweep")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -86,7 +87,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q148_incremental_dedup", "q189_pair_pagerank",
         "q191_lsh_calibration", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
-        "q216_admission_recall_audit", "q231_cluster_salient_terms")
+        "q216_admission_recall_audit", "q231_cluster_salient_terms",
+        "q238_threshold_sweep")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -211,7 +213,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q197_power_iteration", "q198_semantic_decontam",
         "q204_whitening_residuals", "q211_pq_code_usage",
         "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
-        "q232_hubness_histogram", "q235_clip_calibration")
+        "q232_hubness_histogram", "q235_clip_calibration",
+        "q237_source_embedding_drift")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
