@@ -560,8 +560,8 @@ object PlanCheck {
       p => p.contains("graft_dedup_clusters_") && p.contains("partial_count") &&
         p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
     check("q232_hubness_histogram",
-      "hubness: centroids broadcast; nn pairs cluster-KEYED; bounded degree rollups; no cartesian",
-      p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+      "hubness: reads the stored nn1 relation; bounded degree rollups; no cartesian",
+      p => p.contains("graft_nn1_") && !p.contains("CartesianProduct"))
     check("q233_sampled_percentile_error",
       "sampled percentile: two event_type-keyed rank windows; no global window, no cartesian",
       p => p.contains("hashpartitioning") && !p.contains("CartesianProduct"))
@@ -585,6 +585,17 @@ object PlanCheck {
     check("q238_threshold_sweep",
       "threshold sweep: bounded histograms off the stored scored_pairs; no corpus scan at all",
       p => p.contains("graft_scored_pairs_") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
+    check("q239_vocab_novelty",
+      "vocab novelty: two vocab-sized distinct aggs + token-keyed anti joins; text never shuffles",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        p.contains("LeftAnti"))
+    check("q240_knn_label_agreement",
+      "1-NN probe: reads the stored nn1 relation; id-keyed label joins; bounded rollups; no cartesian",
+      p => p.contains("graft_nn1_") && !p.contains("CartesianProduct"))
+    check("q241_modal_coverage",
+      "modal coverage: one id-keyed full-outer of id/source projections; |sources|-row rollup",
+      p => p.contains("FullOuter") && p.contains("partial_sum") &&
         !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
@@ -669,7 +680,9 @@ object PlanCheck {
         "q228_hard_negatives", "q229_audio_landmark_dedup",
         "q231_cluster_salient_terms", "q232_hubness_histogram",
         "q235_clip_calibration", "q236_vocab_overlap",
-        "q237_source_embedding_drift", "q238_threshold_sweep")
+        "q237_source_embedding_drift", "q238_threshold_sweep",
+        "q239_vocab_novelty", "q240_knn_label_agreement",
+        "q241_modal_coverage")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

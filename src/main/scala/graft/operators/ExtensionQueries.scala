@@ -485,15 +485,30 @@ object ExtensionQueries {
     * exchange at all; the rollup is |sources|×4-bounded with map-side
     * combine. HASH-MATCHED.
     */
+  /** The two deterministic snapshot views of `documents` shared by the
+    * snapshot family (q190 content diff, q239 vocab novelty): v_new
+    * drops doc_id%11=5 ("removed"), v_old drops doc_id%13=3 ("added")
+    * and carries a `v1 `-prefixed text for doc_id%7=2 ("changed"). ONE
+    * definition on each engine so the family cannot disagree on what
+    * the snapshots contain; in production these are two ingest
+    * snapshots of the same table. */
+  private[graft] val snapshotOldPred = "doc_id % 13 <> 3"
+  private[graft] val snapshotNewPred = "doc_id % 11 <> 5"
+  private[graft] val snapshotOldTextSql =
+    "CASE WHEN doc_id % 7 = 2 THEN 'v1 ' || text ELSE text END"
+  private[graft] def snapshotOldText: org.apache.spark.sql.Column =
+    when(col("doc_id") % 7 === 2, concat(lit("v1 "), col("text")))
+      .otherwise(col("text"))
+
   val q190 = QueryDef.oracle("q190_snapshot_diff",
-    """WITH v_old AS (
+    s"""WITH v_old AS (
       |  SELECT doc_id, source,
-      |         md5(CASE WHEN doc_id % 7 = 2 THEN 'v1 ' || text ELSE text END) AS hh,
-      |         length(CASE WHEN doc_id % 7 = 2 THEN 'v1 ' || text ELSE text END) AS len
-      |  FROM documents WHERE doc_id % 13 <> 3),
+      |         md5($snapshotOldTextSql) AS hh,
+      |         length($snapshotOldTextSql) AS len
+      |  FROM documents WHERE $snapshotOldPred),
       |v_new AS (
       |  SELECT doc_id, source, md5(text) AS hh, length(text) AS len
-      |  FROM documents WHERE doc_id % 11 <> 5),
+      |  FROM documents WHERE $snapshotNewPred),
       |j AS (
       |  SELECT COALESCE(n.source, o.source) AS source,
       |         CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -507,14 +522,13 @@ object ExtensionQueries {
       |FROM j GROUP BY 1, 2""".stripMargin)(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val oldText = when(col("doc_id") % 7 === 2, concat(lit("v1 "), col("text")))
-        .otherwise(col("text"))
+      val oldText = snapshotOldText
       // digest + length projected BEFORE the join: the reconciliation
       // shuffle carries (id, source, 32-char md5, len), never text
-      val vOld = docs.filter(col("doc_id") % 13 =!= 3)
+      val vOld = docs.filter(expr(snapshotOldPred))
         .select(col("doc_id").as("o_id"), col("source").as("o_source"),
           md5(oldText).as("o_hh"), length(oldText).as("o_len"))
-      val vNew = docs.filter(col("doc_id") % 11 =!= 5)
+      val vNew = docs.filter(expr(snapshotNewPred))
         .select(col("doc_id").as("n_id"), col("source").as("n_source"),
           md5(col("text")).as("n_hh"), length(col("text")).as("n_len"))
       vNew.join(vOld, col("n_id") === col("o_id"), "full_outer")
@@ -530,6 +544,86 @@ object ExtensionQueries {
           coalesce(sum("len"), lit(0L)).cast("long").as("n_chars"))
     })
 
+  /** Incremental-crawl VOCABULARY novelty — the marginal-value question
+    * a day-2 ingest decision asks that q190's content diff can't
+    * answer: the new snapshot may be 95% changed documents and still
+    * contribute nothing the model hasn't seen. Per source, over the
+    * SAME shared snapshot views as q190 (one drift-pinned definition):
+    * the old and new distinct-token vocabularies, how many types are
+    * NOVEL (in new, not old), how many RETIRED (in old, not new), and
+    * the novelty rate in exact ppm of the new vocabulary. A source
+    * whose increments stop bringing novel types is a crawl to
+    * deprioritize — the type-level sibling of the q201 Heaps'-law
+    * growth audit, made incremental. Scale shape: two vocab-sized
+    * distinct (source, token) aggregates + two token-keyed anti-join
+    * counts + a \|sources\|-row assembly join — documents text never
+    * crosses an exchange. Output: one row per source present in
+    * either snapshot. HASH-MATCHED. */
+  val q239 = QueryDef.oracle("q239_vocab_novelty",
+    s"""WITH ot AS (SELECT source, unnest(list_filter(
+       |              regexp_split_to_array($snapshotOldTextSql, '\\s+'),
+       |              x -> x <> '')) AS tok
+       |            FROM documents WHERE $snapshotOldPred),
+       |nt AS (SELECT source, unnest(list_filter(
+       |         regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |       FROM documents WHERE $snapshotNewPred),
+       |ov AS (SELECT DISTINCT source, tok FROM ot),
+       |nv AS (SELECT DISTINCT source, tok FROM nt),
+       |os AS (SELECT source, CAST(count(*) AS BIGINT) AS old_vocab
+       |       FROM ov GROUP BY 1),
+       |nss AS (SELECT source, CAST(count(*) AS BIGINT) AS new_vocab
+       |        FROM nv GROUP BY 1),
+       |novel AS (SELECT source, CAST(count(*) AS BIGINT) AS n_novel FROM (
+       |            SELECT source, tok FROM nv
+       |            EXCEPT SELECT source, tok FROM ov) GROUP BY 1),
+       |retired AS (SELECT source, CAST(count(*) AS BIGINT) AS n_retired FROM (
+       |              SELECT source, tok FROM ov
+       |              EXCEPT SELECT source, tok FROM nv) GROUP BY 1)
+       |SELECT COALESCE(nss.source, os.source) AS source,
+       |       COALESCE(nss.new_vocab, 0) AS new_vocab,
+       |       COALESCE(os.old_vocab, 0) AS old_vocab,
+       |       COALESCE(novel.n_novel, 0) AS n_novel,
+       |       COALESCE(retired.n_retired, 0) AS n_retired,
+       |       CASE WHEN COALESCE(nss.new_vocab, 0) = 0 THEN NULL
+       |            ELSE CAST(COALESCE(novel.n_novel, 0) * 1000000
+       |                      // nss.new_vocab AS BIGINT) END AS novelty_ppm
+       |FROM nss FULL OUTER JOIN os ON nss.source = os.source
+       |LEFT JOIN novel ON COALESCE(nss.source, os.source) = novel.source
+       |LEFT JOIN retired ON COALESCE(nss.source, os.source) = retired.source""".stripMargin)(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      val ov = docs.filter(expr(snapshotOldPred))
+        .select(col("source"), explode(tokens(snapshotOldText)).as("tok"))
+        .distinct()
+      val nv = docs.filter(expr(snapshotNewPred))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val os = ov.groupBy("source").agg(count(lit(1)).as("old_vocab"))
+      val nss = nv.groupBy("source").agg(count(lit(1)).as("new_vocab"))
+      val novel = nv.join(ov, Seq("source", "tok"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      val retired = ov.join(nv, Seq("source", "tok"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_retired"))
+      nss.select(col("source").as("n_src"), col("new_vocab"))
+        .join(os.select(col("source").as("o_src"), col("old_vocab")),
+          col("n_src") === col("o_src"), "full_outer")
+        .select(coalesce(col("n_src"), col("o_src")).as("source"),
+          col("new_vocab"), col("old_vocab"))
+        .join(broadcast(novel), Seq("source"), "left")
+        .join(broadcast(retired), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("new_vocab"), lit(0L)).as("new_vocab"),
+          coalesce(col("old_vocab"), lit(0L)).as("old_vocab"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("n_retired"), lit(0L)).as("n_retired"),
+          when(coalesce(col("new_vocab"), lit(0L)) === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(COALESCE(n_novel, 0L) * 1000000 div new_vocab AS BIGINT)"))
+            .as("novelty_ppm"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190)
+    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239)
 }

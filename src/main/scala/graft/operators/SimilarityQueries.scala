@@ -1887,11 +1887,39 @@ object SimilarityQueries {
     * right tail IS the hubness. A healthy corpus shows a thin
     * Poisson-ish tail; a heavy tail says distances are concentrating
     * and the embedding/whitening (q197/q204) needs attention before
-    * ANN recall pays for it. Same 100-TB shape as q228: centroids
-    * broadcast, candidate pairs CLUSTER-KEYED (Σ|cell|², never
-    * corpus²), per-vector argmin window keyed on vec_id, then two
+    * ANN recall pays for it. Reads the STORED [[storedNn1]] relation
+    * (built once: centroids broadcast, candidate pairs CLUSTER-KEYED —
+    * Σ|cell|², never corpus² — per-vector argmin window), then two
     * bounded rollups. Output: one row per occurring in-degree.
     * HASH-MATCHED. */
+  /** STORED 1-NN relation — (vec_id, c_id, nn_id), each vector's single
+    * nearest same-IVF-cell neighbor (exact int64 d2, (d2, id)
+    * tie-break; nn_id NULL for vectors alone in their cell), built once
+    * per corpus (the dedup_clusters/codebook pattern: the relation is a
+    * pure function of the corpus + trained codebook). Read back by the
+    * nn-relation consumers (q232 hubness, q240 label probe); both
+    * oracles replay the FULL live chain, so the artifact builder is
+    * hash-verified twice per sweep. */
+  private[graft] def storedNn1(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "nn1") {
+      val iq = quantizedVecs(s, d)
+      val cent = storedIvfCentroids(s, d)
+      val m = nearestCentroid(s, iq, cent).join(iq, Seq("vec_id"))
+      val cand = m.select(col("c_id"), col("vec_id"), col("v").as("va"))
+        .join(m.select(col("c_id"), col("vec_id").as("nn_id"),
+          col("v").as("vb")), Seq("c_id"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .select(col("c_id"), col("vec_id"), col("nn_id"),
+          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
+        .select(col("c_id"), col("vec_id"), col("nn_id"),
+          (col("st.n2a") + col("st.n2b") - lit(2) * col("st.dot")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("nn_id"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("nn_id"))
+      m.select(col("vec_id"), col("c_id"))
+        .join(best, Seq("vec_id"), "left")
+    }
+
   val q232 = QueryDef.oracle("q232_hubness_histogram",
     s"""WITH $ivfCentCtes,
        |asg AS (SELECT vec_id, c_id FROM (
@@ -1917,25 +1945,147 @@ object SimilarityQueries {
        |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
        |FROM alldeg GROUP BY in_degree""".stripMargin)(
     (s, d) => {
-      val iq = quantizedVecs(s, d)
-      val cent = storedIvfCentroids(s, d)
-      val m = nearestCentroid(s, iq, cent).join(iq, Seq("vec_id"))
-      val cand = m.select(col("c_id"), col("vec_id"), col("v").as("va"))
-        .join(m.select(col("c_id"), col("vec_id").as("nn_id"),
-          col("v").as("vb")), Seq("c_id"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          VecExpressions.intDotNorms(s, col("va"), col("vb")).as("st"))
-        .select(col("vec_id"), col("nn_id"),
-          (col("st.n2a") + col("st.n2b") - lit(2) * col("st.dot")).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("nn_id"))
-      val best = cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("vec_id"), col("nn_id"))
-      val indeg = best.groupBy("nn_id").agg(count(lit(1)).as("deg"))
-      m.select("vec_id")
+      val nn = storedNn1(s, d)
+      val indeg = nn.filter(col("nn_id").isNotNull)
+        .groupBy("nn_id").agg(count(lit(1)).as("deg"))
+      nn.select("vec_id")
         .join(indeg, col("vec_id") === col("nn_id"), "left")
         .select(coalesce(col("deg"), lit(0L)).as("in_degree"))
         .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
+    })
+
+  /** 1-NN LABEL-AGREEMENT probe — the standard no-training embedding
+    * quality eval (the leave-one-out 1-NN probe): per label, how often
+    * a vector's single nearest neighbor CARRIES THE SAME LABEL. This
+    * is the number that says whether the embedding space respects the
+    * labels at all — read it before trusting q136's kNN propagation,
+    * q163's centroid screens or q228's mined negatives, and next to
+    * q232 (whose hubness tail is exactly what degrades this probe).
+    * Reads the same STORED [[storedNn1]] relation as q232 (trained-IVF
+    * cell assignment, exact-int64 d2, (d2, id) tie-break — built once,
+    * hash-verified by both consumers' oracles replaying the live
+    * chain); agreement joins labels onto BOTH endpoints of the nn
+    * relation. Vectors alone in their cell have no neighbor and are
+    * reported in n_no_nn, not silently dropped from the denominator.
+    * Scale: two id-keyed label joins + label-keyed rollups over the
+    * one-row-per-vector relation. Output: one row per label.
+    * HASH-MATCHED. */
+  val q240 = QueryDef.oracle("q240_knn_label_agreement",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, e.label, i.v
+       |      FROM asg a JOIN iq i USING (vec_id)
+       |                 JOIN embeddings e USING (vec_id)),
+       |cand AS (SELECT x.vec_id, x.label, y.vec_id AS nn_id,
+       |           y.label AS nn_label,
+       |           CAST(list_sum([(x.v[k] - y.v[k]) * (x.v[k] - y.v[k])
+       |                          FOR k IN range(1, len(x.v) + 1)]) AS BIGINT) AS d2
+       |         FROM m x JOIN m y ON x.c_id = y.c_id
+       |                          AND x.vec_id <> y.vec_id),
+       |best AS (SELECT vec_id, label, nn_label FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, nn_id) AS rn FROM cand) WHERE rn = 1),
+       |agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_with_nn,
+       |          CAST(count(CASE WHEN label = nn_label THEN 1 END) AS BIGINT)
+       |            AS n_agree
+       |        FROM best GROUP BY 1),
+       |lone AS (SELECT m.label, CAST(count(*) AS BIGINT) AS n_no_nn
+       |         FROM m LEFT JOIN best b USING (vec_id)
+       |         WHERE b.vec_id IS NULL GROUP BY 1),
+       |labels AS (SELECT DISTINCT label FROM m)
+       |SELECT l.label, COALESCE(a.n_with_nn, 0) AS n_with_nn,
+       |       COALESCE(a.n_agree, 0) AS n_agree,
+       |       COALESCE(lo.n_no_nn, 0) AS n_no_nn,
+       |       CASE WHEN COALESCE(a.n_with_nn, 0) = 0 THEN NULL
+       |            ELSE CAST(a.n_agree * 1000000 // a.n_with_nn AS BIGINT)
+       |       END AS acc_ppm
+       |FROM labels l LEFT JOIN agg a USING (label)
+       |              LEFT JOIN lone lo USING (label)""".stripMargin)(
+    (s, d) => {
+      val lab = Tables.embeddings(s, d).select("vec_id", "label")
+      val nn = storedNn1(s, d).join(lab, Seq("vec_id"))
+      val best = nn.filter(col("nn_id").isNotNull)
+        .join(lab.select(col("vec_id").as("nn_id"),
+          col("label").as("nn_label")), Seq("nn_id"))
+      val agg = best.groupBy("label")
+        .agg(count(lit(1)).as("n_with_nn"),
+          count(when(col("label") === col("nn_label"), 1)).as("n_agree"))
+      val lone = nn.filter(col("nn_id").isNull)
+        .groupBy("label").agg(count(lit(1)).as("n_no_nn"))
+      val labels = nn.select("label").distinct()
+      labels.join(broadcast(agg), Seq("label"), "left")
+        .join(broadcast(lone), Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("n_with_nn"), lit(0L)).as("n_with_nn"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          coalesce(col("n_no_nn"), lit(0L)).as("n_no_nn"),
+          when(coalesce(col("n_with_nn"), lit(0L)) === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(n_agree * 1000000 div n_with_nn AS BIGINT)"))
+            .as("acc_ppm"))
+    })
+
+  /** Cross-modal COVERAGE audit — the join-integrity precondition under
+    * every documents⋈embeddings operator (q215's gate, q237's drift,
+    * q198's decontam): per source, how many documents actually HAVE an
+    * embedding row, how many are missing one (an encoder backlog or a
+    * failed batch), and — grouped under the `(no_doc)` sentinel — how
+    * many vectors point at no document at all (a stale embedding table
+    * after deletes). The q135 integrity-audit discipline applied to
+    * the modal seam: a FULL OUTER join on the q215 doc_id = vec_id
+    * contract, carrying only ids and source, exact counts and
+    * coverage in ppm. Silent partial coverage is the failure mode this
+    * catches — an inner join downstream would just quietly shrink.
+    * Scale shape: one id-keyed full-outer join of two id/source
+    * projections + a \|sources\|-row rollup. Output: one row per
+    * source (+ the sentinel row when orphans exist). HASH-MATCHED. */
+  val q241 = QueryDef.oracle("q241_modal_coverage",
+    """WITH dd AS (SELECT doc_id, source FROM documents),
+      |ee AS (SELECT vec_id FROM embeddings),
+      |j AS (SELECT COALESCE(d.source, '(no_doc)') AS source,
+      |        CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1
+      |             ELSE 0 END AS both_m,
+      |        CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END AS doc_only,
+      |        CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS vec_only
+      |      FROM dd d FULL OUTER JOIN ee e ON d.doc_id = e.vec_id)
+      |SELECT source,
+      |       CAST(SUM(both_m + doc_only) AS BIGINT) AS n_docs,
+      |       CAST(SUM(both_m) AS BIGINT) AS n_with_vec,
+      |       CAST(SUM(doc_only) AS BIGINT) AS n_missing_vec,
+      |       CAST(SUM(vec_only) AS BIGINT) AS n_orphan_vecs,
+      |       CASE WHEN SUM(both_m + doc_only) = 0 THEN NULL
+      |            ELSE CAST(SUM(both_m) * 1000000
+      |                      // SUM(both_m + doc_only) AS BIGINT)
+      |       END AS coverage_ppm
+      |FROM j GROUP BY source""".stripMargin)(
+    (s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val ee = Tables.embeddings(s, d).select(col("vec_id"))
+      val j = dd.join(ee, col("doc_id") === col("vec_id"), "full_outer")
+        .select(coalesce(col("source"), lit("(no_doc)")).as("source"),
+          when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L).as("both_m"),
+          when(col("vec_id").isNull, 1L).otherwise(0L).as("doc_only"),
+          when(col("doc_id").isNull, 1L).otherwise(0L).as("vec_only"))
+      j.groupBy("source")
+        .agg(sum(col("both_m") + col("doc_only")).as("n_docs"),
+          sum("both_m").as("n_with_vec"),
+          sum("doc_only").as("n_missing_vec"),
+          sum("vec_only").as("n_orphan_vecs"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_with_vec").cast("long").as("n_with_vec"),
+          col("n_missing_vec").cast("long").as("n_missing_vec"),
+          col("n_orphan_vecs").cast("long").as("n_orphan_vecs"),
+          when(col("n_docs") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(n_with_vec * 1000000 div n_docs AS BIGINT)"))
+            .as("coverage_ppm"))
     })
 
   /** INT8 SCALAR-QUANTIZATION error profile — the audit that belongs
@@ -2196,5 +2346,5 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237)
+      q228, q232, q235, q237, q240, q241)
 }
