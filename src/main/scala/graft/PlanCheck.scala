@@ -597,6 +597,10 @@ object PlanCheck {
       "modal coverage: one id-keyed full-outer of id/source projections; |sources|-row rollup",
       p => p.contains("FullOuter") && p.contains("partial_sum") &&
         !p.contains("CartesianProduct"))
+    check("q242_conversion_latency",
+      "conversion latency: user-keyed MIN aggs + user-keyed join; no windows; bucket rollup map-side",
+      p => p.contains("partial_min") && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&

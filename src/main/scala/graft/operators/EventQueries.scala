@@ -532,7 +532,86 @@ object EventQueries {
           expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"))
     })
 
+  /** CONVERSION-LATENCY histogram — the targeted form of q234's
+    * inter-arrival profile, asked the way a funnel owner asks it: of
+    * users who VIEWED, how long until their first PURCHASE at or after
+    * that view, binned to power-of-two seconds (the shared bit-smear
+    * kernel, 2²⁰ s cap)? Complements q133's step-count funnel — counts
+    * say whether users convert, this says how fast, which sets
+    * attribution windows and retargeting delays. Non-converters (a
+    * first view, no later purchase) are the `-1` sentinel bucket, kept
+    * in the table rather than silently dropped; share_ppm is over
+    * converters only (NULL on the sentinel). Exact integers: epoch
+    * seconds, MIN aggregates, integer gaps. Scale shape: two
+    * user-keyed MIN aggregates + one user-keyed join + a map-side-
+    * combined bucket rollup — no windows at all. Output: one row per
+    * occurring bucket. HASH-MATCHED. */
+  val q242 = QueryDef.oracle("q242_conversion_latency",
+    """WITH e AS (SELECT user_id, event_type,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es
+      |           FROM events),
+      |v AS (SELECT user_id, MIN(es) AS v_es FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT v.user_id, MIN(e.es) AS p_es
+      |      FROM v JOIN e ON e.user_id = v.user_id
+      |       AND e.event_type = 'purchase' AND e.es >= v.v_es
+      |      GROUP BY 1),
+      |lat AS (SELECT v.user_id, p.p_es - v.v_es AS gap
+      |        FROM v LEFT JOIN p USING (user_id)),
+      |c AS (SELECT CASE WHEN gap IS NULL THEN CAST(NULL AS BIGINT)
+      |             ELSE LEAST(gap, 1048576) END AS gap FROM lat),
+      |w AS (SELECT gap,
+      |        CASE WHEN gap IS NULL OR gap <= 1 THEN gap ELSE gap - 1 END AS v
+      |      FROM c),
+      |s1 AS (SELECT gap, v | (v >> 1) AS v FROM w),
+      |s2 AS (SELECT gap, v | (v >> 2) AS v FROM s1),
+      |s3 AS (SELECT gap, v | (v >> 4) AS v FROM s2),
+      |s4 AS (SELECT gap, v | (v >> 8) AS v FROM s3),
+      |s5 AS (SELECT gap, v | (v >> 16) AS v FROM s4),
+      |b AS (SELECT CASE WHEN gap IS NULL THEN -1
+      |             WHEN gap <= 1 THEN gap ELSE v + 1 END AS bucket FROM s5),
+      |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+      |      FROM b GROUP BY 1),
+      |tc AS (SELECT CAST(SUM(CASE WHEN bucket >= 0 THEN n_users ELSE 0 END)
+      |             AS BIGINT) AS n_conv FROM h)
+      |SELECT h.bucket, h.n_users,
+      |       CASE WHEN h.bucket < 0 THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(h.n_users * 1000000 // tc.n_conv AS BIGINT)
+      |       END AS share_ppm
+      |FROM h, tc""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("es").as("v_es"))
+      val p = v.join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("es")), Seq("user_id"))
+        .filter(col("es") >= col("v_es"))
+        .groupBy("user_id").agg(min("es").as("p_es"))
+      val lat = v.join(p, Seq("user_id"), "left")
+        .select(least(col("p_es") - col("v_es"), lit(1048576L)).as("gap"))
+      val w0 = lat.withColumn("v",
+        when(col("gap").isNull || col("gap") <= 1, col("gap"))
+          .otherwise(col("gap") - 1))
+      val b = Seq(1, 2, 4, 8, 16).foldLeft(w0)((df, k) =>
+        df.withColumn("v", expr(s"v | shiftright(v, $k)")))
+        .select(when(col("gap").isNull, lit(-1L))
+          .when(col("gap") <= 1, col("gap"))
+          .otherwise(col("v") + 1).as("bucket"))
+      val h = b.groupBy("bucket").agg(count(lit(1)).as("n_users"))
+      val tc = h.agg(sum(when(col("bucket") >= 0, col("n_users"))
+        .otherwise(0L)).as("n_conv"))
+      h.crossJoin(broadcast(tc))
+        .select(col("bucket"), col("n_users"),
+          when(col("bucket") < 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(n_users * 1000000 div n_conv AS BIGINT)"))
+            .as("share_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234)
+      q234, q242)
 }

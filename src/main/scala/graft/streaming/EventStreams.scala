@@ -168,6 +168,76 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String,
+      event_id: Long)
+  final case class FunnelState(firstViewEs: Option[Long], converted: Boolean)
+  final case class Conversion(user_id: Long, gap_seconds: Long, ts: Timestamp)
+
+  /** Streaming CONVERSION-LATENCY gate — q242's funnel question
+    * answered the moment it becomes answerable: per user, state holds
+    * the epoch-second of the FIRST view; the first purchase at or
+    * after it emits (user, latency) exactly once and flips the state
+    * to converted (later purchases are silent, matching q242's MIN).
+    * Genuinely stateful with REAL eviction: unlike the monotone
+    * pack/HLL folds, funnel state must not live forever — an
+    * EventTimeTimeout clears users whose first view passed the
+    * watermark unconverted (they are q242's `-1` bucket; at timeout
+    * the state just dies, emitting nothing, because "didn't convert"
+    * is the absence the batch histogram counts, not an event). Within
+    * a trigger rows fold in (es, event_id) order; across triggers the
+    * feed is event-time ordered (the intake contract the other gates
+    * share). `ConversionStreamSpec` pins per-user latencies ≡ the
+    * batch v/p definition over the full corpus and the
+    * one-emission-per-user contract.
+    *
+    * Scale shape: one user-keyed stateful shuffle; state is two longs
+    * per user IN the horizon (watermark-evicted), not per user ever
+    * seen. */
+  def conversionGate(
+      events: DataFrame,
+      watermark: String = "30 days"): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[FunnelEv]
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // unconverted past the horizon: q242's -1 bucket is an
+            // absence, so eviction emits nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(None, converted = false))
+            val out = scala.collection.mutable.ListBuffer.empty[Conversion]
+            var maxEs = Long.MinValue
+            // views sort before purchases at the same second so a
+            // same-second conversion qualifies, exactly as the batch
+            // predicate p_es >= v_es does
+            rs.toSeq.sortBy(e => (e.ts.getTime,
+              if (e.event_type == "view") 0 else 1, e.event_id)).foreach { e =>
+              val es = e.ts.getTime / 1000L
+              if (es > maxEs) maxEs = es
+              e.event_type match {
+                case "view" if st.firstViewEs.isEmpty =>
+                  st = st.copy(firstViewEs = Some(es))
+                case "purchase" if st.firstViewEs.isDefined && !st.converted =>
+                  out += Conversion(user, es - st.firstViewEs.get, e.ts)
+                  st = st.copy(converted = true)
+                case _ => ()
+              }
+            }
+            state.update(st)
+            if (maxEs != Long.MinValue)
+              state.setTimeoutTimestamp(maxEs * 1000L, watermark)
+            out.iterator
+          }
+      }
+  }
+
   final case class PitCand(o_orderkey: Long, ts: Timestamp, o_custkey: Long,
       order_date: java.sql.Date, o_orderstatus: String,
       eff_from: Option[java.sql.Date], version: Option[Long],
