@@ -601,6 +601,10 @@ object PlanCheck {
       "conversion latency: user-keyed MIN aggs + user-keyed join; no windows; bucket rollup map-side",
       p => p.contains("partial_min") && p.contains("partial_count") &&
         !p.contains("CartesianProduct"))
+    check("q243_token_yield",
+      "token yield: ONE corpus scan joined to the stored dedup_clusters labels; source rollup map-side",
+      p => p.contains("graft_dedup_clusters_") && p.contains("partial_count") &&
+        scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -686,7 +690,7 @@ object PlanCheck {
         "q235_clip_calibration", "q236_vocab_overlap",
         "q237_source_embedding_drift", "q238_threshold_sweep",
         "q239_vocab_novelty", "q240_knn_label_agreement",
-        "q241_modal_coverage")
+        "q241_modal_coverage", "q243_token_yield")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

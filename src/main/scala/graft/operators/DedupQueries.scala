@@ -1766,6 +1766,74 @@ object DedupQueries {
             .as("pair_share_ppm"))
     })
 
+  /** Per-source EFFECTIVE TOKEN YIELD — the number a crawl is actually
+    * worth after dedup: q194's funnel counts surviving DOCUMENTS, but
+    * training budgets are spent in TOKENS, and a source whose keepers
+    * are its shortest documents yields far less than its doc-survival
+    * rate suggests. Per source: raw docs/tokens, canonical keepers
+    * (q56's keep rule — doc_id = cluster_id — read from the stored
+    * `dedup_clusters` labels), kept tokens, and both survival rates in
+    * exact ppm; the gap between doc_yield and token_yield is the
+    * duplication-length skew. Scale shape: ONE corpus scan (token
+    * counts ride it) joined to the label table, one source-keyed
+    * map-side rollup. Output: one row per source. HASH-MATCHED. */
+  val q243 = QueryDef.oracle("q243_token_yield", {
+    val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |undir AS (SELECT ia AS a, ib AS b FROM kept UNION SELECT ib, ia FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN min(r.b) IS NULL THEN d.doc_id
+       |              ELSE LEAST(d.doc_id, min(r.b)) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |tk AS (SELECT d.doc_id, d.source,
+       |         CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok,
+       |         c.doc_id = c.cluster_id AS keeper
+       |       FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN keeper THEN 1 END) AS BIGINT) AS n_keepers,
+       |       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       |       CAST(SUM(CASE WHEN keeper THEN n_tok ELSE 0 END) AS BIGINT)
+       |         AS kept_tokens,
+       |       CAST(count(CASE WHEN keeper THEN 1 END) * 1000000 // count(*)
+       |            AS BIGINT) AS doc_yield_ppm,
+       |       CASE WHEN SUM(n_tok) = 0 THEN NULL
+       |            ELSE CAST(SUM(CASE WHEN keeper THEN n_tok ELSE 0 END)
+       |                      * 1000000 // SUM(n_tok) AS BIGINT)
+       |       END AS token_yield_ppm
+       |FROM tk GROUP BY source""".stripMargin})(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokenCount
+      val labels = clusterLabels(s, d)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"))
+        .join(labels, Seq("doc_id"))
+        .withColumn("keeper", col("doc_id") === col("cluster_id"))
+      tk.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keeper"), 1)).as("n_keepers"),
+          sum("n_tok").as("raw_tokens"),
+          sum(when(col("keeper"), col("n_tok")).otherwise(0L))
+            .as("kept_tokens"))
+        .select(col("source"), col("n_docs"), col("n_keepers"),
+          col("raw_tokens").cast("long").as("raw_tokens"),
+          col("kept_tokens").cast("long").as("kept_tokens"),
+          expr("CAST(n_keepers * 1000000 div n_docs AS BIGINT)")
+            .as("doc_yield_ppm"),
+          when(col("raw_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(kept_tokens * 1000000 div raw_tokens AS BIGINT)"))
+            .as("token_yield_ppm"))
+    })
+
   /** STORED near-dup cluster labels — (doc_id, cluster_id), q56's exact
     * closure over the stored scored-pairs edge set, materialized once
     * (the bandrows/codebook store-don't-recompute pattern: labels are a
@@ -2115,5 +2183,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231, q238)
+      q209, q213, q216, q217, q231, q238, q243)
 }
