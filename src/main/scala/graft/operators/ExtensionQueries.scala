@@ -624,6 +624,212 @@ object ExtensionQueries {
             .as("novelty_ppm"))
     })
 
+  /** ANALYZE-style optimizer statistics — the per-column stats a
+    * cost-based optimizer and a file-skipping layer feed on (row count,
+    * null count, exact NDV, min/max), collected for EVERY lineitem
+    * column in ONE scan. Numeric/timestamp min-max ship as a canonical
+    * BIGINT key (doubles in exact cents via round(v*100), timestamps as
+    * epoch seconds) so the wire format is float-free; string columns
+    * ship min/max as VARCHAR plus their total byte width (the CBO's
+    * avg-row-width input). Exact NDV for 11 columns in one pass rides
+    * Spark's Expand (one narrow single-column projection per distinct
+    * agg — the standard exact multi-NDV shape); at 100 TB production
+    * swaps in q25's HLL sketches per partition file, same output
+    * contract. Scale shape: one scan, one Expand aggregate, an 11-row
+    * struct explode on a 1-row frame. HASH-MATCHED. */
+  val q244 = {
+    // (name, kind): L = integral, D = double (cents key), T = timestamp
+    // (epoch-seconds key), S = varchar (string min/max + byte width)
+    val cols = Seq(
+      "l_orderkey" -> 'L', "l_partkey" -> 'L', "l_suppkey" -> 'L',
+      "l_linenumber" -> 'L', "l_quantity" -> 'D', "l_extendedprice" -> 'D',
+      "l_discount" -> 'D', "l_tax" -> 'D', "l_returnflag" -> 'S',
+      "l_linestatus" -> 'S', "l_shipdate" -> 'T')
+    def keySql(c: String, k: Char): String = k match {
+      case 'L' => c
+      case 'D' => s"CAST(round($c * 100) AS BIGINT)"
+      case 'T' => s"date_diff('second', TIMESTAMP '1970-01-01', $c)"
+      case 'S' => "NULL"
+    }
+    val aggArms = cols.map { case (c, k) =>
+      val key = keySql(c, k)
+      val strAggs =
+        if (k == 'S')
+          s"min($c) AS ${c}_mns, max($c) AS ${c}_mxs, CAST(SUM(strlen($c)) AS BIGINT) AS ${c}_b"
+        else
+          s"CAST(NULL AS VARCHAR) AS ${c}_mns, CAST(NULL AS VARCHAR) AS ${c}_mxs, CAST(NULL AS BIGINT) AS ${c}_b"
+      val keyAggs =
+        if (k == 'S') s"CAST(NULL AS BIGINT) AS ${c}_mn, CAST(NULL AS BIGINT) AS ${c}_mx"
+        else s"CAST(min($key) AS BIGINT) AS ${c}_mn, CAST(max($key) AS BIGINT) AS ${c}_mx"
+      s"""count($c) AS ${c}_c, CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_d,
+         |  $keyAggs, $strAggs""".stripMargin
+    }
+    val unionArms = cols.map { case (c, _) =>
+      s"""SELECT '$c' AS col_name, n_rows, n_rows - ${c}_c AS n_nulls,
+         |  ${c}_d AS ndv, ${c}_mn AS min_k, ${c}_mx AS max_k,
+         |  ${c}_mns AS min_s, ${c}_mxs AS max_s, ${c}_b AS sum_bytes FROM a""".stripMargin
+    }
+    QueryDef.oracle("q244_table_stats",
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${aggArms.mkString(",\n  ")}
+         |FROM lineitem)
+         |${unionArms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def keyCol(c: String, k: Char) = k match {
+          case 'L' => col(c).cast("long")
+          case 'D' => round(col(c) * 100).cast("long")
+          case 'T' => unix_timestamp(col(c))
+          case _ => lit(null).cast("long")
+        }
+        val aggs = cols.flatMap { case (c, k) =>
+          Seq(count(col(c)).as(s"${c}_c"),
+            countDistinct(col(c)).as(s"${c}_d")) ++
+            (if (k == 'S')
+              Seq(lit(null).cast("long").as(s"${c}_mn"),
+                lit(null).cast("long").as(s"${c}_mx"),
+                min(col(c)).as(s"${c}_mns"), max(col(c)).as(s"${c}_mxs"),
+                sum(octet_length(col(c))).cast("long").as(s"${c}_b"))
+            else
+              Seq(min(keyCol(c, k)).as(s"${c}_mn"),
+                max(keyCol(c, k)).as(s"${c}_mx"),
+                lit(null).cast("string").as(s"${c}_mns"),
+                lit(null).cast("string").as(s"${c}_mxs"),
+                lit(null).cast("long").as(s"${c}_b")))
+        }
+        val a = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val arms = cols.map { case (c, _) =>
+          struct(lit(c).as("col_name"),
+            (col("n_rows") - col(s"${c}_c")).as("n_nulls"),
+            col(s"${c}_d").as("ndv"),
+            col(s"${c}_mn").as("min_k"), col(s"${c}_mx").as("max_k"),
+            col(s"${c}_mns").as("min_s"), col(s"${c}_mxs").as("max_s"),
+            col(s"${c}_b").as("sum_bytes"))
+        }
+        a.select(col("n_rows"), explode(array(arms: _*)).as("st"))
+          .select(col("st.col_name").as("col_name"), col("n_rows"),
+            col("st.n_nulls").as("n_nulls"), col("st.ndv").as("ndv"),
+            col("st.min_k").as("min_k"), col("st.max_k").as("max_k"),
+            col("st.min_s").as("min_s"), col("st.max_s").as("max_s"),
+            col("st.sum_bytes").as("sum_bytes"))
+      })
+  }
+
+  /** Z-ORDER layout pruning audit — quantifies what a space-filling-
+    * curve data layout buys the file-skipping layer (q244's min/max
+    * stats are only as good as the layout that feeds them). Rows are
+    * dealt to 64 files under two layouts: `linear` (range-partitioned
+    * on the natural ingest key l_orderkey) and `zorder` (range-
+    * partitioned on the 16-bit Morton interleave of 8-bit-quantized
+    * (l_partkey, l_suppkey)). Both assignments are ANALYTIC — a pure
+    * map function of the row against broadcast global min/max, exactly
+    * how a production z-order writer deals fixed z-ranges to files — so
+    * there is NO global sort anywhere (row_number layouts don't scale;
+    * z-prefix ranges do). A centered box predicate selecting ~1/256 of
+    * the key space is then tested against per-file min/max: a file
+    * "hits" when its stats overlap the box and cannot be pruned. The
+    * zorder row's files_hit/rows_read collapse vs linear is the whole
+    * point of Morton layouts at 100 TB. Exact integers throughout.
+    * Scale shape: one scan, one broadcast 1-row stats frame, one
+    * (layout, file)-keyed map-side rollup, 2-row output. HASH-MATCHED. */
+  val q245 = {
+    def interleave(shift: (String, Int) => String): String =
+      (0 until 8).map { i =>
+        val hi = 1L << (2 * i + 1); val lo = 1L << (2 * i)
+        s"(${shift("qa", i)} & 1) * $hi + (${shift("qb", i)} & 1) * $lo"
+      }.mkString(" + ")
+    val duckZ = interleave((c, i) => s"($c >> $i)")
+    val sparkZ = interleave((c, i) => s"shiftright($c, $i)")
+    QueryDef.oracle("q245_zorder_pruning",
+      s"""WITH b AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         |             min(l_suppkey) AS mns, max(l_suppkey) AS mxs,
+         |             min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+         |             CAST(count(*) AS BIGINT) AS n
+         |           FROM lineitem),
+         |q AS (SELECT l.l_partkey, l.l_suppkey,
+         |        (l.l_partkey - b.mnp) * 256 // (b.mxp - b.mnp + 1) AS qa,
+         |        (l.l_suppkey - b.mns) * 256 // (b.mxs - b.mns + 1) AS qb,
+         |        (l.l_orderkey - b.mno) * 64 // (b.mxo - b.mno + 1) AS lin_file,
+         |        b.mnp + (b.mxp - b.mnp + 1) * 7 // 16 AS lop,
+         |        b.mnp + (b.mxp - b.mnp + 1) * 9 // 16 - 1 AS hip,
+         |        b.mns + (b.mxs - b.mns + 1) * 7 // 16 AS los,
+         |        b.mns + (b.mxs - b.mns + 1) * 9 // 16 - 1 AS his,
+         |        b.n
+         |      FROM lineitem l CROSS JOIN b),
+         |z AS (SELECT *, ($duckZ) // 1024 AS z_file FROM q),
+         |f AS (SELECT 'linear' AS layout, lin_file AS file_id, l_partkey,
+         |             l_suppkey, lop, hip, los, his, n FROM z
+         |      UNION ALL
+         |      SELECT 'zorder', z_file, l_partkey, l_suppkey,
+         |             lop, hip, los, his, n FROM z),
+         |fs AS (SELECT layout, file_id,
+         |         min(l_partkey) AS fmnp, max(l_partkey) AS fmxp,
+         |         min(l_suppkey) AS fmns, max(l_suppkey) AS fmxs,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(SUM(CASE WHEN l_partkey BETWEEN lop AND hip
+         |                        AND l_suppkey BETWEEN los AND his
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+         |         min(lop) AS lop, min(hip) AS hip, min(los) AS los,
+         |         min(his) AS his, min(n) AS n
+         |       FROM f GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(SUM(CASE WHEN fmnp <= hip AND fmxp >= lop
+         |                      AND fmns <= his AND fmxs >= los
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         |       CAST(SUM(n_sel) AS BIGINT) AS rows_sel,
+         |       CAST(SUM(CASE WHEN fmnp <= hip AND fmxp >= lop
+         |                      AND fmns <= his AND fmxs >= los
+         |                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+         |       CAST(SUM(CASE WHEN fmnp <= hip AND fmxp >= lop
+         |                      AND fmns <= his AND fmxs >= los
+         |                     THEN n_rows ELSE 0 END) * 1000000 // min(n)
+         |            AS BIGINT) AS read_ppm
+         |FROM fs GROUP BY layout""".stripMargin)(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val b = li.agg(
+          min("l_partkey").as("mnp"), max("l_partkey").as("mxp"),
+          min("l_suppkey").as("mns"), max("l_suppkey").as("mxs"),
+          min("l_orderkey").as("mno"), max("l_orderkey").as("mxo"),
+          count(lit(1)).as("n"))
+        val q = li.crossJoin(broadcast(b))
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("(l_partkey - mnp) * 256 div (mxp - mnp + 1)").as("qa"),
+            expr("(l_suppkey - mns) * 256 div (mxs - mns + 1)").as("qb"),
+            expr("(l_orderkey - mno) * 64 div (mxo - mno + 1)").as("lin_file"),
+            expr("mnp + (mxp - mnp + 1) * 7 div 16").as("lop"),
+            expr("mnp + (mxp - mnp + 1) * 9 div 16 - 1").as("hip"),
+            expr("mns + (mxs - mns + 1) * 7 div 16").as("los"),
+            expr("mns + (mxs - mns + 1) * 9 div 16 - 1").as("his"),
+            col("n"))
+        val z = q.withColumn("z_file", expr(s"($sparkZ) div 1024"))
+        val f = z.select(lit("linear").as("layout"),
+            col("lin_file").as("file_id"), col("l_partkey"), col("l_suppkey"),
+            col("lop"), col("hip"), col("los"), col("his"), col("n"))
+          .unionAll(z.select(lit("zorder").as("layout"),
+            col("z_file").as("file_id"), col("l_partkey"), col("l_suppkey"),
+            col("lop"), col("hip"), col("los"), col("his"), col("n")))
+        val sel = col("l_partkey").between(col("lop"), col("hip")) &&
+          col("l_suppkey").between(col("los"), col("his"))
+        val fs = f.groupBy("layout", "file_id")
+          .agg(min("l_partkey").as("fmnp"), max("l_partkey").as("fmxp"),
+            min("l_suppkey").as("fmns"), max("l_suppkey").as("fmxs"),
+            count(lit(1)).as("n_rows"),
+            sum(when(sel, 1L).otherwise(0L)).as("n_sel"),
+            min("lop").as("lop"), min("hip").as("hip"),
+            min("los").as("los"), min("his").as("his"), min("n").as("n"))
+        val hit = col("fmnp") <= col("hip") && col("fmxp") >= col("lop") &&
+          col("fmns") <= col("his") && col("fmxs") >= col("los")
+        fs.groupBy("layout")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+            sum("n_sel").as("rows_sel"),
+            sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_read"),
+            expr("CAST(SUM(CASE WHEN fmnp <= hip AND fmxp >= lop AND fmns <= his AND fmxs >= los THEN n_rows ELSE 0 END) * 1000000 div min(n) AS BIGINT)")
+              .as("read_ppm"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239)
+    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245)
 }
