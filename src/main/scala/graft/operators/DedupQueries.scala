@@ -1834,6 +1834,87 @@ object DedupQueries {
             .as("token_yield_ppm"))
     })
 
+  /** K-CORE decomposition of the near-dup pair graph — the density
+    * forensic q213's size histogram can't see: a large cluster can be a
+    * thin chain (every node degree ≤ 2, one bad edge glues two distinct
+    * groups) or a dense clique (true mass duplication). The k-core (the
+    * maximal subgraph where every node keeps degree ≥ k) separates the
+    * two: chains vanish at k=2's fixpoint only if open, cliques survive
+    * to high k. Computed by BOUNDED-ROUND peeling (6 rounds, both
+    * engines identical by construction) with an explicit `converged`
+    * flag (round-5 node set == round-6 node set) so the audit reports
+    * whether the fixpoint was reached rather than assuming it —
+    * peeling rounds needed equal the graph's degeneracy ordering depth,
+    * small for LSH pair graphs whose components are diameter-bounded
+    * (q56). Exact integers. Scale shape: rides the stored scored_pairs
+    * artifact (candidate-bounded); each round is one alive-keyed
+    * semi-join + one map-side degree count over the (small) edge set;
+    * output 2 rows (k=2,3). HASH-MATCHED. */
+  val q246 = QueryDef.oracle("q246_kcore", {
+    def peel(k: Int): String = {
+      val rounds = (1 to 6).map { t =>
+        // MATERIALIZED: each a_t is referenced by the next round twice
+        // (u side + v side) — without it DuckDB inlines the chain into
+        // 2^rounds copies of the full scored-pairs pipeline and runs
+        // out of file handles on the parquet scans
+        s"""e${k}_$t AS (SELECT ed.u, ed.v FROM ed
+           |  JOIN a${k}_${t - 1} x ON x.u = ed.u
+           |  JOIN a${k}_${t - 1} y ON y.u = ed.v),
+           |a${k}_$t AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS c
+           |                            FROM e${k}_$t GROUP BY 1)
+           |             WHERE c >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"a${k}_0 AS MATERIALIZED (SELECT DISTINCT u FROM ed),\n$rounds"
+    }
+    def row(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  CAST((SELECT count(*) FROM a${k}_6) AS BIGINT) AS core_nodes,
+         |  CAST((SELECT count(*) FROM ed
+         |        JOIN a${k}_6 x ON x.u = ed.u
+         |        JOIN a${k}_6 y ON y.u = ed.v) // 2 AS BIGINT) AS core_edges,
+         |  CAST(CASE WHEN (SELECT count(*) FROM a${k}_5)
+         |                 = (SELECT count(*) FROM a${k}_6)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS converged""".stripMargin
+    s"""$portableScoredCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |ed AS MATERIALIZED (SELECT ia AS u, ib AS v FROM kept
+       |       UNION ALL SELECT ib AS u, ia AS v FROM kept),
+       |${peel(2)},
+       |${peel(3)}
+       |${row(2)}
+       |UNION ALL
+       |${row(3)}""".stripMargin})(
+    (s, d) => {
+      val e = portableScoredPairs(s, d).filter(col("n_match") >= PortMatchMin)
+      val ed = e.select(col("ia").as("u"), col("ib").as("v"))
+        .unionByName(e.select(col("ib").as("u"), col("ia").as("v")))
+        .localCheckpoint(false) // one artifact scan feeds all peel rounds
+      def core(k: Int): DataFrame = {
+        var alive = ed.select("u").distinct()
+        var a5: DataFrame = alive
+        for (t <- 1 to 6) {
+          val among = ed
+            .join(alive, Seq("u"), "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          alive = among.groupBy("u").agg(count(lit(1)).as("c"))
+            .filter(col("c") >= k).select("u")
+            .localCheckpoint(false) // bounded-round lineage cut, q56's pattern
+          if (t == 5) a5 = alive
+        }
+        val coreEdges = ed
+          .join(alive, Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .agg((count(lit(1)) / 2).cast("long").as("core_edges"))
+        alive.agg(count(lit(1)).as("core_nodes"))
+          .crossJoin(coreEdges)
+          .crossJoin(a5.agg(count(lit(1)).as("c5")))
+          .select(lit(k.toLong).as("k"), col("core_nodes"), col("core_edges"),
+            when(col("c5") === col("core_nodes"), 1L).otherwise(0L)
+              .as("converged"))
+      }
+      core(2).unionByName(core(3))
+    })
+
   /** STORED near-dup cluster labels — (doc_id, cluster_id), q56's exact
     * closure over the stored scored-pairs edge set, materialized once
     * (the bandrows/codebook store-don't-recompute pattern: labels are a
@@ -2183,5 +2264,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231, q238, q243)
+      q209, q213, q216, q217, q231, q238, q243, q246)
 }

@@ -43,7 +43,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q195_lsh_recall_audit", "q208_fold_leakage",
         "q213_cluster_size_histogram", "q216_admission_recall_audit",
         "q231_cluster_salient_terms", "q238_threshold_sweep",
-        "q243_token_yield")
+        "q243_token_yield", "q246_kcore")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -72,7 +72,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q194_curation_funnel", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
-        "q238_threshold_sweep", "q243_token_yield")
+        "q238_threshold_sweep", "q243_token_yield", "q246_kcore")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -89,7 +89,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q191_lsh_calibration", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
-        "q238_threshold_sweep", "q243_token_yield")
+        "q238_threshold_sweep", "q243_token_yield", "q246_kcore")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
