@@ -611,7 +611,67 @@ object EventQueries {
             .as("share_ppm"))
     })
 
+  /** K-ANONYMITY audit — the release-safety check a training-data
+    * pipeline runs before events leave the trust boundary (q176 scrubs
+    * direct identifiers; this measures the RE-identification surface
+    * that remains through quasi-identifiers). QI = (event_type, day,
+    * hour): any row whose QI group holds fewer than K=5 rows is
+    * re-identifiable by an adversary who knows when a user acted, so it
+    * must be suppressed or generalized. Per event_type: group count,
+    * groups below k, rows at risk, DISTINCT users at risk (exact — a
+    * user in two thin groups counts once, which needs the rejoin, not a
+    * per-group sum), and the suppression fraction in exact ppm. Scale
+    * shape: one scan builds the QI rollup (aggregate-reduced), the thin
+    * groups broadcast back against the scan for the user-distinct pass
+    * — risky-group cardinality is bounded by the group count, never
+    * data-sized. HASH-MATCHED. */
+  val q247 = QueryDef.oracle("q247_k_anonymity",
+    """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |             date_part('hour', ts) AS h, user_id
+      |           FROM events),
+      |g AS (SELECT event_type, d, h, CAST(count(*) AS BIGINT) AS n
+      |      FROM q GROUP BY 1, 2, 3),
+      |risky AS (SELECT event_type, d, h, n FROM g WHERE n < 5),
+      |ru AS (SELECT q.event_type,
+      |         CAST(count(DISTINCT q.user_id) AS BIGINT) AS users_at_risk
+      |       FROM q JOIN risky USING (event_type, d, h)
+      |       GROUP BY 1),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+      |        CAST(SUM(n) AS BIGINT) AS n_rows,
+      |        CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS groups_lt_k,
+      |        CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |          AS rows_at_risk
+      |      FROM g GROUP BY 1)
+      |SELECT t.event_type, t.n_rows, t.n_groups, t.groups_lt_k,
+      |       t.rows_at_risk,
+      |       COALESCE(ru.users_at_risk, CAST(0 AS BIGINT)) AS users_at_risk,
+      |       CAST(t.rows_at_risk * 1000000 // t.n_rows AS BIGINT)
+      |         AS suppress_ppm
+      |FROM t LEFT JOIN ru USING (event_type)""".stripMargin)(
+    (s, d) => {
+      val q = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("h"), col("user_id"))
+      val g = q.groupBy("event_type", "d", "h").agg(count(lit(1)).as("n"))
+      val risky = g.filter(col("n") < 5)
+      val ru = q.join(broadcast(risky.select("event_type", "d", "h")),
+          Seq("event_type", "d", "h"))
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("users_at_risk"))
+      val t = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_lt_k"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
+      t.join(broadcast(ru), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_rows"), col("n_groups"),
+          col("groups_lt_k"), col("rows_at_risk"),
+          coalesce(col("users_at_risk"), lit(0L)).as("users_at_risk"),
+          expr("CAST(rows_at_risk * 1000000 div n_rows AS BIGINT)")
+            .as("suppress_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242)
+      q234, q242, q247)
 }

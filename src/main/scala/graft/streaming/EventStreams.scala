@@ -238,6 +238,75 @@ object EventStreams {
       }
   }
 
+  final case class AnonEv(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String)
+  final case class AnonState(opened: Boolean, buffer: List[AnonEv])
+  final case class AnonAdmit(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String, qi_hour: Long)
+
+  /** Streaming K-ANONYMITY suppression gate — q247's release rule
+    * enforced AT ingest: an event may only leave the trust boundary
+    * once its quasi-identifier group (event_type, hour) holds ≥ K rows.
+    * Events arriving before their group fills are WITHHELD in state;
+    * the K-th arrival opens the gate and releases the buffer, and every
+    * later arrival in an open group flows straight through. Groups that
+    * never reach K past the watermark horizon time out and their buffer
+    * dies unemitted — suppression is an absence, exactly like q247
+    * counts it (rows_at_risk are rows the release never ships).
+    *
+    * Genuinely stateful with BOUNDED state: a closed group buffers at
+    * most K-1 events (the K-th opens it), an open group holds a single
+    * boolean — so state is O(K) per group in the horizon, watermark-
+    * evicted, never history-sized. One QI-keyed stateful shuffle.
+    * `KAnonStreamSpec` pins the admitted set ≡ the batch rule (groups
+    * with total ≥ K admit every row, groups below K admit none). */
+  def kAnonGate(
+      events: DataFrame,
+      k: Int = 5,
+      watermark: String = "30 days"): Dataset[AnonAdmit] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[AnonEv]
+    rows.groupByKey(e => (e.event_type, e.ts.getTime / 1000L / 3600L))
+      .flatMapGroupsWithState[AnonState, AnonAdmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rs: Iterator[AnonEv],
+            state: GroupState[AnonState]) =>
+          if (state.hasTimedOut) {
+            // never filled: the withheld buffer is suppressed — absence,
+            // not an emission, mirroring q247's rows_at_risk
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(AnonState(opened = false, Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[AnonAdmit]
+            var maxEs = Long.MinValue
+            rs.foreach { e =>
+              val es = e.ts.getTime / 1000L
+              if (es > maxEs) maxEs = es
+              if (st.opened)
+                out += AnonAdmit(e.event_id, e.user_id, e.ts, e.event_type,
+                  key._2)
+              else {
+                val buf = e :: st.buffer
+                if (buf.length >= k) {
+                  buf.reverseIterator.foreach(b =>
+                    out += AnonAdmit(b.event_id, b.user_id, b.ts,
+                      b.event_type, key._2))
+                  st = AnonState(opened = true, Nil)
+                } else st = AnonState(opened = false, buf)
+              }
+            }
+            state.update(st)
+            if (maxEs != Long.MinValue)
+              state.setTimeoutTimestamp(maxEs * 1000L, watermark)
+            out.iterator
+          }
+      }
+  }
+
   final case class PitCand(o_orderkey: Long, ts: Timestamp, o_custkey: Long,
       order_date: java.sql.Date, o_orderstatus: String,
       eff_from: Option[java.sql.Date], version: Option[Long],
