@@ -1206,8 +1206,68 @@ object TextQueries {
             .as("jaccard_ppm"))
     })
 
+  /** PHRASE SEARCH over a positional inverted index — the search-
+    * engine primitive the retrieval family lacks: q124's BM25 ranks by
+    * bag-of-words, but "new york" is not "york new", and phrase
+    * matching needs POSITIONS. Build side: postings (doc_id, pos, term)
+    * from one tokenize explode — at 100 TB this is the stored
+    * term-bucketed artifact, gpos's unhashed sibling. The query phrase
+    * is the corpus's top bigram (count desc, then lexicographic — a
+    * deterministic self-referential pick, like q161's salient terms),
+    * found with ONE doc-keyed lead window + a bigram-keyed rollup +
+    * a bounded top-1 (TakeOrdered, never a full sort). Probe side runs
+    * the way a search engine actually executes a phrase: fetch the two
+    * terms' posting lists (term-pruned — O(postings of the phrase
+    * terms), NOT a corpus pass) and join them on positional adjacency
+    * p2.pos = p1.pos + 1 within a document. Output: every matching doc
+    * with its occurrence count. Scale shape: one explode, one doc-keyed
+    * window, one bigram rollup, broadcast 1-row phrase, doc-keyed
+    * adjacency join over two pruned posting lists. HASH-MATCHED. */
+  val q248 = QueryDef.oracle("q248_phrase_search",
+    """WITH l AS (SELECT doc_id,
+      |             list_filter(regexp_split_to_array(text, '\s+'),
+      |                         x -> x <> '') AS l
+      |           FROM documents),
+      |bg AS (SELECT doc_id, unnest([{'w1': l[i], 'w2': l[i + 1]}
+      |                              FOR i IN range(1, len(l))]) AS b
+      |       FROM l),
+      |bgc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt
+      |        FROM bg GROUP BY 1, 2),
+      |top AS (SELECT w1, w2 FROM bgc
+      |        ORDER BY cnt DESC, w1, w2 LIMIT 1)
+      |SELECT bg.doc_id, t.w1, t.w2, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM bg JOIN top t ON bg.b.w1 = t.w1 AND bg.b.w2 = t.w2
+      |GROUP BY 1, 2, 3""".stripMargin)(
+    (s, d) => {
+      // build: postings (doc_id, pos, term) — ONE tokenize explode
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text")))
+          .as(Seq("pos", "term")))
+      // index-build analytics: top bigram via doc-keyed lead
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val top = postings
+        .withColumn("w2", lead("term", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("term").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(1)
+        .select("w1", "w2")
+      // probe: two term-pruned posting fetches joined on adjacency —
+      // the phrase executes against the INDEX, not the corpus
+      val p1 = postings.join(broadcast(top), col("term") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+      val p2 = postings.join(broadcast(top.select(col("w2").as("w2p"))),
+          col("term") === col("w2p"))
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      p1.join(p2, col("doc_id") === col("doc_id2") &&
+          col("pos2") === col("pos") + 1)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("n_hits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236)
+      q236, q248)
 }
