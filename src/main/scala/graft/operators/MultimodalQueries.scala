@@ -383,5 +383,84 @@ object MultimodalQueries {
             .as("containment_ppm"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179, q229)
+  /** SHOT-BOUNDARY segmentation — the temporal structure pass a video
+    * curation pipeline runs between q73's frame sampling and any
+    * per-shot featurization: decode EVERY frame (everyN=1), compute a
+    * per-frame intensity feature (byte sum — the stub codec's stand-in
+    * for a pixel histogram; the plumbing, not the codec, is what's
+    * real), and cut a boundary wherever the feature jumps more than ~3%
+    * against the previous frame (integer cross-multiplication
+    * |f_i − f_{i−1}|·33 > max(f_{i−1},1) — no float ratio; the stub's
+    * byte-sum features are low-variance, so the cut threshold sits at
+    * the stub's jump scale — a real pixel-histogram codec would run
+    * the same plumbing at 25%). Shots =
+    * boundaries + 1; max_jump_ppm localizes the hardest cut. The SQL
+    * oracle reproduces the stub's byte-slice math end-to-end (q73's
+    * convention), so the Dataset flatMap decode → typed featurize →
+    * media-keyed lag window → rollup plumbing is numerically validated.
+    * Scale shape: content bytes stay in the scan-stage flatMap (only
+    * (media_id, frame_index, fsum) longs cross the exchange), one
+    * media-keyed window, one map-side rollup; at 100 TB media is
+    * bucketed by media_id so the window never re-shuffles. Videos only
+    * (doc_id % 3 = 2). HASH-MATCHED. */
+  val q249 = QueryDef.oracle("q249_shot_boundaries",
+    """WITH v AS (SELECT doc_id,
+      |             CAST(n_chars % 16 + 1 AS INTEGER) AS n,
+      |             CAST(strlen(text) AS INTEGER) AS len,
+      |             greatest(CAST(strlen(text) AS INTEGER)
+      |                      // CAST(n_chars % 16 + 1 AS INTEGER), 1) AS span,
+      |             list_transform(string_split(text, ''),
+      |                            c -> CAST(unicode(c) AS BIGINT)) AS cs
+      |           FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+      |f AS (SELECT doc_id, n,
+      |        [COALESCE(list_aggregate(
+      |           cs[least((j - 1) * span, len) + 1
+      |              : least(least((j - 1) * span, len) + span, len)],
+      |           'sum'), 0) FOR j IN range(1, n + 1)] AS fs
+      |      FROM v),
+      |b AS (SELECT doc_id, n,
+      |        [CASE WHEN abs(fs[j] - fs[j - 1]) * 33
+      |                   > greatest(fs[j - 1], 1)
+      |              THEN 1 ELSE 0 END FOR j IN range(2, n + 1)] AS bs,
+      |        [abs(fs[j] - fs[j - 1]) * 1000000
+      |         // greatest(fs[j - 1], 1) FOR j IN range(2, n + 1)] AS js
+      |      FROM f)
+      |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_frames,
+      |       CAST(COALESCE(list_aggregate(bs, 'sum'), 0) AS BIGINT)
+      |         AS n_boundaries,
+      |       CAST(COALESCE(list_aggregate(bs, 'sum'), 0) + 1 AS BIGINT)
+      |         AS n_shots,
+      |       CAST(COALESCE(list_aggregate(js, 'max'), 0) AS BIGINT)
+      |         AS max_jump_ppm
+      |FROM b""".stripMargin)(
+    (s, d) => {
+      import s.implicits._
+      val frames = Media.sampleFrames(
+        mediaDs(s, d).filter(col("modality") === "video").as[MediaRow],
+        StubMediaCodec, everyN = 1)
+      // featurize in the scan stage: only three longs cross the exchange
+      val feats = frames
+        .map(r => (r.media_id, r.frame_index,
+          r.frame.iterator.map(b => (b & 0xff).toLong).sum))
+        .toDF("media_id", "fi", "fsum")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("fi")
+      feats
+        .withColumn("prev", lag("fsum", 1).over(w))
+        .withColumn("boundary",
+          when(col("prev").isNotNull &&
+            abs(col("fsum") - col("prev")) * 33 > greatest(col("prev"), lit(1L)),
+            1L).otherwise(0L))
+        .withColumn("jump",
+          when(col("prev").isNull, lit(null).cast("long"))
+            .otherwise(expr(
+              "abs(fsum - prev) * 1000000 div greatest(prev, 1)")))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum("boundary").as("n_boundaries"),
+          (sum("boundary") + 1).as("n_shots"),
+          coalesce(max("jump"), lit(0L)).as("max_jump_ppm"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179, q229, q249)
 }
