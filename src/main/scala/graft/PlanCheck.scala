@@ -605,6 +605,29 @@ object PlanCheck {
       "token yield: ONE corpus scan joined to the stored dedup_clusters labels; source rollup map-side",
       p => p.contains("graft_dedup_clusters_") && p.contains("partial_count") &&
         scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
+    check("q244_table_stats",
+      "ANALYZE stats: ONE lineitem scan, multi-NDV via Expand, no cartesian",
+      p => scans(p, "lineitem") == 1 && p.contains("Expand") &&
+        !p.contains("CartesianProduct"))
+    check("q245_zorder_pruning",
+      "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
+      p => p.contains("BroadcastExchange") && p.contains("partial_min") &&
+        !p.contains("Window") && !p.contains("CartesianProduct"))
+    check("q246_kcore",
+      "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q247_k_anonymity",
+      "k-anonymity: QI rollup materialized once (ExistingRDD); thin groups broadcast back for the user-distinct pass",
+      p => scans(p, "events") == 1 && p.contains("ExistingRDD") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q248_phrase_search",
+      "phrase search: bounded top-1 (TakeOrdered), phrase broadcast to term-pruned postings",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q249_shot_boundaries",
+      "shots: typed scan-stage featurize (only longs cross exchange), media-keyed window",
+      p => p.contains("SerializeFromObject") && p.contains("Window") &&
+        !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
@@ -690,7 +713,8 @@ object PlanCheck {
         "q235_clip_calibration", "q236_vocab_overlap",
         "q237_source_embedding_drift", "q238_threshold_sweep",
         "q239_vocab_novelty", "q240_knn_label_agreement",
-        "q241_modal_coverage", "q243_token_yield")
+        "q241_modal_coverage", "q243_token_yield", "q246_kcore",
+        "q248_phrase_search", "q249_shot_boundaries")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

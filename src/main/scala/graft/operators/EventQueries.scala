@@ -653,7 +653,11 @@ object EventQueries {
       val q = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("d"),
           hour(col("ts")).cast("long").as("h"), col("user_id"))
+      // the QI rollup feeds BOTH the per-type totals and the risky-group
+      // rejoin: materialize it once (aggregate-reduced, ~|groups| rows)
+      // instead of re-scanning events for each consumer
       val g = q.groupBy("event_type", "d", "h").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       val risky = g.filter(col("n") < 5)
       val ru = q.join(broadcast(risky.select("event_type", "d", "h")),
           Seq("event_type", "d", "h"))
