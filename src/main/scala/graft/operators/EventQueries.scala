@@ -675,7 +675,70 @@ object EventQueries {
             .as("suppress_ppm"))
     })
 
+  /** MANN-KENDALL trend test — the nonparametric is-traffic-growing
+    * verdict the anomaly family lacks: q132 flags single bad days,
+    * q212 flags seasonal deviations, but neither answers "is this
+    * event type trending?" robustly. The statistic is pure integers:
+    * S = Σ over day pairs (i<j) of sign(count_j − count_i) — no means,
+    * no variances, immune to outlier days that wreck a least-squares
+    * slope. Verdict by cross-multiplication against half the maximum
+    * |S| = n(n−1)/2: increasing when 4S > n(n−1), decreasing when
+    * 4S < −n(n−1) (i.e. |S| beyond half of max — a deliberately
+    * conservative cut, no normal approximation). Scale shape: the day
+    * rollup is AGGREGATE-REDUCED (365 rows/type/year regardless of
+    * event volume), so the day-pair self-join is bounded O(days²) per
+    * type, keyed on event_type — the classic trick of running the
+    * quadratic statistic on the reduced table, never the fact table.
+    * HASH-MATCHED. */
+  val q252 = QueryDef.oracle("q252_trend_test",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |                 CAST(count(*) AS BIGINT) AS cnt
+      |               FROM events GROUP BY 1, 2),
+      |s AS (SELECT a.event_type,
+      |        CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+      |                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+      |             AS BIGINT) AS s_stat
+      |      FROM daily a JOIN daily b
+      |        ON a.event_type = b.event_type AND a.d < b.d
+      |      GROUP BY 1),
+      |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      |       FROM daily GROUP BY 1)
+      |SELECT nd.event_type, nd.n_days,
+      |       CAST(nd.n_days * (nd.n_days - 1) // 2 AS BIGINT) AS n_pairs,
+      |       COALESCE(s.s_stat, CAST(0 AS BIGINT)) AS s_stat,
+      |       CASE WHEN 4 * COALESCE(s.s_stat, 0)
+      |                 > nd.n_days * (nd.n_days - 1) THEN 'increasing'
+      |            WHEN 4 * COALESCE(s.s_stat, 0)
+      |                 < -(nd.n_days * (nd.n_days - 1)) THEN 'decreasing'
+      |            ELSE 'none' END AS trend
+      |FROM nd LEFT JOIN s USING (event_type)""".stripMargin)(
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // aggregate-reduced; feeds both join sides
+      val a = daily.select(col("event_type"), col("d").as("d1"),
+        col("cnt").as("c1"))
+      val b = daily.select(col("event_type").as("et2"), col("d").as("d2"),
+        col("cnt").as("c2"))
+      val sStat = a.join(b, col("event_type") === col("et2") &&
+          col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s_stat"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      nd.join(broadcast(sStat), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(n_days * (n_days - 1) div 2 AS BIGINT)").as("n_pairs"),
+          coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+          when(lit(4) * coalesce(col("s_stat"), lit(0L))
+            > col("n_days") * (col("n_days") - 1), "increasing")
+            .when(lit(4) * coalesce(col("s_stat"), lit(0L))
+              < -(col("n_days") * (col("n_days") - 1)), "decreasing")
+            .otherwise("none").as("trend"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242, q247)
+      q234, q242, q247, q252)
 }

@@ -830,6 +830,190 @@ object ExtensionQueries {
       })
   }
 
+  /** JOIN-CARDINALITY estimation audit — how good the System-R
+    * containment estimate |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) (the
+    * formula every CBO, Catalyst included, derives join sizes from
+    * q244-style stats with) actually is on this data: for the two spine
+    * joins (orders⋈lineitem on orderkey, customer⋈orders on custkey),
+    * the estimate from exact side-stats vs the MEASURED join count,
+    * signed error in ppm. FK-shaped joins estimate near-perfectly
+    * (containment holds); the audit exists to catch the ones that
+    * don't. Exact integers (n·n fits int64 far past sf100). Scale
+    * shape: per join, two 1-row side-stat aggs + the real keyed join
+    * count (the measurement IS the workload); 2-row output via 1-row
+    * broadcast crosses. HASH-MATCHED. */
+  val q250 = QueryDef.oracle("q250_join_cardinality_estimate",
+    """WITH lo AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+      |             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_left
+      |           FROM orders),
+      |ll AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_right
+      |       FROM lineitem),
+      |la AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |co AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+      |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_left
+      |       FROM customer),
+      |oo AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+      |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_right
+      |       FROM orders),
+      |ca AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      |       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey)
+      |SELECT 'orders_lineitem' AS join_name, n_left, ndv_left, n_right,
+      |       ndv_right,
+      |       CAST(n_left * n_right // greatest(ndv_left, ndv_right)
+      |            AS BIGINT) AS est_rows,
+      |       actual_rows,
+      |       CAST((n_left * n_right // greatest(ndv_left, ndv_right)
+      |             - actual_rows) * 1000000 // actual_rows AS BIGINT)
+      |         AS err_ppm
+      |FROM lo, ll, la
+      |UNION ALL
+      |SELECT 'customer_orders', n_left, ndv_left, n_right, ndv_right,
+      |       CAST(n_left * n_right // greatest(ndv_left, ndv_right)
+      |            AS BIGINT),
+      |       actual_rows,
+      |       CAST((n_left * n_right // greatest(ndv_left, ndv_right)
+      |             - actual_rows) * 1000000 // actual_rows AS BIGINT)
+      |FROM co, oo, ca""".stripMargin)(
+    (s, d) => {
+      def audit(name: String, left: DataFrame, lk: String,
+          right: DataFrame, rk: String): DataFrame = {
+        val ls = left.agg(count(lit(1)).as("n_left"),
+          countDistinct(col(lk)).as("ndv_left"))
+        val rs = right.agg(count(lit(1)).as("n_right"),
+          countDistinct(col(rk)).as("ndv_right"))
+        val actual = left.select(col(lk))
+          .join(right.select(col(rk)), col(lk) === col(rk))
+          .agg(count(lit(1)).as("actual_rows"))
+        ls.crossJoin(rs).crossJoin(actual)
+          .select(lit(name).as("join_name"), col("n_left"), col("ndv_left"),
+            col("n_right"), col("ndv_right"),
+            expr("CAST(n_left * n_right div greatest(ndv_left, ndv_right) AS BIGINT)")
+              .as("est_rows"),
+            col("actual_rows"),
+            expr("CAST((n_left * n_right div greatest(ndv_left, ndv_right) - actual_rows) * 1000000 div actual_rows AS BIGINT)")
+              .as("err_ppm"))
+      }
+      audit("orders_lineitem", Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey")
+        .unionByName(audit("customer_orders", Tables.customer(s, d),
+          "c_custkey", Tables.orders(s, d), "o_custkey"))
+    })
+
+  /** EQUI-DEPTH HISTOGRAM range-selectivity audit — the other half of
+    * the optimizer-stats story (q244 collects the scalar stats, q250
+    * audits the join formula; this audits RANGE predicates): a
+    * 16-bucket equi-depth histogram on l_extendedprice cents is built
+    * from a 1/16 deterministic md5 sample (ANALYZE samples — that is
+    * what makes histogram build scale-constant; q45's hash-sampling
+    * idiom, q233 prices the sampling error itself), then three range
+    * predicates (narrow/mid/wide, analytically derived from global
+    * min/max) are estimated by the textbook estimator — full buckets
+    * count whole, boundary buckets by integer linear interpolation
+    * sn·overlap/width — scaled to full size, and compared to the
+    * MEASURED count. Exact integers end to end; signed error in ppm.
+    * Scale shape: sample scan → value-count rollup → running-sum
+    * window over the AGGREGATE-REDUCED count table → 16-row histogram
+    * broadcast; predicates are a 3-row broadcast; actual counts ride
+    * one full scan with conditional aggs. HASH-MATCHED. */
+  val q251 = QueryDef.oracle("q251_histogram_selectivity",
+    """WITH st AS (SELECT CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS mn,
+      |             CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS mx,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM lineitem),
+      |smp AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |        FROM lineitem
+      |        WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber
+      |                              AS VARCHAR)), 32, 1) = '0'),
+      |ssz AS (SELECT CAST(count(*) AS BIGINT) AS s_n FROM smp),
+      |vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM smp GROUP BY 1),
+      |cum AS (SELECT cents, cnt,
+      |          SUM(cnt) OVER (ORDER BY cents) AS cum,
+      |          SUM(cnt) OVER () AS tot
+      |        FROM vc),
+      |hb AS (SELECT (cum - 1) * 16 // tot AS bucket,
+      |         CAST(min(cents) AS BIGINT) AS lo,
+      |         CAST(max(cents) AS BIGINT) AS hi,
+      |         CAST(SUM(cnt) AS BIGINT) AS sn
+      |       FROM cum GROUP BY 1),
+      |preds AS (SELECT p.pred, st.mn + (st.mx - st.mn + 1) * p.a // 16 AS p_lo,
+      |            st.mn + (st.mx - st.mn + 1) * p.b // 16 - 1 AS p_hi,
+      |            st.n
+      |          FROM st, (VALUES ('narrow', 7, 9), ('mid', 4, 8),
+      |                           ('wide', 2, 14)) p(pred, a, b)),
+      |est AS (SELECT p.pred, p.p_lo, p.p_hi, p.n,
+      |          CAST(SUM(CASE WHEN hb.hi >= p.p_lo AND hb.lo <= p.p_hi
+      |                        THEN hb.sn * (least(hb.hi, p.p_hi)
+      |                                      - greatest(hb.lo, p.p_lo) + 1)
+      |                             // (hb.hi - hb.lo + 1)
+      |                        ELSE 0 END) AS BIGINT) AS est_sample
+      |        FROM preds p CROSS JOIN hb
+      |        GROUP BY 1, 2, 3, 4),
+      |act AS (SELECT p.pred,
+      |          CAST(count(CASE WHEN CAST(round(l.l_extendedprice * 100)
+      |                                    AS BIGINT) BETWEEN p.p_lo AND p.p_hi
+      |                          THEN 1 END) AS BIGINT) AS actual_rows
+      |        FROM preds p CROSS JOIN lineitem l GROUP BY 1)
+      |SELECT e.pred, e.p_lo, e.p_hi,
+      |       CAST(e.est_sample * e.n // ssz.s_n AS BIGINT) AS est_rows,
+      |       a.actual_rows,
+      |       CASE WHEN a.actual_rows = 0 THEN NULL
+      |            ELSE CAST((e.est_sample * e.n // ssz.s_n - a.actual_rows)
+      |                      * 1000000 // a.actual_rows AS BIGINT)
+      |       END AS err_ppm
+      |FROM est e JOIN act a USING (pred) CROSS JOIN ssz""".stripMargin)(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val st = li.agg(min(cents).as("mn"), max(cents).as("mx"),
+        count(lit(1)).as("n"))
+      val smp = li
+        .filter(substring(md5(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")),
+          32, 1) === "0")
+        .select(cents.as("cents"))
+      val ssz = smp.agg(count(lit(1)).as("s_n"))
+      val vc = smp.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(Window.orderBy("cents")))
+        .withColumn("tot", sum("cnt").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val hb = cum.groupBy(expr("(cum - 1) * 16 div tot").as("bucket"))
+        .agg(min("cents").as("lo"), max("cents").as("hi"),
+          sum("cnt").as("sn"))
+      val predSpec = Seq(("narrow", 7, 9), ("mid", 4, 8), ("wide", 2, 14))
+      val preds = st.select(col("mn"), col("mx"), col("n"),
+          explode(array(predSpec.map { case (nm, a, b) =>
+            struct(lit(nm).as("pred"), lit(a).as("a"), lit(b).as("b"))
+          }: _*)).as("p"))
+        .select(col("p.pred").as("pred"),
+          expr("mn + (mx - mn + 1) * p.a div 16").as("p_lo"),
+          expr("mn + (mx - mn + 1) * p.b div 16 - 1").as("p_hi"), col("n"))
+        .localCheckpoint(false) // 3 rows, reused by estimate + actual legs
+      val est = preds.crossJoin(broadcast(hb))
+        .groupBy("pred", "p_lo", "p_hi", "n")
+        .agg(sum(when(col("hi") >= col("p_lo") && col("lo") <= col("p_hi"),
+          expr("sn * (least(hi, p_hi) - greatest(lo, p_lo) + 1) div (hi - lo + 1)"))
+          .otherwise(0L)).as("est_sample"))
+      val act = li.select(cents.as("lc"))
+        .crossJoin(broadcast(preds.select("pred", "p_lo", "p_hi")))
+        .groupBy("pred")
+        .agg(count(when(col("lc").between(col("p_lo"), col("p_hi")), 1))
+          .as("actual_rows"))
+      est.join(broadcast(act), Seq("pred")).crossJoin(broadcast(ssz))
+        .select(col("pred"), col("p_lo"), col("p_hi"),
+          expr("CAST(est_sample * n div s_n AS BIGINT)").as("est_rows"),
+          col("actual_rows"),
+          when(col("actual_rows") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST((est_sample * n div s_n - actual_rows) * 1000000 div actual_rows AS BIGINT)"))
+            .as("err_ppm"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
-    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245)
+    q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
+    q250, q251)
 }
