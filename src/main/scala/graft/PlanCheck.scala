@@ -628,6 +628,16 @@ object PlanCheck {
       "shots: typed scan-stage featurize (only longs cross exchange), media-keyed window",
       p => p.contains("SerializeFromObject") && p.contains("Window") &&
         !p.contains("CartesianProduct"))
+    check("q250_join_cardinality_estimate",
+      "join-card audit: keyed join counts + 1-row stat crosses, no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    check("q251_histogram_selectivity",
+      "histogram audit: 16-row histogram + 3-row preds broadcast; cumsum window over the value-count AGGREGATE",
+      p => p.contains("BroadcastExchange") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
+    check("q252_trend_test",
+      "Mann-Kendall: day-pair self-join over the materialized AGGREGATE-REDUCED day rollup",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q193_containment_pairs",
       "containment rides the pinned gram sets; pair joins gh-keyed, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
