@@ -606,9 +606,17 @@ object PlanCheck {
       p => p.contains("graft_dedup_clusters_") && p.contains("partial_count") &&
         scans(p, "documents") == 1 && !p.contains("CartesianProduct"))
     check("q244_table_stats",
-      "ANALYZE stats: ONE lineitem scan, multi-NDV via Expand, no cartesian",
-      p => scans(p, "lineitem") == 1 && p.contains("Expand") &&
-        !p.contains("CartesianProduct"))
+      "ANALYZE stats: portable-HLL NDV (NO Expand), all-long (col,bucket) rollup combines map-side; wide scan + narrow 2-col string pass",
+      p => scans(p, "lineitem") == 2 && !p.contains("Expand") &&
+        p.contains("partial_max") && !p.contains("CartesianProduct"))
+    // the fact-sized rollup must stay hash-based: any SortAggregate in
+    // q244's plan may only be the no-grouping 1-row string-stats tail
+    // (empty grouping => no sort), never the grouped (col,bucket) agg
+    checkTree("q244_table_stats",
+      "every SortAggregate has empty grouping (fact rollup stays HashAggregate)",
+      p => p.collect {
+        case sa: org.apache.spark.sql.execution.aggregate.SortAggregateExec => sa
+      }.forall(_.groupingExpressions.isEmpty))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

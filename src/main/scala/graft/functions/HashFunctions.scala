@@ -59,6 +59,8 @@ object HashFunctions {
       exprs => PiiScrub(exprs.head)),
     ("classifier_score", classOf[PortableClassifierScore].getName,
       exprs => PortableClassifierScore(exprs.head)),
+    ("portable_cp_hash", classOf[PortableCpHash].getName,
+      exprs => PortableCpHash(exprs.head)),
     ("topk_agg", classOf[TopKNative].getName,
       exprs => {
         require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
@@ -135,6 +137,14 @@ object HashFunctions {
     * LCG-derived integer weights (the oracle replays the exact sums). */
   def classifierScoreNative(text: Column): Column =
     native("classifier_score", text)
+
+  /** Codegen'd whole-string portable codepoint hash (Column form of
+    * [[PortableCpHash]]) — bit-identical to the HOF spec
+    * `TextFunctions.portableStringHash`, differentially pinned. Use
+    * this one inside fact-scan projections: the HOF form is
+    * CodegenFallback and collapses the stage to interpreted eval. */
+  def portableCpHashNative(s: Column): Column =
+    native("portable_cp_hash", s)
 
   /** Fused engine-portable MinHash signature (Column form of
     * [[PortableMinHashSig]]); slots are the sentinel P for gram-less

@@ -143,6 +143,27 @@ object PortableHashKernels {
     new GenericInternalRow(Array[Any](hs.length, fp))
   }
 
+  /** Whole-string portable codepoint hash — the same fold
+    * (h·131 + codepoint) mod P the gram family uses, over the ENTIRE
+    * string. Semantics identical to the HOF spec
+    * `TextFunctions.portableStringHash` (differentially pinned by
+    * `HashFunctionsSpec`); exists because the HOF form is
+    * CodegenFallback and drags any projection containing it out of
+    * whole-stage codegen — fatal when the hash sits in a fact-table
+    * scan stage (q244's 11-way stats explode). */
+  def cpHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Hashed linear classifier constants (the classic public LCG pair —
     * any engine can type them in). Distinct from the MinHash stream
     * constants so the two families can't be conflated. */
@@ -190,6 +211,23 @@ abstract class PortableTextExpression extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${other.simpleString}")
   }
+}
+
+/** Codegen'd whole-string portable codepoint hash
+  * (see [[PortableHashKernels.cpHash]]). */
+case class PortableCpHash(child: Expression) extends PortableTextExpression {
+  override def prettyName: String = "portable_cp_hash"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHashKernels.cpHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PortableHashKernels.cpHash($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableCpHash =
+    copy(child = newChild)
 }
 
 /** Fused portable MinHash signature (see [[PortableHashKernels.minhashSig]]). */

@@ -2261,8 +2261,65 @@ object DedupQueries {
             .as("flagged"))
     })
 
+  /** Near-dup pair TRANSITIVITY audit — is "near-duplicate" actually an
+    * equivalence relation on this corpus, or is q56's transitive
+    * closure gluing chains of barely-similar docs into mega-clusters?
+    * The triangle-closure rate answers it: over the kept edge set
+    * (stored scored pairs at the production threshold), count every
+    * WEDGE (two edges sharing a center vertex) and the fraction whose
+    * closing third edge is also a kept pair. A closure rate near 1e6
+    * ppm says clusters are cliques (keep-one-per-cluster is safe); a
+    * low rate says chaining — the known failure mode of closure-based
+    * dedup (Lee et al. 2022 §4 discusses cluster drift) — and argues
+    * for q246's k-core view instead. Wedge enumeration is a vertex-
+    * keyed self-join of the adjacency list — bounded by Σdeg², i.e. by
+    * near-dup cluster sizes (q213's histogram shows the tail), never
+    * corpus-sized; closure check is one keyed left join back to the
+    * edge set. Exact integers, 1-row output. HASH-MATCHED. */
+  val q255 = QueryDef.oracle("q255_pair_transitivity",
+    s"""$portableScoredCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |und AS (SELECT ia AS v, ib AS nb FROM kept
+       |        UNION ALL SELECT ib, ia FROM kept),
+       |wedge AS (SELECT u1.nb AS a, u2.nb AS b
+       |          FROM und u1 JOIN und u2
+       |            ON u1.v = u2.v AND u1.nb < u2.nb),
+       |cl AS (SELECT CASE WHEN k.ia IS NOT NULL THEN 1 ELSE 0 END AS closed
+       |       FROM wedge w LEFT JOIN kept k ON k.ia = w.a AND k.ib = w.b),
+       |eg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM kept),
+       |wg AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+       |              CAST(COALESCE(SUM(closed), 0) AS BIGINT) AS n_closed
+       |       FROM cl)
+       |SELECT eg.n_edges, wg.n_wedges, wg.n_closed,
+       |       CASE WHEN wg.n_wedges = 0 THEN NULL
+       |            ELSE CAST(wg.n_closed * 1000000 // wg.n_wedges AS BIGINT)
+       |       END AS closure_ppm
+       |FROM eg, wg""".stripMargin)(
+    (s, d) => {
+      val kept = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select("ia", "ib")
+      val und = kept.select(col("ia").as("v"), col("ib").as("nb"))
+        .unionByName(kept.select(col("ib").as("v"), col("ia").as("nb")))
+      val wedge = und.select(col("v"), col("nb").as("a"))
+        .join(und.select(col("v"), col("nb").as("b")), Seq("v"))
+        .filter(col("a") < col("b"))
+      val cl = wedge.join(
+          kept.select(col("ia").as("a"), col("ib").as("b"),
+            lit(1L).as("hit")),
+          Seq("a", "b"), "left")
+      val eg = kept.agg(count(lit(1)).as("n_edges"))
+      val wg = cl.agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_closed"))
+      eg.crossJoin(wg)
+        .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+          when(col("n_wedges") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(n_closed * 1000000 div n_wedges AS BIGINT)"))
+            .as("closure_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231, q238, q243, q246)
+      q209, q213, q216, q217, q231, q238, q243, q246, q255)
 }

@@ -626,18 +626,52 @@ object ExtensionQueries {
 
   /** ANALYZE-style optimizer statistics — the per-column stats a
     * cost-based optimizer and a file-skipping layer feed on (row count,
-    * null count, exact NDV, min/max), collected for EVERY lineitem
-    * column in ONE scan. Numeric/timestamp min-max ship as a canonical
-    * BIGINT key (doubles in exact cents via round(v*100), timestamps as
-    * epoch seconds) so the wire format is float-free; string columns
-    * ship min/max as VARCHAR plus their total byte width (the CBO's
-    * avg-row-width input). Exact NDV for 11 columns in one pass rides
-    * Spark's Expand (one narrow single-column projection per distinct
-    * agg — the standard exact multi-NDV shape); at 100 TB production
-    * swaps in q25's HLL sketches per partition file, same output
-    * contract. Scale shape: one scan, one Expand aggregate, an 11-row
-    * struct explode on a 1-row frame. HASH-MATCHED. */
+    * null count, NDV, min/max), collected for EVERY lineitem column in
+    * ONE scan. Numeric/timestamp min-max ship as a canonical BIGINT key
+    * (doubles in exact cents via round(v*100), timestamps as epoch
+    * seconds) so the wire format is float-free; string columns ship
+    * min/max as VARCHAR plus their total byte width (the CBO's
+    * avg-row-width input). NDV is a PORTABLE 128-bucket HyperLogLog
+    * (q224's hash-matched integer-kernel family — bit-smear rank,
+    * algebraic empty-bucket fold, embedded linear-counting literal
+    * table), fed a canonical per-column value hash: pmod(key, P) for
+    * the three numeric kinds (injective — every key here is < P), the
+    * portable codepoint fold for strings. Two estimator refinements
+    * over q224, both forced by MEASURED bias on this input: (1) the
+    * base hash is passed through the quadratic mix (t² + 3t + 7) mod P
+    * before the affine streams — ANALYZE inputs are structured
+    * (epoch-second timestamps and surrogate keys are arithmetic
+    * progressions, and an affine map keeps an AP an AP, which skewed
+    * l_shipdate's estimate +65%); (2) the rank value is framed on an
+    * EXACT power of two — w = u1·2²³ + u2 with u_i = (h_i·2²³)//P —
+    * because q224's w = comb//128 is uniform on [0, P²/128), a range
+    * 0.868·2⁵³, which inflates every rank tail probability by
+    * 2⁵³·128/P² ≈ 1.153 (a systematic +15% NDV bias). The bucket comes
+    * from h2's LOW bits, the rank from h1⊕h2's HIGH-bit projections,
+    * so bucket and rank are decorrelated. With both fixes the observed
+    * per-column error across sf0.001–0.1 is centered within ±2.3σ of
+    * HLL theory. This replaces the round-10
+    * Expand defect: exact multi-NDV expanded the fact ~12× and shuffled
+    * every high-cardinality column's full distinct domain (~11
+    * data-sized shuffles at 100 TB); the sketch form is one scan into a
+    * single (col, bucket) rollup — ≤ 11×129 groups survive the map-side
+    * partial, so the exchange carries constant state no matter the
+    * table size, exactly how production ANALYZE runs. Estimate accuracy
+    * vs exact is gated by `TableStatsHllSpec` (σ = 1.04/√128 ≈ 9.2%).
+    * The exploded rollup carries ONLY longs: a VARCHAR min/max buffer
+    * would demote the whole fact-sized aggregate to SortAggregate
+    * (string agg buffers aren't UnsafeRow-mutable — measured 8–11 s vs
+    * sub-second here), so the two string columns' min/max/byte-width
+    * ride a second, column-pruned 2-column pass whose only aggregate
+    * is a 1-row global (its SortAggregate has no grouping key, hence
+    * no sort). Scale shape: one wide scan with the 11-way scan-stage
+    * explode into a map-side-combined all-long (col, bucket)
+    * aggregate, one narrow 2-column string-stats scan, an 11-row
+    * estimator tail with a broadcast 128-row literal table.
+    * HASH-MATCHED — DuckDB replays the estimator bit-for-bit. */
   val q244 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1, a2, b2) = (a(13), b(13), a(14), b(14))
     // (name, kind): L = integral, D = double (cents key), T = timestamp
     // (epoch-seconds key), S = varchar (string min/max + byte width)
     val cols = Seq(
@@ -645,36 +679,91 @@ object ExtensionQueries {
       "l_linenumber" -> 'L', "l_quantity" -> 'D', "l_extendedprice" -> 'D',
       "l_discount" -> 'D', "l_tax" -> 'D', "l_returnflag" -> 'S',
       "l_linestatus" -> 'S', "l_shipdate" -> 'T')
+    // linear-counting table: V empty buckets -> round(m * ln(m / V)),
+    // computed HERE so both engines read identical integer literals
+    val lcVals = (1 to 128).map(v =>
+      s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
     def keySql(c: String, k: Char): String = k match {
-      case 'L' => c
+      case 'L' => s"CAST($c AS BIGINT)"
       case 'D' => s"CAST(round($c * 100) AS BIGINT)"
       case 'T' => s"date_diff('second', TIMESTAMP '1970-01-01', $c)"
-      case 'S' => "NULL"
+      case 'S' => "CAST(NULL AS BIGINT)"
     }
-    val aggArms = cols.map { case (c, k) =>
+    val duckArms = cols.map { case (c, k) =>
       val key = keySql(c, k)
-      val strAggs =
+      val th =
         if (k == 'S')
-          s"min($c) AS ${c}_mns, max($c) AS ${c}_mxs, CAST(SUM(strlen($c)) AS BIGINT) AS ${c}_b"
-        else
-          s"CAST(NULL AS VARCHAR) AS ${c}_mns, CAST(NULL AS VARCHAR) AS ${c}_mxs, CAST(NULL AS BIGINT) AS ${c}_b"
-      val keyAggs =
-        if (k == 'S') s"CAST(NULL AS BIGINT) AS ${c}_mn, CAST(NULL AS BIGINT) AS ${c}_mx"
-        else s"CAST(min($key) AS BIGINT) AS ${c}_mn, CAST(max($key) AS BIGINT) AS ${c}_mx"
-      s"""count($c) AS ${c}_c, CAST(count(DISTINCT $c) AS BIGINT) AS ${c}_d,
-         |  $keyAggs, $strAggs""".stripMargin
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split($c, ''),
+             |        x -> CAST(unicode(x) AS BIGINT))),
+             |      (a, b) -> (a * 131 + b) % $P)""".stripMargin
+        else s"(($key % $P) + $P) % $P"
+      s"SELECT '$c' AS cn, $th AS th, $key AS kv FROM lineitem"
     }
-    val unionArms = cols.map { case (c, _) =>
-      s"""SELECT '$c' AS col_name, n_rows, n_rows - ${c}_c AS n_nulls,
-         |  ${c}_d AS ndv, ${c}_mn AS min_k, ${c}_mx AS max_k,
-         |  ${c}_mns AS min_s, ${c}_mxs AS max_s, ${c}_b AS sum_bytes FROM a""".stripMargin
+    val strCols = cols.collect { case (c, 'S') => c }
+    val duckStrAggs = strCols.map(c =>
+      s"min($c) AS ${c}_mns, max($c) AS ${c}_mxs, CAST(SUM(strlen($c)) AS BIGINT) AS ${c}_b")
+    val duckStrArms = cols.map { case (c, k) =>
+      if (k == 'S')
+        s"SELECT '$c' AS col_name, ${c}_mns AS min_s, ${c}_mxs AS max_s, ${c}_b AS sum_bytes FROM ss"
+      else
+        s"SELECT '$c' AS col_name, CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s, CAST(NULL AS BIGINT) AS sum_bytes FROM ss"
     }
     QueryDef.oracle("q244_table_stats",
-      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         |  ${aggArms.mkString(",\n  ")}
-         |FROM lineitem)
-         |${unionArms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      s"""WITH arms AS (${duckArms.mkString("\nUNION ALL\n")}),
+         |mixed AS (SELECT cn, kv,
+         |            (th * th + 3 * th + 7) % $P AS tm
+         |          FROM arms),
+         |wd AS (SELECT cn, kv,
+         |         (tm * $a1 + $b1) % $P AS h1,
+         |         (tm * $a2 + $b2) % $P AS h2
+         |       FROM mixed),
+         |b0 AS (SELECT cn, kv,
+         |         CASE WHEN h2 IS NULL THEN CAST(-1 AS BIGINT)
+         |              ELSE h2 % 128 END AS bucket,
+         |         ((h1 * 8388608) // $P) * 8388608
+         |           + (h2 * 8388608) // $P AS w
+         |       FROM wd),
+         |m1 AS (SELECT cn, kv, bucket, w | (w >> 1) AS w FROM b0),
+         |m2 AS (SELECT cn, kv, bucket, w | (w >> 2) AS w FROM m1),
+         |m3 AS (SELECT cn, kv, bucket, w | (w >> 4) AS w FROM m2),
+         |m4 AS (SELECT cn, kv, bucket, w | (w >> 8) AS w FROM m3),
+         |m5 AS (SELECT cn, kv, bucket, w | (w >> 16) AS w FROM m4),
+         |m6 AS (SELECT cn, kv, bucket, w | (w >> 32) AS w FROM m5),
+         |r AS (SELECT cn, bucket,
+         |        MAX(47 - CAST(bit_count(w) AS BIGINT)) AS mx,
+         |        CAST(count(*) AS BIGINT) AS cnt,
+         |        min(kv) AS mnk, max(kv) AS mxk
+         |      FROM m6 GROUP BY 1, 2),
+         |z AS (SELECT cn,
+         |        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |        CAST(COALESCE(SUM(CASE WHEN bucket = -1 THEN cnt END), 0)
+         |             AS BIGINT) AS n_nulls,
+         |        CAST(128 - COALESCE(SUM(CASE WHEN bucket >= 0 THEN 1 END), 0)
+         |             AS BIGINT) AS n_empty,
+         |        CAST(COALESCE(SUM(CASE WHEN bucket >= 0 THEN
+         |               CAST(1 AS BIGINT) << CAST(47 - mx AS INTEGER) END), 0)
+         |             + (128 - COALESCE(SUM(CASE WHEN bucket >= 0 THEN 1 END), 0))
+         |               * 140737488355328 AS BIGINT) AS zs,
+         |        CAST(min(mnk) AS BIGINT) AS min_k,
+         |        CAST(max(mxk) AS BIGINT) AS max_k
+         |      FROM r GROUP BY 1),
+         |raw AS (SELECT z.*,
+         |          CAST(CAST(715271 AS HUGEINT) * 16384 * 140737488355328
+         |               // zs // 1000000 AS BIGINT) AS raw_est
+         |        FROM z),
+         |est AS (SELECT r.*,
+         |          CAST(CASE WHEN r.n_empty > 0 AND r.raw_est <= 320
+         |               THEN lc.lc_est ELSE r.raw_est END AS BIGINT) AS ndv
+         |        FROM raw r LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |          ON r.n_empty = lc.v),
+         |ss AS (SELECT ${duckStrAggs.mkString(",\n  ")} FROM lineitem),
+         |sarms AS (${duckStrArms.mkString("\nUNION ALL\n")})
+         |SELECT e.cn AS col_name, e.n_rows, e.n_nulls, e.ndv, e.min_k,
+         |       e.max_k, s.min_s, s.max_s, s.sum_bytes
+         |FROM est e JOIN sarms s ON e.cn = s.col_name""".stripMargin)(
       (s, d) => {
+        import graft.functions.HashFunctions.portableCpHashNative
         val li = Tables.lineitem(s, d)
         def keyCol(c: String, k: Char) = k match {
           case 'L' => col(c).cast("long")
@@ -682,36 +771,73 @@ object ExtensionQueries {
           case 'T' => unix_timestamp(col(c))
           case _ => lit(null).cast("long")
         }
-        val aggs = cols.flatMap { case (c, k) =>
-          Seq(count(col(c)).as(s"${c}_c"),
-            countDistinct(col(c)).as(s"${c}_d")) ++
-            (if (k == 'S')
-              Seq(lit(null).cast("long").as(s"${c}_mn"),
-                lit(null).cast("long").as(s"${c}_mx"),
-                min(col(c)).as(s"${c}_mns"), max(col(c)).as(s"${c}_mxs"),
-                sum(octet_length(col(c))).cast("long").as(s"${c}_b"))
-            else
-              Seq(min(keyCol(c, k)).as(s"${c}_mn"),
-                max(keyCol(c, k)).as(s"${c}_mx"),
-                lit(null).cast("string").as(s"${c}_mns"),
-                lit(null).cast("string").as(s"${c}_mxs"),
-                lit(null).cast("long").as(s"${c}_b")))
+        val arms = cols.map { case (c, k) =>
+          val kv = keyCol(c, k)
+          val th = if (k == 'S') portableCpHashNative(col(c)) else pmod(kv, lit(P))
+          struct(lit(c).as("cn"), th.as("th"), kv.as("kv"))
         }
-        val a = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        val arms = cols.map { case (c, _) =>
-          struct(lit(c).as("col_name"),
-            (col("n_rows") - col(s"${c}_c")).as("n_nulls"),
-            col(s"${c}_d").as("ndv"),
-            col(s"${c}_mn").as("min_k"), col(s"${c}_mx").as("max_k"),
-            col(s"${c}_mns").as("min_s"), col(s"${c}_mxs").as("max_s"),
-            col(s"${c}_b").as("sum_bytes"))
+        val ex = li.select(explode(array(arms: _*)).as("a")).select(col("a.*"))
+        val bw = ex
+          .withColumn("tm", expr(s"(th * th + 3L * th + 7L) % ${P}L"))
+          .withColumn("h1", expr(s"(tm * ${a1}L + ${b1}L) % ${P}L"))
+          .withColumn("h2", expr(s"(tm * ${a2}L + ${b2}L) % ${P}L"))
+          .withColumn("bucket",
+            expr("CASE WHEN h2 IS NULL THEN -1L ELSE h2 % 128L END"))
+          .withColumn("w", expr(
+            s"((h1 * 8388608L) div ${P}L) * 8388608L" +
+              s" + (h2 * 8388608L) div ${P}L"))
+        val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, k) =>
+          df.withColumn("w", expr(s"w | shiftright(w, $k)")))
+        val r = sm
+          .withColumn("rho", expr("47L - CAST(bit_count(w) AS BIGINT)"))
+          .groupBy("cn", "bucket")
+          .agg(max("rho").as("mx"), count(lit(1)).as("cnt"),
+            min("kv").as("mnk"), max("kv").as("mxk"))
+        val lc = (1 to 128).map(v =>
+          (v.toLong, math.round(128.0 * math.log(128.0 / v))))
+        val lcDf = s.createDataFrame(lc).toDF("v", "lc_est")
+        val est = r.groupBy("cn")
+          .agg(sum("cnt").cast("long").as("n_rows"),
+            coalesce(sum(when(col("bucket") === -1L, col("cnt"))), lit(0L))
+              .cast("long").as("n_nulls"),
+            (lit(128L) - coalesce(sum(when(col("bucket") >= 0L, lit(1L))), lit(0L)))
+              .cast("long").as("n_empty"),
+            coalesce(sum(when(col("bucket") >= 0L,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - mx AS INT))"))), lit(0L))
+              .as("zs_part"),
+            min("mnk").cast("long").as("min_k"),
+            max("mxk").cast("long").as("max_k"))
+          .withColumn("zs",
+            col("zs_part") + col("n_empty") * lit(140737488355328L))
+          .withColumn("raw_est", expr(
+            "CAST(CAST(715271 AS DECIMAL(38,0)) * 16384 * 140737488355328" +
+              " div zs div 1000000 AS BIGINT)"))
+          .join(broadcast(lcDf), col("n_empty") === col("v"), "left")
+          .withColumn("ndv", expr(
+            "CAST(CASE WHEN n_empty > 0 AND raw_est <= 320" +
+              " THEN lc_est ELSE raw_est END AS BIGINT)"))
+        // narrow string-stats pass: only the 2 VARCHAR columns are read
+        // (column pruning), only a 1-row no-group aggregate — the string
+        // buffers never touch the fact-sized rollup above
+        val strAggs = strCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_mns"), max(col(c)).as(s"${c}_mxs"),
+          sum(octet_length(col(c))).cast("long").as(s"${c}_b")))
+        val ss = li.agg(strAggs.head, strAggs.tail: _*)
+        val sArms = cols.map { case (c, k) =>
+          if (k == 'S')
+            struct(lit(c).as("col_name"), col(s"${c}_mns").as("min_s"),
+              col(s"${c}_mxs").as("max_s"), col(s"${c}_b").as("sum_bytes"))
+          else
+            struct(lit(c).as("col_name"),
+              lit(null).cast("string").as("min_s"),
+              lit(null).cast("string").as("max_s"),
+              lit(null).cast("long").as("sum_bytes"))
         }
-        a.select(col("n_rows"), explode(array(arms: _*)).as("st"))
-          .select(col("st.col_name").as("col_name"), col("n_rows"),
-            col("st.n_nulls").as("n_nulls"), col("st.ndv").as("ndv"),
-            col("st.min_k").as("min_k"), col("st.max_k").as("max_k"),
-            col("st.min_s").as("min_s"), col("st.max_s").as("max_s"),
-            col("st.sum_bytes").as("sum_bytes"))
+        val strDf = ss.select(explode(array(sArms: _*)).as("st")).select(col("st.*"))
+        est.join(broadcast(strDf), col("cn") === col("col_name"))
+          .select(col("cn").as("col_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"), col("min_k"), col("max_k"), col("min_s"),
+            col("max_s"), col("sum_bytes"))
       })
   }
 
@@ -1013,7 +1139,82 @@ object ExtensionQueries {
             .as("err_ppm"))
     })
 
+  /** JOIN-STRATEGY choice audit — the closure of the optimizer-stats
+    * loop q244/q250/q251 opened: q244 collects the stats, q250 audits
+    * the cardinality formula; this derives the DECISION those stats
+    * exist to drive — broadcast vs shuffle — exactly the way Catalyst
+    * does it (estimated build-side bytes vs
+    * `spark.sql.autoBroadcastJoinThreshold`, default 10 MiB), from
+    * exact integer stats: build rows × estimated row width, width =
+    * 8 B per numeric/timestamp column + (avg string bytes + 4 B length
+    * word) per VARCHAR column of the PROJECTED build schema (column
+    * pruning is why the projection, not the table, is what gets
+    * sized). Five candidates bracket the spine: four dim builds (all
+    * far under threshold at any SF) and the lineitem self-join build
+    * (over at sf0.1, under at sf0.01 — the decision genuinely flips
+    * with the data, which is the point of stats-driven planning). The
+    * `decisive` flag marks candidates ≥2× away from the threshold;
+    * `JoinStrategyAuditSpec` closes the loop by asserting that for
+    * every decisive candidate the PHYSICAL plan Spark actually picks
+    * (BroadcastHashJoin vs sort-merge) matches this query's `decision`
+    * column. Scale shape: one tiny 1-row aggregate per candidate
+    * (dims) + one narrow projected lineitem pass; 5-row output.
+    * HASH-MATCHED. */
+  val q253 = {
+    // (join_name, build table, numeric cols, varchar cols)
+    val cands = Seq(
+      ("orders_build", "orders", Seq("o_orderkey", "o_totalprice"), Seq.empty[String]),
+      ("part_build", "part", Seq("p_partkey"), Seq("p_name")),
+      ("supplier_build", "supplier", Seq("s_suppkey"), Seq("s_name")),
+      ("customer_build", "customer", Seq("c_custkey", "c_nationkey"), Seq("c_name")),
+      ("lineitem_build", "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"),
+        Seq("l_returnflag", "l_linestatus")))
+    val Thr = 10485760L // Spark's default autoBroadcastJoinThreshold
+    val duckArms = cands.map { case (nm, tbl, nums, strs) =>
+      val widthSql = (s"CAST(${8L * nums.size} AS BIGINT)" +:
+        strs.map(c => s"(SUM(strlen($c)) + count(*) - 1) // count(*) + 4"))
+        .mkString(" + ")
+      s"""SELECT '$nm' AS join_name,
+         |  CAST(count(*) AS BIGINT) AS build_rows,
+         |  CAST($widthSql AS BIGINT) AS row_bytes
+         |FROM $tbl""".stripMargin
+    }
+    QueryDef.oracle("q253_join_strategy_audit",
+      s"""WITH c AS (${duckArms.mkString("\nUNION ALL\n")})
+         |SELECT join_name, build_rows, row_bytes,
+         |       CAST(build_rows * row_bytes AS BIGINT) AS est_bytes,
+         |       CAST($Thr AS BIGINT) AS threshold_bytes,
+         |       CASE WHEN build_rows * row_bytes <= $Thr
+         |            THEN 'broadcast' ELSE 'shuffle' END AS decision,
+         |       build_rows * row_bytes * 2 <= $Thr
+         |         OR build_rows * row_bytes >= ${2L * Thr} AS decisive
+         |FROM c""".stripMargin)(
+      (s, d) => {
+        val arms = cands.map { case (nm, tbl, nums, strs) =>
+          val df = Tables.load(s, d, tbl)
+          val aggs = count(lit(1)).cast("long").as("n") +:
+            strs.map(c => sum(octet_length(col(c))).cast("long").as(s"b_$c"))
+          val width = (lit(8L * nums.size) +:
+            strs.map(c => expr(s"(b_$c + n - 1) div n + 4L")))
+            .reduce(_ + _)
+          df.agg(aggs.head, aggs.tail: _*)
+            .select(lit(nm).as("join_name"), col("n").as("build_rows"),
+              width.cast("long").as("row_bytes"))
+        }
+        arms.reduce(_ unionByName _)
+          .select(col("join_name"), col("build_rows"), col("row_bytes"),
+            (col("build_rows") * col("row_bytes")).as("est_bytes"),
+            lit(Thr).as("threshold_bytes"),
+            when(col("build_rows") * col("row_bytes") <= Thr, "broadcast")
+              .otherwise("shuffle").as("decision"),
+            (col("build_rows") * col("row_bytes") * 2 <= Thr ||
+              col("build_rows") * col("row_bytes") >= 2L * Thr).as("decisive"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251)
+    q250, q251, q253)
 }

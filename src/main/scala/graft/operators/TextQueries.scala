@@ -1266,8 +1266,74 @@ object TextQueries {
         .agg(count(lit(1)).as("n_hits"))
     })
 
+  /** Sliding-window CHUNKING overhead — the retrieval/embedding-index
+    * prep cost model q210/q225 don't cover: docs are cut into W=128-
+    * token windows at stride S=96 (32-token overlap, the standard RAG /
+    * context-packing shape — overlap so no semantic unit is split at
+    * every boundary), the last chunk left ragged (variable length, no
+    * padding). Per source, in exact integers: docs, emitted chunks,
+    * corpus tokens, DUPLICATED token slots ((n_chunks−1)·(W−S) per doc
+    * — the tokens embedded twice purely for overlap; this is the
+    * marginal embedding-compute bill of the overlap parameter), the
+    * overhead in exact ppm, and fragment tails (last chunk under 32
+    * tokens — chunks so short their embeddings are mostly noise).
+    * n_chunks is closed-form (1 + ⌈(n−W)/S⌉), so NOTHING is exploded —
+    * the audit is pure scan-stage arithmetic on token counts + ONE
+    * map-side-combined source rollup; the actual chunk EMISSION at
+    * 100 TB is the same closed form fed to a generator, costed here
+    * before anyone pays it. Output: one row per source. HASH-MATCHED. */
+  val q254 = QueryDef.oracle("q254_chunk_overlap_cost",
+    """WITH tk AS (SELECT source,
+      |              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+      |            FROM documents),
+      |ch AS (SELECT source, n_tok,
+      |         CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+      |              WHEN n_tok <= 128 THEN CAST(1 AS BIGINT)
+      |              ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_chunks
+      |       FROM tk),
+      |cc AS (SELECT source, n_tok, n_chunks,
+      |         CASE WHEN n_chunks > 1 THEN (n_chunks - 1) * 32
+      |              ELSE CAST(0 AS BIGINT) END AS dup_tok,
+      |         CASE WHEN n_chunks > 1
+      |               AND n_tok - (n_chunks - 1) * 96 < 32
+      |              THEN 1 ELSE 0 END AS frag
+      |       FROM ch)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+      |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(dup_tok) AS BIGINT) AS dup_tokens,
+      |       CASE WHEN SUM(n_tok) = 0 THEN NULL
+      |            ELSE CAST(SUM(dup_tok) * 1000000 // SUM(n_tok) AS BIGINT)
+      |       END AS overhead_ppm,
+      |       CAST(SUM(frag) AS BIGINT) AS frag_tail_chunks
+      |FROM cc GROUP BY source""".stripMargin)(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokenCount
+      val tk = Tables.documents(s, d)
+        .select(col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"))
+      tk.withColumn("n_chunks", expr(
+          "CASE WHEN n_tok = 0 THEN 0L WHEN n_tok <= 128 THEN 1L" +
+            " ELSE 1L + (n_tok - 128 + 95) div 96 END"))
+        .withColumn("dup_tok", expr(
+          "CASE WHEN n_chunks > 1 THEN (n_chunks - 1) * 32 ELSE 0L END"))
+        .withColumn("frag", expr(
+          "CASE WHEN n_chunks > 1 AND n_tok - (n_chunks - 1) * 96 < 32" +
+            " THEN 1L ELSE 0L END"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks").cast("long").as("n_chunks"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum("dup_tok").cast("long").as("dup_tokens"),
+          when(sum("n_tok") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(SUM(dup_tok) * 1000000 div SUM(n_tok) AS BIGINT)"))
+            .as("overhead_ppm"),
+          sum("frag").cast("long").as("frag_tail_chunks"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248)
+      q236, q248, q254)
 }
