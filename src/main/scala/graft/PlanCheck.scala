@@ -617,6 +617,20 @@ object PlanCheck {
       p => p.collect {
         case sa: org.apache.spark.sql.execution.aggregate.SortAggregateExec => sa
       }.forall(_.groupingExpressions.isEmpty))
+    check("q253_join_strategy_audit",
+      "strategy audit: five 1-row stat aggregates (map-side partials), no cartesian, no data-sized join",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"))
+    check("q254_chunk_overlap_cost",
+      "chunking audit: closed-form per-doc math (NO Generate/explode), ONE corpus scan, source rollup map-side",
+      p => scans(p, "documents") == 1 && !p.contains("Generate") &&
+        p.contains("partial_count") && !p.contains("CartesianProduct"))
+    // the only BNLJ is the 1-row × 1-row aggregate cross at the tail —
+    // wedge + closure joins themselves are BroadcastHashJoins on keys
+    check("q255_pair_transitivity",
+      "transitivity: wedge + closure joins KEYED over the stored pairs artifact, no cartesian",
+      p => p.contains("graft_scored_pairs_") && p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct"))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

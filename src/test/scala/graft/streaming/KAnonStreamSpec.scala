@@ -90,4 +90,43 @@ class KAnonStreamSpec extends SparkSpec {
         s"expected views 1,2,4,5 admitted and click 3 withheld, got $got")
     } finally q.stop()
   }
+
+  test("never-filled QI group is evicted at the watermark (state bounded by open groups)") {
+    // the state-bound proof: a withheld buffer holds at most K-1 rows
+    // per OPEN group, and "open" is bounded by the watermark — a group
+    // that never reaches K is removed when event time passes its
+    // timeout, so state is proportional to live QI groups, never to
+    // stream history. Pins the hasTimedOut -> state.remove() path.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.AnonEv]
+    val q = EventStreams.kAnonGate(ms.toDF(), k = 3, watermark = "1 hour")
+      .writeStream.format("memory").queryName("kanonevict")
+      .outputMode("append").start()
+    try {
+      // a lone click: buffered (1 row of state), never fills k=3
+      ms.addData(Seq(EventStreams.AnonEv(1, 10, t("2024-01-01 09:00:00"), "click")))
+      q.processAllAvailable()
+      assert(spark.table("kanonevict").count() == 0)
+      // next-day views fill their own group AND push the watermark a
+      // day past the click group's 10:00 timeout
+      ms.addData(Seq(
+        EventStreams.AnonEv(2, 11, t("2024-01-02 09:00:00"), "view"),
+        EventStreams.AnonEv(3, 12, t("2024-01-02 09:10:00"), "view"),
+        EventStreams.AnonEv(4, 13, t("2024-01-02 09:20:00"), "view")))
+      q.processAllAvailable()
+      // one more trigger so the timeout batch (fired off the advanced
+      // watermark) has definitely run before the state assertions
+      ms.addData(Seq(EventStreams.AnonEv(5, 14, t("2024-01-02 09:30:00"), "view")))
+      q.processAllAvailable()
+      val got = spark.table("kanonevict")
+        .select("event_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(2L, 3L, 4L, 5L),
+        s"views admitted, evicted click never emitted; got $got")
+      val stateOps = q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+      assert(stateOps.map(_.numRowsRemoved).sum >= 1,
+        "the click group's state row must have been REMOVED at the watermark")
+      assert(stateOps.last.numRowsTotal == 1,
+        s"only the open view group may hold state, got ${stateOps.last.numRowsTotal}")
+    } finally q.stop()
+  }
 }
