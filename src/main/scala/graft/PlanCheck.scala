@@ -631,6 +631,54 @@ object PlanCheck {
       "transitivity: wedge + closure joins KEYED over the stored pairs artifact, no cartesian",
       p => p.contains("graft_scored_pairs_") && p.contains("BroadcastHashJoin") &&
         !p.contains("CartesianProduct"))
+    // the <=261-word filter is materialized once (localCheckpoint ->
+    // ExistingRDD) and BROADCAST to the probe side — the probe scan
+    // itself never shuffles, which is the point of runtime filters
+    check("q256_bloom_runtime_filter",
+      "bloom audit: materialized word table (ExistingRDD) broadcast to probes; probe side never sort-merges",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q257_mixture_epochs",
+      "mixture epochs: two map-side source rollups; windows only over the |sources|-row aggregate",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"))
+    checkTree("q257_mixture_epochs",
+      "the ranking window sits above an Aggregate (never fact-sized)",
+      noGlobalFactWindow)
+    check("q258_sample_ks_audit",
+      "KS audit: ONE scan, cumsum windows over the (source, n_tok) ROLLUP, source-keyed max",
+      p => scans(p, "documents") == 1 && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
+    check("q259_dataset_card",
+      "dataset card: ONE corpus scan (ExistingRDD reuse) + label join; both rollups map-side; top-lang window source-keyed",
+      p => p.contains("ExistingRDD") && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
+    check("q260_stats_merge_audit",
+      "sketch merge: (shard,bucket) rollup materialized once (ExistingRDD); estimator legs ride the tiny table; honest monolithic re-scan",
+      p => p.contains("ExistingRDD") && scans(p, "lineitem") == 1 &&
+        p.contains("partial_max") && !p.contains("CartesianProduct"))
+    check("q261_l_diversity",
+      "l-diversity: QI-keyed two-level agg (distinct users per GROUP, never global); type rollup map-side",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("Window"))
+    check("q262_skew_remediation_plan",
+      "skew plan: one map-side key rollup + 1-row total broadcast; no window, no cartesian-shaped join",
+      p => p.contains("partial_count") && !p.contains("Window") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q263_lsh_parameter_advisor",
+      "LSH advisor: six constant legs over the materialized 13-row n_match histogram (ExistingRDD); no corpus scan",
+      p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
+    check("q264_event_transitions",
+      "transitions: user-keyed lag window + map-side (prev,next) rollup; totals broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q265_rfm_features",
+      "RFM: NTILE windows sit above the user-level AGGREGATE, never the fact scan",
+      noGlobalFactWindow)
+    check("q265_rfm_features",
+      "RFM: user rollup combines map-side before the exchange",
+      p => p.contains("partial_max") && !p.contains("CartesianProduct"))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

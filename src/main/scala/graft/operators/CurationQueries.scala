@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.MisraGriesAgg
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1310,7 +1310,87 @@ object CurationQueries {
           (col("boot_hi") - col("boot_lo")).as("boot_spread"), col("n_reps"))
     })
 
+  /** Kolmogorov–Smirnov sampling-representativeness audit — q233
+    * prices the md5 hash-sample for ONE statistic (the median); this
+    * audits the whole DISTRIBUTION: per source, the KS distance
+    * between the full corpus's token-length CDF and the 1/16
+    * md5(doc_id) subsample's, in exact ppm, next to the α=0.05
+    * critical value 1.358·√((n+m)/nm). A failing source means its
+    * sample is NOT length-representative and every sampled statistic
+    * on it (q233's medians, q251's histograms) inherits the bias —
+    * measured, not assumed. Determinism: the CDFs step only at
+    * observed lengths, so D is the max over the AGGREGATE-REDUCED
+    * (source, n_tok) value-count table (q251's cumsum-over-rollup
+    * pattern — windows never see the fact table); each side's CDF is
+    * its own exact-ppm integer, so the diff is engine-identical; the
+    * critical value uses IEEE sqrt (correctly rounded — q166's
+    * convention) on the exact counts. Scale shape: one scan → (source,
+    * n_tok) rollup → source-keyed cumsum windows → source-keyed max.
+    * Output: one row per source. HASH-MATCHED. */
+  val q258 = QueryDef.oracle("q258_sample_ks_audit",
+    """WITH tk AS (SELECT doc_id, source,
+      |              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+      |                AS n_tok
+      |            FROM documents),
+      |vcf AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS cf,
+      |          CAST(count(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+      |                                       32, 1) = '0'
+      |                     THEN 1 END) AS BIGINT) AS cs
+      |        FROM tk GROUP BY 1, 2),
+      |cum AS (SELECT source, n_tok,
+      |          SUM(cf) OVER (PARTITION BY source ORDER BY n_tok) AS ff,
+      |          SUM(cs) OVER (PARTITION BY source ORDER BY n_tok) AS fs,
+      |          SUM(cf) OVER (PARTITION BY source) AS nf,
+      |          SUM(cs) OVER (PARTITION BY source) AS ns
+      |        FROM vcf),
+      |d AS (SELECT source, nf, ns,
+      |        MAX(ABS(ff * 1000000 // nf
+      |                - CASE WHEN ns = 0 THEN 0 ELSE fs * 1000000 // ns END))
+      |          AS d_ppm
+      |      FROM cum GROUP BY 1, 2, 3)
+      |SELECT source, CAST(nf AS BIGINT) AS n_full, CAST(ns AS BIGINT) AS n_sample,
+      |       CAST(d_ppm AS BIGINT) AS d_ppm,
+      |       CASE WHEN ns = 0 THEN NULL
+      |            ELSE CAST(round(1358000 * sqrt((nf + ns) * 1.0 / (nf * ns)))
+      |                 AS BIGINT) END AS crit_ppm,
+      |       ns > 0 AND d_ppm <= CAST(round(1358000
+      |         * sqrt((nf + ns) * 1.0 / (nf * GREATEST(ns, 1)))) AS BIGINT)
+      |         AS representative
+      |FROM d""".stripMargin)(
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"))
+      val inSample =
+        substring(md5(col("doc_id").cast("string")), 32, 1) === "0"
+      val vcf = tk.groupBy("source", "n_tok")
+        .agg(count(lit(1)).as("cf"),
+          count(when(inSample, 1)).cast("long").as("cs"))
+      val wOrd = Window.partitionBy("source").orderBy("n_tok")
+      val wAll = Window.partitionBy("source")
+      val cum = vcf
+        .withColumn("ff", sum("cf").over(wOrd))
+        .withColumn("fs", sum("cs").over(wOrd))
+        .withColumn("nf", sum("cf").over(wAll))
+        .withColumn("ns", sum("cs").over(wAll))
+      val dd = cum.groupBy("source", "nf", "ns")
+        .agg(max(abs(expr("ff * 1000000 div nf" +
+          " - CASE WHEN ns = 0 THEN 0L ELSE fs * 1000000 div ns END")))
+          .as("d_ppm"))
+      def critOver(nsCol: Column) = round(lit(1358000) *
+        sqrt((col("nf") + col("ns")) * lit(1.0) / (col("nf") * nsCol)))
+        .cast("long")
+      dd.select(col("source"), col("nf").cast("long").as("n_full"),
+        col("ns").cast("long").as("n_sample"),
+        col("d_ppm").cast("long").as("d_ppm"),
+        when(col("ns") === 0, lit(null).cast("long"))
+          .otherwise(critOver(col("ns"))).as("crit_ppm"),
+        (col("ns") > 0 &&
+          col("d_ppm") <= critOver(greatest(col("ns"), lit(1L))))
+          .as("representative"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221)
+      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258)
 }

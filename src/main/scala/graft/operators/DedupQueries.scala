@@ -2318,8 +2318,166 @@ object DedupQueries {
             .as("closure_ppm"))
     })
 
+  /** DATASET CARD — the one-row-per-source datasheet a corpus ships
+    * with (Gebru et al. 2021's "Datasheets for Datasets", the numbers
+    * section): size (docs, tokens, exact tokens-per-doc), dedup
+    * survival under the canonical-keeper rule (stored `dedup_clusters`
+    * labels — q243's chain), the dominant language with its share, and
+    * mean quality — every number the EXISTING drift-pinned fragment for
+    * it (labels, q41's quality formula, token counts), composed rather
+    * than re-derived, so the card can never disagree with the audits
+    * it summarizes. Quality is averaged in exact integer
+    * ten-thousandths (per-doc scores are 4-decimal-rounded doubles, so
+    * the e4 integer is exact and the SUM is partition-order-proof —
+    * never a float accumulation). Scale shape: ONE corpus scan
+    * (quality + token count ride it) joined to the label table, one
+    * source rollup + one (source, lang) rollup with a source-keyed
+    * top-1 window. Output: one row per source. HASH-MATCHED. */
+  val q259 = QueryDef.oracle("q259_dataset_card", {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |kept AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |undir AS (SELECT ia AS a, ib AS b FROM kept UNION SELECT ib, ia FROM kept),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM undir
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN undir u ON r.b = u.a),
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN min(r.b) IS NULL THEN d.doc_id
+       |              ELSE LEAST(d.doc_id, min(r.b)) END AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id),
+       |base AS (SELECT d.doc_id, d.source, d.lang,
+       |           CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT)
+       |             AS n_tok,
+       |           CAST(round(($qualitySql) * 10000) AS BIGINT) AS q4,
+       |           c.doc_id = c.cluster_id AS keeper
+       |         FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+       |src AS (SELECT source,
+       |          CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |          CAST(count(CASE WHEN keeper THEN 1 END) AS BIGINT) AS n_keepers,
+       |          CAST(SUM(q4) AS BIGINT) AS q4_sum
+       |        FROM base GROUP BY 1),
+       |lg AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+       |       FROM base GROUP BY 1, 2),
+       |top AS (SELECT source, lang AS top_lang, c AS top_c
+       |        FROM (SELECT source, lang, c,
+       |                ROW_NUMBER() OVER (PARTITION BY source
+       |                  ORDER BY c DESC, lang) AS rk
+       |              FROM lg) WHERE rk = 1)
+       |SELECT s.source, s.n_docs, s.n_tokens,
+       |       CAST(s.n_tokens // s.n_docs AS BIGINT) AS tok_per_doc,
+       |       CAST(s.n_keepers * 1000000 // s.n_docs AS BIGINT) AS keeper_ppm,
+       |       t.top_lang,
+       |       CAST(t.top_c * 1000000 // s.n_docs AS BIGINT) AS top_lang_ppm,
+       |       CAST(s.q4_sum // s.n_docs AS BIGINT) AS mean_quality_e4
+       |FROM src s JOIN top t ON s.source = t.source""".stripMargin})(
+    (s, d) => {
+      import graft.functions.TextFunctions.{qualityScore, tokenCount}
+      val labels = clusterLabels(s, d)
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("q4"))
+        .join(labels, Seq("doc_id"))
+        .withColumn("keeper", col("doc_id") === col("cluster_id"))
+        .localCheckpoint(false) // one scan feeds both rollups
+      val src = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          count(when(col("keeper"), 1)).cast("long").as("n_keepers"),
+          sum("q4").as("q4_sum"))
+      val top = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("c").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("c").as("top_c"))
+      src.join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("CAST(n_tokens div n_docs AS BIGINT)").as("tok_per_doc"),
+          expr("CAST(n_keepers * 1000000 div n_docs AS BIGINT)").as("keeper_ppm"),
+          col("top_lang"),
+          expr("CAST(top_c * 1000000 div n_docs AS BIGINT)").as("top_lang_ppm"),
+          expr("CAST(q4_sum div n_docs AS BIGINT)").as("mean_quality_e4"))
+    })
+
+  /** LSH PARAMETER ADVISOR — the design decision behind PortBands=4 ×
+    * 3 rows, derived instead of asserted: for every (bands, rows)
+    * factorization of the K=12 signature, the banding S-curve
+    * p(s) = 1 − (1 − sʳ)ᵇ is evaluated in EXACT integer ppm (powers by
+    * an unrolled multiply-and-floor chain — both engines run the
+    * identical rounding sequence, so the curve is hash-replayable
+    * without a single float), producing (a) the design-space error
+    * masses against the est-Jaccard 0.5 admission target — false-
+    * positive mass below, false-negative mass above, on a uniform
+    * 19-point similarity grid; these are data-independent and embedded
+    * as Scala-computed literals in both engines (the Benford-constant
+    * trick) — and (b) the DATA-side consequence: the share of the
+    * corpus's observed candidate pairs (stored scored pairs, q191's
+    * histogram) each alternative banding would admit. Reading the
+    * output: (4,3) sits at the error-mass minimum among 12's
+    * factorizations, which is exactly why the engine ships it. Scale
+    * shape: one 13-row n_match histogram off the stored pairs,
+    * materialized once; six constant-expression legs over it; 6-row
+    * output. HASH-MATCHED. */
+  val q263 = {
+    val combos = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+    // exact-ppm pow by an unrolled multiply-floor chain: pow(x, 0) = 1e6,
+    // pow(x, n) = pow(x, n-1) * x // 1e6 — the SHARED rounding sequence
+    def powPpm(x: Long, n: Int): Long =
+      (1 to n).foldLeft(1000000L)((acc, _) => acc * x / 1000000L)
+    def pPpm(sPpm: Long, r: Int, b: Int): Long =
+      1000000L - powPpm(1000000L - powPpm(sPpm, r), b)
+    // data-independent grid masses, computed HERE once for both engines
+    val grid = (1 to 19).map(_ * 50000L)
+    val masses = combos.map { case (b, r) =>
+      val fp = grid.filter(_ < 500000L).map(pPpm(_, r, b)).sum
+      val fn = grid.filter(_ >= 500000L).map(s => 1000000L - pPpm(s, r, b)).sum
+      (b, r, fp, fn)
+    }
+    // unrolled p(s) over a COLUMN s (sql expression text, shared shape)
+    def powSql(x: String, n: Int): String =
+      (1 to n).foldLeft("1000000")((acc, _) => s"(($acc) * ($x)) // 1000000")
+    def pSql(s: String, r: Int, b: Int): String =
+      s"1000000 - (${powSql(s"1000000 - (${powSql(s, r)})", b)})"
+    val duckArms = masses.map { case (b, r, fp, fn) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  CAST($fp AS BIGINT) AS fp_grid_ppm, CAST($fn AS BIGINT) AS fn_grid_ppm,
+         |  CAST(${fp + fn} AS BIGINT) AS total_err_ppm,
+         |  CAST(SUM(cnt * (${pSql("s_ppm", r, b)})) // SUM(cnt)
+         |       AS BIGINT) AS admit_expect_ppm,
+         |  $b = $PortBands AS is_current
+         |FROM hist""".stripMargin
+    }
+    QueryDef.oracle("q263_lsh_parameter_advisor",
+      s"""$portableScoredCtes,
+         |hist AS (SELECT CAST(n_match * 1000000 // $PortK AS BIGINT) AS s_ppm,
+         |           CAST(count(*) AS BIGINT) AS cnt
+         |         FROM scored GROUP BY 1)
+         |${duckArms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val hist = portableScoredPairs(s, d)
+          .groupBy(expr(s"CAST(n_match * 1000000 div $PortK AS BIGINT)").as("s_ppm"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false) // <=13 rows feed six constant legs
+        val arms = masses.map { case (b, r, fp, fn) =>
+          hist.agg(
+            expr("CAST(SUM(cnt * (" + pSql("s_ppm", r, b).replace("//", "div") +
+              ")) div SUM(cnt) AS BIGINT)").as("admit_expect_ppm"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              lit(fp).as("fp_grid_ppm"), lit(fn).as("fn_grid_ppm"),
+              lit(fp + fn).as("total_err_ppm"), col("admit_expect_ppm"),
+              lit(b == PortBands).as("is_current"))
+        }
+        arms.reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231, q238, q243, q246, q255)
+      q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263)
 }

@@ -738,7 +738,164 @@ object EventQueries {
             .otherwise("none").as("trend"))
     })
 
+  /** L-DIVERSITY audit — the gap k-anonymity leaves open (Machanavajjhala
+    * et al. 2007): a QI group can pass k (enough ROWS) while every row
+    * belongs to one or two USERS — homogeneous groups re-identify by
+    * attribute disclosure even when q247's row-count gate passes. Same
+    * (event_type, day, hour) quasi-identifier as q247 (the two audits
+    * must read the same groups), sensitive attribute = user_id, l = 3.
+    * Per event_type: groups, k-passing groups (n ≥ 5), the
+    * k-PASSING-yet-l-FAILING count (distinct users < 3 — the rows q247
+    * would release and this audit stops), their row mass in exact ppm,
+    * and the minimum diversity observed among k-passing groups (the
+    * published l of this release). Scale shape: one scan → QI-keyed
+    * two-level aggregate (rows + distinct users per group — the
+    * distinct is per-QI-group, never global) → per-type rollup. Output:
+    * one row per event_type. HASH-MATCHED. */
+  val q261 = QueryDef.oracle("q261_l_diversity",
+    """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |             date_part('hour', ts) AS h, user_id
+      |           FROM events),
+      |g AS (SELECT event_type, d, h, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      |      FROM q GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(SUM(n) AS BIGINT) AS n_rows,
+      |       CAST(count(CASE WHEN n >= 5 THEN 1 END) AS BIGINT) AS k_pass,
+      |       CAST(count(CASE WHEN n >= 5 AND u < 3 THEN 1 END) AS BIGINT)
+      |         AS k_pass_l_fail,
+      |       CAST(COALESCE(SUM(CASE WHEN n >= 5 AND u < 3 THEN n END), 0)
+      |            AS BIGINT) AS homogeneous_rows,
+      |       CAST(COALESCE(SUM(CASE WHEN n >= 5 AND u < 3 THEN n END), 0)
+      |            * 1000000 // SUM(n) AS BIGINT) AS homogeneous_ppm,
+      |       CAST(MIN(CASE WHEN n >= 5 THEN u END) AS BIGINT) AS min_l_at_k
+      |FROM g GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("h"), col("user_id"))
+        .groupBy("event_type", "d", "h")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"),
+          count(when(col("n") >= 5, 1)).cast("long").as("k_pass"),
+          count(when(col("n") >= 5 && col("u") < 3, 1)).cast("long")
+            .as("k_pass_l_fail"),
+          coalesce(sum(when(col("n") >= 5 && col("u") < 3, col("n"))), lit(0L))
+            .cast("long").as("homogeneous_rows"),
+          expr("CAST(COALESCE(SUM(CASE WHEN n >= 5 AND u < 3 THEN n END), 0)" +
+            " * 1000000 div SUM(n) AS BIGINT)").as("homogeneous_ppm"),
+          min(when(col("n") >= 5, col("u"))).cast("long").as("min_l_at_k"))
+    })
+
+  /** First-order MARKOV transition matrix over user journeys — the
+    * model behind next-event prediction and funnel leak analysis: for
+    * every (prev_type → next_type) pair of CONSECUTIVE events of one
+    * user (q234's lag-window convention: ORDER BY epoch-second,
+    * event_id — deterministic under ts ties), the transition count and
+    * the row-conditional probability P(next | prev) in exact ppm. The
+    * diagonal says loops (refresh/retry behavior), purchase's row says
+    * what follows conversion. Scale shape: one user-keyed lag window +
+    * one map-side-combined (prev, next) rollup + a |types|-row
+    * broadcast of per-prev totals. Output: |types|² rows max.
+    * HASH-MATCHED. */
+  val q264 = QueryDef.oracle("q264_event_transitions",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es
+      |           FROM events),
+      |p AS (SELECT event_type AS next_type,
+      |        LAG(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY es, event_id) AS prev_type
+      |      FROM e),
+      |t AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |        FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n, tot.row_total,
+      |       CAST(t.n * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+      |FROM t JOIN tot USING (prev_type)""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val t = e
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy("prev_type").agg(sum("n").as("row_total"))
+      t.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+          expr("CAST(n * 1000000 div row_total AS BIGINT)").as("p_ppm"))
+    })
+
+  /** RFM feature assembly — the classic per-user (Recency, Frequency,
+    * Monetary) feature vector a churn/LTV model trains on, in exact
+    * integers: recency in whole days from the corpus's own reference
+    * instant (max event time — a 1-row broadcast, so the features are
+    * reproducible from the data alone), frequency as event count,
+    * monetary as purchase cents. Each dimension is then scored 1–5 by
+    * NTILE(5) with deterministic tiebreak (value, user_id) — high is
+    * better: recent/frequent/big-spending users score 555 in the
+    * concatenated segment code. Scale shape: one scan → user-keyed
+    * rollup → three global NTILE windows over the USER-level aggregate
+    * (|users| rows, never the fact table — the sanctioned zero-key
+    * window case at dimension size; at true 100-TB user counts the
+    * quintiles come from q251-style sampled boundaries instead).
+    * Output: one row per user. HASH-MATCHED. */
+  val q265 = QueryDef.oracle("q265_rfm_features",
+    """WITH ref AS (SELECT MAX(CAST(date_diff('second',
+      |              TIMESTAMP '1970-01-01', ts) AS BIGINT)) AS ref_es
+      |            FROM events),
+      |u AS (SELECT user_id,
+      |        MAX(CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |            AS BIGINT)) AS last_es,
+      |        CAST(count(*) AS BIGINT) AS frequency,
+      |        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |          THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+      |          AS monetary_cents
+      |      FROM events GROUP BY 1),
+      |f AS (SELECT u.user_id,
+      |        CAST((ref.ref_es - u.last_es) // 86400 AS BIGINT)
+      |          AS recency_days,
+      |        u.frequency, u.monetary_cents
+      |      FROM u, ref)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |       CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+      |            AS BIGINT) AS r_score,
+      |       CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+      |         AS f_score,
+      |       CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+      |         AS m_score
+      |FROM f""".stripMargin)(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("es"))
+      val ref = ev.agg(max("es").as("ref_es"))
+      val u = ev.groupBy("user_id")
+        .agg(max("es").as("last_es"), count(lit(1)).as("frequency"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))), lit(0L))
+            .cast("long").as("monetary_cents"))
+      u.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          expr("CAST((ref_es - last_es) div 86400 AS BIGINT)").as("recency_days"),
+          col("frequency"), col("monetary_cents"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+            .cast("long").as("r_score"),
+          ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+            .cast("long").as("f_score"),
+          ntile(5).over(Window.orderBy(col("monetary_cents"), col("user_id")))
+            .cast("long").as("m_score"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242, q247, q252)
+      q234, q242, q247, q252, q261, q264, q265)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.pipeline.SqlScripts
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1214,7 +1214,257 @@ object ExtensionQueries {
       })
   }
 
+  /** PORTABLE BLOOM FILTER runtime-pruning audit — the other sketch a
+    * query engine actually ships (Spark's runtime row-group filtering /
+    * semi-join pushdown builds exactly this: a Bloom over the build
+    * side's join keys, probed at the scan): an m = 16384-bit / k = 2
+    * filter over the DISTINCT order custkeys, built and probed entirely
+    * in the portable integer hash family so DuckDB replays every bit
+    * (63-bit words — bit 63 is never shifted into, so no engine's
+    * checked-overflow or sign semantics are in play).
+    * Build: quadratic-mix the key (q244's AP-input fix — custkeys are
+    * sequential), two affine streams → two bit positions → the filter
+    * IS a ≤261-row (word, bits) table via bit_or of shifted ones — the
+    * exact artifact a runtime filter broadcasts. Probe: every customer
+    * key PLUS a domain-shifted twin per key (key + max+1 — guaranteed
+    * non-members on an unseen arithmetic progression, the adversarial
+    * input for the quadratic mixer); membership = both bits set (arithmetic-shift-and-mask,
+    * sign-safe for bit 63 on both engines). The audit ships the
+    * filter's real operating point: false-positive rate measured over
+    * the TRUE non-members (customers with no orders) vs the exact
+    * fill-ratio estimate ρ² (integer: set_bits²·10⁶/m²) — and
+    * n_false_neg, which a correct Bloom CANNOT have (pinned 0 here and
+    * by `BloomFilterSpec`). Scale shape: one keyed rollup to ≤256
+    * words (map-side combined), broadcast to the probe scan — the
+    * probe side never shuffles, which is the entire value of runtime
+    * filters at 100 TB. 1-row output. HASH-MATCHED. */
+  val q256 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1, a2, b2) = (a(15), b(15), a(16), b(16))
+    val M = 16384L // bits; 256 words of 64
+    QueryDef.oracle("q256_bloom_runtime_filter",
+      s"""WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |mx AS (SELECT key, ((key % $P) + $P) % $P AS pm FROM keys),
+         |mt AS (SELECT key, (pm * pm + 3 * pm + 7) % $P AS tm FROM mx),
+         |pos AS (SELECT key, ((tm * $a1 + $b1) % $P) % $M AS p1,
+         |               ((tm * $a2 + $b2) % $P) % $M AS p2
+         |        FROM mt),
+         |bits AS (SELECT p1 // 63 AS word, CAST(1 AS BIGINT) << CAST(p1 % 63 AS INTEGER) AS bit FROM pos
+         |         UNION ALL
+         |         SELECT p2 // 63, CAST(1 AS BIGINT) << CAST(p2 % 63 AS INTEGER) FROM pos),
+         |filt AS (SELECT word, bit_or(bit) AS bits FROM bits GROUP BY 1),
+         |fstat AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS set_bits
+         |          FROM filt),
+         |mk AS (SELECT max(key) + 1 AS off FROM keys),
+         |prk AS (SELECT c_custkey AS key FROM customer
+         |        UNION ALL SELECT c_custkey + off FROM customer, mk),
+         |pm0 AS (SELECT p.key,
+         |          ((p.key % $P) + $P) % $P AS pm,
+         |          k.key IS NOT NULL AS is_member
+         |        FROM prk p LEFT JOIN keys k ON k.key = p.key),
+         |pm1 AS (SELECT key, is_member, (pm * pm + 3 * pm + 7) % $P AS tm
+         |        FROM pm0),
+         |pp AS (SELECT key, is_member,
+         |         ((tm * $a1 + $b1) % $P) % $M AS p1,
+         |         ((tm * $a2 + $b2) % $P) % $M AS p2
+         |       FROM pm1),
+         |pr AS (SELECT p.key, p.is_member,
+         |         COALESCE((f1.bits >> CAST(p.p1 % 63 AS INTEGER)) & 1, 0) = 1
+         |           AND COALESCE((f2.bits >> CAST(p.p2 % 63 AS INTEGER)) & 1, 0) = 1
+         |           AS bloom_hit
+         |       FROM pp p
+         |       LEFT JOIN filt f1 ON f1.word = p.p1 // 63
+         |       LEFT JOIN filt f2 ON f2.word = p.p2 // 63)
+         |SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+         |       fs.set_bits,
+         |       CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(count(CASE WHEN NOT is_member THEN 1 END) AS BIGINT)
+         |         AS n_nonmembers,
+         |       CAST(count(CASE WHEN NOT is_member AND bloom_hit THEN 1 END)
+         |            AS BIGINT) AS n_false_pos,
+         |       CAST(count(CASE WHEN is_member AND NOT bloom_hit THEN 1 END)
+         |            AS BIGINT) AS n_false_neg,
+         |       CASE WHEN count(CASE WHEN NOT is_member THEN 1 END) = 0 THEN NULL
+         |            ELSE CAST(count(CASE WHEN NOT is_member AND bloom_hit THEN 1 END)
+         |                 * 1000000 // count(CASE WHEN NOT is_member THEN 1 END)
+         |                 AS BIGINT) END AS fpr_ppm,
+         |       CAST(fs.set_bits * fs.set_bits * 1000000 // ${M * M} AS BIGINT)
+         |         AS est_fpr_ppm
+         |FROM pr, fstat fs
+         |GROUP BY fs.set_bits""".stripMargin)(
+      (s, d) => {
+        def mixPos(keyName: String): (Column, Column) = {
+          val pm = s"pmod($keyName, ${P}L)"
+          val tm = s"(($pm * $pm + 3L * $pm + 7L) % ${P}L)"
+          (expr(s"(($tm * ${a1}L + ${b1}L) % ${P}L) % ${M}L"),
+            expr(s"(($tm * ${a2}L + ${b2}L) % ${P}L) % ${M}L"))
+        }
+        val keys = Tables.orders(s, d).select(col("o_custkey").as("key")).distinct()
+        val (p1, p2) = mixPos("key")
+        val pos = keys.select(col("key"), p1.as("p1"), p2.as("p2"))
+        val bits = pos.select(expr("p1 div 63").as("word"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 % 63 AS INT))").as("bit"))
+          .unionAll(pos.select(expr("p2 div 63").as("word"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 % 63 AS INT))").as("bit")))
+        val filt = bits.groupBy("word").agg(bit_or(col("bit")).as("bits"))
+          .localCheckpoint(false) // <=256 rows, probed twice + counted once
+        val fstat = filt.agg(sum(bit_count(col("bits"))).cast("long").as("set_bits"))
+        val off = keys.agg((max("key") + 1).as("off"))
+        val cust = Tables.customer(s, d)
+        val prk = cust.select(col("c_custkey").as("key"))
+          .unionAll(cust.crossJoin(broadcast(off))
+            .select((col("c_custkey") + col("off")).as("key")))
+        val (q1, q2) = mixPos("key")
+        val probes = prk
+          .select(col("key"), q1.as("p1"), q2.as("p2"))
+          .join(keys.select(col("key"), lit(true).as("is_member")), Seq("key"), "left")
+          .withColumn("is_member", coalesce(col("is_member"), lit(false)))
+        val pr = probes
+          .join(broadcast(filt.select(expr("word").as("w1"), col("bits").as("bits1"))),
+            expr("p1 div 63") === col("w1"), "left")
+          .join(broadcast(filt.select(expr("word").as("w2"), col("bits").as("bits2"))),
+            expr("p2 div 63") === col("w2"), "left")
+          .withColumn("bloom_hit",
+            expr("COALESCE(shiftright(bits1, CAST(p1 % 63 AS INT)) & 1, 0) = 1") &&
+              expr("COALESCE(shiftright(bits2, CAST(p2 % 63 AS INT)) & 1, 0) = 1"))
+        val nk = keys.agg(count(lit(1)).as("n_keys"))
+        pr.agg(count(lit(1)).as("n_probes"),
+            count(when(!col("is_member"), 1)).cast("long").as("n_nonmembers"),
+            count(when(!col("is_member") && col("bloom_hit"), 1)).cast("long")
+              .as("n_false_pos"),
+            count(when(col("is_member") && !col("bloom_hit"), 1)).cast("long")
+              .as("n_false_neg"))
+          .crossJoin(broadcast(nk)).crossJoin(broadcast(fstat))
+          .select(col("n_keys"), col("set_bits"), col("n_probes"),
+            col("n_nonmembers"), col("n_false_pos"), col("n_false_neg"),
+            when(col("n_nonmembers") === 0, lit(null).cast("long"))
+              .otherwise(expr("CAST(n_false_pos * 1000000 div n_nonmembers AS BIGINT)"))
+              .as("fpr_ppm"),
+            expr(s"CAST(set_bits * set_bits * 1000000 div ${M * M}L AS BIGINT)")
+              .as("est_fpr_ppm"))
+      })
+  }
+
+  /** SKETCH-MERGE audit — the property that makes q244's stats
+    * COLLECTIBLE at 100 TB: ANALYZE runs per file and merges, so the
+    * per-file sketches must merge to exactly the whole-table sketch.
+    * Demonstrated live: lineitem is dealt into 4 shards (l_orderkey %
+    * 4 — a stand-in for partition files), a portable HLL over
+    * l_extendedprice cents is built PER SHARD, the shards are merged
+    * by per-bucket register MAX (the HLL merge operator — associative
+    * and commutative, so any merge tree gives the same registers), and
+    * the merged estimate is emitted NEXT TO the monolithic
+    * whole-table build. The two rows carrying identical integers IS
+    * the mergeability proof, hash-checked by the driver on both
+    * engines — not asserted, measured. Per-shard rows show each
+    * shard's own (smaller) cardinality for scale context. Same
+    * estimator kernel as q244 (quadratic mix, pow2 rank frame,
+    * embedded linear-counting table). Scale shape: one scan →
+    * (shard, bucket) rollup (map-side combined, ≤ 4×128 groups);
+    * merge/monolithic are rollups OVER that tiny table. Output: 6
+    * rows. HASH-MATCHED. */
+  val q260 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1, a2, b2) = (a(13), b(13), a(14), b(14)) // q244's streams: same sketch family
+    val lcVals = (1 to 128).map(v =>
+      s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
+    // estimator tail over (grp, bucket, mx) — shared SQL fragment
+    def estSql(src: String): String =
+      s"""SELECT grp,
+         |  CAST(128 - count(*) AS BIGINT) AS n_empty,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - mx AS INTEGER))
+         |       + (128 - count(*)) * 140737488355328 AS BIGINT) AS zs
+         |FROM $src GROUP BY 1""".stripMargin
+    QueryDef.oracle("q260_stats_merge_audit",
+      s"""WITH k AS (SELECT l_orderkey % 4 AS shard,
+         |             CAST(round(l_extendedprice * 100) AS BIGINT) AS kv
+         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |h AS (SELECT shard, ((kv % $P) + $P) % $P AS pm FROM k),
+         |mt AS (SELECT shard, (pm * pm + 3 * pm + 7) % $P AS tm FROM h),
+         |wd AS (SELECT shard, (tm * $a1 + $b1) % $P AS h1,
+         |              (tm * $a2 + $b2) % $P AS h2 FROM mt),
+         |b0 AS (SELECT shard, h2 % 128 AS bucket,
+         |         ((h1 * 8388608) // $P) * 8388608 + (h2 * 8388608) // $P AS w
+         |       FROM wd),
+         |m1 AS (SELECT shard, bucket, w | (w >> 1) AS w FROM b0),
+         |m2 AS (SELECT shard, bucket, w | (w >> 2) AS w FROM m1),
+         |m3 AS (SELECT shard, bucket, w | (w >> 4) AS w FROM m2),
+         |m4 AS (SELECT shard, bucket, w | (w >> 8) AS w FROM m3),
+         |m5 AS (SELECT shard, bucket, w | (w >> 16) AS w FROM m4),
+         |m6 AS (SELECT shard, bucket, w | (w >> 32) AS w FROM m5),
+         |sr AS (SELECT shard, bucket,
+         |         MAX(47 - CAST(bit_count(w) AS BIGINT)) AS mx
+         |       FROM m6 GROUP BY 1, 2),
+         |shz AS (SELECT 'shard_' || CAST(shard AS VARCHAR) AS grp, bucket, mx
+         |        FROM sr),
+         |mgz AS (SELECT 'merged' AS grp, bucket, MAX(mx) AS mx
+         |        FROM sr GROUP BY 2),
+         |mnz AS (SELECT 'monolithic' AS grp, bucket,
+         |          MAX(47 - CAST(bit_count(w) AS BIGINT)) AS mx
+         |        FROM m6 GROUP BY 2),
+         |allz AS (${estSql("shz")} UNION ALL ${estSql("mgz")}
+         |         UNION ALL ${estSql("mnz")}),
+         |raw AS (SELECT grp, n_empty,
+         |          CAST(CAST(715271 AS HUGEINT) * 16384 * 140737488355328
+         |               // zs // 1000000 AS BIGINT) AS raw_est
+         |        FROM allz)
+         |SELECT r.grp, r.n_empty,
+         |       CAST(CASE WHEN r.n_empty > 0 AND r.raw_est <= 320
+         |            THEN lc.lc_est ELSE r.raw_est END AS BIGINT) AS est_ndv
+         |FROM raw r LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |  ON r.n_empty = lc.v""".stripMargin)(
+      (s, d) => {
+        val k = Tables.lineitem(s, d)
+          .filter(col("l_extendedprice").isNotNull)
+          .select((col("l_orderkey") % 4).as("shard"),
+            round(col("l_extendedprice") * 100).cast("long").as("kv"))
+        val bw = k
+          .withColumn("pm", pmod(col("kv"), lit(P)))
+          .withColumn("tm", expr(s"(pm * pm + 3L * pm + 7L) % ${P}L"))
+          .withColumn("h1", expr(s"(tm * ${a1}L + ${b1}L) % ${P}L"))
+          .withColumn("h2", expr(s"(tm * ${a2}L + ${b2}L) % ${P}L"))
+          .withColumn("bucket", expr("h2 % 128L"))
+          .withColumn("w", expr(
+            s"((h1 * 8388608L) div ${P}L) * 8388608L + (h2 * 8388608L) div ${P}L"))
+        val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, i) =>
+          df.withColumn("w", expr(s"w | shiftright(w, $i)")))
+        val sr = sm
+          .withColumn("rho", expr("47L - CAST(bit_count(w) AS BIGINT)"))
+          .groupBy("shard", "bucket").agg(max("rho").as("mx"))
+          .localCheckpoint(false) // <=512 rows feed three estimator legs
+        val shz = sr.select(
+          concat(lit("shard_"), col("shard").cast("string")).as("grp"),
+          col("bucket"), col("mx"))
+        val mgz = sr.groupBy("bucket").agg(max("mx").as("mx"))
+          .select(lit("merged").as("grp"), col("bucket"), col("mx"))
+        // monolithic leg re-derives from the RAW bucket stream (a second
+        // pass), NOT from the shard rollup — the equality with `merged`
+        // is then a measured property of register-max associativity,
+        // not a tautology of reusing the same rollup
+        val mnz = sm
+          .withColumn("rho", expr("47L - CAST(bit_count(w) AS BIGINT)"))
+          .groupBy("bucket").agg(max("rho").as("mx"))
+          .select(lit("monolithic").as("grp"), col("bucket"), col("mx"))
+        val allz = shz.unionByName(mgz).unionByName(mnz)
+          .groupBy("grp")
+          .agg((lit(128L) - count(lit(1))).as("n_empty"),
+            (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - mx AS INT))"))
+              + (lit(128L) - count(lit(1))) * 140737488355328L).as("zs"))
+        val lc = (1 to 128).map(v =>
+          (v.toLong, math.round(128.0 * math.log(128.0 / v))))
+        val lcDf = s.createDataFrame(lc).toDF("v", "lc_est")
+        allz
+          .withColumn("raw_est", expr(
+            "CAST(CAST(715271 AS DECIMAL(38,0)) * 16384 * 140737488355328" +
+              " div zs div 1000000 AS BIGINT)"))
+          .join(broadcast(lcDf), col("n_empty") === col("v"), "left")
+          .select(col("grp"), col("n_empty"),
+            expr("CAST(CASE WHEN n_empty > 0 AND raw_est <= 320" +
+              " THEN lc_est ELSE raw_est END AS BIGINT)").as("est_ndv"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253)
+    q250, q251, q253, q256, q260)
 }

@@ -1495,8 +1495,76 @@ object ModelPrepQueries {
           expr("(1000000 * n_docs) div n_bucket").as("share_ppm"))
     })
 
+  /** MIXTURE EPOCHS — the data-recipe number q166's shares and q214's
+    * apportionment stop one step short of: allocate a fixed TOKEN
+    * budget (1M here; the ratio is what matters) across sources by the
+    * shared √n temperature weights with exact largest-remainder
+    * dealing (Σalloc = budget, q214's chain verbatim), then divide by
+    * each source's ACTUAL token count — epochs_ppm > 1e6 means the
+    * source is repeated (upweighted past its size), < 1e6 means
+    * subsampled. The `over_4_epochs` flag is the Muennighoff et al.
+    * 2023 repetition cliff (returns from repeated data degrade sharply
+    * past ~4 epochs) as an exact cross-multiplication — the row a
+    * recipe review actually reads. Weights come from the ONE shared
+    * [[mixtureWeightCtes]] chain so this cannot disagree with
+    * q166/q214; token counts ride one scan-stage pass. Scale: two
+    * map-side-combined source rollups + |sources|-row windows.
+    * Output: one row per source. HASH-MATCHED. */
+  val q257 = QueryDef.oracle("q257_mixture_epochs",
+    s"""$mixtureWeightCtes,
+       |tk AS (SELECT source,
+       |         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+       |           AS n_tokens
+       |       FROM documents GROUP BY source),
+       |q AS (SELECT source, n_docs, weight_micro,
+       |        CAST(weight_micro * 1000000 // total_micro AS BIGINT) AS base,
+       |        CAST(weight_micro * 1000000 % total_micro AS BIGINT) AS rem
+       |      FROM w, tot),
+       |l AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS leftover FROM q),
+       |r AS (SELECT source, n_docs, weight_micro, base, rem,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+       |          AS rk
+       |      FROM q),
+       |al AS (SELECT source, n_docs, weight_micro,
+       |         base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+       |       FROM r, l)
+       |SELECT a.source, a.n_docs, t.n_tokens, a.weight_micro, a.alloc_tokens,
+       |       CASE WHEN t.n_tokens = 0 THEN NULL
+       |            ELSE CAST(a.alloc_tokens * 1000000 // t.n_tokens AS BIGINT)
+       |       END AS epochs_ppm,
+       |       a.alloc_tokens > 4 * t.n_tokens AS over_4_epochs
+       |FROM al a JOIN tk t ON a.source = t.source""".stripMargin)(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokenCount
+      val (w, tot) = mixtureWeights(s, d)
+      val tk = Tables.documents(s, d)
+        .select(col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+      val q = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("weight_micro"),
+          expr("weight_micro * 1000000 div total_micro").as("base"),
+          (col("weight_micro") * 1000000 % col("total_micro")).as("rem"))
+      val l = q.agg((lit(1000000L) - sum("base")).as("leftover"))
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source")))
+            .cast("long"))
+        .crossJoin(broadcast(l))
+        .select(col("source"), col("n_docs"), col("weight_micro"),
+          (col("base") +
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+        .join(tk, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("weight_micro"), col("alloc_tokens"),
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(alloc_tokens * 1000000 div n_tokens AS BIGINT)"))
+            .as("epochs_ppm"),
+          (col("alloc_tokens") > col("n_tokens") * 4).as("over_4_epochs"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223)
+      q208, q214, q223, q257)
 }

@@ -166,5 +166,53 @@ object SqlSurfaceQueries {
           col("n_keys"), col("total"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144, q146)
+  /** SKEW REMEDIATION PLAN — the decision step after q146's diagnosis:
+    * given per-key counts of a genuinely hot join key (events.
+    * event_type — 5 keys carrying the whole fact, the shape a
+    * category/status join always has), derive the plan AQE or a
+    * salting rewrite would execute, in exact integers: target
+    * partition rows T = total/32 (the cluster's even split), per key
+    * n_splits = ⌈n/T⌉, post-split residual rows per task, and the
+    * strategy verdict — `none` (fits one task), `aqe_split` (AQE's
+    * runtime partition splitting handles ≤ 8 ways cleanly), `salt`
+    * (hotter than that: replicate the dim side over a salt column,
+    * q75's rewrite). This is q253's sibling one level down: q253
+    * audits WHICH join, this audits HOW the shuffle survives the key
+    * distribution. Scale shape: one map-side-combined key rollup + a
+    * 1-row total broadcast; |keys|-row output. HASH-MATCHED. */
+  val q262 = QueryDef.oracle("q262_skew_remediation_plan",
+    """WITH f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1),
+      |st AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |              CAST(GREATEST(SUM(n) // 32, 1) AS BIGINT) AS t_rows
+      |       FROM f),
+      |p AS (SELECT f.event_type, f.n, st.total, st.t_rows,
+      |        CAST((f.n + st.t_rows - 1) // st.t_rows AS BIGINT) AS n_splits
+      |      FROM f, st)
+      |SELECT event_type, n,
+      |       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |       t_rows, n_splits,
+      |       CAST((n + n_splits - 1) // n_splits AS BIGINT) AS rows_per_split,
+      |       CASE WHEN n_splits = 1 THEN 'none'
+      |            WHEN n_splits <= 8 THEN 'aqe_split'
+      |            ELSE 'salt' END AS strategy
+      |FROM p""".stripMargin)(
+    (s, d) => {
+      val f = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val st = f.agg(sum("n").as("total"),
+        greatest(expr("SUM(n) div 32"), lit(1L)).as("t_rows"))
+      f.crossJoin(broadcast(st))
+        .withColumn("n_splits", expr("(n + t_rows - 1) div t_rows"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"),
+          col("t_rows"), col("n_splits"),
+          expr("CAST((n + n_splits - 1) div n_splits AS BIGINT)")
+            .as("rows_per_split"),
+          when(col("n_splits") === 1, "none")
+            .when(col("n_splits") <= 8, "aqe_split")
+            .otherwise("salt").as("strategy"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144, q146, q262)
 }

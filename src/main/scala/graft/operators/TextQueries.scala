@@ -1308,19 +1308,8 @@ object TextQueries {
       |       END AS overhead_ppm,
       |       CAST(SUM(frag) AS BIGINT) AS frag_tail_chunks
       |FROM cc GROUP BY source""".stripMargin)(
-    (s, d) => {
-      import graft.functions.TextFunctions.tokenCount
-      val tk = Tables.documents(s, d)
-        .select(col("source"),
-          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"))
-      tk.withColumn("n_chunks", expr(
-          "CASE WHEN n_tok = 0 THEN 0L WHEN n_tok <= 128 THEN 1L" +
-            " ELSE 1L + (n_tok - 128 + 95) div 96 END"))
-        .withColumn("dup_tok", expr(
-          "CASE WHEN n_chunks > 1 THEN (n_chunks - 1) * 32 ELSE 0L END"))
-        .withColumn("frag", expr(
-          "CASE WHEN n_chunks > 1 AND n_tok - (n_chunks - 1) * 96 < 32" +
-            " THEN 1L ELSE 0L END"))
+    (s, d) =>
+      chunkCostFrame(Tables.documents(s, d).select(col("source"), col("text")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chunks").cast("long").as("n_chunks"),
@@ -1329,8 +1318,28 @@ object TextQueries {
           when(sum("n_tok") === 0, lit(null).cast("long"))
             .otherwise(expr("CAST(SUM(dup_tok) * 1000000 div SUM(n_tok) AS BIGINT)"))
             .as("overhead_ppm"),
-          sum("frag").cast("long").as("frag_tail_chunks"))
-    })
+          sum("frag").cast("long").as("frag_tail_chunks")))
+
+  /** The ONE per-doc chunk-cost chain (W=128, S=96) shared by q254's
+    * batch rollup and `DocStreams.chunkGate`'s stateless streaming twin
+    * — batch and stream cannot disagree on a doc's chunk accounting.
+    * Adds n_tok / n_chunks / dup_tok / frag next to the input columns;
+    * drops text on the way out (verdicts travel, content doesn't). */
+  private[graft] def chunkCostFrame(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    docs
+      .withColumn("n_tok",
+        coalesce(tokenCount(col("text")).cast("long"), lit(0L)))
+      .withColumn("n_chunks", expr(
+        "CASE WHEN n_tok = 0 THEN 0L WHEN n_tok <= 128 THEN 1L" +
+          " ELSE 1L + (n_tok - 128 + 95) div 96 END"))
+      .withColumn("dup_tok", expr(
+        "CASE WHEN n_chunks > 1 THEN (n_chunks - 1) * 32 ELSE 0L END"))
+      .withColumn("frag", expr(
+        "CASE WHEN n_chunks > 1 AND n_tok - (n_chunks - 1) * 96 < 32" +
+          " THEN 1L ELSE 0L END"))
+      .drop("text")
+  }
 
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,

@@ -499,6 +499,80 @@ object DocStreams {
   def gopherGate(docs: DataFrame): DataFrame =
     graft.operators.CurationQueries.gopherRuleFrame(docs)
 
+  /** Streaming CHUNK-COST gate — q254's sliding-window accounting at
+    * ingest time: each arriving document gets its chunk count,
+    * duplicated-slot cost and fragment-tail flag the moment it enters
+    * the pipeline, so the embedding budget is priced BEFORE the chunks
+    * are emitted. The per-doc arithmetic is the SHARED
+    * `TextQueries.chunkCostFrame` closed form (one definition — the
+    * gate cannot drift from the batch rollup; `ChunkGateStreamSpec`
+    * pins per-doc agreement over the corpus), and like the Gopher gate
+    * it is entirely STATELESS scan-side row work: no watermark, no
+    * state store, no shuffle. Text is dropped on the way out. */
+  def chunkGate(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.chunkCostFrame(docs)
+
+  final case class DriftDoc(doc_id: Long, ts: Timestamp, source: String,
+      text: String)
+  final case class DriftState(docs: Long, tokens: Long)
+  final case class LengthDrift(source: String, docs_seen: Long,
+      tokens_seen: Long, ref_docs: Long, ref_tokens: Long,
+      drift_ppm: Option[Long], ts: Timestamp)
+
+  /** Streaming SOURCE LENGTH-DRIFT gate — feed-change detection at
+    * ingest: per source, running (docs, tokens) against the REFERENCE
+    * corpus's exact tokens-per-doc ratio (q259's card numbers, passed
+    * as a (source, ref_docs, ref_tokens) frame and closure-broadcast —
+    * bounded by |sources|, the codebook pattern). Each trigger emits
+    * the source's running drift in exact ppm of the reference ratio:
+    * drift = tokens·ref_docs·10⁶ / (docs·ref_tokens), computed through
+    * BigInt so the cross-multiplication cannot wrap at any scale; a
+    * feed whose documents suddenly shorten (truncation bug) or lengthen
+    * (markup leak) walks away from 1e6 within a trigger. State is two
+    * longs per source, forever — counts only ratchet, so no watermark
+    * eviction is needed and the emission is ORDER-INDEPENDENT across
+    * any trigger split (`LengthDriftStreamSpec` pins the final row
+    * against batch counts and the exact-1e6 self-reference case).
+    * Unknown sources (not in the reference) emit drift NULL — visible,
+    * not dropped. */
+  def lengthDriftGate(
+      docs: DataFrame,
+      ref: DataFrame,
+      watermark: String = "1 hour"): Dataset[LengthDrift] = {
+    import docs.sparkSession.implicits._
+    val refMap: Map[String, (Long, Long)] = ref
+      .select(col("source"), col("ref_docs").cast("long"),
+        col("ref_tokens").cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"), col("text"))
+      .as[DriftDoc]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[DriftState, LengthDrift](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rs: Iterator[DriftDoc], state: GroupState[DriftState]) =>
+          var st = state.getOption.getOrElse(DriftState(0L, 0L))
+          var maxTs: Timestamp = null
+          rs.foreach { doc =>
+            val nTok =
+              if (doc.text == null) 0L
+              else doc.text.split("\\s+").count(_.nonEmpty).toLong
+            st = DriftState(st.docs + 1, st.tokens + nTok)
+            if (maxTs == null || doc.ts.after(maxTs)) maxTs = doc.ts
+          }
+          state.update(st)
+          val drift = refMap.get(source).flatMap { case (rd, rt) =>
+            if (st.docs == 0 || rt == 0) None
+            else Some((BigInt(st.tokens) * rd * 1000000 /
+              (BigInt(st.docs) * rt)).toLong)
+          }
+          val (rd, rt) = refMap.getOrElse(source, (0L, 0L))
+          Iterator.single(LengthDrift(source, st.docs, st.tokens, rd, rt,
+            drift, maxTs))
+      }
+  }
+
   final case class HllDoc(doc_id: Long, ts: Timestamp, source: String,
       text: String)
   final case class HllState(regs: Seq[Long], n_docs: Long)

@@ -43,7 +43,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q195_lsh_recall_audit", "q208_fold_leakage",
         "q213_cluster_size_histogram", "q216_admission_recall_audit",
         "q231_cluster_salient_terms", "q238_threshold_sweep",
-        "q243_token_yield", "q246_kcore")
+        "q243_token_yield", "q246_kcore", "q255_pair_transitivity",
+        "q259_dataset_card", "q263_lsh_parameter_advisor")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -72,7 +73,9 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q194_curation_funnel", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
-        "q238_threshold_sweep", "q243_token_yield", "q246_kcore")
+        "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
+        "q255_pair_transitivity", "q259_dataset_card",
+        "q263_lsh_parameter_advisor")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -89,7 +92,9 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q191_lsh_calibration", "q195_lsh_recall_audit",
         "q208_fold_leakage", "q213_cluster_size_histogram",
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
-        "q238_threshold_sweep", "q243_token_yield", "q246_kcore")
+        "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
+        "q255_pair_transitivity", "q259_dataset_card",
+        "q263_lsh_parameter_advisor")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -232,7 +237,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q167_source_quality_profile", "q181_quality_canonical",
         "q194_curation_funnel", "q196_quality_percentile",
         "q205_weighted_sample", "q215_crossmodal_gate",
-        "q221_bootstrap_quality_ci", "q223_filter_calibration")
+        "q221_bootstrap_quality_ci", "q223_filter_calibration",
+        "q259_dataset_card")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
