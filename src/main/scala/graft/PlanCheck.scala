@@ -679,6 +679,43 @@ object PlanCheck {
     check("q265_rfm_features",
       "RFM: user rollup combines map-side before the exchange",
       p => p.contains("partial_max") && !p.contains("CartesianProduct"))
+    check("q266_classifier_auc",
+      "AUC: ONE fused corpus scan (score + rules row-local); cumsums over the (source,score) ROLLUP",
+      p => scans(p, "documents") == 1 && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q266_classifier_auc",
+      "AUC windows sit above an Aggregate, never the fact scan",
+      noGlobalFactWindow)
+    check("q267_attribution",
+      "attribution: USER-keyed window (never global), map-side channel rollups, 1-row total broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q267_attribution",
+      "attribution window is user-keyed (no empty partitionSpec over the fact)",
+      noGlobalFactWindow)
+    check("q268_ab_test",
+      "A/B: user rollup map-side combined; 2-row arm table; no window, no cartesian-shaped join",
+      p => p.contains("partial_max") && !p.contains("Window") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q269_token_gini",
+      "gini: map-side (source,token) rollup; rank window over the vocab-sized ROLLUP only",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"))
+    checkTree("q269_token_gini",
+      "gini rank window sits above the vocab Aggregate, never the corpus scan",
+      noGlobalFactWindow)
+    check("q270_hybrid_rrf_fusion",
+      "RRF: both legs cut by TakeOrderedAndProject BEFORE the 50-row rank windows; query vector broadcast",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q271_randomized_response",
+      "randomized response: coins row-local, k-row type table broadcast for the draw, map-side rollups",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q272_chi2_independence",
+      "chi2: (type,dow) rollup map-side; marginals broadcast back; no window anywhere",
+      p => p.contains("partial_count") && !p.contains("Window") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

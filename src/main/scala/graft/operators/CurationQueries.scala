@@ -667,8 +667,12 @@ object CurationQueries {
     * stand-in any engine reproduces — the oracle replays exact sums).
     * Differential spec pins kernel ≡ the HOF spec formulation.
     */
-  val q183 = QueryDef.oracle("q183_classifier_score",
-    s"""WITH h AS (
+  /** The ONE SQL chain producing per-doc (n_tok, score) for the hashed
+    * linear classifier — embedded verbatim by q183 and every consumer
+    * (q266's AUC) so the score definition cannot fork
+    * (OracleFragmentDriftSpec pins the embedding). Ends in CTE `cls`. */
+  private[graft] val classifierScoreCtes: String =
+    s"""h AS (
        |  SELECT doc_id,
        |    list_transform(
        |      list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''),
@@ -676,17 +680,19 @@ object CurationQueries {
        |             list_transform(string_split(t, ''),
        |               c -> CAST(unicode(c) AS BIGINT))),
        |             (a, b) -> (a * 131 + b) % 1000000007)) AS ths
-       |  FROM documents)
-       |SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tok,
-       |       CAST(COALESCE(list_sum(list_transform(ths,
-       |         th -> ((th * ${graft.functions.PortableHashKernels.ClsA}
-       |                 + ${graft.functions.PortableHashKernels.ClsB})
-       |                % 1000000007) % 2001 - 1000)), 0) AS BIGINT) AS score,
-       |       COALESCE(list_sum(list_transform(ths,
-       |         th -> ((th * ${graft.functions.PortableHashKernels.ClsA}
-       |                 + ${graft.functions.PortableHashKernels.ClsB})
-       |                % 1000000007) % 2001 - 1000)), 0) > 0 AS keep
-       |FROM h""".stripMargin)(
+       |  FROM documents),
+       |cls AS (
+       |  SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tok,
+       |    CAST(COALESCE(list_sum(list_transform(ths,
+       |      th -> ((th * ${graft.functions.PortableHashKernels.ClsA}
+       |              + ${graft.functions.PortableHashKernels.ClsB})
+       |             % 1000000007) % 2001 - 1000)), 0) AS BIGINT) AS score
+       |  FROM h)""".stripMargin
+
+  val q183 = QueryDef.oracle("q183_classifier_score",
+    s"""WITH $classifierScoreCtes
+       |SELECT doc_id, n_tok, score, score > 0 AS keep
+       |FROM cls""".stripMargin)(
     (s, d) => {
       import graft.functions.HashFunctions.classifierScoreNative
       Tables.documents(s, d)
@@ -1049,9 +1055,14 @@ object CurationQueries {
     * (DocStreams.gopherGate) applies the same rules at ingest;
     * GopherRuleSpec pins batch ≡ stream on crafted rule-edge docs.
     * HASH-MATCHED. */
-  val q218 = QueryDef.oracle("q218_gopher_rules", {
+  /** The ONE SQL chain producing the per-doc Gopher rule verdicts —
+    * embedded verbatim by q218 and every consumer (q266 uses `kept` as
+    * the AUC label) so the rule battery cannot fork
+    * (OracleFragmentDriftSpec pins the embedding). Ends in CTE
+    * `gopher` (doc_id, n_words, the seven rules, n_failed, kept). */
+  private[graft] val gopherRuleCtes: String = {
     val stops = GopherStops.map(s => s"'$s'").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l,
        |    string_split(text, chr(10)) AS lines,
@@ -1080,17 +1091,26 @@ object CurationQueries {
        |    10 * n_ellend <= 3 * n_lines AS r_ellipsis_lines,
        |    5 * n_alpha >= 4 * n_words AS r_alpha_words,
        |    n_stops >= 2 AS r_stop_words
-       |  FROM c)
+       |  FROM c),
+       |gopher AS (
+       |  SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+       |         r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stop_words,
+       |         CAST(7 - (CAST(r_word_count AS INT) + CAST(r_mean_word_len AS INT)
+       |           + CAST(r_symbol_ratio AS INT) + CAST(r_bullet_lines AS INT)
+       |           + CAST(r_ellipsis_lines AS INT) + CAST(r_alpha_words AS INT)
+       |           + CAST(r_stop_words AS INT)) AS BIGINT) AS n_failed,
+       |         r_word_count AND r_mean_word_len AND r_symbol_ratio
+       |           AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+       |           AND r_stop_words AS kept
+       |  FROM r)""".stripMargin
+  }
+
+  val q218 = QueryDef.oracle("q218_gopher_rules",
+    s"""WITH $gopherRuleCtes
        |SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
        |       r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stop_words,
-       |       CAST(7 - (CAST(r_word_count AS INT) + CAST(r_mean_word_len AS INT)
-       |         + CAST(r_symbol_ratio AS INT) + CAST(r_bullet_lines AS INT)
-       |         + CAST(r_ellipsis_lines AS INT) + CAST(r_alpha_words AS INT)
-       |         + CAST(r_stop_words AS INT)) AS BIGINT) AS n_failed,
-       |       r_word_count AND r_mean_word_len AND r_symbol_ratio
-       |         AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
-       |         AND r_stop_words AS kept
-       |FROM r""".stripMargin})(
+       |       n_failed, kept
+       |FROM gopher""".stripMargin)(
     (s, d) => gopherRuleFrame(Tables.documents(s, d).select("doc_id", "text")))
 
   /** Spark twin of q218's rule chain — shared verbatim by the batch
@@ -1390,7 +1410,78 @@ object CurationQueries {
           .as("representative"))
     })
 
+  /** EXACT AUC of the cheap hashed classifier (q183's score) against
+    * the expensive Gopher rule battery (q218's kept) — the audit a
+    * two-stage filter pipeline needs before trusting the cheap stage
+    * to pre-screen at scale: does the fastText-shaped score RANK
+    * rule-passing documents above rule-failing ones? AUC is the
+    * Mann–Whitney statistic computed EXACTLY over the (source, score)
+    * value-count rollup: with ties handled by the standard ½ credit,
+    * 2·U = Σ_scores n_pos(s)·(2·neg_below(s) + n_neg(s)), so
+    * auc_ppm = U·10⁶/(pos·neg) is one integer both engines floor
+    * identically — no trapezoids, no floats. Both per-doc inputs ride
+    * the SHARED fragments (classifierScoreCtes / gopherRuleCtes — the
+    * drift spec pins the embedding) and on the Spark side the two
+    * kernels fuse into ONE corpus scan (score + rules are row-local).
+    * Scale shape: scan-stage row work → map-side (source, score,
+    * kept) rollup → source-keyed cumsum windows over the ROLLUP
+    * (q258's pattern — windows never see the fact table) → source
+    * rollup. Output: one row per source plus pooled auc. A source
+    * with no positives or no negatives reports NULL. HASH-MATCHED. */
+  val q266 = QueryDef.oracle("q266_classifier_auc",
+    s"""WITH $classifierScoreCtes,
+       |$gopherRuleCtes,
+       |base AS (SELECT d.source, c.score, g.kept
+       |         FROM documents d
+       |         JOIN cls c ON c.doc_id = d.doc_id
+       |         JOIN gopher g ON g.doc_id = d.doc_id),
+       |vc AS (SELECT source, score,
+       |         CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_pos,
+       |         CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT) AS n_neg
+       |       FROM base GROUP BY 1, 2),
+       |cum AS (SELECT source, score, n_pos, n_neg,
+       |          SUM(n_neg) OVER (PARTITION BY source ORDER BY score)
+       |            - n_neg AS neg_below,
+       |          SUM(n_pos) OVER (PARTITION BY source) AS pos_tot,
+       |          SUM(n_neg) OVER (PARTITION BY source) AS neg_tot
+       |        FROM vc),
+       |a AS (SELECT source, pos_tot, neg_tot,
+       |        CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS u2
+       |      FROM cum GROUP BY 1, 2, 3)
+       |SELECT source, CAST(pos_tot AS BIGINT) AS n_kept,
+       |       CAST(neg_tot AS BIGINT) AS n_rejected,
+       |       CASE WHEN pos_tot = 0 OR neg_tot = 0 THEN NULL
+       |            ELSE CAST(u2 * 500000 // (pos_tot * neg_tot) AS BIGINT)
+       |       END AS auc_ppm
+       |FROM a""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      val base = gopherRuleFrame(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            classifierScoreNative(coalesce(col("text"), lit("")))
+              .getField("score").as("score")))
+        .select(col("source"), col("score"), col("kept"))
+      val vc = base.groupBy("source", "score")
+        .agg(count(when(col("kept"), 1)).cast("long").as("n_pos"),
+          count(when(!col("kept"), 1)).cast("long").as("n_neg"))
+      val wOrd = Window.partitionBy("source").orderBy("score")
+      val wAll = Window.partitionBy("source")
+      val cum = vc
+        .withColumn("neg_below", sum("n_neg").over(wOrd) - col("n_neg"))
+        .withColumn("pos_tot", sum("n_pos").over(wAll))
+        .withColumn("neg_tot", sum("n_neg").over(wAll))
+      cum.groupBy("source", "pos_tot", "neg_tot")
+        .agg(sum(col("n_pos") * (col("neg_below") * 2 + col("n_neg")))
+          .cast("long").as("u2"))
+        .select(col("source"), col("pos_tot").cast("long").as("n_kept"),
+          col("neg_tot").cast("long").as("n_rejected"),
+          when(col("pos_tot") === 0 || col("neg_tot") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr("CAST(u2 * 500000 div (pos_tot * neg_tot) AS BIGINT)"))
+            .as("auc_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258)
+      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266)
 }

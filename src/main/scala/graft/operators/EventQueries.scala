@@ -895,7 +895,328 @@ object EventQueries {
             .cast("long").as("m_score"))
     })
 
+  /** MARKETING ATTRIBUTION — last-touch vs first-touch, the two
+    * models every conversion report reconciles: per purchase, the
+    * LAST-TOUCH channel is the most recent non-purchase event type
+    * strictly before it in the user's stream (IGNORE NULLS backward
+    * window — q264's deterministic (epoch-second, event_id) ordering;
+    * a purchase with no prior touch attributes to 'direct'), the
+    * FIRST-TOUCH channel is the user's very first event type. Revenue
+    * rides in exact cents (q265's round(value·100) convention). The
+    * output row per channel carries both models' purchase counts and
+    * cents plus each model's revenue share in exact ppm — the gap
+    * between the two columns IS the budget-shift argument. Scale
+    * shape: one user-keyed window pass over the fact (keyed, never
+    * global), two map-side channel rollups, |channels|-row full outer
+    * merge + 1-row total broadcast. Output: one row per channel.
+    * HASH-MATCHED. */
+  val q267 = QueryDef.oracle("q267_attribution",
+    """WITH e AS (SELECT user_id, event_type, event_id, value,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es
+      |           FROM events),
+      |w AS (SELECT user_id, event_type, value,
+      |        LAST_VALUE(CASE WHEN event_type <> 'purchase'
+      |                        THEN event_type END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS last_touch,
+      |        FIRST_VALUE(event_type)
+      |          OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS first_touch
+      |      FROM e),
+      |p AS (SELECT COALESCE(last_touch, 'direct') AS last_touch, first_touch,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM w WHERE event_type = 'purchase'),
+      |lt AS (SELECT last_touch AS channel, CAST(count(*) AS BIGINT) AS n_last,
+      |         CAST(SUM(cents) AS BIGINT) AS cents_last
+      |       FROM p GROUP BY 1),
+      |ft AS (SELECT first_touch AS channel, CAST(count(*) AS BIGINT) AS n_first,
+      |         CAST(SUM(cents) AS BIGINT) AS cents_first
+      |       FROM p GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM p)
+      |SELECT COALESCE(l.channel, f.channel) AS channel,
+      |       COALESCE(l.n_last, 0) AS n_last,
+      |       COALESCE(l.cents_last, 0) AS cents_last,
+      |       COALESCE(f.n_first, 0) AS n_first,
+      |       COALESCE(f.cents_first, 0) AS cents_first,
+      |       CAST(COALESCE(l.cents_last, 0) * 1000000 // t.total_cents
+      |            AS BIGINT) AS last_share_ppm,
+      |       CAST(COALESCE(f.cents_first, 0) * 1000000 // t.total_cents
+      |            AS BIGINT) AS first_share_ppm
+      |FROM lt l FULL OUTER JOIN ft f ON l.channel = f.channel, tot t""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_timestamp(col("ts")).as("es"))
+      val wu = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val p = e
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true)
+            .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("first_touch",
+          first(col("event_type"))
+            .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("last_touch"), lit("direct")).as("last_touch"),
+          col("first_touch"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val lt = p.groupBy(col("last_touch").as("channel"))
+        .agg(count(lit(1)).as("n_last"), sum("cents").as("cents_last"))
+      val ft = p.groupBy(col("first_touch").as("channel"))
+        .agg(count(lit(1)).as("n_first"), sum("cents").as("cents_first"))
+      val tot = p.agg(sum("cents").as("total_cents"))
+      lt.join(ft, Seq("channel"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("channel"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("cents_last"), lit(0L)).as("cents_last"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("cents_first"), lit(0L)).as("cents_first"),
+          expr("CAST(COALESCE(cents_last, 0) * 1000000 div total_cents AS BIGINT)")
+            .as("last_share_ppm"),
+          expr("CAST(COALESCE(cents_first, 0) * 1000000 div total_cents AS BIGINT)")
+            .as("first_share_ppm"))
+    })
+
+  /** A/B TEST READOUT — the deterministic-bucketing experiment
+    * analysis every growth pipeline runs: users split 50/50 by the
+    * md5(user_id) last-nibble parity (the same portable hash family
+    * q258's sampler uses, so assignment is reproducible from the data
+    * alone — no stored assignment table), outcome = converted (≥ 1
+    * purchase). The readout is the two-proportion pooled z-test:
+    * per-arm users, conversions and exact conv_ppm, then
+    * z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A + 1/n_B)) in milli-units —
+    * the float chain is fixed-shape IEEE ops (multiply, divide, one
+    * correctly-rounded sqrt — q166/q258's convention) on EXACT
+    * integer counts, so both engines land the identical double and
+    * the round to z_milli is engine-identical. significant ⟺
+    * |z| > 1.96 read off the integer. An A/A split of a healthy
+    * corpus should NOT be significant — this is as much a bucketing
+    * audit as a test harness. Scale shape: one user rollup (map-side
+    * combined), one 2-row arm rollup, 1-row pivot. Output: one row.
+    * HASH-MATCHED. */
+  val q268 = QueryDef.oracle("q268_ab_test",
+    """WITH u AS (SELECT user_id,
+      |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |               AS conv
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+      |               IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
+      |             THEN 'A' ELSE 'B' END AS arm, conv
+      |      FROM u),
+      |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(conv) AS BIGINT) AS c
+      |      FROM a GROUP BY 1),
+      |w AS (SELECT
+      |        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+      |        MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+      |        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+      |        MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+      |      FROM s)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+      |       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+      |       CAST(ca * 1000000 // na AS BIGINT) AS conv_a_ppm,
+      |       CAST(cb * 1000000 // nb AS BIGINT) AS conv_b_ppm,
+      |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
+      |            ELSE CAST(round(1000 *
+      |              ((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+      |               / sqrt(((ca + cb) * 1.0 / (na + nb))
+      |                      * (1.0 - (ca + cb) * 1.0 / (na + nb))
+      |                      * (1.0 / na + 1.0 / nb)))) AS BIGINT)
+      |       END AS z_milli,
+      |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
+      |            ELSE abs(round(1000 *
+      |              ((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+      |               / sqrt(((ca + cb) * 1.0 / (na + nb))
+      |                      * (1.0 - (ca + cb) * 1.0 / (na + nb))
+      |                      * (1.0 / na + 1.0 / nb))))) > 1960
+      |       END AS significant
+      |FROM w""".stripMargin)(
+    (s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val arm = when(substring(md5(col("user_id").cast("string")), 32, 1)
+        .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B")
+      val st = u.select(arm.as("arm"), col("conv"))
+        .groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val w = st.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "A", col("c"))).as("ca"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "B", col("c"))).as("cb"))
+      val zExpr = "round(1000 * " +
+        "((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) " +
+        "/ sqrt(((ca + cb) * 1.0 / (na + nb)) " +
+        "* (1.0 - (ca + cb) * 1.0 / (na + nb)) " +
+        "* (1.0 / na + 1.0 / nb))))"
+      val degenerate = "ca + cb = 0 OR ca + cb = na + nb"
+      w.select(col("na").cast("long").as("n_a"),
+        col("ca").cast("long").as("conv_a"),
+        col("nb").cast("long").as("n_b"),
+        col("cb").cast("long").as("conv_b"),
+        expr("CAST(ca * 1000000 div na AS BIGINT)").as("conv_a_ppm"),
+        expr("CAST(cb * 1000000 div nb AS BIGINT)").as("conv_b_ppm"),
+        expr(s"CASE WHEN $degenerate THEN NULL ELSE CAST($zExpr AS BIGINT) END")
+          .as("z_milli"),
+        expr(s"CASE WHEN $degenerate THEN NULL ELSE abs($zExpr) > 1960 END")
+          .as("significant"))
+    })
+
+  /** RANDOMIZED RESPONSE — the local-DP frequency mechanism (Warner
+    * 1965; the RAPPOR core) with REPLAYABLE coins, audited end to end:
+    * each event reports its true type with p = 3/4, otherwise a
+    * uniform draw over the k types — both coins from the portable
+    * quadratic-mix hash of event_id (q256's mixer, streams 17/18), so
+    * the "randomness" is engine-reproducible and the whole mechanism
+    * hash-matches. The collector then DEBIASES: under the mechanism
+    * E[obs_t] = p·n_t + N(1−p)/k, so est = (4·obs·k − N)/(3k) — in
+    * exact milli-units — and err_ppm against the true count is the
+    * measured utility cost of the privacy knob, per type. The audit a
+    * privacy review wants NEXT to q247/q261: those bound
+    * re-identification of the release, this prices the alternative
+    * (never shipping true rows at all). Scale shape: one scan (coins
+    * are row-local arithmetic) + a k-row broadcast for the
+    * replacement draw + two map-side type rollups. Output: one row
+    * per type. HASH-MATCHED. */
+  val q271 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1, a2, b2) = (a(17), b(17), a(18), b(18))
+    QueryDef.oracle("q271_randomized_response",
+      s"""WITH ty AS (SELECT event_type,
+         |              CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1
+         |                   AS BIGINT) AS idx
+         |            FROM (SELECT DISTINCT event_type FROM events)),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         |mx AS (SELECT event_type,
+         |         (((event_id % $P) + $P) % $P) AS pm
+         |       FROM events),
+         |co AS (SELECT event_type,
+         |         ((pm * pm + 3 * pm + 7) % $P) AS tm
+         |       FROM mx),
+         |dr AS (SELECT event_type, tm,
+         |         ((tm * $a2 + $b2) % $P) % kk.k AS draw
+         |       FROM co, kk),
+         |rp AS (SELECT CASE WHEN ((tm * $a1 + $b1) % $P) % 4 <> 0
+         |                   THEN e.event_type ELSE t.event_type END
+         |           AS reported
+         |       FROM dr e JOIN ty t ON t.idx = e.draw),
+         |obs AS (SELECT reported AS event_type,
+         |          CAST(count(*) AS BIGINT) AS n_reported
+         |        FROM rp GROUP BY 1),
+         |tru AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+         |        FROM events GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+         |SELECT t.event_type, t.n_true,
+         |       COALESCE(o.n_reported, 0) AS n_reported,
+         |       CAST((4 * COALESCE(o.n_reported, 0) * kk.k - nn.n) * 1000
+         |            // (3 * kk.k) AS BIGINT) AS est_milli,
+         |       CAST(abs((4 * COALESCE(o.n_reported, 0) * kk.k - nn.n) * 1000
+         |                // (3 * kk.k) - t.n_true * 1000) * 1000
+         |            // t.n_true AS BIGINT) AS err_ppm
+         |FROM tru t LEFT JOIN obs o ON o.event_type = t.event_type,
+         |     kk, nn""".stripMargin)(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ty = ev.select(col("event_type")).distinct()
+          .withColumn("idx",
+            (row_number().over(Window.orderBy("event_type")) - 1).cast("long"))
+        val kk = ty.agg(count(lit(1)).as("k"))
+        val co = ev.select(col("event_type"),
+            expr(s"pmod(event_id, ${P}L)").as("pm"))
+          .select(col("event_type"),
+            expr(s"(pm * pm + 3L * pm + 7L) % ${P}L").as("tm"))
+        val rp = co.crossJoin(broadcast(kk))
+          .withColumn("draw", expr(s"((tm * ${a2}L + ${b2}L) % ${P}L) % k"))
+          .join(broadcast(ty.withColumnRenamed("event_type", "rep_type")),
+            col("draw") === col("idx"))
+          .select(when(expr(s"((tm * ${a1}L + ${b1}L) % ${P}L) % 4 != 0"),
+            col("event_type")).otherwise(col("rep_type")).as("reported"))
+        val obs = rp.groupBy(col("reported").as("event_type"))
+          .agg(count(lit(1)).as("n_reported"))
+        val tru = ev.groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        val nn = ev.agg(count(lit(1)).as("n"))
+        tru.join(broadcast(obs), Seq("event_type"), "left_outer")
+          .crossJoin(broadcast(kk)).crossJoin(broadcast(nn))
+          .select(col("event_type"), col("n_true"),
+            coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+            expr("CAST((4 * COALESCE(n_reported, 0) * k - n) * 1000" +
+              " div (3 * k) AS BIGINT)").as("est_milli"),
+            expr("CAST(abs((4 * COALESCE(n_reported, 0) * k - n) * 1000" +
+              " div (3 * k) - n_true * 1000) * 1000 div n_true AS BIGINT)")
+              .as("err_ppm"))
+      })
+  }
+
+  /** CHI-SQUARE INDEPENDENCE — is the event mix independent of the
+    * day-of-week? The Pearson χ² over the (event_type × weekday)
+    * contingency table, with Cramér's V as the effect size — the
+    * association readout behind "does traffic composition shift on
+    * weekends", and the statistical sibling of q252's trend test.
+    * Weekday is the portable epoch-day mod 7 (q212's convention —
+    * no locale). Counts are exact BIGINTs; χ² itself is the
+    * fixed-shape IEEE chain (q268's convention): per cell
+    * (O − E)²/E with E = row·col/N computed identically on both
+    * engines, summed in a deterministic order (SUM over the
+    * cell-keyed rollup is reassociable — so the per-cell term is
+    * ROUNDED to micro-units first and summed as BIGINT, making the
+    * total order-independent and exact). Scale shape: one scan →
+    * map-side (type, dow) rollup → two marginal rollups broadcast
+    * back; |cells| ≤ |types|·7. Output: one row. HASH-MATCHED. */
+  val q272 = QueryDef.oracle("q272_chi2_independence",
+    """WITH e AS (SELECT event_type,
+      |             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |                  AS BIGINT) % 7 AS dow
+      |           FROM events),
+      |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      |      FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rn FROM c GROUP BY 1),
+      |k AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS cn FROM c GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c),
+      |cell AS (SELECT CAST(round(
+      |             (c.o - (r.rn * k.cn * 1.0 / n.nn))
+      |             * (c.o - (r.rn * k.cn * 1.0 / n.nn))
+      |             / (r.rn * k.cn * 1.0 / n.nn) * 1000000) AS BIGINT)
+      |           AS term_micro
+      |         FROM c JOIN r USING (event_type) JOIN k USING (dow), n),
+      |st AS (SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro FROM cell),
+      |dims AS (SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS nr,
+      |                CAST((SELECT count(*) FROM k) AS BIGINT) AS nc)
+      |SELECT st.chi2_micro,
+      |       CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS df,
+      |       CAST(round(sqrt(st.chi2_micro
+      |              / (n.nn * 1000000.0 * least(dims.nr - 1, dims.nc - 1)))
+      |            * 1000) AS BIGINT) AS cramers_v_milli
+      |FROM st, dims, n""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) % 7")
+            .as("dow"))
+      val c = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val r = c.groupBy("event_type").agg(sum("o").as("rn"))
+      val k = c.groupBy("dow").agg(sum("o").as("cn"))
+      val n = c.agg(sum("o").as("nn"))
+      val cell = c.join(broadcast(r), Seq("event_type"))
+        .join(broadcast(k), Seq("dow")).crossJoin(broadcast(n))
+        .select(expr("CAST(round(" +
+          "(o - (rn * cn * 1.0 / nn)) * (o - (rn * cn * 1.0 / nn))" +
+          " / (rn * cn * 1.0 / nn) * 1000000) AS BIGINT)").as("term_micro"))
+      val st = cell.agg(sum("term_micro").cast("long").as("chi2_micro"))
+      val dims = r.agg(count(lit(1)).as("nr"))
+        .crossJoin(k.agg(count(lit(1)).as("nc")))
+      st.crossJoin(broadcast(dims)).crossJoin(broadcast(n))
+        .select(col("chi2_micro"),
+          expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").as("df"),
+          expr("CAST(round(sqrt(chi2_micro" +
+            " / (nn * 1000000.0 * least(nr - 1, nc - 1))) * 1000) AS BIGINT)")
+            .as("cramers_v_milli"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242, q247, q252, q261, q264, q265)
+      q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272)
 }

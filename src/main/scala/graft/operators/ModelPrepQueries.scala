@@ -85,8 +85,12 @@ object ModelPrepQueries {
   // global top-20 is taken with an integer ORDER BY (score_micro DESC,
   // doc_id) — orderBy+limit compiles to TakeOrderedAndProject, so no
   // global sort materializes at scale; the rank window runs on 20 rows.
-  val q124 = QueryDef.oracle("q124_bm25_retrieval",
-    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+  /** The ONE SQL chain producing per-doc BM25 micro-scores for the
+    * fixed keyword query {vector, stream, window} — embedded verbatim
+    * by q124 and the hybrid fusion (q270) so the scoring function
+    * cannot fork. Ends in CTE `agg` (doc_id, score_micro). */
+  private[graft] val bm25Ctes: String =
+    """toks AS (SELECT doc_id, unnest(list_filter(
       |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
       |              FROM documents),
       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
@@ -102,28 +106,38 @@ object ModelPrepQueries {
       |           * 1000000) AS BIGINT) AS micro
       |       FROM qt JOIN df USING (tok) JOIN dl USING (doc_id), st),
       |agg AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
-      |        FROM sc GROUP BY 1)
+      |        FROM sc GROUP BY 1)""".stripMargin
+
+  /** Spark twin of [[bm25Ctes]] — the shared per-doc BM25 score frame
+    * (doc_id, score_micro) q124 ranks and q270 fuses. */
+  private[graft] def bm25ScoreFrame(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qt = toks.filter(col("tok").isin("vector", "stream", "window"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = qt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sc = qt.join(broadcast(df), Seq("tok")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl").cast("double")))
+          * lit(1000000)).cast("long").as("micro"))
+    sc.groupBy("doc_id").agg(sum("micro").as("score_micro"))
+  }
+
+  val q124 = QueryDef.oracle("q124_bm25_retrieval",
+    s"""WITH $bm25Ctes
       |SELECT doc_id, score_micro, round(score_micro / 1000000.0, 4) AS score, rnk
       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
       |                     AS BIGINT) AS rnk FROM agg)
       |WHERE rnk <= 20""".stripMargin)(
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val qt = toks.filter(col("tok").isin("vector", "stream", "window"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = qt.groupBy("tok").agg(count(lit(1)).as("df"))
-      val sc = qt.join(broadcast(df), Seq("tok")).join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(st))
-        .select(col("doc_id"),
-          round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25)
-              + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl").cast("double")))
-            * lit(1000000)).cast("long").as("micro"))
-      val agg = sc.groupBy("doc_id").agg(sum("micro").as("score_micro"))
+      val agg = bm25ScoreFrame(s, d)
       val top = agg.orderBy(col("score_micro").desc, col("doc_id")).limit(20)
       val w = Window.orderBy(col("score_micro").desc, col("doc_id"))
       top.withColumn("rnk", row_number().over(w).cast("long"))

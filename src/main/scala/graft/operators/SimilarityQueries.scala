@@ -2343,8 +2343,82 @@ object SimilarityQueries {
             .as("shift_e8"))
     })
 
+  /** HYBRID RETRIEVAL FUSION — Reciprocal Rank Fusion (Cormack et al.
+    * 2009, the combiner every lexical+vector search engine ships):
+    * ONE query asked both ways — the keyword query {vector, stream,
+    * window} through the SHARED BM25 chain (q124's scoring verbatim,
+    * drift-safe by construction) and doc 0's embedding through q61's
+    * exact-cosine convention — each leg ranked top-50 (deterministic
+    * (score, doc_id) tiebreaks; doc 0 itself excluded from both legs),
+    * then fused by rrf_ppm = Σ_legs 10⁶ // (60 + rank), the k = 60
+    * integer floor both engines compute identically: rank-only inputs,
+    * so the float cosine never touches the output (q61/q65's
+    * robustness argument). A doc present in one leg scores only that
+    * leg — RRF's native missing-rank handling, expressed as a FULL
+    * OUTER merge of two ≤50-row rank lists. Scale shape: the BM25 leg
+    * is q124's rollup chain; the semantic leg is one broadcast-query
+    * scan + top-k; the fusion itself touches ≤100 rows. Output: fused
+    * top-20 with both source ranks. HASH-MATCHED. */
+  val q270 = QueryDef.oracle("q270_hybrid_rrf_fusion",
+    s"""WITH ${graft.operators.ModelPrepQueries.bm25Ctes},
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |          ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+       |        FROM agg WHERE doc_id <> 0
+       |        QUALIFY lex_rank <= 50),
+       |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+       |sem AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+       |          ORDER BY list_cosine_similarity(
+       |            CAST(e.embedding AS DOUBLE[]),
+       |            CAST(qv.q_vec AS DOUBLE[])) DESC, vec_id) AS BIGINT)
+       |          AS sem_rank
+       |        FROM embeddings e, qv WHERE e.vec_id <> 0
+       |        QUALIFY sem_rank <= 50),
+       |fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |            l.lex_rank, s.sem_rank,
+       |            COALESCE(1000000 // (60 + l.lex_rank), 0)
+       |              + COALESCE(1000000 // (60 + s.sem_rank), 0) AS rrf_ppm
+       |          FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id)
+       |            AS BIGINT) AS fused_rank
+       |FROM fused
+       |QUALIFY fused_rank <= 20""".stripMargin)(
+    (s, d) => {
+      // both legs cut to top-50 via distributed TakeOrderedAndProject
+      // FIRST; the global rank window only ever sees 50 rows (q124's
+      // convention — never a global sort/window over the corpus)
+      val lex = graft.operators.ModelPrepQueries.bm25ScoreFrame(s, d)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank", row_number()
+          .over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "lex_rank")
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val sem = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VecExpressions.cosineFast(s, col("embedding"), col("q_vec")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("sem_rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "sem_rank")
+      val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      fused
+        .withColumn("fused_rank",
+          row_number().over(Window.orderBy(col("rrf_ppm").desc, col("doc_id")))
+            .cast("long"))
+        .filter(col("fused_rank") <= 20)
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+          col("rrf_ppm").cast("long").as("rrf_ppm"), col("fused_rank"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241)
+      q228, q232, q235, q237, q240, q241, q270)
 }

@@ -1341,8 +1341,61 @@ object TextQueries {
       .drop("text")
   }
 
+  /** TOKEN-FREQUENCY GINI — the concentration half of the corpus
+    * profile q220's entropy starts: per source, the Gini coefficient
+    * of the token-frequency distribution in exact integers via the
+    * rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over counts
+    * sorted ascending with (count, token) tiebreak — 0 ⇒ every type
+    * equally frequent, → 1 ⇒ the mass sits on a handful of types (a
+    * boilerplate-heavy or template-generated source shows up here
+    * before any dedup runs). top1_ppm (modal type's share) rides
+    * along as the eyeball check. All integer: rank·count products
+    * summed as BIGINT — safe to ~10¹⁸, i.e. vocab·tokens < 9·10¹⁸;
+    * the 100-TB production form flips the three products to
+    * DECIMAL(38,0)/HUGEINT (same floors, both engines) — noted, not
+    * needed at any test SF. Scale shape: one corpus explode →
+    * map-side-combined (source, token) rollup (vocab-sized, sublinear
+    * in corpus) → source-keyed rank window over the ROLLUP → source
+    * rollup. Output: one row per source. HASH-MATCHED. */
+  val q269 = QueryDef.oracle("q269_token_gini",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM toks GROUP BY 1, 2),
+      |r AS (SELECT source, c,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY c, tok)
+      |             AS BIGINT) AS rk
+      |      FROM tf),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+      |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(rk * c) AS BIGINT) AS rc,
+      |        CAST(MAX(c) AS BIGINT) AS top1
+      |      FROM r GROUP BY 1)
+      |SELECT source, n_types, n_tokens,
+      |       CAST((2 * rc - (n_types + 1) * n_tokens) * 1000000
+      |            // (n_types * n_tokens) AS BIGINT) AS gini_ppm,
+      |       CAST(top1 * 1000000 // n_tokens AS BIGINT) AS top1_ppm
+      |FROM g""".stripMargin)(
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val r = tf.select(col("source"), col("c"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("c"), col("tok"))).cast("long").as("rk"))
+      r.groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          sum(col("rk") * col("c")).as("rc"), max("c").as("top1"))
+        .select(col("source"), col("n_types").cast("long").as("n_types"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          expr("CAST((2 * rc - (n_types + 1) * n_tokens) * 1000000" +
+            " div (n_types * n_tokens) AS BIGINT)").as("gini_ppm"),
+          expr("CAST(top1 * 1000000 div n_tokens AS BIGINT)").as("top1_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254)
+      q236, q248, q254, q269)
 }

@@ -375,4 +375,62 @@ object EventStreams {
             rs.map(_.ts).maxBy(_.getTime)))
       }
   }
+
+  final case class TransEv(user_id: Long, ts: Timestamp, event_type: String,
+      event_id: Long)
+  final case class TransState(es: Long, eventId: Long, tpe: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String, ts: Timestamp)
+
+  /** Streaming MARKOV-TRANSITION gate — q264's consecutive-pair
+    * extraction at ingest: each arriving event pairs with the user's
+    * previous event (q264's (epoch-second, event_id) ordering applied
+    * within each trigger; across triggers the retained last event IS
+    * the order) and emits one (prev_type → next_type) transition row —
+    * the live feed a next-event model or funnel-leak monitor consumes
+    * without waiting for the batch pass.
+    *
+    * State is ONE (es, event_id, type) triple per user — constant per
+    * key, bounded by users active inside the watermark horizon, and
+    * EVICTED via EventTimeTimeout when a user goes quiet past it: a
+    * later event starts a fresh chain, so no transition spans an
+    * eviction gap (the would-be pair's earlier half is below the
+    * watermark, i.e. late data by definition — an absence, exactly
+    * like conversionGate's unconverted timeout). Within-horizon feeds
+    * split across any trigger boundary emit exactly the batch q264
+    * pair multiset (`TransitionStreamSpec` pins both properties). */
+  def transitionGate(
+      events: DataFrame,
+      watermark: String = "30 days"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[TransEv]
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rs: Iterator[TransEv], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rs.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[Transition]
+            var prev = state.getOption
+            var maxEs = Long.MinValue
+            sorted.foreach { e =>
+              val es = e.ts.getTime / 1000L
+              if (es > maxEs) maxEs = es
+              prev.foreach(p =>
+                out += Transition(user, p.tpe, e.event_type, e.ts))
+              prev = Some(TransState(es, e.event_id, e.event_type))
+            }
+            prev.foreach(state.update)
+            if (maxEs != Long.MinValue)
+              state.setTimeoutTimestamp(maxEs * 1000L, watermark)
+            out.iterator
+          }
+      }
+  }
 }

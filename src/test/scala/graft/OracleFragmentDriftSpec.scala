@@ -245,5 +245,41 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         }
       }
     }
+
+    it("every hashed-classifier consumer embeds the canonical score chain verbatim") {
+      val frag = graft.operators.CurationQueries.classifierScoreCtes
+      val consumers = sqlByName.filter(_._2.contains("% 2001 - 1000"))
+      consumers.keySet shouldBe Set(
+        "q183_classifier_score", "q266_classifier_auc")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the classifier-score definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every BM25 consumer embeds the canonical scoring chain verbatim") {
+      val frag = graft.operators.ModelPrepQueries.bm25Ctes
+      val consumers = sqlByName.filter(_._2.contains("(tf * 2.2)"))
+      consumers.keySet shouldBe Set(
+        "q124_bm25_retrieval", "q270_hybrid_rrf_fusion")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the BM25 scoring chain: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every Gopher-rule consumer embeds the canonical rule battery verbatim") {
+      val frag = graft.operators.CurationQueries.gopherRuleCtes
+      val consumers = sqlByName.filter(_._2.contains("AS r_stop_words"))
+      consumers.keySet shouldBe Set(
+        "q218_gopher_rules", "q266_classifier_auc")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the Gopher rule battery: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
   }
 }
