@@ -716,6 +716,20 @@ object PlanCheck {
       "chi2: (type,dow) rollup map-side; marginals broadcast back; no window anywhere",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q273_ab_peeking_audit",
+      "peeking audit: one user rollup; cumsums over the |days|-bounded axis; day-keyed counts broadcast",
+      p => p.contains("partial_min") && p.contains("BroadcastExchange") &&
+        !p.contains("SortMergeJoin"))
+    checkTree("q273_ab_peeking_audit",
+      "peeking cumsum windows are arm-keyed over the day axis, never the fact",
+      noGlobalFactWindow)
+    check("q274_prefix_filter_pairs",
+      "prefix filter: reads the STORED prefix_pairs artifact (build-once, gram-keyed self-join at ingest)",
+      p => p.contains("graft_prefix_pairs_") && !p.contains("CartesianProduct"))
+    check("q275_candidate_family_overlap",
+      "family overlap: BOTH pair sets read from stored artifacts; pair-keyed full-outer merge; no cartesian",
+      p => p.contains("graft_scored_pairs_") && p.contains("graft_prefix_pairs_") &&
+        !p.contains("CartesianProduct"))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

@@ -2476,8 +2476,168 @@ object DedupQueries {
       })
   }
 
+  /** The ONE SQL chain producing verified 3-gram-Jaccard ≥ 0.5 pairs by
+    * PREFIX FILTERING — embedded verbatim by q274 and the family
+    * comparison q275 (drift-spec pinned). Ends in CTE `ppairs`
+    * (ia, ib, i, sz_a, sz_b). Names are p-prefixed to compose with the
+    * scored-pairs chain in one WITH. Grams are the q48 3-gram
+    * convention — the SAME similarity unit the LSH family estimates,
+    * so q275's comparison is apples to apples. */
+  private[graft] val prefixPairCtes: String =
+    """ptk AS (SELECT DISTINCT doc_id,
+      |          unnest([list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                  FOR i IN range(1, len(l) - 1)]) AS tok
+      |        FROM (SELECT doc_id, list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |              FROM documents)
+      |        WHERE len(l) >= 3),
+      |pdsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      |         FROM ptk GROUP BY 1),
+      |pdfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |         FROM ptk GROUP BY 1),
+      |pord AS (SELECT t.doc_id, t.tok,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |                                   ORDER BY f.df, t.tok) AS BIGINT) AS rk,
+      |           d.sz
+      |         FROM ptk t JOIN pdfq f USING (tok) JOIN pdsz d USING (doc_id)),
+      |ppfx AS (SELECT doc_id, tok FROM pord
+      |         WHERE rk <= sz - (sz + 1) // 2 + 1),
+      |pcand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |          FROM ppfx a JOIN ppfx b
+      |            ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |pint AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS i
+      |         FROM pcand c
+      |         JOIN ptk ta ON ta.doc_id = c.ia
+      |         JOIN ptk tb ON tb.doc_id = c.ib AND tb.tok = ta.tok
+      |         GROUP BY 1, 2),
+      |ppairs AS (SELECT n.ia, n.ib, n.i, sa.sz AS sz_a, sb.sz AS sz_b
+      |           FROM pint n
+      |           JOIN pdsz sa ON sa.doc_id = n.ia
+      |           JOIN pdsz sb ON sb.doc_id = n.ib
+      |           WHERE 3 * n.i >= sa.sz + sb.sz)""".stripMargin
+
+  /** Spark twin of [[prefixPairCtes]] — verified 3-gram-Jaccard ≥ 0.5
+    * pairs (ia, ib, i, sz_a, sz_b), as a STORED artifact (the
+    * scored_pairs contract: the pair set is a pure function of the
+    * corpus, so production builds it once at ingest and q274/q275 read
+    * it back). Build shape: one gram-set materialization feeds the df
+    * rollup, the prefix ranking and the verify; candidate VERIFY
+    * touches only candidate-doc gram sets (broadcast semi-join before
+    * the intersection joins — the portableScoredPairs trade: verify
+    * cost is O(candidate docs), not O(corpus)). */
+  private[graft] def prefixFilterPairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.table(s, d, "prefix_pairs") {
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_prefix")
+      graft.functions.HashFunctions.registerAll(s)
+      val tk = s.sql(
+        """SELECT DISTINCT doc_id, gram AS tok FROM graft_docs_prefix
+          |LATERAL VIEW ngram_explode(text, 3) g AS pos, gram""".stripMargin)
+        .localCheckpoint(false) // one gram-set build feeds rank + verify
+      val dsz = tk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfq = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ord = tk.join(dfq, Seq("tok")).join(dsz, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("df"), col("tok"))).cast("long"))
+      val pfx = ord.filter(col("rk") <= col("sz") - expr("(sz + 1) div 2") + 1)
+        .select("doc_id", "tok")
+      val cand = pfx.as("a").join(pfx.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib")).distinct()
+        .localCheckpoint(false) // candidate pairs feed doc-set + verify
+      val candDocs = cand.select(col("ia").as("doc_id"))
+        .unionByName(cand.select(col("ib").as("doc_id"))).distinct()
+      // verify only ever reads candidate-doc gram sets
+      val ctk = tk.join(broadcast(candDocs), Seq("doc_id"))
+        .localCheckpoint(false)
+      val inter = cand
+        .join(ctk.select(col("doc_id").as("ia"), col("tok")), Seq("ia"))
+        .join(ctk.select(col("doc_id").as("ib"), col("tok")), Seq("ib", "tok"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("i"))
+      inter
+        .join(dsz.select(col("doc_id").as("ia"), col("sz").as("sz_a")), Seq("ia"))
+        .join(dsz.select(col("doc_id").as("ib"), col("sz").as("sz_b")), Seq("ib"))
+        .filter(col("i") * 3 >= col("sz_a") + col("sz_b"))
+        .select("ia", "ib", "i", "sz_a", "sz_b")
+    }
+
+  /** PREFIX-FILTERING similarity join (AllPairs/PPJoin family, Bayardo
+    * et al. 2007) — the OTHER exact candidate-generation algorithm next
+    * to LSH banding, with a guarantee banding cannot give: every pair
+    * with gram-Jaccard ≥ t SHARES a prefix gram when each doc's
+    * distinct 3-grams are sorted by one global (df, gram) order and only
+    * the first |d| − ⌈t·|d|⌉ + 1 survive as postings — so recall is
+    * EXACTLY 1 by theorem (`PrefixFilterSpec` tests it against the
+    * all-pairs truth at test SF), and candidates concentrate on RARE
+    * grams (a frequent gram is almost never in anyone's prefix);
+    * grams are the q48 3-gram unit — the similarity the LSH family
+    * ESTIMATES, here exact.
+    * Verification is exact set arithmetic: |∩| by a pair-token join,
+    * J ≥ ½ as the cross-multiplication 3·|∩| ≥ |a| + |b|. Scale shape:
+    * gram-keyed prefix-posting self-join (bucketed by construction —
+    * the LSH-banding shape with grams as bands), pair-keyed verify
+    * join bounded by candidates; doc-keyed rank window only. Output:
+    * verified pairs with exact jaccard_ppm. HASH-MATCHED. */
+  val q274 = QueryDef.oracle("q274_prefix_filter_pairs",
+    s"""WITH $prefixPairCtes
+       |SELECT ia, ib, i, sz_a, sz_b,
+       |       CAST(i * 1000000 // (sz_a + sz_b - i) AS BIGINT) AS jaccard_ppm
+       |FROM ppairs""".stripMargin)(
+    (s, d) => prefixFilterPairs(s, d)
+      .withColumn("jaccard_ppm",
+        expr("CAST(i * 1000000 div (sz_a + sz_b - i) AS BIGINT)")))
+
+  /** CANDIDATE-FAMILY OVERLAP — do the engine's two independent
+    * near-dup pair generators agree? The stored LSH scored pairs
+    * (3-gram est-Jaccard ≥ 0.5 via 12 minhashes, q52's chain) and the
+    * prefix-filter verified pairs (the SAME 3-gram Jaccard, EXACT,
+    * q274's chain) measure one similarity two ways over one corpus —
+    * lsh_only is the banding's false-positive surface, prefix_only its
+    * recall gap, measured against exact truth rather than estimated;
+    * this audit counts the Venn regions (both / LSH-only /
+    * prefix-only) and each family's pair totals — the evidence for
+    * "which screen catches what" before choosing an admission rule.
+    * Both chains ride their SHARED drift-pinned fragments. Scale
+    * shape: two pair sets (each bucketed-bounded) full-outer-merged on
+    * (ia, ib); 1-row output. HASH-MATCHED. */
+  val q275 = QueryDef.oracle("q275_candidate_family_overlap",
+    s"""$portableScoredCtes,
+       |$prefixPairCtes,
+       |lshp AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |pfp AS (SELECT ia, ib FROM ppairs),
+       |venn AS (SELECT COALESCE(l.ia, p.ia) AS ia,
+       |           l.ia IS NOT NULL AS in_lsh, p.ia IS NOT NULL AS in_pf
+       |         FROM lshp l FULL OUTER JOIN pfp p
+       |           ON l.ia = p.ia AND l.ib = p.ib)
+       |SELECT CAST(count(CASE WHEN in_lsh THEN 1 END) AS BIGINT) AS n_lsh,
+       |       CAST(count(CASE WHEN in_pf THEN 1 END) AS BIGINT) AS n_prefix,
+       |       CAST(count(CASE WHEN in_lsh AND in_pf THEN 1 END) AS BIGINT)
+       |         AS n_both,
+       |       CAST(count(CASE WHEN in_lsh AND NOT in_pf THEN 1 END) AS BIGINT)
+       |         AS n_lsh_only,
+       |       CAST(count(CASE WHEN in_pf AND NOT in_lsh THEN 1 END) AS BIGINT)
+       |         AS n_prefix_only
+       |FROM venn""".stripMargin)(
+    (s, d) => {
+      val lshp = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin).select("ia", "ib")
+        .withColumn("in_lsh", lit(true))
+      val pfp = prefixFilterPairs(s, d).select("ia", "ib")
+        .withColumn("in_pf", lit(true))
+      lshp.join(pfp, Seq("ia", "ib"), "full_outer")
+        .agg(count(when(col("in_lsh"), 1)).cast("long").as("n_lsh"),
+          count(when(col("in_pf"), 1)).cast("long").as("n_prefix"),
+          count(when(col("in_lsh") && col("in_pf"), 1)).cast("long")
+            .as("n_both"),
+          count(when(col("in_lsh") && col("in_pf").isNull, 1)).cast("long")
+            .as("n_lsh_only"),
+          count(when(col("in_pf") && col("in_lsh").isNull, 1)).cast("long")
+            .as("n_prefix_only"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
-      q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263)
+      q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
+      q275)
 }

@@ -998,14 +998,37 @@ object EventQueries {
     * audit as a test harness. Scale shape: one user rollup (map-side
     * combined), one 2-row arm rollup, 1-row pivot. Output: one row.
     * HASH-MATCHED. */
+  /** The ONE pooled two-proportion z expression over columns
+    * (na, ca, nb, cb) — pure float ops in a fixed shape, so the text
+    * runs VERBATIM on both engines; embedded by q268 and the
+    * sequential-peeking audit q273 (drift-spec pinned). */
+  private[graft] val abZSql: String = "round(1000 * " +
+    "((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) " +
+    "/ sqrt(((ca + cb) * 1.0 / (na + nb)) " +
+    "* (1.0 - (ca + cb) * 1.0 / (na + nb)) " +
+    "* (1.0 / na + 1.0 / nb))))"
+
+  /** Degenerate guard for [[abZSql]]: all-converted or none-converted
+    * pools zero the standard error. */
+  private[graft] val abDegenSql: String = "ca + cb = 0 OR ca + cb = na + nb"
+
+  /** The ONE arm-assignment rule (md5 last-nibble parity over user_id)
+    * — shared by q268, q273, and the streaming monitor
+    * (`EventStreams.abGate` replays it in Scala, spec-pinned). */
+  private[graft] val abArmSql: String =
+    "CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) " +
+      "IN ('0', '2', '4', '6', '8', 'a', 'c', 'e') THEN 'A' ELSE 'B' END"
+
+  private[graft] def abArmCol: org.apache.spark.sql.Column =
+    when(substring(md5(col("user_id").cast("string")), 32, 1)
+      .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B")
+
   val q268 = QueryDef.oracle("q268_ab_test",
-    """WITH u AS (SELECT user_id,
+    s"""WITH u AS (SELECT user_id,
       |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |               AS conv
       |           FROM events GROUP BY 1),
-      |a AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
-      |               IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
-      |             THEN 'A' ELSE 'B' END AS arm, conv
+      |a AS (SELECT $abArmSql AS arm, conv
       |      FROM u),
       |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
       |        CAST(SUM(conv) AS BIGINT) AS c
@@ -1020,49 +1043,33 @@ object EventQueries {
       |       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
       |       CAST(ca * 1000000 // na AS BIGINT) AS conv_a_ppm,
       |       CAST(cb * 1000000 // nb AS BIGINT) AS conv_b_ppm,
-      |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
-      |            ELSE CAST(round(1000 *
-      |              ((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
-      |               / sqrt(((ca + cb) * 1.0 / (na + nb))
-      |                      * (1.0 - (ca + cb) * 1.0 / (na + nb))
-      |                      * (1.0 / na + 1.0 / nb)))) AS BIGINT)
+      |       CASE WHEN $abDegenSql THEN NULL
+      |            ELSE CAST($abZSql AS BIGINT)
       |       END AS z_milli,
-      |       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL
-      |            ELSE abs(round(1000 *
-      |              ((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
-      |               / sqrt(((ca + cb) * 1.0 / (na + nb))
-      |                      * (1.0 - (ca + cb) * 1.0 / (na + nb))
-      |                      * (1.0 / na + 1.0 / nb))))) > 1960
+      |       CASE WHEN $abDegenSql THEN NULL
+      |            ELSE abs($abZSql) > 1960
       |       END AS significant
       |FROM w""".stripMargin)(
     (s, d) => {
       val u = Tables.events(s, d).groupBy("user_id")
         .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
           .as("conv"))
-      val arm = when(substring(md5(col("user_id").cast("string")), 32, 1)
-        .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B")
-      val st = u.select(arm.as("arm"), col("conv"))
+      val st = u.select(abArmCol.as("arm"), col("conv"))
         .groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("c"))
       val w = st.agg(
         max(when(col("arm") === "A", col("n"))).as("na"),
         max(when(col("arm") === "A", col("c"))).as("ca"),
         max(when(col("arm") === "B", col("n"))).as("nb"),
         max(when(col("arm") === "B", col("c"))).as("cb"))
-      val zExpr = "round(1000 * " +
-        "((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) " +
-        "/ sqrt(((ca + cb) * 1.0 / (na + nb)) " +
-        "* (1.0 - (ca + cb) * 1.0 / (na + nb)) " +
-        "* (1.0 / na + 1.0 / nb))))"
-      val degenerate = "ca + cb = 0 OR ca + cb = na + nb"
       w.select(col("na").cast("long").as("n_a"),
         col("ca").cast("long").as("conv_a"),
         col("nb").cast("long").as("n_b"),
         col("cb").cast("long").as("conv_b"),
         expr("CAST(ca * 1000000 div na AS BIGINT)").as("conv_a_ppm"),
         expr("CAST(cb * 1000000 div nb AS BIGINT)").as("conv_b_ppm"),
-        expr(s"CASE WHEN $degenerate THEN NULL ELSE CAST($zExpr AS BIGINT) END")
+        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE CAST($abZSql AS BIGINT) END")
           .as("z_milli"),
-        expr(s"CASE WHEN $degenerate THEN NULL ELSE abs($zExpr) > 1960 END")
+        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE abs($abZSql) > 1960 END")
           .as("significant"))
     })
 
@@ -1216,7 +1223,103 @@ object EventQueries {
             .as("cramers_v_milli"))
     })
 
+  /** SEQUENTIAL-PEEKING AUDIT — the classic A/B malpractice, measured:
+    * evaluate q268's z-test CUMULATIVELY at every day boundary (users
+    * enter at their first event's day, convert at their first
+    * purchase's day — both from ONE user rollup) and flag each day the
+    * naive |z| > 1.96 rule would have "called" the test. Any day
+    * flagged before the final one that the final readout does not
+    * confirm IS the inflated-α event the fixed-horizon test exists to
+    * prevent (Armitage et al. 1969; the reason real monitors use
+    * O'Brien–Fleming-style spending). Arm assignment and the z
+    * expression are the SHARED q268 fragments verbatim (drift-spec
+    * pinned) — the audit cannot drift from the test it audits. Scale
+    * shape: one user rollup (map-side) → (arm, day) first-seen /
+    * first-conversion value counts → cumsums over the |days|-bounded
+    * axis (windows never see the fact table) → per-day 2-arm pivot.
+    * Output: one row per day. Early days with an empty arm report
+    * NULL z. HASH-MATCHED. */
+  val q273 = QueryDef.oracle("q273_ab_peeking_audit",
+    s"""WITH u AS (SELECT user_id, $abArmSql AS arm,
+       |             MIN(CAST(date_diff('day', DATE '1970-01-01',
+       |                                 CAST(ts AS DATE)) AS BIGINT))
+       |               AS first_day,
+       |             MIN(CASE WHEN event_type = 'purchase'
+       |                 THEN CAST(date_diff('day', DATE '1970-01-01',
+       |                                     CAST(ts AS DATE)) AS BIGINT) END)
+       |               AS first_conv_day
+       |           FROM events GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+       |                                         CAST(ts AS DATE)) AS BIGINT)
+       |           AS day FROM events),
+       |nf AS (SELECT arm, first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+       |       FROM u GROUP BY 1, 2),
+       |cf AS (SELECT arm, first_conv_day AS day,
+       |         CAST(count(*) AS BIGINT) AS c_new
+       |       FROM u WHERE first_conv_day IS NOT NULL GROUP BY 1, 2),
+       |ax AS (SELECT d.day, a.arm
+       |       FROM days d CROSS JOIN (SELECT DISTINCT arm FROM u) a),
+       |cum AS (SELECT ax.day, ax.arm,
+       |          CAST(SUM(COALESCE(nf.n_new, 0))
+       |               OVER (PARTITION BY ax.arm ORDER BY ax.day) AS BIGINT) AS n,
+       |          CAST(SUM(COALESCE(cf.c_new, 0))
+       |               OVER (PARTITION BY ax.arm ORDER BY ax.day) AS BIGINT) AS c
+       |        FROM ax
+       |        LEFT JOIN nf ON nf.arm = ax.arm AND nf.day = ax.day
+       |        LEFT JOIN cf ON cf.arm = ax.arm AND cf.day = ax.day),
+       |w AS (SELECT day,
+       |        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+       |        MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+       |        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+       |        MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+       |      FROM cum GROUP BY 1)
+       |SELECT day, na, ca, nb, cb,
+       |       CASE WHEN na = 0 OR nb = 0 OR $abDegenSql THEN NULL
+       |            ELSE CAST($abZSql AS BIGINT)
+       |       END AS z_milli,
+       |       CASE WHEN na = 0 OR nb = 0 OR $abDegenSql THEN NULL
+       |            ELSE abs($abZSql) > 1960
+       |       END AS peek_significant
+       |FROM w""".stripMargin)(
+    (s, d) => {
+      val dayOf = expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)")
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), dayOf.as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("first_day"),
+          min(when(col("event_type") === "purchase", col("day")))
+            .as("first_conv_day"))
+        .select(abArmCol.as("arm"), col("first_day"), col("first_conv_day"))
+      val days = Tables.events(s, d).select(dayOf.as("day")).distinct()
+      val nf = u.groupBy(col("arm"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val cf = u.filter(col("first_conv_day").isNotNull)
+        .groupBy(col("arm"), col("first_conv_day").as("day"))
+        .agg(count(lit(1)).as("c_new"))
+      val ax = days.crossJoin(broadcast(u.select("arm").distinct()))
+      val wArm = Window.partitionBy("arm").orderBy("day")
+      val cum = ax
+        .join(broadcast(nf), Seq("arm", "day"), "left_outer")
+        .join(broadcast(cf), Seq("arm", "day"), "left_outer")
+        .withColumn("n", sum(coalesce(col("n_new"), lit(0L))).over(wArm))
+        .withColumn("c", sum(coalesce(col("c_new"), lit(0L))).over(wArm))
+      val w = cum.groupBy("day")
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val degen = s"na = 0 OR nb = 0 OR $abDegenSql"
+      w.select(col("day"), col("na").cast("long").as("na"),
+        col("ca").cast("long").as("ca"), col("nb").cast("long").as("nb"),
+        col("cb").cast("long").as("cb"),
+        expr(s"CASE WHEN $degen THEN NULL ELSE CAST($abZSql AS BIGINT) END")
+          .as("z_milli"),
+        expr(s"CASE WHEN $degen THEN NULL ELSE abs($abZSql) > 1960 END")
+          .as("peek_significant"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272)
+      q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273)
 }

@@ -376,6 +376,72 @@ object EventStreams {
       }
   }
 
+  final case class AbEv(user_id: Long, ts: Timestamp, event_type: String)
+  final case class AbState(converted: Boolean)
+  final case class AbUpdate(user_id: Long, arm: String, kind: String,
+      ts: Timestamp)
+
+  /** q268's md5 last-nibble arm rule, replayed in Scala — the ONE
+    * assignment the batch test, the peeking audit and this gate share
+    * (`AbGateStreamSpec` pins Scala ≡ SQL over the corpus). */
+  private[streaming] def abArm(userId: Long): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if ("02468ace".indexOf(hex.charAt(31)) >= 0) "A" else "B"
+  }
+
+  /** Streaming A/B MONITOR gate — the live feed under q268/q273: each
+    * user emits ONE 'enrolled' row (first event ever seen) and at most
+    * ONE 'converted' row (first purchase), tagged with the shared
+    * md5-nibble arm, so a downstream per-arm running count IS q268's
+    * (n, c) at every instant — without re-scanning history. State is
+    * one boolean per user inside the watermark horizon,
+    * EventTimeTimeout-evicted; a user returning AFTER eviction
+    * re-enrolls (a visible duplicate the monitor dedups by design —
+    * bounded state is the trade, exactly conversionGate's horizon
+    * semantics). Within-horizon feeds split across any triggers emit
+    * exactly the batch per-arm counts (`AbGateStreamSpec`). */
+  def abGate(
+      events: DataFrame,
+      watermark: String = "30 days"): Dataset[AbUpdate] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[AbEv]
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AbState, AbUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rs: Iterator[AbEv], state: GroupState[AbState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[AbUpdate]
+            val arm = abArm(user)
+            var st = state.getOption
+            var maxEs = Long.MinValue
+            rs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val es = e.ts.getTime / 1000L
+              if (es > maxEs) maxEs = es
+              if (st.isEmpty) {
+                out += AbUpdate(user, arm, "enrolled", e.ts)
+                st = Some(AbState(converted = false))
+              }
+              if (e.event_type == "purchase" && !st.get.converted) {
+                out += AbUpdate(user, arm, "converted", e.ts)
+                st = Some(AbState(converted = true))
+              }
+            }
+            st.foreach(state.update)
+            if (maxEs != Long.MinValue)
+              state.setTimeoutTimestamp(maxEs * 1000L, watermark)
+            out.iterator
+          }
+      }
+  }
+
   final case class TransEv(user_id: Long, ts: Timestamp, event_type: String,
       event_id: Long)
   final case class TransState(es: Long, eventId: Long, tpe: String)

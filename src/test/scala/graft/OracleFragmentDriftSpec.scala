@@ -44,7 +44,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q213_cluster_size_histogram", "q216_admission_recall_audit",
         "q231_cluster_salient_terms", "q238_threshold_sweep",
         "q243_token_yield", "q246_kcore", "q255_pair_transitivity",
-        "q259_dataset_card", "q263_lsh_parameter_advisor")
+        "q259_dataset_card", "q263_lsh_parameter_advisor",
+        "q275_candidate_family_overlap")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -75,7 +76,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
-        "q263_lsh_parameter_advisor")
+        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -94,7 +95,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
-        "q263_lsh_parameter_advisor")
+        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -266,6 +267,31 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the BM25 scoring chain: ") {
           sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every prefix-filter consumer embeds the canonical PPJoin chain verbatim") {
+      val frag = graft.operators.DedupQueries.prefixPairCtes
+      val consumers = sqlByName.filter(_._2.contains("ppfx AS"))
+      consumers.keySet shouldBe Set(
+        "q274_prefix_filter_pairs", "q275_candidate_family_overlap")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the prefix-filter pair definition: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
+    it("every A/B consumer embeds the shared arm rule and z expression verbatim") {
+      val zFrag = graft.operators.EventQueries.abZSql
+      val armFrag = graft.operators.EventQueries.abArmSql
+      val consumers = sqlByName.filter(_._2.contains("1.0 / na + 1.0 / nb"))
+      consumers.keySet shouldBe Set("q268_ab_test", "q273_ab_peeking_audit")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the z-test or arm-assignment definition: ") {
+          sql.contains(zFrag) shouldBe true
+          sql.contains(armFrag) shouldBe true
         }
       }
     }
