@@ -730,6 +730,17 @@ object PlanCheck {
       "family overlap: BOTH pair sets read from stored artifacts; pair-keyed full-outer merge; no cartesian",
       p => p.contains("graft_scored_pairs_") && p.contains("graft_prefix_pairs_") &&
         !p.contains("CartesianProduct"))
+    check("q278_seqlen_frontier",
+      "seqlen frontier: ONE length pass (ExistingRDD reuse) feeds all four cap legs; no window, no cartesian",
+      p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct") && !p.contains("Window"))
+    check("q277_incremental_prefix_admission",
+      "incremental prefix admission: STORED decision artifact read back (index probe paid once at ingest)",
+      p => p.contains("graft_prefix_admission_") && !p.contains("CartesianProduct"))
+    check("q276_ivf_cell_balance",
+      "cell balance: STORED codebook read back + broadcast, vec-keyed max assignment, K-row rollup",
+      p => p.contains("graft_cent_ivf") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q245_zorder_pruning",
       "zorder audit: analytic file ids (no global sort/row_number), 1-row stats broadcast",
       p => p.contains("BroadcastExchange") && p.contains("partial_min") &&

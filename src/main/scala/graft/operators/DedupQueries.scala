@@ -2635,9 +2635,134 @@ object DedupQueries {
             .as("n_prefix_only"))
     })
 
+  /** INCREMENTAL PREFIX ADMISSION — q274's candidate family at day-2
+    * intake (the q148 contract for PPJoin): new docs (doc_id % 5 = 0,
+    * q148's split) probe the DAY-1 prefix index of the other 4/5 —
+    * crucially under the INDEX corpus's (df, gram) order, because
+    * that order was frozen when the index was built (a gram the index
+    * never saw ranks df = 0, i.e. rarest-first into the new doc's
+    * prefix — conservative, keeps the recall-1 theorem: both sides
+    * still sort by ONE total order). Candidates verify by exact gram
+    * intersection against the index gram sets; a new doc is admitted
+    * iff no index partner reaches Jaccard ≥ 0.5. The whole decision
+    * table is a STORED artifact (pure function of the corpus — the
+    * q274/scored_pairs contract), so day-2 queries read it back.
+    * Output: one row per new doc. HASH-MATCHED. */
+  val q277 = QueryDef.oracle("q277_incremental_prefix_admission",
+    """WITH atk AS (SELECT DISTINCT doc_id,
+      |          unnest([list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |                  FOR i IN range(1, len(l) - 1)]) AS tok
+      |        FROM (SELECT doc_id, list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |              FROM documents)
+      |        WHERE len(l) >= 3),
+      |itk AS (SELECT * FROM atk WHERE doc_id % 5 <> 0),
+      |ntk AS (SELECT * FROM atk WHERE doc_id % 5 = 0),
+      |idf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM itk GROUP BY 1),
+      |isz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM itk GROUP BY 1),
+      |nsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ntk GROUP BY 1),
+      |iord AS (SELECT t.doc_id, t.tok,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |                                   ORDER BY f.df, t.tok) AS BIGINT) AS rk,
+      |           z.sz
+      |         FROM itk t JOIN idf f USING (tok) JOIN isz z USING (doc_id)),
+      |ipfx AS (SELECT doc_id, tok FROM iord
+      |         WHERE rk <= sz - (sz + 1) // 2 + 1),
+      |nord AS (SELECT t.doc_id, t.tok,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |                 ORDER BY COALESCE(f.df, 0), t.tok) AS BIGINT) AS rk,
+      |           z.sz
+      |         FROM ntk t LEFT JOIN idf f USING (tok) JOIN nsz z USING (doc_id)),
+      |npfx AS (SELECT doc_id, tok FROM nord
+      |         WHERE rk <= sz - (sz + 1) // 2 + 1),
+      |acand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      |          FROM npfx n JOIN ipfx i ON n.tok = i.tok),
+      |aint AS (SELECT c.new_id, c.idx_id, CAST(count(*) AS BIGINT) AS i
+      |         FROM acand c
+      |         JOIN ntk tn ON tn.doc_id = c.new_id
+      |         JOIN itk ti ON ti.doc_id = c.idx_id AND ti.tok = tn.tok
+      |         GROUP BY 1, 2),
+      |hit AS (SELECT a.new_id, a.idx_id,
+      |          CAST(a.i * 1000000 // (n.sz + z.sz - a.i) AS BIGINT)
+      |            AS jaccard_ppm
+      |        FROM aint a
+      |        JOIN nsz n ON n.doc_id = a.new_id
+      |        JOIN isz z ON z.doc_id = a.idx_id
+      |        WHERE 3 * a.i >= n.sz + z.sz),
+      |per AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_index_partners,
+      |          min(idx_id) AS best_index_partner,
+      |          max(jaccard_ppm) AS best_jaccard_ppm
+      |        FROM hit GROUP BY 1)
+      |SELECT d.doc_id,
+      |       COALESCE(per.n_index_partners, CAST(0 AS BIGINT))
+      |         AS n_index_partners,
+      |       per.best_index_partner, per.best_jaccard_ppm,
+      |       per.new_id IS NULL AS admitted
+      |FROM documents d LEFT JOIN per ON per.new_id = d.doc_id
+      |WHERE d.doc_id % 5 = 0""".stripMargin)(
+    (s, d) => graft.sources.ArtifactStore.table(s, d, "prefix_admission") {
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_prefadm")
+      graft.functions.HashFunctions.registerAll(s)
+      val atk = s.sql(
+        """SELECT DISTINCT doc_id, gram AS tok FROM graft_docs_prefadm
+          |LATERAL VIEW ngram_explode(text, 3) g AS pos, gram""".stripMargin)
+        .localCheckpoint(false)
+      val itk = atk.filter(col("doc_id") % 5 =!= 0)
+      val ntk = atk.filter(col("doc_id") % 5 === 0)
+      val idf = itk.groupBy("tok").agg(count(lit(1)).as("df"))
+      val isz = itk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val nsz = ntk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val ipfx = itk.join(idf, Seq("tok")).join(isz, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("sz") - expr("(sz + 1) div 2") + 1)
+        .select("doc_id", "tok")
+      val nord = ntk.join(idf, Seq("tok"), "left_outer")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+        .join(nsz, Seq("doc_id"))
+      val npfx = nord
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("sz") - expr("(sz + 1) div 2") + 1)
+        .select("doc_id", "tok")
+      val cand = npfx.select(col("doc_id").as("new_id"), col("tok"))
+        .join(ipfx.select(col("doc_id").as("idx_id"), col("tok")), Seq("tok"))
+        .select("new_id", "idx_id").distinct()
+        .localCheckpoint(false)
+      val candNew = cand.select(col("new_id").as("doc_id")).distinct()
+      val candIdx = cand.select(col("idx_id").as("doc_id")).distinct()
+      val ctn = ntk.join(broadcast(candNew), Seq("doc_id"))
+      val cti = itk.join(broadcast(candIdx), Seq("doc_id"))
+      val inter = cand
+        .join(ctn.select(col("doc_id").as("new_id"), col("tok")), Seq("new_id"))
+        .join(cti.select(col("doc_id").as("idx_id"), col("tok")),
+          Seq("idx_id", "tok"))
+        .groupBy("new_id", "idx_id").agg(count(lit(1)).as("i"))
+      val hit = inter
+        .join(nsz.select(col("doc_id").as("new_id"), col("sz").as("sz_n")),
+          Seq("new_id"))
+        .join(isz.select(col("doc_id").as("idx_id"), col("sz").as("sz_i")),
+          Seq("idx_id"))
+        .filter(col("i") * 3 >= col("sz_n") + col("sz_i"))
+        .select(col("new_id"), col("idx_id"),
+          expr("CAST(i * 1000000 div (sz_n + sz_i - i) AS BIGINT)")
+            .as("jaccard_ppm"))
+      val per = hit.groupBy("new_id")
+        .agg(count(lit(1)).as("n_index_partners"),
+          min("idx_id").as("best_index_partner"),
+          max("jaccard_ppm").as("best_jaccard_ppm"))
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"))
+        .join(broadcast(per), col("doc_id") === col("new_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_index_partners"), lit(0L)).as("n_index_partners"),
+          col("best_index_partner"), col("best_jaccard_ppm"),
+          col("new_id").isNull.as("admitted"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275)
+      q275, q277)
 }

@@ -444,19 +444,28 @@ object SimilarityQueries {
     * at IvfNprobe (the value baked into the oracle SQL); the frontier
     * measurement (`tools.AnnFrontier`, SCALE.md's recall-vs-nprobe
     * table) sweeps it. */
-  private[graft] def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  /** Coarse quantization shared by q64's search and q276's balance
+    * audit: best (cos, c_id) per vector, embedding NOT carried through
+    * the agg — only (vec_id, c_id) crosses the wire. */
+  private def ivfAssignMap(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), col("label"))
+      .select(col("vec_id"), col("embedding"))
     val centroids = storedIvfCentroids(s, d)
       .select(col("c_id"), col("c").cast("array<double>").as("c_vec"))
-    // coarse quantization: best (cos, c_id) per vector, embedding NOT
-    // carried through the agg — only (vec_id, c_id) crosses the wire
-    val assignMap = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         struct(VecExpressions.cosineFast(s, col("embedding"), col("c_vec"))
           .as("c_cos"), col("c_id")).as("sc"))
       .groupBy("vec_id").agg(max("sc").as("best"))
       .select(col("vec_id"), col("best.c_id").as("c_id"))
+  }
+
+  private[graft] def ivfTop10(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centroids = storedIvfCentroids(s, d)
+      .select(col("c_id"), col("c").cast("array<double>").as("c_vec"))
+    val assignMap = ivfAssignMap(s, d)
     val assigned = emb.join(assignMap, Seq("vec_id"))
     // each query probes its nprobe nearest inverted lists
     val wProbe = Window.partitionBy("q_id")
@@ -2343,6 +2352,52 @@ object SimilarityQueries {
             .as("shift_e8"))
     })
 
+  /** IVF CELL-BALANCE audit — the index-health readout under every IVF
+    * probe budget (q64/q69): per trained cell, the assigned-vector
+    * count, its corpus share in exact ppm, and load_ppm = n·K·10⁶ /
+    * total (10⁶ ⇔ perfectly balanced; the MAX row bounds worst-case
+    * probe cost and the straggler task at 100 TB — a 5× hot cell means
+    * a query probing it scans 5× the average inverted list), plus the
+    * empty flag (dead codebook capacity — training that bought
+    * nothing). Assignment rides the ONE shared coarse-quantization
+    * helper (q64's `ivfAssignMap`, so search and audit cannot disagree
+    * on routing) against the drift-pinned trained chain. Scale shape:
+    * one broadcast-codebook scan + vec-keyed max + K-row LEFT rollup;
+    * K-row output. HASH-MATCHED. */
+  val q276 = QueryDef.oracle("q276_ivf_cell_balance",
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |             FROM embeddings),
+      |$ivfCentCtes,
+      |assign AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT v.vec_id, c.c_id,
+      |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_cosine_similarity(v.e, c.c_vec) DESC,
+      |                      c.c_id DESC) AS rn
+      |    FROM emb v CROSS JOIN cent c) WHERE rn = 1),
+      |occ AS (
+      |  SELECT c.c_id, CAST(count(a.vec_id) AS BIGINT) AS n
+      |  FROM cent c LEFT JOIN assign a ON a.c_id = c.c_id
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS k FROM occ)
+      |SELECT o.c_id, o.n,
+      |       CAST(o.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+      |       CAST(o.n * t.k * 1000000 // t.total AS BIGINT) AS load_ppm,
+      |       o.n = 0 AS empty
+      |FROM occ o, tot t""".stripMargin)(
+    (s, d) => {
+      val occ = storedIvfCentroids(s, d).select("c_id")
+        .join(ivfAssignMap(s, d), Seq("c_id"), "left_outer")
+        .groupBy("c_id").agg(count(col("vec_id")).as("n"))
+      val tot = occ.agg(sum("n").as("total"), count(lit(1)).as("k"))
+      occ.crossJoin(broadcast(tot))
+        .select(col("c_id"), col("n"),
+          expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"),
+          expr("CAST(n * k * 1000000 div total AS BIGINT)").as("load_ppm"),
+          (col("n") === 0).as("empty"))
+    })
+
   /** HYBRID RETRIEVAL FUSION — Reciprocal Rank Fusion (Cormack et al.
     * 2009, the combiner every lexical+vector search engine ships):
     * ONE query asked both ways — the keyword query {vector, stream,
@@ -2420,5 +2475,5 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270)
+      q228, q232, q235, q237, q240, q241, q270, q276)
 }

@@ -1394,8 +1394,65 @@ object TextQueries {
           expr("CAST(top1 * 1000000 div n_tokens AS BIGINT)").as("top1_ppm"))
     })
 
+  /** SEQUENCE-LENGTH FRONTIER — the "choose max_seq_len" decision
+    * table q210 (pad-to-512) and q225 (pow2 buckets) stop short of:
+    * the SAME per-doc token counts priced at every candidate cap
+    * (128 / 512 / 2048 / 8192), naive one-doc-per-slot padding vs
+    * q77's concat-and-pack baseline, per cap in exact integers.
+    * Reading a row: naive waste FALLS with smaller caps (less pad per
+    * doc) but chunking long docs rises; packed waste is near zero at
+    * every cap — the quantified case for packing BEFORE burning FLOPs
+    * on pad tokens (the q210 corpus measured ~88% naive waste at 512).
+    * Long docs chunk (⌈n/cap⌉ slots, q210's rule); the frontier is
+    * data-independent arithmetic over ONE per-doc length pass — four
+    * constant legs over the same map-side rollup, no second corpus
+    * scan. Output: one row per cap. HASH-MATCHED. */
+  val q278 = {
+    val caps = Seq(128L, 512L, 2048L, 8192L)
+    val arms = caps.map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS cap,
+         |  CAST(SUM((n + $c - 1) // $c) AS BIGINT) AS naive_slots,
+         |  CAST(SUM((n + $c - 1) // $c * $c) AS BIGINT) AS naive_slot_tokens,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST((SUM((n + $c - 1) // $c * $c) - SUM(n)) * 1000000
+         |       // SUM((n + $c - 1) // $c * $c) AS BIGINT) AS naive_waste_ppm,
+         |  CAST((SUM(n) + $c - 1) // $c AS BIGINT) AS packed_slots,
+         |  CAST(((SUM(n) + $c - 1) // $c * $c - SUM(n)) * 1000000
+         |       // ((SUM(n) + $c - 1) // $c * $c) AS BIGINT) AS packed_waste_ppm
+         |FROM t""".stripMargin
+    }
+    QueryDef.oracle("q278_seqlen_frontier",
+      s"""WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\\S+'))
+         |             AS BIGINT) AS n
+         |           FROM documents)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(coalesce(tokenCount(col("text")).cast("long"), lit(0L))
+            .as("n"))
+          .localCheckpoint(false) // one length pass feeds all four legs
+        caps.map { c =>
+          t.agg(
+            sum(expr(s"(n + $c - 1) div $c")).as("naive_slots"),
+            sum(expr(s"(n + $c - 1) div $c * $c")).as("naive_slot_tokens"),
+            sum("n").as("n_tokens"))
+            .select(lit(c).as("cap"),
+              col("naive_slots").cast("long").as("naive_slots"),
+              col("naive_slot_tokens").cast("long").as("naive_slot_tokens"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              expr("CAST((naive_slot_tokens - n_tokens) * 1000000" +
+                " div naive_slot_tokens AS BIGINT)").as("naive_waste_ppm"),
+              expr(s"CAST((n_tokens + $c - 1) div $c AS BIGINT)")
+                .as("packed_slots"),
+              expr(s"CAST(((n_tokens + $c - 1) div $c * $c - n_tokens)" +
+                s" * 1000000 div ((n_tokens + $c - 1) div $c * $c) AS BIGINT)")
+                .as("packed_waste_ppm"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269)
+      q236, q248, q254, q269, q278)
 }

@@ -191,7 +191,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q198_semantic_decontam",
         "q228_hard_negatives", "q232_hubness_histogram",
-        "q240_knn_label_agreement")
+        "q240_knn_label_agreement", "q276_ivf_cell_balance")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -222,7 +222,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q204_whitening_residuals", "q211_pq_code_usage",
         "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
         "q232_hubness_histogram", "q235_clip_calibration",
-        "q237_source_embedding_drift", "q240_knn_label_agreement")
+        "q237_source_embedding_drift", "q240_knn_label_agreement",
+        "q276_ivf_cell_balance")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
