@@ -987,26 +987,43 @@ object EventQueries {
     * q258's sampler uses, so assignment is reproducible from the data
     * alone — no stored assignment table), outcome = converted (≥ 1
     * purchase). The readout is the two-proportion pooled z-test:
-    * per-arm users, conversions and exact conv_ppm, then
-    * z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A + 1/n_B)) in milli-units —
-    * the float chain is fixed-shape IEEE ops (multiply, divide, one
-    * correctly-rounded sqrt — q166/q258's convention) on EXACT
-    * integer counts, so both engines land the identical double and
-    * the round to z_milli is engine-identical. significant ⟺
-    * |z| > 1.96 read off the integer. An A/A split of a healthy
+    * per-arm users, conversions and exact conv_ppm, then the pooled
+    * z² in milli-units with its exact sign — z² rather than z because
+    * the squared form reduces to pure products and ONE division over
+    * exactly-converted integers (see [[abZ2Sql]]: the textbook z has
+    * float additions a native compiler may FMA-contract, observed as
+    * a one-ulp engine split at sf0.01), so both engines land the
+    * identical double. significant ⟺ z2_milli ≥ 3842 (1.96² =
+    * 3.8416), a rule DEFINED on the integer output. An A/A split of a healthy
     * corpus should NOT be significant — this is as much a bucketing
     * audit as a test harness. Scale shape: one user rollup (map-side
     * combined), one 2-row arm rollup, 1-row pivot. Output: one row.
     * HASH-MATCHED. */
-  /** The ONE pooled two-proportion z expression over columns
-    * (na, ca, nb, cb) — pure float ops in a fixed shape, so the text
-    * runs VERBATIM on both engines; embedded by q268 and the
+  /** The ONE pooled two-proportion z² expression over columns
+    * (na, ca, nb, cb) — algebraically z² = d²·N / (na·nb·c·(N−c))
+    * with d = ca·nb − cb·na, c = ca+cb, N = na+nb — restructured so
+    * the float chain contains ONLY multiplications and one division
+    * over exactly-converted integers: the textbook form
+    * (p̂_A−p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B)) has float ADDITIONS, which a
+    * native engine's compiler may contract into FMA (observed: DuckDB
+    * and the JVM disagreed by one ulp at sf0.01, flipping round() on
+    * two days of q273). A pure product/quotient chain has no
+    * contractible a·b+c shape, every op is individually IEEE
+    * correctly-rounded, and the parenthesized order is fixed — so the
+    * text runs VERBATIM and bit-identically on both engines. d, c, N
+    * stay exact BIGINT (na·nb < 2⁶³ up to ~3·10⁹ users; the 128-bit
+    * swap note applies beyond). Embedded by q268 and the
     * sequential-peeking audit q273 (drift-spec pinned). */
-  private[graft] val abZSql: String = "round(1000 * " +
-    "((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) " +
-    "/ sqrt(((ca + cb) * 1.0 / (na + nb)) " +
-    "* (1.0 - (ca + cb) * 1.0 / (na + nb)) " +
-    "* (1.0 / na + 1.0 / nb))))"
+  private[graft] val abZ2Sql: String = "round(1000 * " +
+    "(((CAST(ca * nb - cb * na AS DOUBLE) * CAST(ca * nb - cb * na AS DOUBLE))" +
+    " * CAST(na + nb AS DOUBLE)) " +
+    "/ (((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))" +
+    " * CAST(ca + cb AS DOUBLE)) * CAST((na + nb) - (ca + cb) AS DOUBLE))))"
+
+  /** Direction of the effect, exact: sign(ca·nb − cb·na). */
+  private[graft] val abSignSql: String =
+    "CASE WHEN ca * nb - cb * na > 0 THEN 1 " +
+      "WHEN ca * nb - cb * na < 0 THEN -1 ELSE 0 END"
 
   /** Degenerate guard for [[abZSql]]: all-converted or none-converted
     * pools zero the standard error. */
@@ -1044,10 +1061,13 @@ object EventQueries {
       |       CAST(ca * 1000000 // na AS BIGINT) AS conv_a_ppm,
       |       CAST(cb * 1000000 // nb AS BIGINT) AS conv_b_ppm,
       |       CASE WHEN $abDegenSql THEN NULL
-      |            ELSE CAST($abZSql AS BIGINT)
-      |       END AS z_milli,
+      |            ELSE CAST($abZ2Sql AS BIGINT)
+      |       END AS z2_milli,
       |       CASE WHEN $abDegenSql THEN NULL
-      |            ELSE abs($abZSql) > 1960
+      |            ELSE CAST($abSignSql AS BIGINT)
+      |       END AS z_sign,
+      |       CASE WHEN $abDegenSql THEN NULL
+      |            ELSE $abZ2Sql >= 3842
       |       END AS significant
       |FROM w""".stripMargin)(
     (s, d) => {
@@ -1067,9 +1087,11 @@ object EventQueries {
         col("cb").cast("long").as("conv_b"),
         expr("CAST(ca * 1000000 div na AS BIGINT)").as("conv_a_ppm"),
         expr("CAST(cb * 1000000 div nb AS BIGINT)").as("conv_b_ppm"),
-        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE CAST($abZSql AS BIGINT) END")
-          .as("z_milli"),
-        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE abs($abZSql) > 1960 END")
+        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE CAST($abZ2Sql AS BIGINT) END")
+          .as("z2_milli"),
+        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE CAST($abSignSql AS BIGINT) END")
+          .as("z_sign"),
+        expr(s"CASE WHEN $abDegenSql THEN NULL ELSE $abZ2Sql >= 3842 END")
           .as("significant"))
     })
 
@@ -1275,10 +1297,13 @@ object EventQueries {
        |      FROM cum GROUP BY 1)
        |SELECT day, na, ca, nb, cb,
        |       CASE WHEN na = 0 OR nb = 0 OR $abDegenSql THEN NULL
-       |            ELSE CAST($abZSql AS BIGINT)
-       |       END AS z_milli,
+       |            ELSE CAST($abZ2Sql AS BIGINT)
+       |       END AS z2_milli,
        |       CASE WHEN na = 0 OR nb = 0 OR $abDegenSql THEN NULL
-       |            ELSE abs($abZSql) > 1960
+       |            ELSE CAST($abSignSql AS BIGINT)
+       |       END AS z_sign,
+       |       CASE WHEN na = 0 OR nb = 0 OR $abDegenSql THEN NULL
+       |            ELSE $abZ2Sql >= 3842
        |       END AS peek_significant
        |FROM w""".stripMargin)(
     (s, d) => {
@@ -1313,9 +1338,11 @@ object EventQueries {
       w.select(col("day"), col("na").cast("long").as("na"),
         col("ca").cast("long").as("ca"), col("nb").cast("long").as("nb"),
         col("cb").cast("long").as("cb"),
-        expr(s"CASE WHEN $degen THEN NULL ELSE CAST($abZSql AS BIGINT) END")
-          .as("z_milli"),
-        expr(s"CASE WHEN $degen THEN NULL ELSE abs($abZSql) > 1960 END")
+        expr(s"CASE WHEN $degen THEN NULL ELSE CAST($abZ2Sql AS BIGINT) END")
+          .as("z2_milli"),
+        expr(s"CASE WHEN $degen THEN NULL ELSE CAST($abSignSql AS BIGINT) END")
+          .as("z_sign"),
+        expr(s"CASE WHEN $degen THEN NULL ELSE $abZ2Sql >= 3842 END")
           .as("peek_significant"))
     })
 

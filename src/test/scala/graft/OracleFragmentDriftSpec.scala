@@ -284,10 +284,10 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
-    it("every A/B consumer embeds the shared arm rule and z expression verbatim") {
-      val zFrag = graft.operators.EventQueries.abZSql
+    it("every A/B consumer embeds the shared arm rule and z² expression verbatim") {
+      val zFrag = graft.operators.EventQueries.abZ2Sql
       val armFrag = graft.operators.EventQueries.abArmSql
-      val consumers = sqlByName.filter(_._2.contains("1.0 / na + 1.0 / nb"))
+      val consumers = sqlByName.filter(_._2.contains("ca * nb - cb * na"))
       consumers.keySet shouldBe Set("q268_ab_test", "q273_ab_peeking_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the z-test or arm-assignment definition: ") {
