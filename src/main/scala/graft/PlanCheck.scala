@@ -730,6 +730,10 @@ object PlanCheck {
       "family overlap: BOTH pair sets read from stored artifacts; pair-keyed full-outer merge; no cartesian",
       p => p.contains("graft_scored_pairs_") && p.contains("graft_prefix_pairs_") &&
         !p.contains("CartesianProduct"))
+    check("q279_classifier_lift",
+      "lift table: bounded cumulative table materialized once (ExistingRDD); decile legs never rescan the corpus",
+      p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
     check("q278_seqlen_frontier",
       "seqlen frontier: ONE length pass (ExistingRDD reuse) feeds all four cap legs; no window, no cartesian",
       p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&

@@ -1481,7 +1481,88 @@ object CurationQueries {
             .as("auc_ppm"))
     })
 
+  /** GAINS / LIFT TABLE — the decision table q266's AUC summarizes
+    * away: "keep the top d/10 of the corpus by the cheap classifier
+    * score — what fraction of the Gopher-passing documents does the
+    * cut capture, and at what lift over random?" Cuts are at score
+    * thresholds (a tie block never splits — the honest semantics of a
+    * threshold filter), realized as the largest cumulative row with
+    * cum_n ≤ d·N/10 per decile; capture_ppm = captured/P and
+    * lift_ppm = (captured·N·10⁶)/(P·n_cut), all exact integers. Both
+    * per-doc inputs ride the SHARED drift-pinned fragments and fuse
+    * into ONE Spark scan (q266's build). Scale shape: scan-stage row
+    * work → map-side (score, kept) rollup → cumsum windows over the
+    * ROLLUP → 10-row decile axis range-joined to the bounded
+    * cumulative table. Output: one row per decile with rows to cut.
+    * HASH-MATCHED. */
+  val q279 = QueryDef.oracle("q279_classifier_lift",
+    s"""WITH $classifierScoreCtes,
+       |$gopherRuleCtes,
+       |base AS (SELECT c.score, g.kept
+       |         FROM cls c JOIN gopher g ON g.doc_id = c.doc_id),
+       |vc AS (SELECT score,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_pos
+       |       FROM base GROUP BY 1),
+       |cum AS (SELECT score,
+       |          SUM(n) OVER (ORDER BY score DESC) AS cum_n,
+       |          SUM(n_pos) OVER (ORDER BY score DESC) AS cum_pos,
+       |          SUM(n) OVER () AS nn, SUM(n_pos) OVER () AS pp
+       |        FROM vc),
+       |dec AS (SELECT unnest(range(1, 11)) AS d),
+       |cut AS (SELECT dec.d,
+       |          CAST(MAX(c.cum_n) AS BIGINT) AS n_cut,
+       |          CAST(MAX(c.cum_pos) AS BIGINT) AS pos_captured
+       |        FROM dec JOIN cum c ON c.cum_n * 10 <= dec.d * c.nn
+       |        GROUP BY 1),
+       |tt AS (SELECT CAST(MAX(nn) AS BIGINT) AS nn,
+       |              CAST(MAX(pp) AS BIGINT) AS pp FROM cum)
+       |SELECT c.d AS decile, c.n_cut, c.pos_captured,
+       |       CAST(c.pos_captured * 1000000 // t.pp AS BIGINT) AS capture_ppm,
+       |       CASE WHEN c.n_cut = 0 THEN NULL
+       |            ELSE CAST(c.pos_captured * t.nn * 1000000
+       |                      // (t.pp * c.n_cut) AS BIGINT) END AS lift_ppm
+       |FROM cut c, tt t""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      val base = gopherRuleFrame(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            classifierScoreNative(coalesce(col("text"), lit("")))
+              .getField("score").as("score")))
+        .select(col("score"), col("kept"))
+      val vc = base.groupBy("score")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("kept"), 1)).cast("long").as("n_pos"))
+      val wOrd = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = vc
+        .withColumn("cum_n", sum("n").over(wOrd))
+        .withColumn("cum_pos", sum("n_pos").over(wOrd))
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("pp", sum("n_pos").over(wAll))
+        .localCheckpoint(false) // bounded cumulative table feeds cut + totals
+      val dec = s.range(1, 11).toDF("d")
+      val cut = broadcast(dec)
+        .join(cum, col("cum_n") * 10 <= col("d") * col("nn"))
+        .groupBy("d")
+        .agg(max("cum_n").cast("long").as("n_cut"),
+          max("cum_pos").cast("long").as("pos_captured"))
+      val tt = cum.agg(max("nn").cast("long").as("nn"),
+        max("pp").cast("long").as("pp"))
+      cut.crossJoin(broadcast(tt))
+        .select(col("d").as("decile"), col("n_cut"), col("pos_captured"),
+          expr("CAST(pos_captured * 1000000 div pp AS BIGINT)")
+            .as("capture_ppm"),
+          when(col("n_cut") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(pos_captured * nn * 1000000 div (pp * n_cut) AS BIGINT)"))
+            .as("lift_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
-      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266)
+      q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
+      q279)
 }

@@ -252,7 +252,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.CurationQueries.classifierScoreCtes
       val consumers = sqlByName.filter(_._2.contains("% 2001 - 1000"))
       consumers.keySet shouldBe Set(
-        "q183_classifier_score", "q266_classifier_auc")
+        "q183_classifier_score", "q266_classifier_auc",
+        "q279_classifier_lift")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the classifier-score definition: ") {
           sql.contains(frag) shouldBe true
@@ -301,7 +302,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.CurationQueries.gopherRuleCtes
       val consumers = sqlByName.filter(_._2.contains("AS r_stop_words"))
       consumers.keySet shouldBe Set(
-        "q218_gopher_rules", "q266_classifier_auc")
+        "q218_gopher_rules", "q266_classifier_auc",
+        "q279_classifier_lift")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the Gopher rule battery: ") {
           sql.contains(frag) shouldBe true
