@@ -21,9 +21,19 @@ object BenchGate {
     require(a.nonEmpty, "BenchGate: pass query names")
     val spark = GraftSession.get()
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val baseline = try new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("BASELINE.md")), "UTF-8") catch {
-      case _: Throwable => ""
+    // Resolve BASELINE.md explicitly (env override, else cwd) and WARN
+    // when it's unreadable instead of degrading to "" — from a foreign
+    // cwd every noted query would otherwise spuriously fail the gate
+    // with no hint why (still fail-closed: a missing file notes nothing).
+    val baselinePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
+    val baseline = try new String(
+      java.nio.file.Files.readAllBytes(baselinePath), "UTF-8") catch {
+      case e: Throwable =>
+        System.err.println(s"[benchgate] WARNING: cannot read " +
+          s"${baselinePath.toAbsolutePath} ($e) — no bench-budget notes " +
+          "will apply; set SPARK_GRAFT_BASELINE or run from the repo root")
+        ""
     }
     var failed = 0
     a.foreach { name =>

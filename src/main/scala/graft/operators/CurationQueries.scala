@@ -1492,8 +1492,10 @@ object CurationQueries {
     * per-doc inputs ride the SHARED drift-pinned fragments and fuse
     * into ONE Spark scan (q266's build). Scale shape: scan-stage row
     * work → map-side (score, kept) rollup → cumsum windows over the
-    * ROLLUP → 10-row decile axis range-joined to the bounded
-    * cumulative table. Output: one row per decile with rows to cut.
+    * ROLLUP → 10-row decile axis LEFT range-joined to the bounded
+    * cumulative table. Output: one row per decile ALWAYS — a decile
+    * whose budget the top tie block alone overshoots emits n_cut=0
+    * with NULL lift (the guard below), rather than vanishing.
     * HASH-MATCHED. */
   val q279 = QueryDef.oracle("q279_classifier_lift",
     s"""WITH $classifierScoreCtes,
@@ -1511,9 +1513,9 @@ object CurationQueries {
        |        FROM vc),
        |dec AS (SELECT unnest(range(1, 11)) AS d),
        |cut AS (SELECT dec.d,
-       |          CAST(MAX(c.cum_n) AS BIGINT) AS n_cut,
-       |          CAST(MAX(c.cum_pos) AS BIGINT) AS pos_captured
-       |        FROM dec JOIN cum c ON c.cum_n * 10 <= dec.d * c.nn
+       |          CAST(COALESCE(MAX(c.cum_n), 0) AS BIGINT) AS n_cut,
+       |          CAST(COALESCE(MAX(c.cum_pos), 0) AS BIGINT) AS pos_captured
+       |        FROM dec LEFT JOIN cum c ON c.cum_n * 10 <= dec.d * c.nn
        |        GROUP BY 1),
        |tt AS (SELECT CAST(MAX(nn) AS BIGINT) AS nn,
        |              CAST(MAX(pp) AS BIGINT) AS pp FROM cum)
@@ -1543,12 +1545,15 @@ object CurationQueries {
         .withColumn("nn", sum("n").over(wAll))
         .withColumn("pp", sum("n_pos").over(wAll))
         .localCheckpoint(false) // bounded cumulative table feeds cut + totals
+      // LEFT join so every decile emits even when the top tie block
+      // alone exceeds d*N/10 (then n_cut=0 and the lift NULL guard is
+      // live); cum is the bounded value-count rollup, so it broadcasts
       val dec = s.range(1, 11).toDF("d")
-      val cut = broadcast(dec)
-        .join(cum, col("cum_n") * 10 <= col("d") * col("nn"))
+      val cut = dec
+        .join(broadcast(cum), col("cum_n") * 10 <= col("d") * col("nn"), "left")
         .groupBy("d")
-        .agg(max("cum_n").cast("long").as("n_cut"),
-          max("cum_pos").cast("long").as("pos_captured"))
+        .agg(coalesce(max("cum_n"), lit(0L)).cast("long").as("n_cut"),
+          coalesce(max("cum_pos"), lit(0L)).cast("long").as("pos_captured"))
       val tt = cum.agg(max("nn").cast("long").as("nn"),
         max("pp").cast("long").as("pp"))
       cut.crossJoin(broadcast(tt))

@@ -1318,52 +1318,72 @@ object DedupQueries {
     * detector's contract, not a similarity estimate. Fingerprints
     * selected by > [[WinnowStop]] documents are dropped as boilerplate
     * BEFORE pairing (MOSS's "ignore matches in too many documents"),
-    * which is also the 100-TB bound: the gh-keyed pair join fans out at
-    * most WinnowStop² per fingerprint, never a dup-class square. The
-    * windowing itself is a constant ×WinnowW position explode under
-    * doc-keyed windows — no global state anywhere. Reads the stored
+    * which is also the 100-TB bound: the fingerprint-keyed pair join
+    * fans out at most WinnowStop² per fingerprint, never a dup-class
+    * square. The windowing itself is a constant ×WinnowW position
+    * explode feeding a map-side-combinable min(long) hash aggregate
+    * (fingerprint identity = the portable numeric fold of the stored
+    * md5 key, so selection, boilerplate cap, and pair join all run on
+    * 8-byte keys; the pos tiebreak rides the packed low 24 bits —
+    * positions per doc are bounded far below 2²⁴). Reads the stored
     * gpos[[SpanK]] inventory (one gram scan per corpus, shared with
     * q175/q178/q180).
     */
   val q185 = QueryDef.oracle("q185_winnowing_fingerprints", {
+    // fingerprint key = the portable codepoint fold of the md5 hex
+    // string (CpHashUnicodeSpec pins the cross-engine fold): an 8-byte
+    // numeric key, so the winnow selection is min() of ONE packed long
+    // — gq·2²⁴ + (2²⁴−1−pos) is "smallest hash, rightmost position on
+    // ties" (robust winnowing) as an UnsafeRow-mutable hash-agg buffer
+    // instead of a per-(doc, window) string sort
     s"""$spanGposCtes,
-       |gp AS (SELECT doc_id, pos, gh,
+       |gp AS (SELECT doc_id, pos,
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                list_transform(string_split(gh, ''),
+       |                  c -> CAST(unicode(c) AS BIGINT))),
+       |                (a, b) -> (a * 131 + b) % $PortP) AS gq,
        |              CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS np
        |       FROM gpos),
-       |cells AS (SELECT doc_id, pos, gh,
+       |cells AS (SELECT doc_id, gq * 16777216 + (16777215 - pos) AS packed,
        |                 unnest(range(greatest(pos - ${WinnowW - 1}, 0),
        |                              least(pos, greatest(np - $WinnowW, 0)) + 1)) AS s
        |          FROM gp),
-       |win AS (SELECT doc_id, s, gh FROM (
-       |          SELECT doc_id, s, gh,
-       |                 row_number() OVER (PARTITION BY doc_id, s
-       |                                    ORDER BY gh, pos DESC) AS rn
-       |          FROM cells) WHERE rn = 1),
-       |fp AS (SELECT DISTINCT doc_id, gh FROM win),
-       |keep AS (SELECT gh FROM fp GROUP BY gh
+       |win AS (SELECT doc_id, MIN(packed) // 16777216 AS gq
+       |        FROM cells GROUP BY doc_id, s),
+       |fp AS (SELECT DISTINCT doc_id, gq FROM win),
+       |keep AS (SELECT gq FROM fp GROUP BY gq
        |         HAVING count(*) BETWEEN 2 AND $WinnowStop)
        |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_shared
-       |FROM fp a JOIN keep USING (gh) JOIN fp b USING (gh)
+       |FROM fp a JOIN keep USING (gq) JOIN fp b USING (gq)
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |HAVING count(*) >= 2""".stripMargin})(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.functions.HashFunctions.portableCpHashNative
       val g = storedGramPositions(s, d, SpanK)
-      val gp = g.withColumn("np",
-        count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
-      val cells = gp.withColumn("s",
+      // per-window winner as a pure-LONG hash aggregate, not a
+      // row_number window: the previous shape sorted the ×WinnowW-
+      // exploded inventory by the 32-char md5 string inside every
+      // shuffle partition; min(packed) partials combine map-side and
+      // the buffer is one mutable long (a string/struct min buffer
+      // would demote the whole agg to SortAggregate)
+      val gp = g.select(col("doc_id"), col("pos"),
+          portableCpHashNative(col("gh")).as("gq"))
+        .withColumn("np",
+          count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+      val cells = gp.select(col("doc_id"),
+        (col("gq") * lit(16777216L) + (lit(16777215) - col("pos"))).as("packed"),
         explode(sequence(greatest(col("pos") - (WinnowW - 1), lit(0)),
-          least(col("pos"), greatest(col("np") - WinnowW, lit(0))))))
-      val win = cells
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id", "s").orderBy(col("gh"), col("pos").desc)))
-        .filter(col("rn") === 1)
-      val fp = win.select("doc_id", "gh").distinct()
-      val keep = fp.groupBy("gh").agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, WinnowStop)).select("gh")
-      fp.join(keep, Seq("gh"))
-        .join(fp.select(col("doc_id").as("ib"), col("gh")), Seq("gh"))
+          least(col("pos"), greatest(col("np") - WinnowW, lit(0))))).as("s"))
+      val win = cells.groupBy(col("doc_id"), col("s"))
+        .agg(min("packed").as("mp"))
+        .select(col("doc_id"), expr("mp div 16777216").as("gq"))
+      val fp = win.select("doc_id", "gq").distinct()
+      val keep = fp.groupBy("gq").agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, WinnowStop)).select("gq")
+      fp.join(keep, Seq("gq"))
+        .join(fp.select(col("doc_id").as("ib"), col("gq")), Seq("gq"))
         .filter(col("doc_id") < col("ib"))
         .groupBy(col("doc_id").as("ia"), col("ib"))
         .agg(count(lit(1)).as("n_shared"))

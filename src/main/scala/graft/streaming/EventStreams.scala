@@ -400,8 +400,11 @@ object EventStreams {
     * EventTimeTimeout-evicted; a user returning AFTER eviction
     * re-enrolls (a visible duplicate the monitor dedups by design —
     * bounded state is the trade, exactly conversionGate's horizon
-    * semantics). Within-horizon feeds split across any triggers emit
-    * exactly the batch per-arm counts (`AbGateStreamSpec`). */
+    * semantics). Within-horizon feeds split at EVENT-TIME-ORDERED
+    * trigger boundaries emit exactly the batch per-arm counts
+    * (`AbGateStreamSpec`); like transitionGate, a within-watermark
+    * late arrival in a later trigger folds in arrival order — the
+    * intake contract is the time-ordered feed the gates share. */
   def abGate(
       events: DataFrame,
       watermark: String = "30 days"): Dataset[AbUpdate] = {
@@ -463,8 +466,14 @@ object EventStreams {
     * eviction gap (the would-be pair's earlier half is below the
     * watermark, i.e. late data by definition — an absence, exactly
     * like conversionGate's unconverted timeout). Within-horizon feeds
-    * split across any trigger boundary emit exactly the batch q264
-    * pair multiset (`TransitionStreamSpec` pins both properties). */
+    * split at EVENT-TIME-ORDERED trigger boundaries emit exactly the
+    * batch q264 pair multiset (`TransitionStreamSpec` pins both
+    * properties). The ordering qualifier is load-bearing: a
+    * within-watermark late event arriving in a LATER trigger pairs
+    * against the retained (newer) state row in arrival order, which
+    * diverges from q264's global (epoch-second, event_id) order —
+    * the intake contract here is the event-time-ordered feed the
+    * other gates (conversionGate, abGate) share. */
   def transitionGate(
       events: DataFrame,
       watermark: String = "30 days"): Dataset[Transition] = {
