@@ -11,19 +11,128 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionQueries {
 
-  /** Approximate/sketch aggregates — HLL++ distinct counts and t-digest
-    * style quantiles. One map-side-combinable pass; sketch state (not
-    * rows) crosses the exchange, which is the whole point at 100 TB.
-    * Rows-only: approximation internals differ across engines.
+  /** Approximate/sketch aggregates, PORTABLE (the round-11 verdict's
+    * no_oracle shrink): per-priority HLL distinct-customer estimate on
+    * the q244 hash-matched kernel (quadratic mix → two affine streams →
+    * 128 buckets → power-of-two-framed rank → integer harmonic
+    * estimator with the linear-counting fallback — identical literals
+    * in both engines, so the driver hash-checks the ESTIMATE, not just
+    * rows), plus an equi-width-histogram approximate median (a $100
+    * bucket rollup; the median bucket's midpoint is the estimate —
+    * error bounded by the bucket width, the classic fixed-size
+    * quantile sketch). Replaces the engine-internal datasketches
+    * `hll_sketch_agg`/`percentile_approx` pair that could only ever be
+    * rows-only. Scale shape: two column-pruned scans, each into a
+    * map-side-combined bounded rollup — (pri, bucket) ≤ 5×129 for the
+    * HLL, (pri, $100-bucket) for the histogram — windows/estimator run
+    * over the ROLLUPS only; sketch state, not rows, crosses every
+    * exchange, which is the whole point at 100 TB.
     */
-  val q25 = QueryDef.rowsOnly("q25_sketch_aggs")(
-    (s, d) => Tables.orders(s, d)
-      .groupBy("o_orderpriority")
-      .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"),
-        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("hll_custs"),
-        count(lit(1)).as("n")))
+  val q25 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1, a2, b2) = (a(17), b(17), a(18), b(18))
+    val lcVals = (1 to 128).map(v =>
+      s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
+    QueryDef.oracle("q25_sketch_aggs",
+      s"""WITH h AS (SELECT o_orderpriority AS pri,
+         |             ((CAST(o_custkey AS BIGINT) % $P) + $P) % $P AS th,
+         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |           FROM orders),
+         |mixed AS (SELECT pri, (th * th + 3 * th + 7) % $P AS tm FROM h),
+         |wd AS (SELECT pri, (tm * $a1 + $b1) % $P AS h1,
+         |              (tm * $a2 + $b2) % $P AS h2 FROM mixed),
+         |b0 AS (SELECT pri, h2 % 128 AS bucket,
+         |         ((h1 * 8388608) // $P) * 8388608
+         |           + (h2 * 8388608) // $P AS w
+         |       FROM wd),
+         |m1 AS (SELECT pri, bucket, w | (w >> 1) AS w FROM b0),
+         |m2 AS (SELECT pri, bucket, w | (w >> 2) AS w FROM m1),
+         |m3 AS (SELECT pri, bucket, w | (w >> 4) AS w FROM m2),
+         |m4 AS (SELECT pri, bucket, w | (w >> 8) AS w FROM m3),
+         |m5 AS (SELECT pri, bucket, w | (w >> 16) AS w FROM m4),
+         |m6 AS (SELECT pri, bucket, w | (w >> 32) AS w FROM m5),
+         |r AS (SELECT pri, bucket,
+         |        MAX(47 - CAST(bit_count(w) AS BIGINT)) AS mx
+         |      FROM m6 GROUP BY 1, 2),
+         |z AS (SELECT pri,
+         |        CAST(128 - count(*) AS BIGINT) AS n_empty,
+         |        CAST(SUM(CAST(1 AS BIGINT) << CAST(47 - mx AS INTEGER))
+         |             + (128 - count(*)) * 140737488355328 AS BIGINT) AS zs
+         |      FROM r GROUP BY 1),
+         |raw AS (SELECT z.*,
+         |          CAST(CAST(715271 AS HUGEINT) * 16384 * 140737488355328
+         |               // zs // 1000000 AS BIGINT) AS raw_est
+         |        FROM z),
+         |est AS (SELECT r.pri,
+         |          CAST(CASE WHEN r.n_empty > 0 AND r.raw_est <= 320
+         |               THEN lc.lc_est ELSE r.raw_est END AS BIGINT) AS hll_custs
+         |        FROM raw r LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |          ON r.n_empty = lc.v),
+         |hist AS (SELECT pri, cents // 10000 AS bkt,
+         |                CAST(count(*) AS BIGINT) AS c
+         |         FROM h GROUP BY 1, 2),
+         |cum AS (SELECT pri, bkt,
+         |          SUM(c) OVER (PARTITION BY pri ORDER BY bkt) AS cum_c,
+         |          SUM(c) OVER (PARTITION BY pri) AS n
+         |        FROM hist),
+         |med AS (SELECT pri,
+         |          CAST(MIN(CASE WHEN cum_c * 2 >= n THEN bkt END) * 10000
+         |               + 5000 AS BIGINT) AS approx_median_cents,
+         |          CAST(MAX(n) AS BIGINT) AS n
+         |        FROM cum GROUP BY 1)
+         |SELECT e.pri AS o_orderpriority, m.n, e.hll_custs,
+         |       m.approx_median_cents
+         |FROM est e JOIN med m ON e.pri = m.pri""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.orders(s, d).select(
+          col("o_orderpriority").as("pri"),
+          pmod(col("o_custkey").cast("long"), lit(P)).as("th"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val bw = h
+          .withColumn("tm", expr(s"(th * th + 3L * th + 7L) % ${P}L"))
+          .withColumn("h1", expr(s"(tm * ${a1}L + ${b1}L) % ${P}L"))
+          .withColumn("h2", expr(s"(tm * ${a2}L + ${b2}L) % ${P}L"))
+          .withColumn("bucket", expr("h2 % 128L"))
+          .withColumn("w", expr(
+            s"((h1 * 8388608L) div ${P}L) * 8388608L" +
+              s" + (h2 * 8388608L) div ${P}L"))
+        val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, k) =>
+          df.withColumn("w", expr(s"w | shiftright(w, $k)")))
+        val r = sm
+          .withColumn("rho", expr("47L - CAST(bit_count(w) AS BIGINT)"))
+          .groupBy("pri", "bucket").agg(max("rho").as("mx"))
+        val lcDf = s.createDataFrame((1 to 128).map(v =>
+          (v.toLong, math.round(128.0 * math.log(128.0 / v))))).toDF("v", "lc_est")
+        val est = r.groupBy("pri")
+          .agg((lit(128L) - count(lit(1))).as("n_empty"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - mx AS INT))"))
+              .as("zs_part"))
+          .withColumn("zs",
+            col("zs_part") + col("n_empty") * lit(140737488355328L))
+          .withColumn("raw_est", expr(
+            "CAST(CAST(715271 AS DECIMAL(38,0)) * 16384 * 140737488355328" +
+              " div zs div 1000000 AS BIGINT)"))
+          .join(broadcast(lcDf), col("n_empty") === col("v"), "left")
+          .withColumn("hll_custs", expr(
+            "CAST(CASE WHEN n_empty > 0 AND raw_est <= 320" +
+              " THEN lc_est ELSE raw_est END AS BIGINT)"))
+          .select("pri", "hll_custs")
+        val hist = h.groupBy(col("pri"), expr("cents div 10000").as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum_c",
+            sum("c").over(Window.partitionBy("pri").orderBy("bkt")))
+          .withColumn("n", sum("c").over(Window.partitionBy("pri")))
+        val med = cum.groupBy("pri").agg(
+          (min(when(col("cum_c") * 2 >= col("n"), col("bkt"))) * 10000L
+            + 5000L).cast("long").as("approx_median_cents"),
+          max("n").cast("long").as("n"))
+        est.join(med, Seq("pri"))
+          .select(col("pri").as("o_orderpriority"), col("n"),
+            col("hll_custs"), col("approx_median_cents"))
+      })
+  }
 
   /** As-of join (clicks to latest prior view per user) with DuckDB's
     * native ASOF JOIN as the oracle. Right side pre-deduped to one row

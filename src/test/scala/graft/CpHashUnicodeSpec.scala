@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.PortableHashKernels
-import org.apache.unsafe.types.UTF8String
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-engine unicode pin for the portable codepoint hash (the base
   * of every portable-family oracle: q244/q183 fragments, the MinHash

@@ -5,17 +5,20 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.Platform
 
-/** Oracle-equivalent coverage for the two rows-only MinHash queries
-  * (q51, q55), whose hash family is engine-internal and therefore not
-  * expressible as DuckDB SQL: replay each query's ENTIRE computation —
-  * tokenization, gram construction, the Kirsch–Mitzenmacher two-hash
-  * permutation family, banding, group union, estimated Jaccard — in
-  * independent driver-side Scala over the full sf0.001 corpus, and
-  * require EXACT equality. Only the primitive string hashes (XXH64,
-  * MurmurHash3) are shared with the engine; every line of composition
-  * logic is written twice. This is the same strength as a DuckDB
-  * oracle: a second implementation must agree bit-for-bit on real
-  * data — it is just hosted in the JVM because the hash family is.
+/** Independent-replay coverage for the MinHash kernels: replay the
+  * ENTIRE computation — tokenization, gram construction, the hash
+  * family, banding, group union, estimated Jaccard — in independent
+  * driver-side Scala over the full sf0.001 corpus, and require EXACT
+  * equality. Only the primitive string hashes are shared with the
+  * engine; every line of composition logic is written twice.
+  *
+  * Since round 12 the q51/q55 DRIVER queries ride the portable family
+  * and are DuckDB-hash-matched, so this spec's roles are (a) the
+  * xxhash64 signature/banding kernels that still power the STREAMING
+  * admission path (`DocStreams`), replayed end to end, and (b) a
+  * second, JVM-hosted replay of q55's portable group fold — defense
+  * in depth over the oracle, catching a kernel edit even when both
+  * SQL strings drift together.
   */
 class MinHashOracleEquivalenceSpec extends SparkSpec {
 
@@ -76,7 +79,7 @@ class MinHashOracleEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("q51: fused signature + band keys equal the independent replay on every sf0.001 doc") {
+  test("streaming xxhash kernels (q51's former family): fused signature + band keys equal the independent replay on every sf0.001 doc") {
     val engine = Tables.documents(spark, d)
       .select(col("doc_id"), col("text"),
         minhashTextSignature(col("text"), 3, K).as("sig"))
@@ -96,47 +99,54 @@ class MinHashOracleEquivalenceSpec extends SparkSpec {
     }
   }
 
-  /** q55's group signature, independently: MurmurHash3 chained 32-bit
-    * passes build (h1, h2), same K-M + mix64 permutations, slot-wise
-    * min across every gram of every member doc. */
-  private def murmurFold(sig: Array[Long], s: String): Unit = {
-    val a = scala.util.hashing.MurmurHash3.stringHash(s, 42)
-    val b = scala.util.hashing.MurmurHash3.stringHash(s, a)
-    val c = scala.util.hashing.MurmurHash3.stringHash(s, b)
-    val e = scala.util.hashing.MurmurHash3.stringHash(s, c)
-    val h1 = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
-    val h2 = (c.toLong << 32) | (e.toLong & 0xFFFFFFFFL)
-    var h = h1
-    var j = 0
-    while (j < K) {
-      val v = mix64(h)
-      if (v < sig(j)) sig(j) = v
-      h += h2
-      j += 1
+  test("q55: portable group est-Jaccard matrix equals the independent JVM replay at sf0.001") {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val PK = graft.operators.DedupQueries.PortK
+    // independent portable fold: codepoint-polynomial gram hash, then
+    // per-stream affine min — written WITHOUT gramHashArray so a kernel
+    // edit fails here (only the a/b stream constants are shared)
+    def cpFold(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 131L + cp) % P
+        i += Character.charCount(cp)
+      }
+      h
     }
-  }
-
-  test("q55: group est-Jaccard matrix equals the independent replay at sf0.001") {
     val docs = Tables.documents(spark, d)
       .select(col("lang"), col("text")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     val sigs = scala.collection.mutable.Map.empty[String, Array[Long]]
     val counts = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach { case (lang, text) =>
-      val sig = sigs.getOrElseUpdate(lang, Array.fill(K)(Long.MaxValue))
-      grams3(text).foreach(g => murmurFold(sig, g))
+      val sig = sigs.getOrElseUpdate(lang, Array.fill(PK)(Long.MaxValue))
+      grams3(text).distinct.foreach { g =>
+        val h = cpFold(g)
+        var i = 0
+        while (i < PK) {
+          val v = (h * a(i) + b(i)) % P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
       counts(lang) = counts.getOrElse(lang, 0L) + 1
     }
     val expected = (for {
       (la, sa) <- sigs.toSeq; (lb, sb) <- sigs.toSeq if la < lb
     } yield {
-      val eq = (0 until K).count(i => sa(i) == sb(i))
-      (la, lb, counts(la), eq.toDouble / K)
+      // Long.MaxValue = "no grams in the whole group" = NULL in the
+      // engine; NULL never matches, and the replay corpus always has
+      // grams per lang, so plain equality is the right comparison
+      val eq = (0 until PK).count(i =>
+        sa(i) != Long.MaxValue && sa(i) == sb(i))
+      (la, lb, counts(la), eq.toLong, eq.toDouble / PK)
     }).toSet
 
     val engine = SparkEntry.queries("q55_group_minhash")(spark, d)
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
       .toSet
     assert(engine.nonEmpty)
     assert(engine == expected)

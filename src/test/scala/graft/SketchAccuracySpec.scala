@@ -2,50 +2,60 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Quantitative gates for q25's sketch aggregates — the one rows-only
-  * query whose correctness is about ERROR BOUNDS, not equality. Pins the
-  * approximation quality against the exact answers computed on the same
-  * data, so a sketch-parameter regression (or an upstream behavior
-  * change) fails the build instead of sliding through the rows-only
-  * check.
+/** Quantitative gates for the sketch aggregates (q25 portable HLL +
+  * histogram median, q224 per-source portable HLL) — queries whose
+  * VALUE correctness is about ERROR BOUNDS, not equality (the DuckDB
+  * oracle proves both engines compute the same estimate; these tests
+  * prove the estimate is any good). A sketch-parameter regression
+  * fails the build instead of sliding through hash-matched-but-wrong.
   */
 class SketchAccuracySpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  // q25 (portable since round 12): (o_orderpriority, n, hll_custs,
+  // approx_median_cents)
   private lazy val rows = SparkEntry.queries("q25_sketch_aggs")(spark, d)
     .collect().map(r => r.getString(0) ->
-      (r.getLong(1), r.getDouble(2), r.getLong(3).toDouble, r.getLong(4))).toMap
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 
+  // exact LOWER median in cents (rank ceil(n/2)) — the order statistic
+  // the histogram sketch brackets; the interpolated percentile() can sit
+  // half a central GAP away, which at sf0.001's sparsity is thousands of
+  // dollars and says nothing about the sketch
   private lazy val exact = Tables.orders(spark, d)
     .groupBy("o_orderpriority")
-    .agg(countDistinct(col("o_custkey")).as("nd"),
-      expr("percentile(o_totalprice, 0.5)").as("med"))
-    .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    .agg(count(lit(1)).as("cnt"),
+      countDistinct(col("o_custkey")).as("nd"),
+      expr("sort_array(collect_list(CAST(round(o_totalprice * 100) AS BIGINT)))" +
+        "[CAST((count(1) + 1) / 2 AS INT) - 1]").as("med_cents"))
+    .collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 
-  test("approx_count_distinct (HLL++) within 2 sigma (10%) of exact per group") {
-    // default rsd = 0.05 is the ONE-sigma relative error; gate at 2 sigma
-    // (observed: 5.4% worst group at sf0.001)
-    exact.foreach { case (k, (nd, _)) =>
-      val approx = rows(k)._1
-      assert(math.abs(approx - nd) <= math.max(2L, (nd * 0.10).toLong),
-        s"$k: approx $approx vs exact $nd")
-    }
+  test("q25 n equals the exact group count") {
+    exact.foreach { case (k, (cnt, _, _)) => assert(rows(k)._1 == cnt) }
   }
 
-  test("DataSketches HLL estimate also within 5% of exact per group") {
-    exact.foreach { case (k, (nd, _)) =>
-      val hll = rows(k)._3
-      assert(math.abs(hll - nd) <= math.max(1.0, nd * 0.05),
+  test("q25 portable HLL within estimator error bounds of exact NDV per group") {
+    // m=128 raw-HLL sigma is 1.04/sqrt(128) = 9.2% relative; gate 3.8
+    // sigma = 35% with an absolute floor of 8 for the linear-counting
+    // regime these small sf0.001 groups live in (same convention as the
+    // q224 gate below)
+    exact.foreach { case (k, (_, nd, _)) =>
+      val hll = rows(k)._2
+      assert(math.abs(hll - nd) <= math.max(8L, (nd * 0.35).toLong),
         s"$k: hll $hll vs exact $nd")
     }
   }
 
-  test("percentile_approx median within 2% relative error of exact") {
-    exact.foreach { case (k, (_, med)) =>
-      val approx = rows(k)._2
-      assert(math.abs(approx - med) <= med * 0.02,
-        s"$k: approx median $approx vs exact $med")
+  test("q25 histogram median within half a $100 bucket of the exact lower median") {
+    // the lower median lies INSIDE the selected bucket by construction,
+    // so the midpoint is off by <= 5000 cents — a tight structural
+    // bound, not a statistical one
+    exact.foreach { case (k, (_, _, medCents)) =>
+      val approx = rows(k)._3
+      assert(math.abs(approx - medCents) <= 5000L,
+        s"$k: approx median $approx cents vs exact lower median $medCents")
     }
   }
 
