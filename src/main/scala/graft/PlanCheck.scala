@@ -665,6 +665,10 @@ object PlanCheck {
       "skew plan: one map-side key rollup + 1-row total broadcast; no window, no cartesian-shaped join",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    check("q280_aqe_skew_audit",
+      "AQE skew audit: two map-side key rollups into 1-row stats; no window, no join at all",
+      p => p.contains("partial_count") && !p.contains("Window") &&
+        !p.contains("Join"))
     check("q263_lsh_parameter_advisor",
       "LSH advisor: six constant legs over the materialized 13-row n_match histogram (ExistingRDD); no corpus scan",
       p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&

@@ -214,5 +214,61 @@ object SqlSurfaceQueries {
             .otherwise("salt").as("strategy"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144, q146, q262)
+  /** AQE SKEW-DECISION AUDIT — the last edge of the optimizer-audit
+    * loop (q244 stats → q250 cardinality → q251 selectivity → q253
+    * strategy → q262 remediation → THIS: what AQE's runtime
+    * OptimizeSkewedJoin should actually do). Per join candidate (the
+    * two q146-profiled fact keys: events.event_type — 5 keys carrying
+    * the whole fact — and lineitem.l_suppkey — ~1k keys, each tiny),
+    * the exact-integer prediction under the engine's even-split
+    * target: t_rows = total/32, the hottest key's rows, and
+    * would_mark_skew = max_n > t_rows — a single key bigger than the
+    * even split lands one shuffle partition past the advisory target
+    * no matter how the hash deals keys, which is precisely the
+    * condition AQE's size-threshold test detects at runtime.
+    * `SkewRemediationAgreementSpec` executes BOTH real sort-merge
+    * joins under AQE with byte thresholds derived from the same
+    * t_rows and asserts the physical plan's skew marking agrees with
+    * would_mark_skew — fired on events-by-type, silent on
+    * lineitem-by-suppkey. Scale shape: two map-side-combined key
+    * rollups into 1-row stats each; 2-row output. HASH-MATCHED. */
+  val q280 = QueryDef.oracle("q280_aqe_skew_audit",
+    """WITH ev AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n
+      |            FROM events GROUP BY 1),
+      |li AS (SELECT CAST(l_suppkey AS VARCHAR) AS k,
+      |              CAST(count(*) AS BIGINT) AS n
+      |       FROM lineitem GROUP BY 1),
+      |c AS (SELECT 'events_by_type' AS candidate, k, n FROM ev
+      |      UNION ALL
+      |      SELECT 'lineitem_by_suppkey' AS candidate, k, n FROM li),
+      |st AS (SELECT candidate, CAST(count(*) AS BIGINT) AS n_keys,
+      |              CAST(SUM(n) AS BIGINT) AS total,
+      |              CAST(MAX(n) AS BIGINT) AS max_n,
+      |              CAST(GREATEST(SUM(n) // 32, 1) AS BIGINT) AS t_rows
+      |       FROM c GROUP BY 1)
+      |SELECT candidate, n_keys, total, max_n, t_rows,
+      |       max_n > t_rows AS would_mark_skew,
+      |       CAST((max_n + t_rows - 1) // t_rows AS BIGINT) AS hot_splits
+      |FROM st""".stripMargin)(
+    (s, d) => {
+      def keyCounts(df: org.apache.spark.sql.DataFrame,
+          key: org.apache.spark.sql.Column, cand: String) =
+        df.groupBy(key.cast("string").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
+            max("n").as("max_n"))
+          .select(lit(cand).as("candidate"), col("n_keys"), col("total"),
+            col("max_n"),
+            greatest(expr("total div 32"), lit(1L)).as("t_rows"))
+      keyCounts(Tables.events(s, d), col("event_type"), "events_by_type")
+        .unionByName(keyCounts(Tables.lineitem(s, d), col("l_suppkey"),
+          "lineitem_by_suppkey"))
+        .select(col("candidate"), col("n_keys"), col("total"), col("max_n"),
+          col("t_rows"),
+          (col("max_n") > col("t_rows")).as("would_mark_skew"),
+          expr("CAST((max_n + t_rows - 1) div t_rows AS BIGINT)")
+            .as("hot_splits"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q141, q142, q143, q144, q146, q262, q280)
 }
