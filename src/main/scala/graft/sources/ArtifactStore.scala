@@ -18,9 +18,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
+  /** Corpus snapshot fingerprint — the staleness contract (round-12):
+    * every stored artifact is "a pure function of the corpus", so its
+    * identity must include WHICH corpus snapshot, not just which path.
+    * The fingerprint digests the corpus directory's file inventory
+    * (relative path, length, mtime) — the same signal warehouse file
+    * indexes use — so a mutated/regenerated corpus at the SAME path
+    * changes the artifact key and the next consumer silently REBUILDS
+    * instead of reading ~20 queries' worth of stale derived data
+    * (`ArtifactStalenessSpec` pins the lifecycle). O(#files) metadata
+    * walk, no data scan; at 100 TB the ingest pipeline owns refresh
+    * and this becomes the snapshot/version id the warehouse already
+    * tracks. */
+  private def corpusFingerprint(key: String): String = {
+    val p = java.nio.file.Paths.get(key)
+    if (!java.nio.file.Files.isDirectory(p)) "static"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val walk = java.nio.file.Files.walk(p, 3)
+      try walk.sorted().forEach { f =>
+        val rel = p.relativize(f).toString
+        val attrs = java.nio.file.Files.readAttributes(
+          f, classOf[java.nio.file.attribute.BasicFileAttributes])
+        md.update(
+          s"$rel|${attrs.size}|${attrs.lastModifiedTime.toMillis}\n"
+            .getBytes("UTF-8"))
+      } finally walk.close()
+      md.digest().map("%02x".format(_)).mkString.take(8)
+    }
+  }
+
   private def tableName(name: String, key: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$key#${corpusFingerprint(key)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     s"graft_${name}_$tag"
   }
 

@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.ArtifactStore
+import org.apache.spark.sql.functions._
+
+/** The artifact staleness contract (round-12 verdict task): a stored
+  * artifact is a pure function of the corpus, so a MUTATED corpus at
+  * the same path must invalidate it — the next consumer rebuilds from
+  * the new snapshot instead of silently serving ~20 queries stale
+  * derived data. ArtifactStore keys every artifact on a fingerprint of
+  * the corpus directory's file inventory (path, size, mtime); this
+  * spec drives the full lifecycle: build once → cached on re-read →
+  * corpus mutated → rebuilt, with the rebuilt content reflecting the
+  * new corpus.
+  */
+class ArtifactStalenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a mutated corpus invalidates the stored artifact; an unchanged one stays cached") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    def writeCorpus(n: Int): Unit =
+      spark.range(n).select(col("id").as("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+
+    writeCorpus(5)
+    var builds = 0
+    def artifact() = ArtifactStore.table(spark, dir, "stalespec") {
+      builds += 1
+      spark.read.parquet(s"$dir/docs.parquet")
+        .agg(count(lit(1)).as("n"), max("doc_id").as("mx"))
+    }
+
+    assert(artifact().as[(Long, Long)].head() == ((5L, 4L)))
+    assert(builds == 1)
+    // unchanged corpus: second consumer reads the cached table
+    assert(artifact().as[(Long, Long)].head() == ((5L, 4L)))
+    assert(builds == 1, "unchanged corpus must not rebuild")
+
+    // mutate the corpus at the SAME path (new snapshot: different file
+    // set + sizes); the stale artifact must not be served
+    writeCorpus(9)
+    assert(artifact().as[(Long, Long)].head() == ((9L, 8L)),
+      "consumer after corpus mutation read a STALE artifact")
+    assert(builds == 2, "mutated corpus must rebuild exactly once")
+    // and the new snapshot is itself cached
+    assert(artifact().as[(Long, Long)].head() == ((9L, 8L)))
+    assert(builds == 2)
+  }
+}
