@@ -669,6 +669,52 @@ object PlanCheck {
       "AQE skew audit: two map-side key rollups into 1-row stats; no window, no join at all",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("Join"))
+    check("q281_dim_truncation_recall",
+      "truncation sweep: ONE broadcast-driven corpus pass (the 4 widths explode scan-side), no sort-merge",
+      p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+        scans(p, "embeddings") <= 2)
+    checkTree("q281_dim_truncation_recall",
+      "rank windows are (dims, q_id)-keyed, never global",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q282_curriculum_mixture",
+      "curriculum deciles: bounded (score, source) rollup materialized once (ExistingRDD); all four legs reuse it, corpus scanned once",
+      p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
+    checkTree("q283_clustering_factor",
+      "layout audit: lag windows are zone-keyed, never a global order-by",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q284_ab_required_n",
+      "power analysis: one map-side user rollup; grid and stats broadcast",
+      p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
+        scans(p, "events") == 1)
+    check("q285_event_trigrams",
+      "trigrams: ONE user-keyed window (both lags share it) into a map-side rollup",
+      p => p.contains("partial_count") && scans(p, "events") == 1 &&
+        !p.contains("CartesianProduct"))
+    checkTree("q285_event_trigrams",
+      "the double-lag window is user-keyed",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.size == 1 && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    checkTree("q286_spearman_quality_length",
+      "both rank windows are source-keyed (per-shard sort, never global)",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q287_pii_cooccurrence",
+      "PII detection rides the scan; one 1-row stats agg against the 3-row type axis",
+      p => scans(p, "documents") == 1 && !p.contains("SortMergeJoin"))
+    check("q288_idf_drift",
+      "IDF drift: two vocab-sized df rollups (map-side), top-15 via TakeOrdered",
+      p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     check("q263_lsh_parameter_advisor",
       "LSH advisor: six constant legs over the materialized 13-row n_match histogram (ExistingRDD); no corpus scan",
       p => p.contains("ExistingRDD") && scans(p, "documents") == 0 &&

@@ -1566,8 +1566,212 @@ object CurationQueries {
             .as("lift_ppm"))
     })
 
+  /** CURRICULUM MIXTURE — the composition question behind every
+    * quality-ordered training schedule (easy-to-hard curricula, quality
+    * upsampling): if the corpus is consumed in classifier-score order,
+    * which sources dominate each stage? Each doc's curriculum decile is
+    * derived from the cumulative count through its score's tie block
+    * (ceil(cum·10/N) — tie blocks never split, q279's threshold
+    * semantics), then the decile × source composition with within-decile
+    * shares in exact ppm. A front-loaded source is a diversity risk the
+    * single-number AUC (q266) and the cut table (q279) both hide. Scale
+    * shape: ONE fused scan (the shared drift-pinned cls fragment) →
+    * map-side (score, source) rollup → cumsum window over the
+    * score-level ROLLUP → ≤ 10×|sources| output. HASH-MATCHED. */
+  val q282 = QueryDef.oracle("q282_curriculum_mixture",
+    s"""WITH $classifierScoreCtes,
+       |j AS (SELECT c.score, d.source FROM cls c
+       |      JOIN documents d ON d.doc_id = c.doc_id),
+       |vc AS (SELECT score, source, CAST(count(*) AS BIGINT) AS n
+       |       FROM j GROUP BY 1, 2),
+       |sc AS (SELECT score, SUM(n) AS sn FROM vc GROUP BY 1),
+       |cum AS (SELECT score,
+       |          SUM(sn) OVER (ORDER BY score DESC) AS cum_n,
+       |          SUM(sn) OVER () AS nn
+       |        FROM sc),
+       |dec AS (SELECT score,
+       |          CAST((cum_n * 10 + nn - 1) // nn AS BIGINT) AS decile
+       |        FROM cum),
+       |m AS (SELECT dec.decile, vc.source,
+       |        CAST(SUM(vc.n) AS BIGINT) AS n_docs
+       |      FROM vc JOIN dec ON vc.score = dec.score GROUP BY 1, 2),
+       |tot AS (SELECT decile, CAST(SUM(n_docs) AS BIGINT) AS dn
+       |        FROM m GROUP BY 1)
+       |SELECT m.decile, m.source, m.n_docs,
+       |       CAST(m.n_docs * 1000000 // t.dn AS BIGINT) AS share_ppm
+       |FROM m JOIN tot t ON m.decile = t.decile""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      val j = Tables.documents(s, d)
+        .select(col("source"),
+          classifierScoreNative(coalesce(col("text"), lit("")))
+            .getField("score").as("score"))
+      // the (score, source) value-count rollup feeds FOUR legs (decile
+      // map, mixture, totals twice via m) — materialize it once so the
+      // corpus is scanned once (q279's bounded-rollup convention)
+      val vc = j.groupBy("score", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val sc = vc.groupBy("score").agg(sum("n").as("sn"))
+      val cum = sc
+        .withColumn("cum_n", sum("sn").over(Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nn", sum("sn").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val dec = cum.select(col("score"),
+        expr("CAST((cum_n * 10 + nn - 1) div nn AS BIGINT)").as("decile"))
+      val m = vc.join(broadcast(dec), Seq("score"))
+        .groupBy("decile", "source").agg(sum("n").cast("long").as("n_docs"))
+      val tot = m.groupBy("decile").agg(sum("n_docs").cast("long").as("dn"))
+      m.join(broadcast(tot), Seq("decile"))
+        .select(col("decile"), col("source"), col("n_docs"),
+          expr("CAST(n_docs * 1000000 div dn AS BIGINT)").as("share_ppm"))
+    })
+
+  /** LENGTH–QUALITY RANK CORRELATION (Spearman, deterministic ties) —
+    * the confound audit under every length-based AND every
+    * classifier-based filter: if the cheap quality score is largely a
+    * length proxy, "keep the top X% by score" silently becomes "keep
+    * long documents". Per source: both rankings from the ONE fused
+    * cls fragment (score rank, token-count rank, ties broken by doc_id
+    * in BOTH engines — deterministic-tie Spearman, stated, not
+    * pretended away), d = rank difference, rho_ppm = 10⁶ −
+    * 6·Σd²·10⁶ // (n³−n) in exact integers (DECIMAL(38,0) for the
+    * products — Σd² reaches n³/3). Scale shape: per-SOURCE rank
+    * windows (the q196 per-shard convention — never a global sort) +
+    * one |sources|-row rollup. HASH-MATCHED. */
+  val q286 = QueryDef.oracle("q286_spearman_quality_length",
+    s"""WITH $classifierScoreCtes,
+       |j AS (SELECT d.source, c.doc_id, c.score, c.n_tok FROM cls c
+       |      JOIN documents d ON d.doc_id = c.doc_id),
+       |r AS (SELECT source,
+       |        ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY score, doc_id) AS rx,
+       |        ROW_NUMBER() OVER (PARTITION BY source
+       |          ORDER BY n_tok, doc_id) AS ry
+       |      FROM j),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(SUM(CAST((rx - ry) AS HUGEINT)
+       |                 * CAST((rx - ry) AS HUGEINT)) AS HUGEINT) AS sum_d2
+       |      FROM r GROUP BY 1)
+       |SELECT source, n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |       CAST(CASE WHEN n < 2 THEN NULL
+       |            ELSE 1000000 - CAST(6 AS HUGEINT) * sum_d2 * 1000000
+       |                 // (CAST(n AS HUGEINT) * n * n - n) END AS BIGINT)
+       |         AS rho_ppm
+       |FROM a""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      val j = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          classifierScoreNative(coalesce(col("text"), lit("")))
+            .getField("score").as("score"),
+          classifierScoreNative(coalesce(col("text"), lit("")))
+            .getField("n_tok").as("n_tok"))
+      val r = j.select(col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("score"), col("doc_id"))).as("rx"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_tok"), col("doc_id"))).as("ry"))
+      val a = r.groupBy("source").agg(count(lit(1)).as("n"),
+        sum((col("rx").cast("long") - col("ry"))
+          .cast("decimal(38,0)") * (col("rx").cast("long") - col("ry")))
+          .as("sum_d2"))
+      a.select(col("source"), col("n"),
+        col("sum_d2").cast("long").as("sum_d2"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(1000000 - CAST(6 AS DECIMAL(38,0)) * sum_d2 * 1000000" +
+              " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"))
+          .as("rho_ppm"))
+    })
+
+  /** PII CO-OCCURRENCE MATRIX — the re-identification multiplier the
+    * per-type counts (q176) hide: a document with an email AND an IP is
+    * a joinable identity record, not two independent leaks. Over the
+    * SAME injected-PII chain and real regexes as q176 (one drift-shared
+    * definition), per unordered type pair: docs containing both,
+    * marginals, and lift_ppm = n_both·N·10⁶ // (n_a·n_b) — lift > 10⁶
+    * means the types cluster in the same documents and the release
+    * review must treat them jointly. Scale shape: detection rides the
+    * scan (fused native kernel), the pair axis is the constant 3-row
+    * type matrix, totals are one map-side rollup. HASH-MATCHED. */
+  val q287 = QueryDef.oracle("q287_pii_cooccurrence",
+    s"""WITH pii AS (SELECT doc_id, $piiInjectedSql AS t FROM documents),
+       |r1 AS (SELECT doc_id,
+       |              CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |              regexp_replace(t, '$EmailRe', '[EMAIL]', 'g') AS t
+       |       FROM pii),
+       |r2 AS (SELECT doc_id, n_emails,
+       |              CAST(len(regexp_extract_all(t, '$IpRe')) AS BIGINT) AS n_ips,
+       |              regexp_replace(t, '$IpRe', '[IP]', 'g') AS t
+       |       FROM r1),
+       |r3 AS (SELECT doc_id, n_emails, n_ips,
+       |              CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones
+       |       FROM r2),
+       |f AS (SELECT n_emails > 0 AS has_email, n_ips > 0 AS has_ip,
+       |             n_phones > 0 AS has_phone
+       |      FROM r3),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(CASE WHEN has_email THEN 1 END) AS BIGINT) AS n_email,
+       |         CAST(count(CASE WHEN has_ip THEN 1 END) AS BIGINT) AS n_ip,
+       |         CAST(count(CASE WHEN has_phone THEN 1 END) AS BIGINT) AS n_phone,
+       |         CAST(count(CASE WHEN has_email AND has_ip THEN 1 END) AS BIGINT) AS b_ei,
+       |         CAST(count(CASE WHEN has_email AND has_phone THEN 1 END) AS BIGINT) AS b_ep,
+       |         CAST(count(CASE WHEN has_ip AND has_phone THEN 1 END) AS BIGINT) AS b_ip
+       |       FROM f)
+       |SELECT p.type_a, p.type_b,
+       |       CASE p.type_a WHEN 'email' THEN st.n_email ELSE st.n_ip END AS n_a,
+       |       CASE p.type_b WHEN 'ip' THEN st.n_ip ELSE st.n_phone END AS n_b,
+       |       CASE WHEN p.type_a = 'email' AND p.type_b = 'ip' THEN st.b_ei
+       |            WHEN p.type_a = 'email' THEN st.b_ep
+       |            ELSE st.b_ip END AS n_both,
+       |       CAST(CASE WHEN CASE p.type_a WHEN 'email' THEN st.n_email ELSE st.n_ip END = 0
+       |                   OR CASE p.type_b WHEN 'ip' THEN st.n_ip ELSE st.n_phone END = 0
+       |            THEN NULL
+       |            ELSE (CASE WHEN p.type_a = 'email' AND p.type_b = 'ip' THEN st.b_ei
+       |                       WHEN p.type_a = 'email' THEN st.b_ep
+       |                       ELSE st.b_ip END) * st.n_docs * 1000000
+       |                 // (CASE p.type_a WHEN 'email' THEN st.n_email ELSE st.n_ip END
+       |                    * CASE p.type_b WHEN 'ip' THEN st.n_ip ELSE st.n_phone END)
+       |            END AS BIGINT) AS lift_ppm
+       |FROM (VALUES ('email','ip'), ('email','phone'), ('ip','phone'))
+       |  AS p(type_a, type_b), st""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.piiScrubNative
+      val f = Tables.documents(s, d)
+        .select(piiScrubNative(piiInjectedCol).as("p"))
+        .select((col("p.n_emails") > 0).as("has_email"),
+          (col("p.n_ips") > 0).as("has_ip"),
+          (col("p.n_phones") > 0).as("has_phone"))
+      val st = f.agg(count(lit(1)).as("n_docs"),
+        count(when(col("has_email"), 1)).as("n_email"),
+        count(when(col("has_ip"), 1)).as("n_ip"),
+        count(when(col("has_phone"), 1)).as("n_phone"),
+        count(when(col("has_email") && col("has_ip"), 1)).as("b_ei"),
+        count(when(col("has_email") && col("has_phone"), 1)).as("b_ep"),
+        count(when(col("has_ip") && col("has_phone"), 1)).as("b_ip"))
+      val pairs = s.createDataFrame(Seq(
+        ("email", "ip"), ("email", "phone"), ("ip", "phone")))
+        .toDF("type_a", "type_b")
+      pairs.crossJoin(broadcast(st))
+        .select(col("type_a"), col("type_b"),
+          when(col("type_a") === "email", col("n_email"))
+            .otherwise(col("n_ip")).as("n_a"),
+          when(col("type_b") === "ip", col("n_ip"))
+            .otherwise(col("n_phone")).as("n_b"),
+          when(col("type_a") === "email" && col("type_b") === "ip", col("b_ei"))
+            .when(col("type_a") === "email", col("b_ep"))
+            .otherwise(col("b_ip")).as("n_both"),
+          col("n_docs"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(n_both * n_docs * 1000000 div (n_a * n_b) AS BIGINT)"))
+            .as("lift_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279)
+      q279, q282, q286, q287)
 }

@@ -1346,7 +1346,129 @@ object EventQueries {
           .as("peek_significant"))
     })
 
+  /** A/B POWER ANALYSIS — the question that must be answered BEFORE
+    * q268 reads a z² and q273 audits the peeking: at the corpus'
+    * pooled conversion rate, how many users PER ARM does each target
+    * effect size need (two-sided α=0.05, power 0.80)? n =
+    * ⌈2(z_{α/2}+z_β)²·p(1−p)/Δ²⌉ in exact integers: (1.959964 +
+    * 0.841621)² is typed in as the public constant 7.848880 (micro
+    * units), p and Δ ride in ppm, and the whole fraction is one
+    * ceiling division — both engines land identical BIGINTs (the q268
+    * convention: no float ever reaches the output). `powered_now`
+    * compares against the CURRENT smaller arm — the go/no-go column.
+    * Scale shape: one map-side user rollup → 2-row arm table → 1-row
+    * pivot × a 4-row constant grid. HASH-MATCHED. */
+  val q284 = QueryDef.oracle("q284_ab_required_n",
+    s"""WITH u AS (SELECT user_id,
+       |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |               AS conv
+       |           FROM events GROUP BY 1),
+       |a AS (SELECT $abArmSql AS arm, conv FROM u),
+       |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(SUM(conv) AS BIGINT) AS c
+       |      FROM a GROUP BY 1),
+       |w AS (SELECT
+       |        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+       |        MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+       |        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+       |        MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+       |      FROM s),
+       |p AS (SELECT na, nb,
+       |        CAST((ca + cb) * 1000000 // (na + nb) AS BIGINT) AS p_ppm
+       |      FROM w),
+       |grid AS (SELECT unnest([50000, 100000, 200000, 500000]) AS mde_rel_ppm),
+       |calc AS (SELECT CAST(g.mde_rel_ppm AS BIGINT) AS mde_rel_ppm,
+       |           p.p_ppm, p.na, p.nb,
+       |           CAST(p.p_ppm * g.mde_rel_ppm // 1000000 AS BIGINT) AS delta_ppm
+       |         FROM grid g, p)
+       |SELECT mde_rel_ppm, p_ppm, delta_ppm,
+       |       CAST(CASE WHEN delta_ppm = 0 OR p_ppm = 0 OR p_ppm = 1000000
+       |            THEN NULL
+       |            ELSE (2 * 7848880 * p_ppm * (1000000 - p_ppm)
+       |                  + 1000000 * delta_ppm * delta_ppm - 1)
+       |                 // (1000000 * delta_ppm * delta_ppm)
+       |            END AS BIGINT) AS n_required_per_arm,
+       |       CASE WHEN delta_ppm = 0 OR p_ppm = 0 OR p_ppm = 1000000
+       |            THEN NULL
+       |            ELSE (2 * 7848880 * p_ppm * (1000000 - p_ppm)
+       |                  + 1000000 * delta_ppm * delta_ppm - 1)
+       |                 // (1000000 * delta_ppm * delta_ppm)
+       |                 <= LEAST(na, nb)
+       |       END AS powered_now
+       |FROM calc""".stripMargin)(
+    (s, d) => {
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val arms = u.select(abArmCol.as("arm"), col("conv"))
+        .groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val w = arms.agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "A", col("c"))).as("ca"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "B", col("c"))).as("cb"))
+      val p = w.select(col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"),
+        expr("CAST((ca + cb) * 1000000 div (na + nb) AS BIGINT)").as("p_ppm"))
+      val grid = s.createDataFrame(
+        Seq(50000L, 100000L, 200000L, 500000L).map(Tuple1(_)))
+        .toDF("mde_rel_ppm")
+      val nReq = "(2L * 7848880L * p_ppm * (1000000L - p_ppm)" +
+        " + 1000000L * delta_ppm * delta_ppm - 1L)" +
+        " div (1000000L * delta_ppm * delta_ppm)"
+      grid.crossJoin(broadcast(p))
+        .withColumn("delta_ppm",
+          expr("CAST(p_ppm * mde_rel_ppm div 1000000 AS BIGINT)"))
+        .select(col("mde_rel_ppm"), col("p_ppm"), col("delta_ppm"),
+          when(col("delta_ppm") === 0 || col("p_ppm") === 0
+            || col("p_ppm") === 1000000L, lit(null).cast("long"))
+            .otherwise(expr(s"CAST($nReq AS BIGINT)"))
+            .as("n_required_per_arm"),
+          when(col("delta_ppm") === 0 || col("p_ppm") === 0
+            || col("p_ppm") === 1000000L, lit(null).cast("boolean"))
+            .otherwise(expr(s"$nReq <= LEAST(na, nb)"))
+            .as("powered_now"))
+    })
+
+  /** EVENT TRIGRAM PATTERNS — the 3-step extension of q264's Markov
+    * pairs: per user, every CONSECUTIVE event triple under the shared
+    * (epoch-second, event_id) order, with support (occurrences) and
+    * reach (distinct users). Second-order structure is what funnels
+    * actually hang on — 'view → click → purchase' vs 'click → view →
+    * purchase' are different products, and a first-order transition
+    * matrix cannot tell them apart. Output is bounded by |types|³
+    * (125 here) at any corpus size. Scale shape: ONE user-keyed lag
+    * window (two lags in the same window — one shuffle, one sort) →
+    * map-side (t1, t2, t3) rollup. HASH-MATCHED. */
+  val q285 = QueryDef.oracle("q285_event_trigrams",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             date_diff('second', TIMESTAMP '1970-01-01', ts) AS es
+      |           FROM events),
+      |w AS (SELECT user_id, event_type AS t3,
+      |        lag(event_type, 1) OVER (PARTITION BY user_id
+      |          ORDER BY es, event_id) AS t2,
+      |        lag(event_type, 2) OVER (PARTITION BY user_id
+      |          ORDER BY es, event_id) AS t1
+      |      FROM e)
+      |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM w WHERE t1 IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("es"))
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      e.select(col("user_id"), col("event_type").as("t3"),
+        lag("event_type", 1).over(w).as("t2"),
+        lag("event_type", 2).over(w).as("t1"))
+        .filter(col("t1").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
-      q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273)
+      q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
+      q284, q285)
 }

@@ -1573,7 +1573,172 @@ object ExtensionQueries {
       })
   }
 
+  /** LAYOUT CLUSTERING FACTOR — the audit between q244's zone-map
+    * stats and q245's z-order rewrite: how clustered is each candidate
+    * column under the CURRENT ingest order (l_orderkey, l_linenumber)?
+    * Per column, over 4096-orderkey zones: adjacent descents (a
+    * perfectly clustered column has ~0, a random one ~50%) and the
+    * zone-skip readout — how many zones' [min, max] contain the
+    * column's global mid value, i.e. survive a point-predicate's
+    * min/max pruning. l_shipdate is correlated with ingest order (few
+    * descents, few zones hit) on a real ingest feed; on THIS synthetic
+    * corpus both columns measure ~random (≈500k ppm descents, every
+    * zone hit) — which is itself the audit's verdict: no column is
+    * pre-clustered, so zone maps buy nothing until an ingest re-sort
+    * or the q245 z-order rewrite creates the clustering. Scale
+    * shape: zone-keyed lag windows (never a global order-by), zone
+    * rollup, 1-row global minmax broadcast; 2-row output.
+    * HASH-MATCHED. */
+  val q283 = QueryDef.oracle("q283_clustering_factor",
+    """WITH b AS (SELECT l_orderkey // 4096 AS zone, l_orderkey, l_linenumber,
+      |             date_diff('second', TIMESTAMP '1970-01-01', l_shipdate)
+      |               // 86400 AS ship_d,
+      |             CAST(l_partkey AS BIGINT) AS pk
+      |           FROM lineitem),
+      |w AS (SELECT zone, ship_d, pk,
+      |        lag(ship_d) OVER (PARTITION BY zone
+      |          ORDER BY l_orderkey, l_linenumber, ship_d, pk) AS prev_ship,
+      |        lag(pk) OVER (PARTITION BY zone
+      |          ORDER BY l_orderkey, l_linenumber, ship_d, pk) AS prev_pk
+      |      FROM b),
+      |pairs AS (SELECT
+      |    CAST(count(prev_ship) AS BIGINT) AS n_pairs,
+      |    CAST(count(CASE WHEN ship_d < prev_ship THEN 1 END) AS BIGINT) AS d_ship,
+      |    CAST(count(CASE WHEN pk < prev_pk THEN 1 END) AS BIGINT) AS d_pk
+      |  FROM w),
+      |zs AS (SELECT zone, min(ship_d) AS zmin_s, max(ship_d) AS zmax_s,
+      |              min(pk) AS zmin_p, max(pk) AS zmax_p
+      |       FROM b GROUP BY 1),
+      |g AS (SELECT (min(zmin_s) + max(zmax_s)) // 2 AS mid_s,
+      |             (min(zmin_p) + max(zmax_p)) // 2 AS mid_p,
+      |             CAST(count(*) AS BIGINT) AS zones_total
+      |      FROM zs),
+      |hits AS (SELECT
+      |    CAST(count(CASE WHEN z.zmin_s <= g.mid_s AND g.mid_s <= z.zmax_s
+      |               THEN 1 END) AS BIGINT) AS hit_s,
+      |    CAST(count(CASE WHEN z.zmin_p <= g.mid_p AND g.mid_p <= z.zmax_p
+      |               THEN 1 END) AS BIGINT) AS hit_p
+      |  FROM zs z, g)
+      |SELECT c.col_name, p.n_pairs,
+      |       CASE c.col_name WHEN 'l_shipdate' THEN p.d_ship ELSE p.d_pk END AS n_desc,
+      |       CAST(CASE c.col_name WHEN 'l_shipdate' THEN p.d_ship ELSE p.d_pk END
+      |            * 1000000 // p.n_pairs AS BIGINT) AS desc_ppm,
+      |       g.zones_total,
+      |       CASE c.col_name WHEN 'l_shipdate' THEN h.hit_s ELSE h.hit_p END AS zones_hit_mid
+      |FROM (VALUES ('l_shipdate'), ('l_partkey')) AS c(col_name),
+      |     pairs p, g, hits h""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.lineitem(s, d).select(
+        expr("l_orderkey div 4096").as("zone"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("ship_d"),
+        col("l_partkey").cast("long").as("pk"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (11.8k dup pairs at sf0.01) — the measured columns join the sort
+      // key so the scan order is total over everything lag() reads and
+      // both engines count identical descents
+      val ord = Window.partitionBy("zone")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_d"), col("pk"))
+      val w = b.select(col("ship_d"), col("pk"),
+        lag("ship_d", 1).over(ord).as("prev_ship"),
+        lag("pk", 1).over(ord).as("prev_pk"))
+      val pairs = w.agg(
+        count(col("prev_ship")).as("n_pairs"),
+        count(when(col("ship_d") < col("prev_ship"), 1)).as("d_ship"),
+        count(when(col("pk") < col("prev_pk"), 1)).as("d_pk"))
+      val zs = b.groupBy("zone").agg(
+        min("ship_d").as("zmin_s"), max("ship_d").as("zmax_s"),
+        min("pk").as("zmin_p"), max("pk").as("zmax_p"))
+        .localCheckpoint(false) // zone table feeds both g and hits
+      val g = zs.agg(
+        expr("(min(zmin_s) + max(zmax_s)) div 2").as("mid_s"),
+        expr("(min(zmin_p) + max(zmax_p)) div 2").as("mid_p"),
+        count(lit(1)).as("zones_total"))
+      val hits = zs.crossJoin(broadcast(g)).agg(
+        count(when(col("zmin_s") <= col("mid_s") && col("mid_s") <= col("zmax_s"), 1))
+          .as("hit_s"),
+        count(when(col("zmin_p") <= col("mid_p") && col("mid_p") <= col("zmax_p"), 1))
+          .as("hit_p"))
+      val axis = s.createDataFrame(Seq(Tuple1("l_shipdate"), Tuple1("l_partkey")))
+        .toDF("col_name")
+      axis.crossJoin(broadcast(pairs)).crossJoin(broadcast(g))
+        .crossJoin(broadcast(hits))
+        .select(col("col_name"), col("n_pairs"),
+          when(col("col_name") === "l_shipdate", col("d_ship"))
+            .otherwise(col("d_pk")).as("n_desc"),
+          expr("CAST(CASE WHEN col_name = 'l_shipdate' THEN d_ship ELSE d_pk END" +
+            " * 1000000 div n_pairs AS BIGINT)").as("desc_ppm"),
+          col("zones_total"),
+          when(col("col_name") === "l_shipdate", col("hit_s"))
+            .otherwise(col("hit_p")).as("zones_hit_mid"))
+    })
+
+  /** IDF DRIFT between corpus snapshots — the term-level view the
+    * snapshot family's doc-level (q190) and type-level (q239) reports
+    * can't give: which TERMS' document frequencies moved most between
+    * the old and new snapshot (the shared drift-pinned views)? A
+    * quietly rising navigation/boilerplate token or a falling content
+    * token is a crawl-pipeline change the per-doc diff counts hide.
+    * Per token: df in each snapshot as exact ppm of that snapshot's
+    * doc count, shift = new − old, top 15 by |shift| (desc, token
+    * tiebreak). Scale shape: two distinct-(doc, token) explodes →
+    * vocab-sized map-side df rollups → full-outer token merge →
+    * TakeOrderedAndProject. HASH-MATCHED. */
+  val q288 = QueryDef.oracle("q288_idf_drift",
+    s"""WITH v_old AS (
+       |  SELECT doc_id, $snapshotOldTextSql AS text
+       |  FROM documents WHERE $snapshotOldPred),
+       |v_new AS (
+       |  SELECT doc_id, text FROM documents WHERE $snapshotNewPred),
+       |t_old AS (SELECT DISTINCT doc_id, unnest(list_filter(
+       |            regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |          FROM v_old),
+       |t_new AS (SELECT DISTINCT doc_id, unnest(list_filter(
+       |            regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |          FROM v_new),
+       |df_old AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t_old GROUP BY 1),
+       |df_new AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t_new GROUP BY 1),
+       |n_old AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v_old),
+       |n_new AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v_new),
+       |m AS (SELECT COALESCE(o.tok, nw.tok) AS tok,
+       |        CAST(COALESCE(o.df, 0) * 1000000 // no.n AS BIGINT) AS df_old_ppm,
+       |        CAST(COALESCE(nw.df, 0) * 1000000 // nn.n AS BIGINT) AS df_new_ppm
+       |      FROM df_old o FULL OUTER JOIN df_new nw ON o.tok = nw.tok,
+       |           n_old no, n_new nn)
+       |SELECT tok, df_old_ppm, df_new_ppm,
+       |       df_new_ppm - df_old_ppm AS shift_ppm
+       |FROM m
+       |ORDER BY abs(df_new_ppm - df_old_ppm) DESC, tok
+       |LIMIT 15""".stripMargin)(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      def dfOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(array_distinct(
+          tokens(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val vOld = docs.filter(expr(snapshotOldPred))
+        .select(col("doc_id"), snapshotOldText.as("text"))
+      val vNew = docs.filter(expr(snapshotNewPred))
+        .select(col("doc_id"), col("text"))
+      val dfo = dfOf(vOld).select(col("tok"), col("df").as("df_o"))
+      val dfn = dfOf(vNew).select(col("tok").as("tok_n"), col("df").as("df_n"))
+      val no = vOld.agg(count(lit(1)).as("n_o"))
+      val nn = vNew.agg(count(lit(1)).as("n_n"))
+      dfo.join(dfn, col("tok") === col("tok_n"), "full_outer")
+        .crossJoin(broadcast(no)).crossJoin(broadcast(nn))
+        .select(coalesce(col("tok"), col("tok_n")).as("tok"),
+          expr("CAST(COALESCE(df_o, 0) * 1000000 div n_o AS BIGINT)")
+            .as("df_old_ppm"),
+          expr("CAST(COALESCE(df_n, 0) * 1000000 div n_n AS BIGINT)")
+            .as("df_new_ppm"))
+        .withColumn("shift_ppm", col("df_new_ppm") - col("df_old_ppm"))
+        .orderBy(abs(col("shift_ppm")).desc, col("tok"))
+        .limit(15)
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253, q256, q260)
+    q250, q251, q253, q256, q260, q283, q288)
 }

@@ -2472,8 +2472,84 @@ object SimilarityQueries {
           col("rrf_ppm").cast("long").as("rrf_ppm"), col("fused_rank"))
     })
 
+  /** DIMENSION-TRUNCATION RECALL (the Matryoshka question) — what does
+    * serving only the first P coordinates cost? Per prefix width P ∈
+    * {8, 16, 32, 64}: brute-force cosine top-10 over the truncated
+    * vectors vs the full-width top-10 as ground truth (q61's exact
+    * convention: double cosine, rank ties broken by vec_id), recall in
+    * exact ppm plus the worst single query. A flat curve licenses
+    * truncated storage/transport (4× less index I/O at P=16); a cliff
+    * is the measured veto. Scale shape: ONE corpus×|Q| scored pass —
+    * the 4 prefix cosines ride a scan-stage explode of the SAME row
+    * pair, so the corpus is read once, not once per width — then
+    * (dims, q_id)-keyed rank windows and a 4-row rollup.
+    * HASH-MATCHED. */
+  val q281 = QueryDef.oracle("q281_dim_truncation_recall",
+    """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv
+      |            FROM embeddings WHERE vec_id % 50 = 0),
+      |sc AS (SELECT q.q_id, n.vec_id, u.dims,
+      |         list_cosine_similarity(CAST(q.qv[1:u.dims] AS DOUBLE[]),
+      |                                CAST(n.embedding[1:u.dims] AS DOUBLE[]))
+      |           AS cos
+      |       FROM embeddings n JOIN qs q ON n.vec_id <> q.q_id,
+      |            (SELECT unnest([8, 16, 32, 64]) AS dims) u),
+      |t AS (SELECT dims, q_id, vec_id FROM (
+      |        SELECT dims, q_id, vec_id,
+      |               ROW_NUMBER() OVER (PARTITION BY dims, q_id
+      |                 ORDER BY cos DESC, vec_id) AS rk
+      |        FROM sc)
+      |      WHERE rk <= 10),
+      |mk AS (SELECT q_id, vec_id, list(dims) AS ds,
+      |         MAX(CASE WHEN dims = 64 THEN 1 ELSE 0 END) AS tr
+      |       FROM t GROUP BY 1, 2),
+      |ex AS (SELECT q_id, unnest(ds) AS dims, tr FROM mk),
+      |hits AS (SELECT dims, q_id, CAST(SUM(tr) AS BIGINT) AS n_hit
+      |         FROM ex GROUP BY 1, 2)
+      |SELECT CAST(dims AS BIGINT) AS dims,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+      |       CAST(SUM(n_hit) * 1000000 // (count(*) * 10) AS BIGINT)
+      |         AS recall_ppm,
+      |       CAST(MIN(n_hit) AS BIGINT) AS worst_hits
+      |FROM hits GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = querySet(s, d)
+      val widths = Seq(8, 16, 32, 64)
+      val scored = base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          explode(array(widths.map(p => struct(lit(p.toLong).as("dims"),
+            VecExpressions.cosineFast(s,
+              slice(col("q_vec"), 1, p),
+              slice(col("embedding"), 1, p)).as("cos"))): _*)).as("e"))
+        .select(col("q_id"), col("vec_id"), col("e.dims").as("dims"),
+          col("e.cos").as("cos"))
+      val w = Window.partitionBy("dims", "q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      // hit-marking WITHOUT a truth self-join: per (q_id, vec_id) the
+      // retrieved widths fold into one row carrying the in-full-width
+      // flag, then re-explode — t is consumed ONCE, no second corpus
+      // pass, no bounded-set broadcast needed
+      val t = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select("dims", "q_id", "vec_id")
+      val mk = t.groupBy("q_id", "vec_id")
+        .agg(collect_list("dims").as("ds"),
+          max(when(col("dims") === 64L, 1).otherwise(0)).as("tr"))
+      val hits = mk.select(col("q_id"), explode(col("ds")).as("dims"), col("tr"))
+        .groupBy("dims", "q_id").agg(sum("tr").as("n_hit"))
+      hits.groupBy("dims").agg(
+        count(lit(1)).as("n_queries"),
+        sum("n_hit").cast("long").as("total_hits"),
+        expr("CAST(SUM(n_hit) * 1000000 div (count(1) * 10) AS BIGINT)")
+          .as("recall_ppm"),
+        min("n_hit").cast("long").as("worst_hits"))
+        .select(col("dims"), col("n_queries"), col("total_hits"),
+          col("recall_ppm"), col("worst_hits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270, q276)
+      q228, q232, q235, q237, q240, q241, q270, q276, q281)
 }

@@ -508,4 +508,77 @@ object EventStreams {
           }
       }
   }
+
+  final case class Tri2State(es1: Long, id1: Long, t1: String,
+      es2: Long, id2: Long, t2: String)
+  final case class Trigram(user_id: Long, t1: String, t2: String,
+      t3: String, ts: Timestamp)
+
+  /** Streaming TRIGRAM gate — q285's consecutive-triple extraction at
+    * ingest (the second-order sibling of [[transitionGate]]): each
+    * arriving event closes a (t1, t2, t3) pattern against the user's
+    * retained last TWO events and emits one row — the live feed a
+    * funnel-order monitor consumes without the batch double-lag pass.
+    *
+    * State is TWO (es, event_id, type) triples per user — still
+    * constant per key, watermark-evicted exactly like transitionGate
+    * (a user quiet past the horizon starts a fresh chain: the first
+    * two events after eviction emit nothing, matching the batch
+    * NULL-lag rows). Same intake contract as the other gates:
+    * within-horizon feeds split at event-time-ordered trigger
+    * boundaries emit exactly the batch q285 triple multiset
+    * (`TrigramStreamSpec` pins multiset equality and the eviction
+    * chain-break). */
+  def trigramGate(
+      events: DataFrame,
+      watermark: String = "30 days"): Dataset[Trigram] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[TransEv]
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Tri2State, Trigram](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rs: Iterator[TransEv], state: GroupState[Tri2State]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rs.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[Trigram]
+            // (older, newer) retained pair; either may be absent
+            var st = state.getOption
+            var pending: Option[(Long, Long, String)] = st match {
+              case Some(s) => Some((s.es2, s.id2, s.t2))
+              case None => None
+            }
+            var older: Option[(Long, Long, String)] = st match {
+              case Some(s) if s.es1 >= 0 => Some((s.es1, s.id1, s.t1))
+              case _ => None
+            }
+            var maxEs = Long.MinValue
+            sorted.foreach { e =>
+              val es = e.ts.getTime / 1000L
+              if (es > maxEs) maxEs = es
+              (older, pending) match {
+                case (Some(o), Some(p)) =>
+                  out += Trigram(user, o._3, p._3, e.event_type, e.ts)
+                case _ => ()
+              }
+              older = pending
+              pending = Some((es, e.event_id, e.event_type))
+            }
+            pending match {
+              case Some(p) =>
+                val o = older.getOrElse((-1L, -1L, ""))
+                state.update(Tri2State(o._1, o._2, o._3, p._1, p._2, p._3))
+              case None => ()
+            }
+            if (maxEs != Long.MinValue)
+              state.setTimeoutTimestamp(maxEs * 1000L, watermark)
+            out.iterator
+          }
+      }
+  }
 }

@@ -31,6 +31,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = DedupQueries.portableBandrowsCtes
       val consumers = sqlByName.filter(_._2.contains("bandrows AS"))
       consumers.keySet shouldBe Set(
+        "q51_minhash_signatures", "q55_group_minhash", // portable since r12
         "q52_minhash_lsh_dedup", "q54_ngram_jaccard_verify",
         "q56_dedup_clusters", "q99_portable_minhash_pairs",
         "q129_cluster_canonical", "q139_contrastive_triples",
