@@ -669,6 +669,25 @@ object PlanCheck {
       "AQE skew audit: two map-side key rollups into 1-row stats; no window, no join at all",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("Join"))
+    check("q289_partition_balance_audit",
+      "partition-balance audit: map-side (candidate, partition) rollups (<=4x32 groups survive the partial); no join",
+      p => p.contains("partial_count") && !p.contains("Join"))
+    checkTree("q290_zipf_fit",
+      "zipf rank window is source-keyed over the vocab rollup",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q290_zipf_fit",
+      "zipf fit: vocab-sized map-side rollup; normal equations are one |sources|-row agg",
+      p => p.contains("partial_count") && scans(p, "documents") == 1)
+    check("q291_gram_novelty_curve",
+      "novelty curve: ONE gram explode into the materialized (decile, gram) rollup (ExistingRDD); both legs reuse it, text scanned once",
+      p => p.contains("ExistingRDD") && p.contains("partial_count") &&
+        scans(p, "documents") <= 1 && !p.contains("CartesianProduct"))
+    check("q292_ranker_agreement",
+      "ranker agreement: both legs TakeOrdered to 50 (ExistingRDD reuse); pair arithmetic on bounded lists",
+      p => p.contains("ExistingRDD") && !p.contains("SortMergeJoin"))
     check("q281_dim_truncation_recall",
       "truncation sweep: ONE broadcast-driven corpus pass (the 4 widths explode scan-side), no sort-merge",
       p => p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&

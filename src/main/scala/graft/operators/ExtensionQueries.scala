@@ -1738,7 +1738,70 @@ object ExtensionQueries {
         .limit(15)
     })
 
+  /** HASH-PARTITION BALANCE AUDIT — the question q262's per-KEY plan
+    * doesn't answer: after the hash deals keys to the 32 reducers, how
+    * even are the PARTITIONS? A few heavy keys colliding into one
+    * reducer is invisible to key-level stats and to AQE until runtime.
+    * Per candidate shuffle key (the engine's real ones: lineitem's
+    * suppkey/orderkey, events.user_id, documents.source), rows are
+    * bucketed by the portable mixed hash mod 32 (the q244 quadratic
+    * mix, so arithmetic-progression keys don't stripe), then per
+    * candidate: hottest-partition rows, imbalance = max·32·10⁶/total
+    * (10⁶ = perfectly even), and empty reducers. documents.source is
+    * the designed pathology — ~20 values into 32 partitions CANNOT
+    * balance, the printed number says exactly how bad. Scale shape:
+    * one map-side (candidate, partition) rollup per fact — ≤ 4×32
+    * groups survive the partial — then a 4-row stats tail.
+    * HASH-MATCHED. */
+  val q289 = QueryDef.oracle("q289_partition_balance_audit", {
+    import graft.functions.PortableHashKernels.P
+    def arm(cand: String, table: String, keyHash: String): String =
+      s"SELECT '$cand' AS candidate, (($keyHash) * ($keyHash) + 3 * ($keyHash) + 7) % $P % 32 AS prt FROM $table"
+    val cp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(source, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 131 + b) % $P)"
+    s"""WITH arms AS (
+       |  ${arm("lineitem_suppkey", "lineitem", s"CAST(l_suppkey AS BIGINT) % $P")}
+       |  UNION ALL
+       |  ${arm("lineitem_orderkey", "lineitem", s"CAST(l_orderkey AS BIGINT) % $P")}
+       |  UNION ALL
+       |  ${arm("events_user", "events", s"CAST(user_id AS BIGINT) % $P")}
+       |  UNION ALL
+       |  ${arm("documents_source", "documents", cp)}),
+       |pc AS (SELECT candidate, prt, CAST(count(*) AS BIGINT) AS n
+       |       FROM arms GROUP BY 1, 2)
+       |SELECT candidate,
+       |       CAST(SUM(n) AS BIGINT) AS total_rows,
+       |       CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+       |       CAST(MAX(n) * 32 * 1000000 // SUM(n) AS BIGINT)
+       |         AS imbalance_ppm,
+       |       CAST(32 - count(*) AS BIGINT) AS n_empty
+       |FROM pc GROUP BY 1""".stripMargin})(
+    (s, d) => {
+      import graft.functions.PortableHashKernels.P
+      import graft.functions.HashFunctions.portableCpHashNative
+      def arm(cand: String, df: DataFrame, th: Column): DataFrame =
+        df.select(lit(cand).as("candidate"),
+          ((th * th + th * 3L + 7L) % P % 32L).as("prt"))
+      val arms =
+        arm("lineitem_suppkey", Tables.lineitem(s, d),
+          pmod(col("l_suppkey").cast("long"), lit(P)))
+          .unionByName(arm("lineitem_orderkey", Tables.lineitem(s, d),
+            pmod(col("l_orderkey").cast("long"), lit(P))))
+          .unionByName(arm("events_user", Tables.events(s, d),
+            pmod(col("user_id").cast("long"), lit(P))))
+          .unionByName(arm("documents_source", Tables.documents(s, d),
+            portableCpHashNative(col("source"))))
+      arms.groupBy("candidate", "prt").agg(count(lit(1)).as("n"))
+        .groupBy("candidate").agg(
+          sum("n").cast("long").as("total_rows"),
+          max("n").cast("long").as("max_partition_rows"),
+          expr("CAST(MAX(n) * 32 * 1000000 div SUM(n) AS BIGINT)")
+            .as("imbalance_ppm"),
+          (lit(32L) - count(lit(1))).as("n_empty"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253, q256, q260, q283, q288)
+    q250, q251, q253, q256, q260, q283, q288, q289)
 }

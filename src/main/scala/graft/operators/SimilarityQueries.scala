@@ -2472,6 +2472,102 @@ object SimilarityQueries {
           col("rrf_ppm").cast("long").as("rrf_ppm"), col("fused_rank"))
     })
 
+  /** RANKER AGREEMENT — the measurement that motivates (or retires)
+    * q270's fusion: how much do the lexical and semantic top-50 lists
+    * actually disagree? Same two legs as q270 (the shared BM25 chain
+    * and the exact broadcast-query cosine ranking, identical rank
+    * tiebreaks), then exact list overlap (Jaccard in ppm) and Kendall
+    * tau over the COMMON documents — concordant/discordant pairs
+    * counted over the ≤ 50² bounded intersection, tau_ppm =
+    * (C − D)·10⁶ // pairs. High tau means the legs are redundant and
+    * fusion buys nothing; low tau with decent overlap is exactly
+    * where reciprocal-rank fusion earns its keep. Scale shape: both
+    * legs TakeOrdered to 50 rows; everything after is arithmetic on
+    * two 50-row lists. HASH-MATCHED. */
+  val q292 = QueryDef.oracle("q292_ranker_agreement",
+    s"""WITH ${graft.operators.ModelPrepQueries.bm25Ctes},
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |          ORDER BY score_micro DESC, doc_id) AS BIGINT) AS lex_rank
+       |        FROM agg WHERE doc_id <> 0
+       |        QUALIFY lex_rank <= 50),
+       |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+       |sem AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+       |          ORDER BY list_cosine_similarity(
+       |            CAST(e.embedding AS DOUBLE[]),
+       |            CAST(qv.q_vec AS DOUBLE[])) DESC, vec_id) AS BIGINT)
+       |          AS sem_rank
+       |        FROM embeddings e, qv WHERE e.vec_id <> 0
+       |        QUALIFY sem_rank <= 50),
+       |sizes AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lex) AS n_lex,
+       |                 (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_sem),
+       |c AS (SELECT l.doc_id, l.lex_rank, s.sem_rank
+       |      FROM lex l JOIN sem s ON l.doc_id = s.doc_id),
+       |p AS (SELECT CASE WHEN (a.lex_rank < b.lex_rank)
+       |                   = (a.sem_rank < b.sem_rank) THEN 1 ELSE 0 END AS conc
+       |      FROM c a JOIN c b ON a.doc_id < b.doc_id),
+       |agg2 AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_common,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+       |    (SELECT CAST(COALESCE(SUM(conc), 0) AS BIGINT) FROM p) AS concordant)
+       |SELECT s.n_lex, s.n_sem, a.n_common,
+       |       CAST(CASE WHEN s.n_lex + s.n_sem - a.n_common = 0 THEN NULL
+       |            ELSE a.n_common * 1000000
+       |                 // (s.n_lex + s.n_sem - a.n_common) END AS BIGINT)
+       |         AS jaccard_ppm,
+       |       a.concordant,
+       |       a.n_pairs - a.concordant AS discordant,
+       |       CAST(CASE WHEN a.n_pairs = 0 THEN NULL
+       |            ELSE (2 * a.concordant - a.n_pairs) * 1000000 // a.n_pairs
+       |            END AS BIGINT) AS tau_ppm
+       |FROM sizes s, agg2 a""".stripMargin)(
+    (s, d) => {
+      val lex = graft.operators.ModelPrepQueries.bm25ScoreFrame(s, d)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rank", row_number()
+          .over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "lex_rank")
+        .localCheckpoint(false) // 50-row list consumed by sizes + c
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val sem = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          VecExpressions.cosineFast(s, col("embedding"), col("q_vec")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("sem_rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("s_doc"), col("sem_rank"))
+        .localCheckpoint(false)
+      val sizes = lex.agg(count(lit(1)).as("n_lex"))
+        .crossJoin(sem.agg(count(lit(1)).as("n_sem")))
+      val c = lex.join(sem, col("doc_id") === col("s_doc"))
+        .select(col("doc_id"), col("lex_rank"), col("sem_rank"))
+        .localCheckpoint(false)
+      val a2 = c.toDF("a_doc", "a_lex", "a_sem")
+      val b2 = c.toDF("b_doc", "b_lex", "b_sem")
+      val p = a2.join(b2, col("a_doc") < col("b_doc"))
+        .select(when((col("a_lex") < col("b_lex")) === (col("a_sem") < col("b_sem")),
+          1).otherwise(0).as("conc"))
+      val agg2 = c.agg(count(lit(1)).as("n_common"))
+        .crossJoin(p.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("conc"), lit(0L)).cast("long").as("concordant")))
+      sizes.crossJoin(agg2)
+        .select(col("n_lex"), col("n_sem"), col("n_common"),
+          when(col("n_lex") + col("n_sem") - col("n_common") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST(n_common * 1000000 div (n_lex + n_sem - n_common) AS BIGINT)"))
+            .as("jaccard_ppm"),
+          col("concordant"),
+          (col("n_pairs") - col("concordant")).as("discordant"),
+          when(col("n_pairs") === 0, lit(null).cast("long"))
+            .otherwise(expr(
+              "CAST((2 * concordant - n_pairs) * 1000000 div n_pairs AS BIGINT)"))
+            .as("tau_ppm"))
+    })
+
   /** DIMENSION-TRUNCATION RECALL (the Matryoshka question) — what does
     * serving only the first P coordinates cost? Per prefix width P ∈
     * {8, 16, 32, 64}: brute-force cosine top-10 over the truncated
@@ -2551,5 +2647,5 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270, q276, q281)
+      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292)
 }

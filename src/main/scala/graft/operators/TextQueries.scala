@@ -1451,8 +1451,157 @@ object TextQueries {
       })
   }
 
+  /** ZIPF FIT — per source, the least-squares slope of log-frequency
+    * on log-rank over the top-100 types: natural text sits near −1;
+    * a flat slope (template spam — every type equally frequent) or a
+    * cliff (ID/hash noise — a long unique tail after a tiny head) are
+    * both intake defects the count-based audits (q201's TTR/hapax)
+    * flag only indirectly. Logs ride the engine-shared
+    * round(log2·10⁶) micro convention (q123's), the normal-equation
+    * sums go through DECIMAL(38,0)/HUGEINT, and slope/intercept come
+    * out as ONE integer division each — both engines land identical
+    * BIGINTs. Scale shape: vocab-sized (source, tok) rollup
+    * (map-side), per-source rank window over the ROLLUP top-100, a
+    * |sources|-row normal-equation rollup. HASH-MATCHED. */
+  val q290 = QueryDef.oracle("q290_zipf_fit",
+    """WITH toks AS (
+      |  SELECT d.source, unnest(list_filter(
+      |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |  FROM documents d),
+      |vc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM toks GROUP BY 1, 2),
+      |r AS (SELECT source, c,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY c DESC, tok) AS rk
+      |      FROM vc QUALIFY rk <= 100),
+      |xy AS (SELECT source,
+      |         CAST(round(log2(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |         CAST(round(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      |       FROM r),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |      FROM xy GROUP BY 1),
+      |s AS (SELECT source, n,
+      |        CAST((n * sxy - sx * sy) * 1000000
+      |             // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+      |        sx, sy
+      |      FROM a WHERE n * sxx - sx * sx <> 0)
+      |SELECT source, n AS n_types, slope_micro,
+      |       CAST((sy * 1000000 - CAST(slope_micro AS HUGEINT) * sx)
+      |            // (n * 1000000) AS BIGINT) AS intercept_micro
+      |FROM s""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val r = vc.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rk") <= 100)
+      val xy = r.select(col("source"),
+        round(log2(col("rk").cast("double")) * 1000000).cast("long").as("x"),
+        round(log2(col("c").cast("double")) * 1000000).cast("long").as("y"))
+      val a = xy.groupBy("source").agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      a.filter(expr("n * sxx - sx * sx <> 0"))
+        .withColumn("slope_micro", expr(
+          "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
+        .select(col("source"), col("n").as("n_types"), col("slope_micro"),
+          expr("CAST((sy * 1000000 - CAST(slope_micro AS DECIMAL(38,0)) * sx)" +
+            " div (n * 1000000) AS BIGINT)").as("intercept_micro"))
+    })
+
+  /** GRAM NOVELTY CURVE — the within-corpus scaling-value question
+    * under every "crawl more data" decision: consuming the corpus in
+    * ingest (doc_id) order, how much NEW 3-gram structure does each
+    * decile of documents contribute? A gram's novelty belongs to its
+    * FIRST document (min doc_id per gram — one vocab-sized rollup,
+    * never a sequential pass), each decile then sums first-occurrences
+    * against its gram occurrences, and the running totals come from a
+    * cumsum window over the 10-row decile table. Flattening novelty =
+    * diminishing returns; a flat-then-spiking curve = a source-order
+    * artifact worth shuffling. Also the batch truth for the streaming
+    * novelty gate ([[graft.streaming.DocStreams.gramNoveltyGate]]).
+    * Scale shape: one gram explode → (gram) min-rollup + one per-doc
+    * occurrence rollup → 10-row axis; windows only over the decile
+    * table. HASH-MATCHED. */
+  val q291 = QueryDef.oracle("q291_gram_novelty_curve",
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\s+'),
+      |                             []), x -> x <> '') AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN len(l) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE [list_aggregate(l[i:i+2], 'string_agg', ' ')
+      |               FOR i IN range(1, len(l) - 1)] END AS gs
+      |  FROM toks),
+      |ex AS (SELECT g.doc_id * 10 // nd.n + 1 AS decile, unnest(gs) AS gram
+      |       FROM grams g, nd),
+      |occ AS (SELECT decile, CAST(count(*) AS BIGINT) AS occurrences
+      |        FROM ex GROUP BY 1),
+      |first AS (SELECT gram, MIN(decile) AS fdec FROM ex GROUP BY 1),
+      |nf AS (SELECT fdec AS decile, CAST(count(*) AS BIGINT) AS new_grams
+      |       FROM first GROUP BY 1),
+      |ndoc AS (SELECT d.doc_id * 10 // nd.n + 1 AS decile,
+      |           CAST(count(*) AS BIGINT) AS n_docs
+      |         FROM documents d, nd GROUP BY 1),
+      |m AS (SELECT m0.decile, m0.n_docs,
+      |        COALESCE(o.occurrences, 0) AS occurrences,
+      |        COALESCE(f.new_grams, 0) AS new_grams
+      |      FROM ndoc m0 LEFT JOIN occ o ON m0.decile = o.decile
+      |           LEFT JOIN nf f ON m0.decile = f.decile)
+      |SELECT decile, n_docs, occurrences, new_grams,
+      |       CAST(SUM(new_grams) OVER (ORDER BY decile) AS BIGINT)
+      |         AS cum_distinct,
+      |       CAST(CASE WHEN occurrences = 0 THEN NULL
+      |            ELSE new_grams * 1000000 // occurrences END AS BIGINT)
+      |         AS novelty_ppm
+      |FROM m""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // 1-row corpus size, materialized so its scan doesn't replicate
+      // into every consumer branch
+      val nd = docs.agg(count(lit(1)).as("n")).localCheckpoint(false)
+      // ONE gram-explode pass, folded map-side into the (decile, gram)
+      // rollup, which is materialized once and feeds BOTH legs:
+      // occurrences per decile AND first-occurrence novelty (decile is
+      // monotone in doc_id, so MIN(decile) ≡ the first document's
+      // decile — no second corpus scan for min-doc). The rollup is
+      // vocab×10-sized — q201's sublinear exchange class
+      val g2 = docs
+        .select(col("doc_id"), explode(wordNgrams(col("text"), 3)).as("gram"))
+        .crossJoin(broadcast(nd))
+        .select(expr("doc_id * 10 div n + 1").as("decile"), col("gram"))
+        .groupBy("decile", "gram").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val occ = g2.groupBy("decile").agg(sum("c").cast("long").as("occurrences"))
+      val nf = g2.groupBy("gram").agg(min("decile").as("fdec"))
+        .groupBy(col("fdec").as("decile")).agg(count(lit(1)).as("new_grams"))
+      val ndoc = docs.select(col("doc_id")).crossJoin(broadcast(nd))
+        .groupBy(expr("doc_id * 10 div n + 1").as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+      ndoc.join(occ, Seq("decile"), "left").join(nf, Seq("decile"), "left")
+        .select(col("decile"), col("n_docs"),
+          coalesce(col("occurrences"), lit(0L)).as("occurrences"),
+          coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+        .withColumn("cum_distinct",
+          sum("new_grams").over(Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .withColumn("novelty_ppm",
+          when(col("occurrences") === 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(new_grams * 1000000 div occurrences AS BIGINT)")))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278)
+      q236, q248, q254, q269, q278, q290, q291)
 }

@@ -650,6 +650,88 @@ object DocStreams {
       }
   }
 
+  final case class NovState(regs: Seq[Long], n_docs: Long, prev_est: Long)
+  final case class NovEstimate(source: String, n_docs_seen: Long,
+      est_before: Long, est_after: Long, novel_est: Long, ts: Timestamp)
+
+  /** Streaming GRAM-NOVELTY gate — q291's scaling-value curve at
+    * ingest: per source, per trigger, the estimated count of NEW
+    * distinct 3-grams this micro-batch contributed (est_after −
+    * est_before over a portable-HLL register set). A batch whose
+    * novelty collapses is re-crawled/templated content — the signal
+    * to stop paying for a source BEFORE the corpus grows by a day.
+    *
+    * Exact novelty would need the set of every gram ever seen
+    * (unbounded state); the HLL form keeps 128 longs + two counters
+    * per source FOREVER (the hllGate bound) and prices novelty within
+    * the estimator's ±9.2%σ. Register updates are monotone max — so
+    * the FINAL state is feed-order-invariant (any trigger split lands
+    * identical registers, spec-pinned) and per-trigger novel_est
+    * telescopes exactly to the final estimate. The estimator is
+    * q244's UNBIASED kernel (quadratic mix + the power-of-two
+    * 2⁴⁶-framed rank), not the q224/hllGate framing whose w =
+    * comb//128 range inflates rank tails by a documented ≈+15% —
+    * q291's exact cum_distinct gates the accuracy directly in
+    * `GramNoveltyStreamSpec`, so the gate ships the estimator that
+    * passes a bias-free 3.8σ bound. Gram fold =
+    * [[graft.functions.PortableHashKernels.gramHashArray]].
+    *
+    * Scale shape: gram hashing rides the stateful operator's input
+    * iterator; one source-keyed stateful shuffle; one row per source
+    * per trigger out. */
+  def gramNoveltyGate(docs: DataFrame,
+      watermark: String = "1 hour"): Dataset[NovEstimate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.PortableHashKernels.{a, b, P}
+    val (a1, b1, a2, b2) = (a(11), b(11), a(12), b(12))
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"), col("text"))
+      .as[HllDoc]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[NovState, NovEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rs: Iterator[HllDoc], state: GroupState[NovState]) =>
+          val st = state.getOption.getOrElse(NovState(Seq.fill(128)(0L), 0L, 0L))
+          val regs = st.regs.toArray
+          var nDocs = st.n_docs
+          var maxTs: Timestamp = null
+          rs.foreach { doc =>
+            nDocs += 1
+            if (maxTs == null || doc.ts.after(maxTs)) maxTs = doc.ts
+            if (doc.text != null) {
+              graft.functions.PortableHashKernels
+                .gramHashArray(doc.text, 3).foreach { th =>
+                  // q244's unbiased estimator: quadratic mix, bucket
+                  // from h2's low bits, rank from the 2^46-framed
+                  // w = u1*2^23 + u2 with u_i = (h_i*2^23)//P
+                  val tm = (th * th + 3L * th + 7L) % P
+                  val h1 = (tm * a1 + b1) % P
+                  val h2 = (tm * a2 + b2) % P
+                  val bucket = (h2 % 128L).toInt
+                  val w = (h1 * 8388608L) / P * 8388608L + (h2 * 8388608L) / P
+                  val rho =
+                    if (w == 0L) 47L
+                    else 47L - (64L - java.lang.Long.numberOfLeadingZeros(w))
+                  if (rho > regs(bucket)) regs(bucket) = rho
+                }
+            }
+          }
+          val nEmpty = regs.count(_ == 0L).toLong
+          val zs = regs.map(mx => 1L << (47 - mx)).sum
+          val raw = (BigInt(715271) * 16384 * 140737488355328L / zs /
+            1000000).toLong
+          val est =
+            if (nEmpty > 0 && raw <= 320)
+              math.round(128.0 * math.log(128.0 / nEmpty))
+            else raw
+          val out = NovEstimate(source, nDocs, st.prev_est, est,
+            est - st.prev_est, maxTs)
+          state.update(NovState(regs.toSeq, nDocs, est))
+          Iterator.single(out)
+      }
+  }
+
   final case class PackIn(doc_id: Long, ts: Timestamp, source: String,
       n_tok: Option[Long])
   final case class PackAssign(doc_id: Long, source: String,

@@ -254,7 +254,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("% 2001 - 1000"))
       consumers.keySet shouldBe Set(
         "q183_classifier_score", "q266_classifier_auc",
-        "q279_classifier_lift")
+        "q279_classifier_lift",
+        "q282_curriculum_mixture", "q286_spearman_quality_length") // r12
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the classifier-score definition: ") {
           sql.contains(frag) shouldBe true
@@ -266,7 +267,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val frag = graft.operators.ModelPrepQueries.bm25Ctes
       val consumers = sqlByName.filter(_._2.contains("(tf * 2.2)"))
       consumers.keySet shouldBe Set(
-        "q124_bm25_retrieval", "q270_hybrid_rrf_fusion")
+        "q124_bm25_retrieval", "q270_hybrid_rrf_fusion",
+        "q292_ranker_agreement")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the BM25 scoring chain: ") {
           sql.contains(frag) shouldBe true
