@@ -669,6 +669,21 @@ object PlanCheck {
       "AQE skew audit: two map-side key rollups into 1-row stats; no window, no join at all",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("Join"))
+    checkTree("q293_length_distribution_drift",
+      "KS drift: cumsum windows are source-keyed over the (source, len) rollup",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q293_length_distribution_drift",
+      "KS drift: map-side value-count rollup, no join at all",
+      p => p.contains("partial_sum") && !p.contains("Join"))
+    check("q294_embedding_freshness",
+      "freshness: digest-compare full-outer (never text) + vec-keyed left join; no cartesian",
+      p => p.contains("SortMergeJoin FullOuter") && !p.contains("CartesianProduct"))
+    check("q295_inbatch_negative_risk",
+      "negative risk: one stored-pair aggregate + 1-row doc count x 3-row grid; no corpus-sized join",
+      p => !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
     check("q289_partition_balance_audit",
       "partition-balance audit: map-side (candidate, partition) rollups (<=4x32 groups survive the partial); no join",
       p => p.contains("partial_count") && !p.contains("Join"))

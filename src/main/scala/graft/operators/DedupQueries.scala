@@ -2830,9 +2830,56 @@ object DedupQueries {
           col("new_id").isNull.as("admitted"))
     })
 
+  /** IN-BATCH NEGATIVE RISK — the contrastive-training consequence of
+    * the near-dup pair set: with in-batch negatives, a batch that
+    * contains a near-dup pair trains on a FALSE negative (two
+    * near-identical texts pushed apart). Under a uniform random
+    * partition of the N-doc corpus into B-sized batches, a given pair
+    * co-batches with probability (B−1)/(N−1), so the expected false
+    * negatives are |dup_pairs|·(B−1)/(N−1) per epoch exactly (linearity
+    * — no simulation), priced here per epoch and per batch in micro
+    * units over a batch-size grid. The number says when dedup (or
+    * cluster-aware batching, q186's stratum trick) stops being
+    * optional. Pure stored-artifact + closed-form arithmetic: the pair
+    * count is one scored_pairs aggregate, the grid is 3 constant rows.
+    * HASH-MATCHED. */
+  val q295 = QueryDef.oracle("q295_inbatch_negative_risk",
+    s"""$portableScoredCtes,
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM scored WHERE n_match >= $PortMatchMin),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |grid AS (SELECT unnest([256, 1024, 4096]) AS batch_size)
+       |SELECT CAST(g.batch_size AS BIGINT) AS batch_size,
+       |       nd.n AS n_docs, e.n_pairs AS n_dup_pairs,
+       |       CAST(CAST(e.n_pairs AS HUGEINT) * (g.batch_size - 1) * 1000000
+       |            // (nd.n - 1) AS BIGINT) AS exp_false_neg_per_epoch_micro,
+       |       CAST(CAST(e.n_pairs AS HUGEINT) * g.batch_size
+       |            * (g.batch_size - 1) * 1000000
+       |            // (CAST(nd.n AS HUGEINT) * (nd.n - 1)) AS BIGINT)
+       |         AS exp_false_neg_per_batch_micro
+       |FROM grid g, e, nd""".stripMargin)(
+    (s, d) => {
+      val e = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val grid = s.createDataFrame(Seq(256L, 1024L, 4096L).map(Tuple1(_)))
+        .toDF("batch_size")
+      grid.crossJoin(broadcast(e)).crossJoin(broadcast(nd))
+        .select(col("batch_size"), col("n").as("n_docs"),
+          col("n_pairs").as("n_dup_pairs"),
+          expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * (batch_size - 1)" +
+            " * 1000000 div (n - 1) AS BIGINT)")
+            .as("exp_false_neg_per_epoch_micro"),
+          expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * batch_size" +
+            " * (batch_size - 1) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+            .as("exp_false_neg_per_batch_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277)
+      q275, q277, q295)
 }

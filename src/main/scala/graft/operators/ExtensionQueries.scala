@@ -1801,7 +1801,77 @@ object ExtensionQueries {
           (lit(32L) - count(lit(1))).as("n_empty"))
     })
 
+  /** SNAPSHOT LENGTH-DISTRIBUTION DRIFT — the two-sample KS test
+    * between the old and new snapshot's per-source document-length
+    * distributions (the shared drift-pinned views): q190 counts WHAT
+    * changed, q288 tracks term DF — this asks whether the SHAPE of
+    * the content moved (a crawler that starts truncating, a new
+    * boilerplate footer, a pagination change all move the length CDF
+    * before any term does). Same integer-ppm KS machinery as q258
+    * (cumulative counts over the (source, length) rollup, D =
+    * max |F_old − F_new| in ppm vs the 1.358·√((n+m)/nm) critical
+    * value). Scale shape: one map-side (source, len, snapshot-tag)
+    * rollup → source-keyed cumsum windows over the ROLLUP →
+    * |sources|-row verdicts. HASH-MATCHED. */
+  val q293 = QueryDef.oracle("q293_length_distribution_drift",
+    s"""WITH u AS (
+       |  SELECT source, length($snapshotOldTextSql) AS ln, 1 AS is_old
+       |  FROM documents WHERE $snapshotOldPred
+       |  UNION ALL
+       |  SELECT source, length(text) AS ln, 0 AS is_old
+       |  FROM documents WHERE $snapshotNewPred),
+       |vc AS (SELECT source, ln,
+       |         CAST(SUM(is_old) AS BIGINT) AS co,
+       |         CAST(SUM(1 - is_old) AS BIGINT) AS cn
+       |       FROM u GROUP BY 1, 2),
+       |cum AS (SELECT source, ln,
+       |          SUM(co) OVER (PARTITION BY source ORDER BY ln) AS fo,
+       |          SUM(cn) OVER (PARTITION BY source ORDER BY ln) AS fn,
+       |          SUM(co) OVER (PARTITION BY source) AS no,
+       |          SUM(cn) OVER (PARTITION BY source) AS nn
+       |        FROM vc),
+       |d AS (SELECT source, no, nn,
+       |        MAX(ABS(fo * 1000000 // no - fn * 1000000 // nn)) AS d_ppm
+       |      FROM cum GROUP BY 1, 2, 3)
+       |SELECT source, CAST(no AS BIGINT) AS n_old, CAST(nn AS BIGINT) AS n_new,
+       |       CAST(d_ppm AS BIGINT) AS d_ppm,
+       |       CAST(round(1358000 * sqrt((no + nn) * 1.0 / (no * nn)))
+       |            AS BIGINT) AS crit_ppm,
+       |       d_ppm > CAST(round(1358000 * sqrt((no + nn) * 1.0 / (no * nn)))
+       |               AS BIGINT) AS drifted
+       |FROM d""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val u = docs.filter(expr(snapshotOldPred))
+        .select(col("source"), length(snapshotOldText).as("ln"),
+          lit(1L).as("is_old"))
+        .unionByName(docs.filter(expr(snapshotNewPred))
+          .select(col("source"), length(col("text")).as("ln"),
+            lit(0L).as("is_old")))
+      val vc = u.groupBy("source", "ln")
+        .agg(sum("is_old").as("co"), sum(lit(1L) - col("is_old")).as("cn"))
+      val wOrd = Window.partitionBy("source").orderBy("ln")
+      val wAll = Window.partitionBy("source")
+      val cum = vc
+        .withColumn("fo", sum("co").over(wOrd))
+        .withColumn("fn", sum("cn").over(wOrd))
+        .withColumn("no", sum("co").over(wAll))
+        .withColumn("nn", sum("cn").over(wAll))
+      val dd = cum.groupBy("source", "no", "nn")
+        .agg(max(abs(expr("fo * 1000000 div no - fn * 1000000 div nn")))
+          .as("d_ppm"))
+      val crit = round(lit(1358000) *
+        sqrt((col("no") + col("nn")) * lit(1.0) / (col("no") * col("nn"))))
+        .cast("long")
+      dd.select(col("source"), col("no").cast("long").as("n_old"),
+        col("nn").cast("long").as("n_new"),
+        col("d_ppm").cast("long").as("d_ppm"),
+        crit.as("crit_ppm"),
+        (col("d_ppm") > crit).as("drifted"))
+    })
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253, q256, q260, q283, q288, q289)
+    q250, q251, q253, q256, q260, q283, q288, q289, q293)
 }

@@ -2472,6 +2472,77 @@ object SimilarityQueries {
           col("rrf_ppm").cast("long").as("rrf_ppm"), col("fused_rank"))
     })
 
+  /** EMBEDDING FRESHNESS AUDIT — what the snapshot transition (q190's
+    * shared views) means for the VECTOR side of the corpus: per diff
+    * status, whether a vector exists (doc_id ≡ vec_id, q241's
+    * convention) and the action the index pipeline owes — `changed`
+    * docs with a vector need RE-EMBEDDING (their vector encodes the
+    * old text — the staleness q241's coverage count cannot see),
+    * `added` docs need first embedding, `removed` docs' vectors are
+    * deletions owed, `unchanged` vectors keep. The re-embed bill rides
+    * along as the affected docs' total characters. Scale shape: the
+    * q190 digest-compare full-outer join (never text) + one
+    * vec_id-keyed left join + a ≤4×2-row rollup. HASH-MATCHED. */
+  val q294 = QueryDef.oracle("q294_embedding_freshness", {
+    import graft.operators.ExtensionQueries.{snapshotNewPred, snapshotOldPred, snapshotOldTextSql}
+    s"""WITH v_old AS (
+       |  SELECT doc_id, md5($snapshotOldTextSql) AS hh
+       |  FROM documents WHERE $snapshotOldPred),
+       |v_new AS (
+       |  SELECT doc_id, md5(text) AS hh, length(text) AS len
+       |  FROM documents WHERE $snapshotNewPred),
+       |j AS (
+       |  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       |         CASE WHEN o.doc_id IS NULL THEN 'added'
+       |              WHEN n.doc_id IS NULL THEN 'removed'
+       |              WHEN n.hh IS NOT DISTINCT FROM o.hh THEN 'unchanged'
+       |              ELSE 'changed' END AS status,
+       |         COALESCE(n.len, 0) AS len
+       |  FROM v_new n FULL OUTER JOIN v_old o ON n.doc_id = o.doc_id),
+       |w AS (SELECT j.status, j.len,
+       |        e.vec_id IS NOT NULL AS has_vec
+       |      FROM j LEFT JOIN embeddings e ON e.vec_id = j.doc_id)
+       |SELECT status,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN has_vec THEN 1 END) AS BIGINT) AS n_with_vec,
+       |       CAST(COALESCE(SUM(CASE WHEN status IN ('added', 'changed')
+       |                          THEN len END), 0) AS BIGINT)
+       |         AS reembed_chars,
+       |       CASE status WHEN 'changed' THEN 'reembed'
+       |            WHEN 'added' THEN 'embed_new'
+       |            WHEN 'removed' THEN 'delete_vector'
+       |            ELSE 'keep' END AS action
+       |FROM w GROUP BY status""".stripMargin})(
+    (s, d) => {
+      import graft.operators.ExtensionQueries.{snapshotNewPred, snapshotOldPred, snapshotOldText}
+      val docs = Tables.documents(s, d)
+      val vOld = docs.filter(expr(snapshotOldPred))
+        .select(col("doc_id").as("o_id"), md5(snapshotOldText).as("o_hh"))
+      val vNew = docs.filter(expr(snapshotNewPred))
+        .select(col("doc_id").as("n_id"), md5(col("text")).as("n_hh"),
+          length(col("text")).as("len"))
+      val j = vNew.join(vOld, col("n_id") === col("o_id"), "full_outer")
+        .select(coalesce(col("n_id"), col("o_id")).as("doc_id"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("n_hh") <=> col("o_hh"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("len"), lit(0)).as("len"))
+      val w = j.join(Tables.embeddings(s, d).select(col("vec_id")),
+        col("vec_id") === col("doc_id"), "left")
+        .select(col("status"), col("len"), col("vec_id").isNotNull.as("has_vec"))
+      w.groupBy("status").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("has_vec"), 1)).as("n_with_vec"),
+        coalesce(sum(when(col("status").isin("added", "changed"), col("len"))),
+          lit(0L)).cast("long").as("reembed_chars"))
+        .withColumn("action",
+          when(col("status") === "changed", "reembed")
+            .when(col("status") === "added", "embed_new")
+            .when(col("status") === "removed", "delete_vector")
+            .otherwise("keep"))
+    })
+
   /** RANKER AGREEMENT — the measurement that motivates (or retires)
     * q270's fusion: how much do the lexical and semantic top-50 lists
     * actually disagree? Same two legs as q270 (the shared BM25 chain
@@ -2647,5 +2718,5 @@ object SimilarityQueries {
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292)
+      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294)
 }

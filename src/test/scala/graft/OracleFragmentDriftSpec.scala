@@ -46,7 +46,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q231_cluster_salient_terms", "q238_threshold_sweep",
         "q243_token_yield", "q246_kcore", "q255_pair_transitivity",
         "q259_dataset_card", "q263_lsh_parameter_advisor",
-        "q275_candidate_family_overlap")
+        "q275_candidate_family_overlap", "q295_inbatch_negative_risk")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -77,7 +77,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
-        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap")
+        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
+        "q295_inbatch_negative_risk")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -96,7 +97,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q216_admission_recall_audit", "q231_cluster_salient_terms",
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
-        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap")
+        "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
+        "q295_inbatch_negative_risk")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
