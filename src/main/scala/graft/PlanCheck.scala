@@ -669,6 +669,26 @@ object PlanCheck {
       "AQE skew audit: two map-side key rollups into 1-row stats; no window, no join at all",
       p => p.contains("partial_count") && !p.contains("Window") &&
         !p.contains("Join"))
+    checkTree("q296_token_decile_table",
+      "decile table: cumsum windows are source-keyed over the value-count rollup",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q296_token_decile_table",
+      "decile table: map-side rollup, 9-row axis broadcast, one scan",
+      p => p.contains("partial_count") && scans(p, "documents") == 1 &&
+        p.contains("BroadcastExchange"))
+    checkTree("q297_transition_dwell",
+      "dwell: lag window user-keyed; cumsums pair-keyed over the rollup",
+      p => {
+        val ws = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty)
+      })
+    check("q297_transition_dwell",
+      "dwell: one events scan, map-side (pair, gap) rollup, no join",
+      p => p.contains("partial_count") && scans(p, "events") == 1 &&
+        !p.contains("Join"))
     checkTree("q293_length_distribution_drift",
       "KS drift: cumsum windows are source-keyed over the (source, len) rollup",
       p => {

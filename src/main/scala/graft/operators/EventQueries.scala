@@ -1467,8 +1467,60 @@ object EventQueries {
           countDistinct("user_id").as("n_users"))
     })
 
+  /** TRANSITION DWELL TIME — the timing q264's transition matrix
+    * strips: per (prev → next) edge, the exact median and p90 of the
+    * gap in seconds (rank over the (pair, gap) value-count rollup,
+    * the q207/q296 no-interpolation rule). A funnel edge whose median
+    * dwell stretches is friction the transition PROBABILITIES can't
+    * show — the pair may still happen, just slower. Scale shape: ONE
+    * user-keyed lag window (type and timestamp share it) → map-side
+    * (pair, gap) value-count rollup → pair-keyed cumsum windows over
+    * the ROLLUP → ≤ |types|²-row output. HASH-MATCHED. */
+  val q297 = QueryDef.oracle("q297_transition_dwell",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             date_diff('second', TIMESTAMP '1970-01-01', ts) AS es
+      |           FROM events),
+      |w AS (SELECT event_type AS t2,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY es, event_id) AS t1,
+      |        es - lag(es) OVER (PARTITION BY user_id
+      |          ORDER BY es, event_id) AS gap
+      |      FROM e),
+      |vc AS (SELECT t1, t2, gap, CAST(count(*) AS BIGINT) AS c
+      |       FROM w WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+      |cum AS (SELECT t1, t2, gap,
+      |          SUM(c) OVER (PARTITION BY t1, t2 ORDER BY gap) AS cf,
+      |          SUM(c) OVER (PARTITION BY t1, t2) AS n
+      |        FROM vc)
+      |SELECT t1, t2, CAST(MAX(n) AS BIGINT) AS n,
+      |       CAST(MIN(CASE WHEN cf * 2 >= n THEN gap END) AS BIGINT)
+      |         AS median_gap_s,
+      |       CAST(MIN(CASE WHEN cf * 10 >= 9 * n THEN gap END) AS BIGINT)
+      |         AS p90_gap_s
+      |FROM cum GROUP BY 1, 2""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("es"))
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val vc = e.select(col("event_type").as("t2"),
+        lag("event_type", 1).over(w).as("t1"),
+        (col("es") - lag("es", 1).over(w)).as("gap"))
+        .filter(col("t1").isNotNull)
+        .groupBy("t1", "t2", "gap").agg(count(lit(1)).as("c"))
+      val cum = vc
+        .withColumn("cf", sum("c").over(
+          Window.partitionBy("t1", "t2").orderBy("gap")))
+        .withColumn("n", sum("c").over(Window.partitionBy("t1", "t2")))
+      cum.groupBy("t1", "t2").agg(
+        max("n").cast("long").as("n"),
+        min(when(col("cf") * 2 >= col("n"), col("gap"))).cast("long")
+          .as("median_gap_s"),
+        min(when(col("cf") * 10 >= col("n") * 9, col("gap"))).cast("long")
+          .as("p90_gap_s"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285)
+      q284, q285, q297)
 }

@@ -1600,8 +1600,57 @@ object TextQueries {
             .otherwise(expr("CAST(new_grams * 1000000 div occurrences AS BIGINT)")))
     })
 
+  /** TOKEN-LENGTH DECILE TABLE — the numeric spine of a per-source
+    * datasheet (q259's card points at distributions; this IS the
+    * distribution): exact d/10 quantiles of tokens-per-doc for every
+    * source, by rank over the (source, n_tok) value-count rollup —
+    * the quantile at d is the smallest length whose cumulative count
+    * reaches ⌈d·n/10⌉ (integer cross-multiplication, no
+    * interpolation for engines to disagree on — the q207 lower-median
+    * rule generalized to the full ladder). Sources whose deciles
+    * bunch low are fragment-heavy; a p90/p50 explosion is the long
+    * -tail packing hazard q225/q278 price. Scale shape: one map-side
+    * value-count rollup → source-keyed cumsum windows over the
+    * ROLLUP → 9-row decile axis joined against the bounded
+    * cumulative table. HASH-MATCHED. */
+  val q296 = QueryDef.oracle("q296_token_decile_table",
+    """WITH tk AS (SELECT source,
+      |              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+      |                AS n_tok
+      |            FROM documents),
+      |vc AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM tk GROUP BY 1, 2),
+      |cum AS (SELECT source, n_tok,
+      |          SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cf,
+      |          SUM(c) OVER (PARTITION BY source) AS n
+      |        FROM vc),
+      |grid AS (SELECT unnest(range(1, 10)) AS d)
+      |SELECT c.source, CAST(g.d AS BIGINT) AS decile,
+      |       CAST(MAX(c.n) AS BIGINT) AS n_docs,
+      |       CAST(MIN(CASE WHEN c.cf * 10 >= g.d * c.n THEN c.n_tok END)
+      |            AS BIGINT) AS tok_at_decile
+      |FROM cum c, grid g
+      |GROUP BY 1, 2""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = Tables.documents(s, d)
+        .select(col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("n_tok"))
+        .groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+      val cum = vc
+        .withColumn("cf", sum("c").over(
+          Window.partitionBy("source").orderBy("n_tok")))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      val grid = s.range(1, 10).toDF("d")
+      cum.crossJoin(broadcast(grid))
+        .groupBy(col("source"), col("d").as("decile"))
+        .agg(max("n").cast("long").as("n_docs"),
+          min(when(col("cf") * 10 >= col("d") * col("n"), col("n_tok")))
+            .cast("long").as("tok_at_decile"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278, q290, q291)
+      q236, q248, q254, q269, q278, q290, q291, q296)
 }
