@@ -261,11 +261,17 @@ object DedupQueries {
         .groupBy("lang")
         .agg(agg(col("sig")).as("sig"), count(lit(1)).as("n_docs"))
       // sentinel P (all grams absent across the whole group) -> NULL,
-      // matching the oracle's min-skips-NULLs semantics
+      // matching the oracle's min-skips-NULLs semantics. Long.MaxValue is
+      // the fold's untouched-slot value (every row of the group had a
+      // NULL signature — null text never reaches the kernel's sentinel-P
+      // path), and must NULL out too: two all-null-text groups would
+      // otherwise "agree" 12/12 on a buffer default while the oracle's
+      // min-over-NULLs yields NULL columns that never match.
       val sigs = folded.select(col("lang") +: col("n_docs") +:
         (0 until PortK).map { i =>
           val v = element_at(col("sig"), i + 1)
-          when(v === PortP, lit(null).cast("long")).otherwise(v).as(s"mh$i")
+          when(v === PortP || v === Long.MaxValue, lit(null).cast("long"))
+            .otherwise(v).as(s"mh$i")
         }: _*)
       val l = sigs.select(col("lang").as("lang_a") +: col("n_docs").as("docs_a") +:
         (0 until PortK).map(i => col(s"mh$i").as(s"a$i")): _*)

@@ -1615,8 +1615,8 @@ object TextQueries {
     * cumulative table. HASH-MATCHED. */
   val q296 = QueryDef.oracle("q296_token_decile_table",
     """WITH tk AS (SELECT source,
-      |              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
-      |                AS n_tok
+      |              CAST(COALESCE(len(regexp_extract_all(text, '\S+')), 0)
+      |                   AS BIGINT) AS n_tok
       |            FROM documents),
       |vc AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS c
       |       FROM tk GROUP BY 1, 2),

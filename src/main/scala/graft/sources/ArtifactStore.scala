@@ -35,7 +35,12 @@ object ArtifactStore {
     if (!java.nio.file.Files.isDirectory(p)) "static"
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val walk = java.nio.file.Files.walk(p, 3)
+      // no depth cap: a multi-level partitioned layout nests data files
+      // deeper than any fixed maxDepth, and a file the walk can't see is
+      // a mutation the fingerprint can't detect — the exact silent-stale
+      // read this contract exists to prevent. Metadata-only, so flat
+      // layouts pay nothing for the unbounded walk.
+      val walk = java.nio.file.Files.walk(p)
       try walk.sorted().forEach { f =>
         val rel = p.relativize(f).toString
         val attrs = java.nio.file.Files.readAttributes(

@@ -509,8 +509,12 @@ object EventStreams {
       }
   }
 
+  // has1 is an explicit presence flag for the older slot: overloading
+  // es1 = -1 as "absent" conflated a legitimate pre-1970 event (epoch
+  // second <= 0) with "no older event" and silently dropped triples
+  // spanning a state restore
   final case class Tri2State(es1: Long, id1: Long, t1: String,
-      es2: Long, id2: Long, t2: String)
+      es2: Long, id2: Long, t2: String, has1: Boolean)
   final case class Trigram(user_id: Long, t1: String, t2: String,
       t3: String, ts: Timestamp)
 
@@ -529,6 +533,44 @@ object EventStreams {
     * boundaries emit exactly the batch q285 triple multiset
     * (`TrigramStreamSpec` pins multiset equality and the eviction
     * chain-break). */
+  /** Per-group trigram fold, factored out of the stream closure so the
+    * state-restore path is unit-testable without a running stream (the
+    * pre-epoch case can't be driven end-to-end: the initial watermark
+    * is 0ms, so negative-epoch events are filtered as late before the
+    * gate sees them — which is exactly why the old es1 = -1 "absent"
+    * sentinel encoding was LATENT, not observed). Returns the emitted
+    * triples and the replacement state (None when the batch carried no
+    * rows for the key). */
+  private[streaming] def foldTrigrams(
+      user: Long, st: Option[Tri2State], sorted: Seq[TransEv])
+      : (Seq[Trigram], Option[Tri2State]) = {
+    val out = scala.collection.mutable.ListBuffer.empty[Trigram]
+    // (older, newer) retained pair; either may be absent
+    var pending: Option[(Long, Long, String)] = st match {
+      case Some(s) => Some((s.es2, s.id2, s.t2))
+      case None => None
+    }
+    var older: Option[(Long, Long, String)] = st match {
+      case Some(s) if s.has1 => Some((s.es1, s.id1, s.t1))
+      case _ => None
+    }
+    sorted.foreach { e =>
+      val es = e.ts.getTime / 1000L
+      (older, pending) match {
+        case (Some(o), Some(p)) =>
+          out += Trigram(user, o._3, p._3, e.event_type, e.ts)
+        case _ => ()
+      }
+      older = pending
+      pending = Some((es, e.event_id, e.event_type))
+    }
+    val next = pending.map { p =>
+      val o = older.getOrElse((0L, 0L, ""))
+      Tri2State(o._1, o._2, o._3, p._1, p._2, p._3, older.isDefined)
+    }
+    (out.toSeq, next)
+  }
+
   def trigramGate(
       events: DataFrame,
       watermark: String = "30 days"): Dataset[Trigram] = {
@@ -546,35 +588,11 @@ object EventStreams {
             Iterator.empty
           } else {
             val sorted = rs.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
-            val out = scala.collection.mutable.ListBuffer.empty[Trigram]
-            // (older, newer) retained pair; either may be absent
-            var st = state.getOption
-            var pending: Option[(Long, Long, String)] = st match {
-              case Some(s) => Some((s.es2, s.id2, s.t2))
-              case None => None
-            }
-            var older: Option[(Long, Long, String)] = st match {
-              case Some(s) if s.es1 >= 0 => Some((s.es1, s.id1, s.t1))
-              case _ => None
-            }
-            var maxEs = Long.MinValue
-            sorted.foreach { e =>
-              val es = e.ts.getTime / 1000L
-              if (es > maxEs) maxEs = es
-              (older, pending) match {
-                case (Some(o), Some(p)) =>
-                  out += Trigram(user, o._3, p._3, e.event_type, e.ts)
-                case _ => ()
-              }
-              older = pending
-              pending = Some((es, e.event_id, e.event_type))
-            }
-            pending match {
-              case Some(p) =>
-                val o = older.getOrElse((-1L, -1L, ""))
-                state.update(Tri2State(o._1, o._2, o._3, p._1, p._2, p._3))
-              case None => ()
-            }
+            val (out, next) = foldTrigrams(user, state.getOption, sorted)
+            next.foreach(state.update)
+            val maxEs =
+              if (sorted.isEmpty) Long.MinValue
+              else sorted.map(_.ts.getTime / 1000L).max
             if (maxEs != Long.MinValue)
               state.setTimeoutTimestamp(maxEs * 1000L, watermark)
             out.iterator

@@ -46,4 +46,28 @@ class ArtifactStalenessSpec extends SparkSpec {
     assert(artifact().as[(Long, Long)].head() == ((9L, 8L)))
     assert(builds == 2)
   }
+
+  test("a mutation NESTED deeper than 3 levels still invalidates (no walk depth cap)") {
+    // a multi-level partitioned layout (year=/month=/day=/part.parquet)
+    // nests data files 4+ levels below the corpus root; the fingerprint
+    // walk used to cap at maxDepth 3, so a mutation down there was
+    // invisible and consumers read stale artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-deep").toString
+    val deep = s"$dir/t.parquet/year=2026/month=08/day=15"
+    def writeDeep(n: Int): Unit =
+      spark.range(n).select(col("id").as("doc_id"))
+        .coalesce(1).write.mode("overwrite").parquet(deep)
+
+    writeDeep(3)
+    var builds = 0
+    def artifact() = ArtifactStore.table(spark, dir, "stalespecdeep") {
+      builds += 1
+      spark.read.parquet(deep).agg(count(lit(1)).as("n"))
+    }
+    assert(artifact().as[Long].head() == 3L && builds == 1)
+    writeDeep(7)
+    assert(artifact().as[Long].head() == 7L,
+      "mutation 4 levels deep was invisible to the corpus fingerprint")
+    assert(builds == 2)
+  }
 }

@@ -85,4 +85,25 @@ class TrigramStreamSpec extends SparkSpec {
         s"expected only the pre-gap triple, got $got")
     } finally q.stop()
   }
+
+  test("pre-1970 event times survive a state restore (no es1=-1 'absent' conflation)") {
+    // driven through the factored fold, not a live stream: the initial
+    // watermark is 0ms, so a real stream filters negative-epoch events
+    // as late before the gate sees them — the sentinel bug was latent.
+    // Batch 1 retains (older=view@-1000s, pending=click); the old
+    // encoding stored older's epoch second (-1000 here, and -1 for an
+    // event in (-2000,-1000]ms) and read ANY negative es1 back via the
+    // has-older check `es1 >= 0` as "absent", dropping the spanning
+    // triple on restore.
+    def ev(sec: Long, tpe: String, id: Long) =
+      EventStreams.TransEv(1, new Timestamp(sec * 1000L), tpe, id)
+    val (out1, st1) = EventStreams.foldTrigrams(1L, None,
+      Seq(ev(-1000, "view", 1), ev(-990, "click", 2)))
+    assert(out1.isEmpty && st1.exists(_.has1),
+      s"batch 1 must retain BOTH events: $st1")
+    val (out2, _) = EventStreams.foldTrigrams(1L, st1,
+      Seq(ev(-980, "purchase", 3)))
+    assert(out2.map(g => (g.t1, g.t2, g.t3)) == Seq(("view", "click", "purchase")),
+      s"triple spanning the restore was dropped: $out2")
+  }
 }
