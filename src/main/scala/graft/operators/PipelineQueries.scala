@@ -144,9 +144,19 @@ object PipelineQueries {
       val stable = Fixtures.stable
       val p = Fixtures.pipeline(
         JPaths.get(stable("barStock")).getParent, stable)
-      val stockDf = p.barStock(s)
+      // PIN the static sides (round-13 shave, found by StreamPocBench's
+      // lifecycle decomposition): a stream-static join re-evaluates the
+      // static plan EVERY micro-batch, and ck is the pipeline's most
+      // expensive fragment (fuzzy-search join + keep-newest dedup) — the
+      // two-batch lifecycle paid it twice more on top of the eager
+      // construction here. persist() materializes it once inside the
+      // first micro-batch; unpersisted after the stream stops. This is
+      // also the production contract: a pinned dimension snapshot per
+      // stream start, refreshed by restarting the stream, not silently
+      // re-derived mid-flight.
+      val stockDf = p.barStock(s).persist()
       val (salesDf, _) = p.sales(s)
-      val ck = p.cocktails(s, salesDf)
+      val ck = p.cocktails(s, salesDf).persist()
       val dir = JFiles.createTempDirectory("graft-q147")
       def stage(feed: String, name: String) = {
         val sd = JFiles.createDirectory(dir.resolve(s"stream-$feed"))
@@ -191,6 +201,8 @@ object PipelineQueries {
         // restoring earlier could race the first micro-batch's planning
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // the memory sink holds the rows; the pinned dimensions can go
+        ck.unpersist(); stockDf.unpersist()
         // the memory-sink table, not the staged files, holds the result —
         // the per-invocation feed copies can go now (bench sweeps would
         // otherwise accumulate them in tmpdir). INSIDE the finally so a
