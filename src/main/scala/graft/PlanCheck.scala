@@ -266,9 +266,10 @@ object PlanCheck {
       p => p.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       }.exists(j => Seq(j.left, j.right).forall(PlanAudit.bucketedExchangeFreeSide)))
-    check("q149_embedding_outliers", "dims expansion combines map-side; stats broadcast back",
+    check("q149_embedding_outliers",
+      "dims expansion combines map-side; stats broadcast back; d2 is the fused per-row kernel (no exploded re-sum exchange)",
       p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
-        !p.contains("SortMergeJoin"))
+        !p.contains("SortMergeJoin") && p.contains("vec_centroid_d2"))
     checkTree("q151_vocab_coverage", "vocab rank/cumsum windows sit above the token aggregate",
       noGlobalFactWindow)
     check("q156_bpe_pair_stats", "pair counts combine map-side; top-50 via TakeOrderedAndProject (no global sort)",

@@ -197,6 +197,88 @@ object VecIntDotNorms {
   }
 }
 
+/** Σ_i (cnt_i·q_i − s_i)² of a quantized vector against its label's
+  * per-dim integer sums — q149/q215's centroid-distance kernel, fused:
+  * the exploded formulation shuffled the ×dims expansion through a
+  * groupBy(vec_id) just to re-sum per vector (a 3.8M-row exchange at
+  * sf0.1; the whole query's cost at 100 TB), and the HOF rewrite
+  * (aggregate ∘ transform ∘ element_at(map)) measured SLOWER locally —
+  * lambda frames and map probes outside whole-stage codegen. This is
+  * one fused loop per row against broadcast dim-ordered stat arrays.
+  *
+  * Arithmetic contract (identical to the DECIMAL form it replaces):
+  * the linear term cnt·q − s is int64 (any long fits DECIMAL(19,0));
+  * its square and the running sum are exact unsigned 128-bit
+  * (multiplyHigh + carry), surfaced as DECIMAL(38,0); a sum at or past
+  * 10³⁸ returns null exactly like decimal overflow under non-ANSI.
+  * Null/skip semantics mirror the exploded form: a null q element is
+  * one missing qd row — skipped, not poisoning — while stat arrays
+  * shorter than the vector (impossible by construction: a vector's
+  * own dims always have stats) null the row to fail loudly.
+  */
+case class VecCentroidD2(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "vec_centroid_d2"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DecimalType(38, 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires three array<bigint> inputs, " +
+          s"got ${a.simpleString} / ${b.simpleString} / ${c.simpleString}")
+    }
+
+  override def nullSafeEval(q: Any, s: Any, c: Any): Any =
+    VecCentroidD2.kernel(q.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, s, c) => s"""
+       |${ev.value} = graft.functions.VecCentroidD2.kernel($q, $s, $c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecCentroidD2 =
+    copy(first = f, second = s, third = t)
+}
+
+object VecCentroidD2 {
+  private val Max38 = java.math.BigInteger.TEN.pow(38)
+  // hi (the sum's upper 64 bits, unsigned) strictly above this ⇒ the
+  // 128-bit sum is ≥ (cap+1)·2⁶⁴ > 10³⁸ ⇒ decimal-overflow null; at
+  // the cap itself the final BigInteger comparison decides
+  private val HiCap = Max38.shiftRight(64).longValueExact()
+
+  def kernel(q: ArrayData, s: ArrayData, c: ArrayData):
+      org.apache.spark.sql.types.Decimal = {
+    val n = q.numElements()
+    if (s.numElements() < n || c.numElements() < n) return null
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < n) {
+      if (!q.isNullAt(i)) {
+        if (s.isNullAt(i) || c.isNullAt(i)) return null
+        val t = c.getLong(i) * q.getLong(i) - s.getLong(i)
+        val sqLo = t * t
+        val sqHi = Math.multiplyHigh(t, t)
+        val newLo = lo + sqLo
+        if (java.lang.Long.compareUnsigned(newLo, lo) < 0) hi += 1
+        lo = newLo; hi += sqHi
+        // early-out keeps hi itself from wrapping (≤ cap + 2⁶² per step)
+        if (java.lang.Long.compareUnsigned(hi, HiCap) > 0) return null
+      }
+      i += 1
+    }
+    val bytes = java.nio.ByteBuffer.allocate(16).putLong(hi).putLong(lo).array()
+    val big = new java.math.BigInteger(1, bytes)
+    if (big.compareTo(Max38) >= 0) null
+    else org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(big), 38, 0)
+  }
+}
+
 /** Registration + Column-API access. Queries call [[registerOnce]] at
   * build time so the expressions resolve in whatever session the driver
   * hands us; registration is idempotent.
@@ -228,7 +310,13 @@ object VecExpressions {
     ("vec_lsh_buckets", classOf[VecLshBuckets].getName,
       exprs => VecLshBuckets(exprs.head,
         HashFunctions.intArg("vec_lsh_buckets", exprs, 1),
-        HashFunctions.intArg("vec_lsh_buckets", exprs, 2))))
+        HashFunctions.intArg("vec_lsh_buckets", exprs, 2))),
+    ("vec_centroid_d2", classOf[VecCentroidD2].getName,
+      exprs => {
+        require(exprs.length == 3,
+          s"vec_centroid_d2: expected 3 arguments, got ${exprs.length}")
+        VecCentroidD2(exprs.head, exprs(1), exprs(2))
+      }))
 
   def registerOnce(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -248,6 +336,11 @@ object VecExpressions {
   /** Fused exact integer (dot, n2a, n2b) — see [[VecIntDotNorms]]. */
   def intDotNorms(spark: SparkSession, a: Column, b: Column): Column = {
     registerOnce(spark); call_function("vec_int_dot_norms", a, b)
+  }
+
+  /** Fused exact centroid distance Σ(cnt·q − s)² — see [[VecCentroidD2]]. */
+  def centroidD2(spark: SparkSession, qvs: Column, s: Column, cnt: Column): Column = {
+    registerOnce(spark); call_function("vec_centroid_d2", qvs, s, cnt)
   }
 
   /** Multi-table LSH bucket array (see [[VecLshBuckets]]); explode and

@@ -1066,14 +1066,36 @@ object SimilarityQueries {
     val dims = quantDims(s, d)
     val stats = dims.groupBy("label", "dim")
       .agg(sum("qv").as("s"), count(lit(1)).as("cnt"))
-    // linear term in int64 (safe), square + sum in decimal (int64
-    // wraps past ~19k members/label; 19+19 digits is DuckDB's
-    // multiply-width cap, so both engines square DECIMAL(19,0))
-    val term = (col("cnt") * col("qv") - col("s")).cast("decimal(19,0)")
-    val d2 = dims.join(broadcast(stats), Seq("label", "dim"))
-      .select(col("vec_id"), col("label"), (term * term).as("t"))
-      .groupBy("vec_id", "label")
-      .agg(sum("t").cast("decimal(38,0)").as("d2"))
+    // Round-13 restructure (the q185 playbook): the old d2 stage
+    // re-joined the ×dims-exploded expansion against the stats and
+    // shuffled ALL of it through a groupBy(vec_id) just to re-sum per
+    // vector — at sf0.1 a 3.8M-row exchange, at 100 TB the query's
+    // whole cost. d2 is instead computed per ROW against BROADCAST
+    // dim-ordered per-label stat arrays with the fused native kernel
+    // ([[graft.functions.VecCentroidD2]] — exact 128-bit accumulation
+    // of the same DECIMAL contract; an HOF formulation was measured
+    // slower than the exploded form and rejected). The only exploded
+    // pass left is the map-side-combined stats aggregate, and the only
+    // exchange after it is the rank window's. Positional alignment is
+    // sound for ragged corpora too: a vector of length L contributed
+    // to dims 1..L, so every label's dim inventory is contiguous from
+    // 1 and sorting by dim makes index i ↔ dim i+1.
+    val statsArr = stats.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("s"), col("cnt"))))
+        .as("sc"))
+      .select(col("label"),
+        transform(col("sc"), e => e.getField("s")).as("s_arr"),
+        transform(col("sc"), e => e.getField("cnt")).as("cnt_arr"))
+    val qvs = transform(col("embedding"),
+      v => round(v.cast("double") * 10000).cast("long"))
+    // parity with the exploded form on degenerate rows: a null/empty
+    // embedding produced no qd rows there, so it must not surface here
+    val d2 = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .join(broadcast(statsArr), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.VecExpressions.centroidD2(s,
+          qvs, col("s_arr"), col("cnt_arr")).as("d2"))
     val wRnk = Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
     val wN = Window.partitionBy("label")
     // rank on the DECIMAL, ship d2 as VARCHAR: DECIMAL(38,0) is
