@@ -45,17 +45,27 @@ trait MediaCodec extends Serializable {
 }
 
 /** STUB — deterministic fake standing in for a real image/audio/video
-  * codec (none installed here). Features are a seeded PRNG over the
-  * content hash; frames are byte-range slices. Deterministic in content,
-  * so tests and the rows-only driver gate are stable.
+  * codec (none installed here). Features are byte-stripe LENGTHS (the
+  * content split into `dim` spans, q73's frame math applied per
+  * stripe); frames are byte-range slices. Deterministic byte math in
+  * content length only — which is what lets q72 carry a full DuckDB
+  * oracle (the round-12 verdict's no_oracle shrink): an engine-internal
+  * PRNG feature (the pre-round-13 stub) was the one thing SQL could
+  * not replay. Stripe lengths are ≤ content length ≪ 2²⁴, so the
+  * float slots hold them exactly and integer norms recompute exactly.
   */
 object StubMediaCodec extends MediaCodec {
   override def featurize(batch: Seq[MediaRow], dim: Int): Seq[MediaFeature] =
     batch.map { r =>
-      val seed = scala.util.hashing.MurmurHash3.bytesHash(r.content, 42).toLong
-      val rnd = new java.util.Random(seed)
-      MediaFeature(r.media_id, r.modality, r.content.length,
-        Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val bytes = if (r.content == null) Array.empty[Byte] else r.content
+      val len = bytes.length
+      val span = math.max(len / dim, 1)
+      val feature = Array.tabulate(dim) { i =>
+        val from = math.min(i * span, len)
+        val until = math.min(from + span, len)
+        (until - from).toFloat
+      }
+      MediaFeature(r.media_id, r.modality, len, feature)
     }
 
   override def decodeFrames(row: MediaRow, everyN: Int): Seq[FrameRow] = {

@@ -34,11 +34,24 @@ object PipelineQueries {
   /** The DSv2 catalog source end-to-end: pushed name-search filter (the
     * API-parameter analog), column pruning, 2-way partition split, then
     * the 7-column dimension projection of build_database.py:187-197.
-    * Rows-only: the fixture catalog is engine-internal. */
-  val q76 = QueryDef.rowsOnly("q76_dsv2_catalog_source")(
+    * HASH-MATCHED since round 13 (the r12 verdict's no_oracle shrink,
+    * via q131's pattern): the scan reads the STABLE fixture catalog, so
+    * a DuckDB oracle replays the same JSON with the same filter and
+    * casts — the answer is verified end to end, while the DSv2-specific
+    * behavior (filter pushdown, pruning, partition split) stays
+    * spec-asserted in `CocktailCatalogV2Spec`. */
+  val q76 = QueryDef.oracle("q76_dsv2_catalog_source", {
+    val catalog = Fixtures.stable("catalog")
+    s"""SELECT CAST(idDrink AS INTEGER) AS idDrink, strDrink, strCategory,
+       |       strIBA, strAlcoholic, strGlass,
+       |       CAST(dateModified AS TIMESTAMP) AS dateModified
+       |FROM read_json('$catalog',
+       |       columns={'idDrink':'VARCHAR','strDrink':'VARCHAR','strCategory':'VARCHAR',
+       |                'strIBA':'VARCHAR','strAlcoholic':'VARCHAR','strGlass':'VARCHAR',
+       |                'strInstructions':'VARCHAR','dateModified':'VARCHAR'})
+       |WHERE contains(strDrink, 'o')""".stripMargin})(
     (s, _) => {
-      val dir = Files.createTempDirectory("graft-q76")
-      val catalog = Fixtures.writeAll(dir)("catalog")
+      val catalog = Fixtures.stable("catalog")
       val raw = s.read.format("graft.sources.CocktailCatalogV2")
         .option("path", catalog).option("partitions", "2").load()
         .filter(col("strDrink").contains("o")) // pushed to the scan

@@ -21,14 +21,12 @@ class ReadmeLedgerSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"README says '${m.matched}' but SparkEntry has $oracled of $total")
   }
 
-  test("every rows-only query is one of the two documented exceptions") {
-    // q25/q51/q55 left this set in round 12 (portable re-key, now
-    // hash-matched); what remains is genuinely non-SQL-expressible:
-    // q72 stub-codec media bytes, q76 the DSv2 catalog fixture
+  test("the rows-only set is EMPTY — every query carries a DuckDB oracle") {
+    // q25/q51/q55 left this set in round 12 (portable re-key); q72
+    // (byte-stripe stub features) and q76 (stable-fixture DSv2 replay)
+    // left it in round 13. A new rows-only query needs a documented
+    // structural impossibility, not convenience.
     val rowsOnly = SparkEntry.allDefs.filter(_.sql.isEmpty).map(_.name).toSet
-    val documented = Set("q72_media_features", "q76_dsv2_catalog_source")
-    assert(rowsOnly == documented,
-      s"rows-only set drifted: ${rowsOnly.diff(documented)} new, " +
-        s"${documented.diff(rowsOnly)} missing")
+    assert(rowsOnly.isEmpty, s"rows-only set grew: $rowsOnly")
   }
 }
