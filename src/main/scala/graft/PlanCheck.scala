@@ -857,6 +857,10 @@ object PlanCheck {
     check("q246_kcore",
       "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q298_cc_large_small_star",
+      "star CC: final labels read the converged checkpointed star forest (ExistingRDD), no closure materialization, no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q247_k_anonymity",
       "k-anonymity: QI rollup materialized once (ExistingRDD); thin groups broadcast back for the user-distinct pass",
       p => scans(p, "events") == 1 && p.contains("ExistingRDD") &&
@@ -965,7 +969,8 @@ object PlanCheck {
         "q237_source_embedding_drift", "q238_threshold_sweep",
         "q239_vocab_novelty", "q240_knn_label_agreement",
         "q241_modal_coverage", "q243_token_yield", "q246_kcore",
-        "q248_phrase_search", "q249_shot_boundaries")
+        "q248_phrase_search", "q249_shot_boundaries",
+        "q298_cc_large_small_star")
       val offenders = family.filter { n =>
         try !PlanAudit.boundedBroadcasts(
           SparkEntry.queries(n)(spark, d).queryExecution.optimizedPlan)

@@ -2883,9 +2883,34 @@ object DedupQueries {
             .as("exp_false_neg_per_batch_micro"))
     })
 
+  /** Near-dup clusters by LARGE-STAR/SMALL-STAR connected components
+    * (Kiveris et al. SoCC'14) — the 100-TB CC algorithm next to q56's
+    * min-label loop: min-propagation needs Θ(diameter) rounds, the
+    * star alternation contracts the graph in O(log² n) worst case
+    * regardless of how deep the near-dup chains run, with every round
+    * two edge-keyed exchanges and no closure materialization. Same
+    * edges (the stored portable scored pairs at the q52 threshold),
+    * same output contract as q56, and the SAME recursive-CTE oracle —
+    * so the two algorithms are driver-verified to agree label for
+    * label on the corpus, and `ComponentsSpec` pins agreement plus the
+    * round bound on adversarial graphs (paths, cycles, stars). */
+  val q298 = QueryDef.oracle("q298_cc_large_small_star", q56.sql.get)(
+    (s, d) => {
+      val edges = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val (comp, _) = Components.connectedComponentsStar(vertices, edges)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295)
+      q275, q277, q295, q298)
 }

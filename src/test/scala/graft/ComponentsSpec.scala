@@ -41,6 +41,32 @@ class ComponentsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("large-star/small-star labels agree with min-propagation on adversarial graphs") {
+    val rnd = new scala.util.Random(298)
+    // the adversarial shapes: a deep path (Θ(diameter) for min-prop),
+    // a cycle, a star rooted at the MAX id, plus random sparse graphs
+    val cases: Seq[(Int, Seq[(Long, Long)])] = Seq(
+      (64, (1 until 64).map(i => (i.toLong, i + 1L))), // path
+      (32, (1 until 32).map(i => (i.toLong, i + 1L)) :+ ((32L, 1L))), // cycle
+      (20, (1 until 20).map(i => (20L, i.toLong))), // star at max id
+      (50, Seq.fill(40)((rnd.nextInt(50) + 1L, rnd.nextInt(50) + 1L))),
+      (10, Seq.empty[(Long, Long)])) // all isolated
+    cases.foreach { case (n, es) =>
+      val vertices = (1 to n).map(_.toLong).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val expected = Components.connectedComponents(vertices, edges, maxIters = 80)
+        .as[(Long, Long)].collect().toMap
+      val (starDf, rounds) = Components.connectedComponentsStar(vertices, edges)
+      val star = starDf.as[(Long, Long)].collect().toMap
+      assert(star == expected, s"n=$n edges=${es.take(8)}…")
+      // Kiveris bound: O(log² n) alternation rounds; the observed
+      // behavior is ~log n — pin 2·log₂n + 4 so a contraction
+      // regression (a round that stops shrinking the graph) trips
+      val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong)) + 4
+      assert(rounds <= bound, s"n=$n took $rounds rounds (bound $bound)")
+    }
+  }
+
   test("q189 PageRank nodes are exactly q56's multi-member-cluster docs; ranks bounded") {
     val d = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("q189_pair_pagerank")(spark, d).collect()
