@@ -857,6 +857,17 @@ object PlanCheck {
     check("q246_kcore",
       "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    // unigram-LM trainer: the trained vocab is a stored corpus-keyed
+    // artifact — q299 is a read-back, never a retrain
+    check("q299_unigram_lm_train",
+      "unigram trainer output reads the stored vocab artifact",
+      p => p.contains("graft_unigramv"))
+    // apply: ONE linear corpus scan through the fused DP kernel — the
+    // vocab rides in as bounded literals, no join, no second scan
+    check("q300_unigram_lm_apply",
+      "unigram apply: one documents scan through the fused DP kernel, no cartesian",
+      p => scans(p, "documents") == 1 && p.contains("unigram_segment") &&
+        !p.contains("CartesianProduct") && !p.contains("Join"))
     check("q298_cc_large_small_star",
       "star CC: final labels read the converged checkpointed star forest (ExistingRDD), no closure materialization, no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&

@@ -16,7 +16,7 @@ object SparkEntry {
         DedupQueries.defs ++ SimilarityQueries.defs ++ PipelineQueries.defs ++
         MultimodalQueries.defs ++ ExtensionQueries.defs ++ TpchQueries.defs ++
         TpchFullQueries.defs ++ CurationQueries.defs ++ ModelPrepQueries.defs ++
-        SqlSurfaceQueries.defs
+        SqlSurfaceQueries.defs ++ UnigramQueries.defs
     // a duplicate name would silently drop a query from the driver
     // contract via toMap's last-wins
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys

@@ -66,6 +66,12 @@ object HashFunctions {
         require(exprs.length == 3, s"topk_agg: expected 3 arguments, got ${exprs.length}")
         TopKNative(exprs.head, exprs(1), intArg("topk_agg", exprs, 2))
           .toAggregateExpression()
+      }),
+    ("unigram_segment", classOf[UnigramSegment].getName,
+      exprs => {
+        require(exprs.length == 3,
+          s"unigram_segment: expected 3 arguments, got ${exprs.length}")
+        UnigramSegment(exprs.head, exprs(1), exprs(2))
       }))
 
   // sessions already registered — weak keys so dropped sessions don't leak
@@ -93,6 +99,11 @@ object HashFunctions {
     registerOnce(SparkSession.active)
     call_function(name, cols: _*)
   }
+
+  /** Viterbi unigram-LM segmentation under a literal (pieces, weights)
+    * vocabulary — see [[UnigramSegment]]. */
+  def unigramSegment(word: Column, pieces: Column, weights: Column): Column =
+    native("unigram_segment", word, pieces, weights)
 
   /** k-permutation MinHash signature (array<long>, length k): native
     * kernel, two XXH64 passes per shingle + k derived minima
