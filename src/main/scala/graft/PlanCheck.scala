@@ -857,6 +857,10 @@ object PlanCheck {
     check("q246_kcore",
       "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q301_opq_rotation_audit",
+      "OPQ audit: BOTH trained codebooks read back stored (identity + rotated), broadcast to the scans, no cartesian",
+      p => p.contains("graft_cent_pq") && p.contains("graft_cent_pqrot") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
     // unigram-LM trainer: the trained vocab is a stored corpus-keyed
     // artifact — q299 is a read-back, never a retrain
     check("q299_unigram_lm_train",

@@ -234,18 +234,25 @@ object SimilarityQueries {
     * (c_id, c DOUBLE[]) codebook named `cname` — slice j of `c` is
     * subspace j's trained centroid (the oracle twin of
     * [[storedPqCodebook]]). Assumes `iq` is already in scope. */
-  private def pqCentCtes(cname: String): String = {
+  private def pqCentCtes(cname: String): String = pqCentCtesOver(cname, "iq", "pq")
+
+  /** [[pqCentCtes]] generalized over the training source and CTE
+    * prefix — the rotated-layout codebook (q301) trains the same 8
+    * chains on the permuted vectors under a disjoint prefix. The
+    * default-args path emits byte-identical text to the original, so
+    * the q67/q69/q211 oracle fragments (drift-pinned) are unchanged. */
+  private def pqCentCtesOver(cname: String, src: String, pfx: String): String = {
     val srcs = (0 until PqM).map(j =>
-      s"pq${j}src AS (SELECT vec_id, v[${j * PqSub + 1}:${(j + 1) * PqSub}] AS v FROM iq)")
+      s"$pfx${j}src AS (SELECT vec_id, v[${j * PqSub + 1}:${(j + 1) * PqSub}] AS v FROM $src)")
       .mkString(",\n")
     val chains = (0 until PqM).map(j =>
-      kmeansCtes(s"pq$j", s"pq${j}src", PqK, KmIters)).mkString(",\n")
-    val joins = (1 until PqM).map(j => s"JOIN pq${j}cent$KmIters c$j USING (c_id)").mkString(" ")
+      kmeansCtes(s"$pfx$j", s"$pfx${j}src", PqK, KmIters)).mkString(",\n")
+    val joins = (1 until PqM).map(j => s"JOIN $pfx${j}cent$KmIters c$j USING (c_id)").mkString(" ")
     val cat = (0 until PqM).map(j => s"c$j.c").mkString(" || ")
     s"""$srcs,
        |$chains,
        |$cname AS (SELECT c0.c_id, CAST($cat AS DOUBLE[]) AS c
-       |           FROM pq0cent$KmIters c0 $joins)""".stripMargin
+       |           FROM ${pfx}0cent$KmIters c0 $joins)""".stripMargin
   }
 
   /** (tbl, bucket) sign-projection buckets from DETERMINISTIC hyperplanes
@@ -2737,8 +2744,201 @@ object SimilarityQueries {
           col("recall_ppm"), col("worst_hits"))
     })
 
+  // --- q301: OPQ-style rotation audit ----------------------------------
+
+  /** The balanced dim layout (OPQ's "eigenvalue allocation" init, Ge et
+    * al. CVPR'13, on per-dim second moments): dims ranked by energy
+    * (Σq², DECIMAL-exact) descending, snake-dealt across the PqM
+    * subspaces so each gets one hot dim per round from alternating
+    * ends. A permutation IS an orthogonal rotation — the integer one,
+    * exactly replayable, which is why it stands in for the float
+    * Procrustes refinement here. Returns permuted ORIGINAL dim indices
+    * (position p holds old dim perm(p)); bounded 64-row collect. */
+  private def opqPermutation(s: SparkSession, d: String): Seq[Int] = {
+    val en = quantizedVecs(s, d)
+      .select(posexplode(col("v")).as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(sum((col("q") * col("q")).cast("decimal(38,0)")).as("en"))
+      .collect().map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+    val ranked = en.sortBy { case (dim, e) => (-e, dim) }
+    val bySub = Array.fill(PqM)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    ranked.zipWithIndex.foreach { case ((dim, _), r) =>
+      val round = r / PqM; val p = r % PqM
+      val sub = if (round % 2 == 0) p else PqM - 1 - p
+      bySub(sub) += dim
+    }
+    bySub.toSeq.flatten
+  }
+
+  /** Permuted quantized vectors under `perm` (literal — the 64-entry
+    * permutation is trained bounded side-data, like the codebooks). */
+  private def permutedVecs(s: SparkSession, d: String, perm: Seq[Int]): DataFrame =
+    quantizedVecs(s, d).select(col("vec_id"),
+      array(perm.map(pd => element_at(col("v"), pd + 1)): _*).as("v"))
+
+  /** Per-subspace exact reconstruction stats of one PQ layout: assign
+    * every vector's subspace-j slice to its nearest trained centroid
+    * (the house max(struct(cos, c_id)) rule), then the mean-
+    * reconstruction distortion per subspace WITHOUT materializing any
+    * mean — the q227 moment identity per (subspace, cluster):
+    * Σ‖x−μ_c‖² = (n_c·ΣΣq² − Σ_dim(Σq)²) / n_c, floor-divided per
+    * cluster (both engines `div`), summed over clusters. Exchanges
+    * carry (vec_id, j, c_id) assignments and (j, c_id, dim) DECIMAL
+    * sums — never vectors. */
+  private def layoutStats(s: SparkSession, vecs: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    // all PqM argmaxes in ONE pass against the broadcast codebook (the
+    // pqEncode shape — a first cut unioned 8 per-subspace assignment
+    // jobs and measured 2× slower), then one explode keyed back to the
+    // owning subspace's code
+    val enc = vecs.crossJoin(broadcast(codebook))
+      .select(col("vec_id") +: (0 until PqM).map { j =>
+        struct(VecExpressions.cosineFast(s,
+          slice(col("v"), j * PqSub + 1, PqSub).cast("array<double>"),
+          slice(col("c"), j * PqSub + 1, PqSub).cast("array<double>")).as("s"),
+          col("c_id")).as(s"sc$j")
+      }: _*)
+      .groupBy("vec_id")
+      .agg(max("sc0").as("b0"), (1 until PqM).map(j => max(s"sc$j").as(s"b$j")): _*)
+      .select(col("vec_id") +:
+        (0 until PqM).map(j => col(s"b$j.c_id").as(s"code$j")): _*)
+    val dims = vecs.join(enc, Seq("vec_id"))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "q")),
+        array((0 until PqM).map(j => col(s"code$j")): _*).as("codes"))
+      .select(expr(s"CAST(dim div $PqSub AS BIGINT)").as("sub"),
+        element_at(col("codes"), expr(s"CAST(dim div $PqSub AS INT) + 1")).as("c_id"),
+        col("vec_id"), col("dim"), col("q"))
+    val perDim = dims.groupBy("sub", "c_id", "dim")
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
+    val ssq = perDim.groupBy("sub", "c_id")
+      .agg(sum(col("sq") * col("sq")).cast("decimal(38,0)").as("ssq"))
+    val perVec = dims.groupBy("sub", "c_id", "vec_id")
+      .agg(sum((col("q") * col("q")).cast("decimal(38,0)")).as("s2"))
+    val perCluster = perVec.groupBy("sub", "c_id")
+      .agg(count(lit(1)).as("n"), sum("s2").cast("decimal(38,0)").as("s2tot"))
+      .join(ssq, Seq("sub", "c_id"))
+      .select(col("sub"), col("n"), col("s2tot"),
+        expr("CAST(n * s2tot - ssq AS DECIMAL(38,0)) div n").as("scatter"))
+    perCluster.groupBy("sub")
+      .agg(sum("n").cast("long").as("n_vecs"),
+        sum("s2tot").cast("decimal(38,0)").cast("string").as("energy"),
+        sum("scatter").cast("long").as("distortion"))
+  }
+
+  /** The same stats in DuckDB over source `src` and codebook `cb`
+    * (both already CTEs), emitting `$out(sub, n_vecs, energy,
+    * distortion)`. */
+  private def layoutStatsCtes(out: String, src: String, cb: String): String = {
+    val asgs = (0 until PqM).map { j =>
+      val lo = j * PqSub + 1; val hi = (j + 1) * PqSub
+      s"""  SELECT CAST($j AS BIGINT) AS sub, vec_id, c_id, v[$lo:$hi] AS v FROM (
+         |    SELECT s.vec_id, c.c_id, s.v,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |             ORDER BY list_cosine_similarity(CAST(s.v[$lo:$hi] AS DOUBLE[]),
+         |                        CAST(c.c[$lo:$hi] AS DOUBLE[])) DESC, c.c_id DESC) AS rn
+         |    FROM $src s CROSS JOIN $cb c) WHERE rn = 1""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${out}asg AS MATERIALIZED (
+       |$asgs),
+       |${out}dims AS MATERIALIZED (
+       |  SELECT sub, c_id, vec_id,
+       |         unnest([{'dim': i, 'q': v[i]} FOR i IN range(1, len(v) + 1)],
+       |                recursive := true)
+       |  FROM ${out}asg),
+       |${out}ssq AS (
+       |  SELECT sub, c_id, CAST(SUM(CAST(sq AS DECIMAL(38,0)) * sq) AS DECIMAL(38,0)) AS ssq
+       |  FROM (SELECT sub, c_id, dim, CAST(SUM(q) AS DECIMAL(38,0)) AS sq
+       |        FROM ${out}dims GROUP BY sub, c_id, dim)
+       |  GROUP BY sub, c_id),
+       |${out}pv AS (
+       |  SELECT sub, c_id, vec_id, CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS s2
+       |  FROM ${out}dims GROUP BY sub, c_id, vec_id),
+       |${out}cl AS (
+       |  SELECT p.sub, p.c_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(SUM(p.s2) AS DECIMAL(38,0)) AS s2tot
+       |  FROM ${out}pv p GROUP BY p.sub, p.c_id),
+       |$out AS (
+       |  SELECT cl.sub, CAST(SUM(cl.n) AS BIGINT) AS n_vecs,
+       |         CAST(CAST(SUM(cl.s2tot) AS DECIMAL(38,0)) AS VARCHAR) AS energy,
+       |         -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL is float
+       |         -- division; HUGEINT // truncates toward zero = Spark div
+       |         CAST(SUM((CAST(cl.n * cl.s2tot - q.ssq AS HUGEINT)) // cl.n)
+       |              AS BIGINT) AS distortion
+       |  FROM ${out}cl cl JOIN ${out}ssq q USING (sub, c_id)
+       |  GROUP BY cl.sub)""".stripMargin
+  }
+
+  /** OPQ-STYLE ROTATION AUDIT (the r12 verdict's task #8 — the missing
+    * audit between q226's SQ8 error profile and q211's PQ code usage):
+    * per subspace, the PQ mean-reconstruction distortion of the
+    * trained codebook under the IDENTITY dim layout vs under the
+    * balanced PERMUTATION (OPQ's eigenvalue-allocation init on per-dim
+    * second moments — a permutation is the exactly-replayable integer
+    * rotation). Both codebooks are trained by the SAME k-means chain
+    * (the q67 machinery, second artifact for the rotated layout) and
+    * both distortions use the exact moment identity — so the
+    * improvement_ppm column is the measured answer to "would OPQ pay
+    * here", per subspace, with no floats anywhere. energy ships as
+    * VARCHAR (q149's DECIMAL wire rule). Output: PqM rows.
+    * HASH-MATCHED. */
+  val q301 = QueryDef.oracle("q301_opq_rotation_audit", {
+    s"""WITH $iqCte,
+       |${pqCentCtes("cent")},
+       |en AS (SELECT dim, CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS en
+       |       FROM (SELECT unnest([{'dim': i - 1, 'q': v[i]}
+       |                            FOR i IN range(1, len(v) + 1)], recursive := true)
+       |             FROM iq)
+       |       GROUP BY dim),
+       |rk AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY en DESC, dim) - 1 AS r FROM en),
+       |pm AS (SELECT dim, r,
+       |              CASE WHEN (r // $PqM) % 2 = 0 THEN r % $PqM
+       |                   ELSE $PqM - 1 - (r % $PqM) END AS sub
+       |       FROM rk),
+       |pos AS (SELECT dim,
+       |               sub * $PqSub + ROW_NUMBER() OVER (PARTITION BY sub ORDER BY r) - 1
+       |                 AS pos
+       |        FROM pm),
+       |pv AS MATERIALIZED (
+       |  SELECT vec_id, list(v[dim + 1] ORDER BY pos) AS v FROM iq, pos GROUP BY vec_id),
+       |${pqCentCtesOver("rcent", "pv", "rq")},
+       |${layoutStatsCtes("ist", "iq", "cent")},
+       |${layoutStatsCtes("rst", "pv", "rcent")}
+       |SELECT i.sub AS subspace, i.n_vecs,
+       |       i.energy AS energy_identity, r.energy AS energy_rotated,
+       |       i.distortion AS distortion_identity, r.distortion AS distortion_rotated,
+       |       CASE WHEN i.distortion > 0
+       |            THEN CAST(CAST(i.distortion - r.distortion AS HUGEINT)
+       |                      * 1000000 // i.distortion AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS improvement_ppm
+       |FROM ist i JOIN rst r ON r.sub = i.sub""".stripMargin})(
+    (s, d) => {
+      val perm = opqPermutation(s, d)
+      val identity = layoutStats(s, quantizedVecs(s, d),
+        storedPqCodebook(s, d).select(col("c_id"), col("c")))
+      val rotCb = storedCentroids(s, d, "pqrot") {
+        val src = permutedVecs(s, d, perm)
+        (0 until PqM).map { j =>
+          trainCentroids(s,
+            src.select(col("vec_id"), slice(col("v"), j * PqSub + 1, PqSub).as("v")),
+            PqK, KmIters)
+            .select(col("c_id"), col("c").as(s"c$j"))
+        }.reduce(_.join(_, Seq("c_id")))
+          .select(col("c_id"), concat((0 until PqM).map(j => col(s"c$j")): _*).as("c"))
+      }
+      val rotated = layoutStats(s, permutedVecs(s, d, perm), rotCb)
+      identity.alias("i").join(rotated.alias("r"), Seq("sub"))
+        .select(col("sub").as("subspace"), col("i.n_vecs").as("n_vecs"),
+          col("i.energy").as("energy_identity"), col("r.energy").as("energy_rotated"),
+          col("i.distortion").as("distortion_identity"),
+          col("r.distortion").as("distortion_rotated"),
+          when(col("i.distortion") > 0,
+            expr("CAST(CAST(i.distortion - r.distortion AS DECIMAL(38,0))" +
+              " * 1000000 div i.distortion AS BIGINT)"))
+            .otherwise(lit(0L)).as("improvement_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294)
+      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301)
 }

@@ -46,7 +46,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q231_cluster_salient_terms", "q238_threshold_sweep",
         "q243_token_yield", "q246_kcore", "q255_pair_transitivity",
         "q259_dataset_card", "q263_lsh_parameter_advisor",
-        "q275_candidate_family_overlap", "q295_inbatch_negative_risk")
+        "q275_candidate_family_overlap", "q295_inbatch_negative_risk",
+        "q298_cc_large_small_star") // q56's oracle verbatim (star CC twin)
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -78,7 +79,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
-        "q295_inbatch_negative_risk")
+        "q295_inbatch_negative_risk", "q298_cc_large_small_star")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -98,7 +99,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
-        "q295_inbatch_negative_risk")
+        "q295_inbatch_negative_risk", "q298_cc_large_small_star")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -226,7 +227,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
         "q232_hubness_histogram", "q235_clip_calibration",
         "q237_source_embedding_drift", "q240_knn_label_agreement",
-        "q276_ivf_cell_balance")
+        "q276_ivf_cell_balance", "q301_opq_rotation_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
