@@ -857,6 +857,13 @@ object PlanCheck {
     check("q246_kcore",
       "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q302_token_waterfill",
+      "waterfill: map-side source token rollup; windows ride |sources| rows",
+      p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
+    check("q303_tokenizer_agreement",
+      "tokenizer bake-off: stored merges read back; unigram side is the fused DP kernel (vocab rides as bounded literals); no cartesian",
+      p => p.contains("graft_bpe_merges") && p.contains("unigram_segment") &&
+        !p.contains("CartesianProduct"))
     check("q301_opq_rotation_audit",
       "OPQ audit: BOTH trained codebooks read back stored (identity + rotated), broadcast to the scans, no cartesian",
       p => p.contains("graft_cent_pq") && p.contains("graft_cent_pqrot") &&

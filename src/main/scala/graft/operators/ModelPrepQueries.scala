@@ -1577,8 +1577,100 @@ object ModelPrepQueries {
           (col("alloc_tokens") > col("n_tokens") * 4).as("over_4_epochs"))
     })
 
+  /** EPOCH-CAPPED TOKEN WATERFILLING — the sampling-cap half of the
+    * mixture question q166's temperature weights leave open: given a
+    * training-token budget T (2× the corpus here) and a hard per-source
+    * repetition cap (3 epochs — the LLaMA-style "don't loop a small
+    * source forever" rule), allocate tokens by waterfilling: every
+    * source gets the common water level except those whose cap sits
+    * below it, which saturate and release budget to the rest. Exact
+    * integer closed form, no iteration: sources sorted by (cap, name),
+    * source k saturates iff cap_k·(n−k+1) ≤ T − Σ_{i<k} cap_i (the
+    * saturation set is prefix-closed under this order — if k can't
+    * saturate, k+1 has a larger cap and less budget), level = floor
+    * share of the remaining budget over the unsaturated, remainder distributed
+    * +1 to the first sources by name (the q214 largest-remainder
+    * convention, made deterministic). epochs_micro = allocated·1e6 div
+    * tokens is the per-source repetition factor a run config reads.
+    * Scale shape: one map-side source token rollup; everything after is
+    * |sources|-row windows. Output: one row per source. HASH-MATCHED.
+    */
+  val q302 = QueryDef.oracle("q302_token_waterfill",
+    """WITH t AS (
+      |  SELECT source,
+      |         CAST(SUM(COALESCE(len(regexp_extract_all(text, '\S+')), 0))
+      |              AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |b AS (SELECT CAST(SUM(toks) * 2 AS BIGINT) AS budget,
+      |             CAST(count(*) AS BIGINT) AS n FROM t),
+      |o AS (SELECT source, toks, toks * 3 AS cap,
+      |             ROW_NUMBER() OVER (ORDER BY toks * 3, source) AS rk,
+      |             COALESCE(SUM(toks * 3) OVER (ORDER BY toks * 3, source
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               CAST(0 AS BIGINT)) AS pfx
+      |      FROM t),
+      |s AS (SELECT o.*, b.budget, b.n,
+      |             cap * (n - rk + 1) <= budget - pfx AS sat
+      |      FROM o, b),
+      |lvl AS (SELECT CAST(SUM(CASE WHEN sat THEN cap ELSE 0 END) AS BIGINT) AS satsum,
+      |               CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |        FROM s),
+      |lv AS (SELECT CASE WHEN n - m > 0 THEN (budget - satsum) // (n - m)
+      |                   ELSE CAST(0 AS BIGINT) END AS level,
+      |              CASE WHEN n - m > 0 THEN (budget - satsum) % (n - m)
+      |                   ELSE CAST(0 AS BIGINT) END AS rem
+      |       FROM lvl, b),
+      |u AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS urk
+      |      FROM s WHERE NOT sat)
+      |SELECT s.source, s.toks, s.cap, s.sat AS saturated,
+      |       CASE WHEN s.sat THEN s.cap
+      |            ELSE lv.level + CASE WHEN u.urk <= lv.rem THEN 1 ELSE 0 END
+      |       END AS allocated,
+      |       CASE WHEN s.toks > 0
+      |            THEN (CASE WHEN s.sat THEN s.cap
+      |                       ELSE lv.level + CASE WHEN u.urk <= lv.rem THEN 1 ELSE 0 END
+      |                  END) * 1000000 // s.toks
+      |            ELSE CAST(0 AS BIGINT) END AS epochs_micro
+      |FROM s LEFT JOIN u USING (source), lv""".stripMargin)(
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"),
+          coalesce(tokenCount(col("text")).cast("long"), lit(0L)).as("tk"))
+        .groupBy("source").agg(sum("tk").as("toks"))
+      val b = t.agg((sum("toks") * 2).as("budget"), count(lit(1)).as("n"))
+      val o = t.select(col("source"), col("toks"), (col("toks") * 3).as("cap"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cap"), col("source"))).cast("long"))
+        .withColumn("pfx", coalesce(sum("cap").over(
+          Window.orderBy(col("cap"), col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val st = o.crossJoin(broadcast(b))
+        .withColumn("sat", col("cap") * (col("n") - col("rk") + 1) <=
+          col("budget") - col("pfx"))
+      val lvl = st.agg(
+        sum(when(col("sat"), col("cap")).otherwise(0L)).as("satsum"),
+        sum(when(col("sat"), 1L).otherwise(0L)).as("m"),
+        max("budget").as("budget"), max("n").as("n"))
+        .select(
+          when(col("n") - col("m") > 0,
+            expr("(budget - satsum) div (n - m)")).otherwise(0L).as("level"),
+          when(col("n") - col("m") > 0,
+            expr("(budget - satsum) % (n - m)")).otherwise(0L).as("rem"))
+      val u = st.filter(!col("sat"))
+        .select(col("source"),
+          row_number().over(Window.orderBy("source")).cast("long").as("urk"))
+      st.join(u, Seq("source"), "left").crossJoin(broadcast(lvl))
+        .select(col("source"), col("toks"), col("cap"), col("sat").as("saturated"),
+          when(col("sat"), col("cap"))
+            .otherwise(col("level") +
+              when(col("urk") <= col("rem"), 1L).otherwise(0L)).as("allocated"))
+        .withColumn("epochs_micro",
+          when(col("toks") > 0, expr("allocated * 1000000 div toks"))
+            .otherwise(0L))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257)
+      q208, q214, q223, q257, q302)
 }

@@ -641,7 +641,7 @@ object TextQueries {
     * oracle's FROM-driven emptiness convention (zero rows unless all
     * [[BpeTrainK]] training rounds produced a winner) — shared by every
     * apply-side consumer so the shipped-tokenizer shape cannot fork. */
-  private def bpeMergeRow(s: SparkSession, d: String): DataFrame =
+  private[operators] def bpeMergeRow(s: SparkSession, d: String): DataFrame =
     storedBpeMerges(s, d)
       .agg(sort_array(collect_list(
         struct(col("round"), col("pat"), col("sent")))).as("ms"))

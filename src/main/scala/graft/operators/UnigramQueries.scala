@@ -262,5 +262,63 @@ object UnigramQueries {
           col("seg"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q299, q300)
+  /** TOKENIZER AGREEMENT — BPE (q156–q174's trained merges) vs
+    * unigram-LM (q299's trained vocab) on the SAME word types: per
+    * type, each tokenizer's piece count and who compresses better. The
+    * eval a tokenizer bake-off actually reads — fertility (q173) says
+    * how expensive each tokenizer is alone, this says WHERE they
+    * disagree, type by type, weighted by frequency. BPE token count =
+    * characters after the k sentinel merges (q165's convention, the
+    * stored `bpe_merges` artifact applied per type); unigram count =
+    * the Viterbi piece count under the stored vocab. Types longer than
+    * MaxWordLen follow the unigram gate (the inner join makes the
+    * domains equal). The oracle replays BOTH trainers end to end —
+    * the unigram chain (q300's full statement nested as a CTE) and the
+    * k-round BPE chain with its per-type replace ladder. Scale shape:
+    * two linear type-table passes (one per tokenizer, both against
+    * bounded broadcast side-data) + one |types|-row join.
+    * HASH-MATCHED. */
+  val q303 = QueryDef.oracle("q303_tokenizer_agreement", {
+    val k = TextQueries.BpeTrainK
+    val rewrites = (1 to k).map { r =>
+      val src = if (r == 1) "ty" else s"ty${r - 1}"
+      s"ty$r AS (SELECT word, replace($src.w, (SELECT pair FROM mr$r), chr($r)) AS w FROM $src)"
+    }.mkString(",\n")
+    val bpeInner =
+      s"""${TextQueries.bpeTrainCtesK(k)},
+         |ty AS (SELECT w AS word, w FROM (SELECT DISTINCT w FROM w)
+         |       WHERE length(w) <= $MaxWordLen),
+         |$rewrites
+         |SELECT word, CAST(length(w) AS BIGINT) AS bpe_tokens FROM ty$k""".stripMargin
+    s"""WITH uni AS (
+       |${q300.sql.get}
+       |),
+       |bpet AS (
+       |$bpeInner
+       |)
+       |SELECT u.word, u.freq, u.n_pieces AS uni_tokens, b.bpe_tokens,
+       |       u.n_pieces - b.bpe_tokens AS diff,
+       |       CASE WHEN u.n_pieces < b.bpe_tokens THEN 'unigram'
+       |            WHEN u.n_pieces > b.bpe_tokens THEN 'bpe'
+       |            ELSE 'tie' END AS winner
+       |FROM uni u JOIN bpet b USING (word)""".stripMargin})(
+    (s, d) => {
+      val uni = q300.fn(s, d)
+        .select(col("word"), col("freq"), col("n_pieces").as("uni_tokens"))
+      val mrow = TextQueries.bpeMergeRow(s, d)
+      val bpe = typesDf(s, d)
+        .select(col("word"))
+        .crossJoin(broadcast(mrow))
+        .select(col("word"),
+          length(expr("aggregate(ms, word, (acc, m) -> replace(acc, m.pat, m.sent))"))
+            .cast("long").as("bpe_tokens"))
+      uni.join(bpe, Seq("word"))
+        .select(col("word"), col("freq"), col("uni_tokens"), col("bpe_tokens"),
+          (col("uni_tokens") - col("bpe_tokens")).as("diff"),
+          when(col("uni_tokens") < col("bpe_tokens"), "unigram")
+            .when(col("uni_tokens") > col("bpe_tokens"), "bpe")
+            .otherwise("tie").as("winner"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(q299, q300, q303)
 }

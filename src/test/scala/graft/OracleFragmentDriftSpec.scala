@@ -137,7 +137,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         graft.operators.TextQueries.BpeTrainK)
       val consumers = sqlByName.filter(_._2.contains("mr1 AS (SELECT pair"))
       consumers.keySet shouldBe Set(
-        "q174_bpe_train_k", "q168_bpe_fold_apply", "q173_tokenizer_fertility")
+        "q174_bpe_train_k", "q168_bpe_fold_apply", "q173_tokenizer_fertility",
+        "q303_tokenizer_agreement") // the bake-off replays the same chain
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the shipped-tokenizer chain (or trains a different depth): ") {
           sql.contains(frag) shouldBe true
