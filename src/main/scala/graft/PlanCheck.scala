@@ -857,6 +857,13 @@ object PlanCheck {
     check("q246_kcore",
       "k-core: peel rounds ride the checkpointed edge set (ExistingRDD), no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q304_cc_incremental",
+      "incremental CC: labels read the re-converged checkpointed forest (ExistingRDD), no closure, no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    checkTree("q305_last_touch_attribution",
+      "attribution window is user-keyed, never a global fact window",
+      noGlobalFactWindow)
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -98,6 +98,27 @@ object Components {
     */
   def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 40): (DataFrame, Int) = {
+    val (e, rounds) = starForest(edges, maxIters)
+    (starLabels(vertices, e), rounds)
+  }
+
+  /** Labels off a CONVERGED star forest: at fixpoint every non-root
+    * carries exactly (v, componentMin); roots appear only as dst,
+    * isolated vertices not at all. */
+  def starLabels(vertices: DataFrame, forest: DataFrame): DataFrame = {
+    val parents = forest.groupBy("src").agg(min("dst").as("component"))
+    vertices
+      .join(parents, vertices("id") === parents("src"), "left")
+      .select(vertices("id"),
+        coalesce(col("component"), vertices("id")).as("component"))
+  }
+
+  /** The alternation loop itself, returning the CONVERGED star forest —
+    * exposed because the forest IS the incremental-CC state: it has the
+    * same components as the input graph in O(components) edges, so
+    * day-2 edges union onto it and re-converge in O(1) rounds instead
+    * of re-running over the full history (q304's contract). */
+  def starForest(edges: DataFrame, maxIters: Int = 40): (DataFrame, Int) = {
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("src"), col("dst"))
@@ -147,13 +168,6 @@ object Components {
       System.err.println(s"[graft] connectedComponentsStar did NOT converge " +
         s"in $maxIters alternation rounds — labels may split deep clusters; " +
         s"re-run with a larger maxIters")
-    // at fixpoint every non-root carries exactly (v, componentMin);
-    // roots appear only as dst, isolated vertices not at all
-    val parents = e.groupBy("src").agg(min("dst").as("component"))
-    val labels = vertices
-      .join(parents, vertices("id") === parents("src"), "left")
-      .select(vertices("id"),
-        coalesce(col("component"), vertices("id")).as("component"))
-    (labels, rounds)
+    (e, rounds)
   }
 }

@@ -2908,9 +2908,50 @@ object DedupQueries {
           when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
     })
 
+  /** INCREMENTAL connected components — the day-2 path of the cluster
+    * graph, completing the incremental dedup story (q148 admits new
+    * docs against the stored index; q274 appends their bandrows; THIS
+    * folds their new edges into the cluster labels without re-running
+    * CC over history): the converged star forest of the day-1 edges is
+    * the persisted state — same components as the full day-1 graph in
+    * O(components) edges — and the day-2 batch's edges union onto it,
+    * re-converging in O(1) alternation rounds for bounded-diameter
+    * deltas. Split rule here: docs with doc_id % 10 = 0 are the day-2
+    * arrivals (their pairs are the delta; everything else is day-1
+    * state). Correctness is structural — a star forest preserves
+    * connectivity, so components(forest(day1) ∪ delta) =
+    * components(day1 ∪ delta) — and the oracle proves it end to end:
+    * the SAME recursive-closure SQL as q56/q298 over ALL kept pairs,
+    * so the incremental path must land on the very labels a full
+    * recompute yields. Output: the q56 contract (doc_id, cluster_id,
+    * cluster_size, action). HASH-MATCHED. */
+  val q304 = QueryDef.oracle("q304_cc_incremental", q56.sql.get)(
+    (s, d) => {
+      val kept = portableScoredPairs(s, d)
+        .filter(col("n_match") >= PortMatchMin)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 0
+      val delta = kept.filter(isNew(col("src")) || isNew(col("dst")))
+      // the day-1 forest IS the persisted incremental-CC state — a pure
+      // function of the corpus, stored like the band index, so each run
+      // (and production's day-2 job) pays only the delta re-convergence
+      val state = graft.sources.ArtifactStore.table(s, d, "ccforest") {
+        Components.starForest(
+          kept.filter(!isNew(col("src")) && !isNew(col("dst"))))._1
+      }
+      val (merged, _) = Components.starForest(state.unionByName(delta))
+      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val comp = Components.starLabels(vertices, merged)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298)
+      q275, q277, q295, q298, q304)
 }

@@ -1519,8 +1519,56 @@ object EventQueries {
           .as("p90_gap_s"))
     })
 
+  /** LAST-TOUCH ATTRIBUTION — the credit-assignment rollup the funnel
+    * family stops short of (q194 counts stage survivors, q264 scores
+    * transitions, q297 prices the gaps; none says which CHANNEL gets
+    * the purchase): every purchase attributes its value to the user's
+    * most recent preceding NON-purchase event within a 7-day horizon
+    * (ties at one timestamp resolve by the (ts, event_id) total order),
+    * or to 'unattributed' when the horizon is empty. One user-keyed
+    * carry-forward window (last non-purchase via IGNORE NULLS over the
+    * 1-PRECEDING frame — intervening purchases stay transparent by
+    * construction), revenue in exact integer cents (q30's floor
+    * convention), rollup ≤ |event types| rows. HASH-MATCHED. */
+  val q305 = QueryDef.oracle("q305_last_touch_attribution",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |         last_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN struct_pack(ats := ts, atype := event_type)
+      |                    END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      |  FROM events)
+      |SELECT COALESCE(CASE WHEN epoch(ts) - epoch(attr.ats) <= 604800
+      |                     THEN attr.atype END,
+      |                'unattributed') AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS attributed_cents
+      |FROM o WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("attr",
+          last(when(col("event_type") =!= "purchase",
+            struct(col("ts").as("ats"), col("event_type").as("atype"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          coalesce(
+            when(col("ts").cast("long") - col("attr.ats").cast("long") <= 604800,
+              col("attr.atype")),
+            lit("unattributed")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100).cast("long")).as("attributed_cents"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297)
+      q284, q285, q297, q305)
 }

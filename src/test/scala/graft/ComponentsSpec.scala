@@ -67,6 +67,28 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental star CC (forest ∪ delta) equals full recompute; the delta step is O(1) rounds") {
+    val rnd = new scala.util.Random(304)
+    (1 to 5).foreach { _ =>
+      val n = 60
+      val all = Seq.fill(50)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter(e => e._1 != e._2)
+      val (day1, delta) = all.partition(e => e._1 % 7 != 0 && e._2 % 7 != 0)
+      val vertices = (1 to n).map(_.toLong).toDF("id")
+      val full = Components.connectedComponentsStar(
+        vertices, all.toDF("src", "dst"))._1.as[(Long, Long)].collect().toMap
+      val (forest, _) = Components.starForest(day1.toDF("src", "dst"))
+      val (merged, deltaRounds) = Components.starForest(
+        forest.unionByName(delta.toDF("src", "dst")))
+      val inc = Components.starLabels(vertices, merged)
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"incremental labels diverged (delta=${delta.take(5)}…)")
+      // the re-convergence bound: the forest keeps components 1 hop
+      // deep, so the merged graph's effective diameter is tiny
+      assert(deltaRounds <= 8, s"delta step took $deltaRounds rounds")
+    }
+  }
+
   test("q189 PageRank nodes are exactly q56's multi-member-cluster docs; ranks bounded") {
     val d = "/root/testdata/sf0.001"
     val pr = SparkEntry.queries("q189_pair_pagerank")(spark, d).collect()

@@ -47,7 +47,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q243_token_yield", "q246_kcore", "q255_pair_transitivity",
         "q259_dataset_card", "q263_lsh_parameter_advisor",
         "q275_candidate_family_overlap", "q295_inbatch_negative_risk",
-        "q298_cc_large_small_star") // q56's oracle verbatim (star CC twin)
+        "q298_cc_large_small_star", // q56's oracle verbatim (star CC twin)
+        "q304_cc_incremental") // and its day-2 path
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -79,7 +80,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
-        "q295_inbatch_negative_risk", "q298_cc_large_small_star")
+        "q295_inbatch_negative_risk", "q298_cc_large_small_star",
+        "q304_cc_incremental")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -99,7 +101,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q238_threshold_sweep", "q243_token_yield", "q246_kcore",
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
-        "q295_inbatch_negative_risk", "q298_cc_large_small_star")
+        "q295_inbatch_negative_risk", "q298_cc_large_small_star",
+        "q304_cc_incremental")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
