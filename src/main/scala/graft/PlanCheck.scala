@@ -864,6 +864,10 @@ object PlanCheck {
     checkTree("q305_last_touch_attribution",
       "attribution window is user-keyed, never a global fact window",
       noGlobalFactWindow)
+    check("q306_dedup_drop_bias",
+      "drop-bias: STORED closure labels join the scan-stage quality pass on doc_id; no cartesian",
+      p => p.contains("graft_dedup_clusters") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

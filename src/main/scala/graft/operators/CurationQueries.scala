@@ -1770,8 +1770,74 @@ object CurationQueries {
             .as("lift_ppm"))
     })
 
+  /** DEDUP DROP-BIAS AUDIT — does min-id near-dup dedup systematically
+    * remove low-quality text, or is it quality-blind? Per source, the
+    * 2×2 of (dropped by q56's clusters) × (quality < 0.5, q41's
+    * drift-pinned fragment), plus the exact-ppm LIFT of the drop rate
+    * on the low-quality stratum vs the source's overall drop rate —
+    * lift ≫ 1e6 means duplication concentrates in junk (dedup is doing
+    * curation's work; the quality gate can relax), lift ≈ 1e6 means
+    * the two filters are independent and BOTH must run. Built entirely
+    * on canonical machinery — q56's cluster labels (the recursive-
+    * closure oracle nested verbatim) and the shared quality fragment —
+    * so this audit cannot disagree with either parent. Scale shape:
+    * the (doc, action) labels join the scan-stage quality pass on
+    * doc_id; one source-keyed rollup. Output: one row per source.
+    * HASH-MATCHED. */
+  val q306 = QueryDef.oracle("q306_dedup_drop_bias", {
+    val q56sql = graft.operators.DedupQueries.q56.sql.get
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    s"""WITH cl AS (
+       |$q56sql
+       |),
+       |tq AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+       |j AS (SELECT tq.source,
+       |             CASE WHEN cl.action = 'drop' THEN 1 ELSE 0 END AS dropped,
+       |             CASE WHEN tq.quality < 0.5 THEN 1 ELSE 0 END AS lowq
+       |      FROM tq JOIN cl ON cl.doc_id = tq.doc_id),
+       |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       |             CAST(SUM(lowq) AS BIGINT) AS n_lowq,
+       |             CAST(SUM(dropped * lowq) AS BIGINT) AS n_dropped_lowq
+       |      FROM j GROUP BY source)
+       |SELECT source, n_docs, n_dropped, n_lowq, n_dropped_lowq,
+       |       CASE WHEN n_docs > 0 THEN n_dropped * 1000000 // n_docs
+       |            ELSE CAST(0 AS BIGINT) END AS drop_rate_ppm,
+       |       CASE WHEN n_lowq > 0 AND n_dropped > 0
+       |            THEN CAST(CAST(n_dropped_lowq AS HUGEINT) * n_docs * 1000000
+       |                      // (CAST(n_lowq AS HUGEINT) * n_dropped) AS BIGINT)
+       |            ELSE CAST(NULL AS BIGINT) END AS lowq_drop_lift_ppm
+       |FROM r""".stripMargin})(
+    (s, d) => {
+      // stored closure labels (the day-2 consumer contract, like q231):
+      // dropped ⟺ not the cluster minimum — q56's exact action rule
+      val cl = graft.operators.DedupQueries.clusterLabels(s, d)
+        .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).as("dropped"))
+      val tq = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      tq.join(cl, Seq("doc_id"))
+        .select(col("source"),
+          when(col("dropped"), 1L).otherwise(0L).as("dropped"),
+          when(col("quality") < 0.5, 1L).otherwise(0L).as("lowq"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("dropped").as("n_dropped"),
+          sum("lowq").as("n_lowq"),
+          sum(col("dropped") * col("lowq")).as("n_dropped_lowq"))
+        .select(col("source"), col("n_docs"), col("n_dropped"), col("n_lowq"),
+          col("n_dropped_lowq"),
+          when(col("n_docs") > 0, expr("n_dropped * 1000000 div n_docs"))
+            .otherwise(0L).as("drop_rate_ppm"),
+          // the triple product wraps int64 near 10¹² docs — 128-bit in
+          // both engines (DECIMAL here, HUGEINT there), result ≤ 10⁶·n
+          when(col("n_lowq") > 0 && col("n_dropped") > 0,
+            expr("CAST(CAST(n_dropped_lowq AS DECIMAL(38,0)) * n_docs * 1000000" +
+              " div (CAST(n_lowq AS DECIMAL(38,0)) * n_dropped) AS BIGINT)"))
+            .otherwise(lit(null).cast("long")).as("lowq_drop_lift_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287)
+      q279, q282, q286, q287, q306)
 }

@@ -48,7 +48,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q259_dataset_card", "q263_lsh_parameter_advisor",
         "q275_candidate_family_overlap", "q295_inbatch_negative_risk",
         "q298_cc_large_small_star", // q56's oracle verbatim (star CC twin)
-        "q304_cc_incremental") // and its day-2 path
+        "q304_cc_incremental", // and its day-2 path
+        "q306_dedup_drop_bias") // and the quality-bias audit over its labels
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -81,7 +82,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
-        "q304_cc_incremental")
+        "q304_cc_incremental", "q306_dedup_drop_bias")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -102,7 +103,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
-        "q304_cc_incremental")
+        "q304_cc_incremental", "q306_dedup_drop_bias")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -248,7 +249,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q194_curation_funnel", "q196_quality_percentile",
         "q205_weighted_sample", "q215_crossmodal_gate",
         "q221_bootstrap_quality_ci", "q223_filter_calibration",
-        "q259_dataset_card")
+        "q259_dataset_card", "q306_dedup_drop_bias")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
