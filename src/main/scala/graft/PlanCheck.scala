@@ -868,6 +868,14 @@ object PlanCheck {
       "drop-bias: STORED closure labels join the scan-stage quality pass on doc_id; no cartesian",
       p => p.contains("graft_dedup_clusters") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    check("q307_ivf_recall_curve",
+      "recall curve: stored IVF codebook read back (never retrained); panel/probes broadcast; ONE candidate pass for all budgets (no per-budget re-search)",
+      p => p.contains("graft_cent_ivf") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q309_cluster_separation",
+      "separation audit: stored codebook read back; K x K matrix from map-side-combined moment sums + 64-row broadcast side tables; no cartesian",
+      p => p.contains("graft_cent_ivf") && p.contains("partial_sum") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

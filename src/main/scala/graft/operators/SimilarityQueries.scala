@@ -2937,8 +2937,252 @@ object SimilarityQueries {
             .otherwise(lit(0L)).as("improvement_ppm"))
     })
 
+  /** Probe budgets swept by q307 — the shipped IvfNprobe sits inside the
+    * grid so the curve prices the production point against its
+    * neighbors. */
+  private val ProbeBudgets = Seq(1, 2, 4, 8, 16, 24, 32)
+
+  /** IVF PROBE-BUDGET RECALL CURVE — the operating-point table an ANN
+    * deployment reads before fixing nprobe (`tools.AnnFrontier` measures
+    * this offline; q307 makes it a first-class, hash-matched query):
+    * recall@10 against the EXACT brute-force top-10 at every budget in
+    * [[ProbeBudgets]], over the house query panel (every 50th
+    * vector). The trick that makes the sweep ONE search instead of
+    * seven: probe lists are nested in the budget (the nprobe=1 list is
+    * the head of the nprobe=32 list), so candidates are generated once
+    * at the MAX budget carrying their probe rank `pr`, and a single
+    * window sort per query yields, for every budget b, each candidate's
+    * rank within the pr≤b sublist as a conditional RUNNING COUNT — a
+    * candidate is in the budget-b top-10 iff pr≤b and that count ≤10.
+    * Hits then come from a 10-rows-per-query join against the exact
+    * set. Scale shape: exact truth + candidates are the two broadcast-
+    * panel corpus passes (|panel|=N/50 — the audit's sampling knob);
+    * the per-budget accounting adds ZERO corpus passes; exchanges carry
+    * (q_id, vec_id, pr, cos) — never vectors. Cosine ordering is the
+    * established rank-robust float (q65's ULP argument); every emitted
+    * number is an exact integer. Output: |budgets| rows
+    * (nprobe, n_queries, hits, recall_ppm). HASH-MATCHED. */
+  val q307 = QueryDef.oracle("q307_ivf_recall_curve", {
+    val maxB = ProbeBudgets.max
+    val cnts = ProbeBudgets.map(b =>
+      s"""SUM(CASE WHEN pr <= $b THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY q_id ORDER BY cos DESC, vec_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_$b""".stripMargin)
+      .mkString(",\n         ")
+    val hs = ProbeBudgets.map(b =>
+      s"SUM(CASE WHEN pr <= $b AND cnt_$b <= 10 THEN 1 ELSE 0 END) AS h_$b")
+      .mkString(",\n       ")
+    val rows = ProbeBudgets.map(b =>
+      s"SELECT CAST($b AS BIGINT) AS nprobe, COALESCE(h_$b, 0) AS hits FROM h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$ivfCentCtes,
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(v.e, c.c_vec) DESC,
+       |                      c.c_id DESC) AS rn
+       |    FROM emb v CROSS JOIN cent c) WHERE rn = 1),
+       |panel AS (SELECT vec_id AS q_id, e AS q_vec FROM emb WHERE vec_id % 50 = 0),
+       |ex10 AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, n.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |             ORDER BY list_cosine_similarity(p.q_vec, n.e) DESC,
+       |                      n.vec_id) AS rk
+       |    FROM panel p JOIN emb n ON n.vec_id <> p.q_id) WHERE rk <= 10),
+       |probes AS (
+       |  SELECT q_id, q_vec, c_id, pr FROM (
+       |    SELECT p.q_id, p.q_vec, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |             ORDER BY list_cosine_similarity(p.q_vec, c.c_vec) DESC,
+       |                      c.c_id) AS pr
+       |    FROM panel p CROSS JOIN cent c) WHERE pr <= $maxB),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, p.pr,
+       |         list_cosine_similarity(p.q_vec, n.e) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.c_id = p.c_id
+       |  JOIN emb n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id),
+       |cum AS (SELECT q_id, vec_id, pr,
+       |         $cnts
+       |        FROM cand),
+       |h AS (SELECT $hs
+       |      FROM cum JOIN ex10 USING (q_id, vec_id)),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM panel),
+       |curve AS ($rows)
+       |SELECT c.nprobe, nq.n_queries, CAST(c.hits AS BIGINT) AS hits,
+       |       CAST(c.hits AS BIGINT) * 1000000 // (10 * nq.n_queries) AS recall_ppm
+       |FROM curve c, nq""".stripMargin})(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val panel = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val wx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val ex10 = emb.crossJoin(broadcast(panel))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wx)).filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+      val centroids = storedIvfCentroids(s, d)
+        .select(col("c_id"), col("c").cast("array<double>").as("c_vec"))
+      val wp = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+      val probes = panel.crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("q_vec"), col("c_id"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("c_vec")).as("c_cos"))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= ProbeBudgets.max)
+        .select("q_id", "q_vec", "c_id", "pr")
+      val assigned = emb.join(ivfAssignMap(s, d), Seq("vec_id"))
+      val cand = assigned.join(broadcast(probes), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("pr"),
+          VecExpressions.cosineFast(s, col("q_vec"), col("embedding")).as("cos"))
+      val wc = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = cand.select(
+        Seq(col("q_id"), col("vec_id"), col("pr")) ++
+          ProbeBudgets.map(b =>
+            sum(when(col("pr") <= b, 1L).otherwise(0L)).over(wc).as(s"cnt_$b")): _*)
+      val hAggs = ProbeBudgets.map(b =>
+        sum(when(col("pr") <= b && col(s"cnt_$b") <= 10, 1L).otherwise(0L))
+          .as(s"h_$b"))
+      val hits = flagged.join(ex10, Seq("q_id", "vec_id"))
+        .agg(hAggs.head, hAggs.tail: _*)
+      val nq = panel.agg(count(lit(1)).as("n_queries"))
+      val stackExpr = s"stack(${ProbeBudgets.size}, " +
+        ProbeBudgets.map(b => s"CAST($b AS BIGINT), coalesce(h_$b, CAST(0 AS BIGINT))")
+          .mkString(", ") + ") AS (nprobe, hits)"
+      hits.crossJoin(nq)
+        .select(expr(stackExpr), col("n_queries"))
+        .select(col("nprobe"), col("n_queries"), col("hits"),
+          expr("hits * 1000000 div (10 * n_queries)").as("recall_ppm"))
+    })
+
+  /** CLUSTER SEPARATION AUDIT — the silhouette/Davies–Bouldin question
+    * ("are the trained IVF cells actually separated, or is the codebook
+    * slicing one blob?") answered in EXACT integers from per-cluster
+    * MOMENTS alone: for clusters i, j, the mean squared distance of i's
+    * members to j's mean centroid expands (q227's moment identity,
+    * generalized off-diagonal) as
+    *   D_ij = (n_j²·Σ‖x‖²_i − 2·n_j·(S_i·S_j) + n_i·‖S_j‖²)/(n_i·n_j²)
+    * over the quantized integer sums S_c — so the whole K×K distance
+    * matrix needs ONE corpus moment pass (per-(cluster, dim) DECIMAL
+    * sums) plus a K²·dims cross of 64-row side tables; no per-vector
+    * second pass, no centroid ever materialized, no floats. Per cluster:
+    * a = D_ii (cohesion), b = min_{j≠i} D_ij (separation, tie → smaller
+    * c_id), and the silhouette-style score (b−a)·10⁶/max(a,b) — negative
+    * means members sit closer to ANOTHER cell's mean than their own, the
+    * flag that says re-train before trusting q64/q170/q228. Division
+    * discipline: D lands on a common micro grid by one floor division
+    * per pair; sil_ppm splits on sign so both engines floor-divide a
+    * non-negative numerator (Spark `div` truncates, DuckDB `//` floors —
+    * they agree only at ≥0). DECIMAL(38,0)/HUGEINT throughout (overflow
+    * → null per the r9 convention; bound: n_c²·Σ‖x‖² ≈ 10³⁷ at n_c=10⁹).
+    * Clusters grain: non-empty cells of the FINAL stored-codebook
+    * assignment (an empty cell has no member mean to audit). Output: ≤K
+    * rows. HASH-MATCHED. */
+  val q309 = QueryDef.oracle("q309_cluster_separation", {
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$ivfCentCtes,
+       |assign AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(v.e, c.c_vec) DESC,
+       |                      c.c_id DESC) AS rn
+       |    FROM emb v CROSS JOIN cent c) WHERE rn = 1),
+       |g1 AS (
+       |  SELECT c_id, dim, SUM(CAST(q AS HUGEINT)) AS s,
+       |         SUM(CAST(q AS HUGEINT) * q) AS ss
+       |  FROM (SELECT a.c_id, unnest([{'dim': i - 1, 'q': v[i]}
+       |                FOR i IN range(1, len(v) + 1)], recursive := true)
+       |        FROM assign a JOIN iq USING (vec_id))
+       |  GROUP BY 1, 2),
+       |st AS (SELECT c_id, SUM(ss) AS ssq, SUM(s * s) AS s2 FROM g1 GROUP BY 1),
+       |nv AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs FROM assign GROUP BY 1),
+       |dots AS (SELECT a.c_id AS ci, b.c_id AS cj, SUM(a.s * b.s) AS dot
+       |         FROM g1 a JOIN g1 b USING (dim) GROUP BY 1, 2),
+       |dmat AS (
+       |  SELECT d.ci, d.cj,
+       |         (CAST(nj.n_vecs AS HUGEINT) * nj.n_vecs * si.ssq
+       |          - 2 * CAST(nj.n_vecs AS HUGEINT) * d.dot
+       |          + CAST(ni.n_vecs AS HUGEINT) * sj.s2) * 1000000
+       |         // (CAST(ni.n_vecs AS HUGEINT) * nj.n_vecs * nj.n_vecs) AS d_micro
+       |  FROM dots d
+       |  JOIN st si ON si.c_id = d.ci JOIN st sj ON sj.c_id = d.cj
+       |  JOIN nv ni ON ni.c_id = d.ci JOIN nv nj ON nj.c_id = d.cj),
+       |intra AS (SELECT ci AS c_id, d_micro AS a_micro FROM dmat WHERE ci = cj),
+       |nn AS (SELECT c_id, nn_c_id, b_micro FROM (
+       |  SELECT ci AS c_id, cj AS nn_c_id, d_micro AS b_micro,
+       |         ROW_NUMBER() OVER (PARTITION BY ci ORDER BY d_micro, cj) AS rn
+       |  FROM dmat WHERE ci <> cj) WHERE rn = 1)
+       |SELECT nv.c_id, nv.n_vecs,
+       |       CAST(i.a_micro AS BIGINT) AS a_micro,
+       |       CAST(nn.b_micro AS BIGINT) AS b_micro,
+       |       nn.nn_c_id,
+       |       CASE WHEN GREATEST(i.a_micro, nn.b_micro) = 0 THEN CAST(0 AS BIGINT)
+       |            WHEN nn.b_micro >= i.a_micro
+       |            THEN CAST((nn.b_micro - i.a_micro) * 1000000
+       |                      // GREATEST(i.a_micro, nn.b_micro) AS BIGINT)
+       |            ELSE -CAST((i.a_micro - nn.b_micro) * 1000000
+       |                       // GREATEST(i.a_micro, nn.b_micro) AS BIGINT)
+       |       END AS sil_ppm
+       |FROM nv JOIN intra i USING (c_id) JOIN nn USING (c_id)""".stripMargin})(
+    (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val m = quantizedVecs(s, d).join(ivfAssignMap(s, d), Seq("vec_id"))
+      val g1 = m.select(col("c_id"), posexplode(col("v")).as(Seq("dim", "q")))
+        .groupBy("c_id", "dim")
+        .agg(sum(dec(col("q"))).as("s"), sum(dec(col("q")) * col("q")).as("ss"))
+      val st = g1.groupBy("c_id")
+        .agg(sum("ss").as("ssq"), sum(expr("s * s")).as("s2"))
+      val nv = m.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+      val dots = g1.select(col("c_id").as("ci"), col("dim"), col("s").as("sa"))
+        .join(g1.select(col("c_id").as("cj"), col("dim"), col("s").as("sb")),
+          Seq("dim"))
+        .groupBy("ci", "cj").agg(sum(expr("sa * sb")).as("dot"))
+      val dmat = dots
+        .join(broadcast(st.select(col("c_id").as("ci"), col("ssq"))), Seq("ci"))
+        .join(broadcast(st.select(col("c_id").as("cj"), col("s2"))), Seq("cj"))
+        .join(broadcast(nv.select(col("c_id").as("ci"), col("n_vecs").as("ni"))),
+          Seq("ci"))
+        .join(broadcast(nv.select(col("c_id").as("cj"), col("n_vecs").as("nj"))),
+          Seq("cj"))
+        .select(col("ci"), col("cj"),
+          expr("""(CAST(nj AS DECIMAL(38,0)) * nj * ssq
+                 | - 2 * CAST(nj AS DECIMAL(38,0)) * dot
+                 | + CAST(ni AS DECIMAL(38,0)) * s2) * 1000000
+                 | div (CAST(ni AS DECIMAL(38,0)) * nj * nj)""".stripMargin)
+            .as("d_micro"))
+      val intra = dmat.filter(col("ci") === col("cj"))
+        .select(col("ci").as("c_id"), col("d_micro").as("a_micro"))
+      val wnn = Window.partitionBy("ci").orderBy(col("d_micro"), col("cj"))
+      val nn = dmat.filter(col("ci") =!= col("cj"))
+        .withColumn("rn", row_number().over(wnn)).filter(col("rn") === 1)
+        .select(col("ci").as("c_id"), col("cj").as("nn_c_id"),
+          col("d_micro").as("b_micro"))
+      nv.join(intra, Seq("c_id")).join(nn, Seq("c_id"))
+        .select(col("c_id"), col("n_vecs"),
+          col("a_micro").cast("long").as("a_micro"),
+          col("b_micro").cast("long").as("b_micro"),
+          col("nn_c_id"),
+          when(greatest(col("a_micro"), col("b_micro")) === 0, lit(0L))
+            .when(col("b_micro") >= col("a_micro"),
+              expr("CAST(CAST(b_micro - a_micro AS DECIMAL(38,0)) * 1000000" +
+                " div greatest(a_micro, b_micro) AS BIGINT)"))
+            .otherwise(
+              expr("-CAST(CAST(a_micro - b_micro AS DECIMAL(38,0)) * 1000000" +
+                " div greatest(a_micro, b_micro) AS BIGINT)"))
+            .as("sil_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
-      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301)
+      q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301,
+      q307, q309)
 }

@@ -200,7 +200,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q64_ann_ivf", "q69_ann_ivfpq", "q170_semantic_dedup",
         "q182_prototype_selection", "q198_semantic_decontam",
         "q228_hard_negatives", "q232_hubness_histogram",
-        "q240_knn_label_agreement", "q276_ivf_cell_balance")
+        "q240_knn_label_agreement", "q276_ivf_cell_balance",
+        "q307_ivf_recall_curve", "q309_cluster_separation")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -232,7 +233,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q222_kcenter_coreset", "q227_label_scatter", "q228_hard_negatives",
         "q232_hubness_histogram", "q235_clip_calibration",
         "q237_source_embedding_drift", "q240_knn_label_agreement",
-        "q276_ivf_cell_balance", "q301_opq_rotation_audit")
+        "q276_ivf_cell_balance", "q301_opq_rotation_audit",
+        "q307_ivf_recall_curve", "q309_cluster_separation")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
