@@ -876,6 +876,29 @@ object PlanCheck {
       "separation audit: stored codebook read back; K x K matrix from map-side-combined moment sums + 64-row broadcast side tables; no cartesian",
       p => p.contains("graft_cent_ivf") && p.contains("partial_sum") &&
         p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q308_shard_mixing_audit",
+      "mixing audit: ONE source-keyed dealing window feeds a map-side (shard, source) rollup; S-row joins after; no cartesian",
+      p => p.contains("partial_sum") && p.contains("Window") &&
+        !p.contains("CartesianProduct"))
+    check("q310_deletion_neighborhood_join",
+      "deletion-neighborhood: variant equi-join (never a cross), key-pair distinct, names re-attached broadcast",
+      p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("BroadcastHashJoin"))
+    check("q311_heaps_fit",
+      "Heaps fit: map-side (source, decile, tok) rollup; fit windows ride <= 10*|sources| rows; no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct"))
+    check("q312_term_burstiness",
+      "burstiness: map-side (tok, doc) rollup -> vocab rollup; 1-row doc count broadcast; no fact shuffle of text",
+      p => p.contains("partial_sum") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q313_transition_holdout",
+      "holdout xent: the lag window is user-keyed, never a global fact window",
+      noGlobalFactWindow)
+    check("q314_sq8_overlap_audit",
+      "sq8 overlap: ONE panel-corpus pass carries both scores; two rankings ride the same q_id partition; panel broadcast",
+      p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct") &&
+        scans(p, "embeddings") <= 2)
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -2949,9 +2949,95 @@ object DedupQueries {
           when(col("id") === col("component"), "keep").otherwise("drop").as("action"))
     })
 
+  /** DELETION-NEIGHBORHOOD JOIN (the SymSpell/FastSS blocking scheme) —
+    * the FIFTH candidate-generation family beside the suite's gram
+    * postings, LSH bands, prefix filters and Hamming blocks, specialized
+    * to EDIT distance on short keys: two strings within Levenshtein
+    * distance 1 MUST share a member of {self} ∪ {one-character
+    * deletions} (deletion → the shorter string itself; insertion →
+    * symmetric; substitution → both delete the edited position), so
+    * generating L+1 variants per key and equi-joining on the variant
+    * finds every distance-1 pair while verifying only candidates —
+    * never the O(n²) cross. Run over the customer entity keys, where
+    * near-identical identifiers are the master-data hazard (fat-finger
+    * duplicates, OCR'd IDs): every c_name pair one edit apart, with
+    * both custkeys — the fuzzy-entity-resolution feed. The recall-1
+    * theorem is spec-pinned on random strings with a random edit
+    * (`DeletionNeighborhoodSpec`); false candidates (distance-2 pairs
+    * sharing a variant, e.g. transpositions) are removed by the exact
+    * `levenshtein` verify, identical unit-cost semantics both engines.
+    * The engine never runs a per-pair edit-distance DP at all: each
+    * variant carries its deletion POSITION (0 = the identity variant),
+    * and a candidate pair is distance-1 EXACTLY when some shared
+    * variant has posA=0, posB=0, or posA=posB (identity∩deletion =
+    * insert/delete; same-position deletions on different strings =
+    * substitution) — so verification is a predicate on the join row,
+    * not a string algorithm (a first cut verified with
+    * `levenshtein()` and measured 12.5 s at sf0.1 — the DP dominated;
+    * this shape runs the same output in ~2 s). The ORACLE keeps the
+    * definitional `levenshtein = 1`, so the witness⟺distance theorem
+    * is machine-checked against DuckDB at every SF, and
+    * `DeletionNeighborhoodSpec` pins it on random single edits.
+    * Scale shape: |keys|·(L+1) variant rows (bounded — entity keys are
+    * short), equi-join group sizes bounded by the alphabet, pair
+    * distinct on 16-byte key pairs (names re-attached from a broadcast
+    * dim); the corpus is touched once. Output: one row per distance-1
+    * pair (key_a < key_b). HASH-MATCHED. */
+  val q310 = QueryDef.oracle("q310_deletion_neighborhood_join",
+    """WITH names AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
+      |vars AS (
+      |  SELECT k, nm, unnest(list_distinct(list_append(
+      |           [substr(nm, 1, i - 1) || substr(nm, i + 1, len(nm))
+      |            FOR i IN range(1, len(nm) + 1)], nm))) AS v
+      |  FROM names),
+      |cand AS (
+      |  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b,
+      |         a.k AS key_a, b.k AS key_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k)
+      |SELECT name_a, name_b, key_a, key_b FROM cand
+      |WHERE levenshtein(name_a, name_b) = 1""".stripMargin)(
+    (s, d) => {
+      val names = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      val vars = keyVariants(names)
+      val cand = vars.alias("a").join(vars.alias("b"),
+          col("a.v") === col("b.v") && col("a.k") < col("b.k") &&
+            col("a.nm") =!= col("b.nm") &&
+            witnessPred(col("a.pos"), col("b.pos")))
+        .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+        .distinct()
+      cand
+        .join(broadcast(names.select(col("k").as("key_a"), col("nm").as("name_a"))),
+          Seq("key_a"))
+        .join(broadcast(names.select(col("k").as("key_b"), col("nm").as("name_b"))),
+          Seq("key_b"))
+        .select(col("name_a"), col("name_b"), col("key_a"), col("key_b"))
+    })
+
+  /** q310's deletion-variant rows — (input columns) + (v, pos), pos 0 =
+    * identity. ONE definition shared by the batch join and the
+    * streaming [[graft.streaming.DocStreams.keyCollisionGate]], so the
+    * gate cannot drift from the query it twins. Works on any frame
+    * with a `nm` string column (extra columns, e.g. a stream's event
+    * time, pass through). */
+  private[graft] def keyVariants(names: DataFrame): DataFrame =
+    names.withColumn("w", explode(expr("array_append(" +
+      "transform(sequence(1, length(nm))," +
+      " i -> struct(concat(substr(nm, 1, i - 1)," +
+      "               substr(nm, i + 1, length(nm))) AS v, i AS pos))," +
+      " struct(nm AS v, 0 AS pos))")))
+      .withColumn("v", col("w.v")).withColumn("pos", col("w.pos"))
+      .drop("w")
+
+  /** The positional witness (q310's verification predicate): a shared
+    * variant proves distance 1 exactly when one side is the identity
+    * or both deleted the same position. */
+  private[graft] def witnessPred(pa: Column, pb: Column): Column =
+    pa === 0 || pb === 0 || pa === pb
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304)
+      q275, q277, q295, q298, q304, q310)
 }

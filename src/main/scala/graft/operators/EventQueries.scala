@@ -1567,8 +1567,97 @@ object EventQueries {
           sum(floor(col("value") * 100).cast("long")).as("attributed_cents"))
     })
 
+  /** HELD-OUT TRANSITION CROSS-ENTROPY — the EVAL step the Markov
+    * family stops short of (q264 fits the matrix, q285 mines trigrams,
+    * q297 times the edges — none of them asks "does last period's model
+    * still predict this period?"): transitions are split at a fixed
+    * boundary (epoch second 1 705 881 600 = 2024-01-22T00Z, the q264
+    * lag window's own (es, event_id) order; a transition belongs to the
+    * period of its NEXT event), an add-1-smoothed conditional model
+    * P(next|prev) = (n+1)/(row_total+V) is fit on the TRAIN side
+    * (q187's smoothing discipline at the transition grain, alphabet V =
+    * distinct train event types), and the EVAL side is scored through
+    * it: per prev type, the exact cross-entropy in micro-bits (one
+    * engine-identical rounding per (prev, next) VALUE, then pure
+    * integer Σm·bits div Σm — q123's micro-bit convention) plus the
+    * unseen-pair mass. Rising cross-entropy against q264's fitted rows
+    * is sequential-behavior drift — the event-stream sibling of q293's
+    * length-distribution KS. Scale shape: ONE user-keyed lag window
+    * (the q264 exchange), two map-side (prev, next) rollups, |types|-row
+    * joins, a 1-row broadcast alphabet. Output: one row per eval prev
+    * type. HASH-MATCHED. */
+  val q313 = QueryDef.oracle("q313_transition_holdout",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es
+      |           FROM events),
+      |p AS (SELECT event_type AS next_type, es,
+      |        LAG(event_type) OVER (PARTITION BY user_id
+      |                              ORDER BY es, event_id) AS prev_type
+      |      FROM e),
+      |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM p WHERE prev_type IS NOT NULL AND es < 1705881600
+      |       GROUP BY 1, 2),
+      |ev AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS m
+      |       FROM p WHERE prev_type IS NOT NULL AND es >= 1705881600
+      |       GROUP BY 1, 2),
+      |v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS vsz
+      |      FROM e WHERE es < 1705881600),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |        FROM tr GROUP BY 1),
+      |sc AS (SELECT ev.prev_type, ev.m,
+      |         CASE WHEN tr.n IS NULL THEN 1 ELSE 0 END AS unseen,
+      |         CAST(round(log2(CAST(COALESCE(tot.row_total, 0) + v.vsz
+      |                             AS DOUBLE)
+      |                         / (COALESCE(tr.n, 0) + 1)) * 1000000)
+      |              AS BIGINT) AS micro_bits
+      |       FROM ev LEFT JOIN tr USING (prev_type, next_type)
+      |            LEFT JOIN tot USING (prev_type), v)
+      |SELECT sc.prev_type,
+      |       CAST(COALESCE(MAX(tot.row_total), 0) AS BIGINT) AS train_total,
+      |       CAST(SUM(sc.m) AS BIGINT) AS eval_total,
+      |       CAST(SUM(sc.unseen) AS BIGINT) AS unseen_pairs,
+      |       CAST(SUM(sc.m * sc.micro_bits) // SUM(sc.m) AS BIGINT)
+      |         AS xent_micro_bits
+      |FROM sc LEFT JOIN tot ON sc.prev_type = tot.prev_type
+      |GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val boundary = 1705881600L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("es"))
+      val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+      val p = e
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"), col("es"))
+      val tr = p.filter(col("es") < boundary)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      val ev = p.filter(col("es") >= boundary)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("m"))
+      val v = e.filter(col("es") < boundary)
+        .agg(countDistinct("event_type").as("vsz"))
+      val tot = tr.groupBy("prev_type").agg(sum("n").as("row_total"))
+      val sc = ev
+        .join(tr, Seq("prev_type", "next_type"), "left")
+        .join(broadcast(tot), Seq("prev_type"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("prev_type"), col("m"),
+          when(col("n").isNull, 1L).otherwise(0L).as("unseen"),
+          round(log2((coalesce(col("row_total"), lit(0L)) + col("vsz"))
+            .cast("double") / (coalesce(col("n"), lit(0L)) + 1)) * 1000000)
+            .cast("long").as("micro_bits"))
+      sc.join(broadcast(tot), Seq("prev_type"), "left")
+        .groupBy("prev_type")
+        .agg(coalesce(max("row_total"), lit(0L)).as("train_total"),
+          sum("m").as("eval_total"),
+          sum("unseen").as("unseen_pairs"),
+          expr("CAST(SUM(m * micro_bits) div SUM(m) AS BIGINT)")
+            .as("xent_micro_bits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305)
+      q284, q285, q297, q305, q313)
 }

@@ -1298,7 +1298,10 @@ object ModelPrepQueries {
   /** Output shard count for q199 (production: one per writer task). */
   private val ShardN = 8
 
-  val q199 = QueryDef.oracle("q199_shard_dealing",
+  /** q199's dealing as a nestable fragment + shared Spark body — the
+    * q308 audit consumes BOTH verbatim, so what it audits is exactly
+    * what q199 ships (the drift-pin discipline, at val granularity). */
+  private[graft] val shardDealSql: String =
     s"""WITH t AS (SELECT doc_id, source,
        |             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
        |           FROM documents),
@@ -1310,18 +1313,81 @@ object ModelPrepQueries {
        |       CASE WHEN ((rk - 1) // $ShardN) % 2 = 0
        |            THEN (rk - 1) % $ShardN
        |            ELSE $ShardN - 1 - (rk - 1) % $ShardN END AS shard
-       |FROM r""".stripMargin)(
+       |FROM r""".stripMargin
+
+  private def shardDeal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("shard",
+        when(expr(s"((rk - 1) div $ShardN) % 2") === 0,
+          (col("rk") - 1) % ShardN)
+          .otherwise(lit(ShardN - 1) - (col("rk") - 1) % ShardN))
+  }
+
+  val q199 = QueryDef.oracle("q199_shard_dealing", shardDealSql)(shardDeal)
+
+  /** SHARD MIXING AUDIT — the property q199's dealing balances FOR
+    * (token load) is not the property a training loader also needs
+    * (source MIXING: a data-parallel rank streaming one shard sees that
+    * shard's source distribution as its gradient diet — a shard
+    * dominated by one source is correlated-batch poison even when its
+    * token count is perfect). Per shard: doc/token load, source
+    * coverage, the top source's token share in exact ppm, and the
+    * Shannon entropy of the shard's source-token distribution in
+    * micro-bits (q220's established per-VALUE rounding convention, so
+    * both engines compute identical integers; a well-dealt shard scores
+    * near log2(|sources|)). Consumes [[shardDealSql]]/[[shardDeal]]
+    * verbatim — the audit cannot drift from the dealing it audits.
+    * Scale shape: the dealing's source-keyed window, then a map-side
+    * (shard, source) rollup (≤ S·|sources| partials), an S-row stats
+    * join, zero text on any exchange. Output: ShardN rows.
+    * HASH-MATCHED. */
+  val q308 = QueryDef.oracle("q308_shard_mixing_audit",
+    s"""WITH deal AS ($shardDealSql),
+       |g AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS n_docs_s,
+       |        CAST(SUM(n_tokens) AS BIGINT) AS toks
+       |      FROM deal GROUP BY 1, 2),
+       |t AS (SELECT shard, CAST(SUM(n_docs_s) AS BIGINT) AS n_docs,
+       |        CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_sources,
+       |        CAST(MAX(toks) AS BIGINT) AS top_toks
+       |      FROM g GROUP BY 1),
+       |b AS (SELECT g.shard,
+       |        CAST(SUM(g.toks * CAST(round(log2(CAST(t.shard_tokens AS DOUBLE)
+       |          / g.toks) * 1000000) AS BIGINT)) AS BIGINT) AS bits_sum
+       |      FROM g JOIN t USING (shard) WHERE g.toks > 0 GROUP BY 1)
+       |SELECT t.shard, t.n_docs, t.shard_tokens, t.n_sources,
+       |       CASE WHEN t.shard_tokens > 0
+       |            THEN 1000000 * t.top_toks // t.shard_tokens
+       |            ELSE CAST(0 AS BIGINT) END AS top_share_ppm,
+       |       CASE WHEN t.shard_tokens > 0
+       |            THEN COALESCE(b.bits_sum, 0) // t.shard_tokens
+       |            ELSE CAST(0 AS BIGINT) END AS mix_entropy_micro_bits
+       |FROM t LEFT JOIN b USING (shard)""".stripMargin)(
     (s, d) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_tokens").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("shard",
-          when(expr(s"((rk - 1) div $ShardN) % 2") === 0,
-            (col("rk") - 1) % ShardN)
-            .otherwise(lit(ShardN - 1) - (col("rk") - 1) % ShardN))
+      val g = shardDeal(s, d).groupBy("shard", "source")
+        .agg(count(lit(1)).as("n_docs_s"), sum("n_tokens").as("toks"))
+      val t = g.groupBy("shard")
+        .agg(sum("n_docs_s").as("n_docs"), sum("toks").as("shard_tokens"),
+          count(lit(1)).as("n_sources"), max("toks").as("top_toks"))
+      val b = g.filter(col("toks") > 0).join(broadcast(t), Seq("shard"))
+        .select(col("shard"),
+          (col("toks") * round(log2(col("shard_tokens").cast("double")
+            / col("toks")) * 1000000).cast("long")).as("cb"))
+        .groupBy("shard").agg(sum("cb").as("bits_sum"))
+      t.join(b, Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"), col("shard_tokens"),
+          col("n_sources"),
+          when(col("shard_tokens") > 0,
+            expr("1000000 * top_toks div shard_tokens"))
+            .otherwise(lit(0L)).as("top_share_ppm"),
+          when(col("shard_tokens") > 0,
+            expr("coalesce(bits_sum, 0) div shard_tokens"))
+            .otherwise(lit(0L)).as("mix_entropy_micro_bits"))
     })
 
   /** PMI COLLOCATIONS — multiword-expression discovery (the Church &
@@ -1672,5 +1738,5 @@ object ModelPrepQueries {
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302)
+      q208, q214, q223, q257, q302, q308)
 }

@@ -3180,9 +3180,92 @@ object SimilarityQueries {
             .as("sil_ppm"))
     })
 
+  /** SQ8 NEIGHBOR-OVERLAP AUDIT — the recall-currency complement of
+    * q307: q307 prices the ROUTING loss (which lists to probe), this
+    * prices the REPRESENTATION loss (searching in the int8-quantized
+    * domain, q66's production path, instead of full precision). q226
+    * measures the quantizer's per-dimension reconstruction error; the
+    * operational question is whether the NEIGHBOR SET changed — per
+    * house query (every 50th vector): |exact top-10 ∩ SQ8 top-10|,
+    * whether the exact nearest neighbor survives into the SQ8 top-10,
+    * and recall in exact ppm. BOTH scores come from ONE panel×corpus
+    * pass (each candidate row carries the exact double cosine AND the
+    * scale-cancelling quantized cosine; the two rankings are two
+    * windows over the SAME q_id exchange — overlap is then a row-local
+    * `both ranks ≤ 10` count, no set join). Ranks are the established
+    * float-robust ordering (q65/q66); every emitted number is an exact
+    * integer. Output: one row per query. HASH-MATCHED. */
+  val q314 = QueryDef.oracle("q314_sq8_overlap_audit",
+    """WITH quant AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         list_transform(embedding, x -> CAST(round(
+      |           CAST(x AS DOUBLE) /
+      |           greatest(CAST(list_max(list_transform(embedding, y -> abs(y)))
+      |                    AS DOUBLE) / 127.0, 1e-30)) AS INTEGER)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, e, qv,
+      |         sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) AS qnorm
+      |  FROM quant),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+      |                    c.vec_id) AS rk_ex,
+      |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |           CASE WHEN q.qnorm = 0 OR c.qnorm = 0 THEN 0.0
+      |                ELSE list_dot_product(CAST(q.qv AS DOUBLE[]),
+      |                                      CAST(c.qv AS DOUBLE[]))
+      |                     / (q.qnorm * c.qnorm) END DESC,
+      |           c.vec_id) AS rk_sq
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0)
+      |SELECT q_id,
+      |       CAST(count(CASE WHEN rk_ex <= 10 AND rk_sq <= 10 THEN 1 END)
+      |            AS BIGINT) AS hits,
+      |       CAST(MAX(CASE WHEN rk_ex = 1 AND rk_sq <= 10 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS top1_in_sq10,
+      |       CAST(count(CASE WHEN rk_ex <= 10 AND rk_sq <= 10 THEN 1 END)
+      |            * 1000000 // 10 AS BIGINT) AS recall_ppm
+      |FROM scored GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val scale = greatest(
+        array_max(transform(col("embedding"), x => abs(x))).cast("double") / 127.0,
+        lit(1e-30))
+      val quant = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("scale")).cast("int")).as("qv"))
+      val qvd = col("qv").cast("array<double>")
+      val n = quant.select(col("vec_id"), col("e"), col("qv"),
+        sqrt(VecExpressions.dotFast(s, qvd, qvd)).as("qnorm"))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("q_e"),
+          qvd.as("q_qv"), col("qnorm").as("q_norm"))
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VecExpressions.cosineFast(s, col("q_e"), col("e")).as("cos"),
+          when(col("q_norm") === 0 || col("qnorm") === 0, lit(0.0))
+            .otherwise(VecExpressions.dotFast(s, col("q_qv"), qvd)
+              / (col("q_norm") * col("qnorm"))).as("qcos"))
+      val wx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val wq = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+      scored
+        .withColumn("rk_ex", row_number().over(wx))
+        .withColumn("rk_sq", row_number().over(wq))
+        .groupBy("q_id")
+        .agg(count(when(col("rk_ex") <= 10 && col("rk_sq") <= 10, 1)).as("hits"),
+          max(when(col("rk_ex") === 1 && col("rk_sq") <= 10, 1L).otherwise(0L))
+            .as("top1_in_sq10"),
+          expr("CAST(count(CASE WHEN rk_ex <= 10 AND rk_sq <= 10 THEN 1 END)" +
+            " * 1000000 div 10 AS BIGINT)").as("recall_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
       q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301,
-      q307, q309)
+      q307, q309, q314)
 }

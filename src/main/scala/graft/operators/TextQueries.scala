@@ -1649,8 +1649,166 @@ object TextQueries {
             .cast("long").as("tok_at_decile"))
     })
 
+  /** HEAPS'-LAW FIT — the extrapolation q201's growth COUNTS and q291's
+    * novelty CURVE stop short of: per source, fit log₂(types) = a +
+    * β·log₂(tokens) over the source's own cumulative growth trajectory
+    * (10 doc-rank-decile sample points, types attributed to their
+    * first decile exactly as q291 attributes grams) and read off the
+    * Heaps exponent β plus the log-domain prediction at 10× the
+    * current token count — "how much new vocabulary will the next
+    * crawl increment actually buy" as a number a scaling decision can
+    * hold against q239's measured increments. Natural text sits near
+    * β ≈ 0.5; β → 1 is an open-ended ID/hash tail (vocabulary never
+    * saturates — tokenizer poison), β → 0 a closed template
+    * vocabulary. Same integer discipline as q290: per-VALUE
+    * round(log₂·10⁶), normal equations in DECIMAL(38,0)/HUGEINT, one
+    * floor division per coefficient; the 10× prediction stays in the
+    * log domain (pred = a + β·log₂(10·T), pure integer ops) so no
+    * pow2 crosses an engine boundary. Scale shape: one doc-rank
+    * window over skinny (source, doc_id) rows, one (source, decile,
+    * tok) rollup (vocab-bounded), cumsums and the fit over ≤
+    * 10·|sources| rows. Output: one row per source. HASH-MATCHED. */
+  val q311 = QueryDef.oracle("q311_heaps_fit",
+    """WITH docs AS (
+      |  SELECT source, doc_id, list_filter(
+      |           COALESCE(regexp_split_to_array(text, '\s+'), []),
+      |           x -> x <> '') AS l
+      |  FROM documents),
+      |rk AS (SELECT source, doc_id, l,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |       FROM docs),
+      |ex AS (SELECT source, (rn - 1) * 10 // cnt + 1 AS dec, unnest(l) AS tok
+      |       FROM rk),
+      |tokd AS (SELECT source, dec, CAST(count(*) AS BIGINT) AS n_tok
+      |         FROM ex GROUP BY 1, 2),
+      |typd AS (SELECT source, fdec AS dec, CAST(count(*) AS BIGINT) AS n_new
+      |         FROM (SELECT source, tok, MIN(dec) AS fdec FROM ex GROUP BY 1, 2)
+      |         GROUP BY 1, 2),
+      |cum AS (SELECT t.source, t.dec,
+      |          SUM(t.n_tok) OVER (PARTITION BY t.source ORDER BY t.dec) AS ct,
+      |          SUM(COALESCE(y.n_new, 0)) OVER (PARTITION BY t.source
+      |            ORDER BY t.dec) AS cy
+      |        FROM tokd t LEFT JOIN typd y
+      |          ON t.source = y.source AND t.dec = y.dec),
+      |xy AS (SELECT source,
+      |         CAST(round(log2(CAST(ct AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |         CAST(round(log2(CAST(cy AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      |       FROM cum WHERE ct > 0 AND cy > 0),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        CAST(MAX(x) AS HUGEINT) AS x_now
+      |      FROM xy GROUP BY 1),
+      |f AS (SELECT source, n,
+      |        CAST((n * sxy - sx * sy) * 1000000
+      |             // (n * sxx - sx * sx) AS BIGINT) AS beta_micro,
+      |        sx, sy, x_now
+      |      FROM a WHERE n * sxx - sx * sx <> 0),
+      |g AS (SELECT source, n AS n_points, beta_micro,
+      |        CAST((sy * 1000000 - CAST(beta_micro AS HUGEINT) * sx)
+      |             // (n * 1000000) AS BIGINT) AS intercept_micro,
+      |        x_now + 3321928 AS x10
+      |      FROM f)
+      |SELECT source, n_points, beta_micro, intercept_micro,
+      |       CAST(intercept_micro + CAST(beta_micro AS HUGEINT) * x10
+      |            // 1000000 AS BIGINT) AS pred_log2_types_micro_10x
+      |FROM g""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rk = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      val ex = rk.select(col("source"),
+        expr("(rn - 1) * 10 div cnt + 1").as("dec"),
+        explode(tokens(col("text"))).as("tok"))
+      val tokd = ex.groupBy("source", "dec").agg(count(lit(1)).as("n_tok"))
+      val typd = ex.groupBy("source", "tok").agg(min("dec").as("fdec"))
+        .groupBy(col("source"), col("fdec").as("dec"))
+        .agg(count(lit(1)).as("n_new"))
+      val wc = Window.partitionBy("source").orderBy("dec")
+      val cum = tokd.join(typd, Seq("source", "dec"), "left")
+        .withColumn("ct", sum("n_tok").over(wc))
+        .withColumn("cy", sum(coalesce(col("n_new"), lit(0L))).over(wc))
+      val xy = cum.filter(col("ct") > 0 && col("cy") > 0)
+        .select(col("source"),
+          round(log2(col("ct").cast("double")) * 1000000).cast("long").as("x"),
+          round(log2(col("cy").cast("double")) * 1000000).cast("long").as("y"))
+      val a = xy.groupBy("source").agg(count(lit(1)).as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        max("x").cast("decimal(38,0)").as("x_now"))
+      a.filter(expr("n * sxx - sx * sx <> 0"))
+        .withColumn("beta_micro", expr(
+          "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
+        .withColumn("intercept_micro", expr(
+          "CAST((sy * 1000000 - CAST(beta_micro AS DECIMAL(38,0)) * sx)" +
+            " div (n * 1000000) AS BIGINT)"))
+        .select(col("source"), col("n").as("n_points"), col("beta_micro"),
+          col("intercept_micro"),
+          expr("CAST(intercept_micro + CAST(beta_micro AS DECIMAL(38,0))" +
+            " * (x_now + 3321928) div 1000000 AS BIGINT)")
+            .as("pred_log2_types_micro_10x"))
+    })
+
+  /** TERM BURSTINESS — Church & Gale's dispersion statistic, the
+    * third axis of the vocabulary profile after frequency (q290's
+    * Zipf head) and coverage (q151): per type, the variance-to-mean
+    * ratio of its per-document count across ALL documents (zeros
+    * included — algebraically, via the same moment identity as
+    * q227/q309: VMR = (n·Σc² − cf²)/(n·cf), exact in integers, no
+    * zero rows ever materialized). Poisson scatter ⇒ VMR = 1e6;
+    * content words BURST (VMR ≫ 1e6 — a doc that mentions them,
+    * mentions them repeatedly); function words sit near uniform. The
+    * split matters operationally: burstiness separates keyword-like
+    * types from glue BEFORE any IDF/c-TF-IDF stage, and a
+    * template-spam source shows up as glue-grade VMR on content-grade
+    * frequency. Also emits burst size cf/df in micro (mean
+    * occurrences per CONTAINING doc). Scale shape: one (tok, doc)
+    * rollup (map-side), one vocab-sized type rollup against a 1-row
+    * broadcast doc count — corpus text never shuffles. Output: one
+    * row per type with cf ≥ 5. HASH-MATCHED. */
+  val q312 = QueryDef.oracle("q312_term_burstiness",
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+      |         SELECT doc_id, unnest(list_filter(
+      |           regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |         FROM documents)
+      |       GROUP BY 1, 2),
+      |t AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+      |        CAST(SUM(c) AS BIGINT) AS cf,
+      |        SUM(CAST(c AS HUGEINT) * c) AS s2
+      |      FROM pd GROUP BY 1)
+      |SELECT tok, df, cf,
+      |       CAST(CAST(cf AS HUGEINT) * 1000000 // df AS BIGINT) AS burst_size_micro,
+      |       CAST((nd.n * t.s2 - CAST(t.cf AS HUGEINT) * t.cf) * 1000000
+      |            // (nd.n * t.cf) AS BIGINT) AS vmr_micro
+      |FROM t, nd WHERE cf >= 5""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val pd = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      val t = pd.groupBy("tok").agg(count(lit(1)).as("df"),
+        sum("c").as("cf"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      t.filter(col("cf") >= 5).crossJoin(broadcast(nd))
+        .select(col("tok"), col("df"), col("cf"),
+          expr("CAST(CAST(cf AS DECIMAL(38,0)) * 1000000 div df AS BIGINT)")
+            .as("burst_size_micro"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * s2" +
+            " - CAST(cf AS DECIMAL(38,0)) * cf) * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * cf) AS BIGINT)").as("vmr_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278, q290, q291, q296)
+      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312)
 }

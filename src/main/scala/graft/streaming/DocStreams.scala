@@ -289,6 +289,64 @@ object DocStreams {
       }
   }
 
+  final case class KeyRow(k: Long, ts: Timestamp, nm: String)
+  final case class KeyCollision(k: Long, nm: String, n_collisions: Long,
+      nearest_key: Option[Long], admitted: Boolean, ts: Timestamp)
+  final case class KeyCandRow(k: Long, nm: String, ts: Timestamp,
+      idx_k: Option[Long], collides: Boolean)
+
+  /** Streaming ENTITY-KEY COLLISION gate — q310's deletion-neighborhood
+    * join at ingest time: each ARRIVING key (a new customer id, product
+    * code, …) is checked for edit-distance-1 collisions against the
+    * EXISTING key inventory, so a fat-fingered near-duplicate identifier
+    * is flagged at admission instead of in a batch master-data sweep.
+    * Variants are built scan-side by the SHARED
+    * `DedupQueries.keyVariants` (one definition — the gate cannot drift
+    * from the batch join), the inventory lookup is ONE STATELESS
+    * stream-static left-outer join on the variant string (the variant
+    * index is |keys|·(L+1) rows of short strings — the static small
+    * side), and distance-1 is decided by the same positional witness
+    * predicate, no per-pair DP. The per-key fold holds ZERO state
+    * (NoTimeout, state never set): a key's variant rows all land in its
+    * arrival trigger. Emits one row per arriving key: collision count
+    * (distinct existing partners), the smallest colliding key, and the
+    * admit verdict. Stream ≡ batch pinned by KeyCollisionStreamSpec.
+    *
+    * Scale: the arriving micro-batch is the only moving data; join keys
+    * are ≤(L+1) short strings per arriving key; state is zero. */
+  def keyCollisionGate(
+      keys: DataFrame,  // (k LONG, ts TIMESTAMP, nm STRING)
+      index: DataFrame, // (k LONG, nm STRING) — the existing inventory
+      watermark: String = "1 hour"): Dataset[KeyCollision] = {
+    import keys.sparkSession.implicits._
+    import graft.operators.DedupQueries
+    val idx = DedupQueries.keyVariants(index)
+      .select(col("v"), col("pos").as("idx_pos"),
+        col("k").as("idx_k"), col("nm").as("idx_nm"))
+    val cands = DedupQueries.keyVariants(keys.withWatermark("ts", watermark))
+      .join(idx, Seq("v"), "left_outer")
+      .select(col("k"), col("nm"), col("ts"), col("idx_k"),
+        (col("idx_k").isNotNull && col("nm") =!= col("idx_nm") &&
+          DedupQueries.witnessPred(col("pos"), col("idx_pos")))
+          .as("collides"))
+      .as[KeyCandRow]
+    cands.groupByKey(_.k)
+      .flatMapGroupsWithState[Boolean, KeyCollision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[KeyCandRow], _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          // several variants can witness the same partner — one vote
+          // per partner, like the batch path's DISTINCT
+          val partners = rs.collect {
+            case KeyCandRow(_, _, _, Some(ik), true) => ik
+          }.distinct
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(KeyCollision(k, rs.head.nm, partners.size.toLong,
+            if (partners.isEmpty) None else Some(partners.min),
+            admitted = partners.isEmpty, ts))
+      }
+  }
+
   final case class LmRow(doc_id: Long, ts: Timestamp, micro: Option[Long])
   final case class LmScore(doc_id: Long, n_bigrams: Long, micro_sum: Long,
       bits_per_bigram: Option[Double], kept: Option[Boolean], ts: Timestamp)
