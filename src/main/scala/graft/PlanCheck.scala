@@ -899,6 +899,13 @@ object PlanCheck {
       "sq8 overlap: ONE panel-corpus pass carries both scores; two rankings ride the same q_id partition; panel broadcast",
       p => p.contains("BroadcastExchange") && !p.contains("CartesianProduct") &&
         scans(p, "embeddings") <= 2)
+    check("q315_ncm_confusion",
+      "NCM confusion: L label-sum arrays broadcast; one scan through the fused int dot/norms kernel; no cartesian blowup beyond the L-row broadcast",
+      p => p.contains("vec_int_dot_norms") && p.contains("BroadcastExchange"))
+    check("q316_mutual_nn_pairs",
+      "mutual-NN: STORED nn1 relation read back (never rebuilt), keyed self-join, labels broadcast",
+      p => p.contains("graft_nn1") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -3263,9 +3263,165 @@ object SimilarityQueries {
             " * 1000000 div 10 AS BIGINT)").as("recall_ppm"))
     })
 
+  /** LEAVE-ONE-OUT NEAREST-CLASS-MEAN CONFUSION MATRIX — the label
+    * -learnability eval between q240's 1-NN probe (instance-grain,
+    * noisy) and a trained classifier (which this pipeline doesn't
+    * ship): classify every vector to its nearest LABEL centroid by
+    * cosine and cross-tab against the given label. Honest by
+    * construction: the vector's OWN label centroid is evaluated
+    * leave-one-out, algebraically free from the same integer moments —
+    * dot(v, S−v) = dot(v,S) − ‖v‖², ‖S−v‖² = ‖S‖² − 2·dot + ‖v‖² — so
+    * no second training pass and no self-match inflation. Off-diagonal
+    * mass says which label PAIRS the embedding can't separate (the
+    * confusion q163's centroid-cosine only hints at); a diagonal-weak
+    * row is a label to relabel or drop before it poisons a margin.
+    * Centroid state is the SHARED [[quantStatsCtes]] sums (one
+    * centroid definition across q149/q163/q215/q315); scores are
+    * num/√denom doubles used ONLY for the per-vector argmax
+    * (macroscopic class gaps — the q64 rank-robustness convention,
+    * ties → smaller label), every emitted number an exact integer.
+    * Scale shape: the (label, dim) sums collapse to L dim-ordered
+    * arrays (the codebook pattern, broadcast) and ONE corpus scan
+    * evaluates all three moments per label through the fused
+    * intDotNorms kernel → per-vec argmax → L² confusion rollup. The
+    * long-domain kernel bounds |S_l| ≲ 5·10⁸ per coordinate; past
+    * that, train the centroids on a sample (the trainCentroids note).
+    * Output: ≤ L² rows. HASH-MATCHED. */
+  val q315 = QueryDef.oracle("q315_ncm_confusion",
+    s"""$quantStatsCtes,
+       |n2l AS (SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2
+       |        FROM stats GROUP BY 1),
+       |vd AS (SELECT vec_id, label AS true_label, dim, qv FROM qd),
+       |vn AS (SELECT vec_id, SUM(CAST(qv AS HUGEINT) * qv) AS n2v
+       |       FROM vd GROUP BY 1),
+       |dots AS (SELECT v.vec_id, v.true_label, st.label,
+       |           SUM(CAST(v.qv AS HUGEINT) * st.s) AS dot
+       |         FROM vd v JOIN stats st USING (dim) GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.vec_id, d.true_label, d.label,
+       |         CASE WHEN d.label = d.true_label
+       |              THEN CAST(d.dot - vn.n2v AS DOUBLE)
+       |              ELSE CAST(d.dot AS DOUBLE) END
+       |         / sqrt(CAST(CASE WHEN d.label = d.true_label
+       |                 THEN l.n2 - 2 * d.dot + vn.n2v
+       |                 ELSE l.n2 END AS DOUBLE)) AS score
+       |       FROM dots d JOIN n2l l ON l.label = d.label
+       |            JOIN vn ON vn.vec_id = d.vec_id
+       |       WHERE CASE WHEN d.label = d.true_label
+       |               THEN l.n2 - 2 * d.dot + vn.n2v
+       |               ELSE l.n2 END > 0),
+       |pred AS (SELECT vec_id, true_label, label AS pred_label FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY score DESC, label) AS rn FROM sc) WHERE rn = 1),
+       |cm AS (SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+       |       FROM pred GROUP BY 1, 2),
+       |tot AS (SELECT true_label, CAST(SUM(n) AS BIGINT) AS row_total
+       |        FROM cm GROUP BY 1)
+       |SELECT cm.true_label, cm.pred_label, cm.n, tot.row_total,
+       |       CAST(cm.n * 1000000 // tot.row_total AS BIGINT) AS p_ppm
+       |FROM cm JOIN tot USING (true_label)""".stripMargin)(
+    (s, d) => {
+      // fused shape: the (label, dim) sums collapse to L dim-ordered
+      // arrays (the codebook pattern) and each corpus row evaluates all
+      // three moments per label through ONE codegen'd intDotNorms call —
+      // a first cut exploded to (vec, dim, label) rows through a dim
+      // join and measured 1.8 s at sf0.1 vs ~0.6 s for this plan
+      val ilq = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("v"))
+      val ls = quantDims(s, d).groupBy("label", "dim").agg(sum("qv").as("s"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("l"))
+        .select(col("label").as("cand_label"),
+          transform(col("l"), x => x.getField("s")).as("sv"))
+      val sc = ilq.crossJoin(broadcast(ls))
+        .select(col("vec_id"), col("label").as("true_label"), col("cand_label"),
+          VecExpressions.intDotNorms(s, col("v"), col("sv")).as("st"))
+        .withColumn("denom", expr(
+          "CASE WHEN cand_label = true_label" +
+            " THEN st.n2b - 2 * st.dot + st.n2a ELSE st.n2b END"))
+        .filter(col("denom") > 0)
+        .select(col("vec_id"), col("true_label"), col("cand_label"),
+          (expr("CAST(CASE WHEN cand_label = true_label THEN st.dot - st.n2a" +
+            " ELSE st.dot END AS DOUBLE)")
+            / sqrt(col("denom").cast("double"))).as("score"))
+      val wp = Window.partitionBy("vec_id")
+        .orderBy(col("score").desc, col("cand_label"))
+      val pred = sc.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("true_label"),
+          col("cand_label").as("pred_label"))
+      val cm = pred.groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy("true_label").agg(sum("n").as("row_total"))
+      cm.join(broadcast(tot), Seq("true_label"))
+        .select(col("true_label"), col("pred_label"), col("n"), col("row_total"),
+          expr("CAST(n * 1000000 div row_total AS BIGINT)").as("p_ppm"))
+    })
+
+  /** MUTUAL-NEAREST-NEIGHBOR PAIRS — the high-precision end of the
+    * semantic-dup spectrum (the reciprocal-NN criterion agglomerative
+    * dedup and translation-pair mining both build on): pairs where
+    * each vector is the OTHER's single nearest same-cell neighbor,
+    * read straight off the stored [[storedNn1]] relation (one
+    * self-join on the reversed edge — no distance computation at all;
+    * the relation is built once per corpus). A mutual pair is the
+    * strongest instance-level "these two are the same thing" signal
+    * the embedding gives; a mutual pair with DIFFERENT labels is a
+    * labeling contradiction worth queueing for review (the
+    * instance-grain complement of q315's class-grain confusion).
+    * Oracle replays the full live nn1 chain (trained codebook +
+    * same-cell argmin) verbatim, so the stored artifact is
+    * hash-verified a third time per sweep (after q232/q240). Scale
+    * shape: one keyed self-join of an (id, id) relation + a broadcast
+    * label attach. Output: one row per mutual pair (vec_a < vec_b).
+    * HASH-MATCHED. */
+  val q316 = QueryDef.oracle("q316_mutual_nn_pairs",
+    s"""WITH $ivfCentCtes,
+       |asg AS (SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(v.v AS DOUBLE[]), c.c_vec)
+       |               DESC, c.c_id DESC) AS rn
+       |    FROM iq v CROSS JOIN cent c) WHERE rn = 1),
+       |m AS (SELECT a.vec_id, a.c_id, i.v
+       |      FROM asg a JOIN iq i USING (vec_id)),
+       |cand AS (SELECT x.vec_id, y.vec_id AS nn_id,
+       |           CAST(list_sum([(x.v[k] - y.v[k]) * (x.v[k] - y.v[k])
+       |                          FOR k IN range(1, len(x.v) + 1)]) AS BIGINT) AS d2
+       |         FROM m x JOIN m y ON x.c_id = y.c_id
+       |                          AND x.vec_id <> y.vec_id),
+       |best AS (SELECT vec_id, nn_id FROM (
+       |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY d2, nn_id) AS rn FROM cand) WHERE rn = 1),
+       |mut AS (SELECT a.vec_id AS vec_a, a.nn_id AS vec_b
+       |        FROM best a JOIN best b
+       |          ON a.nn_id = b.vec_id AND b.nn_id = a.vec_id
+       |        WHERE a.vec_id < a.nn_id)
+       |SELECT mut.vec_a, mut.vec_b,
+       |       ea.label AS label_a, eb.label AS label_b,
+       |       ea.label = eb.label AS same_label
+       |FROM mut
+       |JOIN embeddings ea ON ea.vec_id = mut.vec_a
+       |JOIN embeddings eb ON eb.vec_id = mut.vec_b""".stripMargin)(
+    (s, d) => {
+      val nn = storedNn1(s, d).filter(col("nn_id").isNotNull)
+        .select(col("vec_id"), col("nn_id"))
+      val mut = nn.alias("a")
+        .join(nn.alias("b"),
+          col("a.nn_id") === col("b.vec_id") && col("b.nn_id") === col("a.vec_id"))
+        .filter(col("a.vec_id") < col("a.nn_id"))
+        .select(col("a.vec_id").as("vec_a"), col("a.nn_id").as("vec_b"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      mut
+        .join(broadcast(lab.select(col("vec_id").as("vec_a"),
+          col("label").as("label_a"))), Seq("vec_a"))
+        .join(broadcast(lab.select(col("vec_id").as("vec_b"),
+          col("label").as("label_b"))), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+          (col("label_a") === col("label_b")).as("same_label"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
       q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301,
-      q307, q309, q314)
+      q307, q309, q314, q315, q316)
 }

@@ -116,7 +116,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("'qv': CAST(round(e[i] * 10000)"))
       consumers.keySet shouldBe Set(
         "q149_embedding_outliers", "q163_label_centroid_overlap",
-        "q215_crossmodal_gate")
+        "q215_crossmodal_gate", "q315_ncm_confusion")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the label-centroid definition: ") {
           sql.contains(frag) shouldBe true
@@ -201,7 +201,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q182_prototype_selection", "q198_semantic_decontam",
         "q228_hard_negatives", "q232_hubness_histogram",
         "q240_knn_label_agreement", "q276_ivf_cell_balance",
-        "q307_ivf_recall_curve", "q309_cluster_separation")
+        "q307_ivf_recall_curve", "q309_cluster_separation",
+        "q316_mutual_nn_pairs")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the IVF codebook training: ") {
           sql.contains(frag) shouldBe true
@@ -234,7 +235,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q232_hubness_histogram", "q235_clip_calibration",
         "q237_source_embedding_drift", "q240_knn_label_agreement",
         "q276_ivf_cell_balance", "q301_opq_rotation_audit",
-        "q307_ivf_recall_curve", "q309_cluster_separation")
+        "q307_ivf_recall_curve", "q309_cluster_separation",
+        "q316_mutual_nn_pairs")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true
