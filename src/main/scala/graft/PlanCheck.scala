@@ -906,6 +906,16 @@ object PlanCheck {
       "mutual-NN: STORED nn1 relation read back (never rebuilt), keyed self-join, labels broadcast",
       p => p.contains("graft_nn1") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    checkTree("q317_session_funnel_strict",
+      "strict funnel: session windows are user-keyed, never a global fact window",
+      noGlobalFactWindow)
+    check("q317_session_funnel_strict",
+      "strict funnel: the sessionized relation is pinned once (ExistingRDD) and the chain joins are session-keyed",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q318_heaps_forecast_check",
+      "forecast check: fit rollups + one new-view vocab rollup, source-keyed joins, no cartesian",
+      p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

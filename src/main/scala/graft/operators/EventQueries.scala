@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,33 +28,43 @@ object EventQueries {
     * lag + cumulative-sum window (single shuffle on user_id). This is the
     * batch twin of session_window / flatMapGroupsWithState.
     */
-  val q31 = QueryDef.oracle("q31_sessionize",
-    """WITH g AS (
-      |  SELECT user_id, event_id, ts,
+  /** The 30-min-gap session assignment CTEs (`g`, `s` — per-event
+    * session ids), shared verbatim by q31's rollup and q317's strict
+    * funnel so the two cannot disagree on what a session is. */
+  private[graft] val sessionCtes: String =
+    """g AS (
+      |  SELECT user_id, event_id, ts, event_type,
       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events),
       |s AS (
-      |  SELECT user_id, event_id, ts,
+      |  SELECT user_id, event_id, ts, event_type,
       |         CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
       |                  THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM g)
+      |  FROM g)""".stripMargin
+
+  /** Spark twin of [[sessionCtes]]: events + a session_id column. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wc))
+  }
+
+  val q31 = QueryDef.oracle("q31_sessionize",
+    s"""WITH $sessionCtes
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM s GROUP BY user_id, session_id""".stripMargin)(
-    (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("is_new", when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
-        .withColumn("session_id", sum(col("is_new")).over(wc))
+    (s, d) =>
+      sessionized(s, d)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
-          max("ts").as("session_end"))
-    })
+          max("ts").as("session_end")))
 
   /** JSON scalar extraction from the props payload column (SURVEY.md
     * §2.9 JSON functions — beyond-reference). */
@@ -1656,8 +1667,95 @@ object EventQueries {
             .as("xent_micro_bits"))
     })
 
+  /** STRICT-ORDER SESSION FUNNEL — the correction to q33's presence
+    * test, at q31's session grain: q33 counts a user "depth 3" if a
+    * purchase EXISTS, even one fired before any view (attribution
+    * credit for a journey that never happened). The strict rule chains
+    * first-times: s1 = first view in the session, s2 = first click
+    * AFTER s1, s3 = first purchase AFTER s2 — the ordered-subsequence
+    * test product analytics means by "funnel". Emitted side by side
+    * with the loose (presence) rule per depth, so the INFLATION the
+    * loose rule causes is itself the measurement (loose ≥ strict by
+    * construction; the gap is misordered credit). Sessions come from
+    * the ONE shared [[sessionCtes]] 30-min-gap assignment — funnel and
+    * sessionizer cannot drift. Ties: chaining uses strict ts
+    * inequality (same-timestamp chains don't count — identical rule
+    * both engines). Scale shape: the q31 user-keyed window, one
+    * session rollup, two session-keyed chain joins (each ≤ one row per
+    * session on the build side), a 4-row depth axis with cumsums over
+    * 4 rows. Output: 4 rows. HASH-MATCHED. */
+  val q317 = QueryDef.oracle("q317_session_funnel_strict",
+    s"""WITH $sessionCtes,
+      |base AS (SELECT user_id, session_id,
+      |           min(CASE WHEN event_type = 'view' THEN ts END) AS s1,
+      |           min(CASE WHEN event_type = 'click' THEN ts END) AS cl_any,
+      |           min(CASE WHEN event_type = 'purchase' THEN ts END) AS pu_any
+      |         FROM s GROUP BY 1, 2),
+      |c2 AS (SELECT s.user_id, s.session_id, min(s.ts) AS s2
+      |       FROM s JOIN base b USING (user_id, session_id)
+      |       WHERE s.event_type = 'click' AND s.ts > b.s1 GROUP BY 1, 2),
+      |c3 AS (SELECT s.user_id, s.session_id, min(s.ts) AS s3
+      |       FROM s JOIN c2 USING (user_id, session_id)
+      |       WHERE s.event_type = 'purchase' AND s.ts > c2.s2 GROUP BY 1, 2),
+      |f AS (SELECT b.user_id, b.session_id,
+      |        CASE WHEN c3.s3 IS NOT NULL THEN 3 WHEN c2.s2 IS NOT NULL THEN 2
+      |             WHEN b.s1 IS NOT NULL THEN 1 ELSE 0 END AS d_strict,
+      |        CASE WHEN b.pu_any IS NOT NULL THEN 3
+      |             WHEN b.cl_any IS NOT NULL THEN 2
+      |             WHEN b.s1 IS NOT NULL THEN 1 ELSE 0 END AS d_loose
+      |      FROM base b LEFT JOIN c2 USING (user_id, session_id)
+      |           LEFT JOIN c3 USING (user_id, session_id)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      |axis AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS depth)
+      |SELECT a.depth,
+      |       CAST(count(CASE WHEN f.d_strict = a.depth THEN 1 END) AS BIGINT)
+      |         AS n_strict,
+      |       CAST(count(CASE WHEN f.d_loose = a.depth THEN 1 END) AS BIGINT)
+      |         AS n_loose,
+      |       CAST(count(CASE WHEN f.d_strict >= a.depth THEN 1 END)
+      |            * 1000000 // MAX(tot.n) AS BIGINT) AS reach_strict_ppm,
+      |       CAST(count(CASE WHEN f.d_loose >= a.depth THEN 1 END)
+      |            * 1000000 // MAX(tot.n) AS BIGINT) AS reach_loose_ppm
+      |FROM axis a, f, tot
+      |GROUP BY a.depth""".stripMargin)(
+    (s, d) => {
+      // the session window runs ONCE — base/c2/c3 all read the pinned
+      // result instead of re-running the user-keyed window three times
+      val sess = sessionized(s, d)
+        .select(col("user_id"), col("session_id"), col("ts"), col("event_type"))
+        .localCheckpoint(false)
+      val base = sess.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("s1"),
+          min(when(col("event_type") === "click", col("ts"))).as("cl_any"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("pu_any"))
+      val c2 = sess.join(base.select("user_id", "session_id", "s1"),
+          Seq("user_id", "session_id"))
+        .filter(col("event_type") === "click" && col("ts") > col("s1"))
+        .groupBy("user_id", "session_id").agg(min("ts").as("s2"))
+      val c3 = sess.join(c2, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("s2"))
+        .groupBy("user_id", "session_id").agg(min("ts").as("s3"))
+      val f = base
+        .join(c2, Seq("user_id", "session_id"), "left")
+        .join(c3, Seq("user_id", "session_id"), "left")
+        .select(
+          when(col("s3").isNotNull, 3L).when(col("s2").isNotNull, 2L)
+            .when(col("s1").isNotNull, 1L).otherwise(0L).as("d_strict"),
+          when(col("pu_any").isNotNull, 3L).when(col("cl_any").isNotNull, 2L)
+            .when(col("s1").isNotNull, 1L).otherwise(0L).as("d_loose"))
+      val axis = s.range(0, 4).select(col("id").as("depth"))
+      axis.crossJoin(f.crossJoin(broadcast(f.agg(count(lit(1)).as("n")))))
+        .groupBy("depth")
+        .agg(count(when(col("d_strict") === col("depth"), 1)).as("n_strict"),
+          count(when(col("d_loose") === col("depth"), 1)).as("n_loose"),
+          expr("CAST(count(CASE WHEN d_strict >= depth THEN 1 END)" +
+            " * 1000000 div MAX(n) AS BIGINT)").as("reach_strict_ppm"),
+          expr("CAST(count(CASE WHEN d_loose >= depth THEN 1 END)" +
+            " * 1000000 div MAX(n) AS BIGINT)").as("reach_loose_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305, q313)
+      q284, q285, q297, q305, q313, q317)
 }

@@ -1668,12 +1668,16 @@ object TextQueries {
     * window over skinny (source, doc_id) rows, one (source, decile,
     * tok) rollup (vocab-bounded), cumsums and the fit over ≤
     * 10·|sources| rows. Output: one row per source. HASH-MATCHED. */
-  val q311 = QueryDef.oracle("q311_heaps_fit",
-    """WITH docs AS (
+  /** The Heaps-fit CTE chain (docs → f), parameterized by the snapshot
+    * predicate/text so q311 (live corpus) and q318 (forecast fit on the
+    * OLD snapshot) share ONE fit definition. Ends at
+    * f(source, n, beta_micro, sx, sy, x_now). */
+  private[graft] def heapsFitCtes(filterSql: String, textSql: String): String =
+    s"""docs AS (
       |  SELECT source, doc_id, list_filter(
-      |           COALESCE(regexp_split_to_array(text, '\s+'), []),
+      |           COALESCE(regexp_split_to_array($textSql, '\\s+'), []),
       |           x -> x <> '') AS l
-      |  FROM documents),
+      |  FROM documents WHERE $filterSql),
       |rk AS (SELECT source, doc_id, l,
       |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
       |         COUNT(*) OVER (PARTITION BY source) AS cnt
@@ -1705,7 +1709,10 @@ object TextQueries {
       |        CAST((n * sxy - sx * sy) * 1000000
       |             // (n * sxx - sx * sx) AS BIGINT) AS beta_micro,
       |        sx, sy, x_now
-      |      FROM a WHERE n * sxx - sx * sx <> 0),
+      |      FROM a WHERE n * sxx - sx * sx <> 0)""".stripMargin
+
+  val q311 = QueryDef.oracle("q311_heaps_fit",
+    s"""WITH ${heapsFitCtes("TRUE", "text")},
       |g AS (SELECT source, n AS n_points, beta_micro,
       |        CAST((sy * 1000000 - CAST(beta_micro AS HUGEINT) * sx)
       |             // (n * 1000000) AS BIGINT) AS intercept_micro,
@@ -1715,46 +1722,130 @@ object TextQueries {
       |       CAST(intercept_micro + CAST(beta_micro AS HUGEINT) * x10
       |            // 1000000 AS BIGINT) AS pred_log2_types_micro_10x
       |FROM g""".stripMargin)(
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val rk = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"), col("text"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy("doc_id")))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
-      val ex = rk.select(col("source"),
-        expr("(rn - 1) * 10 div cnt + 1").as("dec"),
-        explode(tokens(col("text"))).as("tok"))
-      val tokd = ex.groupBy("source", "dec").agg(count(lit(1)).as("n_tok"))
-      val typd = ex.groupBy("source", "tok").agg(min("dec").as("fdec"))
-        .groupBy(col("source"), col("fdec").as("dec"))
-        .agg(count(lit(1)).as("n_new"))
-      val wc = Window.partitionBy("source").orderBy("dec")
-      val cum = tokd.join(typd, Seq("source", "dec"), "left")
-        .withColumn("ct", sum("n_tok").over(wc))
-        .withColumn("cy", sum(coalesce(col("n_new"), lit(0L))).over(wc))
-      val xy = cum.filter(col("ct") > 0 && col("cy") > 0)
-        .select(col("source"),
-          round(log2(col("ct").cast("double")) * 1000000).cast("long").as("x"),
-          round(log2(col("cy").cast("double")) * 1000000).cast("long").as("y"))
-      val a = xy.groupBy("source").agg(count(lit(1)).as("n"),
-        sum("x").cast("decimal(38,0)").as("sx"),
-        sum("y").cast("decimal(38,0)").as("sy"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-        max("x").cast("decimal(38,0)").as("x_now"))
-      a.filter(expr("n * sxx - sx * sx <> 0"))
-        .withColumn("beta_micro", expr(
-          "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
-        .withColumn("intercept_micro", expr(
-          "CAST((sy * 1000000 - CAST(beta_micro AS DECIMAL(38,0)) * sx)" +
-            " div (n * 1000000) AS BIGINT)"))
-        .select(col("source"), col("n").as("n_points"), col("beta_micro"),
-          col("intercept_micro"),
-          expr("CAST(intercept_micro + CAST(beta_micro AS DECIMAL(38,0))" +
-            " * (x_now + 3321928) div 1000000 AS BIGINT)")
-            .as("pred_log2_types_micro_10x"))
-    })
+    (s, d) => heapsFitFrame(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("text")))
+      .select(col("source"), col("n").as("n_points"), col("beta_micro"),
+        col("intercept_micro"),
+        expr("CAST(intercept_micro + CAST(beta_micro AS DECIMAL(38,0))" +
+          " * (x_now + 3321928) div 1000000 AS BIGINT)")
+          .as("pred_log2_types_micro_10x")))
+
+  /** Spark twin of [[heapsFitCtes]]: the per-source fit coefficients
+    * (n, beta_micro, intercept_micro, sx, sy, x_now) over any
+    * (source, doc_id, text) frame — q311 fits the live corpus, q318
+    * fits the OLD snapshot and tests the forecast. */
+  private def heapsFitFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    val ex = rk.select(col("source"),
+      expr("(rn - 1) * 10 div cnt + 1").as("dec"),
+      explode(tokens(col("text"))).as("tok"))
+    val tokd = ex.groupBy("source", "dec").agg(count(lit(1)).as("n_tok"))
+    val typd = ex.groupBy("source", "tok").agg(min("dec").as("fdec"))
+      .groupBy(col("source"), col("fdec").as("dec"))
+      .agg(count(lit(1)).as("n_new"))
+    val wc = Window.partitionBy("source").orderBy("dec")
+    val cum = tokd.join(typd, Seq("source", "dec"), "left")
+      .withColumn("ct", sum("n_tok").over(wc))
+      .withColumn("cy", sum(coalesce(col("n_new"), lit(0L))).over(wc))
+    val xy = cum.filter(col("ct") > 0 && col("cy") > 0)
+      .select(col("source"),
+        round(log2(col("ct").cast("double")) * 1000000).cast("long").as("x"),
+        round(log2(col("cy").cast("double")) * 1000000).cast("long").as("y"))
+    val a = xy.groupBy("source").agg(count(lit(1)).as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      max("x").cast("decimal(38,0)").as("x_now"))
+    a.filter(expr("n * sxx - sx * sx <> 0"))
+      .withColumn("beta_micro", expr(
+        "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
+      .withColumn("intercept_micro", expr(
+        "CAST((sy * 1000000 - CAST(beta_micro AS DECIMAL(38,0)) * sx)" +
+          " div (n * 1000000) AS BIGINT)"))
+  }
+
+  /** HEAPS FORECAST vs MEASURED — the loop-closer between q311's fit
+    * and q239's measured increments (the optimizer-audit discipline —
+    * q250/q253/q280 predict THEN check — applied to the vocabulary
+    * forecast): fit the Heaps coefficients on the OLD snapshot view
+    * alone, predict log₂(vocab) at the NEW snapshot's measured token
+    * count, and put the prediction next to the NEW snapshot's measured
+    * log₂(vocab) — err_micro = predicted − measured in log₂ micro-units
+    * (positive = the fit over-promised novelty; ~0 validates using
+    * q311's extrapolation for crawl budgeting). Snapshot views are the
+    * ONE shared q190/q239 definition (same Scala vals — the family
+    * cannot fork); the fit chain is the ONE shared [[heapsFitCtes]]/
+    * [[heapsFitFrame]] (q311's own fit, applied to the old view).
+    * Scale shape: the fit's rollups on the old view + one (source,
+    * tok)-distinct rollup and one token-count rollup on the new view;
+    * text never crosses an exchange. Output: one row per source with a
+    * fit. HASH-MATCHED. */
+  val q318 = {
+    val oldPred = ExtensionQueries.snapshotOldPred
+    val newPred = ExtensionQueries.snapshotNewPred
+    val oldText = ExtensionQueries.snapshotOldTextSql
+    QueryDef.oracle("q318_heaps_forecast_check",
+      s"""WITH ${heapsFitCtes(oldPred, oldText)},
+        |co AS (SELECT source, n AS n_points, beta_micro,
+        |         CAST((sy * 1000000 - CAST(beta_micro AS HUGEINT) * sx)
+        |              // (n * 1000000) AS BIGINT) AS intercept_micro
+        |       FROM f),
+        |nt AS (SELECT source, unnest(list_filter(
+        |         COALESCE(regexp_split_to_array(text, '\\s+'), []),
+        |         x -> x <> '')) AS tok
+        |       FROM documents WHERE $newPred),
+        |nm AS (SELECT source, CAST(count(*) AS BIGINT) AS new_tokens,
+        |         CAST(count(DISTINCT tok) AS BIGINT) AS new_vocab
+        |       FROM nt GROUP BY 1)
+        |SELECT co.source, co.n_points, co.beta_micro,
+        |       nm.new_tokens, nm.new_vocab,
+        |       CAST(co.intercept_micro + CAST(co.beta_micro AS HUGEINT)
+        |            * CAST(round(log2(CAST(nm.new_tokens AS DOUBLE)) * 1000000)
+        |                   AS HUGEINT) // 1000000 AS BIGINT)
+        |         AS pred_log2_vocab_micro,
+        |       CAST(round(log2(CAST(nm.new_vocab AS DOUBLE)) * 1000000)
+        |            AS BIGINT) AS meas_log2_vocab_micro,
+        |       CAST(co.intercept_micro + CAST(co.beta_micro AS HUGEINT)
+        |            * CAST(round(log2(CAST(nm.new_tokens AS DOUBLE)) * 1000000)
+        |                   AS HUGEINT) // 1000000 AS BIGINT)
+        |       - CAST(round(log2(CAST(nm.new_vocab AS DOUBLE)) * 1000000)
+        |              AS BIGINT) AS err_micro
+        |FROM co JOIN nm USING (source)
+        |WHERE nm.new_tokens > 0 AND nm.new_vocab > 0""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val co = heapsFitFrame(docs
+          .filter(expr(oldPred))
+          .select(col("source"), col("doc_id"),
+            ExtensionQueries.snapshotOldText.as("text")))
+        val nm = docs.filter(expr(newPred))
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("new_tokens"),
+            countDistinct("tok").as("new_vocab"))
+        co.join(nm, Seq("source"))
+          .filter(col("new_tokens") > 0 && col("new_vocab") > 0)
+          .withColumn("x_new",
+            round(log2(col("new_tokens").cast("double")) * 1000000)
+              .cast("long"))
+          .withColumn("meas_log2_vocab_micro",
+            round(log2(col("new_vocab").cast("double")) * 1000000)
+              .cast("long"))
+          .withColumn("pred_log2_vocab_micro", expr(
+            "CAST(intercept_micro + CAST(beta_micro AS DECIMAL(38,0))" +
+              " * x_new div 1000000 AS BIGINT)"))
+          .select(col("source"), col("n").as("n_points"), col("beta_micro"),
+            col("new_tokens"), col("new_vocab"),
+            col("pred_log2_vocab_micro"), col("meas_log2_vocab_micro"),
+            (col("pred_log2_vocab_micro") - col("meas_log2_vocab_micro"))
+              .as("err_micro"))
+      })
+  }
 
   /** TERM BURSTINESS — Church & Gale's dispersion statistic, the
     * third axis of the vocabulary profile after frequency (q290's
@@ -1810,5 +1901,5 @@ object TextQueries {
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312)
+      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318)
 }
