@@ -916,6 +916,16 @@ object PlanCheck {
       "forecast check: fit rollups + one new-view vocab rollup, source-keyed joins, no cartesian",
       p => p.contains("partial_count") && !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"))
+    checkTree("q319_session_gap_advisor",
+      "gap advisor: the one lag+lead window is user-keyed, never a global fact window",
+      noGlobalFactWindow)
+    check("q319_session_gap_advisor",
+      "gap advisor: the window pass is pinned once (ExistingRDD) and feeds all five threshold arms",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q320_retrieval_source_bias",
+      "source bias: top-50 via TakeOrderedAndProject, corpus rollup map-side, tiny sides broadcast",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -1754,8 +1754,77 @@ object EventQueries {
             " * 1000000 div MAX(n) AS BIGINT)").as("reach_loose_ppm"))
     })
 
+  /** Gap grid swept by q319 — the shipped q31 threshold (1800 s) sits
+    * inside the grid so the advisor prices the production point. */
+  private val SessionGaps = Seq(300L, 900L, 1800L, 3600L, 7200L)
+
+  /** SESSION-GAP SENSITIVITY ADVISOR — the parameter audit behind
+    * q31's 30-minute constant (the q263 LSH-advisor discipline applied
+    * to sessionization): every candidate gap is evaluated from ONE
+    * user-keyed lag pass (the q307 multi-budget trick — a session
+    * START at gap g is simply `prev_ts IS NULL OR diff > g`, a
+    * conditional count, so the five thresholds cost five counters on
+    * the same scan, not five window passes). Per gap: session count,
+    * exact mean events/session in milli, and how many "sessions" are
+    * singletons (the over-splitting symptom; a gap so large sessions
+    * approach one-per-user is the under-splitting one — the knee
+    * between them is the defensible setting). Singleton counting
+    * without a second window: a session is a run of events whose
+    * FOLLOWING gap also exceeds g, so singletons = starts whose NEXT
+    * event (same user) either doesn't exist or starts a new session —
+    * counted from the lead diff on the same pass. Scale shape: ONE
+    * user-keyed window (lag + lead), one map-side rollup, 5 output
+    * rows. Output: one row per gap. HASH-MATCHED. */
+  val q319 = {
+    val arms = SessionGaps.map { g =>
+      s"""SELECT CAST($g AS BIGINT) AS gap_s,
+         |  CAST(SUM(CASE WHEN pd IS NULL OR pd > $g THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_sessions,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(*) * 1000 // SUM(CASE WHEN pd IS NULL OR pd > $g
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS events_per_session_milli,
+         |  CAST(SUM(CASE WHEN (pd IS NULL OR pd > $g)
+         |                 AND (nd IS NULL OR nd > $g) THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_singletons
+         |FROM t""".stripMargin
+    }
+    QueryDef.oracle("q319_session_gap_advisor",
+      s"""WITH e AS (SELECT user_id, event_id,
+         |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+         |                  AS BIGINT) AS es
+         |           FROM events),
+         |t AS (SELECT es - LAG(es) OVER (PARTITION BY user_id
+         |                                ORDER BY es, event_id) AS pd,
+         |             LEAD(es) OVER (PARTITION BY user_id
+         |                            ORDER BY es, event_id) - es AS nd
+         |      FROM e)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("es"))
+          .withColumn("pd", col("es") - lag("es", 1).over(w))
+          .withColumn("nd", lead("es", 1).over(w) - col("es"))
+          .localCheckpoint(false) // one window pass feeds all five arms
+        SessionGaps.map { g =>
+          t.agg(
+            sum(when(col("pd").isNull || col("pd") > g, 1L).otherwise(0L))
+              .as("n_sessions"),
+            count(lit(1)).as("n_events"),
+            sum(when((col("pd").isNull || col("pd") > g) &&
+              (col("nd").isNull || col("nd") > g), 1L).otherwise(0L))
+              .as("n_singletons"))
+            .select(lit(g).as("gap_s"), col("n_sessions"), col("n_events"),
+              expr("CAST(n_events * 1000 div n_sessions AS BIGINT)")
+                .as("events_per_session_milli"),
+              col("n_singletons"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305, q313, q317)
+      q284, q285, q297, q305, q313, q317, q319)
 }

@@ -1735,8 +1735,63 @@ object ModelPrepQueries {
             .otherwise(0L))
     })
 
+  /** RETRIEVAL SOURCE-BIAS AUDIT — the serving-side fairness question
+    * none of the ranking queries ask: does BM25's top-50 over-serve
+    * some sources relative to their corpus share? (A RAG system built
+    * on a biased retriever samples a different corpus than the one
+    * curation balanced — q166/q214's mixture work is undone at query
+    * time.) Per source: its share of the BM25 top-50 next to its share
+    * of the corpus, both in exact ppm, and bias_ppm = top − corpus
+    * (negative = under-served; sources absent from the top-50 still
+    * emit rows). Scoring is the ONE shared [[bm25Ctes]] /
+    * [[bm25ScoreFrame]] chain (q124/q270/q292's — the audit cannot
+    * drift from the retriever it audits). Scale shape: the BM25
+    * rollups + a 50-row TakeOrdered list joined broadcast to the
+    * corpus source counts — |sources| output rows. HASH-MATCHED. */
+  val q320 = QueryDef.oracle("q320_retrieval_source_bias",
+    s"""WITH $bm25Ctes,
+      |top AS (SELECT doc_id FROM (
+      |          SELECT doc_id, ROW_NUMBER() OVER (
+      |            ORDER BY score_micro DESC, doc_id) AS rnk FROM agg)
+      |        WHERE rnk <= 50),
+      |ts AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_top
+      |       FROM top JOIN documents d USING (doc_id) GROUP BY 1),
+      |cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_corpus
+      |       FROM documents GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM top)
+      |SELECT cs.source, COALESCE(ts.n_top, 0) AS n_top, cs.n_corpus,
+      |       CAST(COALESCE(ts.n_top, 0) * 1000000 // nt.k AS BIGINT)
+      |         AS top_share_ppm,
+      |       CAST(cs.n_corpus * 1000000 // nd.n_docs AS BIGINT)
+      |         AS corpus_share_ppm,
+      |       CAST(COALESCE(ts.n_top, 0) * 1000000 // nt.k
+      |            - cs.n_corpus * 1000000 // nd.n_docs AS BIGINT) AS bias_ppm
+      |FROM cs LEFT JOIN ts USING (source), nd, nt""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val top = bm25ScoreFrame(s, d)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+        .select("doc_id")
+      val ts = top.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_top"))
+      val cs = docs.groupBy("source").agg(count(lit(1)).as("n_corpus"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val nt = top.agg(count(lit(1)).as("k"))
+      cs.join(broadcast(ts), Seq("source"), "left")
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(nt))
+        .select(col("source"),
+          coalesce(col("n_top"), lit(0L)).as("n_top"), col("n_corpus"),
+          expr("CAST(coalesce(n_top, 0) * 1000000 div k AS BIGINT)")
+            .as("top_share_ppm"),
+          expr("CAST(n_corpus * 1000000 div n_docs AS BIGINT)")
+            .as("corpus_share_ppm"),
+          expr("CAST(coalesce(n_top, 0) * 1000000 div k" +
+            " - n_corpus * 1000000 div n_docs AS BIGINT)").as("bias_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308)
+      q208, q214, q223, q257, q302, q308, q320)
 }

@@ -280,7 +280,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("(tf * 2.2)"))
       consumers.keySet shouldBe Set(
         "q124_bm25_retrieval", "q270_hybrid_rrf_fusion",
-        "q292_ranker_agreement")
+        "q292_ranker_agreement", "q320_retrieval_source_bias")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the BM25 scoring chain: ") {
           sql.contains(frag) shouldBe true
