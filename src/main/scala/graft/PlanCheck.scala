@@ -926,6 +926,13 @@ object PlanCheck {
       "source bias: top-50 via TakeOrderedAndProject, corpus rollup map-side, tiny sides broadcast",
       p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    check("q321_media_threshold_sweep",
+      "media sweep: stored fingerprints read back; one pinned pair build (ExistingRDD) feeds all four threshold arms",
+      p => p.contains("graft_media_phash") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
+    check("q322_neyman_allocation",
+      "Neyman: the |sources|-row weight table is pinned once (ExistingRDD) — the corpus quality scan never replicates; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

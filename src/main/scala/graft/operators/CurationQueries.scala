@@ -1836,8 +1836,88 @@ object CurationQueries {
             .otherwise(lit(null).cast("long")).as("lowq_drop_lift_ppm"))
     })
 
+  /** NEYMAN EVAL-BUDGET ALLOCATION — the survey-sampling answer to
+    * "1,000 documents get human review: how many from each source?":
+    * proportional allocation (∝ N_h) wastes labels on big LOW-VARIANCE
+    * sources; Neyman's optimum allocates ∝ N_h·σ_h, spending review
+    * where the quality signal actually varies. Exactness discipline:
+    * per-doc quality integerizes to ten-thousandths via the ONE shared
+    * drift-pinned quality fragment (q41/q215/q306's), the per-source
+    * variance numerator is the moment identity N·Σs² − (Σs)² in
+    * DECIMAL(38,0)/HUGEINT (note N_h·σ_h = √(N_h²·var) = √num — no
+    * separate N multiply), the weight takes ONE IEEE-correctly-rounded
+    * sqrt per VALUE (both engines bit-identical on exact-integer
+    * inputs; the q203-note convention), and the 1,000-unit budget
+    * deals by largest remainder (q214's discipline — Σalloc = budget
+    * exactly). delta_vs_prop shows where Neyman moves labels relative
+    * to the proportional floor. Scale shape: one corpus scan-stage
+    * quality pass → map-side source moment rollup → |sources|-row
+    * windows. Output: one row per source. HASH-MATCHED. */
+  val q322 = {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    QueryDef.oracle("q322_neyman_allocation",
+      s"""WITH sc AS (SELECT source,
+        |              CAST(round(($qualitySql) * 10000) AS BIGINT) AS s
+        |            FROM documents),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        SUM(CAST(s AS HUGEINT)) AS s1,
+        |        SUM(CAST(s AS HUGEINT) * s) AS s2
+        |      FROM sc GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(round(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)))
+        |             AS BIGINT) AS w
+        |      FROM m),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+        |               CAST(SUM(n_docs) AS BIGINT) AS nd FROM w),
+        |q AS (SELECT source, n_docs, w,
+        |        CAST(w * 1000 // tw AS BIGINT) AS base,
+        |        CAST(w * 1000 % tw AS BIGINT) AS rem,
+        |        CAST(n_docs * 1000 // nd AS BIGINT) AS prop_floor
+        |      FROM w, tot),
+        |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+        |                     AS BIGINT) AS rk FROM q)
+        |SELECT source, n_docs, w, base, rk,
+        |       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc,
+        |       prop_floor,
+        |       base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END - prop_floor
+        |         AS delta_vs_prop
+        |FROM r, l""".stripMargin)(
+      (s, d) => {
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        val sc = Tables.documents(s, d).select(col("source"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("s"))
+        val m = sc.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(dec(col("s"))).as("s1"), sum(dec(col("s")) * col("s")).as("s2"))
+        // the |sources|-row weight table is pinned once — tot/base/rem/
+        // leftover all read it, so the corpus quality scan runs ONCE
+        // instead of replicating into every consumer branch
+        val w = m.select(col("source"), col("n_docs"),
+          round(sqrt(expr("CAST(n_docs * s2 - s1 * s1 AS DOUBLE)")))
+            .cast("long").as("w"))
+          .localCheckpoint(false)
+        val tot = w.agg(sum("w").as("tw"), sum("n_docs").as("nd"))
+        val q = w.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("w"),
+            expr("w * 1000 div tw").as("base"),
+            (col("w") * 1000 % col("tw")).as("rem"),
+            expr("n_docs * 1000 div nd").as("prop_floor"))
+        val l = q.agg((lit(1000L) - sum("base")).as("leftover"))
+        q.withColumn("rk",
+            row_number().over(Window.orderBy(col("rem").desc, col("source")))
+              .cast("long"))
+          .crossJoin(broadcast(l))
+          .select(col("source"), col("n_docs"), col("w"), col("base"), col("rk"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+              .as("alloc"),
+            col("prop_floor"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)
+              - col("prop_floor")).as("delta_vs_prop"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287, q306)
+      q279, q282, q286, q287, q306, q322)
 }

@@ -483,5 +483,68 @@ object MultimodalQueries {
           coalesce(max("jump"), lit(0L)).as("max_jump_ppm"))
     })
 
-  val defs: Seq[QueryDef] = Seq(q71, q72, q73, q74, q177, q179, q229, q249)
+  /** MEDIA HAMMING-THRESHOLD SWEEP — q238's dedup blast-radius table
+    * for the pHash leg: per candidate Hamming threshold t ∈ 0..3 (the
+    * blocking's own pigeonhole guarantee bound — 4 blocks certify
+    * recall only to distance 3, so the sweep honestly stops where the
+    * index's evidence stops), the pair count, how many of those pairs
+    * are same-modality (cross-modality "pairs" at small Hamming are
+    * fingerprint collisions, not dups — the false-positive surface),
+    * the distinct media items touched, and the touched share of the
+    * media corpus in exact ppm. All four thresholds read the ONE
+    * shared [[phashPairCtes]]/[[phashPairs]] pair set (hamming is a
+    * recorded column — no re-verify per threshold). Scale shape: the
+    * stored fingerprint artifact + the block-keyed pair join ONCE,
+    * then 4 counters over a tiny pair set. Output: 4 rows.
+    * HASH-MATCHED. */
+  val q321 = {
+    val arms = (0 to PhashMaxHamming).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS max_hamming,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pm WHERE hamming <= $t)
+         |    AS n_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pm
+         |   WHERE hamming <= $t AND ma = mb) AS n_same_modality,
+         |  (SELECT CAST(count(DISTINCT m) AS BIGINT) FROM (
+         |     SELECT ia AS m FROM pm WHERE hamming <= $t
+         |     UNION ALL SELECT ib FROM pm WHERE hamming <= $t))
+         |    AS n_media_touched,
+         |  (SELECT CAST(count(DISTINCT m) * 1000000 // (SELECT count(*) FROM fp)
+         |          AS BIGINT) FROM (
+         |     SELECT ia AS m FROM pm WHERE hamming <= $t
+         |     UNION ALL SELECT ib FROM pm WHERE hamming <= $t))
+         |    AS touched_ppm""".stripMargin
+    }
+    QueryDef.oracle("q321_media_threshold_sweep",
+      s"""$phashPairCtes,
+         |pm AS (SELECT p.ia, p.ib, p.hamming, a.modality AS ma, b.modality AS mb
+         |       FROM pairs p
+         |       JOIN fp a ON a.media_id = p.ia
+         |       JOIN fp b ON b.media_id = p.ib)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val mods = phashDf(s, d).select(col("media_id"), col("modality"))
+        val pm = phashPairs(s, d)
+          .join(broadcast(mods.select(col("media_id").as("ia"),
+            col("modality").as("ma"))), Seq("ia"))
+          .join(broadcast(mods.select(col("media_id").as("ib"),
+            col("modality").as("mb"))), Seq("ib"))
+          .localCheckpoint(false) // one pair build feeds all four arms
+        val nMedia = phashDf(s, d).agg(count(lit(1)).as("nm"))
+        (0 to PhashMaxHamming).map { t =>
+          val sub = pm.filter(col("hamming") <= t)
+          val touched = sub.select(explode(array(col("ia"), col("ib"))).as("m"))
+            .distinct().agg(count(lit(1)).as("n_media_touched"))
+          sub.agg(count(lit(1)).as("n_pairs"),
+            count(when(col("ma") === col("mb"), 1)).as("n_same_modality"))
+            .crossJoin(touched).crossJoin(broadcast(nMedia))
+            .select(lit(t.toLong).as("max_hamming"), col("n_pairs"),
+              col("n_same_modality"), col("n_media_touched"),
+              expr("CAST(n_media_touched * 1000000 div nm AS BIGINT)")
+                .as("touched_ppm"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(q71, q72, q73, q74, q177, q179, q229, q249, q321)
 }

@@ -185,7 +185,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val recursive = frag.replaceFirst("^WITH ", "WITH RECURSIVE ")
       val consumers = sqlByName.filter(_._2.contains("(ph >> (16*b)) & 65535"))
       consumers.keySet shouldBe Set(
-        "q177_media_phash_neardup", "q179_media_dedup_clusters")
+        "q177_media_phash_neardup", "q179_media_dedup_clusters",
+        "q321_media_threshold_sweep")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the pHash pair definition: ") {
           (sql.contains(frag) || sql.contains(recursive)) shouldBe true
@@ -253,7 +254,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q194_curation_funnel", "q196_quality_percentile",
         "q205_weighted_sample", "q215_crossmodal_gate",
         "q221_bootstrap_quality_ci", "q223_filter_calibration",
-        "q259_dataset_card", "q306_dedup_drop_bias")
+        "q259_dataset_card", "q306_dedup_drop_bias",
+        "q322_neyman_allocation")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
