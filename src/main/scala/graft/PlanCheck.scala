@@ -933,6 +933,20 @@ object PlanCheck {
     check("q322_neyman_allocation",
       "Neyman: the |sources|-row weight table is pinned once (ExistingRDD) — the corpus quality scan never replicates; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    checkTree("q323_watermark_advisor",
+      "watermark advisor: the running-max window rides the AGGREGATE-REDUCED batch table, never the fact scan",
+      noGlobalFactWindow)
+    check("q323_watermark_advisor",
+      "watermark advisor: one joined pass pinned (ExistingRDD) feeds all five delay arms (the broadcast join sits inside the pinned segment)",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"))
+    check("q324_encoding_advisor",
+      "encoding advisor: runs fold hierarchically through KEYED windows (col,ok)->(col,bucket)->(col); <=2 stacked scans; NDV table broadcast",
+      p => scans(p, "lineitem") <= 2 && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q324_encoding_advisor",
+      "encoding advisor: no zero-key window anywhere near fact-sized input",
+      noGlobalFactWindow)
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

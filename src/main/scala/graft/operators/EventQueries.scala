@@ -1823,8 +1823,91 @@ object EventQueries {
       })
   }
 
+  /** Delay grid swept by q323 — 600 is the CERTIFIED-complete setting
+    * under the simulated jitter bound (see the q323 scaladoc proof),
+    * so the curve honestly saturates at its last row. */
+  private val WatermarkDelays = Seq(0L, 60L, 120L, 300L, 600L)
+
+  /** WATERMARK-DELAY ADVISOR — the parameter audit behind every
+    * `withWatermark` in graft.streaming (the q319 discipline applied to
+    * the out-of-orderness knob): Structured Streaming drops an event
+    * from stateful operators when its event time falls below the
+    * watermark, which advances at BATCH boundaries to (max event time
+    * over completed batches − delay). The corpus carries no arrival
+    * column (the generator emits in event-time order — a zero-lateness
+    * feed that prices nothing), so arrival is simulated with the
+    * REPLAYABLE coin convention (q271's quadratic mixer on event_id):
+    * arrival = es + jitter, jitter uniform-ish in [0, 600) — delivery
+    * disorder with a known bound, the setup every watermark paper
+    * evaluates against. Micro-batches are arrival MINUTES (time-driven
+    * triggers), and an event in batch b is dropped at delay d iff
+    * es < max_es(batches < b) − d. The certified stop: an earlier-batch
+    * event o and a batch-b event e satisfy es_o − es_e < jit_e − jit_o
+    * < 600, so lateness < 600 and the d = 600 row is provably zero —
+    * the advisor's grid ends where the jitter bound says it must.
+    * Every candidate delay is priced from ONE pass (the multi-budget
+    * trick): the per-batch max rollup is aggregate-reduced, the running
+    * prev-batch max is a window over |batches| rows — never the fact
+    * table — and the five delays are five conditional counters on the
+    * same joined scan. Scale shape: one scan → map-side batch rollup →
+    * |batches|-row window → broadcast join back → 5 counters. Output:
+    * one row per delay. HASH-MATCHED. */
+  val q323 = {
+    import graft.functions.PortableHashKernels.{P, a, b}
+    val (a1, b1) = (a(19), b(19))
+    val arms = WatermarkDelays.map { g =>
+      s"""SELECT CAST($g AS BIGINT) AS delay_s,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND es < pm - $g
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND es < pm - $g
+         |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |    AS drop_ppm
+         |FROM t""".stripMargin
+    }
+    QueryDef.oracle("q323_watermark_advisor",
+      s"""WITH e0 AS (SELECT (((event_id % $P) + $P) % $P) AS pm0,
+         |              CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+         |                   AS BIGINT) AS es
+         |            FROM events),
+         |e AS (SELECT es,
+         |        (es + ((((pm0 * pm0 + 3 * pm0 + 7) % $P) * $a1 + $b1) % $P)
+         |              % 600) // 60 AS b
+         |      FROM e0),
+         |bm AS (SELECT b, MAX(es) AS mx FROM e GROUP BY 1),
+         |w AS (SELECT b, MAX(mx) OVER (ORDER BY b
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |      FROM bm),
+         |t AS (SELECT e.es, w.pm FROM e JOIN w USING (b))
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(unix_timestamp(col("ts")).as("es"),
+            expr(s"pmod(event_id, ${P}L)").as("pm0"))
+          .select(col("es"), expr(
+            s"(es + ((((pm0 * pm0 + 3L * pm0 + 7L) % ${P}L) * ${a1}L + ${b1}L)" +
+              s" % ${P}L) % 600L) div 60L").as("b"))
+        val bm = e.groupBy("b").agg(max("es").as("mx"))
+        // zero-key window, but over the AGGREGATE-REDUCED batch table
+        // (|batches| rows), never the fact scan
+        val w = bm.select(col("b"), max("mx").over(
+          Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)).as("pm"))
+        val t = e.join(broadcast(w), Seq("b"))
+          .localCheckpoint(false) // one joined pass feeds all five arms
+        WatermarkDelays.map { g =>
+          t.agg(count(lit(1)).as("n_events"),
+            sum(when(col("pm").isNotNull && col("es") < col("pm") - g, 1L)
+              .otherwise(0L)).as("n_dropped"))
+            .select(lit(g).as("delay_s"), col("n_events"), col("n_dropped"),
+              expr("CAST(n_dropped * 1000000 div n_events AS BIGINT)")
+                .as("drop_ppm"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305, q313, q317, q319)
+      q284, q285, q297, q305, q313, q317, q319, q323)
 }

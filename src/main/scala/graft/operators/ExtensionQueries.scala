@@ -1871,7 +1871,156 @@ object ExtensionQueries {
         (col("d_ppm") > crit).as("drifted"))
     })
 
+  /** Columns the encoding advisor prices, each canonicalized to a
+    * BIGINT (single chars by code point, money/discounts in exact
+    * cents, dates in epoch days) so one uniform runs kernel covers
+    * every type — the (name, DuckDB expr, Spark expr) triples are ONE
+    * list so the two engines cannot disagree on the canon. */
+  private val EncodingCols: Seq[(String, String, String)] = Seq(
+    ("l_returnflag", "CAST(unicode(l_returnflag) AS BIGINT)",
+      "CAST(ascii(l_returnflag) AS BIGINT)"),
+    ("l_linestatus", "CAST(unicode(l_linestatus) AS BIGINT)",
+      "CAST(ascii(l_linestatus) AS BIGINT)"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)", "CAST(l_quantity AS BIGINT)"),
+    ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)",
+      "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)",
+      "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"),
+    ("l_suppkey", "l_suppkey", "l_suppkey"))
+
+  /** COLUMN-ENCODING ADVISOR — the storage-layout audit behind a
+    * parquet rewrite: under the canonical clustered order
+    * (l_orderkey, l_linenumber), how many RUNS does each column carry,
+    * and does RLE-over-dictionary beat plain dictionary for it? Run
+    * counting under a total order is the part that doesn't distribute
+    * naively (it's a global lag), so the kernel folds HIERARCHICALLY:
+    * level 0 counts value changes WITHIN each orderkey (a keyed window
+    * over ≤7-row groups), level 1 counts changes across consecutive
+    * orderkeys within an orderkey-bucket (ok div 1024 — a keyed window
+    * over the per-orderkey first/last rollup), level 2 counts changes
+    * across consecutive buckets (a per-column window over the
+    * |buckets|-row rollup). total runs = 1 + Σ changes, exactly — and
+    * the fold nests: at 100 TB you add one more level at bucket²
+    * grain, same trick, so no window ever sees fact-scale input in one
+    * partition. Per column: rows, exact NDV, runs, mean run length in
+    * milli, dictionary bits/value (ceil log2 NDV via the q224 bit-smear,
+    * float-free), the cheaper encoding between dict-plain and
+    * RLE(len32)+dict (both charged the nd·64-bit dictionary), and the
+    * saving vs 64-bit plain in exact ppm. Columns stack through ONE
+    * lineitem scan (6 rows out per row in); the verdict is the
+    * rewrite plan a 100-TB table layout review reads. Scale shape: one
+    * scan → stack → (col, ok)-keyed windows/rollups → bucket rollups →
+    * 6-row advisor table. Output: one row per column. HASH-MATCHED. */
+  val q324 = {
+    val duckArms = EncodingCols.map { case (n, duck, _) =>
+      s"SELECT '$n' AS c, l_orderkey AS ok, l_linenumber AS ln, $duck AS v FROM lineitem"
+    }
+    // ceil(log2(nd)) for nd >= 2 via bit-smear of (nd-1); 0 for nd = 1
+    val smearDuck = Seq(1, 2, 4, 8, 16, 32).foldLeft("(n_distinct - 1)")(
+      (acc, k) => s"(($acc) | (($acc) >> $k))")
+    QueryDef.oracle("q324_encoding_advisor",
+      s"""WITH st AS (${duckArms.mkString("\nUNION ALL\n")}),
+         |l0 AS (SELECT c, ok, v,
+         |         CAST(ln AS BIGINT) * 281474976710656 + v AS pk,
+         |         LAG(v) OVER (PARTITION BY c, ok
+         |           ORDER BY CAST(ln AS BIGINT) * 281474976710656 + v) AS pv
+         |       FROM st),
+         |g1 AS (SELECT c, ok, ok // 1024 AS bk, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN pv IS NOT NULL AND pv <> v
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS ch0,
+         |         min_by(v, pk) AS fv, max_by(v, pk) AS lv
+         |       FROM l0 GROUP BY 1, 2, 3),
+         |l1 AS (SELECT c, ok, bk, n, ch0, fv, lv,
+         |         LAG(lv) OVER (PARTITION BY c, bk ORDER BY ok) AS plv
+         |       FROM g1),
+         |g2 AS (SELECT c, bk, CAST(SUM(n) AS BIGINT) AS n,
+         |         CAST(SUM(ch0) AS BIGINT) AS ch0, CAST(SUM(CASE WHEN plv IS NOT NULL
+         |           AND plv <> fv THEN 1 ELSE 0 END) AS BIGINT) AS ch1,
+         |         min_by(fv, ok) AS fb, max_by(lv, ok) AS lb
+         |       FROM l1 GROUP BY 1, 2),
+         |l2 AS (SELECT c, bk, n, ch0, ch1, fb, lb,
+         |         LAG(lb) OVER (PARTITION BY c ORDER BY bk) AS plb
+         |       FROM g2),
+         |g3 AS (SELECT c, CAST(SUM(n) AS BIGINT) AS n_rows,
+         |         CAST(1 + SUM(ch0) + SUM(ch1)
+         |              + SUM(CASE WHEN plb IS NOT NULL AND plb <> fb
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+         |       FROM l2 GROUP BY 1),
+         |nd AS (SELECT c, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+         |       FROM st GROUP BY 1),
+         |db AS (SELECT g3.c, n_rows, n_distinct, n_runs,
+         |         CASE WHEN n_distinct <= 1 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(bit_count($smearDuck) AS BIGINT)
+         |         END AS dict_bits
+         |       FROM g3 JOIN nd ON g3.c = nd.c),
+         |e AS (SELECT *, n_rows * dict_bits + n_distinct * 64 AS dict_total,
+         |        n_runs * (dict_bits + 32) + n_distinct * 64 AS rle_total
+         |      FROM db)
+         |SELECT c AS col_name, n_rows, n_distinct, n_runs,
+         |       CAST(n_rows * 1000 // n_runs AS BIGINT) AS avg_run_milli,
+         |       dict_bits,
+         |       CASE WHEN rle_total < dict_total THEN 'rle_dict'
+         |            ELSE 'dict' END AS enc_pick,
+         |       CAST((n_rows * 64 - least(dict_total, rle_total)) * 1000000
+         |            // (n_rows * 64) AS BIGINT) AS savings_ppm
+         |FROM e""".stripMargin)(
+      (s, d) => {
+        val canon = EncodingCols.map { case (n, _, sp) => s"'$n', $sp" }
+        val st = Tables.lineitem(s, d).selectExpr(
+          "l_orderkey AS ok", "l_linenumber AS ln",
+          s"stack(${EncodingCols.size}, ${canon.mkString(", ")}) AS (c, v)")
+        // (ok, ln) is NOT unique in this corpus (the generator repeats
+        // line numbers), so the clustered order is totalized by the
+        // value itself: pk = ln·2⁴⁸ + v (every canon value is
+        // non-negative and < 2⁴⁸) — a tie-grouped order is also what a
+        // real rewrite would emit, and both engines sort identically
+        val pkE = "CAST(ln AS BIGINT) * 281474976710656 + v"
+        val w0 = Window.partitionBy("c", "ok").orderBy(expr(pkE))
+        val g1 = st.withColumn("pk", expr(pkE))
+          .withColumn("pv", lag("v", 1).over(w0))
+          .groupBy("c", "ok")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pv").isNotNull && col("pv") =!= col("v"), 1L)
+              .otherwise(0L)).as("ch0"),
+            expr("min_by(v, pk)").as("fv"), expr("max_by(v, pk)").as("lv"))
+          .withColumn("bk", expr("ok div 1024"))
+        val w1 = Window.partitionBy("c", "bk").orderBy("ok")
+        val g2 = g1.withColumn("plv", lag("lv", 1).over(w1))
+          .groupBy("c", "bk")
+          .agg(sum("n").as("n"), sum("ch0").as("ch0"),
+            sum(when(col("plv").isNotNull && col("plv") =!= col("fv"), 1L)
+              .otherwise(0L)).as("ch1"),
+            expr("min_by(fv, ok)").as("fb"), expr("max_by(lv, ok)").as("lb"))
+        val w2 = Window.partitionBy("c").orderBy("bk")
+        val g3 = g2.withColumn("plb", lag("lb", 1).over(w2))
+          .groupBy("c")
+          .agg((lit(1L) + sum("ch0") + sum("ch1")
+            + sum(when(col("plb").isNotNull && col("plb") =!= col("fb"), 1L)
+              .otherwise(0L))).as("n_runs"),
+            sum("n").as("n_rows"))
+        val nd = st.groupBy("c").agg(countDistinct("v").as("n_distinct"))
+        val smear = (1 to 5).map(i => 1 << (i - 1)).foldLeft("(n_distinct - 1)")(
+          (acc, k) => s"(($acc) | (shiftright(($acc), $k)))")
+        g3.join(broadcast(nd), Seq("c"))
+          .withColumn("dict_bits", expr(
+            s"CASE WHEN n_distinct <= 1 THEN CAST(0 AS BIGINT) " +
+              s"ELSE CAST(bit_count($smear) AS BIGINT) END"))
+          .withColumn("dict_total",
+            expr("n_rows * dict_bits + n_distinct * 64"))
+          .withColumn("rle_total",
+            expr("n_runs * (dict_bits + 32) + n_distinct * 64"))
+          .select(col("c").as("col_name"), col("n_rows"), col("n_distinct"),
+            col("n_runs"),
+            expr("CAST(n_rows * 1000 div n_runs AS BIGINT)").as("avg_run_milli"),
+            col("dict_bits"),
+            when(col("rle_total") < col("dict_total"), "rle_dict")
+              .otherwise("dict").as("enc_pick"),
+            expr("CAST((n_rows * 64 - least(dict_total, rle_total)) * 1000000" +
+              " div (n_rows * 64) AS BIGINT)").as("savings_ppm"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253, q256, q260, q283, q288, q289, q293)
+    q250, q251, q253, q256, q260, q283, q288, q289, q293, q324)
 }
