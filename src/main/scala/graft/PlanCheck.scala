@@ -947,6 +947,33 @@ object PlanCheck {
     checkTree("q324_encoding_advisor",
       "encoding advisor: no zero-key window anywhere near fact-sized input",
       noGlobalFactWindow)
+    check("q325_hll_overlap_matrix",
+      "HLL overlap: dt + sketch pinned once (ExistingRDD) — sketch side is |sources|x128 rows; only the exact audit is tok-keyed",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    checkTree("q326_t_closeness",
+      "t-closeness: cum-diff windows are QI-keyed 8-row frames, never a global fact window",
+      noGlobalFactWindow)
+    check("q326_t_closeness",
+      "t-closeness: QI-band rollup pinned once (ExistingRDD); axis/global-dist/total broadcast; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q327_cuped",
+      "CUPED: user rollup pinned once (ExistingRDD) feeds pooled moments AND per-arm sums; 1-row moment table broadcast",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q328_cross_perplexity",
+      "cross-perplexity: the (source, tok) rollup pinned once (ExistingRDD); LM side joins vocab-KEYED; totals/vocab broadcast; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q329_exact_substring_mass",
+      "prefix doubling: every zero-key renumber window rides a DISTINCT-pair aggregate (two-level numbering), never fact input",
+      noGlobalFactWindow)
+    check("q329_exact_substring_mass",
+      "prefix doubling: per-round shift joins are (doc,pos)-keyed; rounds pinned (ExistingRDD); no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q330_autocorrelation",
+      "autocorrelation: 7 lag self-joins ride the pinned AGGREGATE-REDUCED dense grid (ExistingRDD), axis broadcast; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -3035,9 +3035,120 @@ object DedupQueries {
   private[graft] def witnessPred(pa: Column, pb: Column): Column =
     pa === 0 || pb === 0 || pa === pb
 
+  /** EXACT-SUBSTRING duplication mass via PREFIX-DOUBLING suffix ranks
+    * — the scalable backbone of exact-substring dedup (Lee et al. 2022
+    * build suffix arrays to find 50-token repeats; this is the
+    * distributed construction): round j assigns every token position a
+    * rank such that two positions share rank_j iff their 2^j-token
+    * prefixes are IDENTICAL — r0 is the dense rank of the token itself
+    * (exact, collision-free by construction, unlike a hash key), and
+    * each round re-ranks the pair (rank_j[i], rank_j[i+2^j]) so
+    * equality doubles in reach while only TWO LONGS per position ever
+    * cross an exchange (grouping raw 16-token windows would shuffle
+    * ~100-byte keys; the doubling ships 16 bytes per round — the whole
+    * point at 100 TB). The shift join is (doc, pos)-keyed; the per-round
+    * re-numbering rides the DISTINCT pair table (an aggregate) through
+    * the sanctioned two-level numbering window. Counted at rounds 2 and
+    * 4: positions whose 4-/16-token window recurs anywhere (dup) and in
+    * ANOTHER doc (cross-doc — the contamination/memorization surface,
+    * q118's decontam risk measured at exact-match grain). The DuckDB
+    * oracle is INDEPENDENT-ALGORITHM (q56's discipline): it groups the
+    * actual token-array slices by value — definition, not replay — so a
+    * doubling bug cannot hide. Scale shape: one scan → 4 rounds of
+    * {(doc,pos)-keyed shift join + distinct-pair renumber} → two
+    * rank-keyed rollups. Output: one row per prefix length.
+    * HASH-MATCHED. */
+  val q329 = {
+    val arms = Seq(2, 4) // rounds → prefix lengths 4, 16
+    def duckArm(l: Int): String =
+      s"""p$l AS (SELECT doc_id, l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
+         |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
+         |g$l AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |        FROM p$l GROUP BY 1)""".stripMargin
+    def duckSel(l: Int): String =
+      s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+         |  CAST(SUM(n) AS BIGINT) AS n_positions,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS dup_positions,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+         |       // SUM(n) AS BIGINT) AS dup_ppm,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS cross_doc_positions,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) * 1000000
+         |       // SUM(n) AS BIGINT) AS cross_doc_ppm,
+         |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS dup_groups
+         |FROM g$l""".stripMargin
+    QueryDef.oracle("q329_exact_substring_mass",
+      s"""WITH toks AS (SELECT doc_id, list_filter(
+         |                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+         |              FROM documents),
+         |${duckArm(4)},
+         |${duckArm(16)}
+         |${duckSel(4)}
+         |UNION ALL
+         |${duckSel(16)}""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text")))
+            .as(Seq("i", "tok")))
+        val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))
+          .localCheckpoint(false) // joined by both arms
+        // r0: dense rank of the token itself — vocab-sized aggregate,
+        // then the two-level numbering window (zero-key over Aggregate)
+        val vr = base.select("tok").distinct()
+          .withColumn("r0", dense_rank().over(Window.orderBy("tok"))
+            .cast("long"))
+        var cur = base.join(broadcast(vr), Seq("tok"))
+          .select(col("doc_id"), col("i"), col("r0").as("r"))
+          .localCheckpoint(false)
+        val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+        for (j <- 1 to 4) {
+          val h = 1 << (j - 1)
+          val shifted = cur.select(col("doc_id"), (col("i") - h).as("i"),
+            col("r").as("rb"))
+          val pair = cur.join(shifted, Seq("doc_id", "i"), "left")
+            .select(col("doc_id"), col("i"), col("r"),
+              coalesce(col("rb"), lit(-1L)).as("rb"))
+          val rk = pair.select("r", "rb").distinct()
+            .withColumn("nr", dense_rank().over(Window.orderBy("r", "rb"))
+              .cast("long"))
+          cur = pair.join(rk, Seq("r", "rb"))
+            .select(col("doc_id"), col("i"), col("nr").as("r"))
+          // only round 2 has TWO consumers (the L=4 arm and round 3):
+          // pin that one; the straight-line rounds keep their lineage
+          // (4 rounds is O(1) plan depth — q56's per-round checkpoint
+          // is for UNBOUNDED loops)
+          if (j == 2) cur = cur.localCheckpoint(false)
+          snaps(j) = cur
+        }
+        def arm(rt: DataFrame, l: Int): DataFrame =
+          rt.join(nl, Seq("doc_id"))
+            .filter(col("i") + l <= col("len"))
+            .groupBy("r")
+            .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+            .agg(sum("n").as("n_positions"),
+              sum(when(col("n") > 1, col("n")).otherwise(0L))
+                .as("dup_positions"),
+              sum(when(col("nd") > 1, col("n")).otherwise(0L))
+                .as("cross_doc_positions"),
+              count(when(col("n") > 1, 1)).cast("long").as("dup_groups"))
+            .select(lit(l.toLong).as("prefix_len"), col("n_positions"),
+              col("dup_positions"),
+              expr("CAST(dup_positions * 1000000 div n_positions AS BIGINT)")
+                .as("dup_ppm"),
+              col("cross_doc_positions"),
+              expr("CAST(cross_doc_positions * 1000000 div n_positions" +
+                " AS BIGINT)").as("cross_doc_ppm"),
+              col("dup_groups"))
+        arms.map(j => arm(snaps(j), 1 << j)).reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310)
+      q275, q277, q295, q298, q304, q310, q329)
 }

@@ -1906,8 +1906,318 @@ object EventQueries {
       })
   }
 
+  /** T-CLOSENESS audit — the third leg of the privacy triad (Li, Li &
+    * Venkatasubramanian 2007) beside q247's k-anonymity and q261's
+    * l-diversity: a QI group can hold enough rows (k) and enough
+    * distinct users (l) while its SENSITIVE-VALUE distribution still
+    * leaks — e.g. a group whose transaction values are all in the top
+    * band discloses "big spender" even with 10 users in it. Same
+    * (event_type, day, hour) quasi-identifier as q247/q261 (the three
+    * audits must read the same groups); sensitive attribute = value in
+    * 8 fixed-width ordered bands (⌊value/64⌋ clamped — power-of-two
+    * divisor, IEEE-exact). t per group is the ORDERED Earth-Mover's
+    * Distance to the whole-table distribution, which for ordinal
+    * categories collapses to mean |cum-diff|: t = Σᵢ|Σ_{j≤i}(p_j−q_j)|
+    * / (m−1) — computed in exact integers by cross-multiplying counts
+    * (c·N − g·n in DECIMAL(38,0)/HUGEINT; BIGINT ppm on the wire). Per
+    * event_type: groups, k-passing groups, k-passing groups with
+    * t > 0.2 (the paper's canonical threshold), their row mass in ppm,
+    * and the max t among k-passing groups (the published t of this
+    * release). Scale shape: one scan → QI×8-band rollup (map-side
+    * combined) → densified cumsums over 8-row KEYED windows → per-type
+    * rollup; the global band distribution is an 8-row broadcast.
+    * Output: one row per event_type. HASH-MATCHED. */
+  val q326 = QueryDef.oracle("q326_t_closeness",
+    """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |             date_part('hour', ts) AS h,
+      |             least(CAST(FLOOR(value / 64) AS BIGINT), 7) AS sb
+      |           FROM events),
+      |g AS (SELECT event_type, d, h, sb, CAST(count(*) AS BIGINT) AS c
+      |      FROM q GROUP BY 1, 2, 3, 4),
+      |gn AS (SELECT event_type, d, h, CAST(SUM(c) AS BIGINT) AS n
+      |       FROM g GROUP BY 1, 2, 3),
+      |gl AS (SELECT sb, CAST(SUM(c) AS BIGINT) AS gc FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS tn FROM gl),
+      |ax AS (SELECT CAST(range AS BIGINT) AS sb FROM range(0, 8)),
+      |gd AS (SELECT gn.event_type, gn.d, gn.h, gn.n, ax.sb,
+      |         COALESCE(g.c, CAST(0 AS BIGINT)) AS c,
+      |         COALESCE(gl.gc, CAST(0 AS BIGINT)) AS gc, tot.tn
+      |       FROM gn CROSS JOIN ax
+      |       LEFT JOIN g ON g.event_type = gn.event_type AND g.d = gn.d
+      |         AND g.h = gn.h AND g.sb = ax.sb
+      |       LEFT JOIN gl ON gl.sb = ax.sb
+      |       CROSS JOIN tot),
+      |cs AS (SELECT event_type, d, h, n, sb, tn,
+      |         SUM(CAST(c AS HUGEINT) * tn - CAST(gc AS HUGEINT) * n)
+      |           OVER (PARTITION BY event_type, d, h ORDER BY sb) AS cd
+      |       FROM gd),
+      |tg AS (SELECT event_type, d, h, n,
+      |         CAST(SUM(CASE WHEN sb < 7 THEN abs(cd)
+      |                  ELSE CAST(0 AS HUGEINT) END) * 1000000
+      |              // (7 * CAST(n AS HUGEINT) * MAX(tn)) AS BIGINT) AS t_ppm
+      |       FROM cs GROUP BY 1, 2, 3, 4)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(count(CASE WHEN n >= 5 THEN 1 END) AS BIGINT) AS k_pass,
+      |       CAST(count(CASE WHEN n >= 5 AND t_ppm > 200000 THEN 1 END)
+      |            AS BIGINT) AS t_fail,
+      |       CAST(COALESCE(SUM(CASE WHEN n >= 5 AND t_ppm > 200000 THEN n END),
+      |                     0) AS BIGINT) AS disclosing_rows,
+      |       CAST(COALESCE(SUM(CASE WHEN n >= 5 AND t_ppm > 200000 THEN n END),
+      |                     0) * 1000000 // SUM(n) AS BIGINT) AS disclosing_ppm,
+      |       MAX(CASE WHEN n >= 5 THEN t_ppm END) AS max_t_at_k
+      |FROM tg GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val q0 = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          hour(col("ts")).cast("long").as("h"),
+          least(expr("CAST(FLOOR(value / 64) AS BIGINT)"), lit(7L)).as("sb"))
+      // the QI×band rollup feeds the group sizes, the global band
+      // distribution AND the densified grid: pin it once
+      val g = q0.groupBy("event_type", "d", "h", "sb")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val gn = g.groupBy("event_type", "d", "h").agg(sum("c").as("n"))
+      val gl = g.groupBy("sb").agg(sum("c").as("gc"))
+      val tot = gl.agg(sum("gc").as("tn"))
+      val ax = s.range(8).select(col("id").as("sb"))
+      val gd = gn.crossJoin(broadcast(ax))
+        .join(g, Seq("event_type", "d", "h", "sb"), "left")
+        .join(broadcast(gl), Seq("sb"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("d"), col("h"), col("n"), col("sb"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("gc"), lit(0L)).as("gc"), col("tn"))
+      val w = Window.partitionBy("event_type", "d", "h").orderBy("sb")
+      val cs = gd.withColumn("cd",
+        sum(expr("CAST(c AS DECIMAL(38,0)) * tn - CAST(gc AS DECIMAL(38,0)) * n"))
+          .over(w))
+      val tg = cs.groupBy("event_type", "d", "h", "n")
+        .agg(expr("CAST(SUM(CASE WHEN sb < 7 THEN abs(cd)" +
+          " ELSE CAST(0 AS DECIMAL(38,0)) END) * 1000000" +
+          " div (7 * CAST(n AS DECIMAL(38,0)) * MAX(tn)) AS BIGINT)").as("t_ppm"))
+      tg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("n") >= 5, 1)).cast("long").as("k_pass"),
+          count(when(col("n") >= 5 && col("t_ppm") > 200000, 1)).cast("long")
+            .as("t_fail"),
+          coalesce(sum(when(col("n") >= 5 && col("t_ppm") > 200000, col("n"))),
+            lit(0L)).cast("long").as("disclosing_rows"),
+          expr("CAST(COALESCE(SUM(CASE WHEN n >= 5 AND t_ppm > 200000 THEN n" +
+            " END), 0) * 1000000 div SUM(n) AS BIGINT)").as("disclosing_ppm"),
+          max(when(col("n") >= 5, col("t_ppm"))).as("max_t_at_k"))
+    })
+
+  /** CUPED variance reduction — the pre-experiment-covariate adjustment
+    * (Deng, Xu, Kohavi & Walker, WSDM 2013) that makes q268's A/B family
+    * sensitive: each user's metric Y (spend cents in the second half of
+    * the observation window) is adjusted by θ·(X − X̄) where X is the
+    * SAME user's pre-period spend — assignment-independent, so the
+    * adjustment removes between-user variance without biasing the
+    * treatment contrast. Everything replays in exact integers: the
+    * pooled moments accumulate in DECIMAL(38,0)/HUGEINT, θ is the
+    * moment-identity ratio (n·Sxy − SxSy)·10⁶ div (n·Sxx − Sx²), and
+    * the variance-reduction factor ρ² lands as the product of the two
+    * milli-ratios (Cxy·10³ div Vx)·(Cxy·10³ div Vy) — exact ppm with no
+    * float in either engine (q319's note: DuckDB `//` and Spark `div`
+    * both truncate toward zero, so signed moments agree). Arms are the
+    * ONE shared assignment rule (q268's md5 nibble, drift-pinned). Per
+    * arm: users, raw mean Y, CUPED-adjusted mean Y (micro), with the
+    * global θ and variance reduction alongside — the measured answer to
+    * "how much A/B sample does the pre-period buy us". Scale shape: one
+    * scan + 1-row split broadcast → user-keyed rollup (pinned — feeds
+    * pooled moments AND per-arm sums) → 1-row moment table broadcast to
+    * a 2-row output. Output: one row per arm. HASH-MATCHED. */
+  val q327 = QueryDef.oracle("q327_cuped",
+    s"""WITH e AS (SELECT user_id,
+      |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |                  AS BIGINT) AS es,
+      |             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |sp AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+      |u AS (SELECT user_id,
+      |        CAST(SUM(CASE WHEN es < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |        CAST(SUM(CASE WHEN es >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+      |      FROM e, sp GROUP BY 1),
+      |a AS (SELECT $abArmSql AS arm, x, y FROM u),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM a),
+      |t AS (SELECT n, sx,
+      |        n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+      |        n * sxy - sx * sy AS cxy FROM m),
+      |th AS (SELECT n, sx,
+      |        CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |             ELSE CAST(cxy * 1000000 // vx AS BIGINT) END AS theta_micro,
+      |        CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |             ELSE CAST((cxy * 1000 // vx) * (cxy * 1000 // vy) AS BIGINT)
+      |        END AS var_reduction_ppm
+      |      FROM t),
+      |s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |        SUM(CAST(x AS HUGEINT)) AS sxa, SUM(CAST(y AS HUGEINT)) AS sya
+      |      FROM a GROUP BY 1),
+      |f AS (SELECT s.arm, s.n_users,
+      |        CAST(s.sya * 1000000 // s.n_users AS BIGINT) AS mean_y_micro,
+      |        (s.sxa * th.n - th.sx * s.n_users) * 1000000
+      |          // (CAST(s.n_users AS HUGEINT) * th.n) AS dx_micro,
+      |        th.theta_micro, th.var_reduction_ppm
+      |      FROM s, th)
+      |SELECT arm, n_users, mean_y_micro,
+      |       CAST(mean_y_micro - CAST(theta_micro AS HUGEINT) * dx_micro
+      |            // 1000000 AS BIGINT) AS adj_mean_y_micro,
+      |       theta_micro, var_reduction_ppm
+      |FROM f""".stripMargin)(
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val sp = e.agg(expr("(MIN(es) + MAX(es)) div 2").as("mid"))
+      // the user rollup feeds the pooled moments AND the per-arm sums:
+      // pin it once
+      val a = e.crossJoin(broadcast(sp)).groupBy("user_id")
+        .agg(sum(when(col("es") < col("mid"), col("cents")).otherwise(0L))
+          .as("x"),
+          sum(when(col("es") >= col("mid"), col("cents")).otherwise(0L))
+            .as("y"))
+        .select(abArmCol.as("arm"), col("x"), col("y"))
+        .localCheckpoint(false)
+      val m = a.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      val th = m
+        .select(col("n"), col("sx"),
+          expr("n * sxx - sx * sx").as("vx"),
+          expr("n * syy - sy * sy").as("vy"),
+          expr("n * sxy - sx * sy").as("cxy"))
+        .select(col("n"), col("sx"),
+          expr("CASE WHEN vx = 0 OR vy = 0 THEN NULL" +
+            " ELSE CAST(cxy * 1000000 div vx AS BIGINT) END").as("theta_micro"),
+          expr("CASE WHEN vx = 0 OR vy = 0 THEN NULL" +
+            " ELSE CAST((cxy * 1000 div vx) * (cxy * 1000 div vy) AS BIGINT)" +
+            " END").as("var_reduction_ppm"))
+      val sArm = a.groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sxa"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sya"))
+      sArm.crossJoin(broadcast(th))
+        .select(col("arm"), col("n_users"),
+          expr("CAST(sya * 1000000 div n_users AS BIGINT)").as("mean_y_micro"),
+          expr("(sxa * n - sx * n_users) * 1000000" +
+            " div (CAST(n_users AS DECIMAL(38,0)) * n)").as("dx_micro"),
+          col("theta_micro"), col("var_reduction_ppm"))
+        .select(col("arm"), col("n_users"), col("mean_y_micro"),
+          expr("CAST(mean_y_micro - CAST(theta_micro AS DECIMAL(38,0))" +
+            " * dx_micro div 1000000 AS BIGINT)").as("adj_mean_y_micro"),
+          col("theta_micro"), col("var_reduction_ppm"))
+    })
+
+  /** Lag grid swept by q330 — sub-day lags, the daily lag (24) and the
+    * weekly lag (168) so both calendar periodicities are priced. */
+  private val AcfLags = Seq(1L, 2L, 3L, 6L, 12L, 24L, 168L)
+
+  /** TRAFFIC AUTOCORRELATION — the dominant-period detector the anomaly
+    * family reads before fixing a seasonality model: q212 ASSUMES the
+    * (dow, hour) grid matters; this measures, per event_type, how much
+    * of the hourly-count variance each candidate lag actually explains.
+    * The series is the DENSE hourly count vector (missing hours are
+    * real zeros — skipping them would splice non-adjacent hours
+    * together and fake correlation); for each lag L the aligned pairs
+    * (x_t, x_{t+L}) come from a lag-keyed self-join of the
+    * AGGREGATE-REDUCED grid (the q252 discipline: quadratic work on the
+    * rollup, never the fact table). Signed strength is reported the
+    * q327 way — r² in exact ppm as the product of the two milli-ratios
+    * of the DECIMAL/HUGEINT moment identities, sign(Cxy) alongside — no
+    * sqrt, no float, both engines truncate identically. Scale shape:
+    * one scan → map-side (type, hour) rollup → per-type dense grid
+    * (|hours| rows, axis broadcast) → 7 grid-sized lag joins. Output:
+    * one row per (event_type, lag). HASH-MATCHED. */
+  val q330 = {
+    val arms = AcfLags.map { l =>
+      s"""SELECT a.event_type, CAST($l AS BIGINT) AS lag_h,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(*) AS HUGEINT) * SUM(CAST(a.c AS HUGEINT) * a.c)
+         |    - SUM(CAST(a.c AS HUGEINT)) * SUM(CAST(a.c AS HUGEINT)) AS vx,
+         |  CAST(count(*) AS HUGEINT) * SUM(CAST(b.c AS HUGEINT) * b.c)
+         |    - SUM(CAST(b.c AS HUGEINT)) * SUM(CAST(b.c AS HUGEINT)) AS vy,
+         |  CAST(count(*) AS HUGEINT) * SUM(CAST(a.c AS HUGEINT) * b.c)
+         |    - SUM(CAST(a.c AS HUGEINT)) * SUM(CAST(b.c AS HUGEINT)) AS cxy
+         |FROM grid a JOIN grid b
+         |  ON a.event_type = b.event_type AND b.hs = a.hs + $l
+         |GROUP BY 1, 2""".stripMargin
+    }
+    QueryDef.oracle("q330_autocorrelation",
+      s"""WITH e AS (SELECT event_type,
+         |             CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+         |                  AS BIGINT) // 3600 AS hs
+         |           FROM events),
+         |ec AS (SELECT event_type, hs, CAST(count(*) AS BIGINT) AS c
+         |       FROM e GROUP BY 1, 2),
+         |sp AS (SELECT MIN(hs) AS h0, MAX(hs) AS h1 FROM ec),
+         |ty AS (SELECT DISTINCT event_type FROM ec),
+         |ax AS (SELECT unnest(generate_series(h0, h1)) AS hs FROM sp),
+         |grid AS (SELECT ty.event_type, ax.hs, COALESCE(ec.c, 0) AS c
+         |         FROM ty CROSS JOIN ax
+         |         LEFT JOIN ec ON ec.event_type = ty.event_type
+         |           AND ec.hs = ax.hs),
+         |lags AS (${arms.mkString("\nUNION ALL\n")})
+         |SELECT event_type, lag_h, n_pairs,
+         |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+         |            ELSE CAST((cxy * 1000 // vx) * (cxy * 1000 // vy)
+         |                      AS BIGINT) END AS r2_ppm,
+         |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+         |            WHEN cxy > 0 THEN CAST(1 AS BIGINT)
+         |            WHEN cxy < 0 THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS r_sign
+         |FROM lags""".stripMargin)(
+      (s, d) => {
+        val ec = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_timestamp(ts) div 3600").as("hs"))
+          .groupBy("event_type", "hs").agg(count(lit(1)).as("c"))
+        val sp = ec.agg(min("hs").as("h0"), max("hs").as("h1"))
+        val ax = sp.select(explode(expr("sequence(h0, h1)")).as("hs"))
+        val ty = ec.select("event_type").distinct()
+        val grid = ty.crossJoin(broadcast(ax))
+          .join(ec, Seq("event_type", "hs"), "left")
+          .select(col("event_type"), col("hs"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .localCheckpoint(false) // the dense grid feeds all 7 lag joins
+        val dec = "CAST(%s AS DECIMAL(38,0))"
+        AcfLags.map { l =>
+          val b = grid.select(col("event_type"),
+            (col("hs") - l).as("hs"), col("c").as("cb"))
+          grid.join(b, Seq("event_type", "hs"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_pairs"),
+              expr(s"count(*) * SUM(${dec.format("c")} * c)" +
+                s" - SUM(${dec.format("c")}) * SUM(${dec.format("c")})")
+                .as("vx"),
+              expr(s"count(*) * SUM(${dec.format("cb")} * cb)" +
+                s" - SUM(${dec.format("cb")}) * SUM(${dec.format("cb")})")
+                .as("vy"),
+              expr(s"count(*) * SUM(${dec.format("c")} * cb)" +
+                s" - SUM(${dec.format("c")}) * SUM(${dec.format("cb")})")
+                .as("cxy"))
+            .select(col("event_type"), lit(l).as("lag_h"),
+              col("n_pairs").cast("long").as("n_pairs"),
+              expr("CASE WHEN vx = 0 OR vy = 0 THEN NULL" +
+                " ELSE CAST((cxy * 1000 div vx) * (cxy * 1000 div vy)" +
+                " AS BIGINT) END").as("r2_ppm"),
+              expr("CASE WHEN vx = 0 OR vy = 0 THEN NULL" +
+                " WHEN cxy > 0 THEN CAST(1 AS BIGINT)" +
+                " WHEN cxy < 0 THEN CAST(-1 AS BIGINT)" +
+                " ELSE CAST(0 AS BIGINT) END").as("r_sign"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305, q313, q317, q319, q323)
+      q284, q285, q297, q305, q313, q317, q319, q323, q326, q327, q330)
 }

@@ -1790,8 +1790,72 @@ object ModelPrepQueries {
             " - n_corpus * 1000000 div n_docs AS BIGINT)").as("bias_ppm"))
     })
 
+  /** CROSS-SOURCE PERPLEXITY matrix — the domain-similarity table
+    * behind CCNet-style LM filtering (q123 scores every doc with ONE
+    * global LM; this trains an add-1 unigram LM PER SOURCE and scores
+    * every source's token stream under every source's model): cell
+    * (train, eval) is the average surprisal in micro-bits/token of
+    * eval's stream under train's LM — the diagonal is held-in fit, an
+    * off-diagonal cell near the diagonal says the two crawls speak the
+    * same language (cheap transfer, redundant mixture mass), a high
+    * cell says out-of-domain. Surprisal is q123's exact convention
+    * (round(log2((N+V)/(c+1))·10⁶) — identical double op in both
+    * engines, then pure integer sums). Scale shape: one scan → the
+    * (source, tok) count rollup PINNED once (it is the eval stream,
+    * the per-source LM, the totals and the vocab) → a vocab-keyed left
+    * join between eval rollup × |sources| axis and the LM rollup —
+    * everything after the scan is vocab-sized × |sources|, never
+    * corpus-sized. Output: |sources|² rows. HASH-MATCHED. */
+  val q328 = QueryDef.oracle("q328_cross_perplexity",
+    """WITH toks AS (SELECT source, unnest(list_filter(
+      |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |              FROM documents),
+      |tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM toks GROUP BY 1, 2),
+      |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM tc),
+      |x AS (SELECT e.source AS eval_source, t.source AS train_source,
+      |        e.c AS ec, COALESCE(tr.c, CAST(0 AS BIGINT)) AS trc, t.n, v.vocab
+      |      FROM tc e CROSS JOIN nt t
+      |      LEFT JOIN tc tr ON tr.source = t.source AND tr.tok = e.tok
+      |      CROSS JOIN v),
+      |sc AS (SELECT eval_source, train_source,
+      |         CAST(SUM(ec) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(ec * CAST(round(log2(CAST(n + vocab AS DOUBLE)
+      |                / (trc + 1)) * 1000000) AS BIGINT)) AS BIGINT) AS micro_sum
+      |       FROM x GROUP BY 1, 2)
+      |SELECT eval_source, train_source, n_tokens,
+      |       CAST(micro_sum // n_tokens AS BIGINT) AS bits_per_tok_micro,
+      |       eval_source = train_source AS is_diagonal
+      |FROM sc""".stripMargin)(
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      // the (source, tok) rollup is the eval stream, the per-source LM,
+      // the totals AND the vocab: pin it once
+      val tc = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val nt = tc.groupBy("source").agg(sum("c").as("n"))
+      val v = tc.agg(countDistinct("tok").as("vocab"))
+      val x = tc.toDF("eval_source", "tok", "ec")
+        .crossJoin(broadcast(nt.toDF("train_source", "n")))
+        .join(tc.toDF("train_source", "tok", "trc"),
+          Seq("train_source", "tok"), "left")
+        .crossJoin(broadcast(v))
+      x.groupBy("eval_source", "train_source")
+        .agg(sum("ec").as("n_tokens"),
+          sum(col("ec") * round(log2((col("n") + col("vocab")).cast("double")
+            / (coalesce(col("trc"), lit(0L)) + lit(1))) * lit(1000000))
+            .cast("long")).as("micro_sum"))
+        .select(col("eval_source"), col("train_source"), col("n_tokens"),
+          expr("CAST(micro_sum div n_tokens AS BIGINT)")
+            .as("bits_per_tok_micro"),
+          (col("eval_source") === col("train_source")).as("is_diagonal"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308, q320)
+      q208, q214, q223, q257, q302, q308, q320, q328)
 }

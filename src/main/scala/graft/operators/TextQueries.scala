@@ -1015,39 +1015,78 @@ object TextQueries {
     * exact/estimate comparison costs no extra pass. `SketchAccuracySpec`
     * gates the estimate against HLL theory (σ = 1.04/√128 ≈ 9.2%).
     * HASH-MATCHED. */
-  val q224 = {
+  /** HLL-128 per-source sketch chain, SHARED: tokens → distinct
+    * (source, tok) (`dt`) → portable widened hash → 128 buckets →
+    * bit-smear rank → per-(source, bucket) max-ρ + count (`r`).
+    * Embedded VERBATIM by q224's estimator and q325's pairwise
+    * set-operation matrix (drift-spec pinned): the two must agree on
+    * the SKETCH by construction, or q325's union merges would stop
+    * being merges of q224's sketches. */
+  private[graft] val hllSourceRhoCtes: String = {
     import graft.functions.PortableHashKernels.{a, b}
     val (a1, b1, a2, b2) = (a(11), b(11), a(12), b(12))
-    // linear-counting table: V empty buckets -> round(m * ln(m / V)),
-    // computed HERE so both engines read identical integer literals
-    val lcVals = (1 to 128).map(v =>
-      s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
+    s"""toks AS (SELECT source, unnest(list_filter(
+       |                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |              FROM documents),
+       |dt AS (SELECT DISTINCT source, tok FROM toks),
+       |h AS (SELECT source,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(tok, ''),
+       |            c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, b) -> (a * 131 + b) % 1000000007) AS th
+       |      FROM dt),
+       |wd AS (SELECT source,
+       |         ((th * $a1 + $b1) % 1000000007) * 1000000007
+       |           + ((th * $a2 + $b2) % 1000000007) AS comb
+       |       FROM h),
+       |bw AS (SELECT source, comb % 128 AS bucket, comb // 128 AS w FROM wd),
+       |m1 AS (SELECT source, bucket, w | (w >> 1) AS w FROM bw),
+       |m2 AS (SELECT source, bucket, w | (w >> 2) AS w FROM m1),
+       |m3 AS (SELECT source, bucket, w | (w >> 4) AS w FROM m2),
+       |m4 AS (SELECT source, bucket, w | (w >> 8) AS w FROM m3),
+       |m5 AS (SELECT source, bucket, w | (w >> 16) AS w FROM m4),
+       |m6 AS (SELECT source, bucket, w | (w >> 32) AS w FROM m5),
+       |r AS (SELECT source, bucket,
+       |        MAX(54 - CAST(bit_count(w) AS BIGINT)) AS mx,
+       |        CAST(count(*) AS BIGINT) AS cnt
+       |      FROM m6 GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Spark twin of [[hllSourceRhoCtes]]'s `dt`: distinct (source, tok). */
+  private[graft] def hllDt(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+
+  /** Spark twin of [[hllSourceRhoCtes]]'s sketch suffix, from a `dt`
+    * frame: (source, bucket, mx, cnt). */
+  private[graft] def hllRho(dt: DataFrame): DataFrame = {
+    import graft.functions.PortableHashKernels.{a, b}
+    val (a1, b1, a2, b2) = (a(11), b(11), a(12), b(12))
+    val bw = dt
+      .withColumn("th", portableStringHash(col("tok")))
+      .withColumn("comb", expr(
+        s"((th * ${a1}L + ${b1}L) % 1000000007L) * 1000000007L" +
+          s" + ((th * ${a2}L + ${b2}L) % 1000000007L)"))
+      .select(col("source"), expr("comb % 128L").as("bucket"),
+        expr("comb div 128L").as("w"))
+    val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, k) =>
+      df.withColumn("w", expr(s"w | shiftright(w, $k)")))
+    sm.withColumn("rho", expr("54L - CAST(bit_count(w) AS BIGINT)"))
+      .groupBy("source", "bucket")
+      .agg(max("rho").as("mx"), count(lit(1)).as("cnt"))
+  }
+
+  /** The 128-entry linear-counting literal table (the Benford-constant
+    * trick): V empty buckets → round(m·ln(m/V)), computed once HERE so
+    * both engines read identical integers. */
+  private[graft] val hllLcVals: String = (1 to 128).map(v =>
+    s"($v, ${math.round(128.0 * math.log(128.0 / v))})").mkString(", ")
+
+  val q224 = {
+    val lcVals = hllLcVals
     QueryDef.oracle("q224_portable_hll",
-      s"""WITH toks AS (SELECT source, unnest(list_filter(
-         |                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-         |              FROM documents),
-         |dt AS (SELECT DISTINCT source, tok FROM toks),
-         |h AS (SELECT source,
-         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |          list_transform(string_split(tok, ''),
-         |            c -> CAST(unicode(c) AS BIGINT))),
-         |          (a, b) -> (a * 131 + b) % 1000000007) AS th
-         |      FROM dt),
-         |wd AS (SELECT source,
-         |         ((th * $a1 + $b1) % 1000000007) * 1000000007
-         |           + ((th * $a2 + $b2) % 1000000007) AS comb
-         |       FROM h),
-         |bw AS (SELECT source, comb % 128 AS bucket, comb // 128 AS w FROM wd),
-         |m1 AS (SELECT source, bucket, w | (w >> 1) AS w FROM bw),
-         |m2 AS (SELECT source, bucket, w | (w >> 2) AS w FROM m1),
-         |m3 AS (SELECT source, bucket, w | (w >> 4) AS w FROM m2),
-         |m4 AS (SELECT source, bucket, w | (w >> 8) AS w FROM m3),
-         |m5 AS (SELECT source, bucket, w | (w >> 16) AS w FROM m4),
-         |m6 AS (SELECT source, bucket, w | (w >> 32) AS w FROM m5),
-         |r AS (SELECT source, bucket,
-         |        MAX(54 - CAST(bit_count(w) AS BIGINT)) AS mx,
-         |        CAST(count(*) AS BIGINT) AS cnt
-         |      FROM m6 GROUP BY 1, 2),
+      s"""WITH $hllSourceRhoCtes,
          |z AS (SELECT source,
          |        CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - mx AS INTEGER))
          |             + (128 - count(*)) * 18014398509481984 AS BIGINT) AS zs,
@@ -1067,22 +1106,7 @@ object TextQueries {
          |       CAST((est_hll - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
          |FROM est""".stripMargin)(
       (s, d) => {
-        val dt = Tables.documents(s, d)
-          .select(col("source"), explode(tokens(col("text"))).as("tok"))
-          .distinct()
-        val bw = dt
-          .withColumn("th", portableStringHash(col("tok")))
-          .withColumn("comb", expr(
-            s"((th * ${a1}L + ${b1}L) % 1000000007L) * 1000000007L" +
-              s" + ((th * ${a2}L + ${b2}L) % 1000000007L)"))
-          .select(col("source"), expr("comb % 128L").as("bucket"),
-            expr("comb div 128L").as("w"))
-        val sm = Seq(1, 2, 4, 8, 16, 32).foldLeft(bw)((df, k) =>
-          df.withColumn("w", expr(s"w | shiftright(w, $k)")))
-        val r = sm
-          .withColumn("rho", expr("54L - CAST(bit_count(w) AS BIGINT)"))
-          .groupBy("source", "bucket")
-          .agg(max("rho").as("mx"), count(lit(1)).as("cnt"))
+        val r = hllRho(hllDt(s, d))
         val z = r.groupBy("source")
           .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mx AS INT))"))
             + (lit(128L) - count(lit(1))) * 18014398509481984L).as("zs"),
@@ -1898,8 +1922,143 @@ object TextQueries {
             " div (CAST(n AS DECIMAL(38,0)) * cf) AS BIGINT)").as("vmr_micro"))
     })
 
+  /** HLL SET-OPERATION overlap matrix — the mergeable-sketch answer to
+    * q159's question: pairwise source vocabulary overlap WITHOUT the
+    * token-keyed self-join. Per source pair, |A∩B| is estimated by
+    * inclusion–exclusion over the SHARED q224 sketches
+    * ([[hllSourceRhoCtes]], drift-pinned): the union sketch is the
+    * bucket-wise max of the two per-source sketches (the property that
+    * makes HLL state mergeable — the same merge a 1000-executor
+    * tree-aggregate does), est(A∩B) = est(A) + est(B) − est(A∪B), each
+    * through the full q224 integer estimator including the
+    * linear-counting literal table. Beside it, the EXACT intersection
+    * (the dt self-join) and the estimator's signed error in ppm OF THE
+    * UNION — the denominator inclusion–exclusion error actually scales
+    * with (σ ≈ 1.04/√128 on each term). The operational question this
+    * table answers at 100 TB: per-source sketches are 128 longs and
+    * merge in O(m) — can overlap triage run on sketches alone, and for
+    * which pair sizes does it lie? Scale shape: ONE corpus scan into
+    * the vocab-sized dt (pinned — it feeds sketch AND exact sides),
+    * |sources|×128 sketch rows, |pairs|×128 merge rows; only the exact
+    * audit touches anything vocab-sized (tok-keyed equi-join). Output:
+    * one row per unordered source pair. HASH-MATCHED. */
+  val q325 = {
+    val lcVals = hllLcVals
+    QueryDef.oracle("q325_hll_overlap_matrix",
+      s"""WITH $hllSourceRhoCtes,
+         |na AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1),
+         |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS inter_exact
+         |       FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |z AS (SELECT source,
+         |        CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - mx AS INTEGER))
+         |             + (128 - count(*)) * 18014398509481984 AS BIGINT) AS zs,
+         |        CAST(128 - count(*) AS BIGINT) AS n_empty
+         |      FROM r GROUP BY 1),
+         |raw AS (SELECT source, n_empty,
+         |          CAST(CAST(715271 AS HUGEINT) * 16384 * 18014398509481984
+         |               // zs // 1000000 AS BIGINT) AS raw_est
+         |        FROM z),
+         |est AS (SELECT r2.source,
+         |          CAST(CASE WHEN r2.n_empty > 0 AND r2.raw_est <= 320
+         |               THEN lc.lc_est ELSE r2.raw_est END AS BIGINT) AS est1
+         |        FROM raw r2 LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |          ON r2.n_empty = lc.v),
+         |prs AS (SELECT a.source AS src_a, b.source AS src_b
+         |        FROM (SELECT DISTINCT source FROM r) a
+         |        JOIN (SELECT DISTINCT source FROM r) b ON a.source < b.source),
+         |ru AS (SELECT src_a, src_b, bucket, MAX(mx) AS mx
+         |       FROM (SELECT p.src_a, p.src_b, r.bucket, r.mx
+         |             FROM prs p JOIN r ON r.source = p.src_a
+         |             UNION ALL
+         |             SELECT p.src_a, p.src_b, r.bucket, r.mx
+         |             FROM prs p JOIN r ON r.source = p.src_b)
+         |       GROUP BY 1, 2, 3),
+         |zu AS (SELECT src_a, src_b,
+         |         CAST(SUM(CAST(1 AS BIGINT) << CAST(54 - mx AS INTEGER))
+         |              + (128 - count(*)) * 18014398509481984 AS BIGINT) AS zs,
+         |         CAST(128 - count(*) AS BIGINT) AS n_empty
+         |       FROM ru GROUP BY 1, 2),
+         |rawu AS (SELECT src_a, src_b, n_empty,
+         |           CAST(CAST(715271 AS HUGEINT) * 16384 * 18014398509481984
+         |                // zs // 1000000 AS BIGINT) AS raw_est
+         |         FROM zu),
+         |estu AS (SELECT r3.src_a, r3.src_b,
+         |           CAST(CASE WHEN r3.n_empty > 0 AND r3.raw_est <= 320
+         |                THEN lc.lc_est ELSE r3.raw_est END AS BIGINT) AS est_u
+         |         FROM rawu r3 LEFT JOIN (VALUES $lcVals) AS lc(v, lc_est)
+         |           ON r3.n_empty = lc.v)
+         |SELECT p.src_a, p.src_b, na.n AS n_a, nb.n AS n_b,
+         |       COALESCE(ix.inter_exact, CAST(0 AS BIGINT)) AS inter_exact,
+         |       ea.est1 + eb.est1 - eu.est_u AS inter_est,
+         |       CAST((ea.est1 + eb.est1 - eu.est_u
+         |             - COALESCE(ix.inter_exact, CAST(0 AS BIGINT))) * 1000000
+         |            // (na.n + nb.n - COALESCE(ix.inter_exact, CAST(0 AS BIGINT)))
+         |            AS BIGINT) AS err_vs_union_ppm
+         |FROM prs p
+         |JOIN na ON na.source = p.src_a
+         |JOIN na nb ON nb.source = p.src_b
+         |JOIN est ea ON ea.source = p.src_a
+         |JOIN est eb ON eb.source = p.src_b
+         |JOIN estu eu ON eu.src_a = p.src_a AND eu.src_b = p.src_b
+         |LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b""".stripMargin)(
+      (s, d) => {
+        // dt feeds BOTH the sketch chain and the exact audit; r feeds
+        // the per-source estimator, the pair axis, and the union merge
+        val dt = hllDt(s, d).localCheckpoint(false)
+        val r = hllRho(dt).localCheckpoint(false)
+        val lc = (1 to 128).map(v =>
+          (v.toLong, math.round(128.0 * math.log(128.0 / v))))
+        val lcDf = s.createDataFrame(lc).toDF("v", "lc_est")
+        def estimate(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+          df.groupBy(keys.map(col): _*)
+            .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - mx AS INT))"))
+              + (lit(128L) - count(lit(1))) * 18014398509481984L).as("zs"),
+              (lit(128L) - count(lit(1))).as("n_empty"))
+            .withColumn("raw_est", expr(
+              "CAST(CAST(715271 AS DECIMAL(38,0)) * 16384 * 18014398509481984" +
+                " div zs div 1000000 AS BIGINT)"))
+            .join(broadcast(lcDf), col("n_empty") === col("v"), "left")
+            .withColumn(out, expr(
+              "CAST(CASE WHEN n_empty > 0 AND raw_est <= 320" +
+                " THEN lc_est ELSE raw_est END AS BIGINT)"))
+            .select((keys.map(col) :+ col(out)): _*)
+        val na = dt.groupBy("source").agg(count(lit(1)).as("n"))
+        val ix = dt.as("a")
+          .join(dt.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter_exact"))
+        val srcs = r.select("source").distinct()
+        val prs = srcs.as("a")
+          .join(srcs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        val ru = prs.join(r, col("source") === col("src_a"))
+          .select("src_a", "src_b", "bucket", "mx")
+          .unionByName(prs.join(r, col("source") === col("src_b"))
+            .select("src_a", "src_b", "bucket", "mx"))
+          .groupBy("src_a", "src_b", "bucket").agg(max("mx").as("mx"))
+        val ea = estimate(r, Seq("source"), "est1")
+        val eu = estimate(ru, Seq("src_a", "src_b"), "est_u")
+        prs
+          .join(broadcast(na.toDF("src_a", "n_a")), Seq("src_a"))
+          .join(broadcast(na.toDF("src_b", "n_b")), Seq("src_b"))
+          .join(broadcast(ea.toDF("src_a", "est_a")), Seq("src_a"))
+          .join(broadcast(ea.toDF("src_b", "est_b")), Seq("src_b"))
+          .join(broadcast(eu), Seq("src_a", "src_b"))
+          .join(broadcast(ix), Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+            (col("est_a") + col("est_b") - col("est_u")).as("inter_est"),
+            expr("CAST((est_a + est_b - est_u - COALESCE(inter_exact, 0))" +
+              " * 1000000 div (n_a + n_b - COALESCE(inter_exact, 0))" +
+              " AS BIGINT)").as("err_vs_union_ppm"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318)
+      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318, q325)
 }

@@ -315,6 +315,37 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every arm-assigning query embeds the ONE arm rule verbatim (including CUPED)") {
+      // q327 adjusts q268's experiment: if its arm rule forked, the
+      // CUPED means would describe a different randomization
+      val armFrag = graft.operators.EventQueries.abArmSql
+      val consumers = sqlByName.filter(_._2.contains(
+        "substr(md5(CAST(user_id AS VARCHAR)), 32, 1)"))
+      consumers.keySet shouldBe Set(
+        "q268_ab_test", "q273_ab_peeking_audit", "q284_ab_required_n",
+        "q327_cuped")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the arm-assignment rule: ") {
+          sql.contains(armFrag) shouldBe true
+        }
+      }
+    }
+
+    it("every per-source HLL sketch consumer embeds the canonical rho chain verbatim") {
+      // q325's union merges are only merges of q224's sketches if the
+      // two embed the SAME bucket/rank chain — a forked copy would
+      // silently decouple the estimator from the set-operation matrix
+      val frag = graft.operators.TextQueries.hllSourceRhoCtes
+      val consumers = sqlByName.filter(_._2.contains("comb // 128"))
+      consumers.keySet shouldBe Set(
+        "q224_portable_hll", "q325_hll_overlap_matrix")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the HLL rho chain: ") {
+          sql.contains(frag) shouldBe true
+        }
+      }
+    }
+
     it("every Gopher-rule consumer embeds the canonical rule battery verbatim") {
       val frag = graft.operators.CurationQueries.gopherRuleCtes
       val consumers = sqlByName.filter(_._2.contains("AS r_stop_words"))
