@@ -974,6 +974,14 @@ object PlanCheck {
     check("q330_autocorrelation",
       "autocorrelation: 7 lag self-joins ride the pinned AGGREGATE-REDUCED dense grid (ExistingRDD), axis broadcast; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q331_bradley_terry",
+      "Bradley-Terry: the corpus quality scan lives INSIDE the pinned (source,band) rollup (zero visible parquet scans); MM rounds ride |sources|^2 tables; axis broadcast",
+      p => scans(p, "documents") == 0 && p.contains("ExistingRDD") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    check("q332_brier_decomposition",
+      "Brier: the fused score+verdict scan lives INSIDE the pinned (source,bin) rollup; per-source rollups only",
+      p => scans(p, "documents") == 0 && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -1916,8 +1916,222 @@ object CurationQueries {
       })
   }
 
+  /** BRADLEY–TERRY source ranking — the pairwise-preference aggregation
+    * behind arena-style evals (Elo's static cousin; Bradley & Terry
+    * 1952, MM fit per Hunter 2004), run on the corpus itself: every
+    * cross-source doc pair is a "comparison" won by the higher-quality
+    * doc (the ONE shared quality formula, drift-pinned), and two MM
+    * rounds fit strengths s_i maximizing the BT likelihood
+    * P(i beats j) = s_i/(s_i+s_j). The quadratic pair count never
+    * materializes: quality is banded to 101 levels, so wins(A,B) =
+    * Σ_b cA_b·cumB_{<b} with ties worth ½ (doubled integer units —
+    * W2 = 2·wins + ties stays integral), all on the |sources|×101
+    * densified grid. The MM update s_i ← W_i / Σ_j n_ij/(s_i+s_j) is
+    * replayed in exact micro fixed point with DECIMAL/HUGEINT
+    * numerators and a FIXED division order, so two engines iterate
+    * bit-identically. Beside q322 (how many labels to buy per source)
+    * this says which sources WIN when their docs meet head-to-head —
+    * the mixture-review reading of quality, transitive where q167's
+    * per-source means are not comparable across skewed distributions.
+    * Scale shape: ONE corpus quality scan → (source, band) map-side
+    * rollup → everything else on |sources|×101 / |sources|² tables.
+    * Output: one row per source. HASH-MATCHED. */
+  val q331 = {
+    val qualitySql = graft.operators.TextQueries.qualitySql
+    // one MM round in exact integers: strengths s (micro) -> s'
+    // T_ij = n_ij * 1e12 // (s_i + s_j); s'_i = W2_i * 1e12 // (2 ΣT)
+    def mmRoundDuck(prev: String, out: String): String =
+      s"""$out AS (SELECT a.source,
+         |    CAST(CAST(a.w2 AS HUGEINT) * 1000000000000
+         |         // (2 * SUM(CAST(p.n_ij AS HUGEINT) * 1000000000000
+         |                    // (a.s + b.s))) AS BIGINT) AS s
+         |  FROM $prev a
+         |  JOIN pairs p ON p.src_a = a.source
+         |  JOIN $prev b ON b.source = p.src_b
+         |  GROUP BY 1, a.w2, a.s)""".stripMargin
+    QueryDef.oracle("q331_bradley_terry",
+      s"""WITH sc AS (SELECT source,
+         |              CAST(round(($qualitySql) * 100) AS BIGINT) AS sb
+         |            FROM documents),
+         |c AS (SELECT source, sb, CAST(count(*) AS BIGINT) AS c
+         |      FROM sc GROUP BY 1, 2),
+         |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |ax AS (SELECT CAST(unnest(generate_series(0, 100)) AS BIGINT) AS sb),
+         |grid AS (SELECT srcs.source, ax.sb, COALESCE(c.c, 0) AS c
+         |         FROM srcs CROSS JOIN ax
+         |         LEFT JOIN c ON c.source = srcs.source AND c.sb = ax.sb),
+         |cum AS (SELECT source, sb, c,
+         |          SUM(c) OVER (PARTITION BY source ORDER BY sb) - c AS below
+         |        FROM grid),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            CAST(SUM(2 * a.c * b.below + a.c * b.c) AS BIGINT) AS w2,
+         |            na.n * nb.n AS n_ij
+         |          FROM cum a
+         |          JOIN cum b ON a.sb = b.sb AND a.source <> b.source
+         |          JOIN srcs na ON na.source = a.source
+         |          JOIN srcs nb ON nb.source = b.source
+         |          GROUP BY 1, 2, na.n, nb.n),
+         |w AS (SELECT src_a AS source, CAST(SUM(w2) AS BIGINT) AS w2
+         |      FROM pairs GROUP BY 1),
+         |s0 AS (SELECT source, w2, CAST(1000000 AS BIGINT) AS s FROM w),
+         |${mmRoundDuck("s0", "s1")},
+         |s1w AS (SELECT s1.source, w.w2, s1.s FROM s1 JOIN w USING (source)),
+         |${mmRoundDuck("s1w", "s2")}
+         |SELECT srcs.source, srcs.n AS n_docs, w.w2,
+         |       s2.s AS strength_micro,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY s2.s DESC, srcs.source)
+         |            AS BIGINT) AS rank
+         |FROM srcs JOIN w ON w.source = srcs.source
+         |JOIN s2 ON s2.source = srcs.source""".stripMargin)(
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .select(col("source"),
+            round(qualityScore(col("text")) * 100).cast("long").as("sb"))
+          .groupBy("source", "sb").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // ONE corpus scan feeds grid + totals
+        val srcs = c.groupBy("source").agg(sum("c").as("n"))
+        val ax = s.range(101).select(col("id").as("sb"))
+        val grid = srcs.crossJoin(broadcast(ax))
+          .join(c, Seq("source", "sb"), "left")
+          .select(col("source"), col("sb"), coalesce(col("c"), lit(0L)).as("c"))
+        val cum = grid.withColumn("below",
+          sum("c").over(Window.partitionBy("source").orderBy("sb")) - col("c"))
+        val pairs = cum.toDF("src_a", "sb", "ca", "belowa")
+          .join(cum.toDF("src_b", "sb", "cb", "belowb"), Seq("sb"))
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(sum(lit(2) * col("ca") * col("belowb") + col("ca") * col("cb"))
+            .as("w2"))
+          .join(broadcast(srcs.toDF("src_a", "na")), Seq("src_a"))
+          .join(broadcast(srcs.toDF("src_b", "nb")), Seq("src_b"))
+          .withColumn("n_ij", col("na") * col("nb"))
+          .select("src_a", "src_b", "w2", "n_ij")
+          .localCheckpoint(false) // |sources|² — feeds both MM rounds
+        val w = pairs.groupBy(col("src_a").as("source"))
+          .agg(sum("w2").as("w2"))
+        def mmRound(prev: DataFrame): DataFrame =
+          prev.toDF("src_a", "w2", "sa")
+            .join(pairs.select("src_a", "src_b", "n_ij"), Seq("src_a"))
+            .join(prev.select(col("source").as("src_b"), col("s").as("sbv")),
+              Seq("src_b"))
+            .groupBy(col("src_a").as("source"), col("w2"))
+            .agg(sum(expr("CAST(n_ij AS DECIMAL(38,0)) * 1000000000000" +
+              " div (sa + sbv)")).as("den"))
+            .select(col("source"), col("w2"),
+              expr("CAST(CAST(w2 AS DECIMAL(38,0)) * 1000000000000" +
+                " div (2 * den) AS BIGINT)").as("s"))
+        val s0 = w.select(col("source"), col("w2"), lit(1000000L).as("s"))
+        val s2 = mmRound(mmRound(s0))
+        srcs.join(w, Seq("source")).join(s2.select("source", "s"), Seq("source"))
+          .select(col("source"), col("n").as("n_docs"), col("w2"),
+            col("s").as("strength_micro"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("strength_micro").desc, col("source")))
+            .cast("long"))
+      })
+  }
+
+  /** BRIER-SCORE MURPHY DECOMPOSITION — the quantitative summary of
+    * q223's calibration table (and the probabilistic complement of
+    * q266's rank-only AUC): the cheap classifier's score is mapped to a
+    * forecast probability by the FIXED affine proxy p_micro =
+    * clamp(500000 + 10·score, 0, 10⁶) (monotone, replayable — a
+    * logistic would reopen the exp() seam for zero diagnostic gain),
+    * ground truth is the Gopher verdict (both ride the SHARED
+    * drift-pinned fragments), and per source the Brier score splits as
+    * reliability − resolution + uncertainty over 20 forecast bins
+    * (Murphy 1973): reliability = how far bin forecasts sit from bin
+    * outcomes (calibration error — what q223 shows row by row),
+    * resolution = how much the bins separate outcomes (the part worth
+    * paying for), uncertainty = ȳ(1−ȳ) (the floor no forecaster
+    * beats). All terms in exact ppm (squared-micro sums in
+    * DECIMAL/HUGEINT, bin means in truncated micro — identical
+    * truncation both engines, so the identity holds to the same
+    * truncation error in each). Scale shape: ONE fused scan-stage
+    * score+verdict pass → map-side (source, bin) rollup carrying
+    * (n, Σp, Σy, Σ(p−y)²) → per-source rollup. Output: one row per
+    * source. HASH-MATCHED. */
+  val q332 = QueryDef.oracle("q332_brier_decomposition",
+    s"""WITH $classifierScoreCtes,
+       |$gopherRuleCtes,
+       |base AS (SELECT d.source,
+       |           least(greatest(500000 + 10 * c.score, 0), 1000000) AS p,
+       |           CASE WHEN g.kept THEN 1 ELSE 0 END AS y
+       |         FROM documents d
+       |         JOIN cls c ON c.doc_id = d.doc_id
+       |         JOIN gopher g ON g.doc_id = d.doc_id),
+       |b AS (SELECT source, least(p // 50000, 19) AS bin,
+       |        CAST(count(*) AS BIGINT) AS n,
+       |        SUM(CAST(p AS HUGEINT)) AS sp, CAST(SUM(y) AS BIGINT) AS sy,
+       |        SUM((CAST(p AS HUGEINT) - y * 1000000)
+       |            * (CAST(p AS HUGEINT) - y * 1000000)) AS se
+       |      FROM base GROUP BY 1, 2),
+       |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nn,
+       |        CAST(SUM(sy) AS BIGINT) AS syt,
+       |        SUM(se) AS set_,
+       |        CAST(count(*) AS BIGINT) AS bins_used
+       |      FROM b GROUP BY 1),
+       |m AS (SELECT b.source, b.n,
+       |        CAST(b.sp // b.n AS BIGINT) AS pbar,
+       |        CAST(b.sy * 1000000 // b.n AS BIGINT) AS ybar,
+       |        CAST(s.syt * 1000000 // s.nn AS BIGINT) AS ybart
+       |      FROM b JOIN s USING (source))
+       |SELECT s.source, s.nn AS n_docs, s.bins_used,
+       |       CAST(s.set_ // (s.nn * 1000000) AS BIGINT) AS brier_ppm,
+       |       CAST(r.rel // (s.nn * 1000000) AS BIGINT) AS reliability_ppm,
+       |       CAST(r.res // (s.nn * 1000000) AS BIGINT) AS resolution_ppm,
+       |       CAST((s.syt * 1000000 // s.nn)
+       |            * (1000000 - s.syt * 1000000 // s.nn) // 1000000 AS BIGINT)
+       |         AS uncertainty_ppm
+       |FROM s JOIN (SELECT source,
+       |               SUM(CAST(n AS HUGEINT) * (pbar - ybar) * (pbar - ybar))
+       |                 AS rel,
+       |               SUM(CAST(n AS HUGEINT) * (ybar - ybart) * (ybar - ybart))
+       |                 AS res
+       |             FROM m GROUP BY 1) r ON r.source = s.source""".stripMargin)(
+    (s, d) => {
+      import graft.functions.HashFunctions.classifierScoreNative
+      val base = gopherRuleFrame(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            classifierScoreNative(coalesce(col("text"), lit("")))
+              .getField("score").as("score")))
+        .select(col("source"),
+          least(greatest(lit(500000L) + lit(10L) * col("score"), lit(0L)),
+            lit(1000000L)).as("p"),
+          when(col("kept"), 1L).otherwise(0L).as("y"))
+      val b = base
+        .groupBy(col("source"), least(expr("p div 50000"), lit(19L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(p AS DECIMAL(38,0))")).as("sp"),
+          sum("y").as("sy"),
+          sum(expr("(CAST(p AS DECIMAL(38,0)) - y * 1000000)" +
+            " * (CAST(p AS DECIMAL(38,0)) - y * 1000000)")).as("se"))
+        .localCheckpoint(false) // the bin rollup feeds totals AND means
+      val st = b.groupBy("source")
+        .agg(sum("n").as("nn"), sum("sy").as("syt"), sum("se").as("set_"),
+          count(lit(1)).as("bins_used"))
+      val m = b.join(st.select("source", "nn", "syt"), Seq("source"))
+        .select(col("source"), col("n"),
+          expr("CAST(sp div n AS BIGINT)").as("pbar"),
+          expr("CAST(sy * 1000000 div n AS BIGINT)").as("ybar"),
+          expr("CAST(syt * 1000000 div nn AS BIGINT)").as("ybart"))
+      val r = m.groupBy("source")
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * (pbar - ybar) * (pbar - ybar)"))
+          .as("rel"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * (ybar - ybart) * (ybar - ybart)"))
+            .as("res"))
+      st.join(r, Seq("source"))
+        .select(col("source"), col("nn").as("n_docs"), col("bins_used"),
+          expr("CAST(set_ div (nn * 1000000) AS BIGINT)").as("brier_ppm"),
+          expr("CAST(rel div (nn * 1000000) AS BIGINT)").as("reliability_ppm"),
+          expr("CAST(res div (nn * 1000000) AS BIGINT)").as("resolution_ppm"),
+          expr("CAST((syt * 1000000 div nn)" +
+            " * (1000000 - syt * 1000000 div nn) div 1000000 AS BIGINT)")
+            .as("uncertainty_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287, q306, q322)
+      q279, q282, q286, q287, q306, q322, q331, q332)
 }

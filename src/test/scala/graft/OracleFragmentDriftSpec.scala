@@ -255,7 +255,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q205_weighted_sample", "q215_crossmodal_gate",
         "q221_bootstrap_quality_ci", "q223_filter_calibration",
         "q259_dataset_card", "q306_dedup_drop_bias",
-        "q322_neyman_allocation")
+        "q322_neyman_allocation", "q331_bradley_terry")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quality-score definition: ") {
           sql.contains(frag) shouldBe true
@@ -269,7 +269,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       consumers.keySet shouldBe Set(
         "q183_classifier_score", "q266_classifier_auc",
         "q279_classifier_lift",
-        "q282_curriculum_mixture", "q286_spearman_quality_length") // r12
+        "q282_curriculum_mixture", "q286_spearman_quality_length", // r12
+        "q332_brier_decomposition") // r13: Murphy decomposition
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the classifier-score definition: ") {
           sql.contains(frag) shouldBe true
@@ -351,7 +352,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("AS r_stop_words"))
       consumers.keySet shouldBe Set(
         "q218_gopher_rules", "q266_classifier_auc",
-        "q279_classifier_lift")
+        "q279_classifier_lift", "q332_brier_decomposition")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the Gopher rule battery: ") {
           sql.contains(frag) shouldBe true
