@@ -982,6 +982,19 @@ object PlanCheck {
       "Brier: the fused score+verdict scan lives INSIDE the pinned (source,bin) rollup; per-source rollups only",
       p => scans(p, "documents") == 0 && p.contains("ExistingRDD") &&
         !p.contains("CartesianProduct"))
+    check("q333_intrinsic_dim",
+      "TwoNN: the sample x corpus kernel pass lives INSIDE the pinned top-2 table (ExistingRDD); one global rollup after",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin"))
+    checkTree("q333_intrinsic_dim",
+      "TwoNN: the top-2 window is q_id-keyed, never a global fact window",
+      noGlobalFactWindow)
+    check("q334_return_survival",
+      "return survival: shared user-keyed session windows; ONE-row life table pinned (ExistingRDD) feeds the 5 horizon arms",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    checkTree("q334_return_survival",
+      "return survival: session/lead windows are user-keyed, never a global fact window",
+      noGlobalFactWindow)
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

@@ -2216,8 +2216,130 @@ object EventQueries {
       })
   }
 
+  /** Horizon buckets for q334's life table, in seconds: 1h, 6h, 24h,
+    * 72h, and one week — the last row's survivors are the churned. */
+  private val ReturnHorizons = Seq(3600L, 21600L, 86400L, 259200L, 604800L)
+
+  /** RETURN-TIME SURVIVAL — the life-table estimate of "when do users
+    * come back", the retention curve q133's day-grain cohort matrix
+    * cannot see below 24 h (and the survival-analysis treatment q319's
+    * raw gaps lack): per session, the RETURN TIME is the gap from this
+    * session's last event to the user's next session's first event —
+    * RIGHT-CENSORED for each user's final session at (corpus max ts −
+    * session end), because "hasn't returned yet" is not "never
+    * returns", and dropping those rows would bias the curve optimistic
+    * (the classic survival mistake). Sessions are the ONE shared q31
+    * assignment ([[sessionCtes]]/`sessionized` — the funnel, the
+    * advisor and this curve must agree on what a session is). The
+    * estimator is the actuarial life table over the 5-bucket horizon
+    * grid: hazard_b = returns_b / at-risk_b (censored leave the risk
+    * set at bucket END — the convention, stated), and survival is the
+    * EXACT RATIONAL product Π(1 − d_i/n_i) carried as separate
+    * numerator/denominator integer products (≤5 factors —
+    * DECIMAL/HUGEINT; ppm on the wire, no float ever). Scale shape:
+    * the shared user-keyed session window → session rollup → per-user
+    * lead window → one 5-row life table. Output: one row per horizon.
+    * HASH-MATCHED. */
+  val q334 = {
+    val k = ReturnHorizons.size
+    val caseArms = ReturnHorizons.zipWithIndex
+      .map { case (h, i) => s"WHEN t < $h THEN $i" }.mkString(" ")
+    // pivot columns d0..d4 / c0..c4 out of the bucket rollup
+    def pivotDuck = (0 until k).map(i =>
+      s"COALESCE(MAX(CASE WHEN b = $i THEN d END), 0) AS d$i, " +
+        s"COALESCE(MAX(CASE WHEN b = $i THEN c END), 0) AS c$i").mkString(",\n|        ")
+    // at-risk entering bucket b: everyone not yet resolved
+    def atRisk(b: Int): String =
+      if (b == 0) "n" else "n - (" +
+        (0 until b).map(i => s"d$i + c$i").mkString(" + ") + ")"
+    def duckArm(b: Int): String = {
+      val num = (0 to b).map(i => s"(${atRisk(i)} - d$i)")
+        .mkString(" * CAST(1 AS HUGEINT) * ")
+      val den = (0 to b).map(i => s"(${atRisk(i)})")
+        .mkString(" * CAST(1 AS HUGEINT) * ")
+      s"""SELECT CAST(${ReturnHorizons(b)} AS BIGINT) AS horizon_s,
+         |  CAST(${atRisk(b)} AS BIGINT) AS at_risk,
+         |  d$b AS returned, c$b AS censored,
+         |  CASE WHEN ${atRisk(b)} = 0 THEN NULL
+         |       ELSE CAST(d$b * 1000000 // (${atRisk(b)}) AS BIGINT)
+         |  END AS hazard_ppm,
+         |  CASE WHEN ${(0 to b).map(i => s"${atRisk(i)} = 0").mkString(" OR ")}
+         |       THEN NULL
+         |       ELSE CAST(($num) * 1000000 // (($den)) AS BIGINT)
+         |  END AS survival_ppm
+         |FROM w""".stripMargin
+    }
+    QueryDef.oracle("q334_return_survival",
+      s"""WITH $sessionCtes,
+        |se AS (SELECT user_id, session_id,
+        |         MIN(epoch(ts)) AS s_start, MAX(epoch(ts)) AS s_end
+        |       FROM s GROUP BY 1, 2),
+        |mx AS (SELECT MAX(s_end) AS m FROM se),
+        |gp AS (SELECT user_id, s_end,
+        |        LEAD(s_start) OVER (PARTITION BY user_id
+        |                            ORDER BY session_id) AS nxt
+        |      FROM se),
+        |obs AS (SELECT CASE WHEN nxt IS NULL THEN mx.m - s_end
+        |                    ELSE nxt - s_end END AS t,
+        |               nxt IS NOT NULL AS returned
+        |        FROM gp, mx),
+        |bk AS (SELECT t, returned,
+        |         CASE $caseArms ELSE $k END AS b
+        |       FROM obs),
+        |cnt AS (SELECT b,
+        |          CAST(count(CASE WHEN returned THEN 1 END) AS BIGINT) AS d,
+        |          CAST(count(CASE WHEN NOT returned THEN 1 END) AS BIGINT) AS c
+        |        FROM bk GROUP BY 1),
+        |w AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n,
+        |        $pivotDuck
+        |      FROM cnt)
+        |${(0 until k).map(duckArm).mkString("\nUNION ALL\n")}""".stripMargin)(
+      (s, d) => {
+        val se = sessionized(s, d)
+          .groupBy("user_id", "session_id")
+          .agg(min(unix_timestamp(col("ts"))).as("s_start"),
+            max(unix_timestamp(col("ts"))).as("s_end"))
+        val mx = se.agg(max("s_end").as("m"))
+        val g = se.withColumn("nxt",
+          lead("s_start", 1).over(
+            Window.partitionBy("user_id").orderBy("session_id")))
+        val obs = g.crossJoin(broadcast(mx))
+          .select(when(col("nxt").isNull, col("m") - col("s_end"))
+            .otherwise(col("nxt") - col("s_end")).as("t"),
+            col("nxt").isNotNull.as("returned"))
+        val bexp = ReturnHorizons.zipWithIndex
+          .map { case (h, i) => s"WHEN t < $h THEN $i" }
+          .mkString("CASE ", " ", s" ELSE $k END")
+        val cnt = obs.groupBy(expr(bexp).as("b"))
+          .agg(count(when(col("returned"), 1)).cast("long").as("d"),
+            count(when(!col("returned"), 1)).cast("long").as("c"))
+        val aggs = (sum("d") + sum("c")).as("n") +: (0 until k).flatMap(i =>
+          Seq(coalesce(max(when(col("b") === i, col("d"))), lit(0L)).as(s"d$i"),
+            coalesce(max(when(col("b") === i, col("c"))), lit(0L)).as(s"c$i")))
+        val w = cnt.agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(false) // one-row life table feeds 5 arms
+        (0 until k).map { b =>
+          val num = (0 to b).map(i => s"(${atRisk(i)} - d$i)")
+            .mkString(" * CAST(1 AS DECIMAL(38,0)) * ")
+          val den = (0 to b).map(i => s"(${atRisk(i)})")
+            .mkString(" * CAST(1 AS DECIMAL(38,0)) * ")
+          w.select(lit(ReturnHorizons(b)).as("horizon_s"),
+            expr(s"CAST(${atRisk(b)} AS BIGINT)").as("at_risk"),
+            col(s"d$b").as("returned"), col(s"c$b").as("censored"),
+            expr(s"CASE WHEN ${atRisk(b)} = 0 THEN NULL" +
+              s" ELSE CAST(d$b * 1000000 div (${atRisk(b)}) AS BIGINT)" +
+              " END").as("hazard_ppm"),
+            expr("CASE WHEN " +
+              (0 to b).map(i => s"${atRisk(i)} = 0").mkString(" OR ") +
+              s" THEN NULL ELSE CAST(($num) * 1000000 div (($den))" +
+              " AS BIGINT) END").as("survival_ppm"))
+        }.reduce(_ unionByName _)
+      })
+  }
+
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
-      q284, q285, q297, q305, q313, q317, q319, q323, q326, q327, q330)
+      q284, q285, q297, q305, q313, q317, q319, q323, q326, q327, q330, q334)
 }

@@ -3419,9 +3419,94 @@ object SimilarityQueries {
           (col("label_a") === col("label_b")).as("same_label"))
     })
 
+  /** INTRINSIC DIMENSIONALITY (TwoNN, Facco et al. 2017) — the
+    * embedding audit q192/q281 gesture at, answered with an estimator:
+    * do these 128 stored dimensions carry 128 dimensions of structure,
+    * or does the data live on a much lower-dimensional manifold (in
+    * which case PQ/truncation budgets in the ANN stack are over-
+    * provisioned)? TwoNN needs only each point's two nearest neighbors:
+    * under a locally-uniform density, μ = r₂/r₁ is Pareto(id), and the
+    * MLE is id = n / Σ ln μ. Distances are EXACT integers (the q149
+    * 1e-4 quantization; d² = n2a − 2·dot + n2b via the fused
+    * intDotNorms kernel), log₂ μ = ½·log₂(d²₂/d²₁) in the q123 micro
+    * convention, and the single ln 2 constant folds in as the 693147
+    * ppm literal — so both engines replay the estimator exactly.
+    * Estimated on the q61-convention deterministic sample
+    * (vec_id % 50 = 0 — TwoNN is a sample statistic by design);
+    * duplicate-distance points (r₁ = 0, no dimensional information)
+    * are excluded and counted. Scale shape: sample × corpus pass
+    * through the fused integer kernel (the q61 exchange), top-2 via a
+    * q_id-keyed window, then one global rollup. Output: ONE row.
+    * HASH-MATCHED. */
+  val q333 = QueryDef.oracle("q333_intrinsic_dim",
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |             FROM embeddings),
+      |qd AS (SELECT vec_id,
+      |         [CAST(round(e[i] * 10000) AS BIGINT)
+      |          FOR i IN range(1, len(e) + 1)] AS v
+      |       FROM emb),
+      |sc AS (SELECT q.vec_id AS q_id, n.vec_id AS vec_id,
+      |         list_sum([(n.v[i] - q.v[i]) * (n.v[i] - q.v[i])
+      |                   FOR i IN range(1, len(n.v) + 1)]) AS d2
+      |       FROM qd n JOIN qd q
+      |         ON q.vec_id % 50 = 0 AND n.vec_id <> q.vec_id),
+      |rk AS (SELECT q_id, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS r
+      |       FROM sc),
+      |two AS (SELECT q_id,
+      |          MAX(CASE WHEN r = 1 THEN d2 END) AS d1,
+      |          MAX(CASE WHEN r = 2 THEN d2 END) AS d2_
+      |        FROM rk WHERE r <= 2 GROUP BY 1),
+      |mu AS (SELECT q_id,
+      |         CAST(round(log2(CAST(d2_ AS DOUBLE) / d1) * 500000) AS BIGINT)
+      |           AS m
+      |       FROM two WHERE d1 > 0),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+      |          CAST(SUM(m) AS BIGINT) AS s_micro
+      |        FROM mu),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_excluded
+      |       FROM two WHERE d1 = 0)
+      |SELECT agg.n_used, ex.n_excluded, agg.s_micro,
+      |       CASE WHEN agg.s_micro <= 0 THEN NULL
+      |            ELSE CAST(CAST(agg.n_used AS HUGEINT) * 1000000000000000
+      |                      // (693147 * CAST(agg.s_micro AS HUGEINT))
+      |                      AS BIGINT) END AS id_milli
+      |FROM agg, ex""".stripMargin)(
+    (s, d) => {
+      val qv = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("v"))
+      val qs = qv.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qvec"))
+      val sc = qv.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VecExpressions.intDotNorms(s, col("v"), col("qvec")).as("dn"))
+        .select(col("q_id"), col("vec_id"),
+          (col("dn.n2a") - lit(2) * col("dn.dot") + col("dn.n2b")).as("d2"))
+      val w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+      val two = sc.withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+        .groupBy("q_id")
+        .agg(max(when(col("r") === 1, col("d2"))).as("d1"),
+          max(when(col("r") === 2, col("d2"))).as("d2_"))
+        .localCheckpoint(false) // feeds the estimator AND the excluded count
+      val agg = two.filter(col("d1") > 0)
+        .agg(count(lit(1)).as("n_used"),
+          sum(round(log2(col("d2_").cast("double") / col("d1")) * 500000)
+            .cast("long")).as("s_micro"))
+      val ex = two.filter(col("d1") === 0)
+        .agg(count(lit(1)).as("n_excluded"))
+      agg.crossJoin(broadcast(ex))
+        .select(col("n_used"), col("n_excluded"), col("s_micro"),
+          expr("CASE WHEN s_micro <= 0 THEN NULL" +
+            " ELSE CAST(CAST(n_used AS DECIMAL(38,0)) * 1000000000000000" +
+            " div (693147 * CAST(s_micro AS DECIMAL(38,0))) AS BIGINT)" +
+            " END").as("id_milli"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
       q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301,
-      q307, q309, q314, q315, q316)
+      q307, q309, q314, q315, q316, q333)
 }
