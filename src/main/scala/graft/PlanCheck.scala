@@ -995,6 +995,13 @@ object PlanCheck {
     checkTree("q334_return_survival",
       "return survival: session/lead windows are user-keyed, never a global fact window",
       noGlobalFactWindow)
+    check("q335_bloom_sizing",
+      "bloom advisor: pinned distinct build keys (ExistingRDD), ONE keyed semi-join count, 4-row literal grid crossed broadcast",
+      p => p.contains("ExistingRDD") && p.contains("LeftSemi") &&
+        !p.contains("CartesianProduct"))
+    check("q336_fd_discovery",
+      "FD discovery: per candidate ONE column-pruned scan into a map-side (lhs,rhs) rollup — no joins at all",
+      p => p.contains("partial_count") && !p.contains("Join"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))

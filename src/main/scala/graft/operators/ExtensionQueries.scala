@@ -2020,7 +2020,132 @@ object ExtensionQueries {
       })
   }
 
+  /** Bits-per-key grid q335 prices; k* = round(ln2·b) and the FPR
+    * constant (1 − e^(−k/b))^k depend ONLY on the grid point, so both
+    * are precomputed here and embedded as identical literals in both
+    * engines (the q224 linear-counting trick — no exp() at query
+    * time). */
+  private val BloomGrid: Seq[(Long, Long, Long)] = Seq(8L, 10L, 12L, 16L)
+    .map { b =>
+      val k = math.round(math.log(2) * b)
+      (b, k, math.round(math.pow(1 - math.exp(-k.toDouble / b), k.toDouble) * 1e6))
+    }
+
+  /** BLOOM-FILTER SIZING ADVISOR — the capacity-planning table behind
+    * q256's runtime filter and q125's prefilter join: given the build
+    * side (orders with o_totalprice > 150000 — the selective dimension
+    * predicate a bloom pushdown serves) and the probe side (every
+    * lineitem row), price each bits-per-key budget: optimal k, the
+    * false-positive rate (a PURE grid constant (1−e^(−k/b))^k —
+    * precomputed once, embedded as the same ppm literal in both
+    * engines), filter size, and the expected false-positive ROWS =
+    * non-matching probes × FPR — the number that says whether 8 vs 16
+    * bits/key matters for THIS join. n-keys/probes/matches are exact
+    * corpus counts (the semi-join the bloom would replace, run once as
+    * ground truth). Scale shape: one orders scan (distinct build keys),
+    * one lineitem scan + one keyed semi-join count, then a 4-row
+    * literal grid crossed with the 1-row stat table. Output: one row
+    * per bits-per-key. HASH-MATCHED. */
+  val q335 = {
+    val gridVals = BloomGrid.map { case (b, k, f) => s"($b, $k, $f)" }
+      .mkString(", ")
+    QueryDef.oracle("q335_bloom_sizing",
+      s"""WITH bk AS (SELECT DISTINCT o_orderkey FROM orders
+         |            WHERE o_totalprice > 150000),
+         |st AS (SELECT
+         |         (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_keys,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_probes,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         |          WHERE l_orderkey IN (SELECT o_orderkey FROM bk))
+         |           AS n_matching),
+         |g AS (SELECT * FROM (VALUES $gridVals) AS g(bpk, k_opt, fpr_ppm))
+         |SELECT CAST(g.bpk AS BIGINT) AS bits_per_key,
+         |       CAST(g.k_opt AS BIGINT) AS k_opt,
+         |       CAST(g.fpr_ppm AS BIGINT) AS fpr_ppm,
+         |       st.n_keys, st.n_probes, st.n_matching,
+         |       CAST((st.n_probes - st.n_matching) * g.fpr_ppm // 1000000
+         |            AS BIGINT) AS expected_fp_rows,
+         |       CAST(g.bpk * st.n_keys // 8192 AS BIGINT) AS filter_kib
+         |FROM g, st""".stripMargin)(
+      (s, d) => {
+        val bk = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey")).distinct()
+          .localCheckpoint(false) // feeds the key count AND the semi-join
+        val nk = bk.agg(count(lit(1)).as("n_keys"))
+        val st = Tables.lineitem(s, d).select(col("l_orderkey"))
+          .join(bk.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_matching"))
+          .crossJoin(broadcast(Tables.lineitem(s, d)
+            .agg(count(lit(1)).as("n_probes"))))
+          .crossJoin(broadcast(nk))
+        val g = s.createDataFrame(BloomGrid).toDF("bpk", "k_opt", "fpr_ppm")
+        broadcast(g).crossJoin(broadcast(st))
+          .select(col("bpk").as("bits_per_key"), col("k_opt"), col("fpr_ppm"),
+            col("n_keys"), col("n_probes"), col("n_matching"),
+            expr("CAST((n_probes - n_matching) * fpr_ppm div 1000000" +
+              " AS BIGINT)").as("expected_fp_rows"),
+            expr("CAST(bpk * n_keys div 8192 AS BIGINT)").as("filter_kib"))
+      })
+  }
+
+  /** Candidate functional dependencies q336 audits — (table, lhs, rhs)
+    * triples a catalog/layout review wants verdicts on. ONE list so the
+    * two engines test the same candidates. */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"))
+
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY — the catalog audit behind join
+    * elimination, normalization and sort-key choice (and the formal
+    * version of q135's referential spot-checks): for each candidate
+    * lhs → rhs, does every lhs value determine ONE rhs value? Exact
+    * verdict per candidate: lhs groups, violating groups (distinct rhs
+    * > 1), their row mass in ppm, and the max rhs fan-out observed
+    * (1 = the FD holds; the fan-out of a FAILED candidate is the
+    * denormalization factor a repair would pay). A holding FD is a
+    * free optimizer fact (group-by pruning, join elimination); a
+    * near-holding one (violations ≈ 0) is usually a data-quality bug —
+    * both readings come from the same table. Scale shape: per
+    * candidate ONE column-pruned scan into a map-side (lhs, rhs)
+    * rollup, then an lhs-keyed rollup — never a join. Output: one row
+    * per candidate. HASH-MATCHED. */
+  val q336 = {
+    val duckArms = FdCandidates.map { case (t, l, r) =>
+      s"""SELECT '$t' AS tbl, '$l' AS lhs, '$r' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+         |    AS violating_groups,
+         |  CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN n END), 0) * 1000000
+         |       // SUM(n) AS BIGINT) AS violating_ppm,
+         |  CAST(MAX(nd) AS BIGINT) AS max_fanout,
+         |  MAX(nd) = 1 AS holds
+         |FROM (SELECT $l, CAST(count(DISTINCT $r) AS BIGINT) AS nd,
+         |        CAST(count(*) AS BIGINT) AS n
+         |      FROM $t GROUP BY 1)""".stripMargin
+    }
+    QueryDef.oracle("q336_fd_discovery",
+      duckArms.mkString("\nUNION ALL\n"))(
+      (s, d) => FdCandidates.map { case (t, l, r) =>
+        Tables.load(s, d, t)
+          .groupBy(col(l))
+          .agg(countDistinct(col(r)).as("nd"), count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            count(when(col("nd") > 1, 1)).cast("long").as("violating_groups"),
+            expr("CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN n END), 0)" +
+              " * 1000000 div SUM(n) AS BIGINT)").as("violating_ppm"),
+            max("nd").as("max_fanout"))
+          .select(lit(t).as("tbl"), lit(l).as("lhs"), lit(r).as("rhs"),
+            col("n_groups"), col("violating_groups"), col("violating_ppm"),
+            col("max_fanout"), (col("max_fanout") === 1).as("holds"))
+      }.reduce(_ unionByName _))
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
-    q250, q251, q253, q256, q260, q283, q288, q289, q293, q324)
+    q250, q251, q253, q256, q260, q283, q288, q289, q293, q324, q335, q336)
 }
