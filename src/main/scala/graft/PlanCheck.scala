@@ -1002,6 +1002,12 @@ object PlanCheck {
     check("q336_fd_discovery",
       "FD discovery: per candidate ONE column-pruned scan into a map-side (lhs,rhs) rollup — no joins at all",
       p => p.contains("partial_count") && !p.contains("Join"))
+    check("q337_partition_advisor",
+      "partition advisor: per-key map-side (partition, flags) rollups pinned (ExistingRDD); no joins",
+      p => p.contains("ExistingRDD") && !p.contains("Join"))
+    check("q338_join_order_costs",
+      "join-order costs: the keyed joins + pushed filtered scans live INSIDE the pinned 1-row stat table (ExistingRDD); no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q302_token_waterfill",
       "waterfill: map-side source token rollup; windows ride |sources| rows",
       p => p.contains("partial_sum") && !p.contains("CartesianProduct"))
