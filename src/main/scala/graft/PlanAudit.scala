@@ -120,6 +120,51 @@ object PlanAudit {
       }
     }.flatten
 
+  /** The sanctioned zero-key-window allowlist (r13 verdict #4): every
+    * query whose physical plan may carry a zero-key WindowExec, with
+    * the documented BOUND on that window's input. Classes: O(1) (a
+    * scalar/handful-row table), k-bounded (a fixed literal axis),
+    * |sources|-bounded (the 4-source axis), dim-bounded (a static
+    * dimension, not the fact table), P-bounded (one row per shuffle
+    * partition — the contiguousId offsets prefix-sum). Anything
+    * vocab-/pair-/data-GROWING must instead use Clean.keyedGroupRank,
+    * which leaves NO zero-key window in the plan (q329's form).
+    * PlanCheck's sweep fails on any site not listed here.
+    */
+  val zeroKeyWindowAllowlist: Map[String, String] = Map(
+    "q07_surrogate_key" ->
+      "!dim-bounded: reference-P4 parity rank over the supplier dimension; fact-scale keys use keyedOrderedId/contiguousId",
+    "q124_bm25_retrieval" ->
+      "limit-bounded: rank over a 20-row TakeOrderedAndProject result",
+    "q140_budget_selection" ->
+      "k-bounded: prefix over the <=10001-row rounded-quality bucket table",
+    "q146_join_skew_profile" ->
+      "limit-bounded: rank over the top-5 hot-key list",
+    "q169_dsir_importance" ->
+      "limit-bounded: rank over a 25-row TakeOrderedAndProject result",
+    "q191_lsh_calibration" ->
+      "k-bounded: cumulative over the <=PortK+1-row band-match histogram",
+    "q214_budget_apportionment" ->
+      "|sources|-bounded: largest-remainder rank over the 4-source table",
+    "q251_histogram_selectivity" ->
+      "domain-bounded: distinct price-cents of a 1/16 hash sample (price domain, not row count)",
+    "q257_mixture_epochs" ->
+      "|sources|-bounded: largest-remainder rank over the 4-source table",
+    "q270_hybrid_rrf_fusion" ->
+      "!limit-bounded: three rank windows over <=50-row top-k lists and their <=100-row full-outer fusion",
+    "q271_randomized_response" ->
+      "domain-bounded: index over the distinct event-type axis",
+    "q282_curriculum_mixture" ->
+      "k-bounded: <=10001-row rounded-score table (4 sites: decile cut + mixture prefix)",
+    "q291_gram_novelty_curve" ->
+      "k-bounded: cumulative over the 10-row decile table",
+    "q302_token_waterfill" ->
+      "|sources|-bounded: waterfill level search over the 4-source cap table (4 sites)",
+    "q322_neyman_allocation" ->
+      "|sources|-bounded: largest-remainder rank over the 4-source table",
+    "q331_bradley_terry" ->
+      "|sources|-bounded: final strength rank over the 4-source table")
+
   private def nontrivialPredicate(cond: Expression): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)

@@ -270,8 +270,10 @@ object PlanCheck {
       "dims expansion combines map-side; stats broadcast back; d2 is the fused per-row kernel (no exploded re-sum exchange)",
       p => p.contains("partial_sum") && p.contains("BroadcastHashJoin") &&
         !p.contains("SortMergeJoin") && p.contains("vec_centroid_d2"))
-    checkTree("q151_vocab_coverage", "vocab rank/cumsum windows sit above the token aggregate",
-      noGlobalFactWindow)
+    checkTree("q151_vocab_coverage",
+      "vocab rank/cumsum: NO zero-key window (keyedPrefixRank — the vocab GROWS with the corpus; r13 verdict #4)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q156_bpe_pair_stats", "pair counts combine map-side; top-50 via TakeOrderedAndProject (no global sort)",
       p => p.contains("partial_count") && p.contains("TakeOrderedAndProject"))
     // q158 is ALSO the per-round plan proof for q160/q165/q174: since
@@ -779,11 +781,12 @@ object PlanCheck {
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
     checkTree("q265_rfm_features",
-      "RFM: NTILE windows sit above the user-level AGGREGATE, never the fact scan",
-      noGlobalFactWindow)
+      "RFM: NO zero-key window anywhere (each NTILE reconstructed from keyedPrefixRank's keyed global row index — r13 verdict #4)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q265_rfm_features",
-      "RFM: user rollup combines map-side before the exchange",
-      p => p.contains("partial_max") && !p.contains("CartesianProduct"))
+      "RFM: user rollup pinned once (ExistingRDD) feeds all three rank passes",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q266_classifier_auc",
       "AUC: ONE fused corpus scan (score + rules row-local); cumsums over the (source,score) ROLLUP",
       p => scans(p, "documents") == 1 && p.contains("partial_count") &&
@@ -966,8 +969,9 @@ object PlanCheck {
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
     checkTree("q329_exact_substring_mass",
-      "prefix doubling: every zero-key renumber window rides a DISTINCT-pair aggregate (two-level numbering), never fact input",
-      noGlobalFactWindow)
+      "prefix doubling: NO zero-key window anywhere (every renumber is keyedGroupRank: range-partitioned keyed rank + broadcast offsets — r13 verdict #1)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q329_exact_substring_mass",
       "prefix doubling: per-round shift joins are (doc,pos)-keyed; rounds pinned (ExistingRDD); no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
@@ -1154,6 +1158,48 @@ object PlanCheck {
       if (!ok) misses += 1
       println(f"${if (ok) "OK  " else "MISS"} ${"broadcast_audit"}%-28s " +
         s"no unbounded hinted corpus-table broadcast across ${family.size} corpus queries" +
+        (if (ok) "" else s" — offenders: ${offenders.mkString(", ")}"))
+    }
+    // ---- repo-wide zero-key-window sweep (r13 verdict #4) ----
+    // Every zero-key WindowExec that survives into ANY query's physical
+    // plan must (a) sit above an Aggregate (never fact-sized input) and
+    // (b) belong to a query on the ALLOWLIST below, where its input
+    // bound is documented. A new zero-key window in an unlisted query
+    // FAILS this gate — the mechanical form of the "sanctioned
+    // two-level numbering" convention. Data-GROWING renumbers must use
+    // Clean.keyedGroupRank (no window visible at all: keyed rank +
+    // broadcast offsets). Bounds below are also recorded in
+    // docs/SCALE.md.
+    locally {
+      val allowed: Map[String, String] = PlanAudit.zeroKeyWindowAllowlist
+      val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+      var sites = 0
+      SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try {
+          val p = SparkEntry.queries(n)(spark, d).queryExecution.sparkPlan
+          val zk = p.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w }
+          if (zk.nonEmpty) {
+            sites += zk.size
+            val aboveAgg = zk.forall(_.child.exists {
+              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+              case _ => false })
+            // a "!"-prefixed bound documents a window whose input is a
+            // limit/dim, not an Aggregate — allowed only when listed so
+            if (!allowed.contains(n) ||
+                (!aboveAgg && !allowed(n).startsWith("!")))
+              offenders += s"$n(${zk.size}${if (aboveAgg) "" else ",NOT-above-Aggregate"})"
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[plancheck] zero-key sweep $n: $e")
+          offenders += s"$n(construction-failed)"
+        }
+      }
+      val ok = offenders.isEmpty
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} ${"zero_key_window_sweep"}%-28s " +
+        s"all $sites zero-key window sites across ${SparkEntry.queries.size} queries are allowlisted+bounded" +
         (if (ok) "" else s" — offenders: ${offenders.mkString(", ")}"))
     }
     println(if (misses == 0) "ALL PLAN CHECKS OK" else s"$misses MISSES")

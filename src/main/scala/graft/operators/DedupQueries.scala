@@ -3047,8 +3047,10 @@ object DedupQueries {
     * cross an exchange (grouping raw 16-token windows would shuffle
     * ~100-byte keys; the doubling ships 16 bytes per round — the whole
     * point at 100 TB). The shift join is (doc, pos)-keyed; the per-round
-    * re-numbering rides the DISTINCT pair table (an aggregate) through
-    * the sanctioned two-level numbering window. Counted at rounds 2 and
+    * re-numbering rides the DISTINCT pair table through keyedGroupRank
+    * (range-partitioned keyed rank + broadcast offsets — NO zero-key
+    * window; the pair table is DATA-sized so the old global window was
+    * the r13 verdict's one scale-killer). Counted at rounds 2 and
     * 4: positions whose 4-/16-token window recurs anywhere (dup) and in
     * ANOTHER doc (cross-doc — the contamination/memorization surface,
     * q118's decontam risk measured at exact-match grain). The DuckDB
@@ -3058,6 +3060,57 @@ object DedupQueries {
     * {(doc,pos)-keyed shift join + distinct-pair renumber} → two
     * rank-keyed rollups. Output: one row per prefix length.
     * HASH-MATCHED. */
+  /** Shared distributed prefix-doubling suffix-rank builder (q329/q339
+    * and the streaming inventory): round j's table assigns every token
+    * position (doc_id, i) a long rank such that two positions share
+    * rank_j iff their 2^j-token prefixes are identical. Round 0 ranks
+    * the token itself (vocab-sized distinct); each later round re-ranks
+    * the pair (rank[i], rank[i+2^j-1]) so equality reach doubles while
+    * only TWO LONGS per position cross an exchange. EVERY renumber —
+    * the round-0 vocab rank and each round's distinct-pair rank — is
+    * [[graft.pipeline.Clean.keyedGroupRank]]: range-partitioned keyed
+    * dense_rank + driver prefix-summed P-bounded offsets, so NO
+    * zero-key window exists anywhere in the lineage (the r13 verdict's
+    * one named 100-TB scale-killer, fixed — the distinct-pair table is
+    * DATA-sized at 16-token grain, ~91% of positions unique on this
+    * corpus, so the old single-partition renumber would funnel
+    * trillions of rows through one task at 100 TB). Each round's pair
+    * table is pinned once (lazy localCheckpoint): the range sampler,
+    * the offsets rollup, and the join-back all read one
+    * materialization. Returns (per-doc token lengths, rank table per
+    * round 1..maxRound).
+    */
+  private def suffixRankRounds(s: SparkSession, d: String, maxRound: Int)
+      : (DataFrame, Map[Int, DataFrame]) = {
+    import graft.pipeline.Clean
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("i", "tok")))
+    val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint(false) // joined by every arm
+    val vr = Clean.keyedGroupRank(base.select("tok").distinct(), Seq("tok"), "r0")
+    var cur = base.join(broadcast(vr), Seq("tok"))
+      .select(col("doc_id"), col("i"), col("r0").as("r"))
+      .localCheckpoint(false)
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (j <- 1 to maxRound) {
+      val h = 1 << (j - 1)
+      val shifted = cur.select(col("doc_id"), (col("i") - h).as("i"),
+        col("r").as("rb"))
+      val pair = cur.join(shifted, Seq("doc_id", "i"), "left")
+        .select(col("doc_id"), col("i"), col("r"),
+          coalesce(col("rb"), lit(-1L)).as("rb"))
+        .localCheckpoint(false) // 3 consumers: sampler, rank shuffle, join-back
+      val rk = Clean.keyedGroupRank(pair.select("r", "rb").distinct(),
+        Seq("r", "rb"), "nr")
+      cur = pair.join(rk, Seq("r", "rb"))
+        .select(col("doc_id"), col("i"), col("nr").as("r"))
+        .localCheckpoint(false)
+      snaps(j) = cur
+    }
+    (nl, snaps.toMap)
+  }
+
   val q329 = {
     val arms = Seq(2, 4) // rounds → prefix lengths 4, 16
     def duckArm(l: Int): String =
@@ -3089,40 +3142,7 @@ object DedupQueries {
          |UNION ALL
          |${duckSel(16)}""".stripMargin)(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(tokens(col("text")))
-            .as(Seq("i", "tok")))
-        val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))
-          .localCheckpoint(false) // joined by both arms
-        // r0: dense rank of the token itself — vocab-sized aggregate,
-        // then the two-level numbering window (zero-key over Aggregate)
-        val vr = base.select("tok").distinct()
-          .withColumn("r0", dense_rank().over(Window.orderBy("tok"))
-            .cast("long"))
-        var cur = base.join(broadcast(vr), Seq("tok"))
-          .select(col("doc_id"), col("i"), col("r0").as("r"))
-          .localCheckpoint(false)
-        val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
-        for (j <- 1 to 4) {
-          val h = 1 << (j - 1)
-          val shifted = cur.select(col("doc_id"), (col("i") - h).as("i"),
-            col("r").as("rb"))
-          val pair = cur.join(shifted, Seq("doc_id", "i"), "left")
-            .select(col("doc_id"), col("i"), col("r"),
-              coalesce(col("rb"), lit(-1L)).as("rb"))
-          val rk = pair.select("r", "rb").distinct()
-            .withColumn("nr", dense_rank().over(Window.orderBy("r", "rb"))
-              .cast("long"))
-          cur = pair.join(rk, Seq("r", "rb"))
-            .select(col("doc_id"), col("i"), col("nr").as("r"))
-          // only round 2 has TWO consumers (the L=4 arm and round 3):
-          // pin that one; the straight-line rounds keep their lineage
-          // (4 rounds is O(1) plan depth — q56's per-round checkpoint
-          // is for UNBOUNDED loops)
-          if (j == 2) cur = cur.localCheckpoint(false)
-          snaps(j) = cur
-        }
+        val (nl, snaps) = suffixRankRounds(s, d, maxRound = 4)
         def arm(rt: DataFrame, l: Int): DataFrame =
           rt.join(nl, Seq("doc_id"))
             .filter(col("i") + l <= col("len"))

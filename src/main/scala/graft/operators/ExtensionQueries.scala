@@ -1881,7 +1881,12 @@ object ExtensionQueries {
       "CAST(ascii(l_returnflag) AS BIGINT)"),
     ("l_linestatus", "CAST(unicode(l_linestatus) AS BIGINT)",
       "CAST(ascii(l_linestatus) AS BIGINT)"),
-    ("l_quantity", "CAST(l_quantity AS BIGINT)", "CAST(l_quantity AS BIGINT)"),
+    // FLOOR before the BIGINT cast in BOTH engines: DuckDB's
+    // double->BIGINT cast rounds to nearest while Spark's truncates —
+    // integral fixtures hide the divergence, fractional quantities
+    // (standard in decimal TPC-H variants) would not (ADVICE r13)
+    ("l_quantity", "CAST(FLOOR(l_quantity) AS BIGINT)",
+      "CAST(FLOOR(l_quantity) AS BIGINT)"),
     ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)",
       "CAST(round(l_discount * 100) AS BIGINT)"),
     ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)",
@@ -1999,7 +2004,9 @@ object ExtensionQueries {
               .otherwise(0L))).as("n_runs"),
             sum("n").as("n_rows"))
         val nd = st.groupBy("c").agg(countDistinct("v").as("n_distinct"))
-        val smear = (1 to 5).map(i => 1 << (i - 1)).foldLeft("(n_distinct - 1)")(
+        // same shift list as smearDuck (incl. the final >>32 stage) so
+        // dict_bits cannot diverge once n_distinct-1 >= 2^32 (ADVICE r13)
+        val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft("(n_distinct - 1)")(
           (acc, k) => s"(($acc) | (shiftright(($acc), $k)))")
         g3.join(broadcast(nd), Seq("c"))
           .withColumn("dict_bits", expr(

@@ -150,10 +150,11 @@ object TextQueries {
     * (the classic vocab-size selection before training a tokenizer).
     * Exact integers end to end: the threshold compare is
     * `(cum − freq)·40 < total·39`, never a float share — HASH-MATCHED.
-    * Scale shape: one map-side-combined token aggregate (vocab-sized,
-    * sublinear in corpus); the rank/cumsum windows are global but run
-    * ABOVE that aggregate — bounded side data, the exact case the
-    * PlanCheck zero-key-window rule permits. */
+    * Scale shape: one map-side-combined token aggregate (vocab-sized —
+    * sublinear in corpus but GROWING, so the rank/cumsum is
+    * Clean.keyedPrefixRank: range-partitioned keyed row_number+cumsum
+    * with driver-prefix-summed P-bounded offsets, no zero-key window
+    * anywhere; a global window here was the r13-verdict #4 class). */
   val q151 = QueryDef.oracle("q151_vocab_coverage",
     """WITH toks AS (SELECT unnest(list_filter(
       |                regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
@@ -173,11 +174,12 @@ object TextQueries {
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("freq"))
       val total = freq.agg(sum("freq").as("total"))
-      val order = Window.orderBy(col("freq").desc, col("tok"))
-      val wCum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      freq
-        .withColumn("rnk", row_number().over(order).cast("long"))
-        .withColumn("cum_freq", sum("freq").over(wCum))
+      // the freq table is VOCAB-sized (grows with the corpus), so the
+      // rank/cumsum must be the keyed two-level form — never a global
+      // window (r13 verdict #4; q329's keyedGroupRank is the sibling)
+      graft.pipeline.Clean.keyedPrefixRank(freq,
+          Seq(col("freq").desc, col("tok")), "rnk",
+          cumOf = Some("freq" -> "cum_freq"))
         .crossJoin(broadcast(total))
         .select(col("tok"), col("freq"), col("rnk"), col("cum_freq"),
           ((col("cum_freq") - col("freq")) * 40 < col("total") * 39).as("in_vocab"))

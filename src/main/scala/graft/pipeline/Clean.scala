@@ -106,6 +106,93 @@ object Clean {
       .drop("__pid", "__opid", "__local", "__off")
   }
 
+  /** Keyed two-level numbering at GROUP grain — [[contiguousId]] lifted
+    * from rows to distinct keys (the r13-verdict fix for data-sized
+    * renumbering): assign every row of an already-DISTINCT key table an
+    * order-consistent long id with NO zero-key window anywhere.
+    * Range-partition on the keys (each distinct key lands in exactly
+    * one partition), `dense_rank` WITHIN partitions (keyed window), and
+    * add per-partition offsets prefix-summed on the DRIVER from the
+    * P-bounded (pid, count) rollup — one row per shuffle partition, the
+    * repo's sanctioned bounded side-data shape — then broadcast back.
+    * Ids are 1-based, unique per key, ascending in key order across
+    * partitions (order-consistent; NOT dense across partitions — dense
+    * within, offset by exact partition counts, so in fact dense
+    * globally too, but callers must only rely on equality + order).
+    * The input is pinned (lazy localCheckpoint) so the range sampler,
+    * the offsets rollup, and the downstream join all read ONE
+    * materialization. At 100 TB this is the only safe renumber shape:
+    * the biggest single-partition working set is |keys|/P, never
+    * |keys|.
+    */
+  def keyedGroupRank(distinctKeys: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val spark = distinctKeys.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranked = distinctKeys
+      .repartitionByRange(parts, keys.map(col): _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__lr", dense_rank().over(
+        Window.partitionBy("__pid").orderBy(keys.map(col): _*)).cast("long"))
+      .localCheckpoint(false)
+    // P-bounded side data: one (pid, max local rank) row per partition
+    val counts = ranked.groupBy("__pid").agg(max("__lr").as("__cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("__opid", "__off")
+    ranked.join(broadcast(offDf), col("__pid") === col("__opid"))
+      .withColumn(out, col("__off") + col("__lr"))
+      .drop("__pid", "__opid", "__lr", "__off")
+  }
+
+  /** Keyed global ROW numbering + running sum — [[keyedGroupRank]]'s
+    * sibling for rank/cumsum workloads (Zipf tables, quantile scoring)
+    * whose input GROWS with the data (vocab-, user-sized): global
+    * `row_number` (and optionally a prefix sum of one column) over a
+    * total order, with NO zero-key window. Requires the sort columns to
+    * be a UNIQUE total order (callers add a tiebreak key — same
+    * contract as every deterministic rank in this repo). Same
+    * two-level shape: range-partition on the sort expressions, keyed
+    * row_number/cumsum within partitions, P-bounded (count, sum)
+    * per-partition rollup prefix-summed on the driver and broadcast
+    * back. `totalCol` optionally attaches the exact global row count
+    * (known for free from the same rollup) as a literal column, which
+    * quantile/NTILE arithmetic downstream needs.
+    */
+  def keyedPrefixRank(df: DataFrame, sortCols: Seq[Column], outRank: String,
+      cumOf: Option[(String, String)] = None,
+      totalCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val base = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__lr", row_number().over(w).cast("long"))
+    val ranked = cumOf.fold(base) { case (c, _) =>
+      base.withColumn("__lc", sum(col(c)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }.localCheckpoint(false)
+    val aggCols = Seq(max(col("__lr")).as("__cnt")) ++
+      cumOf.map { case (c, _) => sum(col(c)).as("__s") }
+    val perPart = ranked.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (cumOf.isDefined) r.getAs[Number](2).longValue else 0L))
+      .sortBy(_._1)
+    var nAcc = 0L; var sAcc = 0L
+    val offs = perPart.map { case (p, n, sm) =>
+      val row = (p, nAcc, sAcc); nAcc += n; sAcc += sm; row }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("__opid", "__roff", "__soff")
+    val joined = ranked.join(broadcast(offDf), col("__pid") === col("__opid"))
+      .withColumn(outRank, col("__roff") + col("__lr"))
+    val withCum = cumOf.fold(joined) { case (_, out) =>
+      joined.withColumn(out, col("__soff") + col("__lc")) }
+    totalCol.fold(withCum)(t => withCum.withColumn(t, lit(nAcc)))
+      .drop("__pid", "__opid", "__lr", "__lc", "__roff", "__soff")
+  }
+
   /** Keep-newest-per-key dedup — deterministic window formulation of the
     * reference's sort-desc + drop_duplicates-keep-first (ref:
     * build_database.py:207-219; SURVEY.md §2.3 A4). Ties and null
