@@ -975,6 +975,20 @@ object PlanCheck {
     check("q329_exact_substring_mass",
       "prefix doubling: per-round shift joins are (doc,pos)-keyed; rounds pinned (ExistingRDD); no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    checkTree("q339_exact_substring_spans",
+      "span extraction: NO zero-key window anywhere (hashBucketRank renumbers; island merge is doc-KEYED)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q339_exact_substring_spans",
+      "span extraction: 6 keyed doubling rounds pinned (ExistingRDD); rank rollup + join-back keyed; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q340_exact_substring_admission",
+      "exact-substring admission: LeftSemi against the bucketed gpos16 inventory; doc-KEYED island windows; no cartesian",
+      p => p.contains("LeftSemi") && !p.contains("CartesianProduct"))
+    checkTree("q340_exact_substring_admission",
+      "exact-substring admission: no zero-key window (island merge + rollup are doc-keyed)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q330_autocorrelation",
       "autocorrelation: 7 lag self-joins ride the pinned AGGREGATE-REDUCED dense grid (ExistingRDD), axis broadcast; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))

@@ -3047,10 +3047,10 @@ object DedupQueries {
     * cross an exchange (grouping raw 16-token windows would shuffle
     * ~100-byte keys; the doubling ships 16 bytes per round — the whole
     * point at 100 TB). The shift join is (doc, pos)-keyed; the per-round
-    * re-numbering rides the DISTINCT pair table through keyedGroupRank
-    * (range-partitioned keyed rank + broadcast offsets — NO zero-key
-    * window; the pair table is DATA-sized so the old global window was
-    * the r13 verdict's one scale-killer). Counted at rounds 2 and
+    * re-numbering rides the DISTINCT pair table through hashBucketRank
+    * (hash-bucketed keyed rank, equality-only injective ids — NO
+    * zero-key window; the pair table is DATA-sized so the old global
+    * window was the r13 verdict's one scale-killer). Counted at rounds 2 and
     * 4: positions whose 4-/16-token window recurs anywhere (dup) and in
     * ANOTHER doc (cross-doc — the contamination/memorization surface,
     * q118's decontam risk measured at exact-match grain). The DuckDB
@@ -3068,17 +3068,19 @@ object DedupQueries {
     * the pair (rank[i], rank[i+2^j-1]) so equality reach doubles while
     * only TWO LONGS per position cross an exchange. EVERY renumber —
     * the round-0 vocab rank and each round's distinct-pair rank — is
-    * [[graft.pipeline.Clean.keyedGroupRank]]: range-partitioned keyed
-    * dense_rank + driver prefix-summed P-bounded offsets, so NO
+    * [[graft.pipeline.Clean.hashBucketRank]]: hash-bucketed keyed
+    * dense_rank composing the injective id bucket·2⁴²+local_rank, so NO
     * zero-key window exists anywhere in the lineage (the r13 verdict's
     * one named 100-TB scale-killer, fixed — the distinct-pair table is
     * DATA-sized at 16-token grain, ~91% of positions unique on this
     * corpus, so the old single-partition renumber would funnel
-    * trillions of rows through one task at 100 TB). Each round's pair
-    * table is pinned once (lazy localCheckpoint): the range sampler,
-    * the offsets rollup, and the join-back all read one
-    * materialization. Returns (per-doc token lengths, rank table per
-    * round 1..maxRound).
+    * trillions of rows through one task at 100 TB). The doubling only
+    * ever tests rank EQUALITY, which is why the equality-only hash form
+    * (one keyed exchange, no range-sampling pass, no driver action)
+    * beats the order-consistent keyedGroupRank here. Each round's pair
+    * table is pinned once (lazy localCheckpoint) for its two consumers
+    * (the distinct and the join-back). Returns (per-doc token lengths,
+    * rank table per round 1..maxRound).
     */
   private def suffixRankRounds(s: SparkSession, d: String, maxRound: Int)
       : (DataFrame, Map[Int, DataFrame]) = {
@@ -3088,7 +3090,7 @@ object DedupQueries {
         .as(Seq("i", "tok")))
     val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .localCheckpoint(false) // joined by every arm
-    val vr = Clean.keyedGroupRank(base.select("tok").distinct(), Seq("tok"), "r0")
+    val vr = Clean.hashBucketRank(base.select("tok").distinct(), Seq("tok"), "r0")
     var cur = base.join(broadcast(vr), Seq("tok"))
       .select(col("doc_id"), col("i"), col("r0").as("r"))
       .localCheckpoint(false)
@@ -3100,8 +3102,8 @@ object DedupQueries {
       val pair = cur.join(shifted, Seq("doc_id", "i"), "left")
         .select(col("doc_id"), col("i"), col("r"),
           coalesce(col("rb"), lit(-1L)).as("rb"))
-        .localCheckpoint(false) // 3 consumers: sampler, rank shuffle, join-back
-      val rk = Clean.keyedGroupRank(pair.select("r", "rb").distinct(),
+        .localCheckpoint(false) // 2 consumers: the distinct and the join-back
+      val rk = Clean.hashBucketRank(pair.select("r", "rb").distinct(),
         Seq("r", "rb"), "nr")
       cur = pair.join(rk, Seq("r", "rb"))
         .select(col("doc_id"), col("i"), col("nr").as("r"))
@@ -3166,9 +3168,188 @@ object DedupQueries {
       })
   }
 
+  /** EXACT-SUBSTRING DUPLICATE SPANS — q329 extended to the Lee et al.
+    * 2022 operating point (r13 verdict #5): rounds 5–6 of the shared
+    * prefix-doubling builder give 32-/64-token window ranks (the paper
+    * deduplicates at 50 tokens; 32/64 bracket it at power grain), and
+    * this query emits the CONCRETE REMOVABLE SPANS a production
+    * exact-substring dedup pass cuts — q178's keep-first rule lifted
+    * from 5-gram to suffix-rank grain: within each rank group (identical
+    * L-token window) the corpus-canonical occurrence min(doc_id·10⁶+pos)
+    * is the keeper; every OTHER occurrence is removable. Removable
+    * window starts merge per doc into maximal spans when they overlap
+    * or touch (gap ≤ L), via a doc-KEYED lag/cumsum window — never a
+    * global one. The rank grouping uses the keyed renumber throughout
+    * (suffixRankRounds — no zero-key window at any round). The DuckDB
+    * oracle is INDEPENDENT-ALGORITHM: it groups actual token-array
+    * slices, picks the same min-key keeper, and rebuilds islands from
+    * the definition. `ExactSubstringSpansSpec` proves the containment
+    * theorem: every span lies inside the UNION of q175's 5-gram dup
+    * islands on the same corpus (an L-dup window's every 5-gram recurs,
+    * so each constituent window sits inside ONE island; the merged span
+    * sits inside their union). Scale shape: 6 keyed doubling rounds →
+    * per-grain (rank)-keyed rollup + join-back → doc-keyed island merge.
+    * Output: one row per removable span per grain. HASH-MATCHED. */
+  val q339 = {
+    val grains = Seq(5, 6) // rounds → window lengths 32, 64
+    def duckArm(l: Int): String =
+      s"""p$l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i0,
+         |          l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
+         |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
+         |g$l AS (SELECT s, count(*) AS n,
+         |          min(doc_id * 1000000 + i0) AS keeper
+         |        FROM p$l GROUP BY s),
+         |dup$l AS (SELECT p.doc_id, p.i0
+         |          FROM p$l p JOIN g$l g USING (s)
+         |          WHERE g.n > 1 AND p.doc_id * 1000000 + p.i0 <> g.keeper),
+         |brk$l AS (SELECT doc_id, i0,
+         |            CASE WHEN i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0)
+         |                   <= $l THEN 0 ELSE 1 END AS brk
+         |          FROM dup$l),
+         |isl$l AS (SELECT doc_id, i0, SUM(brk) OVER (PARTITION BY doc_id
+         |            ORDER BY i0 ROWS UNBOUNDED PRECEDING) AS isl
+         |          FROM brk$l),
+         |sp$l AS (SELECT CAST($l AS BIGINT) AS prefix_len, doc_id,
+         |           min(i0) AS span_start, max(i0) + $l AS span_end,
+         |           max(i0) + $l - min(i0) AS span_tokens,
+         |           CAST(count(*) AS BIGINT) AS n_starts
+         |         FROM isl$l GROUP BY doc_id, isl)""".stripMargin
+    QueryDef.oracle("q339_exact_substring_spans",
+      s"""WITH toks AS (SELECT doc_id, list_filter(
+         |                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+         |              FROM documents),
+         |${duckArm(32)},
+         |${duckArm(64)}
+         |SELECT * FROM sp32 UNION ALL SELECT * FROM sp64""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (nl, snaps) = suffixRankRounds(s, d, maxRound = 6)
+        def spansAt(j: Int): DataFrame = {
+          val l = 1 << j
+          val rt = snaps(j).join(nl, Seq("doc_id"))
+            .filter(col("i") + l <= col("len"))
+            .select(col("doc_id"), col("i").cast("long").as("i0"), col("r"))
+            .withColumn("pk", col("doc_id") * 1000000L + col("i0"))
+          val grp = rt.groupBy("r")
+            .agg(count(lit(1)).as("n"), min("pk").as("keeper"))
+          val dup = rt.join(grp, Seq("r"))
+            .filter(col("n") > 1 && col("pk") =!= col("keeper"))
+            .select("doc_id", "i0")
+          val w = Window.partitionBy("doc_id").orderBy("i0")
+          val brk = dup
+            .withColumn("brk", when(col("i0") - lag("i0", 1).over(w) <= l, 0L)
+              .otherwise(1L))
+            .withColumn("isl", sum("brk").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          brk.groupBy("doc_id", "isl")
+            .agg(min("i0").as("span_start"),
+              (max("i0") + l).as("span_end"),
+              (max("i0") + l - min("i0")).as("span_tokens"),
+              count(lit(1)).as("n_starts"))
+            .select(lit(l.toLong).as("prefix_len"), col("doc_id"),
+              col("span_start"), col("span_end"), col("span_tokens"),
+              col("n_starts"))
+        }
+        grains.map(spansAt).reduce(_ unionByName _)
+      })
+  }
+
+  /** EXACT-SUBSTRING INCREMENTAL ADMISSION — the intake gate at
+    * exact-match grain (r13 verdict #7): each arriving (day-2) document
+    * is checked against the STORED 16-token window-digest inventory of
+    * the index corpus (gpos16, built once at ingest like gpos5/gpos3),
+    * and the verdict reports the EXACT duplicated geometry — matched
+    * windows merged into maximal runs per doc (the q339 island rule at
+    * intake), total covered tokens, and the LONGEST contiguous
+    * duplicated run. Flag rule: longest run ≥ 32 tokens (a full q339-
+    * grain copy survived inside the arrival — q118's decontam risk at
+    * exact-match grain) OR ≥ half the doc covered (q180's mass rule).
+    * This closes the intake family: q180 gates on 5-gram mass (blind
+    * to WHERE), this gate on 16-token exact windows with run geometry;
+    * the streaming twin is `DocStreams.exactSubstringGate` (stateless
+    * stream-static join against the same stored inventory,
+    * stream-≡-batch spec-pinned). Scale shape: arrivals-only gram
+    * explode → keyed left-semi against the bucketed inventory →
+    * doc-KEYED island windows → per-doc rollup. Output: one row per
+    * arriving doc. HASH-MATCHED. */
+  val q340 = {
+    val L = 16
+    QueryDef.oracle("q340_exact_substring_admission",
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\\s+'), []),
+         |                             x -> x <> '') AS l
+         |  FROM documents),
+         |gpos AS (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${L - 1}], 'string_agg', ' '))}
+         |                        FOR i IN range(1, len(l) - $L + 2)]
+         |                        , recursive := true)
+         |  FROM toks WHERE len(l) >= $L),
+         |idx AS (SELECT DISTINCT gh FROM gpos WHERE doc_id % 5 <> 0),
+         |hit AS (SELECT g.doc_id, g.pos FROM gpos g JOIN idx USING (gh)
+         |        WHERE g.doc_id % 5 = 0),
+         |brk AS (SELECT doc_id, pos,
+         |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                 <= $L THEN 0 ELSE 1 END AS b
+         |        FROM hit),
+         |isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM brk),
+         |runs AS (SELECT doc_id, min(pos) AS s, max(pos) + $L AS e,
+         |           CAST(count(*) AS BIGINT) AS nw
+         |         FROM isl GROUP BY doc_id, grp),
+         |per AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS covered_tokens,
+         |          CAST(MAX(e - s) AS BIGINT) AS longest_run_tokens,
+         |          CAST(SUM(nw) AS BIGINT) AS n_dup_windows
+         |        FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |       CAST(GREATEST(len(l) - ${L - 1}, 0) AS BIGINT) AS n_windows,
+         |       COALESCE(n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+         |       COALESCE(covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+         |       COALESCE(longest_run_tokens, CAST(0 AS BIGINT)) AS longest_run_tokens,
+         |       COALESCE(longest_run_tokens >= ${2 * L}, FALSE)
+         |         OR (len(l) > 0 AND COALESCE(covered_tokens, 0) * 2 >= len(l))
+         |         AS flagged
+         |FROM toks t LEFT JOIN per USING (doc_id)
+         |WHERE t.doc_id % 5 = 0""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = storedGramPositions(s, d, L)
+        val isNew = col("doc_id") % 5 === 0
+        val idx = g.filter(!isNew).select("gh").distinct()
+        val hit = g.filter(isNew).join(idx, Seq("gh"), "left_semi")
+          .select("doc_id", "pos")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val runs = hit
+          .withColumn("b", when(col("pos") - lag("pos", 1).over(w) <= L, 0L)
+            .otherwise(1L))
+          .withColumn("grp", sum("b").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "grp")
+          .agg(min("pos").as("s"), (max("pos") + L).as("e"),
+            count(lit(1)).as("nw"))
+        val per = runs.groupBy("doc_id").agg(
+          sum(col("e") - col("s")).cast("long").as("covered_tokens"),
+          max(col("e") - col("s")).cast("long").as("longest_run_tokens"),
+          sum("nw").as("n_dup_windows"))
+        Tables.documents(s, d).filter(isNew)
+          .select(col("doc_id"),
+            size(tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            greatest(col("n_tokens") - (L - 1), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+            coalesce(col("longest_run_tokens"), lit(0L)).as("longest_run_tokens"),
+            (coalesce(col("longest_run_tokens") >= 2 * L, lit(false)) ||
+              (col("n_tokens") > 0 &&
+                coalesce(col("covered_tokens"), lit(0L)) * 2 >= col("n_tokens")))
+              .as("flagged"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310, q329)
+      q275, q277, q295, q298, q304, q310, q329, q339, q340)
 }

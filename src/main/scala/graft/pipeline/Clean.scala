@@ -146,6 +146,28 @@ object Clean {
       .drop("__pid", "__opid", "__lr", "__off")
   }
 
+  /** EQUALITY-ONLY keyed numbering — the cheapest two-level form, for
+    * renumbers that never consume rank ORDER (q329/q339's prefix
+    * doubling tests only pair equality): bucket each distinct key row
+    * by hash, dense_rank WITHIN buckets (keyed window — its exchange is
+    * the only shuffle), and compose the injective id
+    * `bucket · 2⁴² + local_rank`. Equal keys hash to one bucket and get
+    * one local rank, so equal ⇔ equal-id; different buckets occupy
+    * disjoint id ranges, so the map is injective with NO range-sampling
+    * pass and NO driver action ([[keyedGroupRank]] pays both to buy
+    * order-consistency — use it when downstream sorts by the id).
+    * Capacity: bucket < 2²¹, per-bucket ranks < 2⁴² — at 100 TB a
+    * partition would hold trillions of distinct keys before overflow.
+    */
+  def hashBucketRank(distinctKeys: DataFrame, keys: Seq[String], out: String): DataFrame = {
+    val parts = distinctKeys.sparkSession.sessionState.conf.numShufflePartitions
+    distinctKeys
+      .withColumn("__b", pmod(hash(keys.map(col): _*), lit(parts)).cast("long"))
+      .withColumn(out, (col("__b") * (1L << 42)) + dense_rank().over(
+        Window.partitionBy("__b").orderBy(keys.map(col): _*)).cast("long"))
+      .drop("__b")
+  }
+
   /** Keyed global ROW numbering + running sum — [[keyedGroupRank]]'s
     * sibling for rank/cumsum workloads (Zipf tables, quantile scoring)
     * whose input GROWS with the data (vocab-, user-sized): global

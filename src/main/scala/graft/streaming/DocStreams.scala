@@ -206,6 +206,79 @@ object DocStreams {
       }
   }
 
+  final case class ExactSubVerdict(doc_id: Long, n_tokens: Long,
+    n_windows: Long, n_dup_windows: Long, covered_tokens: Long,
+    longest_run_tokens: Long, flagged: Boolean, ts: Timestamp)
+  final case class ExactSubRow(doc_id: Long, ts: Timestamp,
+    n_tokens: Int, pos: Option[Int], m: Option[Int])
+
+  /** Streaming form of q340's exact-substring admission — the intake
+    * gate at EXACT-match grain (the r13 verdict's missing family
+    * member): each arriving document's L-token windows are digested
+    * scan-side with the SAME tokenize/gram/md5 chain as the stored
+    * gpos$L inventory, checked via a STATELESS stream-static left-outer
+    * join against that inventory's distinct window digests, and folded
+    * into a per-doc verdict carrying the exact duplicated GEOMETRY:
+    * matched windows merged into maximal runs (q339's island rule —
+    * overlap-or-touch, gap ≤ L), total covered tokens, and the longest
+    * contiguous duplicated run. Flag = longest run ≥ 2L (a full
+    * q339-grain copy arrived — q118's decontam risk at ingest) OR ≥
+    * half the doc covered (q180's mass rule). Zero stored state
+    * (NoTimeout, state never set): a doc's window rows all land in its
+    * arrival trigger, so the group's rows are the complete evidence.
+    * Window-less (short/NULL-text) docs flow through with zeros via
+    * posexplode_outer. Stream ≡ q340 pinned by
+    * ExactSubstringGateStreamSpec.
+    */
+  def exactSubstringGate(
+      docs: DataFrame,
+      invWindows: DataFrame, // (gh) — DISTINCT index window digests
+      l: Int = 16,
+      watermark: String = "1 hour"): Dataset[ExactSubVerdict] = {
+    import docs.sparkSession.implicits._
+    val joined = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        size(graft.functions.TextFunctions.tokens(
+          coalesce(col("text"), lit("")))).as("n_tokens"),
+        posexplode_outer(
+          graft.functions.HashFunctions.wordNgramsNative(
+            coalesce(col("text"), lit("")), l)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("ts"), col("n_tokens"), col("pos"),
+        md5(col("gram")).as("gh"))
+      .join(invWindows.select(col("gh"), lit(1).as("m")), Seq("gh"), "left_outer")
+      .select(col("doc_id"), col("ts"), col("n_tokens"), col("pos"), col("m"))
+      .as[ExactSubRow]
+    joined.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Boolean, ExactSubVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[ExactSubRow], _: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          val n = rs.head.n_tokens
+          val starts = rs.collect {
+            case ExactSubRow(_, _, _, Some(p), Some(_)) => p
+          }.distinct.sorted
+          // q339's island rule: merge matched windows at gap <= l
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          starts.foreach { p =>
+            runs.lastOption match {
+              case Some((s0, e0)) if p <= e0 =>
+                runs(runs.length - 1) = (s0, math.max(e0, p + l))
+              case _ => runs += ((p, p + l))
+            }
+          }
+          val covered = runs.iterator.map { case (s0, e0) => (e0 - s0).toLong }.sum
+          val longest =
+            if (runs.isEmpty) 0L
+            else runs.iterator.map { case (s0, e0) => (e0 - s0).toLong }.max
+          val ts = rs.map(_.ts).maxBy(_.getTime)
+          Iterator.single(ExactSubVerdict(id, n.toLong,
+            math.max(n - l + 1, 0).toLong, starts.length.toLong, covered,
+            longest,
+            flagged = longest >= 2L * l || (n > 0 && covered * 2 >= n), ts))
+      }
+  }
+
   /** Streaming form of q148's incremental cross-corpus admission: each
     * ARRIVING document is checked against the STORED band index — the
     * day-to-day ingest gate, now per-document instead of per-batch.
