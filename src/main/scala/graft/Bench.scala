@@ -26,6 +26,24 @@ object Bench {
       .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))).toMap
   }
 
+  /** Carried-vs-new decomposition of a sweep against the previous-round
+    * map (r13 verdict #2: "carried flat" must be a COMPUTED number, not
+    * a spot check — the r13 close spot-checked three heavies and missed
+    * a broad +12% tail). Returns (carriedN, carriedSec, carriedPrevSec,
+    * medianPerQueryRatio, newN, newSec); failures (-1 timings) and
+    * zero/absent prev entries are excluded from ratios. Unit-tested
+    * (BenchPrevParseSpec). */
+  private[graft] def carriedDelta(results: Map[String, Double],
+      prev: Map[String, Double]): (Int, Double, Double, Double, Int, Double) = {
+    val ok = results.filter(_._2 >= 0)
+    val carried = ok.filter { case (k, _) => prev.get(k).exists(_ > 0) }
+    val newOnes = ok.filter { case (k, _) => !prev.get(k).exists(_ > 0) }
+    val ratios = carried.map { case (k, v) => v / prev(k) }.toSeq.sorted
+    val med = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+    (carried.size, carried.values.sum, carried.keys.map(prev).sum, med,
+      newOnes.size, newOnes.values.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -147,12 +165,24 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
 
+    // Carried-vs-new decomposition (r13 verdict #2): printed AND recorded
+    // so "carried flat" is a computed number every sweep, not a sample.
+    val (cN, cSec, cPrev, cMed, nN, nSec) = carriedDelta(results, prevRound)
+    if (only.isEmpty && cN > 0) System.err.println(String.format(
+      java.util.Locale.ROOT,
+      "[bench] carried subtotal: %.1f s over %d queries vs prev %.1f s (x%.3f total, x%.3f median per-query); new ops: %.1f s over %d",
+      Double.box(cSec), Int.box(cN), Double.box(cPrev),
+      Double.box(if (cPrev > 0) cSec / cPrev else 0.0), Double.box(cMed),
+      Double.box(nSec), Int.box(nN)))
+
     // Full-precision, every-query JSON goes to the file.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
     val recheckedJson = rechecked.map(Json.q).mkString("[", ",", "]")
+    val carriedJson =
+      s"""{"n":$cN,"sec":$cSec,"prev_sec":$cPrev,"median_ratio":$cMed,"new_n":$nN,"new_sec":$nSec}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"stall_rechecked":$recheckedJson,"sf":${Json.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"stall_rechecked":$recheckedJson,"carried":$carriedJson,"sf":${Json.q(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] wrote $outPath")

@@ -163,7 +163,9 @@ object PlanAudit {
     "q322_neyman_allocation" ->
       "|sources|-bounded: largest-remainder rank over the 4-source table",
     "q331_bradley_terry" ->
-      "|sources|-bounded: final strength rank over the 4-source table")
+      "|sources|-bounded: final strength rank over the 4-source table",
+    "q341_session_paths" ->
+      "limit-bounded: rank over the top-10 entry-path list (path axis is alphabet^3-bounded anyway)")
 
   private def nontrivialPredicate(cond: Expression): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {

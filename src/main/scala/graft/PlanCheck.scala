@@ -989,6 +989,21 @@ object PlanCheck {
       "exact-substring admission: no zero-key window (island merge + rollup are doc-keyed)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q341_session_paths",
+      "session paths: user-keyed session windows; top-10 via TakeOrderedAndProject; totals broadcast; no cartesian",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q342_shingle_size_advisor",
+      "shingle advisor: one pinned text read feeds all four stacked arms (ExistingRDD); (w,gh)-keyed rollup; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q343_dedup_lm_impact",
+      "dedup LM impact: pinned train/count fragments (ExistingRDD); variant axis broadcast; eval join vocab-KEYED; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q344_loo_source_valuation",
+      "LOO valuation: pinned fragments (ExistingRDD); |sources|+1-row variant axis broadcast; eval join vocab-KEYED; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     check("q330_autocorrelation",
       "autocorrelation: 7 lag self-joins ride the pinned AGGREGATE-REDUCED dense grid (ExistingRDD), axis broadcast; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))

@@ -3347,9 +3347,81 @@ object DedupQueries {
       })
   }
 
+  /** SHINGLE-SIZE ADVISOR — the knob every gram-grain artifact in this
+    * engine is built on (gpos3 feeds q148/q164, gpos5 the q175/q178
+    * span family + winnowing, gpos16 the q340 intake gate), priced per
+    * candidate w ∈ {3, 5, 8, 16} from ONE stacked scan: positions
+    * (postings rows — the index's fact side), distinct grams
+    * (dictionary side), duplicated-position mass and its cross-doc part
+    * (what the gate can SEE at that grain, in exact ppm), and dup
+    * groups. The tradeoff the table shows: small w = bigger dup mass
+    * (more sensitive, more false-positive-ish matches, bigger
+    * dictionary share per position), large w = exact-copy-only. This
+    * is the decision table read BEFORE building a gram inventory at
+    * 100 TB — the gram-grain sibling of q263's (b, r) banding advisor.
+    * Scale shape: one corpus scan stacked ×4 → (w, gh)-keyed rollup →
+    * 4-row advisor table. Output: one row per w. HASH-MATCHED. */
+  val q342 = {
+    val ws = Seq(3, 5, 8, 16)
+    def duckArm(w: Int): String =
+      s"""SELECT $w AS w, doc_id,
+         |  md5(list_aggregate(l[i:i+${w - 1}], 'string_agg', ' ')) AS gh
+         |FROM toks, unnest(range(1, len(l) - $w + 2)) AS t$w(i)""".stripMargin
+    QueryDef.oracle("q342_shingle_size_advisor",
+      s"""WITH toks AS (SELECT doc_id, list_filter(
+         |                COALESCE(regexp_split_to_array(text, '\\s+'), []),
+         |                x -> x <> '') AS l
+         |              FROM documents),
+         |st AS (${ws.map(duckArm).mkString("\nUNION ALL\n")}),
+         |g AS (SELECT w, gh, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |      FROM st GROUP BY 1, 2)
+         |SELECT CAST(w AS BIGINT) AS w,
+         |  CAST(SUM(n) AS BIGINT) AS n_positions,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS dup_positions,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000
+         |       // SUM(n) AS BIGINT) AS dup_ppm,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS cross_doc_positions,
+         |  CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) * 1000000
+         |       // SUM(n) AS BIGINT) AS cross_doc_ppm,
+         |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS dup_groups
+         |FROM g GROUP BY 1""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .localCheckpoint(false) // one text read feeds all four arms
+        val st = ws.map { w =>
+          docs.select(lit(w).as("w"), col("doc_id"),
+            explode(wordNgrams(col("text"), w)).as("gram"))
+            .select(col("w"), col("doc_id"), md5(col("gram")).as("gh"))
+        }.reduce(_ unionByName _)
+        st.groupBy("w", "gh")
+          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+          .groupBy("w")
+          .agg(sum("n").as("n_positions"),
+            count(lit(1)).as("n_distinct_grams"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_positions"),
+            sum(when(col("nd") > 1, col("n")).otherwise(0L))
+              .as("cross_doc_positions"),
+            count(when(col("n") > 1, 1)).cast("long").as("dup_groups"))
+          .select(col("w").cast("long").as("w"), col("n_positions"),
+            col("n_distinct_grams"),
+            col("dup_positions"),
+            expr("CAST(dup_positions * 1000000 div n_positions AS BIGINT)")
+              .as("dup_ppm"),
+            col("cross_doc_positions"),
+            expr("CAST(cross_doc_positions * 1000000 div n_positions AS BIGINT)")
+              .as("cross_doc_ppm"),
+            col("dup_groups"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310, q329, q339, q340)
+      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342)
 }

@@ -1854,8 +1854,216 @@ object ModelPrepQueries {
           (col("eval_source") === col("train_source")).as("is_diagonal"))
     })
 
+  /** DEDUP → LM IMPACT — the Lee et al. 2022 headline claim
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * MEASURED on this corpus instead of assumed: train the add-1
+    * unigram LM twice on the train split (doc_id % 5 ≠ 0) — once on
+    * every train doc ('full'), once on exact-dedup keepers only
+    * ('dedup', q50's rule: min doc_id per md5(text) group among train
+    * docs) — and score BOTH models on the same held-out split
+    * (doc_id % 5 = 0) in exact micro-bits (q187's ladder:
+    * micro_bits = round(log2((T+V)/(c+1))·10⁶) per eval TYPE, weighted
+    * by eval count; V is the WHOLE-corpus vocab so the two variants
+    * smooth over an identical event space and their cross-entropies are
+    * directly comparable). The output row pair is the evidence a data
+    * curator cites for (or against) running the dedup pass before
+    * training — on a template-duplicated corpus the 'full' model
+    * overweights repeated content and pays for it on held-out text.
+    * Scale shape: one train scan exploded per variant tag (keeper docs
+    * carry both tags) → (variant, tok)-keyed counts → eval-vocab-keyed
+    * left join (eval types × 2 variants) → 2-row report. Output: one
+    * row per variant. HASH-MATCHED. */
+  val q343 = QueryDef.oracle("q343_dedup_lm_impact",
+    """WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      |tr AS (SELECT doc_id, text, md5(text) AS h FROM docs WHERE doc_id % 5 <> 0),
+      |keep AS (SELECT h, min(doc_id) AS keeper_id FROM tr GROUP BY 1),
+      |tagged AS (SELECT t.doc_id, t.text, v.variant
+      |           FROM tr t JOIN keep k USING (h),
+      |                unnest(['full', 'dedup']) AS v(variant)
+      |           WHERE v.variant = 'full' OR t.doc_id = k.keeper_id),
+      |tt AS (SELECT variant, unnest(list_filter(
+      |         regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |       FROM tagged),
+      |cv AS (SELECT variant, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM tt GROUP BY 1, 2),
+      |tv AS (SELECT variant, CAST(SUM(c) AS BIGINT) AS t_train FROM cv GROUP BY 1),
+      |nd AS (SELECT variant, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+      |       FROM tagged GROUP BY 1),
+      |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |       FROM (SELECT unnest(list_filter(
+      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |             FROM docs)),
+      |ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS m
+      |       FROM (SELECT unnest(list_filter(
+      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |             FROM docs WHERE doc_id % 5 = 0) GROUP BY 1),
+      |sc AS (SELECT tv.variant, ev.tok, ev.m,
+      |         CAST(round(log2(CAST(tv.t_train + va.vocab AS DOUBLE)
+      |              / (COALESCE(cv.c, 0) + 1)) * 1000000) AS BIGINT) AS micro_bits
+      |       FROM ev CROSS JOIN tv CROSS JOIN va
+      |       LEFT JOIN cv ON cv.variant = tv.variant AND cv.tok = ev.tok),
+      |agg AS (SELECT variant, CAST(SUM(m * micro_bits) AS BIGINT) AS micro_sum,
+      |          CAST(SUM(m) AS BIGINT) AS eval_tokens
+      |        FROM sc GROUP BY 1)
+      |SELECT a.variant, nd.n_train_docs, tv.t_train AS n_train_tokens,
+      |       va.vocab, a.eval_tokens,
+      |       round(a.micro_sum / 1000000.0 / a.eval_tokens, 4) AS bits_per_token
+      |FROM agg a JOIN tv USING (variant) JOIN nd USING (variant), va""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .localCheckpoint(false) // feeds train tagging, vocab, and eval
+      val isEval = col("doc_id") % 5 === 0
+      val tr = docs.filter(!isEval).withColumn("h", md5(col("text")))
+      val keep = tr.groupBy("h").agg(min("doc_id").as("keeper_id"))
+      val tagged = tr.join(keep, Seq("h"))
+        .withColumn("variant", explode(
+          when(col("doc_id") === col("keeper_id"),
+            array(lit("full"), lit("dedup"))).otherwise(array(lit("full")))))
+        .select(col("variant"), col("doc_id"), col("text"))
+        .localCheckpoint(false) // feeds counts and the doc rollup
+      val cv = tagged
+        .select(col("variant"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("variant", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds totals and the eval join
+      val tv = cv.groupBy("variant").agg(sum("c").as("t_train"))
+      val nd = tagged.groupBy("variant").agg(count(lit(1)).as("n_train_docs"))
+      val va = docs.select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("vocab"))
+      val ev = docs.filter(isEval)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("m"))
+      val sc = ev.crossJoin(broadcast(tv)).crossJoin(broadcast(va))
+        .join(cv, Seq("variant", "tok"), "left")
+        .withColumn("micro_bits", round(log2(
+          (col("t_train") + col("vocab")).cast("double")
+            / (coalesce(col("c"), lit(0L)) + 1)) * 1000000).cast("long"))
+      sc.groupBy("variant")
+        .agg(sum(col("m") * col("micro_bits")).as("micro_sum"),
+          sum("m").as("eval_tokens"))
+        .join(broadcast(tv), Seq("variant"))
+        .join(broadcast(nd), Seq("variant"))
+        .crossJoin(broadcast(va))
+        .select(col("variant"), col("n_train_docs"),
+          col("t_train").as("n_train_tokens"), col("vocab"),
+          col("eval_tokens"),
+          round(col("micro_sum") / lit(1000000.0) / col("eval_tokens"), 4)
+            .as("bits_per_token"))
+    })
+
+  /** LEAVE-ONE-SOURCE-OUT DATA VALUATION — the ablation table behind
+    * every mixture decision: q343's train/eval ladder re-run with one
+    * variant per dropped source ('drop_<s>' trains on every train doc
+    * NOT from s; 'all' is the reference), scoring each model on the SAME
+    * held-out split with the SAME whole-corpus smoothing vocab, so the
+    * per-variant cross-entropies differ ONLY by the training data. The
+    * verdict column is the exact micro-bit delta vs 'all': positive =
+    * held-out got WORSE without that source = the source is worth
+    * tokens; ≈0/negative = redundant (its content is covered by the
+    * others — on a duplicated corpus, exactly what q159/q236's overlap
+    * matrices predict). This is the measured form of "which source
+    * earns its budget" that q302's waterfilling and q214's
+    * apportionment take as input. Scale shape: one train scan exploded
+    * per matching variant (|sources|+1 tags via a broadcast axis — 21
+    * rows on this corpus's 20 sources; the stack multiplies the token
+    * stream by |sources|+1, which is the honest cost of exact LOO — at
+    * 100 TB run it on the q45-style deterministic sample or amortize
+    * into one pass with per-source partial sums when |sources| grows) →
+    * (variant, tok)-keyed counts → eval-type join → |sources|+1-row
+    * report. Output: one row per variant. HASH-MATCHED. */
+  val q344 = QueryDef.oracle("q344_loo_source_valuation",
+    """WITH docs AS (SELECT doc_id, source, COALESCE(text, '') AS text
+      |              FROM documents),
+      |srcs AS (SELECT DISTINCT source FROM docs),
+      |vars AS (SELECT 'all' AS variant, NULL AS excluded
+      |         UNION ALL SELECT 'drop_' || source, source FROM srcs),
+      |tagged AS (SELECT v.variant, d.doc_id, d.text
+      |           FROM docs d JOIN vars v
+      |             ON v.excluded IS NULL OR v.excluded <> d.source
+      |           WHERE d.doc_id % 5 <> 0),
+      |tt AS (SELECT variant, unnest(list_filter(
+      |         regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |       FROM tagged),
+      |cv AS (SELECT variant, tok, CAST(count(*) AS BIGINT) AS c
+      |       FROM tt GROUP BY 1, 2),
+      |tv AS (SELECT variant, CAST(SUM(c) AS BIGINT) AS t_train FROM cv GROUP BY 1),
+      |nd AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_train_docs
+      |       FROM tagged GROUP BY 1),
+      |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      |       FROM (SELECT unnest(list_filter(
+      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |             FROM docs)),
+      |ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS m
+      |       FROM (SELECT unnest(list_filter(
+      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |             FROM docs WHERE doc_id % 5 = 0) GROUP BY 1),
+      |sc AS (SELECT tv.variant, ev.m,
+      |         CAST(round(log2(CAST(tv.t_train + va.vocab AS DOUBLE)
+      |              / (COALESCE(cv.c, 0) + 1)) * 1000000) AS BIGINT) AS micro_bits
+      |       FROM ev CROSS JOIN tv CROSS JOIN va
+      |       LEFT JOIN cv ON cv.variant = tv.variant AND cv.tok = ev.tok),
+      |agg AS (SELECT variant, CAST(SUM(m * micro_bits) AS BIGINT) AS micro_sum,
+      |          CAST(SUM(m) AS BIGINT) AS eval_tokens
+      |        FROM sc GROUP BY 1),
+      |fin AS (SELECT variant, micro_sum, eval_tokens,
+      |          CAST(micro_sum // eval_tokens AS BIGINT) AS mbits_per_token
+      |        FROM agg),
+      |ref AS (SELECT mbits_per_token AS ref_mbits FROM fin WHERE variant = 'all')
+      |SELECT f.variant, nd.n_train_docs, tv.t_train AS n_train_tokens,
+      |       f.eval_tokens, f.mbits_per_token,
+      |       CAST(f.mbits_per_token - ref.ref_mbits AS BIGINT) AS delta_mbits
+      |FROM fin f JOIN tv USING (variant) JOIN nd USING (variant), ref""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          coalesce(col("text"), lit("")).as("text"))
+        .localCheckpoint(false)
+      val isEval = col("doc_id") % 5 === 0
+      val srcs = docs.select("source").distinct()
+      val vars = srcs.select(concat(lit("drop_"), col("source")).as("variant"),
+          col("source").as("excluded"))
+        .unionByName(srcs.sparkSession.range(1)
+          .select(lit("all").as("variant"), lit(null).cast("string").as("excluded")))
+      val tagged = docs.filter(!isEval)
+        .crossJoin(broadcast(vars))
+        .filter(col("excluded").isNull || col("excluded") =!= col("source"))
+        .select(col("variant"), col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val cv = tagged
+        .select(col("variant"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("variant", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val tv = cv.groupBy("variant").agg(sum("c").as("t_train"))
+      val nd = tagged.groupBy("variant").agg(count(lit(1)).as("n_train_docs"))
+      val va = docs.select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("vocab"))
+      val ev = docs.filter(isEval)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("m"))
+      val fin = ev.crossJoin(broadcast(tv)).crossJoin(broadcast(va))
+        .join(cv, Seq("variant", "tok"), "left")
+        .withColumn("micro_bits", round(log2(
+          (col("t_train") + col("vocab")).cast("double")
+            / (coalesce(col("c"), lit(0L)) + 1)) * 1000000).cast("long"))
+        .groupBy("variant")
+        .agg(sum(col("m") * col("micro_bits")).as("micro_sum"),
+          sum("m").as("eval_tokens"))
+        .withColumn("mbits_per_token",
+          expr("CAST(micro_sum div eval_tokens AS BIGINT)"))
+        .localCheckpoint(false) // read by the report and the 1-row ref
+      val ref = fin.filter(col("variant") === "all")
+        .select(col("mbits_per_token").as("ref_mbits"))
+      fin.join(broadcast(tv), Seq("variant"))
+        .join(broadcast(nd), Seq("variant"))
+        .crossJoin(broadcast(ref))
+        .select(col("variant"), col("n_train_docs"),
+          col("t_train").as("n_train_tokens"), col("eval_tokens"),
+          col("mbits_per_token"),
+          (col("mbits_per_token") - col("ref_mbits")).as("delta_mbits"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308, q320, q328)
+      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344)
 }

@@ -66,4 +66,20 @@ class BenchPrevParseSpec extends AnyFunSuite {
     assert(m.contains("q17_poc_analysis"))
     assert(m.keys.forall(!_.contains("\\")))
   }
+
+  test("carriedDelta decomposes carried vs new and excludes failures") {
+    val results = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> -1.0, "q4_new" -> 4.0)
+    val prev = Map("q1" -> 0.5, "q2" -> 2.0, "q3" -> 1.0, "q_gone" -> 9.0)
+    val (cN, cSec, cPrev, cMed, nN, nSec) = Bench.carriedDelta(results, prev)
+    assert(cN == 2 && cSec == 3.0 && cPrev == 2.5)
+    // ratios: q1 2.0, q2 1.0 -> sorted (1.0, 2.0), median idx 1 = 2.0
+    assert(cMed == 2.0)
+    assert(nN == 1 && nSec == 4.0)
+  }
+
+  test("carriedDelta treats a zero/absent prev entry as new, never divides by it") {
+    val (cN, _, _, _, nN, _) =
+      Bench.carriedDelta(Map("a" -> 1.0, "b" -> 1.0), Map("a" -> 0.0))
+    assert(cN == 0 && nN == 2)
+  }
 }
