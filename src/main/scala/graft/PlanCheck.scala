@@ -1000,6 +1000,25 @@ object PlanCheck {
       "dedup LM impact: pinned train/count fragments (ExistingRDD); variant axis broadcast; eval join vocab-KEYED; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    check("q345_label_propagation",
+      "LPA: edge set pinned once (ExistingRDD); per-round vertex-KEYED rank-1 windows; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    checkTree("q345_label_propagation",
+      "LPA: no zero-key window (argmax rank is vertex-keyed)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q346_forecast_backtest",
+      "forecast backtest: day-KEYED self-joins on the pinned day rollup — no window at all",
+      p => p.contains("ExistingRDD") && !p.contains("WindowExec") &&
+        !p.contains("CartesianProduct"))
+    check("q347_keyword_extraction",
+      "keywords: one pinned tokenize feeds tf AND df (ExistingRDD); doc-KEYED top-3; n_docs broadcast",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q348_zipf_fit",
+      "zipf fit: NO zero-key window (rank via keyedPrefixRank over the growing vocab)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q344_loo_source_valuation",
       "LOO valuation: pinned fragments (ExistingRDD); |sources|+1-row variant axis broadcast; eval join vocab-KEYED; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&

@@ -3419,9 +3419,74 @@ object DedupQueries {
       })
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES — the third graph view of the
+    * near-dup pair graph (q56's components say WHO is connected, q246's
+    * k-core says how DENSELY, this says into which DENSE NEIGHBORHOODS
+    * a component decomposes): synchronous LPA, 3 rounds, fully
+    * deterministic — label(v)₀ = v, each round every vertex adopts the
+    * most frequent label among its neighbors with ties broken toward
+    * the SMALLEST label (the rule that makes LPA, normally
+    * order-sensitive, replayable by any engine). Communities refine
+    * components: chains and loosely-bridged clusters split at the
+    * bridge, which is the structure a dedup reviewer wants when q213's
+    * histogram shows a mega-cluster (template hub vs true copies). The
+    * DuckDB oracle replays all 3 rounds as unrolled CTEs with the same
+    * rank-1 argmax. Scale shape: the stored candidate-bounded edge set
+    * pinned once; per round one edge-keyed join + (vertex, label)
+    * rollup + vertex-KEYED rank-1 window — rounds are O(diameter)-free
+    * by construction (fixed 3; LPA converges or oscillates, so a fixed
+    * round budget IS the algorithm). Output: one row per vertex.
+    * HASH-MATCHED. */
+  val q345 = QueryDef.oracle("q345_label_propagation", {
+    val iter = (1 to 3).map { t =>
+      s"""n$t AS (SELECT ed.v AS u, l${t - 1}.lbl AS lbl,
+         |          CAST(count(*) AS BIGINT) AS cnt
+         |        FROM ed JOIN l${t - 1} ON l${t - 1}.u = ed.u GROUP BY 1, 2),
+         |p$t AS (SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+         |          ORDER BY cnt DESC, lbl) AS rn
+         |        FROM n$t),
+         |l$t AS (SELECT verts.u, COALESCE(p.lbl, verts.u) AS lbl
+         |        FROM verts LEFT JOIN (SELECT u, lbl FROM p$t WHERE rn = 1) p
+         |        USING (u))""".stripMargin
+    }.mkString(",\n")
+    s"""$portableScoredCtes,
+       |e AS (SELECT ia, ib FROM scored WHERE n_match >= $PortMatchMin),
+       |ed AS (SELECT ia AS u, ib AS v FROM e
+       |       UNION ALL SELECT ib AS u, ia AS v FROM e),
+       |verts AS (SELECT DISTINCT u FROM ed),
+       |l0 AS (SELECT u, u AS lbl FROM verts),
+       |$iter,
+       |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l3 GROUP BY 1)
+       |SELECT l3.u AS doc_id, l3.lbl AS community, cs.community_size
+       |FROM l3 JOIN cs USING (lbl)""".stripMargin})(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = portableScoredPairs(s, d).filter(col("n_match") >= PortMatchMin)
+      val ed = e.select(col("ia").as("u"), col("ib").as("v"))
+        .unionByName(e.select(col("ib").as("u"), col("ia").as("v")))
+        .localCheckpoint(false) // one artifact scan feeds all three rounds
+      val verts = ed.select("u").distinct().localCheckpoint(false)
+      var l = verts.select(col("u"), col("u").as("lbl"))
+      val w = Window.partitionBy("u").orderBy(col("cnt").desc, col("lbl"))
+      for (_ <- 1 to 3) {
+        val n = ed.join(l, Seq("u"))
+          .select(col("v").as("u"), col("lbl"))
+          .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+        val p = n.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("u", "lbl")
+        l = verts.join(p, Seq("u"), "left")
+          .select(col("u"), coalesce(col("lbl"), col("u")).as("lbl"))
+      }
+      val cs = l.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      l.join(cs, Seq("lbl"))
+        .select(col("u").as("doc_id"), col("lbl").as("community"),
+          col("community_size"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342)
+      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345)
 }

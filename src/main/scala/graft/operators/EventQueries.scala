@@ -2418,9 +2418,64 @@ object EventQueries {
           col("rnk"))
     })
 
+  /** TRAFFIC FORECAST BACKTEST — the capacity-planning question next to
+    * q212's anomaly flags and q330's autocorrelation: which trivial
+    * forecaster earns the right to be the baseline? Both candidates are
+    * priced on the SAME backtest days (days having BOTH predecessors,
+    * so the comparison is paired): naive-1 (yesterday's count) and
+    * seasonal-naive-7 (same weekday last week — the winner whenever
+    * q330 shows a weekly cycle). Exact integers end to end: per-day
+    * absolute error, MAE in milli-events, and mean APE in ppm with each
+    * day's |err|·10⁶ div actual summed then divided — no float
+    * accumulation. The lag lookups are day-KEYED self-joins on the
+    * |days|-bounded rollup (no window at all, zero-key or otherwise).
+    * Scale shape: one fact scan → day rollup (map-side combined) → two
+    * keyed self-joins → 2-row report. Output: one row per forecaster.
+    * HASH-MATCHED. */
+  val q346 = QueryDef.oracle("q346_forecast_backtest",
+    """WITH dy AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |              CAST(count(*) AS BIGINT) AS n
+      |            FROM events GROUP BY 1),
+      |bt AS (SELECT d.day, d.n, p1.n AS f_naive1, p7.n AS f_seasonal7
+      |       FROM dy d JOIN dy p1 ON p1.day = d.day - 1
+      |                 JOIN dy p7 ON p7.day = d.day - 7),
+      |errs AS (SELECT 'naive_1' AS forecaster, day, n,
+      |           abs(n - f_naive1) AS abs_err FROM bt
+      |         UNION ALL
+      |         SELECT 'seasonal_naive_7', day, n,
+      |           abs(n - f_seasonal7) FROM bt)
+      |SELECT forecaster, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+      |       CAST(SUM(abs_err) * 1000 // count(*) AS BIGINT) AS mae_milli,
+      |       CAST(SUM(abs_err * 1000000 // n) // count(*) AS BIGINT)
+      |         AS mape_ppm
+      |FROM errs GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val dy = Tables.events(s, d)
+        .select(expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // three aligned reads of one rollup
+      val bt = dy
+        .join(dy.select((col("day") + 1).as("day"), col("n").as("f_naive1")),
+          Seq("day"))
+        .join(dy.select((col("day") + 7).as("day"), col("n").as("f_seasonal7")),
+          Seq("day"))
+      val errs = bt.select(lit("naive_1").as("forecaster"), col("day"),
+          col("n"), abs(col("n") - col("f_naive1")).as("abs_err"))
+        .unionByName(bt.select(lit("seasonal_naive_7").as("forecaster"),
+          col("day"), col("n"),
+          abs(col("n") - col("f_seasonal7")).as("abs_err")))
+      errs.groupBy("forecaster")
+        .agg(count(lit(1)).as("n_days"), sum("abs_err").as("sum_abs_err"),
+          sum(expr("abs_err * 1000000 div n")).as("ape_sum"))
+        .select(col("forecaster"), col("n_days"), col("sum_abs_err"),
+          expr("CAST(sum_abs_err * 1000 div n_days AS BIGINT)").as("mae_milli"),
+          expr("CAST(ape_sum div n_days AS BIGINT)").as("mape_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
       q284, q285, q297, q305, q313, q317, q319, q323, q326, q327, q330, q334,
-      q341)
+      q341, q346)
 }

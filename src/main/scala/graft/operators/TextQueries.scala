@@ -2059,8 +2059,118 @@ object TextQueries {
       })
   }
 
+  /** PER-DOCUMENT KEYWORD EXTRACTION — TF-IDF top-3 terms per doc, the
+    * tagging pass a corpus browser/labeling UI runs (q161 ranks terms
+    * per SOURCE class; this is the per-document form): idf_micro =
+    * round(log2(N/df)·10⁶) over document frequency, score = tf ·
+    * idf_micro in exact integers, top-3 per doc with the (score desc,
+    * term) tiebreak under a doc-KEYED window. Scale shape: one corpus
+    * scan → (doc, tok) tf rollup + (tok) df rollup (both map-side
+    * combined) → vocab-keyed join → doc-keyed top-3. Output: ≤3 rows
+    * per doc. HASH-MATCHED. */
+  val q347 = QueryDef.oracle("q347_keyword_extraction",
+    """WITH tk AS (SELECT doc_id, unnest(list_filter(
+      |              regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+      |            FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tk GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tk GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         tf.tf * CAST(round(log2(CAST(nn.n_docs AS DOUBLE) / df.df)
+      |                 * 1000000) AS BIGINT) AS score_micro
+      |       FROM tf JOIN df USING (term), nn)
+      |SELECT doc_id, term, tf, df, score_micro,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score_micro DESC, term) AS rnk FROM sc)
+      |WHERE rnk <= 3""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(false) // tf and df read one tokenize
+      val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tk.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val sc = tf.join(df, Seq("term")).crossJoin(broadcast(nn))
+        .withColumn("score_micro", col("tf") * round(log2(
+          col("n_docs").cast("double") / col("df")) * 1000000).cast("long"))
+      sc.withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rnk")
+    })
+
+  /** ZIPF RANK-FREQUENCY FIT — the power-law twin of q311's Heaps fit
+    * (same micro-bit log points, same DECIMAL(38,0)/HUGEINT moment
+    * algebra, same integer-division slope): log₂(freq) regressed on
+    * log₂(rank) over the vocab table, with rank from the keyed
+    * two-level numbering (keyedPrefixRank — the vocab GROWS, so no
+    * zero-key rank window; r13 verdict #4's convention). TWO segments
+    * expose the classic shape: 'head_32' (rank ≤ 32, where Zipf is
+    * near-linear — the slope a corpus-health check reads, ≈ −1 for
+    * natural text) and 'full' (all types — flattened by the hapax
+    * plateau; the head-vs-full slope GAP is the template-spam signal
+    * next to q201's TTR and q312's burstiness). Scale shape: one token
+    * rollup → keyedPrefixRank → per-segment DECIMAL(38,0) moments →
+    * 2-row fit. Output: one row per segment. HASH-MATCHED. */
+  val q348 = QueryDef.oracle("q348_zipf_fit",
+    """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |           FROM (SELECT unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |                 FROM documents) GROUP BY 1),
+      |r AS (SELECT tok, freq, CAST(ROW_NUMBER() OVER (
+      |        ORDER BY freq DESC, tok) AS BIGINT) AS rnk FROM f),
+      |pt AS (SELECT s.segment,
+      |         CAST(round(log2(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |         CAST(round(log2(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      |       FROM r, unnest(['full', 'head_32']) AS s(segment)
+      |       WHERE s.segment = 'full' OR rnk <= 32),
+      |a AS (SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |      FROM pt GROUP BY 1)
+      |SELECT segment, CAST(n AS BIGINT) AS n_points,
+      |       CAST((n * sxy - sx * sy) * 1000000
+      |            // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+      |       CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+      |              // (n * sxx - sx * sx)) * sx)
+      |            // (n * 1000000) AS BIGINT) AS intercept_micro
+      |FROM a WHERE n * sxx - sx * sx <> 0""".stripMargin)(
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val r = graft.pipeline.Clean.keyedPrefixRank(f,
+        Seq(col("freq").desc, col("tok")), "rnk")
+      val pt = r.withColumn("segment", explode(
+          when(col("rnk") <= 32, array(lit("full"), lit("head_32")))
+            .otherwise(array(lit("full")))))
+        .select(col("segment"),
+          round(log2(col("rnk").cast("double")) * 1000000).cast("long").as("x"),
+          round(log2(col("freq").cast("double")) * 1000000).cast("long").as("y"))
+      val a = pt.groupBy("segment").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("y").cast("decimal(38,0)").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      a.filter(expr("n * sxx - sx * sx <> 0"))
+        .withColumn("slope_micro", expr(
+          "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
+        .withColumn("intercept_micro", expr(
+          "CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000" +
+            " div (n * sxx - sx * sx)) * sx) div (n * 1000000) AS BIGINT)"))
+        .select(col("segment"), col("n").cast("long").as("n_points"),
+          col("slope_micro"), col("intercept_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
-      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318, q325)
+      q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318, q325,
+      q347, q348)
 }
