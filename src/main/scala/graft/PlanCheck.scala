@@ -1019,6 +1019,14 @@ object PlanCheck {
       "zipf fit: NO zero-key window (rank via keyedPrefixRank over the growing vocab)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q349_length_psi_drift",
+      "PSI drift: two snapshot-view scans of one pinned projection; bounded bucket axis full-outer; 1-row totals broadcast",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q350_negative_sampling_table",
+      "negative-sampling table: NO zero-key window (rank+cumsum via keyedPrefixRank over the growing vocab)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q344_loo_source_valuation",
       "LOO valuation: pinned fragments (ExistingRDD); |sources|+1-row variant axis broadcast; eval join vocab-KEYED; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&

@@ -2130,8 +2130,103 @@ object CurationQueries {
             .as("uncertainty_ppm"))
     })
 
+  /** LENGTH-DISTRIBUTION PSI DRIFT — the population-stability index a
+    * data-quality monitor fires on between corpus snapshots, computed
+    * over q190's shared snapshot views (old: the q190 predicate + the
+    * 'v1 ' text variant; new: the q190 new predicate) so the drift
+    * family cannot fork from the diff family. Distribution grain is the
+    * doc-length next-pow2 bucket — q225's exact bit-smear kernel, a
+    * BOUNDED axis (16..1024) — with +1 smoothing per bucket so empty
+    * cells stay finite. Per bucket: both populations' smoothed shares
+    * in exact ppm, the log-ratio in micro-bits (log2 of a ratio of
+    * EXACT integer products — no float fractions), and the PSI
+    * contribution (pn−po)·lr in micro-units; Σ contrib is the headline
+    * PSI, conventionally alarmed at ~0.2 (≈ 200k micro after the
+    * bits-vs-nats scaling). The distribution-level sibling of the
+    * streaming mean-ratio gate (`DocStreams.lengthDriftGate`). Scale
+    * shape: two filtered scans of one pinned projection → bucket-keyed
+    * rollups → bounded-axis full outer join → 1-row totals broadcast.
+    * Output: one row per observed bucket. HASH-MATCHED. */
+  val q349 = {
+    val oldPred = graft.operators.ExtensionQueries.snapshotOldPred
+    val newPred = graft.operators.ExtensionQueries.snapshotNewPred
+    val oldText = graft.operators.ExtensionQueries.snapshotOldTextSql
+    def bucketCtes(tag: String, pred: String, textSql: String): String =
+      s"""n$tag AS (SELECT LEAST(CAST(len(list_filter(
+         |            COALESCE(regexp_split_to_array($textSql, '\\s+'), []),
+         |            x -> x <> '')) AS BIGINT), 1024) AS c
+         |          FROM documents WHERE $pred),
+         |v$tag AS (SELECT GREATEST(c, 16) - 1 AS v FROM n$tag),
+         |s1$tag AS (SELECT v | (v >> 1) AS v FROM v$tag),
+         |s2$tag AS (SELECT v | (v >> 2) AS v FROM s1$tag),
+         |s3$tag AS (SELECT v | (v >> 4) AS v FROM s2$tag),
+         |w$tag AS (SELECT (v | (v >> 8)) + 1 AS bucket FROM s3$tag),
+         |c$tag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+         |          FROM w$tag GROUP BY 1)""".stripMargin
+    QueryDef.oracle("q349_length_psi_drift",
+      s"""WITH ${bucketCtes("o", oldPred, oldText)},
+         |${bucketCtes("n", newPred, "text")},
+         |j AS (SELECT COALESCE(co.bucket, cn.bucket) AS bucket,
+         |        COALESCE(co.c, 0) AS c_old, COALESCE(cn.c, 0) AS c_new
+         |      FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket),
+         |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+         |        CAST(SUM(c_new) AS BIGINT) AS n_new,
+         |        CAST(count(*) AS BIGINT) AS k
+         |      FROM j)
+         |SELECT bucket, c_old, c_new,
+         |  CAST((c_old + 1) * 1000000 // (n_old + k) AS BIGINT) AS po_ppm,
+         |  CAST((c_new + 1) * 1000000 // (n_new + k) AS BIGINT) AS pn_ppm,
+         |  CAST(round(log2(CAST((c_new + 1) * (n_old + k) AS DOUBLE)
+         |       / CAST((c_old + 1) * (n_new + k) AS DOUBLE)) * 1000000)
+         |       AS BIGINT) AS lr_micro,
+         |  CAST(((c_new + 1) * 1000000 // (n_new + k)
+         |        - (c_old + 1) * 1000000 // (n_old + k))
+         |       * CAST(round(log2(CAST((c_new + 1) * (n_old + k) AS DOUBLE)
+         |           / CAST((c_old + 1) * (n_new + k) AS DOUBLE)) * 1000000)
+         |         AS BIGINT) // 1000000 AS BIGINT) AS contrib_micro
+         |FROM j, t""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).localCheckpoint(false)
+        def buckets(df: DataFrame, textCol: Column): DataFrame = {
+          val n = df.select(least(
+            size(tokens(coalesce(textCol, lit("")))).cast("long"),
+            lit(1024L)).as("c"))
+          val v0 = n.withColumn("v", greatest(col("c"), lit(16L)) - 1L)
+          Seq(1, 2, 4, 8).foldLeft(v0)((x, k) =>
+              x.withColumn("v", expr(s"v | shiftright(v, $k)")))
+            .withColumn("bucket", col("v") + 1L)
+            .groupBy("bucket").agg(count(lit(1)).as("c"))
+        }
+        val co = buckets(docs.filter(expr(oldPred)),
+          graft.operators.ExtensionQueries.snapshotOldText)
+        val cn = buckets(docs.filter(expr(newPred)), col("text"))
+        val j = co.select(col("bucket"), col("c").as("c_old"))
+          .join(cn.select(col("bucket"), col("c").as("c_new")),
+            Seq("bucket"), "full_outer")
+          .select(col("bucket"), coalesce(col("c_old"), lit(0L)).as("c_old"),
+            coalesce(col("c_new"), lit(0L)).as("c_new"))
+          .localCheckpoint(false) // read by totals and the report
+        val t = j.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+          count(lit(1)).as("k"))
+        j.crossJoin(broadcast(t))
+          .withColumn("po_ppm",
+            expr("CAST((c_old + 1) * 1000000 div (n_old + k) AS BIGINT)"))
+          .withColumn("pn_ppm",
+            expr("CAST((c_new + 1) * 1000000 div (n_new + k) AS BIGINT)"))
+          .withColumn("lr_micro", round(log2(
+            ((col("c_new") + 1) * (col("n_old") + col("k"))).cast("double")
+              / ((col("c_old") + 1) * (col("n_new") + col("k"))).cast("double"))
+            * 1000000).cast("long"))
+          .select(col("bucket"), col("c_old"), col("c_new"), col("po_ppm"),
+            col("pn_ppm"), col("lr_micro"),
+            expr("CAST((pn_ppm - po_ppm) * lr_micro div 1000000 AS BIGINT)")
+              .as("contrib_micro"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287, q306, q322, q331, q332)
+      q279, q282, q286, q287, q306, q322, q331, q332, q349)
 }

@@ -2062,8 +2062,57 @@ object ModelPrepQueries {
           (col("mbits_per_token") - col("ref_mbits")).as("delta_mbits"))
     })
 
+  /** NEGATIVE-SAMPLING TABLE — the word2vec/contrastive-training prep
+    * artifact: every vocab type weighted by freq^0.75 (the Mikolov
+    * exponent that lifts the tail), with rank, exact ppm share, and the
+    * CUMULATIVE weight an alias/CDF sampler binary-searches. The rank
+    * AND the running sum come from ONE keyedPrefixRank pass (the vocab
+    * GROWS — no zero-key window; r13 verdict #4's convention, and the
+    * first consumer of keyedPrefixRank's cumsum leg outside q151).
+    * Weights are micro-rounded doubles (pow(f, 0.75) — the same
+    * round-to-micro cross-engine contract as the log2 ladders). Scale
+    * shape: one token rollup → keyedPrefixRank (rank + cum) → 1-row
+    * total broadcast. Output: one row per vocab type. HASH-MATCHED. */
+  val q350 = QueryDef.oracle("q350_negative_sampling_table",
+    """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |           FROM (SELECT unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |                 FROM documents) GROUP BY 1),
+      |w AS (SELECT tok, freq,
+      |        CAST(round(pow(CAST(freq AS DOUBLE), 0.75) * 1000000) AS BIGINT)
+      |          AS w_micro
+      |      FROM f),
+      |r AS (SELECT tok, freq, w_micro,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk,
+      |        CAST(SUM(w_micro) OVER (ORDER BY freq DESC, tok
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cum_w_micro
+      |      FROM w),
+      |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS total_w FROM w)
+      |SELECT tok, freq, rnk, w_micro, cum_w_micro,
+      |       CAST(w_micro * 1000000 // total_w AS BIGINT) AS share_ppm,
+      |       CAST(cum_w_micro * 1000000 // total_w AS BIGINT) AS cum_share_ppm
+      |FROM r, t""".stripMargin)(
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .withColumn("w_micro",
+          round(pow(col("freq").cast("double"), 0.75) * 1000000).cast("long"))
+      val r = graft.pipeline.Clean.keyedPrefixRank(f,
+        Seq(col("freq").desc, col("tok")), "rnk",
+        cumOf = Some("w_micro" -> "cum_w_micro"))
+      val t = f.agg(sum("w_micro").as("total_w"))
+      r.crossJoin(broadcast(t))
+        .select(col("tok"), col("freq"), col("rnk"), col("w_micro"),
+          col("cum_w_micro"),
+          expr("CAST(w_micro * 1000000 div total_w AS BIGINT)").as("share_ppm"),
+          expr("CAST(cum_w_micro * 1000000 div total_w AS BIGINT)")
+            .as("cum_share_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344)
+      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350)
 }
