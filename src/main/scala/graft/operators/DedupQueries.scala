@@ -1139,16 +1139,23 @@ object DedupQueries {
     * q175 (span report) and q178 (span removal), so the two queries
     * cannot disagree on tokenization or gram identity — the portable-
     * MinHash fragment convention applied here. */
-  private[graft] def spanGposCtes: String =
+  private[graft] def spanGposCtes: String = spanGposCtesAt(SpanK)
+
+  /** The gram-grain-parameterized form of the canonical gpos chain —
+    * ONE generator for every grain the engine indexes at (SpanK for the
+    * q175/q178 span family, 16 for q340's window inventory), so a new
+    * grain can never fork the tokenize/gram/hash definition
+    * (OracleFragmentDriftSpec pins consumers per grain). */
+  private[graft] def spanGposCtesAt(k: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\\s+'), []),
        |                             x -> x <> '') AS l
        |  FROM documents),
        |gpos AS (
-       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${SpanK - 1}], 'string_agg', ' '))}
-       |                        FOR i IN range(1, len(l) - $SpanK + 2)]
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${k - 1}], 'string_agg', ' '))}
+       |                        FOR i IN range(1, len(l) - $k + 2)]
        |                        , recursive := true)
-       |  FROM toks WHERE len(l) >= $SpanK)""".stripMargin
+       |  FROM toks WHERE len(l) >= $k)""".stripMargin
 
   /** Substring-level exact dedup — repeated-SPAN extraction (the Lee et
     * al. 2022 suffix-array pass, re-expressed bucketed): q164 reports
@@ -3275,15 +3282,7 @@ object DedupQueries {
   val q340 = {
     val L = 16
     QueryDef.oracle("q340_exact_substring_admission",
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(COALESCE(regexp_split_to_array(text, '\\s+'), []),
-         |                             x -> x <> '') AS l
-         |  FROM documents),
-         |gpos AS (
-         |  SELECT doc_id, unnest([{'pos': i - 1, 'gh': md5(list_aggregate(l[i:i+${L - 1}], 'string_agg', ' '))}
-         |                        FOR i IN range(1, len(l) - $L + 2)]
-         |                        , recursive := true)
-         |  FROM toks WHERE len(l) >= $L),
+      s"""${spanGposCtesAt(L)},
          |idx AS (SELECT DISTINCT gh FROM gpos WHERE doc_id % 5 <> 0),
          |hit AS (SELECT g.doc_id, g.pos FROM gpos g JOIN idx USING (gh)
          |        WHERE g.doc_id % 5 = 0),

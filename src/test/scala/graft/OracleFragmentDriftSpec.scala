@@ -49,7 +49,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q275_candidate_family_overlap", "q295_inbatch_negative_risk",
         "q298_cc_large_small_star", // q56's oracle verbatim (star CC twin)
         "q304_cc_incremental", // and its day-2 path
-        "q306_dedup_drop_bias") // and the quality-bias audit over its labels
+        "q306_dedup_drop_bias", // and the quality-bias audit over its labels
+        "q345_label_propagation") // LPA communities over the same pair graph
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -82,7 +83,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
-        "q304_cc_incremental", "q306_dedup_drop_bias")
+        "q304_cc_incremental", "q306_dedup_drop_bias",
+        "q345_label_propagation")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -103,7 +105,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q255_pair_transitivity", "q259_dataset_card",
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
-        "q304_cc_incremental", "q306_dedup_drop_bias")
+        "q304_cc_incremental", "q306_dedup_drop_bias",
+        "q345_label_propagation")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the match-sum definition: ") {
           sql.contains(sum) shouldBe true
@@ -168,14 +171,19 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
 
     it("every span-family consumer embeds the canonical gpos chain verbatim") {
       val frag = DedupQueries.spanGposCtes
+      // q340 consumes the SAME generator at window grain (k = 16) — the
+      // parameterized form, pinned here so a new grain cannot fork the
+      // tokenize/gram/hash definition either
+      val frag16 = DedupQueries.spanGposCtesAt(16)
       val consumers = sqlByName.filter(_._2.contains("{'pos': i - 1, 'gh':"))
       consumers.keySet shouldBe Set(
         "q175_repeated_spans", "q178_span_removal",
         "q180_incremental_span_overlap", "q185_winnowing_fingerprints",
-        "q193_containment_pairs", "q217_span_gate_audit")
+        "q193_containment_pairs", "q217_span_gate_audit",
+        "q340_exact_substring_admission")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the positional-gram definition: ") {
-          sql.contains(frag) shouldBe true
+          (sql.contains(frag) || sql.contains(frag16)) shouldBe true
         }
       }
     }
