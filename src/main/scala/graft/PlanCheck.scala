@@ -1027,6 +1027,14 @@ object PlanCheck {
       "negative-sampling table: NO zero-key window (rank+cumsum via keyedPrefixRank over the growing vocab)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q351_partial_agg_advisor",
+      "partial-agg advisor: one rollup per candidate off the pinned scan (ExistingRDD); map-side partials; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("partial_count") &&
+        !p.contains("CartesianProduct"))
+    check("q352_physical_width_advisor",
+      "width advisor: stacked canon scan folds to per-column min/max partials; no cartesian",
+      p => p.contains("partial_min") && p.contains("partial_max") &&
+        !p.contains("CartesianProduct"))
     check("q344_loo_source_valuation",
       "LOO valuation: pinned fragments (ExistingRDD); |sources|+1-row variant axis broadcast; eval join vocab-KEYED; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&

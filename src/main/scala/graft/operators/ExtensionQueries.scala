@@ -2304,8 +2304,123 @@ object ExtensionQueries {
       })
   }
 
+  /** PARTIAL-AGGREGATION BENEFIT ADVISOR — the map-side-combine knob
+    * priced per candidate grouping key: partial aggregation only pays
+    * when groups are much rarer than rows (the exchange then carries
+    * |groups| partials instead of |rows| rows); on a near-unique key it
+    * BURNS CPU and hash-table memory for nothing, which is why engines
+    * grew skip-partial-agg heuristics. For each candidate key set over
+    * lineitem: exact rows, exact groups (one column-pruned rollup per
+    * candidate — the same shape ANALYZE uses), the exchange-row
+    * reduction in ppm, mean rows/group in milli, and the verdict at the
+    * classic ≥ 2 rows/group bar. l_orderkey (≈4 rows/group) sits right
+    * at the boundary the heuristic exists for; l_shipdate's ~2.5k-day
+    * domain crushes the exchange. Reads next to q336 (FDs) and q337
+    * (partition keys) in a layout review. Scale shape: one map-side
+    * rollup per candidate → 1-row stats → 5-row advisor table. Output:
+    * one row per candidate. HASH-MATCHED. */
+  val q351 = {
+    val cands: Seq[(String, Seq[String])] = Seq(
+      ("orderkey", Seq("l_orderkey")),
+      ("partkey", Seq("l_partkey")),
+      ("suppkey", Seq("l_suppkey")),
+      ("flag_status", Seq("l_returnflag", "l_linestatus")),
+      ("shipdate", Seq("l_shipdate")))
+    def duckArm(n: String, cols: Seq[String]): String =
+      s"""SELECT '$n' AS candidate, CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_groups
+         |FROM (SELECT ${cols.mkString(", ")}, count(*) AS c
+         |      FROM lineitem GROUP BY ${cols.mkString(", ")})""".stripMargin
+    QueryDef.oracle("q351_partial_agg_advisor",
+      s"""WITH st AS (${cands.map { case (n, c) => duckArm(n, c) }
+            .mkString("\nUNION ALL\n")})
+         |SELECT candidate, n_rows, n_groups,
+         |  CAST((n_rows - n_groups) * 1000000 // n_rows AS BIGINT)
+         |    AS reduction_ppm,
+         |  CAST(n_rows * 1000 // n_groups AS BIGINT) AS rows_per_group_milli,
+         |  n_rows >= 2 * n_groups AS partial_agg_pays
+         |FROM st""".stripMargin)(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).localCheckpoint(false) // 5 arms, one scan cache
+        cands.map { case (n, cols) =>
+          li.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+            .agg(sum("c").as("n_rows"), count(lit(1)).as("n_groups"))
+            .select(lit(n).as("candidate"), col("n_rows"), col("n_groups"))
+        }.reduce(_ unionByName _)
+          .select(col("candidate"), col("n_rows"), col("n_groups"),
+            expr("CAST((n_rows - n_groups) * 1000000 div n_rows AS BIGINT)")
+              .as("reduction_ppm"),
+            expr("CAST(n_rows * 1000 div n_groups AS BIGINT)")
+              .as("rows_per_group_milli"),
+            (col("n_rows") >= col("n_groups") * 2).as("partial_agg_pays"))
+      })
+  }
+
+  /** PHYSICAL-WIDTH ADVISOR — the narrow-type rewrite audit beside
+    * q324's encoding advisor (q324 prices encodings under a fixed
+    * 64-bit plain baseline; this asks whether the DECLARED width is
+    * needed at all): every measure column canonicalized to exact
+    * integer units (cents for money, whole units for quantity, epoch
+    * days for dates — the same canon exprs discipline as q324, one
+    * (name, duck, spark) list), then per column the exact min/max, the
+    * bits the magnitude actually needs (q224's bit-smear MSB — float-
+    * free), and whether INT16/INT32 suffice. On TPC-H-shaped data every
+    * one of these fits INT32 — the measured case for narrowing a
+    * 100-TB table's 64-bit defaults before the q324 encoding pass even
+    * starts. Scale shape: ONE stacked scan → per-column min/max rollup
+    * → 5-row advisor table. Output: one row per column. HASH-MATCHED. */
+  val q352 = {
+    val cols: Seq[(String, String, String)] = Seq(
+      ("l_extendedprice", "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+      ("l_discount", "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)"),
+      ("l_tax", "CAST(round(l_tax * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)"),
+      ("l_quantity", "CAST(FLOOR(l_quantity) AS BIGINT)",
+        "CAST(FLOOR(l_quantity) AS BIGINT)"),
+      ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)",
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
+    val smearDuck = Seq(1, 2, 4, 8, 16, 32).foldLeft("mag")(
+      (acc, k) => s"(($acc) | (($acc) >> $k))")
+    val smearSpark = Seq(1, 2, 4, 8, 16, 32).foldLeft("mag")(
+      (acc, k) => s"(($acc) | (shiftright(($acc), $k)))")
+    QueryDef.oracle("q352_physical_width_advisor",
+      s"""WITH st AS (${cols.map { case (n, duck, _) =>
+             s"SELECT '$n' AS c, $duck AS v FROM lineitem" }
+             .mkString("\nUNION ALL\n")}),
+         |mm AS (SELECT c, CAST(min(v) AS BIGINT) AS v_min,
+         |         CAST(max(v) AS BIGINT) AS v_max,
+         |         CAST(count(*) AS BIGINT) AS n_rows
+         |       FROM st GROUP BY 1),
+         |mg AS (SELECT c, v_min, v_max, n_rows,
+         |         GREATEST(abs(v_min), abs(v_max)) AS mag
+         |       FROM mm)
+         |SELECT c AS col_name, v_min, v_max, n_rows,
+         |  CAST(CASE WHEN mag = 0 THEN 0
+         |       ELSE bit_count($smearDuck) END AS BIGINT) AS magnitude_bits,
+         |  mag < 32768 AS fits_int16, mag < 2147483648 AS fits_int32
+         |FROM mg""".stripMargin)(
+      (s, d) => {
+        val st = cols.map { case (n, _, sp) =>
+          Tables.lineitem(s, d).select(lit(n).as("c"), expr(sp).as("v"))
+        }.reduce(_ unionByName _)
+        st.groupBy("c")
+          .agg(min("v").as("v_min"), max("v").as("v_max"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("mag", greatest(abs(col("v_min")), abs(col("v_max"))))
+          .select(col("c").as("col_name"), col("v_min"), col("v_max"),
+            col("n_rows"),
+            expr(s"CAST(CASE WHEN mag = 0 THEN 0 " +
+              s"ELSE bit_count($smearSpark) END AS BIGINT)")
+              .as("magnitude_bits"),
+            (col("mag") < 32768L).as("fits_int16"),
+            (col("mag") < 2147483648L).as("fits_int32"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
     q250, q251, q253, q256, q260, q283, q288, q289, q293, q324, q335, q336,
-    q337, q338)
+    q337, q338, q351, q352)
 }
