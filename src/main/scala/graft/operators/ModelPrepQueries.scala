@@ -2070,9 +2070,16 @@ object ModelPrepQueries {
     * GROWS — no zero-key window; r13 verdict #4's convention, and the
     * first consumer of keyedPrefixRank's cumsum leg outside q151).
     * Weights are micro-rounded doubles (pow(f, 0.75) — the same
-    * round-to-micro cross-engine contract as the log2 ladders). Scale
-    * shape: one token rollup → keyedPrefixRank (rank + cum) → 1-row
-    * total broadcast. Output: one row per vocab type. HASH-MATCHED. */
+    * round-to-micro cross-engine contract as the log2 ladders). The
+    * cumulative weight, the grand total, and the ppm shares all route
+    * through DECIMAL(38,0)/HUGEINT (q348's moment-algebra convention —
+    * the r14 advisor's finding: Σ freq^0.75 · 10⁶ passes int64 at only
+    * a few-million-token corpus, where non-ANSI Spark would silently
+    * wrap while DuckDB raises); only the final ppm columns (≤ 10⁶ by
+    * construction) cast back to BIGINT, and cum_w_micro itself ships as
+    * DECIMAL(38,0). Scale shape: one token rollup → keyedPrefixRank
+    * (rank + decimal cum) → 1-row total broadcast. Output: one row per
+    * vocab type. HASH-MATCHED. */
   val q350 = QueryDef.oracle("q350_negative_sampling_table",
     """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
       |           FROM (SELECT unnest(list_filter(
@@ -2084,13 +2091,14 @@ object ModelPrepQueries {
       |      FROM f),
       |r AS (SELECT tok, freq, w_micro,
       |        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk,
-      |        CAST(SUM(w_micro) OVER (ORDER BY freq DESC, tok
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        SUM(CAST(w_micro AS HUGEINT)) OVER (ORDER BY freq DESC, tok
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |          AS cum_w_micro
       |      FROM w),
-      |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS total_w FROM w)
+      |t AS (SELECT SUM(CAST(w_micro AS HUGEINT)) AS total_w FROM w)
       |SELECT tok, freq, rnk, w_micro, cum_w_micro,
-      |       CAST(w_micro * 1000000 // total_w AS BIGINT) AS share_ppm,
+      |       CAST(CAST(w_micro AS HUGEINT) * 1000000 // total_w AS BIGINT)
+      |         AS share_ppm,
       |       CAST(cum_w_micro * 1000000 // total_w AS BIGINT) AS cum_share_ppm
       |FROM r, t""".stripMargin)(
     (s, d) => {
@@ -2099,14 +2107,17 @@ object ModelPrepQueries {
         .groupBy("tok").agg(count(lit(1)).as("freq"))
         .withColumn("w_micro",
           round(pow(col("freq").cast("double"), 0.75) * 1000000).cast("long"))
+        // the decimal twin feeds every sum: cum, total, and both shares
+        .withColumn("__wd", col("w_micro").cast("decimal(38,0)"))
       val r = graft.pipeline.Clean.keyedPrefixRank(f,
         Seq(col("freq").desc, col("tok")), "rnk",
-        cumOf = Some("w_micro" -> "cum_w_micro"))
-      val t = f.agg(sum("w_micro").as("total_w"))
+        cumOf = Some("__wd" -> "cum_w_micro"))
+      val t = f.agg(sum("__wd").as("total_w")) // decimal(38,0) sum — exact
       r.crossJoin(broadcast(t))
         .select(col("tok"), col("freq"), col("rnk"), col("w_micro"),
-          col("cum_w_micro"),
-          expr("CAST(w_micro * 1000000 div total_w AS BIGINT)").as("share_ppm"),
+          col("cum_w_micro").cast("decimal(38,0)").as("cum_w_micro"),
+          expr("CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 div total_w" +
+            " AS BIGINT)").as("share_ppm"),
           expr("CAST(cum_w_micro * 1000000 div total_w AS BIGINT)")
             .as("cum_share_ppm"))
     })

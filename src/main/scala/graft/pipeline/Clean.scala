@@ -178,7 +178,11 @@ object Clean {
     * two-level shape: range-partition on the sort expressions, keyed
     * row_number/cumsum within partitions, P-bounded (count, sum)
     * per-partition rollup prefix-summed on the driver and broadcast
-    * back. `totalCol` optionally attaches the exact global row count
+    * back. Callers whose running sum can exceed int64 pass the cum
+    * column as DECIMAL(38,0) — the window sum, driver accumulation and
+    * offsets then stay decimal end to end (exact at any corpus size);
+    * a LONG cum column keeps the cheap native-long path.
+    * `totalCol` optionally attaches the exact global row count
     * (known for free from the same rollup) as a literal column, which
     * quantile/NTILE arithmetic downstream needs.
     */
@@ -195,18 +199,39 @@ object Clean {
       base.withColumn("__lc", sum(col(c)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }.localCheckpoint(false)
+    // A DECIMAL cum column keeps the WHOLE prefix-sum pipeline exact past
+    // int64 (the r14 advisor's q350 finding: Σ of the summed column can
+    // exceed 9.2e18 long before 100 TB) — the per-partition window sum,
+    // the driver-side offset accumulation, and the broadcast offsets all
+    // stay DECIMAL(38,0); a LONG cum column keeps the original cheap path.
+    val cumIsDecimal = cumOf.exists { case (c, _) =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] }
     val aggCols = Seq(max(col("__lr")).as("__cnt")) ++
       cumOf.map { case (c, _) => sum(col(c)).as("__s") }
     val perPart = ranked.groupBy("__pid").agg(aggCols.head, aggCols.tail: _*)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        if (cumOf.isDefined) r.getAs[Number](2).longValue else 0L))
+        if (!cumOf.isDefined) BigDecimal(0)
+        else r.get(2) match { // exact in both representations
+          case d: java.math.BigDecimal => BigDecimal(d)
+          case n: Number => BigDecimal(n.longValue)
+        }))
       .sortBy(_._1)
-    var nAcc = 0L; var sAcc = 0L
+    var nAcc = 0L; var sAcc = BigDecimal(0)
     val offs = perPart.map { case (p, n, sm) =>
       val row = (p, nAcc, sAcc); nAcc += n; sAcc += sm; row }.toSeq
     import spark.implicits._
-    val offDf = offs.toDF("__opid", "__roff", "__soff")
+    val offDf =
+      if (cumIsDecimal) {
+        import org.apache.spark.sql.types._
+        val rows = offs.map { case (p, ro, so) =>
+          org.apache.spark.sql.Row(p, ro, so.setScale(0).bigDecimal) }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("__opid", LongType),
+            StructField("__roff", LongType),
+            StructField("__soff", DecimalType(38, 0)))))
+      } else offs.map { case (p, ro, so) => (p, ro, so.toLongExact) }
+        .toDF("__opid", "__roff", "__soff")
     val joined = ranked.join(broadcast(offDf), col("__pid") === col("__opid"))
       .withColumn(outRank, col("__roff") + col("__lr"))
     val withCum = cumOf.fold(joined) { case (_, out) =>

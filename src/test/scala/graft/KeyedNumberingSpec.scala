@@ -57,6 +57,23 @@ class KeyedNumberingSpec extends SparkSpec {
     assert(n == Seq(data.count()))
   }
 
+  test("keyedPrefixRank: a DECIMAL cum column stays exact past int64 (q350's overflow guard)") {
+    // each weight is ~6.1e18; three of them overflow a long running sum
+    // on the second row — the exact regime the r14 advisor flagged for
+    // q350's Σ freq^0.75 pipeline
+    val big = BigDecimal("6148914691236517205") // ~2/3 of Long.MaxValue
+    val data = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("tok", "freq")
+      .withColumn("w", lit(big.toString).cast("decimal(38,0)"))
+    val got = Clean.keyedPrefixRank(data, Seq(col("freq").desc, col("tok")),
+      "rnk", cumOf = Some("w" -> "cum"))
+    assert(zeroKeyWindows(got) == 0)
+    val rows = got.select("rnk", "cum").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)))).sortBy(_._1)
+    val exp = (1 to 3).map(i => (i.toLong, big * i))
+    assert(rows.toSeq == exp,
+      s"decimal cum must be exact past Long.MaxValue: ${rows.toSeq}")
+  }
+
   test("q265's closed-form NTILE matches Spark's ntile for n % k != 0 and n < k") {
     // the sf fixtures have n % 5 == 0, so the remainder branch is only
     // exercised here: check sizes 4 (n < k), 7, 23, 150
