@@ -3097,8 +3097,13 @@ object DedupQueries {
         .as(Seq("i", "tok")))
     val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))
       .localCheckpoint(false) // joined by every arm
+    // vr is the VOCAB rank table — data-GROWING (the r13 verdict #4
+    // class), so no broadcast hint: round 0 uses the same plain
+    // tok-keyed shuffle-join shape as every later round's keyed
+    // exchange (r14 advisor — a hinted corpus-vocab broadcast would
+    // OOM driver/executors at the 100-TB target)
     val vr = Clean.hashBucketRank(base.select("tok").distinct(), Seq("tok"), "r0")
-    var cur = base.join(broadcast(vr), Seq("tok"))
+    var cur = base.join(vr, Seq("tok"))
       .select(col("doc_id"), col("i"), col("r0").as("r"))
       .localCheckpoint(false)
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
@@ -3182,7 +3187,8 @@ object DedupQueries {
     * this query emits the CONCRETE REMOVABLE SPANS a production
     * exact-substring dedup pass cuts — q178's keep-first rule lifted
     * from 5-gram to suffix-rank grain: within each rank group (identical
-    * L-token window) the corpus-canonical occurrence min(doc_id·10⁶+pos)
+    * L-token window) the corpus-canonical occurrence — the lexicographic
+    * min (doc_id, pos) STRUCT, collision-free at any document length —
     * is the keeper; every OTHER occurrence is removable. Removable
     * window starts merge per doc into maximal spans when they overlap
     * or touch (gap ≤ L), via a doc-KEYED lag/cumsum window — never a
@@ -3204,11 +3210,12 @@ object DedupQueries {
          |          l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
          |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
          |g$l AS (SELECT s, count(*) AS n,
-         |          min(doc_id * 1000000 + i0) AS keeper
+         |          min({'d': doc_id, 'p': i0}) AS keeper
          |        FROM p$l GROUP BY s),
          |dup$l AS (SELECT p.doc_id, p.i0
          |          FROM p$l p JOIN g$l g USING (s)
-         |          WHERE g.n > 1 AND p.doc_id * 1000000 + p.i0 <> g.keeper),
+         |          WHERE g.n > 1 AND NOT (p.doc_id = struct_extract(g.keeper, 'd')
+         |                                 AND p.i0 = struct_extract(g.keeper, 'p'))),
          |brk$l AS (SELECT doc_id, i0,
          |            CASE WHEN i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0)
          |                   <= $l THEN 0 ELSE 1 END AS brk
@@ -3236,11 +3243,17 @@ object DedupQueries {
           val rt = snaps(j).join(nl, Seq("doc_id"))
             .filter(col("i") + l <= col("len"))
             .select(col("doc_id"), col("i").cast("long").as("i0"), col("r"))
-            .withColumn("pk", col("doc_id") * 1000000L + col("i0"))
+          // keeper = lexicographic min (doc_id, pos) STRUCT — collision-
+          // free at ANY document length (the r14 advisor's finding: the
+          // old doc_id·10⁶+pos encoding collides for docs ≥ 1e6 tokens,
+          // exactly the long documents the Lee-et-al operating point
+          // targets, silently keeping a non-keeper occurrence)
           val grp = rt.groupBy("r")
-            .agg(count(lit(1)).as("n"), min("pk").as("keeper"))
+            .agg(count(lit(1)).as("n"),
+              min(struct(col("doc_id"), col("i0"))).as("keeper"))
           val dup = rt.join(grp, Seq("r"))
-            .filter(col("n") > 1 && col("pk") =!= col("keeper"))
+            .filter(col("n") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
+              col("i0") === col("keeper.i0")))
             .select("doc_id", "i0")
           val w = Window.partitionBy("doc_id").orderBy("i0")
           val brk = dup
