@@ -969,18 +969,28 @@ object PlanCheck {
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
     checkTree("q329_exact_substring_mass",
-      "prefix doubling: NO zero-key window anywhere (every renumber is keyedGroupRank: range-partitioned keyed rank + broadcast offsets — r13 verdict #1)",
+      "prefix doubling: NO zero-key window anywhere (read-back consumer; r13 verdict #1 shape preserved)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q329_exact_substring_mass",
-      "prefix doubling: per-round shift joins are (doc,pos)-keyed; rounds pinned (ExistingRDD); no cartesian",
-      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+      "dup mass: READS the bucketed suffranks artifact (no live chain, no documents scan); stacked (round,r)-keyed rollup rides the bucketing — the ONLY exchange is the 2-row per-round rollup; no cartesian",
+      p => p.contains("graft_suffranks") && scans(p, "documents") == 0 &&
+        p.linesIterator.count(_.contains("+- Exchange")) <= 1 &&
+        !p.contains("CartesianProduct"))
     checkTree("q339_exact_substring_spans",
-      "span extraction: NO zero-key window anywhere (hashBucketRank renumbers; island merge is doc-KEYED)",
+      "span extraction: NO zero-key window anywhere (read-back ranks; island merge is (round,doc)-KEYED)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
     check("q339_exact_substring_spans",
-      "span extraction: 6 keyed doubling rounds pinned (ExistingRDD); rank rollup + join-back keyed; no cartesian",
+      "span extraction: READS the bucketed suffranks artifact (no live chain, no documents scan); rank rollup + join-back ride the (round,r) bucketing; no cartesian",
+      p => p.contains("graft_suffranks") && scans(p, "documents") == 0 &&
+        !p.contains("CartesianProduct"))
+    checkTree("q353_suffix_rank_chain",
+      "live suffix chain (the artifact's plan proof): NO zero-key window at any round (hashBucketRank renumbers only)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q353_suffix_rank_chain",
+      "live suffix chain: rounds pinned (ExistingRDD); the data-growing vocab rank joins WITHOUT a broadcast (r14 advisor); no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     check("q340_exact_substring_admission",
       "exact-substring admission: LeftSemi against the bucketed gpos16 inventory; doc-KEYED island windows; no cartesian",

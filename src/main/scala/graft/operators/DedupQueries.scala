@@ -3063,10 +3063,12 @@ object DedupQueries {
     * q118's decontam risk measured at exact-match grain). The DuckDB
     * oracle is INDEPENDENT-ALGORITHM (q56's discipline): it groups the
     * actual token-array slices by value — definition, not replay — so a
-    * doubling bug cannot hide. Scale shape: one scan → 4 rounds of
-    * {(doc,pos)-keyed shift join + distinct-pair renumber} → two
-    * rank-keyed rollups. Output: one row per prefix length.
-    * HASH-MATCHED. */
+    * doubling bug cannot hide. Since r15 a READ-BACK consumer of the
+    * stored [[storedSuffixRanks]] artifact (the chain is built once per
+    * corpus; q353 keeps the live chain plan-proven). Scale shape: one
+    * bucketed artifact scan → ONE stacked (round, rank)-keyed rollup
+    * (exchange-free — the scan is bucketed on exactly those keys) →
+    * 2-row report. Output: one row per prefix length. HASH-MATCHED. */
   /** Shared distributed prefix-doubling suffix-rank builder (q329/q339
     * and the streaming inventory): round j's table assigns every token
     * position (doc_id, i) a long rank such that two positions share
@@ -3125,6 +3127,38 @@ object DedupQueries {
     (nl, snaps.toMap)
   }
 
+  /** The CONSUMED suffix-rank snapshots as a stored artifact (r14
+    * verdict #2 — the chain was 12.9 s of the round's 21.3 s new-op
+    * budget, recomputed by BOTH q329 (rounds ≤4) and q339 (rounds ≤6)):
+    * one bucketed corpus-keyed table holding, for each consumed round
+    * j ∈ {2, 4, 5, 6}, every VALID position (the i + 2^j ≤ len filter
+    * both consumers always apply, pre-applied at build) with its rank —
+    * columns (round, doc_id, i0, r). The gpos/bandrows/codebooks
+    * pattern: built ONCE per (JVM, corpus snapshot), staleness-
+    * fingerprinted by [[graft.sources.ArtifactStore]], read back by
+    * every consumer; at 100 TB the ingest pipeline owns the build and
+    * this is a warehouse table refreshed on corpus append. Bucketed +
+    * sorted on (round, r) — exactly the rollup/join keys of both
+    * consumers, so the read-back plans carry NO exchange between the
+    * scan and the rank-keyed aggregates (HashPartitioning(round, r)
+    * satisfies every (round, r, …) clustering downstream). The live
+    * chain itself stays plan-proven by q353 (the q99 convention: the
+    * artifact build and the proof query run the SAME builder, everyone
+    * else reads the table). */
+  private[graft] val SuffixRankRounds = Seq(2, 4, 5, 6)
+  private[graft] def storedSuffixRanks(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketed(s, d, "suffranks",
+      Seq("round", "r"), 8) {
+      val (nl, snaps) = suffixRankRounds(s, d, maxRound = SuffixRankRounds.max)
+      SuffixRankRounds.map { j =>
+        val l = 1 << j
+        snaps(j).join(nl, Seq("doc_id"))
+          .filter(col("i") + l <= col("len"))
+          .select(lit(j).as("round"), col("doc_id"),
+            col("i").cast("long").as("i0"), col("r"))
+      }.reduce(_ unionByName _)
+    }
+
   val q329 = {
     val arms = Seq(2, 4) // rounds → prefix lengths 4, 16
     def duckArm(l: Int): String =
@@ -3156,27 +3190,26 @@ object DedupQueries {
          |UNION ALL
          |${duckSel(16)}""".stripMargin)(
       (s, d) => {
-        val (nl, snaps) = suffixRankRounds(s, d, maxRound = 4)
-        def arm(rt: DataFrame, l: Int): DataFrame =
-          rt.join(nl, Seq("doc_id"))
-            .filter(col("i") + l <= col("len"))
-            .groupBy("r")
-            .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
-            .agg(sum("n").as("n_positions"),
-              sum(when(col("n") > 1, col("n")).otherwise(0L))
-                .as("dup_positions"),
-              sum(when(col("nd") > 1, col("n")).otherwise(0L))
-                .as("cross_doc_positions"),
-              count(when(col("n") > 1, 1)).cast("long").as("dup_groups"))
-            .select(lit(l.toLong).as("prefix_len"), col("n_positions"),
-              col("dup_positions"),
-              expr("CAST(dup_positions * 1000000 div n_positions AS BIGINT)")
-                .as("dup_ppm"),
-              col("cross_doc_positions"),
-              expr("CAST(cross_doc_positions * 1000000 div n_positions" +
-                " AS BIGINT)").as("cross_doc_ppm"),
-              col("dup_groups"))
-        arms.map(j => arm(snaps(j), 1 << j)).reduce(_ unionByName _)
+        val rt = storedSuffixRanks(s, d)
+          .filter(col("round").isin(arms: _*))
+        rt.groupBy("round", "r")
+          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+          .groupBy("round")
+          .agg(sum("n").as("n_positions"),
+            sum(when(col("n") > 1, col("n")).otherwise(0L))
+              .as("dup_positions"),
+            sum(when(col("nd") > 1, col("n")).otherwise(0L))
+              .as("cross_doc_positions"),
+            count(when(col("n") > 1, 1)).cast("long").as("dup_groups"))
+          .select(expr("CAST(shiftleft(1, round) AS BIGINT)").as("prefix_len"),
+            col("n_positions"),
+            col("dup_positions"),
+            expr("CAST(dup_positions * 1000000 div n_positions AS BIGINT)")
+              .as("dup_ppm"),
+            col("cross_doc_positions"),
+            expr("CAST(cross_doc_positions * 1000000 div n_positions" +
+              " AS BIGINT)").as("cross_doc_ppm"),
+            col("dup_groups"))
       })
   }
 
@@ -3200,8 +3233,11 @@ object DedupQueries {
     * theorem: every span lies inside the UNION of q175's 5-gram dup
     * islands on the same corpus (an L-dup window's every 5-gram recurs,
     * so each constituent window sits inside ONE island; the merged span
-    * sits inside their union). Scale shape: 6 keyed doubling rounds →
-    * per-grain (rank)-keyed rollup + join-back → doc-keyed island merge.
+    * sits inside their union). Since r15 a READ-BACK consumer of the
+    * stored [[storedSuffixRanks]] artifact (rounds 5–6; q353 keeps the
+    * live chain plan-proven). Scale shape: one bucketed artifact scan →
+    * stacked (round, rank)-keyed rollup + join-back (both exchange-free
+    * on the bucketed keys) → (round, doc)-keyed island merge.
     * Output: one row per removable span per grain. HASH-MATCHED. */
   val q339 = {
     val grains = Seq(5, 6) // rounds → window lengths 32, 64
@@ -3237,40 +3273,35 @@ object DedupQueries {
          |SELECT * FROM sp32 UNION ALL SELECT * FROM sp64""".stripMargin)(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val (nl, snaps) = suffixRankRounds(s, d, maxRound = 6)
-        def spansAt(j: Int): DataFrame = {
-          val l = 1 << j
-          val rt = snaps(j).join(nl, Seq("doc_id"))
-            .filter(col("i") + l <= col("len"))
-            .select(col("doc_id"), col("i").cast("long").as("i0"), col("r"))
-          // keeper = lexicographic min (doc_id, pos) STRUCT — collision-
-          // free at ANY document length (the r14 advisor's finding: the
-          // old doc_id·10⁶+pos encoding collides for docs ≥ 1e6 tokens,
-          // exactly the long documents the Lee-et-al operating point
-          // targets, silently keeping a non-keeper occurrence)
-          val grp = rt.groupBy("r")
-            .agg(count(lit(1)).as("n"),
-              min(struct(col("doc_id"), col("i0"))).as("keeper"))
-          val dup = rt.join(grp, Seq("r"))
-            .filter(col("n") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
-              col("i0") === col("keeper.i0")))
-            .select("doc_id", "i0")
-          val w = Window.partitionBy("doc_id").orderBy("i0")
-          val brk = dup
-            .withColumn("brk", when(col("i0") - lag("i0", 1).over(w) <= l, 0L)
-              .otherwise(1L))
-            .withColumn("isl", sum("brk").over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          brk.groupBy("doc_id", "isl")
-            .agg(min("i0").as("span_start"),
-              (max("i0") + l).as("span_end"),
-              (max("i0") + l - min("i0")).as("span_tokens"),
-              count(lit(1)).as("n_starts"))
-            .select(lit(l.toLong).as("prefix_len"), col("doc_id"),
-              col("span_start"), col("span_end"), col("span_tokens"),
-              col("n_starts"))
-        }
-        grains.map(spansAt).reduce(_ unionByName _)
+        val rt = storedSuffixRanks(s, d)
+          .filter(col("round").isin(grains: _*))
+        // keeper = lexicographic min (doc_id, pos) STRUCT — collision-
+        // free at ANY document length (the r14 advisor's finding: the
+        // old doc_id·10⁶+pos encoding collides for docs ≥ 1e6 tokens,
+        // exactly the long documents the Lee-et-al operating point
+        // targets, silently keeping a non-keeper occurrence)
+        val grp = rt.groupBy("round", "r")
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("doc_id"), col("i0"))).as("keeper"))
+        val dup = rt.join(grp, Seq("round", "r"))
+          .filter(col("n") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
+            col("i0") === col("keeper.i0")))
+          .withColumn("l", expr("CAST(shiftleft(1, round) AS BIGINT)"))
+          .select("round", "l", "doc_id", "i0")
+        val w = Window.partitionBy("round", "doc_id").orderBy("i0")
+        val brk = dup
+          .withColumn("brk", when(col("i0") - lag("i0", 1).over(w) <= col("l"), 0L)
+            .otherwise(1L))
+          .withColumn("isl", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        brk.groupBy("round", "l", "doc_id", "isl")
+          .agg(min("i0").as("span_start"),
+            (max("i0") + col("l")).as("span_end"),
+            (max("i0") + col("l") - min("i0")).as("span_tokens"),
+            count(lit(1)).as("n_starts"))
+          .select(col("l").as("prefix_len"), col("doc_id"),
+            col("span_start"), col("span_end"), col("span_tokens"),
+            col("n_starts"))
       })
   }
 
@@ -3496,9 +3527,67 @@ object DedupQueries {
           col("community_size"))
     })
 
+  /** SUFFIX-RANK CHAIN, LIVE — the plan-proof twin of the stored
+    * [[storedSuffixRanks]] artifact (the q99 convention: the artifact
+    * build and THIS query run the same prefix-doubling builder, every
+    * other consumer reads the table — so the chain's plan properties
+    * stay mechanically assertable after q329/q339 became read-back
+    * consumers). Runs the live chain at rounds 1–2 (prefix lengths
+    * 2/4 — enough to exercise the round-0 vocab rank, the shift join,
+    * and a doubling renumber) and reports, per grain: valid positions,
+    * DISTINCT windows (= distinct suffix ranks — the property the
+    * doubling must get exactly right), and duplicated-position mass.
+    * The DuckDB oracle is INDEPENDENT-ALGORITHM (q329's discipline):
+    * it groups the actual token-array slices by value. PlanCheck
+    * asserts the chain shape here: NO zero-key window, no cartesian,
+    * and no broadcast of the data-growing vocab rank table. Scale
+    * shape: one scan → 2 rounds of {(doc,pos)-keyed shift join +
+    * distinct-pair renumber} → rank-keyed rollup. Output: one row per
+    * prefix length. HASH-MATCHED. */
+  val q353 = {
+    val rounds = Seq(1, 2) // live rounds → prefix lengths 2, 4
+    def duckArm(l: Int): String =
+      s"""p$l AS (SELECT doc_id, l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
+         |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
+         |g$l AS (SELECT s, CAST(count(*) AS BIGINT) AS n
+         |        FROM p$l GROUP BY 1)""".stripMargin
+    def duckSel(l: Int): String =
+      s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+         |  CAST(SUM(n) AS BIGINT) AS n_positions,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_windows,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS dup_positions
+         |FROM g$l""".stripMargin
+    QueryDef.oracle("q353_suffix_rank_chain",
+      s"""WITH toks AS (SELECT doc_id, list_filter(
+         |                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
+         |              FROM documents),
+         |${duckArm(2)},
+         |${duckArm(4)}
+         |${duckSel(2)}
+         |UNION ALL
+         |${duckSel(4)}""".stripMargin)(
+      (s, d) => {
+        val (nl, snaps) = suffixRankRounds(s, d, maxRound = rounds.max)
+        def arm(j: Int): DataFrame = {
+          val l = 1 << j
+          snaps(j).join(nl, Seq("doc_id"))
+            .filter(col("i") + l <= col("len"))
+            .groupBy("r").agg(count(lit(1)).as("n"))
+            .agg(sum("n").as("n_positions"),
+              count(lit(1)).cast("long").as("n_distinct_windows"),
+              sum(when(col("n") > 1, col("n")).otherwise(0L))
+                .as("dup_positions"))
+            .select(lit(l.toLong).as("prefix_len"), col("n_positions"),
+              col("n_distinct_windows"), col("dup_positions"))
+        }
+        rounds.map(arm).reduce(_ unionByName _)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345)
+      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353)
 }

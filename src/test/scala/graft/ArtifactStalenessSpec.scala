@@ -47,6 +47,33 @@ class ArtifactStalenessSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("the suffranks artifact follows a day-2 corpus change (r14 verdict #2)") {
+    // the REAL stored suffix-rank artifact, driven through its lifecycle:
+    // build on day-1 docs, serve cached, then a day-2 corpus change at
+    // the SAME path must rebuild — a consumer (q329/q339) may never read
+    // ranks computed from yesterday's corpus snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-sfx").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // 4-token docs: exactly one valid round-2 (l=4) position per doc,
+    // nothing at rounds 4/5/6 — artifact rows == doc count
+    writeDocs(Seq("a b c d", "a b c d"))
+    assert(graft.operators.DedupQueries.storedSuffixRanks(spark, dir)
+      .count() == 2L)
+    // unchanged corpus: cached (same table, same count, no rebuild error)
+    assert(graft.operators.DedupQueries.storedSuffixRanks(spark, dir)
+      .count() == 2L)
+
+    // day-2: the corpus grows at the same path; the artifact must rebuild
+    writeDocs(Seq("a b c d", "a b c d", "x y z w"))
+    assert(graft.operators.DedupQueries.storedSuffixRanks(spark, dir)
+      .count() == 3L,
+      "suffranks served a STALE snapshot after the day-2 corpus change")
+  }
+
   test("a mutation NESTED deeper than 3 levels still invalidates (no walk depth cap)") {
     // a multi-level partitioned layout (year=/month=/day=/part.parquet)
     // nests data files 4+ levels below the corpus root; the fingerprint
