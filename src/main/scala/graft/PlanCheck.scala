@@ -1046,9 +1046,40 @@ object PlanCheck {
       p => p.contains("partial_min") && p.contains("partial_max") &&
         !p.contains("CartesianProduct"))
     check("q344_loo_source_valuation",
-      "LOO valuation: pinned fragments (ExistingRDD); |sources|+1-row variant axis broadcast; eval join vocab-KEYED; no cartesian",
-      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
-        !p.contains("CartesianProduct"))
+      "LOO valuation: subtractive one-rollup form — NO tokenize above the pinned rollup (zero Generate downstream); variant axis broadcast; no cartesian",
+      p => !p.contains("+- Generate") && p.contains("ExistingRDD") &&
+        p.contains("BroadcastExchange") && !p.contains("CartesianProduct"))
+    // the one-corpus-token-scan assertion runs on the UNPINNED builder,
+    // where the whole lineage is one visible tree (the query's pinned
+    // fragments hide the Generate below localCheckpoint boundaries).
+    // A plan-copy tree replicates the shared rollup sub-DAG per consumer
+    // path, so the mechanical form is: every Generate subtree is
+    // JOIN-FREE (tokenize always reads the raw corpus directly — the
+    // r14 x21 shape tokenized a variant-fanned crossJoin stream, i.e. a
+    // join BELOW the Generate) and all Generates are the SAME tokenize
+    // expression (one logical corpus token scan, not a second pass)
+    locally {
+      val name = "q344_loo_source_valuation"
+      val what = "LOO valuation (unpinned lineage): ONE logical corpus token scan — every Generate join-free below, all Generates the same tokenize; no cartesian"
+      val ok = try {
+        val p = graft.operators.ModelPrepQueries
+          .looSourceValuation(spark, d, pin = false).queryExecution.sparkPlan
+        val gens = p.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g }
+        gens.nonEmpty &&
+        gens.forall(g => g.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty) &&
+        gens.map(_.generator.toString.replaceAll("#\\d+", ""))
+          .distinct.size == 1 &&
+        p.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }.isEmpty
+      } catch { case e: Throwable =>
+        System.err.println(s"[plancheck] $name: $e"); false }
+      if (!ok) misses += 1
+      println(f"${if (ok) "OK  " else "MISS"} $name%-28s $what")
+    }
     check("q330_autocorrelation",
       "autocorrelation: 7 lag self-joins ride the pinned AGGREGATE-REDUCED dense grid (ExistingRDD), axis broadcast; no cartesian",
       p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))

@@ -1963,45 +1963,63 @@ object ModelPrepQueries {
     * others — on a duplicated corpus, exactly what q159/q236's overlap
     * matrices predict). This is the measured form of "which source
     * earns its budget" that q302's waterfilling and q214's
-    * apportionment take as input. Scale shape: one train scan exploded
-    * per matching variant (|sources|+1 tags via a broadcast axis — 21
-    * rows on this corpus's 20 sources; the stack multiplies the token
-    * stream by |sources|+1, which is the honest cost of exact LOO — at
-    * 100 TB run it on the q45-style deterministic sample or amortize
-    * into one pass with per-source partial sums when |sources| grows) →
-    * (variant, tok)-keyed counts → eval-type join → |sources|+1-row
-    * report. Output: one row per variant. HASH-MATCHED. */
+    * apportionment take as input.
+    *
+    * SUBTRACTIVE ONE-ROLLUP FORM (r14 verdict #1 — the shipped r14
+    * shape fanned every train document into |sources|+1 variant copies
+    * through a crossJoin tag and tokenized each copy, ~21 corpus token
+    * scans' worth of explode+shuffle for a 21-row answer): the add-1
+    * unigram LM this trains per variant is algebraically subtractive,
+    * so ONE (source, split, tok) rollup — the query's single corpus
+    * token scan, PlanCheck-asserted as the plan's only Generate —
+    * yields every variant exactly: c_drop_s(tok) = c_all(tok) −
+    * c_s(tok), t_drop_s = t_all − t_s, n_docs_drop_s = n_all − n_s
+    * (the 'all' row is the rollup's own grand total), and the
+    * smoothing vocab is the same rollup's distinct-token count. The
+    * per-variant scoring is then pure vocab-sized arithmetic: eval
+    * types × the |sources|+1-row broadcast axis, minus a (tok, source)-
+    * keyed left join for the one subtracted count. Scale shape: one
+    * corpus token scan → (source, split, tok) rollup → eval-vocab ×
+    * bounded-axis arithmetic → |sources|+1-row report. Output: one row
+    * per variant. HASH-MATCHED (values identical to the fan-out form
+    * by the subtraction identity, so the r14 hash stands). */
   val q344 = QueryDef.oracle("q344_loo_source_valuation",
     """WITH docs AS (SELECT doc_id, source, COALESCE(text, '') AS text
       |              FROM documents),
-      |srcs AS (SELECT DISTINCT source FROM docs),
-      |vars AS (SELECT 'all' AS variant, NULL AS excluded
-      |         UNION ALL SELECT 'drop_' || source, source FROM srcs),
-      |tagged AS (SELECT v.variant, d.doc_id, d.text
-      |           FROM docs d JOIN vars v
-      |             ON v.excluded IS NULL OR v.excluded <> d.source
-      |           WHERE d.doc_id % 5 <> 0),
-      |tt AS (SELECT variant, unnest(list_filter(
-      |         regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
-      |       FROM tagged),
-      |cv AS (SELECT variant, tok, CAST(count(*) AS BIGINT) AS c
-      |       FROM tt GROUP BY 1, 2),
-      |tv AS (SELECT variant, CAST(SUM(c) AS BIGINT) AS t_train FROM cv GROUP BY 1),
-      |nd AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_train_docs
-      |       FROM tagged GROUP BY 1),
-      |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
-      |       FROM (SELECT unnest(list_filter(
-      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
-      |             FROM docs)),
-      |ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS m
-      |       FROM (SELECT unnest(list_filter(
-      |               regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
-      |             FROM docs WHERE doc_id % 5 = 0) GROUP BY 1),
-      |sc AS (SELECT tv.variant, ev.m,
-      |         CAST(round(log2(CAST(tv.t_train + va.vocab AS DOUBLE)
-      |              / (COALESCE(cv.c, 0) + 1)) * 1000000) AS BIGINT) AS micro_bits
-      |       FROM ev CROSS JOIN tv CROSS JOIN va
-      |       LEFT JOIN cv ON cv.variant = tv.variant AND cv.tok = ev.tok),
+      |base AS (SELECT source, is_eval, tok, CAST(count(*) AS BIGINT) AS c
+      |         FROM (SELECT source, doc_id % 5 = 0 AS is_eval,
+      |                 unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |               FROM docs)
+      |         GROUP BY 1, 2, 3),
+      |cs AS (SELECT source, tok, c FROM base WHERE NOT is_eval),
+      |ca AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_all FROM cs GROUP BY 1),
+      |ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t_s FROM cs GROUP BY 1),
+      |persrc AS (SELECT source,
+      |             CAST(count(CASE WHEN doc_id % 5 <> 0 THEN 1 END) AS BIGINT)
+      |               AS n_s
+      |           FROM docs GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE((SELECT SUM(c) FROM cs), 0) AS BIGINT)
+      |            AS t_all,
+      |          CAST(COALESCE((SELECT SUM(n_s) FROM persrc), 0) AS BIGINT)
+      |            AS n_all),
+      |vars AS (SELECT 'drop_' || p.source AS variant, p.source AS excluded,
+      |           CAST(t.t_all - COALESCE(ts.t_s, 0) AS BIGINT) AS t_train,
+      |           CAST(t.n_all - p.n_s AS BIGINT) AS n_train_docs
+      |         FROM persrc p LEFT JOIN ts USING (source), tot t
+      |         UNION ALL
+      |         SELECT 'all', NULL, t_all, n_all FROM tot),
+      |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM base),
+      |ev AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS m
+      |       FROM base WHERE is_eval GROUP BY 1),
+      |evc AS (SELECT e.tok, e.m, COALESCE(ca.c_all, CAST(0 AS BIGINT)) AS c_all
+      |        FROM ev e LEFT JOIN ca USING (tok)),
+      |sc AS (SELECT v.variant, e.m,
+      |         CAST(round(log2(CAST(v.t_train + va.vocab AS DOUBLE)
+      |              / (e.c_all - COALESCE(cs.c, 0) + 1)) * 1000000) AS BIGINT)
+      |           AS micro_bits
+      |       FROM evc e CROSS JOIN vars v CROSS JOIN va
+      |       LEFT JOIN cs ON cs.source = v.excluded AND cs.tok = e.tok),
       |agg AS (SELECT variant, CAST(SUM(m * micro_bits) AS BIGINT) AS micro_sum,
       |          CAST(SUM(m) AS BIGINT) AS eval_tokens
       |        FROM sc GROUP BY 1),
@@ -2009,58 +2027,78 @@ object ModelPrepQueries {
       |          CAST(micro_sum // eval_tokens AS BIGINT) AS mbits_per_token
       |        FROM agg),
       |ref AS (SELECT mbits_per_token AS ref_mbits FROM fin WHERE variant = 'all')
-      |SELECT f.variant, nd.n_train_docs, tv.t_train AS n_train_tokens,
+      |SELECT f.variant, v.n_train_docs, v.t_train AS n_train_tokens,
       |       f.eval_tokens, f.mbits_per_token,
       |       CAST(f.mbits_per_token - ref.ref_mbits AS BIGINT) AS delta_mbits
-      |FROM fin f JOIN tv USING (variant) JOIN nd USING (variant), ref""".stripMargin)(
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          coalesce(col("text"), lit("")).as("text"))
-        .localCheckpoint(false)
-      val isEval = col("doc_id") % 5 === 0
-      val srcs = docs.select("source").distinct()
-      val vars = srcs.select(concat(lit("drop_"), col("source")).as("variant"),
-          col("source").as("excluded"))
-        .unionByName(srcs.sparkSession.range(1)
-          .select(lit("all").as("variant"), lit(null).cast("string").as("excluded")))
-      val tagged = docs.filter(!isEval)
-        .crossJoin(broadcast(vars))
-        .filter(col("excluded").isNull || col("excluded") =!= col("source"))
-        .select(col("variant"), col("doc_id"), col("text"))
-        .localCheckpoint(false)
-      val cv = tagged
-        .select(col("variant"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("variant", "tok").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
-      val tv = cv.groupBy("variant").agg(sum("c").as("t_train"))
-      val nd = tagged.groupBy("variant").agg(count(lit(1)).as("n_train_docs"))
-      val va = docs.select(explode(tokens(col("text"))).as("tok"))
-        .agg(countDistinct("tok").as("vocab"))
-      val ev = docs.filter(isEval)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("m"))
-      val fin = ev.crossJoin(broadcast(tv)).crossJoin(broadcast(va))
-        .join(cv, Seq("variant", "tok"), "left")
-        .withColumn("micro_bits", round(log2(
-          (col("t_train") + col("vocab")).cast("double")
-            / (coalesce(col("c"), lit(0L)) + 1)) * 1000000).cast("long"))
-        .groupBy("variant")
-        .agg(sum(col("m") * col("micro_bits")).as("micro_sum"),
-          sum("m").as("eval_tokens"))
-        .withColumn("mbits_per_token",
-          expr("CAST(micro_sum div eval_tokens AS BIGINT)"))
-        .localCheckpoint(false) // read by the report and the 1-row ref
-      val ref = fin.filter(col("variant") === "all")
-        .select(col("mbits_per_token").as("ref_mbits"))
-      fin.join(broadcast(tv), Seq("variant"))
-        .join(broadcast(nd), Seq("variant"))
-        .crossJoin(broadcast(ref))
-        .select(col("variant"), col("n_train_docs"),
-          col("t_train").as("n_train_tokens"), col("eval_tokens"),
-          col("mbits_per_token"),
-          (col("mbits_per_token") - col("ref_mbits")).as("delta_mbits"))
-    })
+      |FROM fin f JOIN vars v USING (variant), ref""".stripMargin)(
+    (s, d) => looSourceValuation(s, d, pin = true))
+
+  /** q344's builder, pin-parameterized: the query runs with every shared
+    * fragment pinned (lazy localCheckpoint — the rollup, the axis, and
+    * the report table each compute once); PlanCheck audits the UNPINNED
+    * form, where the whole lineage is one visible tree, to assert the
+    * subtractive shape mechanically: exactly ONE Generate (= one corpus
+    * token scan) in the entire plan. */
+  private[graft] def looSourceValuation(s: SparkSession, d: String,
+      pin: Boolean): DataFrame = {
+    def maybePin(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(false) else df
+    val docs = Tables.documents(s, d)
+    val isEval = col("doc_id") % 5 === 0
+    // THE one corpus token scan: (source, split, tok) counts feed the
+    // train rollup, the eval stream, AND the smoothing vocab
+    val base = maybePin(docs
+      .select(col("source"), isEval.as("is_eval"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .groupBy("source", "is_eval", "tok").agg(count(lit(1)).as("c")))
+    val cs = base.filter(!col("is_eval")).select("source", "tok", "c")
+    val ca = cs.groupBy("tok").agg(sum("c").as("c_all"))
+    val ts = cs.groupBy("source").agg(sum("c").as("t_s"))
+    // doc counts per source (empty-text docs count too — a doc-grain
+    // metadata scan, never a second token pass)
+    val perSrc = maybePin(docs.groupBy("source")
+      .agg(count(when(!isEval, lit(1))).as("n_s"))) // |sources| rows
+    val tot = cs.agg(coalesce(sum("c"), lit(0L)).as("t_all"))
+      .crossJoin(perSrc.agg(coalesce(sum("n_s"), lit(0L)).as("n_all")))
+    // the |sources|+1-row variant axis with its SUBTRACTED totals
+    val vars = maybePin(perSrc.join(ts, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(concat(lit("drop_"), col("source")).as("variant"),
+        col("source").as("excluded"),
+        (col("t_all") - coalesce(col("t_s"), lit(0L))).as("t_train"),
+        (col("n_all") - col("n_s")).as("n_train_docs"))
+      .unionByName(tot.select(lit("all").as("variant"),
+        lit(null).cast("string").as("excluded"),
+        col("t_all").as("t_train"), col("n_all").as("n_train_docs"))))
+    val va = base.agg(countDistinct("tok").as("vocab"))
+    val ev = base.filter(col("is_eval")).groupBy("tok").agg(sum("c").as("m"))
+    val evc = ev.join(ca, Seq("tok"), "left")
+      .select(col("tok"), col("m"),
+        coalesce(col("c_all"), lit(0L)).as("c_all"))
+    // per (variant, eval type): c_v = c_all − c_excluded (the NULL
+    // 'all' key never matches, so its subtraction is 0)
+    val evs = cs.select(col("tok"), col("source").as("excluded"),
+      col("c").as("c_excl"))
+    val sc = evc.crossJoin(broadcast(vars)).crossJoin(broadcast(va))
+      .join(evs, Seq("tok", "excluded"), "left")
+      .withColumn("micro_bits", round(log2(
+        (col("t_train") + col("vocab")).cast("double")
+          / (col("c_all") - coalesce(col("c_excl"), lit(0L)) + 1))
+        * 1000000).cast("long"))
+    val fin = maybePin(sc.groupBy("variant")
+      .agg(sum(col("m") * col("micro_bits")).as("micro_sum"),
+        sum("m").as("eval_tokens"))
+      .withColumn("mbits_per_token",
+        expr("CAST(micro_sum div eval_tokens AS BIGINT)")))
+    val ref = fin.filter(col("variant") === "all")
+      .select(col("mbits_per_token").as("ref_mbits"))
+    fin.join(broadcast(vars), Seq("variant"))
+      .crossJoin(broadcast(ref))
+      .select(col("variant"), col("n_train_docs"),
+        col("t_train").as("n_train_tokens"), col("eval_tokens"),
+        col("mbits_per_token"),
+        (col("mbits_per_token") - col("ref_mbits")).as("delta_mbits"))
+  }
 
   /** NEGATIVE-SAMPLING TABLE — the word2vec/contrastive-training prep
     * artifact: every vocab type weighted by freq^0.75 (the Mikolov
