@@ -30,18 +30,29 @@ object Bench {
     * map (r13 verdict #2: "carried flat" must be a COMPUTED number, not
     * a spot check — the r13 close spot-checked three heavies and missed
     * a broad +12% tail). Returns (carriedN, carriedSec, carriedPrevSec,
-    * medianPerQueryRatio, newN, newSec); failures (-1 timings) and
-    * zero/absent prev entries are excluded from ratios. Unit-tested
-    * (BenchPrevParseSpec). */
+    * medianPerQueryRatio, newN, newSec, prevFailedN, prevFailedSec);
+    * failures (-1 timings this round) are excluded everywhere, the
+    * median of an even-sized ratio list is the MEAN of the two middle
+    * elements (the r14 advisor: taking the upper element biases the
+    * carried evidence upward), and a query that FAILED in the previous
+    * round (prev present but ≤ 0) is its own bucket — folding it into
+    * "new ops" inflated new_sec with queries that are anything but new.
+    * Unit-tested (BenchPrevParseSpec). */
   private[graft] def carriedDelta(results: Map[String, Double],
-      prev: Map[String, Double]): (Int, Double, Double, Double, Int, Double) = {
+      prev: Map[String, Double])
+      : (Int, Double, Double, Double, Int, Double, Int, Double) = {
     val ok = results.filter(_._2 >= 0)
     val carried = ok.filter { case (k, _) => prev.get(k).exists(_ > 0) }
-    val newOnes = ok.filter { case (k, _) => !prev.get(k).exists(_ > 0) }
+    val prevFailed = ok.filter { case (k, _) => prev.get(k).exists(_ <= 0) }
+    val newOnes = ok.filter { case (k, _) => !prev.contains(k) }
     val ratios = carried.map { case (k, v) => v / prev(k) }.toSeq.sorted
-    val med = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+    val med =
+      if (ratios.isEmpty) 0.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     (carried.size, carried.values.sum, carried.keys.map(prev).sum, med,
-      newOnes.size, newOnes.values.sum)
+      newOnes.size, newOnes.values.sum, prevFailed.size,
+      prevFailed.values.sum)
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,20 +178,21 @@ object Bench {
 
     // Carried-vs-new decomposition (r13 verdict #2): printed AND recorded
     // so "carried flat" is a computed number every sweep, not a sample.
-    val (cN, cSec, cPrev, cMed, nN, nSec) = carriedDelta(results, prevRound)
+    val (cN, cSec, cPrev, cMed, nN, nSec, pfN, pfSec) =
+      carriedDelta(results, prevRound)
     if (only.isEmpty && cN > 0) System.err.println(String.format(
       java.util.Locale.ROOT,
-      "[bench] carried subtotal: %.1f s over %d queries vs prev %.1f s (x%.3f total, x%.3f median per-query); new ops: %.1f s over %d",
+      "[bench] carried subtotal: %.1f s over %d queries vs prev %.1f s (x%.3f total, x%.3f median per-query); new ops: %.1f s over %d; prev-failed recovered: %.1f s over %d",
       Double.box(cSec), Int.box(cN), Double.box(cPrev),
       Double.box(if (cPrev > 0) cSec / cPrev else 0.0), Double.box(cMed),
-      Double.box(nSec), Int.box(nN)))
+      Double.box(nSec), Int.box(nN), Double.box(pfSec), Int.box(pfN)))
 
     // Full-precision, every-query JSON goes to the file.
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
     val recheckedJson = rechecked.map(Json.q).mkString("[", ",", "]")
     val carriedJson =
-      s"""{"n":$cN,"sec":$cSec,"prev_sec":$cPrev,"median_ratio":$cMed,"new_n":$nN,"new_sec":$nSec}"""
+      s"""{"n":$cN,"sec":$cSec,"prev_sec":$cPrev,"median_ratio":$cMed,"new_n":$nN,"new_sec":$nSec,"prev_failed_n":$pfN,"prev_failed_sec":$pfSec}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"stall_rechecked":$recheckedJson,"carried":$carriedJson,"sf":${Json.q(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -70,16 +70,32 @@ class BenchPrevParseSpec extends AnyFunSuite {
   test("carriedDelta decomposes carried vs new and excludes failures") {
     val results = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> -1.0, "q4_new" -> 4.0)
     val prev = Map("q1" -> 0.5, "q2" -> 2.0, "q3" -> 1.0, "q_gone" -> 9.0)
-    val (cN, cSec, cPrev, cMed, nN, nSec) = Bench.carriedDelta(results, prev)
+    val (cN, cSec, cPrev, cMed, nN, nSec, pfN, pfSec) =
+      Bench.carriedDelta(results, prev)
     assert(cN == 2 && cSec == 3.0 && cPrev == 2.5)
-    // ratios: q1 2.0, q2 1.0 -> sorted (1.0, 2.0), median idx 1 = 2.0
-    assert(cMed == 2.0)
+    // ratios: q1 2.0, q2 1.0 -> even size: median = MEAN of the two
+    // middle elements (r14 advisor — the upper element biased the
+    // carried evidence upward)
+    assert(cMed == 1.5)
     assert(nN == 1 && nSec == 4.0)
+    assert(pfN == 0 && pfSec == 0.0)
   }
 
-  test("carriedDelta treats a zero/absent prev entry as new, never divides by it") {
-    val (cN, _, _, _, nN, _) =
-      Bench.carriedDelta(Map("a" -> 1.0, "b" -> 1.0), Map("a" -> 0.0))
-    assert(cN == 0 && nN == 2)
+  test("carriedDelta: odd-sized ratio list keeps the exact middle element") {
+    val results = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 9.0)
+    val prev = Map("q1" -> 1.0, "q2" -> 1.0, "q3" -> 1.0)
+    val (_, _, _, cMed, _, _, _, _) = Bench.carriedDelta(results, prev)
+    assert(cMed == 2.0)
+  }
+
+  test("carriedDelta separates prev-FAILED queries from genuinely new ops") {
+    // q_pf failed last round (prev -1): it is NOT a new op — folding it
+    // into new_sec inflated the carried-vs-new evidence (r14 advisor);
+    // a prev of 0.0 is equally unusable as a ratio base
+    val (cN, _, _, _, nN, nSec, pfN, pfSec) = Bench.carriedDelta(
+      Map("a" -> 1.0, "q_pf" -> 3.0, "b" -> 1.0),
+      Map("a" -> 0.0, "q_pf" -> -1.0))
+    assert(cN == 0 && nN == 1 && nSec == 1.0)
+    assert(pfN == 2 && pfSec == 4.0)
   }
 }
