@@ -124,7 +124,8 @@ object PlanAudit {
     * query whose physical plan may carry a zero-key WindowExec, with
     * the documented BOUND on that window's input. Classes: O(1) (a
     * scalar/handful-row table), k-bounded (a fixed literal axis),
-    * |sources|-bounded (the 4-source axis), dim-bounded (a static
+    * |sources|-bounded (the source axis — 20 distinct on this corpus,
+    * TestdataDriftSpec pins the constant), dim-bounded (a static
     * dimension, not the fact table), P-bounded (one row per shuffle
     * partition — the contiguousId offsets prefix-sum). Anything
     * vocab-/pair-/data-GROWING must instead use Clean.keyedGroupRank,
@@ -145,11 +146,11 @@ object PlanAudit {
     "q191_lsh_calibration" ->
       "k-bounded: cumulative over the <=PortK+1-row band-match histogram",
     "q214_budget_apportionment" ->
-      "|sources|-bounded: largest-remainder rank over the 4-source table",
+      "|sources|-bounded: largest-remainder rank over the source table (20 distinct here — TestdataDriftSpec pins it)",
     "q251_histogram_selectivity" ->
       "domain-bounded: distinct price-cents of a 1/16 hash sample (price domain, not row count)",
     "q257_mixture_epochs" ->
-      "|sources|-bounded: largest-remainder rank over the 4-source table",
+      "|sources|-bounded: largest-remainder rank over the source table (20 distinct here — TestdataDriftSpec pins it)",
     "q270_hybrid_rrf_fusion" ->
       "!limit-bounded: three rank windows over <=50-row top-k lists and their <=100-row full-outer fusion",
     "q271_randomized_response" ->
@@ -159,11 +160,11 @@ object PlanAudit {
     "q291_gram_novelty_curve" ->
       "k-bounded: cumulative over the 10-row decile table",
     "q302_token_waterfill" ->
-      "|sources|-bounded: waterfill level search over the 4-source cap table (4 sites)",
+      "|sources|-bounded: waterfill level search over the source cap table (20 distinct here — TestdataDriftSpec pins it; 4 sites)",
     "q322_neyman_allocation" ->
-      "|sources|-bounded: largest-remainder rank over the 4-source table",
+      "|sources|-bounded: largest-remainder rank over the source table (20 distinct here — TestdataDriftSpec pins it)",
     "q331_bradley_terry" ->
-      "|sources|-bounded: final strength rank over the 4-source table",
+      "|sources|-bounded: final strength rank over the source table (20 distinct here — TestdataDriftSpec pins it)",
     "q341_session_paths" ->
       "limit-bounded: rank over the top-10 entry-path list (path axis is alphabet^3-bounded anyway)")
 

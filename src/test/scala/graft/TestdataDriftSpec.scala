@@ -64,4 +64,19 @@ class TestdataDriftSpec extends SparkSpec {
     assert(vals(fromNtz) == expected)
     assert(vals(fromTs) == expected)
   }
+
+  test("documents.source carries 20 distinct values (the |sources| bound constant)") {
+    // the r14 verdict's hygiene finding: allowlist bound comments said
+    // "the 4-source table" while the corpus ships 20 — every
+    // |sources|-bounded zero-key-window bound and broadcast-axis sizing
+    // note cites this constant, so its next drift must be one red
+    // assertion with a pointer (re-measure, then update
+    // PlanAudit.zeroKeyWindowAllowlist comments and docs/SCALE.md rows
+    // that size |sources|-bounded axes)
+    val n = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(n == 20L,
+      s"documents.source now has $n distinct values (was 20): update the " +
+        "|sources|-bounded allowlist/broadcast-axis comments to the new " +
+        "measured constant")
+  }
 }
