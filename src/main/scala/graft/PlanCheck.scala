@@ -985,6 +985,18 @@ object PlanCheck {
       "span extraction: READS the bucketed suffranks artifact (no live chain, no documents scan); rank rollup + join-back ride the (round,r) bucketing; no cartesian",
       p => p.contains("graft_suffranks") && scans(p, "documents") == 0 &&
         !p.contains("CartesianProduct"))
+    check("q354_span_dedup_yield",
+      "span-dedup yield: READS the bucketed suffranks artifact; doc-keyed span rollup; ONE documents scan (token counts); no cartesian",
+      p => p.contains("graft_suffranks") && scans(p, "documents") == 1 &&
+        !p.contains("CartesianProduct"))
+    checkTree("q354_span_dedup_yield",
+      "span-dedup yield: no zero-key window (island merge + rollups keyed)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q355_span_dedup_lm_impact",
+      "span-dedup LM impact: cut rides the read-back suffranks starts (pinned fragments, ExistingRDD); variant axis broadcast; eval join vocab-KEYED; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
     checkTree("q353_suffix_rank_chain",
       "live suffix chain (the artifact's plan proof): NO zero-key window at any round (hashBucketRank renumbers only)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec

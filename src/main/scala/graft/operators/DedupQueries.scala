@@ -3239,70 +3239,97 @@ object DedupQueries {
     * stacked (round, rank)-keyed rollup + join-back (both exchange-free
     * on the bucketed keys) → (round, doc)-keyed island merge.
     * Output: one row per removable span per grain. HASH-MATCHED. */
+  /** Shared q339-grain span ORACLE fragments (OracleFragmentDriftSpec
+    * pins the consumer set): the tokenized-corpus CTE and the per-grain
+    * chain positions → keeper groups → removable starts (dup$l) →
+    * doc-keyed islands → maximal spans (sp$l). Every consumer of the
+    * exact-substring span product must interpolate THESE — a forked
+    * copy would silently decouple the cut list from the report. */
+  private[graft] val spanSuffixToksCte: String =
+    """toks AS (SELECT doc_id, list_filter(
+      |           regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |         FROM documents)""".stripMargin
+
+  private[graft] def spanSuffixDuckArm(l: Int): String =
+    s"""p$l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i0,
+       |          l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
+       |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
+       |g$l AS (SELECT s, count(*) AS n,
+       |          min({'d': doc_id, 'p': i0}) AS keeper
+       |        FROM p$l GROUP BY s),
+       |dup$l AS (SELECT p.doc_id, p.i0
+       |          FROM p$l p JOIN g$l g USING (s)
+       |          WHERE g.n > 1 AND NOT (p.doc_id = struct_extract(g.keeper, 'd')
+       |                                 AND p.i0 = struct_extract(g.keeper, 'p'))),
+       |brk$l AS (SELECT doc_id, i0,
+       |            CASE WHEN i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0)
+       |                   <= $l THEN 0 ELSE 1 END AS brk
+       |          FROM dup$l),
+       |isl$l AS (SELECT doc_id, i0, SUM(brk) OVER (PARTITION BY doc_id
+       |            ORDER BY i0 ROWS UNBOUNDED PRECEDING) AS isl
+       |          FROM brk$l),
+       |sp$l AS (SELECT CAST($l AS BIGINT) AS prefix_len, doc_id,
+       |           min(i0) AS span_start, max(i0) + $l AS span_end,
+       |           max(i0) + $l - min(i0) AS span_tokens,
+       |           CAST(count(*) AS BIGINT) AS n_starts
+       |         FROM isl$l GROUP BY doc_id, isl)""".stripMargin
+
+  /** Removable window STARTS per grain (pre-island) — the shared Spark
+    * leg of the span family, a read-back consumer of
+    * [[storedSuffixRanks]]: within each (round, rank) group the keeper
+    * is the lexicographic min (doc_id, pos) STRUCT — collision-free at
+    * ANY document length (the r14 advisor's finding: the old
+    * doc_id·10⁶+pos encoding collides for docs ≥ 1e6 tokens, exactly
+    * the long documents the Lee-et-al operating point targets) — and
+    * every other occurrence is a removable start. Returns
+    * (round, l, doc_id, i0). NOTE: island coverage ≡ start coverage
+    * (gap ≤ L merging unions exactly the window intervals), so cut
+    * consumers (q355) may use starts directly. */
+  private[graft] def removableSpanStarts(s: SparkSession, d: String,
+      rounds: Seq[Int]): DataFrame = {
+    val rt = storedSuffixRanks(s, d)
+      .filter(col("round").isin(rounds: _*))
+    val grp = rt.groupBy("round", "r")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("i0"))).as("keeper"))
+    rt.join(grp, Seq("round", "r"))
+      .filter(col("n") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
+        col("i0") === col("keeper.i0")))
+      .withColumn("l", expr("CAST(shiftleft(1, round) AS BIGINT)"))
+      .select("round", "l", "doc_id", "i0")
+  }
+
+  /** Maximal removable spans per grain: starts merged per (round, doc)
+    * when they overlap or touch (gap ≤ L) via a doc-KEYED lag/cumsum
+    * window — never a global one. Returns q339's output shape. */
+  private[graft] def removableSpans(s: SparkSession, d: String,
+      rounds: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = removableSpanStarts(s, d, rounds)
+    val w = Window.partitionBy("round", "doc_id").orderBy("i0")
+    val brk = dup
+      .withColumn("brk", when(col("i0") - lag("i0", 1).over(w) <= col("l"), 0L)
+        .otherwise(1L))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    brk.groupBy("round", "l", "doc_id", "isl")
+      .agg(min("i0").as("span_start"),
+        (max("i0") + col("l")).as("span_end"),
+        (max("i0") + col("l") - min("i0")).as("span_tokens"),
+        count(lit(1)).as("n_starts"))
+      .select(col("l").as("prefix_len"), col("doc_id"),
+        col("span_start"), col("span_end"), col("span_tokens"),
+        col("n_starts"))
+  }
+
   val q339 = {
     val grains = Seq(5, 6) // rounds → window lengths 32, 64
-    def duckArm(l: Int): String =
-      s"""p$l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i0,
-         |          l[CAST(i AS INT):CAST(i + $l - 1 AS INT)] AS s
-         |        FROM toks, unnest(range(1, len(l) - $l + 2)) AS t$l(i)),
-         |g$l AS (SELECT s, count(*) AS n,
-         |          min({'d': doc_id, 'p': i0}) AS keeper
-         |        FROM p$l GROUP BY s),
-         |dup$l AS (SELECT p.doc_id, p.i0
-         |          FROM p$l p JOIN g$l g USING (s)
-         |          WHERE g.n > 1 AND NOT (p.doc_id = struct_extract(g.keeper, 'd')
-         |                                 AND p.i0 = struct_extract(g.keeper, 'p'))),
-         |brk$l AS (SELECT doc_id, i0,
-         |            CASE WHEN i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0)
-         |                   <= $l THEN 0 ELSE 1 END AS brk
-         |          FROM dup$l),
-         |isl$l AS (SELECT doc_id, i0, SUM(brk) OVER (PARTITION BY doc_id
-         |            ORDER BY i0 ROWS UNBOUNDED PRECEDING) AS isl
-         |          FROM brk$l),
-         |sp$l AS (SELECT CAST($l AS BIGINT) AS prefix_len, doc_id,
-         |           min(i0) AS span_start, max(i0) + $l AS span_end,
-         |           max(i0) + $l - min(i0) AS span_tokens,
-         |           CAST(count(*) AS BIGINT) AS n_starts
-         |         FROM isl$l GROUP BY doc_id, isl)""".stripMargin
     QueryDef.oracle("q339_exact_substring_spans",
-      s"""WITH toks AS (SELECT doc_id, list_filter(
-         |                regexp_split_to_array(text, '\\s+'), x -> x <> '') AS l
-         |              FROM documents),
-         |${duckArm(32)},
-         |${duckArm(64)}
+      s"""WITH $spanSuffixToksCte,
+         |${spanSuffixDuckArm(32)},
+         |${spanSuffixDuckArm(64)}
          |SELECT * FROM sp32 UNION ALL SELECT * FROM sp64""".stripMargin)(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val rt = storedSuffixRanks(s, d)
-          .filter(col("round").isin(grains: _*))
-        // keeper = lexicographic min (doc_id, pos) STRUCT — collision-
-        // free at ANY document length (the r14 advisor's finding: the
-        // old doc_id·10⁶+pos encoding collides for docs ≥ 1e6 tokens,
-        // exactly the long documents the Lee-et-al operating point
-        // targets, silently keeping a non-keeper occurrence)
-        val grp = rt.groupBy("round", "r")
-          .agg(count(lit(1)).as("n"),
-            min(struct(col("doc_id"), col("i0"))).as("keeper"))
-        val dup = rt.join(grp, Seq("round", "r"))
-          .filter(col("n") > 1 && !(col("doc_id") === col("keeper.doc_id") &&
-            col("i0") === col("keeper.i0")))
-          .withColumn("l", expr("CAST(shiftleft(1, round) AS BIGINT)"))
-          .select("round", "l", "doc_id", "i0")
-        val w = Window.partitionBy("round", "doc_id").orderBy("i0")
-        val brk = dup
-          .withColumn("brk", when(col("i0") - lag("i0", 1).over(w) <= col("l"), 0L)
-            .otherwise(1L))
-          .withColumn("isl", sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        brk.groupBy("round", "l", "doc_id", "isl")
-          .agg(min("i0").as("span_start"),
-            (max("i0") + col("l")).as("span_end"),
-            (max("i0") + col("l") - min("i0")).as("span_tokens"),
-            count(lit(1)).as("n_starts"))
-          .select(col("l").as("prefix_len"), col("doc_id"),
-            col("span_start"), col("span_end"), col("span_tokens"),
-            col("n_starts"))
-      })
+      (s, d) => removableSpans(s, d, grains))
   }
 
   /** EXACT-SUBSTRING INCREMENTAL ADMISSION — the intake gate at
@@ -3585,9 +3612,71 @@ object DedupQueries {
       })
   }
 
+  /** SPAN-DEDUP YIELD — the cleaned-corpus view of q339's product (r14
+    * verdict #7: the Lee-et-al pass must produce its PRODUCT, not just
+    * its report): per source, exactly what survives cutting the
+    * 32-token removable spans — docs, raw tokens, spans cut, tokens
+    * removed/kept, and the removal fraction in exact ppm. This is the
+    * token-yield delta a curator reads next to q343/q355's measured LM
+    * impact and q243's doc-level yield: WHICH sources lose how much
+    * mass to exact-substring duplication (template-heavy sources bleed;
+    * clean sources are untouched). Spans are disjoint per doc by
+    * construction (islands merge at gap ≤ L), so Σ span_tokens is the
+    * exact union coverage — `SpanYieldReconcileSpec` reconciles the
+    * start counts against the artifact's dup-mass identity
+    * (Σ n_starts = dup_positions − dup_groups, q329's measure at the
+    * same grain). Shares the span fragments with q339/q355 (Spark:
+    * [[removableSpans]]; oracle: the pinned sp32 chain) so the yield
+    * table can never disagree with the span report. Scale shape:
+    * read-back span build → doc-keyed rollup → doc-grain metadata join
+    * → |sources|-row report. Output: one row per source.
+    * HASH-MATCHED. */
+  val q354 = QueryDef.oracle("q354_span_dedup_yield",
+    s"""WITH $spanSuffixToksCte,
+       |${spanSuffixDuckArm(32)},
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |          CAST(SUM(span_tokens) AS BIGINT) AS cut
+       |        FROM sp32 GROUP BY 1),
+       |d AS (SELECT d.source,
+       |        CAST(COALESCE(len(t.l), 0) AS BIGINT) AS n_tok,
+       |        COALESCE(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |        COALESCE(p.cut, CAST(0 AS BIGINT)) AS cut
+       |      FROM documents d JOIN toks t USING (doc_id)
+       |      LEFT JOIN per p USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       |       CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       |       CAST(SUM(cut) AS BIGINT) AS tokens_removed,
+       |       CAST(SUM(n_tok) - SUM(cut) AS BIGINT) AS tokens_kept,
+       |       CASE WHEN SUM(n_tok) > 0
+       |            THEN CAST(SUM(cut) * 1000000 // SUM(n_tok) AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS removed_ppm
+       |FROM d GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val per = removableSpans(s, d, Seq(5))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("cut"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tok"))
+        .join(per, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens_total"),
+          sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+          sum(coalesce(col("cut"), lit(0L))).as("tokens_removed"))
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          col("n_spans"), col("tokens_removed"),
+          (col("tokens_total") - col("tokens_removed")).as("tokens_kept"),
+          when(col("tokens_total") > 0,
+            expr("CAST(tokens_removed * 1000000 div tokens_total AS BIGINT)"))
+            .otherwise(0L).as("removed_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
-      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353)
+      q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353,
+      q354)
 }

@@ -2100,6 +2100,116 @@ object ModelPrepQueries {
         (col("mbits_per_token") - col("ref_mbits")).as("delta_mbits"))
   }
 
+  /** SPAN-DEDUP → LM IMPACT — q343's measured ladder re-run on the
+    * SPAN-deduped variant (r14 verdict #7: the exact-substring pass
+    * must produce its product, and this is the product SCORED): train
+    * the add-1 unigram LM on the full train split vs the train split
+    * with q339's 32-token removable spans CUT (Lee et al. 2022's actual
+    * operating point — substring-level, not doc-level, removal), score
+    * both on the same held-out split with the same whole-corpus
+    * smoothing vocab in exact micro-bits. Next to q343 this completes
+    * the dedup-impact table: doc-level exact dedup vs substring-level
+    * span dedup, same eval, directly comparable bits/token. The cut
+    * uses removable STARTS directly — island coverage ≡ start coverage
+    * (gap ≤ L merging unions exactly the window intervals), so the cut
+    * agrees with q354's span_tokens by construction — via q178's
+    * per-doc HOF idiom (collect starts, filter tokens covered by
+    * [p, p+32)). Shares the span fragments with q339/q354 (Spark:
+    * `DedupQueries.removableSpanStarts`; oracle: the pinned dup32
+    * chain). Scale shape: read-back starts → doc-keyed cut →
+    * (variant, tok)-keyed counts ×2 → eval-vocab join → 2-row report.
+    * Output: one row per variant. HASH-MATCHED. */
+  val q355 = QueryDef.oracle("q355_span_dedup_lm_impact",
+    s"""WITH ${graft.operators.DedupQueries.spanSuffixToksCte},
+       |${graft.operators.DedupQueries.spanSuffixDuckArm(32)},
+       |ps AS (SELECT doc_id, list(i0) AS ps FROM dup32
+       |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+       |tr AS (SELECT t.doc_id, COALESCE(t.l, []) AS l, COALESCE(ps, []) AS ps
+       |       FROM toks t LEFT JOIN ps USING (doc_id)
+       |       WHERE t.doc_id % 5 <> 0),
+       |kt AS (SELECT doc_id,
+       |         [l[i] FOR i IN range(1, len(l) + 1)
+       |          IF len(list_filter(ps, p -> p <= i - 1 AND i - 1 < p + 32)) = 0]
+       |           AS kept
+       |       FROM tr),
+       |tt AS (SELECT 'full' AS variant, unnest(l) AS tok FROM tr
+       |       UNION ALL
+       |       SELECT 'span_dedup' AS variant, unnest(kept) AS tok FROM kt),
+       |cv AS (SELECT variant, tok, CAST(count(*) AS BIGINT) AS c
+       |       FROM tt GROUP BY 1, 2),
+       |vax AS (SELECT unnest(['full', 'span_dedup']) AS variant),
+       |tv AS (SELECT v.variant, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t_train
+       |       FROM vax v LEFT JOIN cv USING (variant) GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_train_docs FROM tr),
+       |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+       |       FROM (SELECT unnest(l) AS tok FROM toks)),
+       |ev AS (SELECT tok, CAST(count(*) AS BIGINT) AS m
+       |       FROM (SELECT unnest(l) AS tok FROM toks WHERE doc_id % 5 = 0)
+       |       GROUP BY 1),
+       |sc AS (SELECT tv.variant, ev.m,
+       |         CAST(round(log2(CAST(tv.t_train + va.vocab AS DOUBLE)
+       |              / (COALESCE(cv.c, 0) + 1)) * 1000000) AS BIGINT)
+       |           AS micro_bits
+       |       FROM ev CROSS JOIN tv CROSS JOIN va
+       |       LEFT JOIN cv ON cv.variant = tv.variant AND cv.tok = ev.tok),
+       |agg AS (SELECT variant, CAST(SUM(m * micro_bits) AS BIGINT) AS micro_sum,
+       |          CAST(SUM(m) AS BIGINT) AS eval_tokens
+       |        FROM sc GROUP BY 1)
+       |SELECT a.variant, nd.n_train_docs, tv.t_train AS n_train_tokens,
+       |       va.vocab, a.eval_tokens,
+       |       round(a.micro_sum / 1000000.0 / a.eval_tokens, 4) AS bits_per_token
+       |FROM agg a JOIN tv USING (variant), nd, va""".stripMargin)(
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .localCheckpoint(false) // feeds the cut, vocab, and eval
+      val isEval = col("doc_id") % 5 === 0
+      val ps = graft.operators.DedupQueries
+        .removableSpanStarts(s, d, Seq(5))
+        .filter(col("doc_id") % 5 =!= 0)
+        .groupBy("doc_id").agg(collect_set(col("i0")).as("ps"))
+      val tr = docs.filter(!isEval)
+        .select(col("doc_id"), tokens(col("text")).as("l"))
+        .join(ps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("l"),
+          coalesce(col("ps"), array().cast("array<long>")).as("ps"))
+        .withColumn("kept", filter(col("l"), (_, i) =>
+          !exists(col("ps"), p => p <= i && i < p + 32)))
+        .localCheckpoint(false) // feeds both variant streams + the doc count
+      val tt = tr.select(lit("full").as("variant"), explode(col("l")).as("tok"))
+        .unionByName(tr.select(lit("span_dedup").as("variant"),
+          explode(col("kept")).as("tok")))
+      val cv = tt.groupBy("variant", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds totals and the eval join
+      val vax = Seq("full", "span_dedup").toDF("variant")
+      val tv = vax.join(cv.groupBy("variant").agg(sum("c").as("t")),
+          Seq("variant"), "left")
+        .select(col("variant"), coalesce(col("t"), lit(0L)).as("t_train"))
+      val nd = tr.agg(count(lit(1)).as("n_train_docs"))
+      val va = docs.select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").as("vocab"))
+      val ev = docs.filter(isEval)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("m"))
+      ev.crossJoin(broadcast(tv)).crossJoin(broadcast(va))
+        .join(cv, Seq("variant", "tok"), "left")
+        .withColumn("micro_bits", round(log2(
+          (col("t_train") + col("vocab")).cast("double")
+            / (coalesce(col("c"), lit(0L)) + 1)) * 1000000).cast("long"))
+        .groupBy("variant")
+        .agg(sum(col("m") * col("micro_bits")).as("micro_sum"),
+          sum("m").as("eval_tokens"))
+        .join(broadcast(tv), Seq("variant"))
+        .crossJoin(broadcast(nd))
+        .crossJoin(broadcast(va))
+        .select(col("variant"), col("n_train_docs"),
+          col("t_train").as("n_train_tokens"), col("vocab"),
+          col("eval_tokens"),
+          round(col("micro_sum") / lit(1000000.0) / col("eval_tokens"), 4)
+            .as("bits_per_token"))
+    })
+
   /** NEGATIVE-SAMPLING TABLE — the word2vec/contrastive-training prep
     * artifact: every vocab type weighted by freq^0.75 (the Mikolov
     * exponent that lifts the tail), with rank, exact ppm share, and the
@@ -2163,5 +2273,5 @@ object ModelPrepQueries {
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350)
+      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350, q355)
 }

@@ -188,6 +188,25 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       }
     }
 
+    it("every q339-grain span consumer embeds the canonical suffix-span chain verbatim") {
+      // the exact-substring span product (r14 verdict #7): the report
+      // (q339), the per-source yield (q354), and the re-scored ladder
+      // (q355) must share ONE removable-set definition — a forked copy
+      // would silently decouple the cut list from its impact numbers
+      val toks = DedupQueries.spanSuffixToksCte
+      val arm32 = DedupQueries.spanSuffixDuckArm(32)
+      val consumers = sqlByName.filter(_._2.contains("dup32 AS"))
+      consumers.keySet shouldBe Set(
+        "q339_exact_substring_spans", "q354_span_dedup_yield",
+        "q355_span_dedup_lm_impact")
+      consumers.foreach { case (name, sql) =>
+        withClue(s"$name forked the suffix-span definition: ") {
+          sql.contains(toks) shouldBe true
+          sql.contains(arm32) shouldBe true
+        }
+      }
+    }
+
     it("every media-pHash consumer embeds the canonical fingerprint/pair chain verbatim") {
       val frag = graft.operators.MultimodalQueries.phashPairCtes
       val recursive = frag.replaceFirst("^WITH ", "WITH RECURSIVE ")
