@@ -206,9 +206,13 @@ object DocStreams {
       }
   }
 
+  /** One removable run: token interval [start, end) inside the arriving
+    * doc. */
+  final case class SpanSeg(start: Long, end: Long)
   final case class ExactSubVerdict(doc_id: Long, n_tokens: Long,
     n_windows: Long, n_dup_windows: Long, covered_tokens: Long,
-    longest_run_tokens: Long, flagged: Boolean, ts: Timestamp)
+    longest_run_tokens: Long, flagged: Boolean,
+    cut_tokens: Long, cut_spans: Seq[SpanSeg], ts: Timestamp)
   final case class ExactSubRow(doc_id: Long, ts: Timestamp,
     n_tokens: Int, pos: Option[Int], m: Option[Int])
 
@@ -220,10 +224,14 @@ object DocStreams {
     * join against that inventory's distinct window digests, and folded
     * into a per-doc verdict carrying the exact duplicated GEOMETRY:
     * matched windows merged into maximal runs (q339's island rule —
-    * overlap-or-touch, gap ≤ L), total covered tokens, and the longest
-    * contiguous duplicated run. Flag = longest run ≥ 2L (a full
-    * q339-grain copy arrived — q118's decontam risk at ingest) OR ≥
-    * half the doc covered (q180's mass rule). Zero stored state
+    * overlap-or-touch, gap ≤ L), total covered tokens, the longest
+    * contiguous duplicated run, AND the concrete CUT list (r14 verdict
+    * #8): every run of ≥ 2L tokens — a full q339-grain duplicated copy,
+    * the Lee-et-al removable unit — as [start, end) `cut_spans`, so
+    * intake can CUT the arrival instead of just flagging it. Flag =
+    * longest run ≥ 2L (a full q339-grain copy arrived — q118's decontam
+    * risk at ingest) OR ≥ half the doc covered (q180's mass rule);
+    * flagged-by-run ⟺ cut_spans nonempty by construction. Zero stored state
     * (NoTimeout, state never set): a doc's window rows all land in its
     * arrival trigger, so the group's rows are the complete evidence.
     * Window-less (short/NULL-text) docs flow through with zeros via
@@ -271,11 +279,22 @@ object DocStreams {
           val longest =
             if (runs.isEmpty) 0L
             else runs.iterator.map { case (s0, e0) => (e0 - s0).toLong }.max
+          // the CUT list (r14 verdict #8): runs of ≥ 2L tokens are full
+          // q339-grain (32-token at L=16) duplicated copies — the
+          // Lee-et-al removable unit — emitted as concrete [start, end)
+          // geometry so intake can CUT the arrival, not just flag it;
+          // sub-2L runs stay report-only (a lone L-window match is not
+          // a span-grain duplicate)
+          val cut = runs.iterator
+            .filter { case (s0, e0) => e0 - s0 >= 2 * l }
+            .map { case (s0, e0) => SpanSeg(s0.toLong, e0.toLong) }.toSeq
+          val cutTokens = cut.iterator.map(c => c.end - c.start).sum
           val ts = rs.map(_.ts).maxBy(_.getTime)
           Iterator.single(ExactSubVerdict(id, n.toLong,
             math.max(n - l + 1, 0).toLong, starts.length.toLong, covered,
             longest,
-            flagged = longest >= 2L * l || (n > 0 && covered * 2 >= n), ts))
+            flagged = longest >= 2L * l || (n > 0 && covered * 2 >= n),
+            cutTokens, cut, ts))
       }
   }
 

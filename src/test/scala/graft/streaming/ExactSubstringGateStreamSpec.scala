@@ -59,6 +59,43 @@ class ExactSubstringGateStreamSpec extends SparkSpec {
         "corpus fixture no longer has both flagged and clean arrivals")
       assert(streamed.values.exists(_._5 >= 2L * L),
         "no arrival carries a full 2L-token duplicated run — flag rule untested")
+
+      // r14 verdict #8: the emitted CUT geometry (runs ≥ 2L = full
+      // q339-grain copies) must equal the batch island rule's intervals
+      // computed from the same stored inventory — so intake can CUT on
+      // the stream and land exactly where the batch pass would
+      val verdicts = spark.table("esgate").as[DocStreams.ExactSubVerdict]
+        .collect()
+      val streamedCuts = verdicts
+        .map(v => v.doc_id -> v.cut_spans.map(s => (s.start, s.end)).sorted)
+        .toMap
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val batchCuts = g.filter(col("doc_id") % 5 === 0)
+        .join(inv, Seq("gh"), "left_semi")
+        .select("doc_id", "pos")
+        .withColumn("b", when(col("pos") - lag("pos", 1).over(w) <= L, 0L)
+          .otherwise(1L))
+        .withColumn("grp", sum("b").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("s"), (max("pos") + L).as("e"))
+        .filter(col("e") - col("s") >= 2L * L)
+        .collect().map(r => (r.getAs[Number]("doc_id").longValue,
+          (r.getAs[Number]("s").longValue, r.getAs[Number]("e").longValue)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq.sorted }
+      for (id <- streamed.keys) {
+        val got = streamedCuts.getOrElse(id, Seq.empty)
+        val exp = batchCuts.getOrElse(id, Seq.empty)
+        assert(got == exp, s"doc $id cut spans: stream=$got batch=$exp")
+      }
+      assert(batchCuts.nonEmpty, "fixture carries no cut-worthy runs")
+      // cut bookkeeping coheres with the verdict's aggregates
+      for (v <- verdicts) {
+        assert(v.cut_tokens == v.cut_spans.map(s => s.end - s.start).sum)
+        assert((v.longest_run_tokens >= 2L * L) == v.cut_spans.nonEmpty,
+          s"doc ${v.doc_id}: longest-run flag and cut list disagree")
+      }
     } finally q.stop()
   }
 
