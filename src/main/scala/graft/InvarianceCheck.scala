@@ -40,6 +40,20 @@ object InvarianceCheck {
     }
     println(if (bad == 0) s"ALL ${a5.size} QUERIES PARTITION-INVARIANT (5 vs 13 cores)"
     else s"$bad PARTITION-DEPENDENT QUERIES")
+    // In-tree invariance record (r14 verdict #5: the closing record
+    // stopped at 350 while a post-close addendum shipped 352 — the gate
+    // must not be skippable by surface growth). The record carries the
+    // EXACT surface it ran at (count + name-set digest);
+    // InvarianceRecordSpec fails the build whenever the current surface
+    // differs, so any query addition/rename forces a re-run.
+    val names = a5.keys.toSeq.sorted
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("INVARIANCE_local.json"),
+      s"""{"surface": ${a5.size}, "names_md5": "$digest", "partition_dependent": $bad}\n""")
+    System.err.println(s"[invariance] wrote INVARIANCE_local.json (surface ${a5.size})")
     if (bad > 0) sys.exit(1)
   }
 }

@@ -993,6 +993,10 @@ object PlanCheck {
       "span-dedup yield: no zero-key window (island merge + rollups keyed)",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q356_span_cut_fingerprints",
+      "span-cut fingerprints: READS the suffranks artifact; doc-keyed start collect; cut + md5 in the scan stage (HOFs, no Generate); no cartesian",
+      p => p.contains("graft_suffranks") && !p.contains("+- Generate") &&
+        !p.contains("CartesianProduct"))
     check("q355_span_dedup_lm_impact",
       "span-dedup LM impact: cut rides the read-back suffranks starts (pinned fragments, ExistingRDD); variant axis broadcast; eval join vocab-KEYED; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&

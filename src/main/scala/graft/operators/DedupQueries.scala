@@ -3673,10 +3673,66 @@ object DedupQueries {
             .otherwise(0L).as("removed_ppm"))
     })
 
+  /** SPAN-CUT FINGERPRINTS — q178's executable-cut discipline lifted to
+    * the q339 grain: the per-document PRODUCT of the exact-substring
+    * dedup pass. Each doc's tokens covered by any 32-token removable
+    * start ([p, p+32), start coverage ≡ island union) are cut; the
+    * output carries exact token counts, removal ppm, and the md5
+    * fingerprint of the surviving token stream — never the
+    * re-materialized text (q176/q178's report discipline). An untouched
+    * doc's fingerprint is md5 of its whitespace-normalized text; a
+    * fully-duplicated doc cleans to md5(''). This is the row-level
+    * artifact a training pipeline ships downstream (q354 is its
+    * per-source rollup; q355 its measured LM impact — all three ride
+    * the SAME pinned removable-set fragments, and
+    * `SpanYieldReconcileSpec` ties the cut masses together). Scale
+    * shape: read-back starts → doc-keyed collect → scan-stage HOF cut +
+    * fingerprint. Output: one row per document. HASH-MATCHED. */
+  val q356 = QueryDef.oracle("q356_span_cut_fingerprints",
+    s"""WITH $spanSuffixToksCte,
+       |${spanSuffixDuckArm(32)},
+       |ps AS (SELECT doc_id, list(i0) AS ps FROM dup32 GROUP BY 1),
+       |c AS (SELECT t.doc_id, COALESCE(len(l), 0) AS n_tokens,
+       |        [l[i] FOR i IN range(1, len(l) + 1)
+       |         IF len(list_filter(COALESCE(ps, []),
+       |              p -> p <= i - 1 AND i - 1 < p + 32)) = 0] AS kept
+       |      FROM toks t LEFT JOIN ps USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_tokens - COALESCE(len(kept), 0) AS BIGINT) AS n_removed,
+       |       CAST(COALESCE(len(kept), 0) AS BIGINT) AS n_kept,
+       |       CASE WHEN n_tokens > 0
+       |            THEN CAST((n_tokens - COALESCE(len(kept), 0)) * 1000000
+       |                      // n_tokens AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS removed_ppm,
+       |       md5(COALESCE(list_aggregate(kept, 'string_agg', ' '), ''))
+       |         AS cleaned_fp
+       |FROM c""".stripMargin)(
+    (s, d) => {
+      val ps = removableSpanStarts(s, d, Seq(5))
+        .groupBy("doc_id").agg(collect_set("i0").as("ps"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          coalesce(tokens(col("text")), array().cast("array<string>")).as("l"))
+        .join(ps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("l"),
+          coalesce(col("ps"), array().cast("array<long>")).as("ps"))
+        .select(col("doc_id"), col("l"),
+          filter(col("l"), (_, i) =>
+            !exists(col("ps"), p => p <= i && i < p + 32)).as("kept"))
+        .select(col("doc_id"),
+          size(col("l")).cast("long").as("n_tokens"),
+          (size(col("l")) - size(col("kept"))).cast("long").as("n_removed"),
+          size(col("kept")).cast("long").as("n_kept"),
+          when(size(col("l")) > 0,
+            expr("CAST(CAST(size(l) - size(kept) AS BIGINT) * 1000000" +
+              " div size(l) AS BIGINT)")).otherwise(0L).as("removed_ppm"),
+          md5(array_join(col("kept"), " ")).as("cleaned_fp"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
       q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353,
-      q354)
+      q354, q356)
 }

@@ -198,7 +198,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
       val consumers = sqlByName.filter(_._2.contains("dup32 AS"))
       consumers.keySet shouldBe Set(
         "q339_exact_substring_spans", "q354_span_dedup_yield",
-        "q355_span_dedup_lm_impact")
+        "q355_span_dedup_lm_impact", "q356_span_cut_fingerprints")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the suffix-span definition: ") {
           sql.contains(toks) shouldBe true

@@ -63,6 +63,15 @@ class SpanYieldReconcileSpec extends SparkSpec {
     assert(q354.getAs[Long]("tot") == corpusTokens)
   }
 
+  test("q356's per-doc cut mass sums to q354's corpus cut (row product ≡ rollup)") {
+    val q356cut = SparkEntry.queries("q356_span_cut_fingerprints")(spark, d)
+      .agg(sum("n_removed")).collect().head.getLong(0)
+    val q354cut = SparkEntry.queries("q354_span_dedup_yield")(spark, d)
+      .agg(sum("tokens_removed")).collect().head.getLong(0)
+    assert(q356cut == q354cut,
+      s"q356 Σ n_removed $q356cut != q354 Σ tokens_removed $q354cut")
+  }
+
   test("q355's train-token delta equals the train-side span mass (HOF cut ≡ island union)") {
     val rows = SparkEntry.queries("q355_span_dedup_lm_impact")(spark, d)
       .select("variant", "n_train_tokens").collect()
