@@ -1061,6 +1061,10 @@ object PlanCheck {
       "width advisor: stacked canon scan folds to per-column min/max partials; no cartesian",
       p => p.contains("partial_min") && p.contains("partial_max") &&
         !p.contains("CartesianProduct"))
+    check("q357_shuffle_partition_advisor",
+      "partition advisor: ONE pinned vocab rollup (ExistingRDD) stacked over the 4-bounded candidate axis; (P,bucket)-keyed map-side rollup; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("partial_sum") &&
+        !p.contains("CartesianProduct"))
     check("q344_loo_source_valuation",
       "LOO valuation: subtractive one-rollup form — NO tokenize above the pinned rollup (zero Generate downstream); variant axis broadcast; no cartesian",
       p => !p.contains("+- Generate") && p.contains("ExistingRDD") &&

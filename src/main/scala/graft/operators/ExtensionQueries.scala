@@ -2419,8 +2419,74 @@ object ExtensionQueries {
       })
   }
 
+  /** SHUFFLE-PARTITION-COUNT ADVISOR — prices the one knob every keyed
+    * exchange in this engine depends on (`spark.sql.shuffle.partitions`
+    * / bucket counts): for each candidate P ∈ {8, 32, 128, 512}, the
+    * EXACT hash-bucket load distribution a vocab-keyed exchange would
+    * see — buckets used, the heaviest bucket's row count, and the
+    * max/mean skew factor in exact ppm — computed by actually hashing
+    * every key (the portable per-token kernel, so DuckDB replays the
+    * assignment bit-for-bit) and summing per-key mass into buckets.
+    * This is the sibling of q262 (which remediates named hot KEYS) and
+    * q146 (which profiles a join): it answers "does the KEY SET even
+    * support P-way parallelism, and at what skew" — the number to read
+    * before setting a bucket count at 100 TB, where an unbalanced P
+    * turns one straggler partition into the job's wall-clock. Skew
+    * arithmetic routes through DECIMAL(38,0)/HUGEINT (q350's lesson:
+    * max_rows·P·10⁶ passes int64 early). Scale shape: one token rollup
+    * → ×4 bounded candidate axis → (P, bucket)-keyed rollup → 4-row
+    * report. Output: one row per candidate P. HASH-MATCHED. */
+  val q357 = {
+    val cands = Seq(8, 32, 128, 512)
+    QueryDef.oracle("q357_shuffle_partition_advisor",
+      s"""WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS nrows
+         |           FROM (SELECT unnest(list_filter(
+         |                   regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+         |                 FROM documents) GROUP BY 1),
+         |h AS (SELECT tok, nrows, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(tok, ''),
+         |          c -> CAST(unicode(c) AS BIGINT))),
+         |        (a, b) -> (a * 131 + b) % 1000000007) AS h
+         |      FROM f),
+         |st AS (SELECT p, h % p AS b, nrows
+         |       FROM h, unnest([${cands.mkString(", ")}]) AS t(p)),
+         |ld AS (SELECT p, b, CAST(SUM(nrows) AS BIGINT) AS load
+         |       FROM st GROUP BY 1, 2),
+         |ag AS (SELECT p, CAST(count(*) AS BIGINT) AS used_buckets,
+         |         CAST(MAX(load) AS BIGINT) AS max_rows,
+         |         CAST(SUM(load) AS BIGINT) AS total_rows
+         |       FROM ld GROUP BY 1)
+         |SELECT CAST(p AS BIGINT) AS candidate_p, used_buckets, max_rows,
+         |       total_rows,
+         |       CAST(CAST(max_rows AS HUGEINT) * p * 1000000 // total_rows
+         |            AS BIGINT) AS skew_x_ppm,
+         |       CAST(max_rows AS HUGEINT) * p
+         |         <= CAST(total_rows AS HUGEINT) * 2 AS balanced
+         |FROM ag""".stripMargin)(
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, portableStringHash}
+        val f = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("nrows"))
+          .withColumn("h", portableStringHash(col("tok")))
+          .localCheckpoint(false) // one rollup feeds all four candidates
+        f.withColumn("p", explode(array(cands.map(c => lit(c.toLong)): _*)))
+          .withColumn("b", col("h") % col("p")) // h ∈ [0, 1e9+7): plain mod
+          .groupBy("p", "b").agg(sum("nrows").as("load"))
+          .groupBy("p")
+          .agg(count(lit(1)).as("used_buckets"), max("load").as("max_rows"),
+            sum("load").as("total_rows"))
+          .select(col("p").as("candidate_p"), col("used_buckets"),
+            col("max_rows"), col("total_rows"),
+            expr("CAST(CAST(max_rows AS DECIMAL(38,0)) * p * 1000000" +
+              " div total_rows AS BIGINT)").as("skew_x_ppm"),
+            expr("CAST(max_rows AS DECIMAL(38,0)) * p" +
+              " <= CAST(total_rows AS DECIMAL(38,0)) * 2").as("balanced"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
     q250, q251, q253, q256, q260, q283, q288, q289, q293, q324, q335, q336,
-    q337, q338, q351, q352)
+    q337, q338, q351, q352, q357)
 }
