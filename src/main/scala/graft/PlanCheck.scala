@@ -1065,6 +1065,30 @@ object PlanCheck {
       "partition advisor: ONE pinned vocab rollup (ExistingRDD) stacked over the 4-bounded candidate axis; (P,bucket)-keyed map-side rollup; no cartesian",
       p => p.contains("ExistingRDD") && p.contains("partial_sum") &&
         !p.contains("CartesianProduct"))
+    checkTree("q358_mann_whitney",
+      "Mann-Whitney: the pooled-rank cumsum is source-KEYED — no zero-key window anywhere (rank test without ranking rows)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q359_repetition_budget",
+      "repetition budget: token counts ride the scan as regexp COUNTS — zero Generate (no explode), |sources|-row arithmetic, 1-row totals broadcast",
+      p => !p.contains("Generate") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q360_data_scaling_ladder",
+      "scaling ladder: ONE pinned corpus token rollup (ExistingRDD); rung fan rides VOCAB-sized rows against the broadcast 4-row axis; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    check("q361_broadcast_plan_advisor",
+      "broadcast advisor: dim-table scans ONLY — the fact tables never enter the plan",
+      p => scans(p, "lineitem") == 0 && scans(p, "orders") == 0 &&
+        scans(p, "documents") == 0 && !p.contains("CartesianProduct"))
+    checkTree("q362_hill_tail_index",
+      "Hill tail index: order statistics from lang-KEYED rank windows — no zero-key window, no global sort",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q363_entropy_rate",
+      "entropy rate: every consumer reads the PINNED bigram rollup (ExistingRDD) — zero Generate above it, so the corpus is tokenized once",
+      p => !p.contains("Generate") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
     check("q344_loo_source_valuation",
       "LOO valuation: subtractive one-rollup form — NO tokenize above the pinned rollup (zero Generate downstream); variant axis broadcast; no cartesian",
       p => !p.contains("+- Generate") && p.contains("ExistingRDD") &&

@@ -2225,8 +2225,105 @@ object CurationQueries {
       })
   }
 
+  /** MANN–WHITNEY U LENGTH AUDIT (per source, en vs non-en) — the
+    * nonparametric sibling of q258's KS gate: does a source's English
+    * slice have the same length DISTRIBUTION as its non-English slice,
+    * or is a length-based filter going to cut the two languages at
+    * different rates? KS answers with a max-gap; M-W answers with the
+    * rank statistic reviewers actually quote, and — unlike a
+    * mean-difference t-test — is exact under the heavy-tailed length
+    * distributions corpora actually have. Everything rank-shaped is
+    * computed WITHOUT ranking rows: group A's rank-sum over the pooled
+    * per-source sample is a closed form over the (source, length)
+    * value-count rollup (avg pooled rank of the tie group at value v =
+    * preceding pooled count + (t_v+1)/2, doubled to stay integral), so
+    * the only shuffles are the rollup and a source-keyed cumsum window
+    * — never a per-row sort, never a zero-key window. 2·R_A and the
+    * tie term Σt(t²−1) route through DECIMAL(38,0)/HUGEINT (both are
+    * O(n²)–O(n³) in the per-source count — int64 dies at ~3e9 docs);
+    * 2·U_A = 2·R_A − n_a(n_a+1) ships as DECIMAL(38,0), and only the
+    * bounded z-score (micro-rounded double, identical expression tree
+    * in both engines — the round-to-micro contract of the log2
+    * ladders) casts to BIGINT. Scale shape: one doc-grain metadata
+    * scan → (source, n_chars) rollup (length-domain-bounded per
+    * source) → source-keyed window → |sources|-row report.
+    * HASH-MATCHED. */
+  val q358 = QueryDef.oracle("q358_mann_whitney",
+    """WITH vc AS (SELECT source, n_chars AS v,
+      |        CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS na_v,
+      |        CAST(count(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT) AS nb_v
+      |      FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT source, na_v, nb_v, na_v + nb_v AS t,
+      |        SUM(na_v + nb_v) OVER (PARTITION BY source ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - (na_v + nb_v) AS before_t
+      |      FROM vc),
+      |a AS (SELECT source,
+      |        CAST(SUM(na_v) AS BIGINT) AS n_a,
+      |        CAST(SUM(nb_v) AS BIGINT) AS n_b,
+      |        CAST(SUM(CAST(na_v AS HUGEINT) * (2 * before_t + t + 1))
+      |             AS DECIMAL(38,0)) AS two_r_a,
+      |        CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DECIMAL(38,0))
+      |          AS tie_term
+      |      FROM cum GROUP BY 1),
+      |u AS (SELECT source, n_a, n_b,
+      |        CAST(two_r_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+      |             AS DECIMAL(38,0)) AS two_u_a,
+      |        tie_term
+      |      FROM a)
+      |SELECT source, n_a, n_b, two_u_a, tie_term,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |       WHEN (CAST(n_a + n_b AS DOUBLE) + 1) * CAST(n_a + n_b AS DOUBLE)
+      |              * (CAST(n_a + n_b AS DOUBLE) - 1)
+      |            - CAST(tie_term AS DOUBLE) <= 0 THEN NULL
+      |       ELSE CAST(round(
+      |         (CAST(two_u_a AS DOUBLE)
+      |            - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |         / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |             * ((CAST(n_a + n_b AS DOUBLE) + 1)
+      |                  * CAST(n_a + n_b AS DOUBLE)
+      |                  * (CAST(n_a + n_b AS DOUBLE) - 1)
+      |                - CAST(tie_term AS DOUBLE))
+      |             / (3.0 * CAST(n_a + n_b AS DOUBLE)
+      |                  * (CAST(n_a + n_b AS DOUBLE) - 1)))
+      |         * 1000000) AS BIGINT) END AS z_micro
+      |FROM u""".stripMargin)(
+    (s, d) => {
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(when(col("lang") === "en", lit(1))).as("na_v"),
+          count(when(col("lang") =!= "en", lit(1))).as("nb_v"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("t", col("na_v") + col("nb_v"))
+        .withColumn("before_t", sum(col("na_v") + col("nb_v")).over(w) - col("t"))
+      val a = cum.groupBy("source").agg(
+        sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        sum(col("na_v").cast("decimal(38,0)")
+          * (lit(2) * col("before_t") + col("t") + 1)).as("__tra"),
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("__tie"))
+      val u = a.select(col("source"), col("n_a"), col("n_b"),
+        expr("CAST(__tra - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)" +
+          " AS DECIMAL(38,0))").as("two_u_a"),
+        col("__tie").cast("decimal(38,0)").as("tie_term"))
+      val dn = (col("n_a") + col("n_b")).cast("double")
+      val core = (dn + 1) * dn * (dn - 1) - col("tie_term").cast("double")
+      u.select(col("source"), col("n_a"), col("n_b"), col("two_u_a"),
+        col("tie_term"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          .when(core <= 0, lit(null).cast("long"))
+          .otherwise(round(
+            (col("two_u_a").cast("double")
+              - col("n_a").cast("double") * col("n_b").cast("double"))
+            / sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+                * core / (lit(3.0) * dn * (dn - 1)))
+            * 1000000).cast("long"))
+          .as("z_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287, q306, q322, q331, q332, q349)
+      q279, q282, q286, q287, q306, q322, q331, q332, q349, q358)
 }

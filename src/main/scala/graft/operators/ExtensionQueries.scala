@@ -2485,8 +2485,68 @@ object ExtensionQueries {
       })
   }
 
+  /** BROADCAST-PLAN ADVISOR — the dimension-table sizing table behind
+    * every `broadcast()` hint in this engine: for each dim, the EXACT
+    * row count and a measured in-memory size estimate (8 bytes per
+    * numeric/date column + string bytes + 16 bytes of per-string
+    * overhead — the UnsafeRow-ish accounting a broadcast relation
+    * pays), the verdict against the 10 MiB autoBroadcastJoinThreshold,
+    * and — the column that matters — the SAME verdict at 1000× scale,
+    * where each table's growth CLASS decides: region/nation are
+    * enumerated (25/5 rows at any SF — broadcast forever), while
+    * supplier/customer/part grow linearly with the fact data and a
+    * hint that is safe today OOMs the driver at the target scale
+    * (exactly the r13→r14 vocab-broadcast lesson, q253's strategy
+    * audit made quantitative). Scale shape: five dim-table map-side
+    * rollups (never the fact table) → 5-row report. HASH-MATCHED. */
+  val q361 = {
+    // (table, growth class, per-row fixed numeric bytes, string columns)
+    val dims = Seq(
+      ("region", "static", 8, Seq("r_name")),
+      ("nation", "static", 16, Seq("n_name")),
+      ("supplier", "sf-linear", 24, Seq("s_name")),
+      ("customer", "sf-linear", 24, Seq("c_name", "c_mktsegment")),
+      ("part", "sf-linear", 24, Seq("p_name", "p_brand", "p_type")))
+    val threshold = 10L * 1024 * 1024
+    QueryDef.oracle("q361_broadcast_plan_advisor",
+      s"""WITH sz AS (${dims.map { case (t, g, fix, strs) =>
+            val strBytes = strs.map(c => s"COALESCE(len($c), 0) + 16")
+              .mkString(" + ")
+            s"""SELECT '$t' AS tbl, '$g' AS growth,
+               |  CAST(count(*) AS BIGINT) AS n_rows,
+               |  CAST(COALESCE(SUM($fix + $strBytes), 0) AS BIGINT) AS est_bytes
+               |FROM $t""".stripMargin }.mkString("\nUNION ALL\n")})
+         |SELECT tbl, growth, n_rows, est_bytes,
+         |  CAST(CASE WHEN growth = 'static' THEN est_bytes
+         |       ELSE est_bytes * 1000 END AS BIGINT) AS est_bytes_1000x,
+         |  est_bytes <= $threshold AS broadcast_now,
+         |  (CASE WHEN growth = 'static' THEN est_bytes
+         |        ELSE est_bytes * 1000 END) <= $threshold AS broadcast_1000x
+         |FROM sz""".stripMargin)(
+      (s, d) => {
+        val sz = dims.map { case (t, g, fix, strs) =>
+          val strBytes = strs.map(c =>
+            coalesce(length(col(c)).cast("long"), lit(0L)) + 16L)
+            .reduce(_ + _)
+          Tables.load(s, d, t).agg(
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(lit(fix.toLong) + strBytes), lit(0L)).as("est_bytes"))
+            .select(lit(t).as("tbl"), lit(g).as("growth"),
+              col("n_rows"), col("est_bytes"))
+        }.reduce(_ unionByName _)
+        sz.select(col("tbl"), col("growth"), col("n_rows"), col("est_bytes"),
+          when(col("growth") === "static", col("est_bytes"))
+            .otherwise(col("est_bytes") * 1000).cast("long")
+            .as("est_bytes_1000x"),
+          (col("est_bytes") <= threshold).as("broadcast_now"),
+          (when(col("growth") === "static", col("est_bytes"))
+            .otherwise(col("est_bytes") * 1000) <= threshold)
+            .as("broadcast_1000x"))
+      })
+  }
+
   val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q36, q37, q38, q39,
     q59, q75, q78, q79, q88, q89, q93, q94, q138, q190, q239, q244, q245,
     q250, q251, q253, q256, q260, q283, q288, q289, q293, q324, q335, q336,
-    q337, q338, q351, q352, q357)
+    q337, q338, q351, q352, q357, q361)
 }

@@ -2270,8 +2270,200 @@ object ModelPrepQueries {
             .as("cum_share_ppm"))
     })
 
+  /** DATA-CONSTRAINED EPOCH BUDGET (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models") — when the token budget exceeds
+    * the unique data, sources get REPEATED, and repeated epochs are
+    * worth less than fresh tokens. Per source: unique-token supply,
+    * a temperature-flattened mixture weight (√supply — the τ=2
+    * convention of q166, integer-exact as floor∘sqrt, IEEE-correctly-
+    * rounded in both engines below the 2⁵² doc bound), the source's
+    * share of a 4×-total-unique token budget, the full epochs + partial
+    * remainder that budget buys, and the EFFECTIVE token value under a
+    * halving-per-epoch decay (epoch k is worth 2^(1−k) of an epoch-1
+    * token): eff_micro = U·(2·10⁶ − 2·10⁶/2^f) + rem·(10⁶/2^f), exact
+    * integers because every 2^f divisor is a power-of-two shift (f
+    * capped at 20 — beyond that an epoch is worth < 1 micro and the
+    * budget is marked saturated). The verdict column eff_ppm_of_budget
+    * (effective value per budgeted token) is the diminishing-returns
+    * number a mixture designer reads before up-weighting a small
+    * source. Scale shape: one map-side token-count rollup (regexp
+    * count, no explode) → |sources|-row arithmetic → |sources|-row
+    * report; the budget products route through DECIMAL(38,0)/HUGEINT
+    * (4·U_tot·w passes int64 at ~10¹³ corpus tokens). HASH-MATCHED. */
+  val q359 = QueryDef.oracle("q359_repetition_budget",
+    """WITH u AS (SELECT source,
+      |        CAST(COALESCE(SUM(len(list_filter(
+      |          regexp_split_to_array(COALESCE(text, ''), '\s+'),
+      |          x -> x <> ''))), 0) AS BIGINT) AS u_tok
+      |      FROM documents GROUP BY 1),
+      |w AS (SELECT source, u_tok,
+      |        CAST(floor(sqrt(CAST(u_tok AS DOUBLE))) AS BIGINT) AS wt
+      |      FROM u),
+      |t AS (SELECT CAST(SUM(u_tok) AS BIGINT) AS u_tot,
+      |        CAST(SUM(wt) AS BIGINT) AS w_tot FROM w),
+      |b AS (SELECT source, u_tok, wt,
+      |        CAST(CAST(4 AS HUGEINT) * t.u_tot * wt // t.w_tot AS BIGINT)
+      |          AS budget
+      |      FROM w, t),
+      |e AS (SELECT source, u_tok, wt, budget,
+      |        budget // GREATEST(u_tok, 1) > 20 AS saturated,
+      |        CAST(LEAST(budget // GREATEST(u_tok, 1), 20) AS BIGINT) AS epochs
+      |      FROM b),
+      |r AS (SELECT source, u_tok, wt, budget, saturated, epochs,
+      |        CAST(CASE WHEN saturated THEN 0
+      |             ELSE budget - epochs * u_tok END AS BIGINT) AS rem
+      |      FROM e)
+      |SELECT source, u_tok, wt, budget, epochs, rem, saturated,
+      |  CAST(CAST(u_tok AS HUGEINT)
+      |         * (2000000 - 2000000 // (CAST(1 AS BIGINT) << epochs))
+      |       + CAST(rem AS HUGEINT)
+      |         * (1000000 // (CAST(1 AS BIGINT) << epochs))
+      |       AS DECIMAL(38,0)) AS eff_micro,
+      |  CASE WHEN budget = 0 THEN NULL
+      |       ELSE CAST((CAST(u_tok AS HUGEINT)
+      |              * (2000000 - 2000000 // (CAST(1 AS BIGINT) << epochs))
+      |            + CAST(rem AS HUGEINT)
+      |              * (1000000 // (CAST(1 AS BIGINT) << epochs))) // budget
+      |            AS BIGINT) END AS eff_ppm_of_budget
+      |FROM r""".stripMargin)(
+    (s, d) => {
+      val u = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(coalesce(sum(tokenCount(coalesce(col("text"), lit(""))).cast("long")),
+          lit(0L)).as("u_tok"))
+        .withColumn("wt", floor(sqrt(col("u_tok").cast("double"))).cast("long"))
+        .localCheckpoint(false) // |sources| rows feed totals and the report
+      val t = u.agg(sum("u_tok").as("u_tot"), sum("wt").as("w_tot"))
+      u.crossJoin(broadcast(t))
+        .withColumn("budget",
+          expr("CAST(CAST(4 AS DECIMAL(38,0)) * u_tot * wt div w_tot AS BIGINT)"))
+        .withColumn("saturated",
+          expr("budget div GREATEST(u_tok, 1) > 20"))
+        .withColumn("epochs",
+          expr("CAST(LEAST(budget div GREATEST(u_tok, 1), 20) AS BIGINT)"))
+        .withColumn("rem",
+          expr("CAST(CASE WHEN saturated THEN 0" +
+            " ELSE budget - epochs * u_tok END AS BIGINT)"))
+        .withColumn("eff_micro",
+          expr("CAST(CAST(u_tok AS DECIMAL(38,0))" +
+            " * (2000000 - 2000000 div shiftleft(CAST(1 AS BIGINT), CAST(epochs AS INT)))" +
+            " + CAST(rem AS DECIMAL(38,0))" +
+            " * (1000000 div shiftleft(CAST(1 AS BIGINT), CAST(epochs AS INT)))" +
+            " AS DECIMAL(38,0))"))
+        .select(col("source"), col("u_tok"), col("wt"), col("budget"),
+          col("epochs"), col("rem"), col("saturated"), col("eff_micro"),
+          expr("CASE WHEN budget = 0 THEN NULL" +
+            " ELSE CAST(eff_micro div budget AS BIGINT) END")
+            .as("eff_ppm_of_budget"))
+    })
+
+  /** DATA-SCALING LADDER — the measured "does more data help" curve
+    * (the empirical rung table a Chinchilla-style fit reads): train
+    * the add-1 unigram LM on nested 1/8, 1/4, 1/2, and full train
+    * subsets (membership by md5-nibble bucket — content-keyed,
+    * engine-portable, and NESTED: rung m contains every bucket < m,
+    * so each rung extends the last like a real data-scaling study),
+    * score each on the SAME held-out split with the SAME whole-corpus
+    * smoothing vocab (q343's ladder contract), and report exact
+    * micro-bits/token per rung plus the delta vs the half-size rung —
+    * the marginal value of each doubling. Like q344's subtractive
+    * form, the corpus is tokenized ONCE: an (is_eval, bucket, tok)
+    * rollup; rung counts are the rollup joined to the 4-row rung axis
+    * on bucket < m (a ×4 fan on VOCAB-sized rows, never on the token
+    * stream). Scale shape: one corpus token scan → 8-bucket-keyed
+    * rollup → bounded-axis arithmetic → 4-row report. HASH-MATCHED. */
+  val q360 = QueryDef.oracle("q360_data_scaling_ladder",
+    """WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text,
+      |        (strpos('0123456789abcdef',
+      |           substr(md5(COALESCE(text, '')), 32, 1)) - 1) % 8 AS g
+      |      FROM documents),
+      |base AS (SELECT is_eval, g, tok, CAST(count(*) AS BIGINT) AS c
+      |         FROM (SELECT doc_id % 5 = 0 AS is_eval, g,
+      |                 unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |               FROM docs)
+      |         GROUP BY 1, 2, 3),
+      |rungs AS (SELECT unnest([1, 2, 4, 8]) AS m),
+      |cr AS (SELECT r.m, b.tok, CAST(SUM(b.c) AS BIGINT) AS c
+      |       FROM base b JOIN rungs r ON b.g < r.m
+      |       WHERE NOT b.is_eval GROUP BY 1, 2),
+      |tr AS (SELECT m, CAST(SUM(c) AS BIGINT) AS t_train FROM cr GROUP BY 1),
+      |nd AS (SELECT r.m, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM docs d JOIN rungs r ON d.g < r.m
+      |       WHERE d.doc_id % 5 <> 0 GROUP BY 1),
+      |va AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM base),
+      |ev AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS mm
+      |       FROM base WHERE is_eval GROUP BY 1),
+      |sc AS (SELECT t.m, e.mm,
+      |         CAST(round(log2(CAST(t.t_train + va.vocab AS DOUBLE)
+      |              / (COALESCE(cr.c, 0) + 1)) * 1000000) AS BIGINT)
+      |           AS micro_bits
+      |       FROM ev e CROSS JOIN tr t CROSS JOIN va
+      |       LEFT JOIN cr ON cr.m = t.m AND cr.tok = e.tok),
+      |agg AS (SELECT m, CAST(SUM(mm * micro_bits) AS BIGINT) AS micro_sum,
+      |          CAST(SUM(mm) AS BIGINT) AS eval_tokens
+      |        FROM sc GROUP BY 1),
+      |fin AS (SELECT m, micro_sum, eval_tokens,
+      |          CAST(micro_sum // eval_tokens AS BIGINT) AS mbits_per_token
+      |        FROM agg)
+      |SELECT f.m AS rung_eighths, nd.n_docs AS n_train_docs,
+      |       tr.t_train AS n_train_tokens, f.eval_tokens,
+      |       f.mbits_per_token,
+      |       CAST(f.mbits_per_token - p.mbits_per_token AS BIGINT)
+      |         AS delta_vs_half
+      |FROM fin f JOIN tr ON tr.m = f.m JOIN nd ON nd.m = f.m
+      |LEFT JOIN fin p ON p.m = f.m // 2 AND f.m > 1""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .withColumn("g",
+          conv(substring(md5(col("text")), 32, 1), 16, 10).cast("long") % 8)
+        .localCheckpoint(false) // feeds the token rollup and the doc rollup
+      val isEval = col("doc_id") % 5 === 0
+      // THE one corpus token scan (q344's convention)
+      val base = docs
+        .select(isEval.as("is_eval"), col("g"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy("is_eval", "g", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds rung counts, vocab, and eval
+      val rungs = broadcast(docs.sparkSession.range(1)
+        .select(explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("m")))
+      val cr = base.filter(!col("is_eval"))
+        .join(rungs, col("g") < col("m"))
+        .groupBy("m", "tok").agg(sum("c").as("c"))
+        .localCheckpoint(false) // feeds totals and the eval join
+      val tr = cr.groupBy("m").agg(sum("c").as("t_train"))
+      val nd = docs.filter(!isEval).join(rungs, col("g") < col("m"))
+        .groupBy("m").agg(count(lit(1)).as("n_docs"))
+      val va = base.agg(countDistinct("tok").as("vocab"))
+      val ev = base.filter(col("is_eval"))
+        .groupBy("tok").agg(sum("c").as("mm"))
+      val sc = ev.crossJoin(broadcast(tr)).crossJoin(broadcast(va))
+        .join(cr, Seq("m", "tok"), "left")
+        .withColumn("micro_bits", round(log2(
+          (col("t_train") + col("vocab")).cast("double")
+            / (coalesce(col("c"), lit(0L)) + 1)) * 1000000).cast("long"))
+      val fin = sc.groupBy("m")
+        .agg(sum(col("mm") * col("micro_bits")).as("micro_sum"),
+          sum("mm").as("eval_tokens"))
+        .withColumn("mbits_per_token",
+          expr("CAST(micro_sum div eval_tokens AS BIGINT)"))
+        .localCheckpoint(false) // read twice: rungs and their half rungs
+      val prev = fin.select(col("m").as("__pm"),
+        col("mbits_per_token").as("__pmb"))
+      fin.join(broadcast(tr), Seq("m")).join(broadcast(nd), Seq("m"))
+        .join(broadcast(prev),
+          col("__pm") === expr("m div 2") && col("m") > 1, "left")
+        .select(col("m").as("rung_eighths"), col("n_docs").as("n_train_docs"),
+          col("t_train").as("n_train_tokens"), col("eval_tokens"),
+          col("mbits_per_token"),
+          (col("mbits_per_token") - col("__pmb")).cast("long")
+            .as("delta_vs_half"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
-      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350, q355)
+      q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350, q355,
+      q359, q360)
 }

@@ -2168,9 +2168,150 @@ object TextQueries {
           col("slope_micro"), col("intercept_micro"))
     })
 
+  /** HILL TAIL-INDEX (per language) — the heavy-tail exponent of the
+    * document-length distribution, the number that decides whether a
+    * mean-based length filter is even meaningful (α ≤ 2: infinite
+    * variance, every "average length" gate is sampling noise) and how
+    * much mass a truncation cap at L leaves behind (P[X>x] ~ x^-α).
+    * Classic Hill (1975) over the top-k order statistics: α̂⁻¹ =
+    * (1/k)·Σ ln(x_(i)/x_(k+1)), with k = min(32, n−1) per language,
+    * per-term ln micro-rounded before the sum (the log2-ladder
+    * contract), α in micro units by exact integer division. The order
+    * statistics come from a LANGUAGE-KEYED rank window — never a
+    * global sort — and everything past the rank is ≤33 rows per
+    * language. Complements q207 (MAD outliers) and q290/q348 (Zipf on
+    * token frequencies): this is the tail law of the LENGTH axis.
+    * Scale shape: doc-grain metadata scan → lang-keyed top-(k+1)
+    * window → |langs|-row report. HASH-MATCHED. */
+  val q362 = QueryDef.oracle("q362_hill_tail_index",
+    """WITH r AS (SELECT lang, doc_id, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+      |      FROM documents),
+      |k AS (SELECT lang, n_docs,
+      |        CAST(LEAST(32, n_docs - 1) AS BIGINT) AS kk
+      |      FROM r GROUP BY 1, 2),
+      |xr AS (SELECT r.lang, r.n_chars AS x_ref
+      |       FROM r JOIN k ON k.lang = r.lang AND r.rn = k.kk + 1),
+      |s AS (SELECT r.lang,
+      |        CAST(SUM(CAST(round(ln(CAST(r.n_chars AS DOUBLE)
+      |             / CAST(xr.x_ref AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+      |          AS sum_log_micro
+      |      FROM r JOIN k ON k.lang = r.lang JOIN xr ON xr.lang = r.lang
+      |      WHERE r.rn <= k.kk GROUP BY 1)
+      |SELECT k.lang AS lang, k.n_docs, k.kk AS k, xr.x_ref, s.sum_log_micro,
+      |  CASE WHEN s.sum_log_micro <= 0 THEN NULL
+      |       ELSE CAST(CAST(k.kk AS HUGEINT) * 1000000 * 1000000
+      |                 // s.sum_log_micro AS BIGINT) END AS alpha_micro
+      |FROM k JOIN xr ON xr.lang = k.lang JOIN s ON s.lang = k.lang""".stripMargin)(
+    (s, d) => {
+      val r = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("lang")))
+        // everything below is <=33 rows per language
+        .localCheckpoint(false)
+      val k = r.groupBy("lang", "n_docs")
+        .agg(least(lit(32L), col("n_docs") - 1).as("kk"))
+      val xr = r.join(broadcast(k.select(col("lang"), col("kk"))), Seq("lang"))
+        .filter(col("rn") === col("kk") + 1)
+        .select(col("lang"), col("n_chars").as("x_ref"))
+      val sm = r.join(broadcast(k.select(col("lang"), col("kk"))), Seq("lang"))
+        .join(broadcast(xr), Seq("lang"))
+        .filter(col("rn") <= col("kk"))
+        .groupBy("lang")
+        .agg(sum(round(log(col("n_chars").cast("double")
+          / col("x_ref").cast("double")) * 1000000).cast("long"))
+          .as("sum_log_micro"))
+      k.join(broadcast(xr), Seq("lang")).join(broadcast(sm), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("kk").as("k"), col("x_ref"),
+          col("sum_log_micro"),
+          when(col("sum_log_micro") <= 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(CAST(kk AS DECIMAL(38,0)) * 1000000" +
+              " * 1000000 div sum_log_micro AS BIGINT)"))
+            .as("alpha_micro"))
+    })
+
+  /** BIGRAM ENTROPY RATE (per source) — the redundancy estimate q220's
+    * unigram entropy cannot see: H(next|cur) vs H(cur) over the SAME
+    * bigram stream. A source whose conditional entropy is far below
+    * its unigram entropy is locally predictable (templated/boilerplate
+    * text compresses away), which is the signal behind every
+    * "compression-ratio" quality heuristic — computed here exactly
+    * instead of by running a compressor. Per-type terms micro-rounded
+    * before the weighted sum (q220's per-VALUE convention), redundancy
+    * = 1 − H₂/H₁ in exact ppm. One corpus bigram scan: the conditional
+    * marginal c₁ and the per-source total are both rollups OF the
+    * bigram rollup, never a second pass. Scale shape: one Generate →
+    * (source, cur, next)-keyed rollup → (source, cur)-keyed join →
+    * |sources|-row report. HASH-MATCHED. */
+  val q363 = QueryDef.oracle("q363_entropy_rate",
+    """WITH l AS (SELECT source, list_filter(regexp_split_to_array(
+      |              COALESCE(text, ''), '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |pairs AS (SELECT source,
+      |        unnest([{'c': l[i], 'n': l[i+1]} FOR i IN range(1, len(l))]) AS p
+      |      FROM l WHERE len(l) >= 2),
+      |g2 AS (SELECT source, struct_extract(p, 'c') AS cur,
+      |        struct_extract(p, 'n') AS nxt, CAST(count(*) AS BIGINT) AS c2
+      |      FROM pairs GROUP BY 1, 2, 3),
+      |g1 AS (SELECT source, cur, CAST(SUM(c2) AS BIGINT) AS c1
+      |      FROM g2 GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS n2 FROM g1 GROUP BY 1),
+      |h2 AS (SELECT g2.source,
+      |        CAST(SUM(g2.c2 * CAST(round(log2(CAST(g1.c1 AS DOUBLE) / g2.c2)
+      |             * 1000000) AS BIGINT)) AS BIGINT) AS bits2
+      |      FROM g2 JOIN g1 ON g1.source = g2.source AND g1.cur = g2.cur
+      |      GROUP BY 1),
+      |h1 AS (SELECT g1.source,
+      |        CAST(SUM(g1.c1 * CAST(round(log2(CAST(st.n2 AS DOUBLE) / g1.c1)
+      |             * 1000000) AS BIGINT)) AS BIGINT) AS bits1
+      |      FROM g1 JOIN st USING (source) GROUP BY 1)
+      |SELECT st.source AS source, st.n2 AS n_bigrams,
+      |       CAST(h1.bits1 // st.n2 AS BIGINT) AS h1_micro_bits,
+      |       CAST(h2.bits2 // st.n2 AS BIGINT) AS h2cond_micro_bits,
+      |       CASE WHEN h1.bits1 <= 0 THEN NULL
+      |            ELSE CAST(CAST(h1.bits1 - h2.bits2 AS HUGEINT) * 1000000
+      |                 // h1.bits1 AS BIGINT) END AS redundancy_ppm
+      |FROM st JOIN h1 USING (source) JOIN h2 USING (source)""".stripMargin)(
+    (s, d) => {
+      // THE one corpus bigram scan; cur/next recovered from the gram
+      // string (tokens are whitespace-split, so the single space is a
+      // safe separator)
+      val g2 = Tables.documents(s, d)
+        .select(col("source"),
+          explode(wordNgrams(coalesce(col("text"), lit("")), 2)).as("gram"))
+        .select(col("source"),
+          substring_index(col("gram"), " ", 1).as("cur"),
+          substring_index(col("gram"), " ", -1).as("nxt"))
+        .groupBy("source", "cur", "nxt").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false) // feeds the marginal, totals, and H2
+      val g1 = g2.groupBy("source", "cur").agg(sum("c2").as("c1"))
+        .localCheckpoint(false) // feeds totals, H1, and the H2 join
+      val st = g1.groupBy("source").agg(sum("c1").as("n2"))
+      val h2 = g2.join(g1, Seq("source", "cur"))
+        .groupBy("source")
+        .agg(sum(col("c2") * round(log2(col("c1").cast("double") / col("c2"))
+          * 1000000).cast("long")).as("bits2"))
+      val h1 = g1.join(broadcast(st), Seq("source"))
+        .groupBy("source")
+        .agg(sum(col("c1") * round(log2(col("n2").cast("double") / col("c1"))
+          * 1000000).cast("long")).as("bits1"))
+      st.join(broadcast(h1), Seq("source")).join(broadcast(h2), Seq("source"))
+        .select(col("source"), col("n2").as("n_bigrams"),
+          expr("CAST(bits1 div n2 AS BIGINT)").as("h1_micro_bits"),
+          expr("CAST(bits2 div n2 AS BIGINT)").as("h2cond_micro_bits"),
+          when(col("bits1") <= 0, lit(null).cast("long"))
+            .otherwise(expr("CAST(CAST(bits1 - bits2 AS DECIMAL(38,0))" +
+              " * 1000000 div bits1 AS BIGINT)"))
+            .as("redundancy_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
       q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318, q325,
-      q347, q348)
+      q347, q348, q362, q363)
 }

@@ -944,4 +944,93 @@ object DocStreams {
           out.iterator
       }
   }
+
+  final case class MwDoc(doc_id: Long, ts: Timestamp, source: String,
+      lang: String, n_chars: Long)
+  final case class MwBucket(v: Long, na: Long, nb: Long)
+  final case class MwState(buckets: Seq[MwBucket])
+  final case class MwVerdict(source: String, n_a: Long, n_b: Long,
+      u_a_ppm: Long, z_micro: Option[Long], ts: Timestamp)
+
+  /** Streaming MANN–WHITNEY drift gate — the ingest-time twin of q358:
+    * per source, is the arriving English slice's length DISTRIBUTION
+    * still the non-English slice's, or has intake drift begun cutting
+    * the two languages at different rates? State per source is the
+    * (length → en-count, other-count) value-count map — the SAME
+    * rollup the batch query reduces to, so state is length-DOMAIN-
+    * bounded (never per-doc) and pure counts, hence order- and
+    * trigger-boundary-independent: any arrival order converges to the
+    * batch answer (`MannWhitneyStreamSpec` pins reverse-order
+    * two-trigger ≡ q358 bit-for-bit). Each trigger re-derives the
+    * closed-form rank-sum from the sorted map (avg tie rank =
+    * preceding count + (t+1)/2, doubled — q358's exact integral form,
+    * BigInt internally) and emits the bounded verdicts: U_A's share of
+    * its 2·n_a·n_b range in exact ppm, and the z-score micro-rounded
+    * through the IDENTICAL double expression tree as the batch arm
+    * (None when a group is empty or the variance degenerates). No
+    * watermark eviction: counts only ratchet up, exactly like
+    * [[hllGate]]'s registers. */
+  def mannWhitneyGate(
+      docs: DataFrame,
+      watermark: String = "1 hour"): Dataset[MwVerdict] = {
+    import docs.sparkSession.implicits._
+    val rows = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .as[MwDoc]
+    rows.groupByKey(_.source)
+      .flatMapGroupsWithState[MwState, MwVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rs: Iterator[MwDoc], state: GroupState[MwState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+          state.getOption.foreach(_.buckets.foreach(b =>
+            m(b.v) = (b.na, b.nb)))
+          var maxTs: Timestamp = null
+          rs.foreach { doc =>
+            // group membership mirrors q358: en vs non-en, NULL lang in
+            // neither (the batch arm's count(when(lang <> 'en')) skips
+            // null); the shipped corpora have no NULL langs
+            if (doc.lang != null) {
+              val (na, nb) = m.getOrElse(doc.n_chars, (0L, 0L))
+              if (doc.lang == "en") m(doc.n_chars) = (na + 1, nb)
+              else m(doc.n_chars) = (na, nb + 1)
+            }
+            if (maxTs == null || doc.ts.after(maxTs)) maxTs = doc.ts
+          }
+          state.update(MwState(m.toSeq.sortBy(_._1)
+            .map { case (v, (na, nb)) => MwBucket(v, na, nb) }))
+          // closed-form rank-sum over the sorted value-count map —
+          // q358's exact arithmetic, BigInt so O(n^2)/O(n^3) terms
+          // never wrap
+          var nA = 0L; var nB = 0L
+          var before = BigInt(0); var twoRa = BigInt(0); var tie = BigInt(0)
+          m.toSeq.sortBy(_._1).foreach { case (_, (na, nb)) =>
+            val t = BigInt(na + nb)
+            twoRa += BigInt(na) * (2 * before + t + 1)
+            tie += t * t * t - t
+            before += t
+            nA += na; nB += nb
+          }
+          val twoUa = twoRa - BigInt(nA) * (nA + 1)
+          val uppm =
+            if (nA == 0 || nB == 0) 0L
+            else (twoUa * 1000000 / (BigInt(2) * nA * nB)).toLong
+          val z: Option[Long] = {
+            val dn = (nA + nB).toDouble
+            val core = (dn + 1) * dn * (dn - 1) - tie.toDouble
+            if (nA == 0 || nB == 0 || core <= 0) None
+            else {
+              val zd = (twoUa.toDouble - nA.toDouble * nB.toDouble) /
+                math.sqrt(nA.toDouble * nB.toDouble * core
+                  / (3.0 * dn * (dn - 1))) * 1000000
+              // HALF_UP like Spark SQL round(double), not math.round's
+              // floor(x+0.5) — they differ on negative halves
+              Some(java.math.BigDecimal.valueOf(zd)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
+            }
+          }
+          Iterator.single(MwVerdict(source, nA, nB, uppm, z, maxTs))
+      }
+  }
 }
