@@ -1081,6 +1081,16 @@ object PlanCheck {
       "broadcast advisor: dim-table scans ONLY — the fact tables never enter the plan",
       p => scans(p, "lineitem") == 0 && scans(p, "orders") == 0 &&
         scans(p, "documents") == 0 && !p.contains("CartesianProduct"))
+    check("q364_bbit_minhash_audit",
+      "b-bit audit: candidate pairs + sigs pinned (ExistingRDD) — pair-sized work, never all-pairs; bounded b-axis fan on the PAIR table; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q365_stupid_backoff_score",
+      "stupid backoff: every scorer leg reads the PINNED bigram rollup (ExistingRDD) — zero Generate above it; observed tables only (no V^2 smoothing mass); no cartesian",
+      p => !p.contains("Generate") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
+    check("q366_jl_projection_audit",
+      "JL audit: pinned (vec,dim) explode + 16-bounded projection rollup (ExistingRDD); disjoint-pair KEYED joins — never all-pairs; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
     checkTree("q362_hill_tail_index",
       "Hill tail index: order statistics from lang-KEYED rank windows — no zero-key window, no global sort",
       p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec

@@ -3729,10 +3729,101 @@ object DedupQueries {
           md5(array_join(col("kept"), " ")).as("cleaned_fp"))
     })
 
+  /** b-BIT MINHASH AUDIT (Li & König 2010) — prices the signature-
+    * compression knob the wire format wants: storing only the low b
+    * bits of each minhash slot shrinks the signature 64/b-fold, at the
+    * cost of ACCIDENTAL slot agreements (two different minhashes
+    * colliding in their low b bits, rate 2^-b) inflating the estimated
+    * Jaccard. Over the banding candidate pairs and the SAME portable
+    * signatures the dedup stack ships (q99's family, so DuckDB replays
+    * every slot comparison bit-for-bit), per b ∈ {1, 2, 4, 8}: the
+    * exact full-width slot-agreement total, the b-bit total, the
+    * measured inflation, and the Li-König expectation
+    * (disagreeing slots / 2^b) with a measured/expected ppm ratio —
+    * the table that says which b keeps the q191-calibrated thresholds
+    * valid. Scale shape: candidate-pair sigs (the scored-pairs build
+    * shape — pair-sized, never all-pairs) → ×4 bounded-axis fan on the
+    * PAIR table → 4-row report. HASH-MATCHED. */
+  val q364 = {
+    val bbits = Seq(1, 2, 4, 8)
+    def modSum(b: Int): String = (0 until PortK).map(i =>
+      s"CASE WHEN (a.mh$i % ${1L << b}) = (b.mh$i % ${1L << b})" +
+        " THEN 1 ELSE 0 END").mkString(" + ")
+    QueryDef.oracle("q364_bbit_minhash_audit",
+      s"""$portablePairsCtes,
+         |cmp AS (SELECT p.ia, p.ib,
+         |          ${matchSumSql("a", "b")} AS m_full,
+         |          ${bbits.map(b => s"${modSum(b)} AS m_b$b").mkString(",\n          ")}
+         |        FROM pairs p JOIN sig a ON a.doc_id = p.ia
+         |        JOIN sig b ON b.doc_id = p.ib),
+         |ax AS (SELECT unnest([${bbits.mkString(", ")}]) AS bbits),
+         |st AS (SELECT ax.bbits,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(count(*) * $PortK AS BIGINT) AS slots,
+         |         CAST(SUM(m_full) AS BIGINT) AS full_matches,
+         |         CAST(SUM(CASE ax.bbits ${bbits.map(b =>
+                     s"WHEN $b THEN m_b$b").mkString(" ")} END) AS BIGINT)
+         |           AS b_matches
+         |       FROM cmp, ax GROUP BY 1)
+         |SELECT bbits, n_pairs, slots, full_matches, b_matches,
+         |  CAST(b_matches - full_matches AS BIGINT) AS extra_matches,
+         |  CAST((slots - full_matches) // (CAST(1 AS BIGINT) << bbits)
+         |       AS BIGINT) AS expected_extra,
+         |  CASE WHEN (slots - full_matches) // (CAST(1 AS BIGINT) << bbits) = 0
+         |       THEN NULL
+         |       ELSE CAST((b_matches - full_matches) * 1000000
+         |            // ((slots - full_matches) // (CAST(1 AS BIGINT) << bbits))
+         |            AS BIGINT) END AS measured_vs_expected_ppm
+         |FROM st""".stripMargin)(
+      (s, d) => {
+        val pairs = bandingPairs(s, d).localCheckpoint(false)
+        val candIds = pairs.select(col("ia").as("doc_id"))
+          .unionByName(pairs.select(col("ib").as("doc_id"))).distinct()
+        val sigs = Tables.documents(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            portableMinhashSigNative(col("text"), 3, PortK).as("mh"))
+          .localCheckpoint(false) // both sides of the pair join
+        def nMatchMod(a: Column, b: Column, m: Long): Column =
+          aggregate(zip_with(a, b, (x, y) =>
+            when(x % m === y % m, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("long")
+        val withA = sigs.join(pairs, col("doc_id") === col("ia"))
+          .select(col("ia"), col("ib"), col("mh").as("mh_a"))
+        val cmp = sigs.join(withA, col("doc_id") === col("ib"))
+          .select(
+            (nMatch(col("mh_a"), col("mh")).as("m_full") +:
+              bbits.map(b =>
+                nMatchMod(col("mh_a"), col("mh"), 1L << b).as(s"m_b$b"))): _*)
+        val ax = explode(array(bbits.map(b => lit(b.toLong)): _*)).as("bbits")
+        cmp.select(col("*"), ax)
+          .groupBy("bbits")
+          .agg(count(lit(1)).as("n_pairs"),
+            (count(lit(1)) * PortK).cast("long").as("slots"),
+            sum("m_full").as("full_matches"),
+            sum(bbits.tail.foldLeft(
+              when(col("bbits") === bbits.head, col(s"m_b${bbits.head}")))(
+              (acc, b) => acc.when(col("bbits") === b, col(s"m_b$b"))))
+              .as("b_matches"))
+          .select(col("bbits"), col("n_pairs"), col("slots"),
+            col("full_matches"), col("b_matches"),
+            (col("b_matches") - col("full_matches")).as("extra_matches"),
+            expr("CAST((slots - full_matches)" +
+              " div shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT))" +
+              " AS BIGINT)").as("expected_extra"),
+            expr("CASE WHEN (slots - full_matches)" +
+              " div shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT)) = 0" +
+              " THEN NULL ELSE CAST((b_matches - full_matches) * 1000000" +
+              " div ((slots - full_matches)" +
+              " div shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT)))" +
+              " AS BIGINT) END").as("measured_vs_expected_ppm"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
       q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353,
-      q354, q356)
+      q354, q356, q364)
 }

@@ -2461,9 +2461,111 @@ object ModelPrepQueries {
             .as("delta_vs_half"))
     })
 
+  /** STUPID-BACKOFF BIGRAM SCORING (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the n-gram smoothing production
+    * web-scale LMs actually ship: a SEEN bigram scores its raw relative
+    * frequency c₂/c₁; an unseen one backs off to the unigram with a
+    * fixed 0.4 penalty (add-1 at the bottom so every token scores).
+    * This is what q187's add-1 bigram table cannot be at 100 TB —
+    * add-1 needs the V² smoothing mass; backoff needs only the OBSERVED
+    * bigrams. Split is content-keyed (q45's md5-nibble idiom: eval =
+    * nibble ∈ {0,7}, train = nibble ≥ 8 — DECORRELATED from source,
+    * unlike doc_id%5 which this corpus aliases to 4 sources), so the
+    * per-source readout covers every source and the backoff arm is
+    * exercised by real unseen mass. Per-type terms micro-rounded (the
+    * log2-ladder contract), unigram denominator = the bigram stream's
+    * second positions (self-consistent from ONE rollup — no second
+    * token pass). Scale shape: one corpus bigram scan → (split, w1,
+    * w2)-keyed rollup → keyed left joins on observed tables only →
+    * |sources|-row report. HASH-MATCHED. */
+  val q365 = QueryDef.oracle("q365_stupid_backoff_score",
+    """WITH l AS (SELECT doc_id, source,
+      |             substr(md5(COALESCE(text, '')), 32, 1) AS nib,
+      |             list_filter(regexp_split_to_array(
+      |              COALESCE(text, ''), '\s+'), x -> x <> '') AS l
+      |           FROM documents),
+      |base AS (SELECT grp, source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      |         FROM (SELECT CASE WHEN nib IN ('0', '7') THEN 'eval'
+      |                           WHEN nib >= '8' THEN 'train'
+      |                           ELSE 'unused' END AS grp, source,
+      |                 struct_extract(p, 'a') AS w1, struct_extract(p, 'b') AS w2
+      |               FROM (SELECT doc_id, source, nib,
+      |                       unnest([{'a': l[i], 'b': l[i+1]}
+      |                               FOR i IN range(1, len(l))]) AS p
+      |                     FROM l WHERE len(l) >= 2))
+      |         GROUP BY 1, 2, 3, 4),
+      |tr2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2
+      |        FROM base WHERE grp = 'train' GROUP BY 1, 2),
+      |tr1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM tr2 GROUP BY 1),
+      |uni AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cu FROM tr2 GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS n,
+      |          CAST(count(*) AS BIGINT) AS v FROM uni),
+      |ev AS (SELECT source, w1, w2, CAST(SUM(c) AS BIGINT) AS m
+      |       FROM base WHERE grp = 'eval' GROUP BY 1, 2, 3),
+      |sc AS (SELECT e.source, e.m, t2.c2 IS NOT NULL AS seen,
+      |         CASE WHEN t2.c2 IS NOT NULL
+      |              THEN CAST(round(log2(CAST(t1.c1 AS DOUBLE) / t2.c2)
+      |                   * 1000000) AS BIGINT)
+      |              ELSE CAST(round(log2(2.5 * CAST(tot.n + tot.v AS DOUBLE)
+      |                   / (COALESCE(u.cu, 0) + 1)) * 1000000) AS BIGINT) END
+      |           AS micro_bits
+      |       FROM ev e CROSS JOIN tot
+      |       LEFT JOIN tr2 t2 ON t2.w1 = e.w1 AND t2.w2 = e.w2
+      |       LEFT JOIN tr1 t1 ON t1.w1 = e.w1
+      |       LEFT JOIN uni u ON u.w2 = e.w2)
+      |SELECT source, CAST(SUM(m) AS BIGINT) AS n_eval_bigrams,
+      |       CAST(SUM(CASE WHEN seen THEN m ELSE 0 END) AS BIGINT) AS n_seen,
+      |       CAST(SUM(CASE WHEN seen THEN 0 ELSE m END) AS BIGINT) AS n_backoff,
+      |       CAST(SUM(m * micro_bits) // SUM(m) AS BIGINT) AS mbits_per_bigram
+      |FROM sc GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val nib = substring(md5(coalesce(col("text"), lit(""))), 32, 1)
+      // THE one corpus bigram scan (cur/next recovered from the gram
+      // string — q363's idiom)
+      val base = Tables.documents(s, d)
+        .select(
+          when(nib.isin("0", "7"), "eval")
+            .when(nib >= "8", "train").otherwise("unused").as("grp"),
+          col("source"),
+          explode(wordNgrams(coalesce(col("text"), lit("")), 2)).as("gram"))
+        .select(col("grp"), col("source"),
+          substring_index(col("gram"), " ", 1).as("w1"),
+          substring_index(col("gram"), " ", -1).as("w2"))
+        .groupBy("grp", "source", "w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the train tables AND the eval stream
+      val tr2 = base.filter(col("grp") === "train")
+        .groupBy("w1", "w2").agg(sum("c").as("c2"))
+        .localCheckpoint(false) // feeds c1, the unigram table, and the join
+      val tr1 = tr2.groupBy("w1").agg(sum("c2").as("c1"))
+      val uni = tr2.groupBy("w2").agg(sum("c2").as("cu"))
+        .localCheckpoint(false) // feeds totals and the backoff join
+      val tot = uni.agg(coalesce(sum("cu"), lit(0L)).as("n"),
+        count(lit(1)).as("v"))
+      val ev = base.filter(col("grp") === "eval")
+        .groupBy("source", "w1", "w2").agg(sum("c").as("m"))
+      val sc = ev.crossJoin(broadcast(tot))
+        .join(tr2, Seq("w1", "w2"), "left")
+        .join(tr1, Seq("w1"), "left")
+        .join(uni, Seq("w2"), "left")
+        .select(col("source"), col("m"), col("c2").isNotNull.as("seen"),
+          when(col("c2").isNotNull,
+            round(log2(col("c1").cast("double") / col("c2")) * 1000000)
+              .cast("long"))
+            .otherwise(
+              round(log2(lit(2.5) * (col("n") + col("v")).cast("double")
+                / (coalesce(col("cu"), lit(0L)) + 1)) * 1000000).cast("long"))
+            .as("micro_bits"))
+      sc.groupBy("source")
+        .agg(sum("m").as("n_eval_bigrams"),
+          sum(when(col("seen"), col("m")).otherwise(0L)).as("n_seen"),
+          sum(when(col("seen"), 0L).otherwise(col("m"))).as("n_backoff"),
+          expr("CAST(SUM(m * micro_bits) div SUM(m) AS BIGINT)")
+            .as("mbits_per_bigram"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q123, q124, q125, q126, q127, q128, q129, q130, q139, q140, q145,
       q150, q155, q162, q166, q172, q181, q186, q187, q194, q199, q203, q206,
       q208, q214, q223, q257, q302, q308, q320, q328, q343, q344, q350, q355,
-      q359, q360)
+      q359, q360, q365)
 }

