@@ -2241,7 +2241,7 @@ object CurationQueries {
     * — never a per-row sort, never a zero-key window. 2·R_A and the
     * tie term Σt(t²−1) route through DECIMAL(38,0)/HUGEINT (both are
     * O(n²)–O(n³) in the per-source count — int64 dies at ~3e9 docs);
-    * 2·U_A = 2·R_A − n_a(n_a+1) ships as DECIMAL(38,0), and only the
+    * 2·U_A = 2·R_A − n_a(n_a+1) ships as VARCHAR digits (q149 wire), and only the
     * bounded z-score (micro-rounded double, identical expression tree
     * in both engines — the round-to-micro contract of the log2
     * ladders) casts to BIGINT. Scale shape: one doc-grain metadata
@@ -2271,7 +2271,9 @@ object CurationQueries {
       |             AS DECIMAL(38,0)) AS two_u_a,
       |        tie_term
       |      FROM a)
-      |SELECT source, n_a, n_b, two_u_a, tie_term,
+      |SELECT source, n_a, n_b,
+      |  CAST(two_u_a AS VARCHAR) AS two_u_a,
+      |  CAST(tie_term AS VARCHAR) AS tie_term,
       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
       |       WHEN (CAST(n_a + n_b AS DOUBLE) + 1) * CAST(n_a + n_b AS DOUBLE)
       |              * (CAST(n_a + n_b AS DOUBLE) - 1)
@@ -2309,8 +2311,11 @@ object CurationQueries {
         col("__tie").cast("decimal(38,0)").as("tie_term"))
       val dn = (col("n_a") + col("n_b")).cast("double")
       val core = (dn + 1) * dn * (dn - 1) - col("tie_term").cast("double")
-      u.select(col("source"), col("n_a"), col("n_b"), col("two_u_a"),
-        col("tie_term"),
+      // DECIMAL internally, VARCHAR on the wire (the q149 convention —
+      // the driver's hasher floats DuckDB decimals)
+      u.select(col("source"), col("n_a"), col("n_b"),
+        col("two_u_a").cast("string").as("two_u_a"),
+        col("tie_term").cast("string").as("tie_term"),
         when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
           .when(core <= 0, lit(null).cast("long"))
           .otherwise(round(

@@ -2225,7 +2225,7 @@ object ModelPrepQueries {
     * a few-million-token corpus, where non-ANSI Spark would silently
     * wrap while DuckDB raises); only the final ppm columns (≤ 10⁶ by
     * construction) cast back to BIGINT, and cum_w_micro itself ships as
-    * DECIMAL(38,0). Scale shape: one token rollup → keyedPrefixRank
+    * VARCHAR digits (the q149 wire convention). Scale shape: one token rollup → keyedPrefixRank
     * (rank + decimal cum) → 1-row total broadcast. Output: one row per
     * vocab type. HASH-MATCHED. */
   val q350 = QueryDef.oracle("q350_negative_sampling_table",
@@ -2244,7 +2244,8 @@ object ModelPrepQueries {
       |          AS cum_w_micro
       |      FROM w),
       |t AS (SELECT SUM(CAST(w_micro AS HUGEINT)) AS total_w FROM w)
-      |SELECT tok, freq, rnk, w_micro, cum_w_micro,
+      |SELECT tok, freq, rnk, w_micro,
+      |       CAST(cum_w_micro AS VARCHAR) AS cum_w_micro,
       |       CAST(CAST(w_micro AS HUGEINT) * 1000000 // total_w AS BIGINT)
       |         AS share_ppm,
       |       CAST(cum_w_micro * 1000000 // total_w AS BIGINT) AS cum_share_ppm
@@ -2263,7 +2264,10 @@ object ModelPrepQueries {
       val t = f.agg(sum("__wd").as("total_w")) // decimal(38,0) sum — exact
       r.crossJoin(broadcast(t))
         .select(col("tok"), col("freq"), col("rnk"), col("w_micro"),
-          col("cum_w_micro").cast("decimal(38,0)").as("cum_w_micro"),
+          // DECIMAL internally, VARCHAR on the wire (q149 convention —
+          // the driver's hasher floats DuckDB decimals)
+          col("cum_w_micro").cast("decimal(38,0)").cast("string")
+            .as("cum_w_micro"),
           expr("CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000 div total_w" +
             " AS BIGINT)").as("share_ppm"),
           expr("CAST(cum_w_micro * 1000000 div total_w AS BIGINT)")
@@ -2318,7 +2322,7 @@ object ModelPrepQueries {
       |         * (2000000 - 2000000 // (CAST(1 AS BIGINT) << epochs))
       |       + CAST(rem AS HUGEINT)
       |         * (1000000 // (CAST(1 AS BIGINT) << epochs))
-      |       AS DECIMAL(38,0)) AS eff_micro,
+      |       AS VARCHAR) AS eff_micro,
       |  CASE WHEN budget = 0 THEN NULL
       |       ELSE CAST((CAST(u_tok AS HUGEINT)
       |              * (2000000 - 2000000 // (CAST(1 AS BIGINT) << epochs))
@@ -2351,7 +2355,9 @@ object ModelPrepQueries {
             " * (1000000 div shiftleft(CAST(1 AS BIGINT), CAST(epochs AS INT)))" +
             " AS DECIMAL(38,0))"))
         .select(col("source"), col("u_tok"), col("wt"), col("budget"),
-          col("epochs"), col("rem"), col("saturated"), col("eff_micro"),
+          col("epochs"), col("rem"), col("saturated"),
+          // DECIMAL internally, VARCHAR on the wire (q149 convention)
+          col("eff_micro").cast("string").as("eff_micro"),
           expr("CASE WHEN budget = 0 THEN NULL" +
             " ELSE CAST(eff_micro div budget AS BIGINT) END")
             .as("eff_ppm_of_budget"))

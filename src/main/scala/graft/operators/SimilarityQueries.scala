@@ -3525,10 +3525,7 @@ object SimilarityQueries {
     * projection rollup → disjoint-pair keyed joins → ≤17-row report.
     * HASH-MATCHED. */
   val q366 = QueryDef.oracle("q366_jl_projection_audit",
-    """WITH iq AS (SELECT vec_id,
-      |         list_transform(CAST(embedding AS DOUBLE[]),
-      |                        x -> CAST(round(x * 10000) AS BIGINT)) AS v
-      |       FROM embeddings),
+    s"""WITH $iqCte,
       |ex AS (SELECT vec_id, t.i AS dim, v[t.i] AS q FROM iq, range(1, 65) t(i)),
       |proj AS (SELECT vec_id, r.j AS j,
       |        CAST(SUM(CASE WHEN (((dim * 784090497 + r.j * 331871417)

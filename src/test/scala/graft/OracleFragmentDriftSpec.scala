@@ -50,7 +50,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q298_cc_large_small_star", // q56's oracle verbatim (star CC twin)
         "q304_cc_incremental", // and its day-2 path
         "q306_dedup_drop_bias", // and the quality-bias audit over its labels
-        "q345_label_propagation") // LPA communities over the same pair graph
+        "q345_label_propagation", // LPA communities over the same pair graph
+        "q364_bbit_minhash_audit") // b-bit compression audit on the same pairs
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -84,7 +85,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
         "q304_cc_incremental", "q306_dedup_drop_bias",
-        "q345_label_propagation")
+        "q345_label_propagation", "q364_bbit_minhash_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
@@ -264,7 +265,7 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q237_source_embedding_drift", "q240_knn_label_agreement",
         "q276_ivf_cell_balance", "q301_opq_rotation_audit",
         "q307_ivf_recall_curve", "q309_cluster_separation",
-        "q316_mutual_nn_pairs")
+        "q316_mutual_nn_pairs", "q366_jl_projection_audit")
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the quantization definition: ") {
           sql.contains(frag) shouldBe true

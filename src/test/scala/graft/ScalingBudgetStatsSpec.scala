@@ -32,8 +32,8 @@ class ScalingBudgetStatsSpec extends SparkSpec {
       assert(r.length == 1)
       val row = r.head
       assert(row.getLong(1) == 4L && row.getLong(2) == 3L)   // n_a, n_b
-      assert(row.getDecimal(3).longValueExact == 8L)          // 2*U_A
-      assert(row.getDecimal(4).longValueExact == 30L)         // tie term
+      assert(row.getString(3) == "8")                         // 2*U_A
+      assert(row.getString(4) == "30")                        // tie term
       assert(row.getLong(5) == -740959L)                      // z_micro
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -46,7 +46,7 @@ class ScalingBudgetStatsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (na, nb) = (r.getLong(1), r.getLong(2))
-      val twoUa = r.getDecimal(3).longValueExact
+      val twoUa = r.getString(3).toLong
       assert(twoUa >= 0 && twoUa <= 2 * na * nb,
         s"${r.getString(0)}: 2U_A=$twoUa outside [0, ${2 * na * nb}]")
     }
@@ -60,7 +60,7 @@ class ScalingBudgetStatsSpec extends SparkSpec {
       val u = r.getLong(1); val budget = r.getLong(3)
       val f = r.getLong(4); val rem = r.getLong(5)
       val sat = r.getBoolean(6)
-      val eff = r.getDecimal(7).longValueExact
+      val eff = r.getString(7).toLong
       if (sat) assert(rem == 0L)
       else assert(rem == budget - f * u, s"rem mismatch for ${r.getString(0)}")
       val pw = 1L << f

@@ -43,7 +43,10 @@ class VerifyStatusSpec extends SparkSpec {
       "/root/testdata/sf0.001", out, "--json", "q01_scan_project"),
       new java.io.File("/root/repo")).!(ProcessLogger(_ => (), _ => ()))
     assert(rc == 0, "check_oracle.py should exit 0 on a green query")
-    val j = Files.readString(Paths.get(s"$out/correctness.json"))
+    // a NAME-FILTERED run with bare --json defaults to the .partial.json
+    // path (r14 advisor: a partial run must not clobber the canonical
+    // full artifact at the default name)
+    val j = Files.readString(Paths.get(s"$out/correctness.partial.json"))
     for (k <- Seq("rows_match", "schema_match", "hash_match", "spark_rows",
         "oracle_rows", "err"))
       assert(j.contains(s"\"$k\""), s"driver-format key $k missing in $j")

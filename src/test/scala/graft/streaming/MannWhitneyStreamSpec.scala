@@ -25,7 +25,7 @@ class MannWhitneyStreamSpec extends SparkSpec {
     graft.SparkEntry.queries("q358_mann_whitney")(spark, d)
       .collect().map { r =>
         val na = r.getLong(1); val nb = r.getLong(2)
-        val twoUa = BigInt(r.getDecimal(3).toBigInteger)
+        val twoUa = BigInt(r.getString(3))
         val uppm =
           if (na == 0 || nb == 0) 0L
           else (twoUa * 1000000 / (BigInt(2) * na * nb)).toLong
