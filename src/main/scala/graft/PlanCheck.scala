@@ -1099,6 +1099,43 @@ object PlanCheck {
       "entropy rate: every consumer reads the PINNED bigram rollup (ExistingRDD) — zero Generate above it, so the corpus is tokenized once",
       p => !p.contains("Generate") && p.contains("ExistingRDD") &&
         !p.contains("CartesianProduct"))
+    check("q367_good_turing",
+      "Good-Turing: ONE pinned token rollup feeds total + counts-of-counts (ExistingRDD); r-axis 9-bounded BEFORE broadcast; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q368_kruskal_wallis",
+      "Kruskal-Wallis: the pooled-rank cumsum is source-KEYED — no zero-key window (k-group rank test without ranking rows)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    checkTree("q369_cusum_drift",
+      "CUSUM: both walk windows (cumsum + running min) are event_type-KEYED — no zero-key window, no sequential recurrence",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    checkTree("q370_sorted_neighborhood",
+      "SNM: sort rank via keyedPrefixRank (no zero-key window over the growing corpus); block-keyed neighbor join + semi-join-restricted gram verify (no cartesian)",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty &&
+        p.collect { case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }.isEmpty)
+    check("q371_snm_key_advisor",
+      "SNM key advisor: ONE pinned prefix scan feeds cost rollup + both recall sides (ExistingRDD); 3-bounded w-axis broadcast; pair-sized recall join; no cartesian",
+      p => p.contains("ExistingRDD") && p.contains("BroadcastExchange") &&
+        !p.contains("CartesianProduct"))
+    checkTree("q372_theil_sen",
+      "Theil-Sen: rank + count windows are event_type-KEYED over the time-bounded pair set — no zero-key window, no global sort",
+      p => p.collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty)
+    check("q373_ratio_jackknife",
+      "ratio jackknife: ONE pinned (type,day) rollup feeds totals + replicates + spread (ExistingRDD); subtractive replicates — no per-replicate re-scan; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q374_seasonality_strength",
+      "seasonality strength: ONE pinned (type,day) rollup feeds dow rollup + totals (ExistingRDD); 7-bounded dow axis; no cartesian",
+      p => p.contains("ExistingRDD") && !p.contains("CartesianProduct"))
+    check("q375_dispersion_index",
+      "dispersion index: map-side (type,day) rollup collapses to moment sums — no window, no join, no cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("WindowExec"))
+    check("q376_source_unseen_mass",
+      "source unseen-mass: one (source,tok) rollup collapses to per-source aggregates — no window, no join, no cartesian",
+      p => !p.contains("CartesianProduct") && !p.contains("WindowExec"))
     check("q344_loo_source_valuation",
       "LOO valuation: subtractive one-rollup form — NO tokenize above the pinned rollup (zero Generate downstream); variant axis broadcast; no cartesian",
       p => !p.contains("+- Generate") && p.contains("ExistingRDD") &&

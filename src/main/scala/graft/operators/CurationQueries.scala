@@ -2327,8 +2327,126 @@ object CurationQueries {
           .as("z_micro"))
     })
 
+  /** KRUSKAL–WALLIS LENGTH AUDIT (per source, across ALL languages) —
+    * q358's Mann–Whitney generalized from 2 groups to k: does document
+    * length come from the SAME distribution in every language a source
+    * ships, or will one length gate cut its languages at different
+    * rates? Same closed-form rank algebra as q358 — group g's doubled
+    * rank-sum 2R_g over the pooled per-source sample comes from the
+    * (source, lang, length) value-count rollup (avg pooled rank of the
+    * tie group at value v, doubled: 2·before_v + t_v + 1), so nothing
+    * per-row is ever sorted and the only shuffles are two rollups and
+    * a source-keyed cumsum window. H = 12/(N(N+1))·ΣR_g²/n_g − 3(N+1)
+    * with the tie correction 1 − Σ(t³−t)/(N³−N). The cross-group sum
+    * ΣR_g²/n_g is made order-independent the integer way: each group's
+    * term rounds to MICRO units FIRST (deterministic per-row double
+    * arithmetic in both engines), lands in DECIMAL(38,0), and the
+    * DECIMAL sum is exact — never a float sum across rows. 2R_g
+    * and Σ(t³−t) are O(N²)/O(N³) (the q358 bound: int64 dies ~3e9
+    * docs/source, DECIMAL(38,0) carries ~1e12; the micro term sum is
+    * O(N³·10⁶) — good to ~10¹⁰ docs per source); big exact columns ship
+    * as VARCHAR digits (q149 wire), only the bounded micro statistics
+    * cast to BIGINT. For k=2 the tie-corrected H is z² of q358 — the
+    * spec pins that identity on a fixture. Scale shape: doc-grain
+    * metadata scan → (source, lang, length) rollup → source-keyed
+    * window → |sources|-row report. HASH-MATCHED. */
+  val q368 = QueryDef.oracle("q368_kruskal_wallis", {
+    val hExpr =
+      """(12.0 * (CAST(rank_term_sum AS DOUBLE) / 1000000.0)
+        |   / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1))
+        | - 3.0 * (CAST(n_total AS DOUBLE) + 1))""".stripMargin
+    val denomExpr =
+      """(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |   * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))""".stripMargin
+    s"""WITH vc AS (SELECT source, lang, n_chars AS v,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM documents GROUP BY 1, 2, 3),
+       |pv AS (SELECT source, v, CAST(SUM(c) AS BIGINT) AS t
+       |      FROM vc GROUP BY 1, 2),
+       |cum AS (SELECT source, v, t,
+       |        SUM(t) OVER (PARTITION BY source ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+       |          AS before_t
+       |      FROM pv),
+       |grp AS (SELECT vc.source, vc.lang,
+       |        CAST(SUM(vc.c) AS BIGINT) AS n_g,
+       |        CAST(SUM(CAST(vc.c AS HUGEINT)
+       |               * (2 * cum.before_t + cum.t + 1)) AS DECIMAL(38,0))
+       |          AS two_r_g
+       |      FROM vc JOIN cum ON cum.source = vc.source AND cum.v = vc.v
+       |      GROUP BY 1, 2),
+       |tie AS (SELECT source,
+       |        CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DECIMAL(38,0))
+       |          AS tie_term
+       |      FROM cum GROUP BY 1),
+       |agg AS (SELECT source, CAST(SUM(n_g) AS BIGINT) AS n_total,
+       |        CAST(count(*) AS BIGINT) AS k_groups,
+       |        CAST(SUM(CAST(round(CAST(two_r_g AS DOUBLE)
+       |               * CAST(two_r_g AS DOUBLE)
+       |               / (4.0 * CAST(n_g AS DOUBLE)) * 1000000.0)
+       |             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rank_term_sum
+       |      FROM grp GROUP BY 1)
+       |SELECT a.source, a.n_total, a.k_groups,
+       |  CAST(a.rank_term_sum AS VARCHAR) AS rank_term_sum,
+       |  CAST(t.tie_term AS VARCHAR) AS tie_term,
+       |  CASE WHEN a.n_total < 2 OR a.k_groups < 2 THEN NULL
+       |       ELSE CAST(round($hExpr * 1000000) AS BIGINT) END AS h_micro,
+       |  CASE WHEN a.n_total < 2 OR a.k_groups < 2 THEN NULL
+       |       WHEN $denomExpr - CAST(t.tie_term AS DOUBLE) <= 0 THEN NULL
+       |       ELSE CAST(round($hExpr
+       |              / (($denomExpr - CAST(t.tie_term AS DOUBLE))
+       |                 / $denomExpr) * 1000000) AS BIGINT) END
+       |    AS h_tie_micro
+       |FROM (SELECT source, n_total, k_groups, rank_term_sum FROM agg) a
+       |JOIN tie t USING (source)""".stripMargin})(
+    (s, d) => {
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // pooled ties and the group rollup share it
+      val pv = vc.groupBy("source", "v").agg(sum("c").as("t"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pv.withColumn("before_t", sum("t").over(w) - col("t"))
+        .localCheckpoint(false) // group join and the tie rollup share it
+      val grp = vc.join(cum, Seq("source", "v"))
+        .groupBy("source", "lang")
+        .agg(sum("c").as("n_g"),
+          sum(col("c").cast("decimal(38,0)")
+            * (lit(2) * col("before_t") + col("t") + 1)).as("two_r_g"))
+      val tie = cum.groupBy("source").agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("tie_term"))
+      val agg = grp
+        .withColumn("term", expr("CAST(round(CAST(two_r_g AS DOUBLE)" +
+          " * CAST(two_r_g AS DOUBLE) / (4.0 * CAST(n_g AS DOUBLE))" +
+          " * 1000000.0) AS DECIMAL(38,0))"))
+        .groupBy("source").agg(sum("n_g").as("n_total"),
+          count(lit(1)).as("k_groups"),
+          sum("term").cast("decimal(38,0)").as("rank_term_sum"))
+      val hExpr =
+        "(12.0 * (CAST(rank_term_sum AS DOUBLE) / 1000000.0)" +
+          " / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1))" +
+          " - 3.0 * (CAST(n_total AS DOUBLE) + 1))"
+      val denomExpr =
+        "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)" +
+          " * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))"
+      agg.join(tie, Seq("source"))
+        .select(col("source"), col("n_total"), col("k_groups"),
+          col("rank_term_sum").cast("string").as("rank_term_sum"),
+          col("tie_term").cast("decimal(38,0)").cast("string").as("tie_term"),
+          expr(s"CASE WHEN n_total < 2 OR k_groups < 2 THEN NULL" +
+            s" ELSE CAST(round($hExpr * 1000000) AS BIGINT) END")
+            .as("h_micro"),
+          expr(s"CASE WHEN n_total < 2 OR k_groups < 2 THEN NULL" +
+            s" WHEN $denomExpr - CAST(tie_term AS DOUBLE) <= 0 THEN NULL" +
+            s" ELSE CAST(round($hExpr" +
+            s" / (($denomExpr - CAST(tie_term AS DOUBLE)) / $denomExpr)" +
+            s" * 1000000) AS BIGINT) END").as("h_tie_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q117, q118, q119, q120, q121, q122, q134, q157, q161, q167, q169, q171,
       q176, q183, q184, q188, q196, q205, q207, q218, q219, q221, q258, q266,
-      q279, q282, q286, q287, q306, q322, q331, q332, q349, q358)
+      q279, q282, q286, q287, q306, q322, q331, q332, q349, q358, q368)
 }

@@ -3820,10 +3820,203 @@ object DedupQueries {
       })
   }
 
+  /** SORTED-NEIGHBORHOOD BLOCKING (Hernández & Stolfo 1995) — the
+    * classic entity-resolution candidate generator the LSH family
+    * (q52/q99) does NOT cover: sort the corpus on a cheap blocking key
+    * (lang, normalized 16-char text prefix, doc_id tiebreak), slide a
+    * window of W=4, and every pair within sorted-order distance 1..3
+    * is a candidate — O(N·W) pairs by construction, and near-identical
+    * prefixes (boilerplate heads, q157's finding) land adjacent no
+    * matter how far apart they live on disk. The key normalizes a
+    * 256-char raw head only — O(1) per doc; a 1 MB document never pays
+    * a full-text regex for a 16-char key. The global sort rank is
+    * `Clean.keyedPrefixRank` (range-partitioned two-level numbering —
+    * the corpus GROWS, so never a zero-key rank window), carrying only
+    * (doc_id, lang, 16 chars) across the exchange; the neighbor join
+    * is rank-block-keyed (block = ⌊(rk−1)/W⌋, each left row probes its
+    * own and the next block — one keyed shuffle, no range join, no
+    * cartesian). Candidates then verify with the exact distinct
+    * word-3-gram Jaccard of q54, grams computed ONLY for candidate
+    * docs (semi-join restricted — O(candidates), not O(corpus)).
+    * Report: per sorted-order distance d ∈ {1,2,3}: candidate pairs,
+    * verified near-dups (Jaccard ≥ 0.6), and the mean Jaccard in exact
+    * ppm — the precision-per-distance curve that says whether W should
+    * grow (d=3 still matching → widen) or shrink (d=2 already noise).
+    * HASH-MATCHED. */
+  val q370 = QueryDef.oracle("q370_sorted_neighborhood",
+    """WITH k AS (SELECT doc_id, lang,
+      |        substr(regexp_replace(lower(substr(coalesce(text, ''), 1,
+      |          256)), '\s+', ' ', 'g'), 1, 16) AS p16
+      |      FROM documents),
+      |r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY lang, p16,
+      |          doc_id) AS BIGINT) AS rk
+      |      FROM k),
+      |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |        CAST(b.rk - a.rk AS BIGINT) AS dist
+      |      FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3),
+      |toks AS (SELECT doc_id,
+      |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |          AS l
+      |      FROM documents),
+      |grams AS (SELECT doc_id, CASE WHEN len(l) < 3
+      |          THEN CAST([] AS VARCHAR[])
+      |          ELSE list_distinct([list_aggregate(l[i:i+2], 'string_agg',
+      |            ' ') FOR i IN range(1, len(l) - 1)]) END AS gs
+      |      FROM toks),
+      |jac AS (SELECT c.dist,
+      |        CASE WHEN len(ga.gs) + len(gb.gs)
+      |               - len(list_intersect(ga.gs, gb.gs)) = 0
+      |             THEN CAST(0 AS BIGINT)
+      |             ELSE CAST(CAST(len(list_intersect(ga.gs, gb.gs))
+      |                    AS BIGINT) * 1000000
+      |                  // (len(ga.gs) + len(gb.gs)
+      |                     - len(list_intersect(ga.gs, gb.gs))) AS BIGINT)
+      |             END AS jacc_ppm
+      |      FROM cand c JOIN grams ga ON ga.doc_id = c.ia
+      |                  JOIN grams gb ON gb.doc_id = c.ib)
+      |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(CASE WHEN jacc_ppm >= 600000 THEN 1 END) AS BIGINT)
+      |    AS n_matches,
+      |  CAST(SUM(jacc_ppm) // count(*) AS BIGINT) AS mean_jacc_ppm
+      |FROM jac GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      // rank carries (doc_id, lang, 16 chars) ONLY — text re-joins for
+      // candidates below
+      val keyed = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        substring(regexp_replace(lower(
+          substring(coalesce(col("text"), lit("")), 1, 256)),
+          "\\s+", " "), 1, 16).as("p16"))
+      val r = graft.pipeline.Clean.keyedPrefixRank(keyed,
+          Seq(col("lang"), col("p16"), col("doc_id")), "rk")
+        .select(col("doc_id"), col("rk"))
+        .localCheckpoint(false) // both sides of the neighbor join
+      // block-keyed neighbor join: left rows probe their own + the next
+      // rank block, so every (dist 1..3) pair matches on exactly one key
+      val a = r.select(col("doc_id").as("ia"), col("rk").as("ra"))
+        .withColumn("jblk", explode(array(
+          expr("CAST((ra - 1) div 4 AS BIGINT)"),
+          expr("CAST((ra - 1) div 4 AS BIGINT) + 1"))))
+      val b = r.select(col("doc_id").as("ib"), col("rk").as("rb"))
+        .withColumn("jblk", expr("CAST((rb - 1) div 4 AS BIGINT)"))
+      val cand = a.join(b, Seq("jblk"))
+        .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= 3)
+        .select(col("ia"), col("ib"), (col("rb") - col("ra")).as("dist"))
+        .localCheckpoint(false) // id list + both gram joins read it
+      val candIds = cand.select(col("ia").as("doc_id"))
+        .unionByName(cand.select(col("ib").as("doc_id"))).distinct()
+      val grams = Tables.documents(s, d)
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(wordNgrams(col("text"), 3)).as("gs"))
+        .localCheckpoint(false) // consumed by both sides of the pair join
+      val withA = grams.join(cand, col("doc_id") === col("ia"))
+        .select(col("ia"), col("ib"), col("dist"), col("gs").as("g_a"))
+      val jac = grams.join(withA, col("doc_id") === col("ib"))
+        .withColumn("__inter",
+          size(array_intersect(col("g_a"), col("gs"))).cast("long"))
+        .withColumn("__uni",
+          (size(col("g_a")) + size(col("gs"))).cast("long") - col("__inter"))
+        .select(col("dist"),
+          when(col("__uni") === 0, lit(0L))
+            .otherwise(expr("CAST(__inter * 1000000 div __uni AS BIGINT)"))
+            .as("jacc_ppm"))
+      jac.groupBy("dist")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("jacc_ppm") >= 600000, lit(1))).as("n_matches"),
+          sum("jacc_ppm").as("__sj"))
+        .select(col("dist"), col("n_pairs"), col("n_matches"),
+          expr("CAST(__sj div n_pairs AS BIGINT)").as("mean_jacc_ppm"))
+    })
+
+  /** SNM BLOCKING-KEY ADVISOR — prices q370's one free parameter (the
+    * normalized-prefix length) the q342/q263 way: BOTH sides of the
+    * blocking trade, per w ∈ {8, 16, 24}, from one stacked scan. COST:
+    * blocks = exact-equality groups on (lang, prefix_w) — block count,
+    * max block size, and the within-block candidate-pair mass
+    * Σ c(c−1) (doubled — exact in integer arithmetic without a halving
+    * division; what a pure equality-blocking pass would verify; SNM's
+    * sorted window adds only O(N·W) cross-block pairs on top). RECALL:
+    * the fraction of the portable-MinHash candidate pairs (q54/q99's
+    * band-bucket truth — the LSH family's own candidate set) whose two
+    * docs land in the SAME block, i.e. what prefix-equality blocking
+    * alone would have caught: longer prefixes shrink candidate mass but
+    * leak near-dups whose edits touch the head. Pair-sized work on the
+    * recall side (the pair table joins two 24-char prefixes by id —
+    * never corpus×corpus), corpus-rollup work on the cost side (block
+    * stats are map-side-combined counts; pair mass in DECIMAL(38,0),
+    * shipped as VARCHAR digits — Σc² passes int64 once a boilerplate
+    * block nears ~4·10⁹ docs). HASH-MATCHED. */
+  val q371 = QueryDef.oracle("q371_snm_key_advisor", {
+    s"""$portablePairsCtes,
+       |norm AS (SELECT doc_id, lang,
+       |        substr(regexp_replace(lower(substr(coalesce(text, ''), 1,
+       |          256)), '\\s+', ' ', 'g'), 1, 24) AS p24
+       |      FROM documents),
+       |ax AS (SELECT CAST(range AS BIGINT) AS w FROM range(8, 25, 8)),
+       |blk AS (SELECT ax.w, norm.lang, substr(norm.p24, 1, CAST(ax.w AS INT))
+       |          AS k, CAST(count(*) AS BIGINT) AS c
+       |      FROM norm, ax GROUP BY 1, 2, 3),
+       |cost AS (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+       |        CAST(max(c) AS BIGINT) AS max_block,
+       |        CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DECIMAL(38,0))
+       |          AS cand_pairs_x2
+       |      FROM blk GROUP BY 1),
+       |pr AS (SELECT p.ia, p.ib, na.lang AS la, nb.lang AS lb,
+       |        na.p24 AS pa, nb.p24 AS pb
+       |      FROM pairs p JOIN norm na ON na.doc_id = p.ia
+       |                   JOIN norm nb ON nb.doc_id = p.ib),
+       |rec AS (SELECT ax.w, CAST(count(*) AS BIGINT) AS n_pairs,
+       |        CAST(count(CASE WHEN pr.la = pr.lb AND
+       |            substr(pr.pa, 1, CAST(ax.w AS INT))
+       |              = substr(pr.pb, 1, CAST(ax.w AS INT)) THEN 1 END)
+       |          AS BIGINT) AS n_same_block
+       |      FROM pr, ax GROUP BY 1)
+       |SELECT c.w, c.n_blocks, c.max_block,
+       |  CAST(c.cand_pairs_x2 AS VARCHAR) AS cand_pairs_x2,
+       |  r.n_pairs, r.n_same_block,
+       |  CASE WHEN r.n_pairs > 0 THEN CAST(r.n_same_block * 1000000
+       |         // r.n_pairs AS BIGINT) END AS recall_ppm
+       |FROM cost c JOIN rec r USING (w)""".stripMargin})(
+    (s, d) => {
+      val norm = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          substring(regexp_replace(lower(
+            substring(coalesce(col("text"), lit("")), 1, 256)),
+            "\\s+", " "), 1, 24).as("p24"))
+        .localCheckpoint(false) // cost rollup + both pair sides read it
+      val ax = s.range(1L, 4L).select((col("id") * 8).as("w"))
+      val blk = norm.crossJoin(broadcast(ax))
+        .select(col("w"), col("lang"),
+          expr("substr(p24, 1, CAST(w AS INT))").as("k"))
+        .groupBy("w", "lang", "k").agg(count(lit(1)).as("c"))
+      val cost = blk.groupBy("w").agg(count(lit(1)).as("n_blocks"),
+        max("c").as("max_block"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)"))
+          .cast("decimal(38,0)").as("cand_pairs_x2"))
+      val cand = portablePairs(s, d).localCheckpoint(false)
+      val pr = cand
+        .join(norm.select(col("doc_id").as("ia"), col("lang").as("la"),
+          col("p24").as("pa")), Seq("ia"))
+        .join(norm.select(col("doc_id").as("ib"), col("lang").as("lb"),
+          col("p24").as("pb")), Seq("ib"))
+      val rec = pr.crossJoin(broadcast(ax))
+        .groupBy("w").agg(count(lit(1)).as("n_pairs"),
+          count(when(col("la") === col("lb") &&
+            expr("substr(pa, 1, CAST(w AS INT))")
+              === expr("substr(pb, 1, CAST(w AS INT))"), lit(1)))
+            .as("n_same_block"))
+      cost.join(rec, Seq("w"))
+        .select(col("w"), col("n_blocks"), col("max_block"),
+          col("cand_pairs_x2").cast("string").as("cand_pairs_x2"),
+          col("n_pairs"), col("n_same_block"),
+          when(col("n_pairs") > 0,
+            expr("CAST(n_same_block * 1000000 div n_pairs AS BIGINT)"))
+            .as("recall_ppm"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q99, q100, q148, q152,
       q153, q159, q164, q175, q178, q180, q185, q189, q191, q193, q195, q202,
       q209, q213, q216, q217, q231, q238, q243, q246, q255, q259, q263, q274,
       q275, q277, q295, q298, q304, q310, q329, q339, q340, q342, q345, q353,
-      q354, q356, q364)
+      q354, q356, q364, q370, q371)
 }

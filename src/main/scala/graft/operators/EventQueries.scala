@@ -2473,9 +2473,398 @@ object EventQueries {
           expr("CAST(ape_sum div n_days AS BIGINT)").as("mape_ppm"))
     })
 
+  /** CUSUM CHANGEPOINT MONITOR (Page 1954) — per event type, the
+    * classic one-sided cumulative-sum chart over daily volumes: S_d =
+    * max(0, S_{d−1} + (x_d − ref − k)), alarm when S_d crosses h. The
+    * sequential recurrence is the textbook shape; this computes it
+    * CLOSED-FORM so no per-row loop and no cross-day dependency chain
+    * survives: S_d = prefix_d − min(0, min_{j≤d} prefix_j) over the
+    * deviation prefix sums — two type-keyed windows (cumsum + running
+    * min), exactly the trick q78's SCD2 islands and q126's gap-fill
+    * already lean on. Knobs are self-calibrating and exact: ref =
+    * per-type mean daily volume in micro units (floor division),
+    * slack k = ref/8 (12.5% allowance — drift below that never
+    * accumulates), threshold h = ref (alarm once the cumulated excess
+    * beyond slack reaches one mean day's volume). All arithmetic in
+    * DECIMAL(38,0)/HUGEINT (x·10⁶ prefix sums pass int64 near 10¹³
+    * daily events — the q350 lesson); the S column ships as VARCHAR
+    * digits (q149 wire), ref as BIGINT (mean·10⁶ — int64-safe to
+    * ~9·10¹² events/day, documented). Complements q212 (seasonal
+    * z-outliers: single-day spikes) and q252 (Mann–Kendall: monotone
+    * trend) — CUSUM is the one that catches a SUSTAINED small shift
+    * fastest, the drift mode ingestion monitors actually page on.
+    * Scale shape: event scan → (type, day) rollup (map-side combined)
+    * → type-keyed windows over the bounded day axis → |types|·|days|
+    * report rows. HASH-MATCHED. */
+  val q369 = QueryDef.oracle("q369_cusum_drift",
+    """WITH dc AS (SELECT event_type,
+      |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        SUM(CAST(x AS HUGEINT)) * 1000000 // count(*) AS ref_micro
+      |      FROM dc GROUP BY 1),
+      |dev AS (SELECT d.event_type, d.day, d.x, s.ref_micro,
+      |        CAST(d.x AS HUGEINT) * 1000000 - s.ref_micro
+      |          - (s.ref_micro // 8) AS dev_micro
+      |      FROM dc d JOIN st s USING (event_type)),
+      |pre AS (SELECT event_type, day, x, ref_micro,
+      |        SUM(dev_micro) OVER (PARTITION BY event_type ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS prefix_micro
+      |      FROM dev),
+      |mn AS (SELECT event_type, day, x, ref_micro, prefix_micro,
+      |        MIN(prefix_micro) OVER (PARTITION BY event_type ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS run_min
+      |      FROM pre)
+      |SELECT event_type, day, x, CAST(ref_micro AS BIGINT) AS ref_micro,
+      |  CAST(prefix_micro - least(CAST(0 AS HUGEINT), run_min) AS VARCHAR)
+      |    AS cusum_micro,
+      |  CASE WHEN prefix_micro - least(CAST(0 AS HUGEINT), run_min)
+      |         > ref_micro THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS alarm
+      |FROM mn""".stripMargin)(
+    (s, d) => {
+      val dc = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // stats and the deviation walk share it
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n_days"),
+        expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) * 1000000 div count(*)" +
+          " AS DECIMAL(38,0))").as("ref_micro"))
+      val dev = dc.join(st, Seq("event_type"))
+        .withColumn("dev_micro",
+          expr("CAST(x AS DECIMAL(38,0)) * 1000000 - ref_micro" +
+            " - CAST(ref_micro div 8 AS DECIMAL(38,0))"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walk = dev
+        .withColumn("prefix_micro",
+          sum("dev_micro").over(w).cast("decimal(38,0)"))
+        .withColumn("run_min", min("prefix_micro").over(w))
+      walk.select(col("event_type"), col("day"), col("x"),
+        col("ref_micro").cast("long").as("ref_micro"),
+        (col("prefix_micro")
+          - least(lit(0).cast("decimal(38,0)"), col("run_min")))
+          .cast("decimal(38,0)").cast("string").as("cusum_micro"),
+        when(col("prefix_micro")
+          - least(lit(0).cast("decimal(38,0)"), col("run_min"))
+          > col("ref_micro"), lit(1L)).otherwise(lit(0L)).as("alarm"))
+    })
+
+  /** THEIL–SEN ROBUST TREND (median of pairwise slopes, Sen 1968) — the
+    * slope companion to q252's Mann–Kendall verdict: MK says WHETHER
+    * daily volume trends, Theil–Sen says HOW FAST, and unlike q346's
+    * OLS-style fits a single collapsed day cannot drag it (breakdown
+    * point ~29%). Per event type over daily counts: every day pair
+    * (i < j) contributes slope (x_j − x_i)·10⁶ div (d_j − d_i) (exact
+    * integer division, the q348 sign convention both engines share);
+    * the median is the mean of the two middle elements under a
+    * type-KEYED rank window (2·rnk ∈ {m, m+1, m+2} — the even/odd
+    * closed form, the Bench median convention). The OLS slope from
+    * exact DECIMAL moments (q348's algebra) ships next to it — the
+    * ROBUSTNESS GAP between the two columns is the outlier-day signal.
+    * Pair mass is |days|² per type — the day axis grows with TIME, not
+    * data scale (the q369 class), so the keyed window is bounded.
+    * Types with one day drop out (no pairs, OLS denominator zero —
+    * guarded identically in both engines). HASH-MATCHED. */
+  val q372 = QueryDef.oracle("q372_theil_sen",
+    """WITH dc AS (SELECT event_type,
+      |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM events GROUP BY 1, 2),
+      |pw AS (SELECT a.event_type,
+      |        (b.x - a.x) * 1000000 // (b.day - a.day) AS slope_micro
+      |      FROM dc a JOIN dc b ON a.event_type = b.event_type
+      |        AND b.day > a.day),
+      |rk AS (SELECT event_type, slope_micro,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY slope_micro) AS BIGINT) AS rnk,
+      |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      |      FROM pw),
+      |med AS (SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+      |        CAST(round(SUM(slope_micro) / CAST(count(*) AS DOUBLE))
+      |          AS BIGINT) AS ts_slope_micro
+      |      FROM rk WHERE 2 * rnk IN (m, m + 1, m + 2) GROUP BY 1),
+      |ols AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(count(*) AS HUGEINT) AS n,
+      |        CAST(SUM(day) AS HUGEINT) AS sd,
+      |        CAST(SUM(x) AS HUGEINT) AS sx,
+      |        SUM(CAST(day AS HUGEINT) * x) AS sdx,
+      |        SUM(CAST(day AS HUGEINT) * day) AS sdd
+      |      FROM dc GROUP BY 1)
+      |SELECT o.event_type, o.n_days, m.n_pairs, m.ts_slope_micro,
+      |  CAST((o.n * o.sdx - o.sd * o.sx) * 1000000
+      |       // (o.n * o.sdd - o.sd * o.sd) AS BIGINT) AS ols_slope_micro
+      |FROM ols o JOIN med m USING (event_type)
+      |WHERE o.n * o.sdd - o.sd * o.sd <> 0""".stripMargin)(
+    (s, d) => {
+      val dc = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // pair join (twice) + OLS moments
+      val pw = dc.select(col("event_type"), col("day").as("da"),
+          col("x").as("xa"))
+        .join(dc.select(col("event_type"), col("day").as("db"),
+          col("x").as("xb")), Seq("event_type"))
+        .filter(col("db") > col("da"))
+        .select(col("event_type"),
+          expr("(xb - xa) * 1000000 div (db - da)").as("slope_micro"))
+      val w = Window.partitionBy("event_type").orderBy("slope_micro")
+      val rk = pw
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("m", count(lit(1))
+          .over(Window.partitionBy("event_type")).cast("long"))
+      val med = rk
+        .filter(col("rnk") * 2 === col("m") ||
+          col("rnk") * 2 === col("m") + 1 || col("rnk") * 2 === col("m") + 2)
+        .groupBy("event_type").agg(max("m").as("n_pairs"),
+          expr("CAST(round(SUM(slope_micro) / CAST(count(*) AS DOUBLE))" +
+            " AS BIGINT)").as("ts_slope_micro"))
+      val ols = dc.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("day").cast("decimal(38,0)").as("sd"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum(col("day").cast("decimal(38,0)") * col("x")).as("sdx"),
+        sum(col("day").cast("decimal(38,0)") * col("day")).as("sdd"))
+      ols.join(med, Seq("event_type"))
+        .filter(expr("n * sdd - sd * sd <> 0"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("ts_slope_micro"),
+          expr("CAST((n * sdx - sd * sx) * 1000000" +
+            " div (n * sdd - sd * sd) AS BIGINT)").as("ols_slope_micro"))
+    })
+
+  /** DELETE-1-DAY JACKKNIFE FOR A RATIO METRIC (Quenouille/Tukey; the
+    * q344 subtractive lesson applied to UNCERTAINTY): the mean event
+    * value per event (Σvalue/n) is a ratio of sums, so its variance
+    * has no closed per-row form — the jackknife is the standard
+    * estimator, and every delete-1 replicate is pure SUBTRACTION from
+    * one (type, day) rollup: r_(i) = (S − s_i) div (N − n_i), already
+    * in micro because values integerized at the scan —
+    * never a re-scan per replicate. Values integerize at the scan
+    * (round(value·10⁶) — float sums are order-dependent, integer sums
+    * are not), replicates are exact integer micro-ratios, their spread
+    * Σ(r_i − r̄)² accumulates in DECIMAL(38,0) and ships as VARCHAR
+    * digits; only the bounded columns (ratio, standard error, CI
+    * bounds — micro units) cast to BIGINT, with the jackknife factor
+    * √((d−1)/d · Σ/d) computed through the IDENTICAL double tree in
+    * both engines. Day axis = time-bounded (the q369/q372 class), so
+    * per-type replicate sets are small; single-day types drop (a
+    * jackknife needs d ≥ 2). HASH-MATCHED. */
+  val q373 = QueryDef.oracle("q373_ratio_jackknife",
+    """WITH dv AS (SELECT event_type,
+      |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |        CAST(count(*) AS BIGINT) AS n_i,
+      |        CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+      |          AS HUGEINT) AS s_i
+      |      FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+      |        CAST(SUM(n_i) AS HUGEINT) AS n_tot, SUM(s_i) AS s_tot
+      |      FROM dv GROUP BY 1),
+      |rep AS (SELECT dv.event_type, t.d, t.n_tot, t.s_tot,
+      |        (t.s_tot - dv.s_i) // (t.n_tot - dv.n_i) AS r_i
+      |      FROM dv JOIN tot t USING (event_type)
+      |      WHERE t.d >= 2 AND t.n_tot > dv.n_i),
+      |mu AS (SELECT event_type, CAST(max(d) AS BIGINT) AS n_days,
+      |        CAST(max(n_tot) AS BIGINT) AS n_events,
+      |        CAST(max(s_tot) // max(n_tot) AS BIGINT) AS ratio_micro,
+      |        CAST(SUM(r_i) // count(*) AS BIGINT) AS rbar_micro
+      |      FROM rep GROUP BY 1),
+      |vs AS (SELECT r.event_type, m.n_days, m.n_events, m.ratio_micro,
+      |        CAST(SUM(CAST(r.r_i - m.rbar_micro AS HUGEINT)
+      |             * (r.r_i - m.rbar_micro)) AS DECIMAL(38,0)) AS ss
+      |      FROM rep r JOIN mu m USING (event_type)
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT event_type, n_days, n_events, ratio_micro,
+      |  CAST(ss AS VARCHAR) AS jk_ss,
+      |  CAST(round(sqrt((CAST(n_days AS DOUBLE) - 1)
+      |       / CAST(n_days AS DOUBLE)
+      |       * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))))
+      |    AS BIGINT) AS se_micro,
+      |  ratio_micro - CAST(round(1.96 * round(sqrt(
+      |       (CAST(n_days AS DOUBLE) - 1) / CAST(n_days AS DOUBLE)
+      |       * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)))))
+      |    AS BIGINT) AS ci_lo_micro,
+      |  ratio_micro + CAST(round(1.96 * round(sqrt(
+      |       (CAST(n_days AS DOUBLE) - 1) / CAST(n_days AS DOUBLE)
+      |       * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)))))
+      |    AS BIGINT) AS ci_hi_micro
+      |FROM vs""".stripMargin)(
+    (s, d) => {
+      val dv = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n_i"),
+          sum("v_micro").cast("decimal(38,0)").as("s_i"))
+        .localCheckpoint(false) // totals + replicates read one rollup
+      val tot = dv.groupBy("event_type").agg(count(lit(1)).as("d"),
+        sum("n_i").cast("decimal(38,0)").as("n_tot"),
+        sum("s_i").cast("decimal(38,0)").as("s_tot"))
+      val rep = dv.join(tot, Seq("event_type"))
+        .filter(col("d") >= 2 && col("n_tot") > col("n_i"))
+        .select(col("event_type"), col("d"), col("n_tot"), col("s_tot"),
+          expr("(s_tot - s_i) div (n_tot - n_i)").as("r_i"))
+        .localCheckpoint(false) // mean pass + spread pass
+      val mu = rep.groupBy("event_type").agg(
+        max("d").cast("long").as("n_days"),
+        max("n_tot").cast("long").as("n_events"),
+        expr("CAST(max(s_tot) div max(n_tot) AS BIGINT)").as("ratio_micro"),
+        expr("CAST(SUM(r_i) div count(*) AS BIGINT)").as("rbar_micro"))
+      val vs = rep.join(mu, Seq("event_type"))
+        .groupBy("event_type", "n_days", "n_events", "ratio_micro")
+        .agg(sum(expr("CAST(r_i - rbar_micro AS DECIMAL(38,0))" +
+          " * (r_i - rbar_micro)")).cast("decimal(38,0)").as("ss"))
+      val seExpr =
+        "round(sqrt((CAST(n_days AS DOUBLE) - 1) / CAST(n_days AS DOUBLE)" +
+          " * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))))"
+      vs.select(col("event_type"), col("n_days"), col("n_events"),
+        col("ratio_micro"),
+        col("ss").cast("string").as("jk_ss"),
+        expr(s"CAST($seExpr AS BIGINT)").as("se_micro"),
+        expr(s"ratio_micro - CAST(round(1.96 * $seExpr) AS BIGINT)")
+          .as("ci_lo_micro"),
+        expr(s"ratio_micro + CAST(round(1.96 * $seExpr) AS BIGINT)")
+          .as("ci_hi_micro"))
+    })
+
+  /** WEEKLY SEASONALITY STRENGTH (one-way variance decomposition on
+    * day-of-week) — the number that says whether q369's CUSUM and
+    * q212's z-outliers should run on DESEASONALIZED volumes: strength
+    * = SS_between(dow)/SS_total ∈ [0,1]; near 1 ⇒ a flat mean ref is
+    * mostly modeling the weekday cycle, near 0 ⇒ weekday-blind alerts
+    * are fine. Exact the q368 way: SS_total·n = n·Σx² − S² needs no
+    * mean, and the between term Σ_w S_w²/n_w lands each dow group as
+    * an exact micro integer division FIRST (7-bounded axis), then
+    * sums in DECIMAL(38,0) — never a float sum across rows; the two
+    * micro-scaled SS columns ship as VARCHAR digits, strength in ppm
+    * by one exact division (NULL when total SS is 0 — a flat series
+    * has no seasonality to measure). dow = epoch-day mod 7 (a stable
+    * 7-class label; both engines compute the identical residue).
+    * Oracle-side big-int arithmetic stays HUGEINT THROUGHOUT (q348's
+    * idiom): DECIMAL(38,0)×DECIMAL(38,0) needs precision 76 so DuckDB
+    * promotes it to DOUBLE, and a DECIMAL//HUGEINT mix promotes too —
+    * double // does not floor and the BIGINT cast rounds; both were
+    * caught here as one-micro strength divergences at sf0.001.
+    * Scale shape: (type, day) rollup → 7-bounded (type, dow) rollup →
+    * |types|-row report. HASH-MATCHED. */
+  val q374 = QueryDef.oracle("q374_seasonality_strength",
+    """WITH dc AS (SELECT event_type,
+      |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM events GROUP BY 1, 2),
+      |dw AS (SELECT event_type, day % 7 AS dow,
+      |        CAST(count(*) AS HUGEINT) AS n_w,
+      |        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s_w
+      |      FROM dc GROUP BY 1, 2),
+      |tw AS (SELECT event_type,
+      |        CAST(SUM(s_w * s_w * 1000000 // n_w) AS HUGEINT) AS sum_t
+      |      FROM dw GROUP BY 1),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+      |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |      FROM dc GROUP BY 1)
+      |SELECT s.event_type, s.n_days, CAST(s.s AS BIGINT) AS n_events,
+      |  CAST(t.sum_t - (s.s * s.s * 1000000 // CAST(s.n_days AS HUGEINT)) AS VARCHAR)
+      |    AS ss_between_micro,
+      |  CAST(s.sxx * 1000000 - (s.s * s.s * 1000000 // CAST(s.n_days AS HUGEINT))
+      |    AS VARCHAR) AS ss_total_micro,
+      |  CASE WHEN s.sxx * 1000000 - (s.s * s.s * 1000000 // CAST(s.n_days AS HUGEINT)) > 0
+      |       THEN CAST((t.sum_t - (s.s * s.s * 1000000 // CAST(s.n_days AS HUGEINT)))
+      |              * 1000000
+      |            // (s.sxx * 1000000
+      |                - (s.s * s.s * 1000000 // CAST(s.n_days AS HUGEINT))) AS BIGINT)
+      |       END AS strength_ppm
+      |FROM st s JOIN tw t USING (event_type)""".stripMargin)(
+    (s, d) => {
+      val dc = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // dow rollup + totals share it
+      val dw = dc.groupBy(col("event_type"), (col("day") % 7).as("dow"))
+        .agg(count(lit(1)).as("n_w"),
+          sum("x").cast("decimal(38,0)").as("s_w"))
+      val tw = dw.groupBy("event_type")
+        .agg(sum(expr("s_w * s_w * 1000000 div n_w"))
+          .cast("decimal(38,0)").as("sum_t"))
+      val st = dc.groupBy("event_type").agg(count(lit(1)).as("n_days"),
+        sum("x").cast("decimal(38,0)").as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      st.join(tw, Seq("event_type"))
+        .select(col("event_type"), col("n_days"),
+          col("s").cast("long").as("n_events"),
+          expr("CAST(sum_t - (s * s * 1000000 div n_days)" +
+            " AS DECIMAL(38,0))").cast("string").as("ss_between_micro"),
+          expr("CAST(sxx * 1000000 - (s * s * 1000000 div n_days)" +
+            " AS DECIMAL(38,0))").cast("string").as("ss_total_micro"),
+          expr("CASE WHEN sxx * 1000000 - (s * s * 1000000 div n_days) > 0" +
+            " THEN CAST((sum_t - (s * s * 1000000 div n_days)) * 1000000" +
+            " div (sxx * 1000000 - (s * s * 1000000 div n_days))" +
+            " AS BIGINT) END").as("strength_ppm"))
+    })
+
+  /** INDEX OF DISPERSION (variance-to-mean of daily volume, per type)
+    * — the Poisson sanity check behind every count-based alert
+    * threshold (q369's CUSUM slack, q212's z cutoff assume noise near
+    * Poisson; overdispersed types need wider bands or a negative-
+    * binomial model, underdispersed ones are rate-limited/synthetic):
+    * D = var/mean reduces to ONE exact integer division, (n·Σx² − S²)
+    * ·10⁶ div (n·S) — population variance over mean, no intermediate
+    * mean, no float — with the moment algebra in DECIMAL(38,0)/HUGEINT
+    * (Σx²·10⁶ passes int64 early; the q350 lesson) and only the
+    * bounded micro statistic cast to BIGINT (int64-safe while
+    * var/mean < 9·10¹² — any real event feed). Verdict bands:
+    * < 0.75 under, ≤ 4/3 poisson, else over (exact integer
+    * thresholds). Scale shape: (type, day) rollup → |types|-row
+    * report. HASH-MATCHED. */
+  val q375 = QueryDef.oracle("q375_dispersion_index",
+    """WITH dc AS (SELECT event_type,
+      |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+      |        CAST(count(*) AS BIGINT) AS x
+      |      FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        SUM(CAST(x AS HUGEINT)) AS s,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |      FROM dc GROUP BY 1)
+      |SELECT event_type, n_days, CAST(s AS BIGINT) AS n_events,
+      |  CAST(s * 1000 // n_days AS BIGINT) AS mean_milli,
+      |  CAST((n_days * sxx - s * s) * 1000000 // (n_days * s) AS BIGINT)
+      |    AS dispersion_micro,
+      |  CASE WHEN (n_days * sxx - s * s) * 1000000 // (n_days * s)
+      |         < 750000 THEN 'under'
+      |       WHEN (n_days * sxx - s * s) * 1000000 // (n_days * s)
+      |         <= 1333333 THEN 'poisson'
+      |       ELSE 'over' END AS verdict
+      |FROM st WHERE s > 0""".stripMargin)(
+    (s, d) => {
+      val st = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"),
+          sum("x").cast("decimal(38,0)").as("s"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      st.filter(col("s") > 0)
+        .select(col("event_type"), col("n_days"),
+          col("s").cast("long").as("n_events"),
+          expr("CAST(s * 1000 div n_days AS BIGINT)").as("mean_milli"),
+          expr("CAST((n_days * sxx - s * s) * 1000000 div (n_days * s)" +
+            " AS BIGINT)").as("dispersion_micro"),
+          expr("CASE WHEN (n_days * sxx - s * s) * 1000000" +
+            " div (n_days * s) < 750000 THEN 'under'" +
+            " WHEN (n_days * sxx - s * s) * 1000000 div (n_days * s)" +
+            " <= 1333333 THEN 'poisson' ELSE 'over' END").as("verdict"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q95, q132, q133, q137, q212, q230, q233,
       q234, q242, q247, q252, q261, q264, q265, q267, q268, q271, q272, q273,
       q284, q285, q297, q305, q313, q317, q319, q323, q326, q327, q330, q334,
-      q341, q346)
+      q341, q346, q369, q372, q373, q374, q375)
 }

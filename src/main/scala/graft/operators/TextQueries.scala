@@ -2309,9 +2309,145 @@ object TextQueries {
             .as("redundancy_ppm"))
     })
 
+  /** GOOD–TURING COUNTS-OF-COUNTS — the smoothing table every n-gram LM
+    * and vocabulary-coverage estimate is built on (Good 1953; the Gale
+    * & Sampson "simple GT" low-frequency rows): N_r = how many types
+    * occur exactly r times, r* = (r+1)·N_{r+1}/N_r the adjusted count,
+    * and the unseen-mass row P₀ = N₁/N — the number that says how much
+    * probability a held-out split will spend on tokens training never
+    * saw (the companion to q201's vocab-growth and q318's Heaps
+    * forecast, which predict how many NEW types arrive; this prices
+    * them). Rows r = 0..8: the low-r region is where GT is used
+    * verbatim (higher r falls back to raw counts in every practical
+    * smoother), so the report axis is 9-bounded by construction.
+    * Exact integers end to end: r* in micro units by integer division,
+    * the mass columns route through DECIMAL(38,0) (r·N_r·10⁶ and
+    * N₁·10⁶ both pass int64 near 10¹³ corpus tokens — the q350
+    * lesson) and only the ≤10⁶ ppm columns cast to BIGINT. Scale
+    * shape: one token rollup (map-side combined) → counts-of-counts
+    * rollup FILTERED to freq ≤ 9 before the broadcast (the
+    * counts-of-counts table itself grows with the corpus; the r-axis
+    * slice is what's bounded) → 9-row report. HASH-MATCHED. */
+  val q367 = QueryDef.oracle("q367_good_turing",
+    """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |           FROM (SELECT unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |                 FROM documents) GROUP BY 1),
+      |t AS (SELECT CAST(SUM(freq) AS DECIMAL(38,0)) AS n_tok FROM f),
+      |cc AS (SELECT freq AS r, CAST(count(*) AS BIGINT) AS n_r
+      |       FROM f WHERE freq <= 9 GROUP BY 1),
+      |g AS (SELECT CAST(range AS BIGINT) AS r FROM range(1, 9)),
+      |j AS (SELECT g.r, COALESCE(c1.n_r, 0) AS n_r, COALESCE(c2.n_r, 0) AS n_next
+      |      FROM g LEFT JOIN cc c1 ON c1.r = g.r
+      |             LEFT JOIN cc c2 ON c2.r = g.r + 1)
+      |SELECT j.r, j.n_r, j.n_next,
+      |  CASE WHEN j.n_r > 0
+      |       THEN CAST((j.r + 1) * j.n_next * 1000000 // j.n_r AS BIGINT)
+      |       END AS r_star_micro,
+      |  CAST(CAST(j.r AS DECIMAL(38,0)) * j.n_r * 1000000 // t.n_tok
+      |       AS BIGINT) AS obs_mass_ppm,
+      |  CASE WHEN j.n_r > 0
+      |       THEN CAST(CAST(j.n_r AS DECIMAL(38,0))
+      |              * ((j.r + 1) * j.n_next * 1000000 // j.n_r) // t.n_tok
+      |            AS BIGINT)
+      |       END AS gt_mass_ppm
+      |FROM j, t
+      |UNION ALL
+      |SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |  COALESCE((SELECT n_r FROM cc WHERE r = 1), 0),
+      |  CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(CAST(COALESCE((SELECT n_r FROM cc WHERE r = 1), 0)
+      |         AS DECIMAL(38,0)) * 1000000 // t.n_tok AS BIGINT)
+      |FROM t""".stripMargin)(
+    (s, d) => {
+      val f = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // total and counts-of-counts read one rollup
+      val t = f.agg(sum("freq").cast("decimal(38,0)").as("n_tok"))
+      // 9-bounded BEFORE the broadcast: the full counts-of-counts table
+      // grows with the corpus (max freq rises), the r <= 9 slice doesn't
+      val cc = f.filter(col("freq") <= 9)
+        .groupBy(col("freq").as("r")).agg(count(lit(1)).as("n_r"))
+      val g = s.range(1L, 9L).toDF("r")
+      val j = g.join(broadcast(cc), Seq("r"), "left")
+        .join(broadcast(cc.select((col("r") - 1).as("r"),
+          col("n_r").as("n_next"))), Seq("r"), "left")
+        .select(col("r"), coalesce(col("n_r"), lit(0L)).as("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"))
+      val body = j.crossJoin(broadcast(t)).select(col("r"), col("n_r"),
+        col("n_next"),
+        when(col("n_r") > 0,
+          expr("CAST((r + 1) * n_next * 1000000 div n_r AS BIGINT)"))
+          .as("r_star_micro"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * n_r * 1000000 div n_tok" +
+          " AS BIGINT)").as("obs_mass_ppm"),
+        when(col("n_r") > 0,
+          expr("CAST(CAST(n_r AS DECIMAL(38,0))" +
+            " * ((r + 1) * n_next * 1000000 div n_r) div n_tok AS BIGINT)"))
+          .as("gt_mass_ppm"))
+      val n1 = cc.filter(col("r") === 1)
+        .agg(coalesce(max("n_r"), lit(0L)).as("n1"))
+      val unseen = n1.crossJoin(t).select(lit(0L).as("r"), lit(0L).as("n_r"),
+        col("n1").as("n_next"), lit(null).cast("long").as("r_star_micro"),
+        lit(0L).as("obs_mass_ppm"),
+        expr("CAST(CAST(n1 AS DECIMAL(38,0)) * 1000000 div n_tok AS BIGINT)")
+          .as("gt_mass_ppm"))
+      body.unionByName(unseen)
+    })
+
+  /** PER-SOURCE UNSEEN-MASS PROFILE — q367's Good–Turing low-r rows
+    * resolved to the SOURCE axis, the crawl-planning view: per source,
+    * hapax share V₁/V (how much of the vocabulary is singletons),
+    * unseen mass P₀ = V₁/N (the probability the source's NEXT token is
+    * a type this corpus never saw — which crawl buys the most new
+    * vocabulary), and the simple-GT adjusted hapax count r*₁ = 2·V₂/V₁
+    * (≈1 for healthy text; ≪1 means the hapax tail is
+    * noise/typos/IDs, the q201-TTR companion diagnostic). Exact
+    * integers end to end: all three ratios by integer division on the
+    * (source, tok) rollup's aggregates (token totals int64-safe to
+    * ~9·10¹⁸ per source; the vocab counts are far smaller). Scale
+    * shape: one (source, tok) rollup (map-side combined) →
+    * |sources|-row report. HASH-MATCHED. */
+  val q376 = QueryDef.oracle("q376_source_unseen_mass",
+    """WITH f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      |           FROM (SELECT source, unnest(list_filter(
+      |                   regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+      |                 FROM documents) GROUP BY 1, 2)
+      |SELECT source, CAST(count(*) AS BIGINT) AS v_types,
+      |  CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |  CAST(count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT) AS v1,
+      |  CAST(count(CASE WHEN freq = 2 THEN 1 END) AS BIGINT) AS v2,
+      |  CAST(count(CASE WHEN freq = 1 THEN 1 END) * 1000000
+      |       // count(*) AS BIGINT) AS hapax_ppm,
+      |  CAST(CAST(count(CASE WHEN freq = 1 THEN 1 END) AS HUGEINT)
+      |       * 1000000 // SUM(freq) AS BIGINT) AS unseen_mass_ppm,
+      |  CASE WHEN count(CASE WHEN freq = 1 THEN 1 END) > 0
+      |       THEN CAST(2 * count(CASE WHEN freq = 2 THEN 1 END) * 1000000
+      |            // count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT)
+      |       END AS r1_star_micro
+      |FROM f GROUP BY 1""".stripMargin)(
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+        .groupBy("source").agg(
+          count(lit(1)).as("v_types"),
+          sum("freq").cast("long").as("n_tokens"),
+          count(when(col("freq") === 1, lit(1))).as("v1"),
+          count(when(col("freq") === 2, lit(1))).as("v2"))
+        .select(col("source"), col("v_types"), col("n_tokens"), col("v1"),
+          col("v2"),
+          expr("CAST(v1 * 1000000 div v_types AS BIGINT)").as("hapax_ppm"),
+          expr("CAST(CAST(v1 AS DECIMAL(38,0)) * 1000000 div n_tokens" +
+            " AS BIGINT)").as("unseen_mass_ppm"),
+          expr("CASE WHEN v1 > 0 THEN CAST(2 * v2 * 1000000 div v1" +
+            " AS BIGINT) END").as("r1_star_micro"))
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q48, q49, q77, q98, q151, q156,
       q158, q160, q165, q168, q173, q174, q200, q201, q210, q220, q224, q225,
       q236, q248, q254, q269, q278, q290, q291, q296, q311, q312, q318, q325,
-      q347, q348, q362, q363)
+      q347, q348, q362, q363, q367, q376)
 }

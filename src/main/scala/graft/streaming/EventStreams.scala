@@ -599,4 +599,72 @@ object EventStreams {
           }
       }
   }
+
+  final case class CuEv(event_id: Long, ts: Timestamp, event_type: String)
+  final case class CuDay(day: Long, x: Long)
+  final case class CuState(days: Seq[CuDay])
+  final case class CuVerdict(event_type: String, n_days: Long,
+      ref_micro: Long, last_day: Long, last_x: Long, cusum_micro: String,
+      alarm: Long, n_alarms: Long, ts: Timestamp)
+
+  /** Streaming CUSUM drift gate — the ingest-time twin of q369: per
+    * event type, is daily volume drifting off its own mean fast enough
+    * to page? State per type is the (day → count) map — the SAME
+    * rollup the batch query reduces to, so state is day-axis-bounded
+    * (grows with TIME, never with volume) and pure counts, hence
+    * order- and trigger-boundary-independent: any arrival order
+    * converges to the batch answer (`CusumStreamSpec` pins
+    * reverse-order two-trigger ≡ q369 bit-for-bit on the final day's
+    * walk). Each trigger re-derives the whole closed-form walk from
+    * the map — ref/slack/threshold recomputed over everything observed
+    * so far, exactly the batch semantics (a self-calibrating chart:
+    * early triggers see a shorter history, later triggers converge) —
+    * in BigInt (the batch arm's DECIMAL(38,0)), and emits the LATEST
+    * day's S + alarm plus the walk's alarm-day count. No watermark
+    * eviction: day counts only ratchet up, like [[DocStreams.hllGate]]
+    * registers. */
+  def cusumGate(
+      events: DataFrame,
+      watermark: String = "30 days"): Dataset[CuVerdict] = {
+    import events.sparkSession.implicits._
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .as[CuEv]
+    rows.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CuState, CuVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, rs: Iterator[CuEv], state: GroupState[CuState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.days.foreach(d => m(d.day) = d.x))
+          var maxTs: Timestamp = null
+          rs.foreach { ev =>
+            val day = Math.floorDiv(ev.ts.getTime / 1000L, 86400L)
+            m(day) = m.getOrElse(day, 0L) + 1L
+            if (maxTs == null || ev.ts.after(maxTs)) maxTs = ev.ts
+          }
+          state.update(CuState(m.toSeq.sortBy(_._1)
+            .map { case (day, x) => CuDay(day, x) }))
+          // the batch walk, re-derived closed-form: ref = mean·10⁶
+          // (floor), k = ref/8, dev prefix sums, running min, S =
+          // prefix − min(0, runmin), alarm when S > ref — BigInt so the
+          // 10⁶-scaled prefixes never wrap (the q350 lesson)
+          val days = m.toSeq.sortBy(_._1)
+          val nDays = days.size.toLong
+          val total = days.map(d => BigInt(d._2)).sum
+          val ref = total * 1000000 / nDays
+          val k = ref / 8
+          var prefix = BigInt(0); var runMin = BigInt(0)
+          var lastS = BigInt(0); var nAlarms = 0L
+          days.foreach { case (_, x) =>
+            prefix += BigInt(x) * 1000000 - ref - k
+            if (prefix < runMin) runMin = prefix
+            lastS = prefix - (if (runMin < 0) runMin else BigInt(0))
+            if (lastS > ref) nAlarms += 1
+          }
+          val (lastDay, lastX) = days.last
+          Iterator.single(CuVerdict(typ, nDays, ref.toLong, lastDay, lastX,
+            lastS.toString, if (lastS > ref) 1L else 0L, nAlarms, maxTs))
+      }
+  }
 }

@@ -51,7 +51,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q304_cc_incremental", // and its day-2 path
         "q306_dedup_drop_bias", // and the quality-bias audit over its labels
         "q345_label_propagation", // LPA communities over the same pair graph
-        "q364_bbit_minhash_audit") // b-bit compression audit on the same pairs
+        "q364_bbit_minhash_audit", // b-bit compression audit on the same pairs
+        "q371_snm_key_advisor") // prefix-blocking recall vs the same pair truth
       consumers.foreach { case (name, sql) =>
         withClue(s"$name does not embed the canonical bandrows CTE chain verbatim: ") {
           // q56's transitive-closure oracle rewrites the leading WITH to
@@ -85,7 +86,8 @@ class OracleFragmentDriftSpec extends AnyFunSpec with Matchers {
         "q263_lsh_parameter_advisor", "q275_candidate_family_overlap",
         "q295_inbatch_negative_risk", "q298_cc_large_small_star",
         "q304_cc_incremental", "q306_dedup_drop_bias",
-        "q345_label_propagation", "q364_bbit_minhash_audit")
+        "q345_label_propagation", "q364_bbit_minhash_audit",
+        "q371_snm_key_advisor") // prefix-blocking recall vs the same truth
       consumers.foreach { case (name, sql) =>
         withClue(s"$name forked the candidate-pair definition: ") {
           sql.contains(pairsOnly) shouldBe true
