@@ -1264,6 +1264,17 @@ object PlanCheck {
       "funnel: map-side-combined rollups; eval grams broadcast; only the 5x5 stage theta-join is unkeyed",
       p => p.contains("partial_count") && p.contains("BroadcastExchange") &&
         !p.contains("CartesianProduct"))
+    // r15 optimization: the five downstream canonical-label consumers
+    // read the STORED bucketed label table (q129 deliberately stays on
+    // the live 6-round chain as the declared computation the artifact
+    // is verified against — the q56/dedup_clusters rule). A consumer
+    // silently reverting to the live chain re-pays 6 edge-keyed rounds
+    // per run; this row makes that a build failure.
+    Seq("q150_leakage_safe_split", "q155_dedup_sampling_weights",
+      "q162_curation_pipeline", "q181_quality_canonical",
+      "q194_curation_funnel").foreach(q =>
+      check(q, "canonical labels come from the stored canonlabels artifact",
+        p => p.contains("graft_canonlabels")))
     check("q165_bpe_apply", "apply: ONE live corpus scan (w3 rewrite chain) + pinned winners; char counts map-side",
       p => p.contains("partial_count") && p.contains("ExistingRDD") &&
         scans(p, "documents") == 1 && !p.contains("CartesianProduct"))

@@ -395,6 +395,23 @@ object ModelPrepQueries {
     lab
   }
 
+  /** The canonical labels as a stored artifact (r15 optimization round,
+    * the dedup_clusters/suffranks pattern): SIX queries ran the full
+    * 6-round min-label chain per invocation — q129 (the declared
+    * clustering output) plus five downstream consumers that only need
+    * the (v, lbl) table. The chain is a pure corpus function, so the
+    * downstream five now read the build-once bucketed table (bucketed
+    * on v — their joins are doc-keyed) while q129 deliberately stays on
+    * the LIVE chain as the declared computation this artifact is
+    * verified against (the q56/q213-vs-dedup_clusters rule). At 100 TB
+    * the label table is corpus-sized and ingest-owned; re-deriving it
+    * per consumer query was 6 edge-keyed join+agg rounds of pure waste
+    * per run (guide §2.4: remove shuffles outright). */
+  private[graft] def storedCanonLabels(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.bucketed(s, d, "canonlabels", Seq("v"), 8) {
+      canonLabels(s, d, CanonRounds)
+    }
+
   val q129 = QueryDef.oracle("q129_cluster_canonical", canonOracleSql)(
     (s, d) => {
       val lab = canonLabels(s, d, CanonRounds)
@@ -435,7 +452,7 @@ object ModelPrepQueries {
     (s, d) => {
       def splitOf(nib: Column): Column =
         when(nib === "e", "val").when(nib === "f", "test").otherwise("train")
-      val lab = canonLabels(s, d, CanonRounds)
+      val lab = storedCanonLabels(s, d)
       Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("hdoc"))
         .join(lab, col("doc_id") === col("v"))
@@ -680,7 +697,7 @@ object ModelPrepQueries {
        |       $u16 * cluster_size < 65536 AS kept
        |FROM sp""".stripMargin})(
     (s, d) => {
-      val lab = canonLabels(s, d, CanonRounds)
+      val lab = storedCanonLabels(s, d)
       val cs = lab.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       val u16 = conv(substring(md5(col("v").cast("string")), 1, 4), 16, 10)
@@ -739,7 +756,7 @@ object ModelPrepQueries {
     (s, d) => {
       def splitOf(nib: Column): Column =
         when(nib === "e", "val").when(nib === "f", "test").otherwise("train")
-      val lab = canonLabels(s, d, CanonRounds)
+      val lab = storedCanonLabels(s, d)
       val docs = Tables.documents(s, d)
       val keepers = docs.select(md5(col("text")).as("hh"), col("doc_id"))
         .groupBy("hh").agg(min("doc_id").as("keeper"))
@@ -932,7 +949,7 @@ object ModelPrepQueries {
        |       (m.doc_id = keep.keeper_id) AS is_keeper
        |FROM m JOIN keep USING (cluster_id)""".stripMargin})(
     (s, d) => {
-      val lab = canonLabels(s, d, CanonRounds)
+      val lab = storedCanonLabels(s, d)
       val m = lab.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
         .join(Tables.documents(s, d)
           .select(col("doc_id"), qualityScore(col("text")).as("quality")),
@@ -1190,10 +1207,12 @@ object ModelPrepQueries {
     * aggregate, and a 5×5 theta-join for the cumulative rollup — the
     * stage sets are never materialized separately.
     *
-    * Scale shape: rides the SAME exchanges its ingredient queries
-    * already pay (canon labels' rounds, the md5 keeper agg, the
-    * broadcast eval-gram semi-join); the funnel adds one doc-keyed
-    * flag join chain and a constant-size rollup. HASH-MATCHED.
+    * Scale shape: the canonical labels come from the STORED
+    * [[storedCanonLabels]] artifact (r15 — re-running the 6-round
+    * chain here was pure waste; q129 keeps it live), so the funnel
+    * pays the md5 keeper agg, the broadcast eval-gram semi-join, one
+    * doc-keyed flag join chain and a constant-size rollup.
+    * HASH-MATCHED.
     */
   val q194 = QueryDef.oracle("q194_curation_funnel", {
     val qualitySql = graft.operators.TextQueries.qualitySql
@@ -1236,7 +1255,7 @@ object ModelPrepQueries {
        |GROUP BY st.stage""".stripMargin})(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val lab = canonLabels(s, d, CanonRounds)
+      val lab = storedCanonLabels(s, d)
       val keepers = docs.select(md5(col("text")).as("hh"), col("doc_id"))
         .groupBy("hh").agg(min("doc_id").as("keeper"))
       val hits = graft.operators.CurationQueries.decontamHits(s, d)

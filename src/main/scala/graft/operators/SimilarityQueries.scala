@@ -2808,14 +2808,26 @@ object SimilarityQueries {
       .select(expr(s"CAST(dim div $PqSub AS BIGINT)").as("sub"),
         element_at(col("codes"), expr(s"CAST(dim div $PqSub AS INT) + 1")).as("c_id"),
         col("vec_id"), col("dim"), col("q"))
+    // ONE pass over the exploded dims: per (sub, c_id, dim) both the
+    // value sum (→ ssq) and the square sum (Σ_vec Σ_dim q² — summation
+    // order is free on exact DECIMAL integers, so the old second
+    // explode-and-shuffle per (sub, c_id, vec_id) computed the same
+    // s2tot the long way around; r15 optimization, guide §2.4 — the
+    // perVec pass re-derived the vecs⋈enc join and re-exploded the
+    // corpus just to regroup the identical q² terms)
     val perDim = dims.groupBy("sub", "c_id", "dim")
-      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
+      .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
     val ssq = perDim.groupBy("sub", "c_id")
-      .agg(sum(col("sq") * col("sq")).cast("decimal(38,0)").as("ssq"))
-    val perVec = dims.groupBy("sub", "c_id", "vec_id")
-      .agg(sum((col("q") * col("q")).cast("decimal(38,0)")).as("s2"))
-    val perCluster = perVec.groupBy("sub", "c_id")
-      .agg(count(lit(1)).as("n"), sum("s2").cast("decimal(38,0)").as("s2tot"))
+      .agg(sum(col("sq") * col("sq")).cast("decimal(38,0)").as("ssq"),
+        sum("sqq").cast("decimal(38,0)").as("s2tot"))
+    // cluster sizes come from the 8-codes-per-vec enc table (PqM rows
+    // per vector after the stack), never from the dim-exploded corpus
+    val n = enc.select(explode(array((0 until PqM).map(j =>
+        struct(lit(j.toLong).as("sub"), col(s"code$j").as("c_id"))): _*)).as("a"))
+      .select(col("a.sub"), col("a.c_id"))
+      .groupBy("sub", "c_id").agg(count(lit(1)).as("n"))
+    val perCluster = n
       .join(ssq, Seq("sub", "c_id"))
       .select(col("sub"), col("n"), col("s2tot"),
         expr("CAST(n * s2tot - ssq AS DECIMAL(38,0)) div n").as("scatter"))
