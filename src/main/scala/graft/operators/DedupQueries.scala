@@ -332,14 +332,18 @@ object DedupQueries {
     * q56: is duplication a long tail of pairs or a few mega-clusters?
     * The answer decides the remediation (pair-level keeper rules vs
     * hunting the template that spawned the mega-cluster) and the cost
-    * model (Σ|cluster|² for any within-cluster pass). Same edge set and
-    * same transitive closure as q56 (shared scored-pairs artifact +
-    * [[Components.connectedComponents]]; the oracle extends q56's
-    * recursive-CTE fixpoint with the rollup), collapsed to one row per
-    * distinct cluster size with cluster and doc counts — ≤ √(2·pairs)
-    * rows at any corpus size. Singletons are counted (size 1 = the
-    * undeduplicated mass), so the histogram's doc total is always the
-    * corpus size — a built-in conservation check. HASH-MATCHED.
+    * model (Σ|cluster|² for any within-cluster pass). Since the r15
+    * optimization round the labels come from the STORED
+    * [[clusterLabels]] artifact (the canonlabels/bpe_merges read-back
+    * pattern — q56 keeps the closure LIVE as the declared computation
+    * the artifact is verified against; re-running the CC fixpoint here
+    * per invocation was pure waste, guide §2.4), collapsed to one row
+    * per distinct cluster size with cluster and doc counts —
+    * ≤ √(2·pairs) rows at any corpus size. The oracle still extends
+    * q56's recursive-CTE fixpoint with the rollup, so an artifact/live
+    * divergence is a hash mismatch. Singletons are counted (size 1 =
+    * the undeduplicated mass), so the histogram's doc total is always
+    * the corpus size — a built-in conservation check. HASH-MATCHED.
     */
   val q213 = QueryDef.oracle("q213_cluster_size_histogram", {
     val recursiveCtes = portableScoredCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
@@ -361,17 +365,12 @@ object DedupQueries {
        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY cluster_size""".stripMargin})(
-    (s, d) => {
-      val edges = portableScoredPairs(s, d)
-        .filter(col("n_match") >= PortMatchMin)
-        .select(col("ia").as("src"), col("ib").as("dst"))
-      val vertices = Tables.documents(s, d).select(col("doc_id").as("id"))
-      Components.connectedComponents(vertices, edges)
-        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    (s, d) =>
+      clusterLabels(s, d)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
-          (col("cluster_size") * col("n_clusters")).as("n_docs"))
-    })
+          (col("cluster_size") * col("n_clusters")).as("n_docs")))
 
   /** Per-source corpus profile over the `source` dimension — the intake
     * report a multi-source training-data pipeline starts from. One keyed
@@ -2002,12 +2001,12 @@ object DedupQueries {
     * closure over the stored scored-pairs edge set, materialized once
     * (the bandrows/codebook store-don't-recompute pattern: labels are a
     * pure function of the corpus, production writes them at ingest).
-    * Day-2 consumers that need who-clusters-with-whom (q231) read this
-    * back instead of re-running label propagation; q56/q213 keep
-    * running the closure LIVE — they ARE the declared closure
-    * computations, and their hash-matched output is what verifies this
-    * artifact's builder (identical Components call, deterministic
-    * min-label fixpoint). */
+    * Day-2 consumers that need who-clusters-with-whom (q231, and since
+    * the r15 optimization round the size histogram q213) read this
+    * back instead of re-running label propagation; q56 keeps running
+    * the closure LIVE — it IS the declared closure computation, and
+    * its hash-matched output is what verifies this artifact's builder
+    * (identical Components call, deterministic min-label fixpoint). */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.table(s, d, "dedup_clusters") {
       val edges = portableScoredPairs(s, d)

@@ -1005,12 +1005,19 @@ object ModelPrepQueries {
       |       round(doc.micro_sum / 1000000.0 / doc.n_bi, 4) <= 4.9 AS kept
       |FROM documents d LEFT JOIN doc USING (doc_id)""".stripMargin)(
     (s, d) => {
+      // r15 optimization: score the OCCURRENCE stream directly —
+      // Σ_type c·bits ≡ Σ_occurrence bits, so the per-(doc, w1, w2)
+      // rollup the oracle spells out (bf) is algebraically redundant
+      // on the engine side, and it was the worst exchange in the plan:
+      // doc-bigram types are nearly distinct, so grouping them shipped
+      // a corpus-sized (doc_id, string, string) triple for no
+      // reduction (guide §2.3: aggregate only where it reduces). One
+      // (w1, w2)-keyed join exchange + the per-doc rollup remain.
       val bi = bigramStream(s, d)
-      val bf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-      val doc = bf.join(bigramLmBits(s, d), Seq("w1", "w2"))
+      val doc = bi.join(bigramLmBits(s, d), Seq("w1", "w2"))
         .groupBy("doc_id")
-        .agg(sum(col("c") * col("micro_bits")).as("micro_sum"),
-          sum("c").as("n_bi"))
+        .agg(sum(col("micro_bits")).as("micro_sum"),
+          count(lit(1)).as("n_bi"))
       val bpb = round(col("micro_sum") / lit(1000000.0) / col("n_bi"), 4)
       Tables.documents(s, d).select("doc_id").join(doc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
