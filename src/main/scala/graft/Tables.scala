@@ -54,6 +54,53 @@ object Tables {
       df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     case _ => df
   }
+  /** Scan-parallelism floor (guide §2.5, "input skew: one huge
+    * unsplittable file ... otherwise repartition immediately after the
+    * read"): the driver's corpus ships as ONE single-row-group parquet
+    * file per table, so a scan stage is ONE task and every scan-stage
+    * expression (tokenization, hashing, n-gram explodes — where most of
+    * this suite's CPU lives) runs single-threaded regardless of cores
+    * (measured: q219's 6.1 s of scan-stage CPU in one task at sf0.1 on
+    * local[32]). When — and only when — the file layout cannot feed the
+    * session's parallelism (fewer bytes than one split per core), add
+    * ONE deterministic doc_id-keyed exchange right after the read. The
+    * condition is derived from input size vs `maxPartitionBytes`
+    * (scale-adaptive, not a local constant): any production layout —
+    * multi-file or multi-row-group, splits ≥ cores — fails the
+    * condition and the repartition NEVER fires there, so no
+    * corpus-sized text shuffle is ever added at scale. Keyed (not
+    * round-robin) so row placement is a pure function of the data
+    * (partition-invariance, retry-safety — guide §2.5 on rand-derived
+    * keys), and by doc_id so AQE/downstream keyed ops see a real
+    * clustering. */
+  private def parallelScan(spark: SparkSession, path: String,
+      df: DataFrame, key: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val splitBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      .stripSuffix("b").toLong
+    // single REGULAR file no bigger than one split ⟺ the scan is one
+    // task; a directory layout (production: many files) or a file above
+    // the split size never takes the repartition branch
+    val p = java.nio.file.Paths.get(path)
+    val singleSplit = java.nio.file.Files.isRegularFile(p) &&
+      (try java.nio.file.Files.size(p) <= splitBytes
+       catch { case _: Throwable => false })
+    if (cores > 1 && singleSplit) df.repartition(cores, col(key)) else df
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+
+  /** [[documents]] behind the [[parallelScan]] floor — for consumers
+    * whose SCAN-STAGE expression work (tokenize + explode + hash over
+    * every token/gram) dominates their runtime. Opt-in per call site,
+    * not the default: the floor's exchange carries text, which costs a
+    * light aggregate-only consumer more than its whole query (measured
+    * at sf0.1: q57 0.26→0.70 s under a blanket floor, while q219 went
+    * 2.89→1.30 — same window), so only measured-heavy consumers take
+    * it. */
+  def documentsParallel(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"$sfDir/documents.parquet"
+    parallelScan(spark, p, spark.read.parquet(p), "doc_id")
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

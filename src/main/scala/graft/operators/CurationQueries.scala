@@ -1228,7 +1228,7 @@ object CurationQueries {
       |                 ELSE 0 END AS BIGINT) AS dup2_ppm
       |FROM documents d LEFT JOIN fin f USING (doc_id)""".stripMargin)(
     (s, d) => {
-      val t = Tables.documents(s, d)
+      val t = Tables.documentsParallel(s, d)
         .select(col("doc_id"),
           length(regexp_replace(col("text"), "\\s", ""))
             .cast("long").as("n_wchars"),

@@ -3093,7 +3093,7 @@ object DedupQueries {
   private def suffixRankRounds(s: SparkSession, d: String, maxRound: Int)
       : (DataFrame, Map[Int, DataFrame]) = {
     import graft.pipeline.Clean
-    val base = Tables.documents(s, d)
+    val base = Tables.documentsParallel(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("i", "tok")))
     val nl = base.groupBy("doc_id").agg(count(lit(1)).as("len"))

@@ -372,7 +372,7 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, pair
       |LIMIT 50""".stripMargin)(
     (s, d) => {
-      val words = Tables.documents(s, d)
+      val words = Tables.documentsParallel(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       words.select(explode(charPairs(col("w"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
@@ -412,7 +412,7 @@ object TextQueries {
       |ORDER BY n_occurrences DESC, pair
       |LIMIT 20""".stripMargin)(
     (s, d) => {
-      val words = Tables.documents(s, d)
+      val words = Tables.documentsParallel(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("c"))
@@ -558,7 +558,7 @@ object TextQueries {
             |    'disp', concat('(',
             |      aggregate(acc, m.pat, (a, pd) -> replace(a, pd.sent, pd.disp)),
             |      ')'))))""".stripMargin).as("dmap"))
-      val words = Tables.documents(s, d)
+      val words = Tables.documentsParallel(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       val applied = words.crossJoin(broadcast(mrow3))
         .select(expr("aggregate(ms, w, (acc, m) -> replace(acc, m.pat, m.sent))")
@@ -615,7 +615,7 @@ object TextQueries {
             |    'disp', concat('(',
             |      aggregate(acc, m.pat, (a, pd) -> replace(a, pd.sent, pd.disp)),
             |      ')'))))""".stripMargin).as("dmap"))
-      val words = Tables.documents(s, d)
+      val words = Tables.documentsParallel(s, d)
         .select(explode(tokens(col("text"))).as("w"))
       val applied = words.crossJoin(broadcast(mrow))
         .select(expr("aggregate(ms, w, (acc, m) -> replace(acc, m.pat, m.sent))")
@@ -674,7 +674,7 @@ object TextQueries {
     bpeFertilityCtesK(BpeTrainK))(
     (s, d) => {
       val mrow = bpeMergeRow(s, d)
-      Tables.documents(s, d)
+      Tables.documentsParallel(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
         .crossJoin(broadcast(mrow))
         .select(col("lang"),
@@ -766,7 +766,7 @@ object TextQueries {
     * rewrite folded into the running words. Returns the pinned winners
     * as (round, pat, c) frames in round order. */
   private def bpeTrainWinners(s: SparkSession, d: String, k: Int): Seq[DataFrame] = {
-    var words = Tables.documents(s, d)
+    var words = Tables.documentsParallel(s, d)
       .select(explode(tokens(col("text"))).as("w"))
     (1 to k).map { r =>
       val top1 = words.select(explode(charPairs(col("w"))).as("pair"))
