@@ -73,7 +73,7 @@ object Tables {
     * (partition-invariance, retry-safety — guide §2.5 on rand-derived
     * keys), and by doc_id so AQE/downstream keyed ops see a real
     * clustering. */
-  private def parallelScan(spark: SparkSession, path: String,
+  private[graft] def parallelScan(spark: SparkSession, path: String,
       df: DataFrame, key: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val splitBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -103,4 +103,15 @@ object Tables {
     parallelScan(spark, p, spark.read.parquet(p), "doc_id")
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** [[embeddings]] behind the [[parallelScan]] floor — the vector
+    * suite's scan-stage work (64-dim integer dot/norm kernels, PQ
+    * encode argmins, dim explodes) is the same single-task story as the
+    * token streams; the exchanged rows are (vec_id + 64 longs), far
+    * cheaper than text, so the vector family takes the floor at its
+    * shared quantization helper rather than per call site. */
+  def embeddingsParallel(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = s"$sfDir/embeddings.parquet"
+    parallelScan(spark, p, spark.read.parquet(p), "vec_id")
+  }
 }

@@ -1040,7 +1040,19 @@ object DedupQueries {
       // sampled-pair set is data-sized — a text-carrying broadcast
       // would hit the broadcast ceiling exactly when the audit matters
       // most. Only the id-only `pairs` ever rides a broadcast.
-      tx.join(withA.hint("shuffle_hash"), col("doc_id") === col("ib"))
+      //
+      // r15 optimization: the join's reduce stage is where every
+      // levenshtein DP runs, and its BYTES (sampled pairs, capped
+      // prefixes) are tiny while its CPU is quadratic per row — AQE's
+      // byte-targeted coalescing collapsed it to ONE task (measured:
+      // 1.08 s of CPU in one task at sf0.1). Explicit-N join-key
+      // repartitions are user-specified partitioning: AQE never
+      // coalesces them and the equi-join consumes them directly, so
+      // the DP stage runs at full width with no extra exchange.
+      val n = s.sparkContext.defaultParallelism
+      tx.repartition(n, col("doc_id"))
+        .join(withA.repartition(n, col("ib")).hint("shuffle_hash"),
+          col("doc_id") === col("ib"))
         .select(col("ia"), col("ib"),
           levenshtein(col("ta"), col("t")).cast("long").as("edit_dist"),
           col("len_a"), col("n").as("len_b"))
@@ -1971,30 +1983,47 @@ object DedupQueries {
       val ed = e.select(col("ia").as("u"), col("ib").as("v"))
         .unionByName(e.select(col("ib").as("u"), col("ia").as("v")))
         .localCheckpoint(false) // one artifact scan feeds all peel rounds
-      def core(k: Int): DataFrame = {
-        var alive = ed.select("u").distinct()
-        var a5: DataFrame = alive
-        for (t <- 1 to 6) {
-          val among = ed
-            .join(alive, Seq("u"), "left_semi")
-            .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          alive = among.groupBy("u").agg(count(lit(1)).as("c"))
-            .filter(col("c") >= k).select("u")
-            .localCheckpoint(false) // bounded-round lineage cut, q56's pattern
-          if (t == 5) a5 = alive
-        }
-        val coreEdges = ed
-          .join(alive, Seq("u"), "left_semi")
-          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .agg((count(lit(1)) / 2).cast("long").as("core_edges"))
-        alive.agg(count(lit(1)).as("core_nodes"))
-          .crossJoin(coreEdges)
-          .crossJoin(a5.agg(count(lit(1)).as("c5")))
-          .select(lit(k.toLong).as("k"), col("core_nodes"), col("core_edges"),
-            when(col("c5") === col("core_nodes"), 1L).otherwise(0L)
-              .as("converged"))
+      // r15 optimization: the k=2 and k=3 peels ran as two INDEPENDENT
+      // 6-round loops — 12 semi-join+degree rounds, each behind its own
+      // localCheckpoint barrier (53 jobs measured, wall dominated by
+      // barrier latency, taskSum < 1 s). Tagging every edge/node with k
+      // and peeling both cores in ONE keyed loop does the identical
+      // per-k computation (the k column rides every join/group key) in
+      // half the rounds/jobs; at scale, half the driver barriers for
+      // the same shuffle bytes. The 2-row k axis is driven from a
+      // literal frame and the final report left-joins onto it, so an
+      // EMPTY core still reports its zero row (the old per-k global
+      // aggregates' convention).
+      val ksDf = broadcast(s.createDataFrame(Seq(Tuple1(2L), Tuple1(3L)))
+        .toDF("k"))
+      val edK = ed.crossJoin(ksDf)
+      var alive = ed.select("u").distinct().crossJoin(ksDf)
+      var a5: DataFrame = alive
+      for (t <- 1 to 6) {
+        val among = edK
+          .join(alive, Seq("k", "u"), "left_semi")
+          .join(alive.withColumnRenamed("u", "v"), Seq("k", "v"), "left_semi")
+        alive = among.groupBy("k", "u").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= col("k")).select("k", "u")
+          .localCheckpoint(false) // bounded-round lineage cut, q56's pattern
+        if (t == 5) a5 = alive
       }
-      core(2).unionByName(core(3))
+      val coreEdges = edK
+        .join(alive, Seq("k", "u"), "left_semi")
+        .join(alive.withColumnRenamed("u", "v"), Seq("k", "v"), "left_semi")
+        .groupBy("k").agg((count(lit(1)) / 2).cast("long").as("core_edges"))
+      val nodes = alive.groupBy("k").agg(count(lit(1)).as("core_nodes"))
+      val n5 = a5.groupBy("k").agg(count(lit(1)).as("c5"))
+      ksDf
+        .join(nodes, Seq("k"), "left")
+        .join(coreEdges, Seq("k"), "left")
+        .join(n5, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("core_nodes"), lit(0L)).as("core_nodes"),
+          coalesce(col("core_edges"), lit(0L)).as("core_edges"),
+          when(coalesce(col("c5"), lit(0L)) ===
+            coalesce(col("core_nodes"), lit(0L)), 1L).otherwise(0L)
+            .as("converged"))
     })
 
   /** STORED near-dup cluster labels — (doc_id, cluster_id), q56's exact
@@ -3003,9 +3032,20 @@ object DedupQueries {
       |SELECT name_a, name_b, key_a, key_b FROM cand
       |WHERE levenshtein(name_a, name_b) = 1""".stripMargin)(
     (s, d) => {
-      val names = Tables.customer(s, d)
+      // r15 optimization, two parallelism floors (guide §2.5): the
+      // variant explode ran inside the single-task customer scan
+      // (single-row-group file), and the self-join's reduce stage —
+      // where the candidate verification CPU lives — was AQE-coalesced
+      // to one partition because its BYTES are tiny while its CPU is
+      // not. The parallelScan spreads the explode; the explicit-N
+      // join-key repartition is user-specified partitioning, which AQE
+      // never coalesces and the v-equi-join reuses directly (no extra
+      // exchange — it replaces the join's own).
+      val p = s"$d/customer.parquet"
+      val names = Tables.parallelScan(s, p, s.read.parquet(p), "c_custkey")
         .select(col("c_custkey").as("k"), col("c_name").as("nm"))
       val vars = keyVariants(names)
+        .repartition(s.sparkContext.defaultParallelism, col("v"))
       val cand = vars.alias("a").join(vars.alias("b"),
           col("a.v") === col("b.v") && col("a.k") < col("b.k") &&
             col("a.nm") =!= col("b.nm") &&

@@ -880,11 +880,18 @@ object ExtensionQueries {
           case 'T' => unix_timestamp(col(c))
           case _ => lit(null).cast("long")
         }
-        val arms = cols.map { case (c, k) =>
+        // r15 optimization (guide §2.3, narrower types): the fact×11
+        // explode used to carry the column NAME string through the
+        // whole hot loop — 6.6M string hashes in the (cn, bucket)
+        // rollup for a key with 11 values. The arms now carry a 4-byte
+        // ordinal; names come back from an 11-entry literal array at
+        // the 11-row estimator tail.
+        val arms = cols.zipWithIndex.map { case ((c, k), i) =>
           val kv = keyCol(c, k)
           val th = if (k == 'S') portableCpHashNative(col(c)) else pmod(kv, lit(P))
-          struct(lit(c).as("cn"), th.as("th"), kv.as("kv"))
+          struct(lit(i).as("ci"), th.as("th"), kv.as("kv"))
         }
+        val cnOf = s"array(${cols.map(c => s"'${c._1}'").mkString(", ")})[ci]"
         val ex = li.select(explode(array(arms: _*)).as("a")).select(col("a.*"))
         val bw = ex
           .withColumn("tm", expr(s"(th * th + 3L * th + 7L) % ${P}L"))
@@ -899,13 +906,13 @@ object ExtensionQueries {
           df.withColumn("w", expr(s"w | shiftright(w, $k)")))
         val r = sm
           .withColumn("rho", expr("47L - CAST(bit_count(w) AS BIGINT)"))
-          .groupBy("cn", "bucket")
+          .groupBy("ci", "bucket")
           .agg(max("rho").as("mx"), count(lit(1)).as("cnt"),
             min("kv").as("mnk"), max("kv").as("mxk"))
         val lc = (1 to 128).map(v =>
           (v.toLong, math.round(128.0 * math.log(128.0 / v))))
         val lcDf = s.createDataFrame(lc).toDF("v", "lc_est")
-        val est = r.groupBy("cn")
+        val est = r.groupBy("ci")
           .agg(sum("cnt").cast("long").as("n_rows"),
             coalesce(sum(when(col("bucket") === -1L, col("cnt"))), lit(0L))
               .cast("long").as("n_nulls"),
@@ -943,7 +950,8 @@ object ExtensionQueries {
               lit(null).cast("long").as("sum_bytes"))
         }
         val strDf = ss.select(explode(array(sArms: _*)).as("st")).select(col("st.*"))
-        est.join(broadcast(strDf), col("cn") === col("col_name"))
+        est.withColumn("cn", expr(cnOf))
+          .join(broadcast(strDf), col("cn") === col("col_name"))
           .select(col("cn").as("col_name"), col("n_rows"), col("n_nulls"),
             col("ndv"), col("min_k"), col("max_k"), col("min_s"),
             col("max_s"), col("sum_bytes"))
@@ -1970,7 +1978,15 @@ object ExtensionQueries {
          |            // (n_rows * 64) AS BIGINT) AS savings_ppm
          |FROM e""".stripMargin)(
       (s, d) => {
-        val canon = EncodingCols.map { case (n, _, sp) => s"'$n', $sp" }
+        // r15 optimization (guide §2.3, narrower types): the fact×6
+        // stack used to carry the column NAME string through every
+        // window sort and rollup key — the ordinal rides instead, and
+        // the name comes back from a 6-entry literal array at the
+        // 6-row advisor tail.
+        val canon = EncodingCols.zipWithIndex
+          .map { case ((_, _, sp), i) => s"$i, $sp" }
+        val cnOf =
+          s"array(${EncodingCols.map(c => s"'${c._1}'").mkString(", ")})[c]"
         val st = Tables.lineitem(s, d).selectExpr(
           "l_orderkey AS ok", "l_linenumber AS ln",
           s"stack(${EncodingCols.size}, ${canon.mkString(", ")}) AS (c, v)")
@@ -2009,6 +2025,7 @@ object ExtensionQueries {
         val smear = Seq(1, 2, 4, 8, 16, 32).foldLeft("(n_distinct - 1)")(
           (acc, k) => s"(($acc) | (shiftright(($acc), $k)))")
         g3.join(broadcast(nd), Seq("c"))
+          .withColumn("c", expr(cnOf))
           .withColumn("dict_bits", expr(
             s"CASE WHEN n_distinct <= 1 THEN CAST(0 AS BIGINT) " +
               s"ELSE CAST(bit_count($smear) AS BIGINT) END"))

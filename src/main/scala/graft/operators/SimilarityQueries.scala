@@ -105,7 +105,7 @@ object SimilarityQueries {
 
   /** Integer-quantized embeddings — the k-means training view. */
   private def quantizedVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
+    Tables.embeddingsParallel(s, d).select(col("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => round(x * 10000).cast("long")).as("v"))
 
