@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Single place the path convention lives: load() and the *Parallel
+    * loaders derive from the same helper so a convention change cannot
+    * silently diverge between them. */
+  private def tablePath(sfDir: String, name: String): String =
+    s"$sfDir/$name.parquet"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.read.parquet(tablePath(sfDir, name))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
@@ -76,15 +82,24 @@ object Tables {
   private[graft] def parallelScan(spark: SparkSession, path: String,
       df: DataFrame, key: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    val splitBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
-      .stripSuffix("b").toLong
     // single REGULAR file no bigger than one split ⟺ the scan is one
     // task; a directory layout (production: many files) or a file above
-    // the split size never takes the repartition branch
-    val p = java.nio.file.Paths.get(path)
-    val singleSplit = java.nio.file.Files.isRegularFile(p) &&
-      (try java.nio.file.Files.size(p) <= splitBytes
-       catch { case _: Throwable => false })
+    // the split size never takes the repartition branch. Resolved via
+    // the Hadoop FileSystem of the path's own scheme so the floor also
+    // fires for a remote (hdfs://, s3a://) single-file layout, and any
+    // failure anywhere — conf in a form we can't parse, filesystem
+    // unreachable — degrades to "not single-split" (no repartition),
+    // never to a crash at query construction.
+    val singleSplit = try {
+      // maxPartitionBytes accepts any Spark byte string ("128MB", "64m",
+      // "134217728b"); JavaUtils is the parser Spark itself uses
+      val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes"))
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      st.isFile && st.getLen <= splitBytes
+    } catch { case _: Throwable => false }
     if (cores > 1 && singleSplit) df.repartition(cores, col(key)) else df
   }
 
@@ -99,7 +114,7 @@ object Tables {
     * 2.89→1.30 — same window), so only measured-heavy consumers take
     * it. */
   def documentsParallel(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = s"$sfDir/documents.parquet"
+    val p = tablePath(sfDir, "documents")
     parallelScan(spark, p, spark.read.parquet(p), "doc_id")
   }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
@@ -111,7 +126,7 @@ object Tables {
     * cheaper than text, so the vector family takes the floor at its
     * shared quantization helper rather than per call site. */
   def embeddingsParallel(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = s"$sfDir/embeddings.parquet"
+    val p = tablePath(sfDir, "embeddings")
     parallelScan(spark, p, spark.read.parquet(p), "vec_id")
   }
 }
