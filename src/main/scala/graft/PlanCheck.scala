@@ -1203,7 +1203,7 @@ object PlanCheck {
       p => p.contains("ExistingRDD") && p.contains("LeftSemi") &&
         !p.contains("CartesianProduct"))
     check("q336_fd_discovery",
-      "FD discovery: per candidate ONE column-pruned scan into a map-side (lhs,rhs) rollup — no joins at all",
+      "FD discovery: candidates stack per table into ONE arm-keyed map-side (lhs,rhs) rollup chain — no joins at all",
       p => p.contains("partial_count") && !p.contains("Join"))
     check("q337_partition_advisor",
       "partition advisor: per-key map-side (partition, flags) rollups pinned (ExistingRDD); no joins",

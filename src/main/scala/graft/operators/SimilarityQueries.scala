@@ -2817,18 +2817,19 @@ object SimilarityQueries {
     // corpus just to regroup the identical q² terms)
     val perDim = dims.groupBy("sub", "c_id", "dim")
       .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
-        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"),
+        count(lit(1)).as("cnt"))
+    // cluster sizes ride the SAME perDim rollup: every assigned vector
+    // contributes exactly one row per dim, so count per (sub, c_id, dim)
+    // IS n_c for each of the subspace's dims — max() over equal values.
+    // (r16 optimization, guide §2.4: the old second enc consumer made
+    // the whole broadcast-argmax encode run twice per layout — the enc
+    // exchange was NOT reused across the dims join and the n rollup.)
     val ssq = perDim.groupBy("sub", "c_id")
       .agg(sum(col("sq") * col("sq")).cast("decimal(38,0)").as("ssq"),
-        sum("sqq").cast("decimal(38,0)").as("s2tot"))
-    // cluster sizes come from the 8-codes-per-vec enc table (PqM rows
-    // per vector after the stack), never from the dim-exploded corpus
-    val n = enc.select(explode(array((0 until PqM).map(j =>
-        struct(lit(j.toLong).as("sub"), col(s"code$j").as("c_id"))): _*)).as("a"))
-      .select(col("a.sub"), col("a.c_id"))
-      .groupBy("sub", "c_id").agg(count(lit(1)).as("n"))
-    val perCluster = n
-      .join(ssq, Seq("sub", "c_id"))
+        sum("sqq").cast("decimal(38,0)").as("s2tot"),
+        max("cnt").as("n"))
+    val perCluster = ssq
       .select(col("sub"), col("n"), col("s2tot"),
         expr("CAST(n * s2tot - ssq AS DECIMAL(38,0)) div n").as("scatter"))
     perCluster.groupBy("sub")
