@@ -41,7 +41,7 @@ object CurationQueries {
       |  FROM (SELECT doc_id,
       |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |        FROM documents))""".stripMargin)(
-    (s, d) => Tables.documents(s, d)
+    (s, d) => Tables.documentsParallel(s, d)
       // bind the token array to an attribute FIRST: the unigram lambda
       // then scans a materialized array instead of re-splitting the text
       // per distinct token (see maxUnigramFracArr)

@@ -3499,21 +3499,32 @@ object DedupQueries {
          |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS dup_groups
          |FROM g GROUP BY 1""".stripMargin)(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // r16 optimization: (1) the pinned text read is WIDENED first
+        // (documentsParallel) — the old 1-partition checkpoint made each
+        // of the four gram arms explode single-threaded (one 4-task
+        // stage carrying 6.7 s of CPU at sf0.1); (2) the rollup groups
+        // on unhex(md5) — the 16-byte binary digest is bijective to the
+        // 32-char hex string, so group identity and every count are
+        // unchanged while the exchange key halves (guide §2.3);
+        // (3) countDistinct(doc_id) is gone — the advisor only consumes
+        // nd > 1, which is exactly min(doc_id) ≠ max(doc_id), so the
+        // Expand that doubled the gram shuffle is removed outright.
+        val docs = Tables.documentsParallel(s, d)
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
           .localCheckpoint(false) // one text read feeds all four arms
         val st = ws.map { w =>
           docs.select(lit(w).as("w"), col("doc_id"),
             explode(wordNgrams(col("text"), w)).as("gram"))
-            .select(col("w"), col("doc_id"), md5(col("gram")).as("gh"))
+            .select(col("w"), col("doc_id"), unhex(md5(col("gram"))).as("gh"))
         }.reduce(_ unionByName _)
         st.groupBy("w", "gh")
-          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+          .agg(count(lit(1)).as("n"), min("doc_id").as("mnd"),
+            max("doc_id").as("mxd"))
           .groupBy("w")
           .agg(sum("n").as("n_positions"),
             count(lit(1)).as("n_distinct_grams"),
             sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_positions"),
-            sum(when(col("nd") > 1, col("n")).otherwise(0L))
+            sum(when(col("mnd") =!= col("mxd"), col("n")).otherwise(0L))
               .as("cross_doc_positions"),
             count(when(col("n") > 1, 1)).cast("long").as("dup_groups"))
           .select(col("w").cast("long").as("w"), col("n_positions"),

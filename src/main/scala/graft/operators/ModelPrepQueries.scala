@@ -2187,6 +2187,11 @@ object ModelPrepQueries {
        |FROM agg a JOIN tv USING (variant), nd, va""".stripMargin)(
     (s, d) => {
       import s.implicits._
+      // (r16: the parallelScan floor was TRIED here and measured WORSE —
+      // 1.74 → 2.89 s isolated at sf0.1: the widened checkpoint spreads
+      // ~4 s of total CPU over 32 tasks × ~18 stages, and the added
+      // task-launch overhead exceeds the CPU win. The floor only pays
+      // when a single stage carries the query's CPU, q219/q117-style.)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .localCheckpoint(false) // feeds the cut, vocab, and eval
